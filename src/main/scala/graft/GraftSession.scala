@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the local[32] test harness but with settings that transfer to a
+  * real cluster: AQE (runtime partition coalescing + skew-join splitting),
+  * explicit shuffle partition count, UTC session time zone (oracle parity).
+  */
+object GraftSession {
+
+  /** Apply graft defaults + function registration to an existing builder. */
+  def configure(builder: SparkSession.Builder): SparkSession.Builder =
+    builder
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.parquet uses TIMESTAMP(NANOS): read as long ns
+      // (Tables.events converts to TimestampType)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    register(spark)
+    spark
+  }
+
+  /** Idempotently register graft SQL functions on any session (needed when
+    * the session was built without `withExtensions`, e.g. by the driver).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.GraftFunctions.registerAll(spark)
+}

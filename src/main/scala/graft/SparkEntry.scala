@@ -1,13 +1,68 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Each `queries` entry is a thin binding of an operator from
+  * `graft.operators.*` to the testdata tables; each `oracleSql` entry is
+  * the DuckDB-ANSI equivalent the driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
+  import Tables._
+
+  private val Cutoff = "1998-01-01"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    StarSchema.factLineitem(lineitem(spark, dir), orders(spark, dir))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. cleaning / ETL
+    "clean_events" -> ((s, d) => CleanOps.cleanEvents(events(s, d))),
+    "parse_timestamps" -> ((s, d) => CleanOps.parseTimestamps(events(s, d))),
+    "price_clean" -> ((s, d) => CleanOps.priceClean(orders(s, d))),
+    "json_extract_props" -> ((s, d) => CleanOps.jsonExtractProps(events(s, d))),
+    "geohash_encode" -> ((s, d) => CleanOps.geohashEncode(customer(s, d))),
+    // B. star schema
+    "dim_date" -> ((s, d) => StarSchema.dimDate(orders(s, d), lineitem(s, d))),
+    "dim_customer_geo" -> ((s, d) =>
+      StarSchema.dimCustomerGeo(customer(s, d), nation(s, d), region(s, d))),
+    "dim_supplier_geo" -> ((s, d) =>
+      StarSchema.dimSupplierGeo(supplier(s, d), nation(s, d), region(s, d))),
+    "fact_orders" -> ((s, d) =>
+      StarSchema.factOrders(orders(s, d), customer(s, d), nation(s, d))),
+    "fact_lineitem" -> ((s, d) =>
+      StarSchema.factLineitem(lineitem(s, d), orders(s, d))),
+    "incremental_dim_load" -> ((s, d) =>
+      StarSchema.incrementalDimLoad(orders(s, d), customer(s, d), Cutoff)),
+    "incremental_fact_load" -> ((s, d) =>
+      StarSchema.incrementalFactLoad(orders(s, d))),
+    // C. warehouse analytics
+    "agg_region_pct" -> ((s, d) =>
+      Analytics.aggRegionPct(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
+    "top_types_by_nation" -> ((s, d) =>
+      Analytics.topTypesByNation(lineitem(s, d), supplier(s, d), nation(s, d), part(s, d))),
+    "avg_duration_by_priority" -> ((s, d) =>
+      Analytics.avgDurationByPriority(lineitem(s, d), orders(s, d))),
+    "price_stats_by_region" -> ((s, d) =>
+      Analytics.priceStatsByRegion(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
+    "revenue_by_nation_segment" -> ((s, d) =>
+      Analytics.revenueByNationSegment(orders(s, d), customer(s, d), nation(s, d))),
+    "geo_join_counts" -> ((s, d) =>
+      Analytics.geoJoinCounts(customer(s, d), supplier(s, d), nation(s, d), region(s, d))),
+    "density_correlation" -> ((s, d) =>
+      Analytics.densityCorrelation(orders(s, d), customer(s, d), supplier(s, d), nation(s, d))),
+    "quarterly_trend" -> ((s, d) =>
+      Analytics.quarterlyTrend(orders(s, d), customer(s, d), nation(s, d))),
+    "weekend_pattern" -> ((s, d) =>
+      Analytics.weekendPattern(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
+    "pct_fast_fulfillment" -> ((s, d) =>
+      Analytics.pctFastFulfillment(lineitem(s, d), orders(s, d)))
+  )
+
+  def oracleSql: Map[String, String] = Oracles.all
 }

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Geohash base32 encoding (lat, lon) → fixed-precision string.
+  *
+  * Re-expresses the reference's per-row Python UDF
+  * (`/root/reference/src/311 /glue_job_clean_311.py:51-86`,
+  * `airbnb_clean_data.py:79-115`) as a native Catalyst expression with
+  * `doGenCode`, so it participates in whole-stage codegen instead of
+  * falling out to an interpreted UDF — the difference between a
+  * serialization round-trip per row and an inlined static call at 100 TB.
+  *
+  * Semantics: the classic bit-interleaving geohash (lon bit first) computed
+  * by the closed-form floor scaling — identical to the textbook
+  * bisection loop with a `>= mid` comparison. The same closed form is
+  * emitted as DuckDB SQL by [[graft.OracleSql.geohashSql]] so the oracle
+  * matches bit-for-bit.
+  */
+object GeohashEncode {
+  private val B32 = "0123456789bcdefghjkmnpqrstuvwxyz".toCharArray
+
+  /** Total bits = 5*precision; longitude gets the extra bit when odd. */
+  def encode(lat: Double, lon: Double, precision: Int): UTF8String = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    var latb = math.floor((lat + 90.0) / 180.0 * (1L << latBits).toDouble).toLong
+    var lonb = math.floor((lon + 180.0) / 360.0 * (1L << lonBits).toDouble).toLong
+    if (latb < 0) latb = 0
+    if (latb > (1L << latBits) - 1) latb = (1L << latBits) - 1
+    if (lonb < 0) lonb = 0
+    if (lonb > (1L << lonBits) - 1) lonb = (1L << lonBits) - 1
+    // Interleave MSB-first, longitude first.
+    var ih = 0L
+    var i = 0
+    while (i < totalBits) {
+      val bit =
+        if ((i & 1) == 0) (lonb >> (lonBits - 1 - (i >> 1))) & 1L
+        else (latb >> (latBits - 1 - (i >> 1))) & 1L
+      ih = (ih << 1) | bit
+      i += 1
+    }
+    val out = new Array[Char](precision)
+    var c = 0
+    while (c < precision) {
+      out(c) = B32(((ih >> (totalBits - 5 * (c + 1))) & 31L).toInt)
+      c += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+}
+
+case class GeohashExpr(left: Expression, right: Expression, precision: Int)
+    extends BinaryExpression {
+  require(precision >= 1 && precision <= 12, "geohash precision must be 1..12")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_geohash"
+
+  override protected def nullSafeEval(lat: Any, lon: Any): Any =
+    GeohashEncode.encode(lat.asInstanceOf[Double], lon.asInstanceOf[Double], precision)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon) =>
+      s"graft.functions.GeohashEncode.encode($lat, $lon, $precision)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Geohash {
+  /** Column API: `geohash($"lat", $"lon", 7)`. */
+  def geohash(lat: Column, lon: Column, precision: Int = 7): Column =
+    GraftColumnBridge.column(GeohashExpr(
+      GraftColumnBridge.expression(lat.cast("double")),
+      GraftColumnBridge.expression(lon.cast("double")), precision))
+}

@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** SQL-surface registration for graft's native expressions, so
+  * `spark.sql("SELECT graft_geohash(lat, lon, 7) ...")` works on any
+  * session (the driver builds sessions without extensions, so operators
+  * call [[registerAll]] idempotently via GraftSession.register).
+  */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_geohash",
+      (exprs: Seq[Expression]) => {
+        val precision = exprs.lift(2) match {
+          case Some(Literal(v: Int, IntegerType)) => v
+          case None => 7
+          case other => throw new IllegalArgumentException(
+            s"graft_geohash precision must be an int literal, got $other")
+        }
+        GeohashExpr(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType), precision)
+      },
+      "built-in")
+  }
+}

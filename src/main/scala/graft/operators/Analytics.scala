@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse analytics — the reference's notebook SQL (the .ipynb files
+  * under `/root/reference/src/Analysis/`) re-expressed as DataFrame plans
+  * over the star schema.
+  *
+  * Numeric policy (oracle parity at any scale): money stays DECIMAL(18,2)
+  * through sums (exact, order-independent), averages are
+  * round(cast(exact_sum as double)/count, N), percentages are double
+  * division of exact longs — no double SUMs anywhere, so results are
+  * identical regardless of partitioning/merge order.
+  */
+object Analytics {
+
+  /** Complaint share by borough → order share by region: group count +
+    * percent-of-total via an empty-frame window SUM (ref: 311 Analysis q1).
+    */
+  def aggRegionPct(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val counts = orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(count(lit(1)).as("total_orders"))
+    counts.withColumn("pct",
+      round(col("total_orders") * lit(100.0) /
+        sum(col("total_orders")).over(Window.partitionBy()), 2))
+  }
+
+  /** Top-20 complaint types per borough → part types per supplier nation
+    * (ref: 311 Analysis q2). Deterministic total order for the LIMIT.
+    */
+  def topTypesByNation(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("n_lines").desc, col("p_type"), col("nation"))
+      .limit(20)
+
+  /** Avg resolution time by agency → avg days-to-ship by order priority
+    * (ref: 311 Analysis q3; duration_hours avg + count).
+    */
+  def avgDurationByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("days_to_ship",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("days_to_ship").cast("long")).as("sum_days"))
+      .select(
+        col("o_orderpriority"),
+        col("n_lines"),
+        round(col("sum_days").cast("double") / col("n_lines"), 2).as("avg_days_to_ship"),
+        round(col("sum_days").cast("double") / col("n_lines") / lit(7.0), 2).as("avg_weeks_to_ship"))
+
+  /** Price stats (count/avg/min/max in exact decimal) per region (ref:
+    * Airbnb Analysis q1 TRY_CAST price stats by borough).
+    */
+  def priceStatsByRegion(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+      .groupBy(col("r_name").as("region"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"),
+        sum(col("price")).as("sum_price_raw"))
+      .select(
+        col("region"), col("n_orders"), col("min_price"), col("max_price"),
+        round(col("sum_price_raw").cast("double") / col("n_orders"), 2).as("avg_price"))
+
+  /** Revenue by (nation, segment) with COALESCE'd group keys (ref: Airbnb
+    * Analysis q2/q3 revenue by neighbourhood).
+    */
+  def revenueByNationSegment(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(
+        col("n_name").as("nation"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("revenue"))
+
+  /** Geohash-cell join of the two geo domains + per-cell distinct counts
+    * (ref: `Glue job to merge 311 Airbnb.py:135-141`). The supplier side
+    * is small → broadcast; the join key is the geohash string.
+    */
+  def geoJoinCounts(customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val cust = StarSchema.dimCustomerGeo(customer, nation, region)
+      .select(col("geohash"), col("c_custkey"))
+    val supp = StarSchema.dimSupplierGeo(supplier, nation, region)
+      .select(col("geohash"), col("s_suppkey"))
+    cust.join(broadcast(supp), Seq("geohash"))
+      .groupBy(col("geohash"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+  }
+
+  /** Airbnb-density vs complaint-count correlation table → per-nation
+    * customer/order/supplier densities with NULLIF-guarded ratio + HAVING
+    * (ref: Combined analysis q1/q2).
+    */
+  def densityCorrelation(orders: DataFrame, customer: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val custN = customer.select(col("c_custkey"), col("c_nationkey"))
+    val orderCounts = orders
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+    val suppCounts = supplier.groupBy(col("s_nationkey").as("nationkey"))
+      .agg(countDistinct(col("s_suppkey")).as("n_suppliers"))
+    broadcast(nation.select(col("n_nationkey"), col("n_name")))
+      .join(orderCounts, col("n_nationkey") === orderCounts("nationkey"), "left")
+      .join(suppCounts, col("n_nationkey") === suppCounts("nationkey"), "left")
+      .filter(coalesce(col("n_orders"), lit(0L)) > 10)
+      .select(
+        col("n_name").as("nation"),
+        col("n_orders"),
+        col("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        round(col("n_orders").cast("double") /
+          nullif(coalesce(col("n_suppliers"), lit(0L)), lit(0L)), 4)
+          .as("orders_per_supplier"))
+  }
+
+  /** Quarterly trend with window AVG over partition (ref: Combined q3). */
+  def quarterlyTrend(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val counts = orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(
+        year(col("o_orderdate")).as("year"),
+        quarter(col("o_orderdate")).as("quarter"),
+        col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("year"), col("quarter"))
+    // sum/count (exact longs) instead of AVG so the double division happens
+    // once, in the same order as the oracle — no windowed double sums.
+    counts.withColumn("avg_quarterly_orders",
+      round(sum(col("n_orders")).over(w).cast("double") /
+        count(lit(1)).over(w).cast("double"), 2))
+  }
+
+  /** Weekend/weekday split with avg price (ref: Combined q4). */
+  def weekendPattern(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("day_type",
+        when(weekday(col("o_orderdate")) + 1 >= 6, lit("Weekend")).otherwise(lit("Weekday")))
+      .groupBy(col("day_type"), col("r_name").as("region"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price_raw"))
+      .select(
+        col("day_type"), col("region"), col("n_orders"),
+        round(col("sum_price_raw").cast("double") / col("n_orders"), 2).as("avg_price"))
+
+  /** Share of lines shipped within a threshold (ref: README insight "~75%
+    * of complaints resolved within 3 days").
+    */
+  def pctFastFulfillment(lineitem: DataFrame, orders: DataFrame, thresholdDays: Int = 90): DataFrame =
+    lineitem
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("days_to_ship",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("days_to_ship") <= thresholdDays, 1L).otherwise(0L)).as("n_fast"))
+      .select(
+        col("o_orderpriority"), col("n_lines"), col("n_fast"),
+        round(col("n_fast").cast("double") * lit(100.0) / col("n_lines"), 2).as("pct_fast"))
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.functions.Geohash.geohash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cleaning / enrichment operators — Spark-first re-expression of the
+  * reference's Glue/Lambda cleaning passes
+  * (`/root/reference/src/311 /glue_job_clean_311.py:116-142`,
+  * `/root/reference/src/Airbnb/airbnb_clean_data.py:36-120`).
+  *
+  * Every transform is a declarative column expression: filters sit first so
+  * Catalyst pushes them into the parquet scan, normalization/dedup happen
+  * on the pruned projection, and nothing leaves whole-stage codegen.
+  */
+object CleanOps {
+
+  /** Null/range filtering + text normalization + exact dedup + derived
+    * date/hour columns (ref: glue_job_clean_311.py lat/lon box filter,
+    * trim/upper, dropDuplicates, created_year).
+    */
+  def cleanEvents(events: DataFrame): DataFrame =
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .filter(col("value") >= 0.0 && col("value") <= 400.0)
+      .dropDuplicates("event_id")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        upper(trim(col("event_type"))).as("event_type"),
+        col("value"),
+        to_date(col("ts")).as("event_date"),
+        hour(col("ts")).as("event_hour"))
+
+  /** Multi-format timestamp parsing via coalesce of format attempts (ref:
+    * glue_job_clean_311.py:40-46 `parse_timestamp`). The raw strings are
+    * derived deterministically from events.ts in three formats so the
+    * oracle can rebuild the identical input.
+    */
+  def parseTimestamps(events: DataFrame): DataFrame = {
+    val raw = events.select(
+      col("event_id"),
+      when(col("event_id") % 3 === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(col("event_id") % 3 === 1, date_format(col("ts"), "MM/dd/yyyy HH:mm:ss"))
+        .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .as("raw_ts"))
+    raw.select(
+      col("event_id"),
+      col("raw_ts"),
+      coalesce(
+        try_to_timestamp(col("raw_ts"), lit("yyyy-MM-dd'T'HH:mm:ss")),
+        try_to_timestamp(col("raw_ts"), lit("MM/dd/yyyy HH:mm:ss")),
+        try_to_timestamp(col("raw_ts"), lit("yyyy-MM-dd HH:mm:ss"))).as("parsed_ts"))
+  }
+
+  /** Price-string cleaning: strip currency symbols/thousands separators and
+    * cast to exact DECIMAL (ref: airbnb_clean_data.py:43-49). The dirty
+    * strings are synthesized from o_totalprice so the oracle matches.
+    */
+  def priceClean(orders: DataFrame): DataFrame = {
+    val dirty = orders.select(
+      col("o_orderkey"),
+      concat(lit("$"), col("o_totalprice").cast("decimal(18,2)").cast("string"))
+        .as("price_raw"))
+    dirty.select(
+      col("o_orderkey"),
+      col("price_raw"),
+      regexp_replace(col("price_raw"), "[$,]", "").cast("decimal(18,2)")
+        .as("price"))
+  }
+
+  /** JSON property extraction from the raw-ingestion props payload (ref:
+    * the Mongo→S3 raw JSON stage; get_json_object stays codegen-friendly).
+    */
+  def jsonExtractProps(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .filter(col("k").isNotNull)
+
+  /** Geohash enrichment on deterministically derived NYC-box coordinates
+    * (testdata has no lat/lon; SURVEY §3). Uses the native codegen'd
+    * GeohashExpr — the reference's Python UDF equivalent
+    * (glue_job_clean_311.py:51-86) at ~0 marginal cost per row.
+    */
+  def geohashEncode(customer: DataFrame): DataFrame = {
+    val withCoords = customer.select(
+      col("c_custkey"),
+      (lit(40.4) + (col("c_custkey") % 593).cast("double") * lit(0.001)).as("lat"),
+      (lit(-74.3) + (col("c_custkey") % 599).cast("double") * lit(0.001)).as("lon"))
+    withCoords.withColumn("geohash", geohash(col("lat"), col("lon"), 7))
+  }
+
+  /** Shared derived-coordinate helper for other operators. */
+  def withDerivedCoords(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("lat", lit(40.4) + (col(keyCol) % 593).cast("double") * lit(0.001))
+      .withColumn("lon", lit(-74.3) + (col(keyCol) % 599).cast("double") * lit(0.001))
+}

@@ -1,0 +1,23 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Dev/audit tool: print the formatted physical plan (and optionally run)
+  * a named SparkEntry query — used to audit pushdown/broadcast/codegen
+  * per SURVEY §5.
+  *
+  * Usage: runMain graft.tools.Explain <queryName|entry> [sfDir] [--run]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("entry")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local()
+    val df =
+      if (name == "entry") SparkEntry.entry(spark)
+      else SparkEntry.queries(name)(spark, sfDir)
+    df.explain("formatted")
+    if (args.contains("--run")) println(s"rows=${df.count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run graft.Verify via
+sbt, then execute each oracle SQL in DuckDB over the same testdata and
+compare row counts, column names, and a canonical value hash.
+
+Usage: python3 tools/check_oracle.py [sfdir] [outdir] [--skip-verify] [query...]
+"""
+import duckdb, glob, hashlib, json, math, os, subprocess, sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+flags = [a for a in sys.argv[3:]]
+only = [a for a in flags if not a.startswith("--")]
+
+if "--skip-verify" not in flags:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
+    if r.returncode != 0:
+        print(tail); sys.exit(1)
+    print("[verify ran]")
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def canon(v):
+    if v is None: return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)
+    if isinstance(v, bool): return "true" if v else "false"
+    if isinstance(v, bytes): return v.hex()
+    return str(v)
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for l in lines: h.update(l.encode()); h.update(b"\n")
+    return h.hexdigest()[:16]
+
+fails = []
+names = only or sorted(oracle.keys())
+for name in names:
+    spark_dir = f"{OUT}/{name}"
+    pq = glob.glob(f"{spark_dir}/*.parquet")
+    if not pq:
+        print(f"FAIL {name}: no spark output"); fails.append(name); continue
+    sdf = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+    scols, srows = [c.lower() for c in sdf.columns], sdf.fetchall()
+    if name not in oracle:
+        print(f"rows-only {name}: {len(srows)} rows"); continue
+    try:
+        odf = con.sql(oracle[name])
+        ocols, orows = [c.lower() for c in odf.columns], odf.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {str(e)[:200]}"); fails.append(name); continue
+    problems = []
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+    elif len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    elif table_hash(srows, scols) != table_hash(orows, ocols):
+        problems.append("value hash mismatch")
+        so = sorted(["|".join(canon(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows])
+        oo = sorted(["|".join(canon(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])) for r in orows])
+        diffs = [(a, b) for a, b in zip(so, oo) if a != b][:3]
+        for a, b in diffs:
+            problems.append(f"  spark : {a[:160]}")
+            problems.append(f"  oracle: {b[:160]}")
+    if problems:
+        print(f"FAIL {name}: " + "\n".join(problems)); fails.append(name)
+    else:
+        print(f"OK   {name}: {len(srows)} rows")
+
+print(f"\n{len(names)-len(fails)}/{len(names)} pass")
+sys.exit(1 if fails else 0)
