@@ -68,10 +68,8 @@ object OracleSql {
   /** LSH band keys from minhash columns h0..h{K-1}: Bands keys of Rows
     * concatenated values.
     */
-  def bandKeySql(band: Int): String = {
-    val parts = (0 until HashFns.MinhashRows)
-      .map(r => s"h${band * HashFns.MinhashRows + r}")
+  def bandKeySql(band: Int): String =
+    (0 until HashFns.MinhashRows)
+      .map(r => s"h${band * HashFns.MinhashRows + r}::VARCHAR")
       .mkString(" || ':' || ")
-    parts
-  }
 }

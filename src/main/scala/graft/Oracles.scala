@@ -223,8 +223,8 @@ object Oracles {
 
     "pct_fast_fulfillment" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
-        | SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
-        |   <= 90 THEN 1 ELSE 0 END) AS n_fast,
+        | CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |   CAST(l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
         | ROUND(CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
         |   CAST(l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
         |   * CAST(100.0 AS DOUBLE) / COUNT(*), 2) AS pct_fast
@@ -232,5 +232,223 @@ object Oracles {
         |GROUP BY o_orderpriority""".stripMargin
   )
 
-  val all: Map[String, String] = aCleaning ++ bStarSchema ++ cAnalytics
+  private def norm(c: String) = normTextSql(c)
+
+  /** Shared shingle-hash CTE prefix over documents (32-bit md5-prefix of
+    * char-5-grams of the normalized text).
+    */
+  private val shingleCte =
+    s"""norm AS (SELECT doc_id, ${norm("text")} AS t FROM documents),
+       |sh AS (SELECT doc_id, ${hash32Sql("substr(t, i, 5)")} AS x
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t)-4)) AS i
+       |        FROM norm WHERE length(t) >= 5))""".stripMargin
+
+  private val dPipeline: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT min(doc_id) AS doc_id, md5(${norm("text")}) AS content_hash,
+         | count(*) AS n_copies
+         |FROM documents GROUP BY md5(${norm("text")})""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |shd AS (SELECT DISTINCT doc_id, x FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         |rare AS (SELECT x FROM (SELECT x, count(*) AS df FROM shd GROUP BY x)
+         |         WHERE df <= 50),
+         |kept AS (SELECT shd.doc_id, shd.x FROM shd JOIN rare ON shd.x = rare.x),
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b ON a.x = b.x AND a.doc_id < b.doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM shd a JOIN shd b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |   ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+         |  FROM cands c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val bandsUnion = (0 until graft.functions.HashFns.MinhashBands)
+        .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM mh")
+        .mkString(" UNION ALL ")
+      val estExpr = (0 until graft.functions.HashFns.MinhashK)
+        .map(i => s"CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id, ${minhashAggSql("x").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS ($bandsUnion),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b,
+         |   ROUND(CAST(($estExpr) AS DOUBLE) / 32.0, 4) AS est_jaccard
+         |  FROM pairs JOIN mh ma ON ma.doc_id = doc_a JOIN mh mb ON mb.doc_id = doc_b)
+         |WHERE est_jaccard >= 0.5""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val sums = (0 until 60)
+        .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(", ")
+      val simExpr = (0 until 60)
+        .map(j => s"(CASE WHEN b$j >= 0 THEN (1::BIGINT << $j) ELSE 0 END)")
+        .mkString(" + ")
+      val bandsUnion = (0 until 4)
+        .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS key FROM sim")
+        .mkString(" UNION ALL ")
+      s"""WITH norm AS (SELECT doc_id, ${norm("text")} AS t FROM documents),
+         |tok AS (SELECT doc_id, ${hash60Sql("tk")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tk
+         |        FROM norm WHERE length(t) > 0)),
+         |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+         |sim AS (SELECT doc_id, $simExpr AS simhash FROM sums),
+         |bands AS ($bandsUnion)
+         |SELECT * FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |WHERE hamming <= 3""".stripMargin
+    },
+
+    "embed_cosine_topk" -> {
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH pairs AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ROUND(${dotSql("q", "c")} / (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})), 6)
+         |   AS cosine_sim
+         | FROM embeddings q JOIN embeddings c
+         |  ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+         | FROM pairs)
+         |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "embed_lsh_ann" -> {
+      def planeDot(p: Int) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (CAST((1103515245 * (${p * 64} + i - 1) + 12345) % 65536 AS DOUBLE) / 65536.0 - 0.5)), (x, y) -> x + y)"
+      val bucketExpr = (0 until 16)
+        .map(p => s"(CASE WHEN ${planeDot(p)} >= 0.0 THEN (1::BIGINT << $p) ELSE 0 END)")
+        .mkString(" + ")
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+         |pairs AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ROUND(${dotSql("q", "c")} / (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})), 6)
+         |   AS cosine_sim
+         | FROM b q JOIN b c
+         |  ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+         | FROM pairs)
+         |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    "lang_id" -> {
+      val lists = graft.operators.TextOps.Stopwords.map { case (l, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CASE WHEN length(${norm("text")}) = 0 THEN []
+         |       ELSE string_split(${norm("text")}, ' ') END AS toks
+         | FROM documents),
+         |s AS (SELECT doc_id, lang, $lists FROM t)
+         |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+         | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |      WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
+         | (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS is_match
+         |FROM s""".stripMargin
+    },
+
+    "quality_score" -> {
+      val enArr = graft.operators.TextOps.Stopwords.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (SELECT doc_id,
+         |  CAST(length(${norm("text")}) AS BIGINT) AS n_chars,
+         |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+         |       ELSE len(string_split(${norm("text")}, ' ')) END AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(${norm("text")}, '[^a-z ]', '', 'g')) AS BIGINT)
+         |    AS n_alpha_space,
+         |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+         |       ELSE len(list_filter(string_split(${norm("text")}, ' '),
+         |                x -> list_contains($enArr, x))) END AS BIGINT) AS n_stop
+         | FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         | ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS stop_ratio,
+         | ROUND(CAST(n_chars - n_alpha_space AS DOUBLE) / GREATEST(n_chars, 1), 4)
+         |   AS special_ratio,
+         | ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / GREATEST(n_tokens, 1), 4)
+         |   AS avg_word_len,
+         | ROUND(CAST(0.4 AS DOUBLE) * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |  + CAST(0.3 AS DOUBLE) * (1.0 - ROUND(CAST(n_chars - n_alpha_space AS DOUBLE) / GREATEST(n_chars, 1), 4))
+         |  + CAST(0.3 AS DOUBLE) * LEAST(ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 4) * 4.0, 1.0), 4)
+         |   AS quality_score
+         |FROM base""".stripMargin
+    },
+
+    "token_count" ->
+      s"""SELECT doc_id,
+         | CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+         |      ELSE len(string_split(${norm("text")}, ' ')) END AS BIGINT) AS n_ws_tokens,
+         | CAST(len(regexp_extract_all(${norm("text")}, '[a-z0-9]+')) AS BIGINT)
+         |   AS n_alnum_runs,
+         | CAST(length(replace(${norm("text")}, ' ', '')) AS BIGINT) AS n_chars_nospace
+         |FROM documents""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, ${hash60Sql(norm("text"))} AS fingerprint,
+         | COUNT(*) OVER (PARTITION BY ${hash60Sql(norm("text"))}) AS n_same_fp
+         |FROM documents""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+        | CAST(64 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height,
+        | CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames,
+        | md5(text) AS checksum
+        |FROM documents""".stripMargin
+  )
+
+  private val eStreaming: Map[String, String] = Map(
+    "events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, ts FROM events),
+        |lagged AS (SELECT *, lag(ts_s) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s FROM e),
+        |flagged AS (SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800
+        |  THEN 1 ELSE 0 END AS new_session FROM lagged),
+        |sess AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM flagged),
+        |per_sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MAX(ts_s) - MIN(ts_s) AS duration_s FROM sess GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        | CAST(SUM(n_events) AS BIGINT) AS n_events,
+        | MAX(duration_s) AS max_session_s,
+        | ROUND(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+        |   AS avg_events_per_session
+        |FROM per_sess GROUP BY user_id""".stripMargin
+  )
+
+  val all: Map[String, String] =
+    aCleaning ++ bStarSchema ++ cAnalytics ++ dPipeline ++ eStreaming
 }

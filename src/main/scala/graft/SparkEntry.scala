@@ -61,7 +61,25 @@ object SparkEntry {
     "weekend_pattern" -> ((s, d) =>
       Analytics.weekendPattern(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
     "pct_fast_fulfillment" -> ((s, d) =>
-      Analytics.pctFastFulfillment(lineitem(s, d), orders(s, d)))
+      Analytics.pctFastFulfillment(lineitem(s, d), orders(s, d))),
+    // D. training-data pipeline
+    "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => DedupOps.dedupNgramJaccard(documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => DedupOps.dedupMinhashLsh(documents(s, d))),
+    "dedup_simhash" -> ((s, d) => DedupOps.dedupSimhash(documents(s, d))),
+    "embed_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(embeddings(s, d))),
+    "embed_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(embeddings(s, d))),
+    "lang_id" -> ((s, d) => TextOps.langId(documents(s, d))),
+    "quality_score" -> ((s, d) => TextOps.qualityScore(documents(s, d))),
+    "token_count" -> ((s, d) => TextOps.tokenCount(documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(documents(s, d))),
+    "multimodal_meta" -> ((s, d) =>
+      MultimodalOps.multimodalMeta(s, documents(s, d)).toDF()),
+    // E. streaming (batch-equivalent forms; true streaming in tests)
+    "events_tumbling" -> ((s, d) =>
+      graft.streaming.EventStreams.tumblingAggBatch(events(s, d))),
+    "events_sessionize" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionizeBatch(events(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.all

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.D): media as opaque binary
+  * columns + typed metadata, with the decode/feature-extract step behind a
+  * deterministic STUB (no image/audio codecs in this environment — the
+  * Spark-side schema, typed Dataset plumbing, partition-iterator batch
+  * shape, and downstream joins are the real, tested part).
+  */
+object MultimodalOps {
+
+  /** Raw media record: payload is the opaque binary column. */
+  case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features; width/height/frames come from the stub decoder. */
+  case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Long,
+      width: Int, height: Int, frames: Int, checksum: String)
+
+  /** STUB decoder — stands in for an image/audio/video codec call. Real
+    * implementations would decode `payload` here (per-partition, so codec
+    * contexts are reused across the batch); the fake is deterministic
+    * arithmetic on the byte length so the oracle can replicate it.
+    */
+  private def decodeStub(rec: MediaRecord): MediaFeatures = {
+    val len = rec.payload.length.toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val checksum = md.digest(rec.payload).map("%02x".format(_)).mkString
+    MediaFeatures(
+      rec.doc_id, rec.media_type, len,
+      width = (64L + len % 64L).toInt,
+      height = (64L + (len * 7L) % 64L).toInt,
+      frames = (1L + len % 30L).toInt,
+      checksum = checksum)
+  }
+
+  /** Documents → synthetic media payloads (utf-8 bytes as the opaque
+    * binary) → per-partition stub decode → typed features Dataset.
+    */
+  def multimodalMeta(spark: SparkSession, documents: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val media = documents.select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    // mapPartitions (not map) so a real codec would amortize init per batch.
+    media.mapPartitions(_.map(decodeStub))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.{HashFns, TextFns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY §2.D): language ID,
+  * quality scoring, token counting, fingerprinting. Pure per-row column
+  * expressions (codegen'd) — scales as a single scan.
+  */
+object TextOps {
+
+  /** Stopword lists per language — shared with the oracle-SQL generator
+    * ([[graft.Oracles]]); scoring is hit-count, argmax with fixed
+    * preference order (en > es > de > fr) on ties.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une"))
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
+
+  /** N-gram/stopword-heuristic language identification. */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val scored = documents.select(
+      (Seq(col("doc_id"), col("lang")) ++
+        Stopwords.map { case (l, ws) => stopCount(toks, ws).as(s"s_$l") }): _*)
+    val predicted =
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+        col("s_en") >= col("s_fr"), lit("en"))
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), lit("es"))
+        .when(col("s_de") >= col("s_fr"), lit("de"))
+        .otherwise(lit("fr"))
+    scored.withColumn("predicted_lang", predicted)
+      .withColumn("is_match", col("predicted_lang") === col("lang"))
+  }
+
+  /** Composite quality score from length / special-char ratio / stopword
+    * ratio (ref pattern: airbnb_clean_data.py data_quality_score, made
+    * real). All double math in a fixed order for oracle parity.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val t = TextFns.normText(col("text"))
+    val base = documents.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+      length(regexp_replace(t, "[^a-z ]", "")).cast("long").as("n_alpha_space"),
+      stopCount(TextFns.tokens(col("text")), Stopwords.head._2).as("n_stop"))
+    base.select(
+      col("doc_id"), col("n_chars"), col("n_tokens"),
+      round(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)), 4)
+        .as("stop_ratio"),
+      round((col("n_chars") - col("n_alpha_space")).cast("double") /
+        greatest(col("n_chars"), lit(1L)), 4).as("special_ratio"),
+      round((col("n_chars") - (col("n_tokens") - lit(1L))).cast("double") /
+        greatest(col("n_tokens"), lit(1L)), 4).as("avg_word_len"))
+      .withColumn("quality_score",
+        round(lit(0.4) * least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("special_ratio")) +
+          lit(0.3) * least(col("stop_ratio") * lit(4.0), lit(1.0)), 4))
+  }
+
+  /** Whitespace + regex token counting (the BPE-ish pass is the alnum-run
+    * regex — a proxy for subword segmentation cost estimation).
+    */
+  def tokenCount(documents: DataFrame): DataFrame = {
+    val t = TextFns.normText(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(t, lit("[a-z0-9]+"), lit(0))).cast("long")
+        .as("n_alnum_runs"),
+      length(regexp_replace(t, " ", "")).cast("long").as("n_chars_nospace"))
+  }
+
+  /** Content fingerprint (60-bit md5-prefix of normalized text — the
+    * oracle-parity stand-in for a rolling hash) + duplicate-group size.
+    */
+  def docFingerprint(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), HashFns.hash60(TextFns.normText(col("text"))).as("fingerprint"))
+      .withColumn("n_same_fp",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators (SURVEY §2.E). Each has a batch form (used by
+  * the correctness gate — identical semantics, oracle-checkable) and a
+  * Structured Streaming form (watermark + windowed aggregation;
+  * flatMapGroupsWithState sessionization) exercised in the test suite via
+  * the same testdata driven through a streaming source.
+  *
+  * The Airflow-DAG cadence of the reference (nyc_ingestion_dag.py) is
+  * what these replace: instead of a scheduled re-run over staging, the
+  * stream maintains the same aggregates incrementally.
+  */
+object EventStreams {
+
+  // ---------------------------------------------------------------- batch
+
+  /** Tumbling 1-hour window aggregation per event type (batch form). */
+  def tumblingAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour")("start").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+
+  /** 30-minute-gap sessionization per user via window functions (batch
+    * form): one shuffle on user_id, lag + running sum for session ids,
+    * then per-user session stats. Second-floored epochs for oracle parity
+    * (events.parquet is ns-precision; engines truncate differently).
+    */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("ts").cast("long").as("ts_s"))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("duration_s")).as("max_session_s"),
+        round(sum(col("n_events")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("avg_events_per_session"))
+  }
+
+  // ------------------------------------------------------------ streaming
+
+  /** Streaming tumbling aggregation: 10-minute watermark + 1-hour window.
+    * Same output schema as [[tumblingAggBatch]].
+    */
+  def tumblingAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts_s: Long)
+  case class SessionState(sessionCount: Long, eventCount: Long, lastTs: Long,
+      sessionStart: Long, maxDuration: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
+      max_session_s: Long)
+
+  /** Streaming sessionization with explicit state per user — the
+    * mapGroupsWithState path a 100 TB/day event feed needs (state is one
+    * small record per user, not the event history).
+    */
+  def sessionizeStream(spark: SparkSession, events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800): Dataset[UserSessions] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_s, e.event_id))
+          var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            s =
+              if (s.lastTs == Long.MinValue || e.ts_s - s.lastTs > gapSeconds)
+                s.copy(sessionCount = s.sessionCount + 1, eventCount = s.eventCount + 1,
+                  lastTs = e.ts_s, sessionStart = e.ts_s)
+              else {
+                val dur = e.ts_s - s.sessionStart
+                s.copy(eventCount = s.eventCount + 1, lastTs = e.ts_s,
+                  maxDuration = math.max(s.maxDuration, dur))
+              }
+          }
+          state.update(s)
+          UserSessions(userId, s.sessionCount, s.eventCount, s.maxDuration)
+      }
+  }
+}
