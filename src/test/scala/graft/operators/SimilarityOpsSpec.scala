@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+
+  test("bruteCosineTopK ranks an identical vector first with sim 1.0") {
+    val v = Seq.tabulate(64)(i => (i % 7).toFloat + 1f)
+    val w = Seq.tabulate(64)(i => (63 - i % 11).toFloat + 1f)
+    val df = vecs(0L -> v, 30L -> v, 31L -> w)
+    val out = SimilarityOps.bruteCosineTopK(df, nQueries = 1, k = 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out.head.getLong(1) == 30L && out.head.getDouble(2) == 1.0)
+    assert(out(1).getDouble(2) < 1.0)
+  }
+
+  test("planeWeight is deterministic and centered") {
+    val ws = for (p <- 0 until 16; i <- 0 until 64) yield SimilarityOps.planeWeight(p, i)
+    assert(ws.forall(w => w >= -0.5 && w < 0.5))
+    assert(math.abs(ws.sum / ws.size) < 0.05)
+  }
+
+  test("lshAnn buckets identical vectors together") {
+    val v = Seq.tabulate(64)(i => (i % 5).toFloat - 2f)
+    val df = vecs(0L -> v, 40L -> v)
+    val out = SimilarityOps.lshAnn(df, nQueries = 1, k = 3).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 40L && out.head.getDouble(2) == 1.0)
+  }
+}

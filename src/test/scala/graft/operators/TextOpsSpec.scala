@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("langId prefers the language with most stopword hits") {
+    val df = docs(
+      (1L, "the cat and the dog is in the house", "en"),
+      (2L, "el perro y la casa de los gatos", "es"))
+    val out = TextOps.langId(df).orderBy("doc_id").collect()
+    assert(out.head.getAs[String]("predicted_lang") == "en")
+    assert(out(1).getAs[String]("predicted_lang") == "es")
+    assert(out.forall(_.getAs[Boolean]("is_match")))
+  }
+
+  test("tokenCount handles empty and multi-space text") {
+    val df = docs((1L, "", "en"), (2L, "a  b   c", "en"))
+    val out = TextOps.tokenCount(df).orderBy("doc_id").collect()
+    assert(out.head.getLong(1) == 0L)
+    assert(out(1).getLong(1) == 3L && out(1).getLong(3) == 3L)
+  }
+
+  test("qualityScore stays in [0,1] and rewards clean text") {
+    val df = docs(
+      (1L, Seq.fill(30)("the good and clean text of words").mkString(" "), "en"),
+      (2L, "@#$% ^&* !!!", "en"))
+    val out = TextOps.qualityScore(df).orderBy("doc_id").collect()
+    val good = out.head.getAs[Double]("quality_score")
+    val bad = out(1).getAs[Double]("quality_score")
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("docFingerprint groups identical content") {
+    val df = docs((1L, "same text", "en"), (2L, "same text", "en"), (3L, "other", "en"))
+    val out = TextOps.docFingerprint(df).orderBy("doc_id").collect()
+    assert(out.head.getLong(2) == 2L && out(2).getLong(2) == 1L)
+    assert(out.head.getLong(1) == out(1).getLong(1))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming forms produce the same results as the oracle-checked batch
+  * forms when fed the same events through a MemoryStream.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L) // 2024-01-01 UTC
+
+  private val sampleEvents = Seq(
+    // user 1: two sessions (gap > 30 min between minute 10 and 50)
+    (1L, ts(0), 1L, "click", 10.0, "{}"),
+    (2L, ts(10), 1L, "click", 20.0, "{}"),
+    (3L, ts(50), 1L, "view", 30.0, "{}"),
+    // user 2: one session spanning an hour boundary
+    (4L, ts(55), 2L, "click", 5.0, "{}"),
+    (5L, ts(65), 2L, "click", 5.0, "{}"))
+
+  private def eventsDF = sampleEvents
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("tumblingAggStream matches tumblingAggBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.tumblingAggStream(streamDF)
+      .writeStream.outputMode("complete").format("memory").queryName("tumble").start()
+    mem.addData(sampleEvents: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumble").orderBy("hour_start", "event_type").collect()
+    val batch = EventStreams.tumblingAggBatch(eventsDF)
+      .orderBy("hour_start", "event_type").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
+  test("sessionizeStream session counts match sessionizeBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.SessionEvent]
+    val out = EventStreams.sessionizeStream(spark, mem.toDS())
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("sessions").start()
+    mem.addData(sampleEvents.map(e =>
+      EventStreams.SessionEvent(e._3, e._1, e._2.getTime / 1000)): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sessions")
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = EventStreams.sessionizeBatch(eventsDF)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.toSeq == batch.toSeq) // (1 -> 2 sessions, 2 -> 1 session)
+    assert(batch.toMap == Map(1L -> 2L, 2L -> 1L))
+  }
+}
