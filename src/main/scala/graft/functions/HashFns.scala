@@ -11,12 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object HashFns {
   /** 60-bit positive hash (15 hex chars of md5). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column = Md5Prefix.md5PrefixLong(c, 15)
 
   /** 32-bit positive hash (8 hex chars of md5). */
-  def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def hash32(c: Column): Column = Md5Prefix.md5PrefixLong(c, 8)
 
   /** MinHash family h_i(x) = (a_i*x + b_i) mod P — constants shared with
     * the oracle-SQL generator. x must be < 2^32 (see [[hash32]]) so the

@@ -9,12 +9,11 @@ import org.apache.spark.sql.functions._
   * IEEE doubles — floats widen to double exactly before multiplying.
   */
 object VectorFns {
-  /** Left-fold sum of elementwise products, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Left-fold sum of elementwise products, in double — backed by the
+    * codegen'd [[DotProductExpr]] (identical semantics to the
+    * `aggregate(zip_with(...))` composition, ~interpreter-free).
+    */
+  def dot(a: Column, b: Column): Column = DotProduct.dotF(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
 object DedupOps {
   import HashFns._
 
+  import OpUtils.spread
+
   /** Exact dedup via content-hash groupBy (ref: glue_job_clean_311.py:131
     * dropDuplicates — here with group stats kept, Redshift-style).
     */
@@ -26,19 +28,22 @@ object DedupOps {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("content_hash"), col("n_copies"))
 
-  /** Per-row MinHash signature (array<long>, K=32) — a single codegen'd
-    * projection: shingle-hash array → K independent affine-hash minima.
+  /** Per-doc MinHash signature (array<long>, K=32) via explode + hash
+    * aggregate with K min() buffers. Everything stays in whole-stage
+    * codegen (higher-order array lambdas would run interpreted); the
+    * shuffle carries only partially-aggregated (doc_id, 32 mins) rows
+    * thanks to map-side combine — the classic scalable formulation.
     */
   def withMinhashSignature(documents: DataFrame): DataFrame = {
-    val hashes = TextFns.shingleHashes(col("text"), 5)
-    val sig = array((0 until MinhashK).map { i =>
-      array_min(transform(col("shingle_hashes"),
-        x => (lit(minhashA(i)) * x + lit(minhashB(i))) % lit(MinhashP)))
-    }: _*)
-    documents
-      .select(col("doc_id"), hashes.as("shingle_hashes"))
-      .filter(size(col("shingle_hashes")) > 0)
-      .select(col("doc_id"), sig.as("sig"))
+    val shingled = spread(documents)
+      .select(col("doc_id"), explode(TextFns.shingles(col("text"), 5)).as("s"))
+      .select(col("doc_id"), HashFns.hash32(col("s")).as("x"))
+    val minCols = (0 until MinhashK).map { i =>
+      min((lit(minhashA(i)) * col("x") + lit(minhashB(i))) % lit(MinhashP)).as(s"h$i")
+    }
+    shingled.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH candidate pairs with estimated Jaccard ≥ minEst.
@@ -46,24 +51,35 @@ object DedupOps {
     * work is bounded by bucket sizes, never O(corpus²).
     */
   def dedupMinhashLsh(documents: DataFrame, minEst: Double = 0.5): DataFrame = {
+    // Signature kept as 32 flat h columns (not an array) so banding keys,
+    // the join, and the match-count all stay inside whole-stage codegen.
+    // persist: the banded self-join reads this twice, and without a
+    // materialization barrier each branch would recompute every md5 from
+    // the raw text.
+    val hCols = (0 until MinhashK).map(i => s"h$i")
     val sigs = withMinhashSignature(documents)
+      .select(col("doc_id") +: (0 until MinhashK)
+        .map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(array((0 until MinhashBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(":", (0 until MinhashRows).map(r =>
-            element_at(col("sig"), b * MinhashRows + r + 1)): _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      (col("doc_id") +: hCols.map(col)) :+
+        explode(array((0 until MinhashBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(":", (0 until MinhashRows).map(r =>
+              col(s"h${b * MinhashRows + r}")): _*).as("key"))
+        }: _*)).as("bk"): _*)
+      .select((col("doc_id") +: hCols.map(col)) :+ col("bk.band") :+ col("bk.key"): _*)
+    val a = banded.select(col("band") +: col("key") +: col("doc_id").as("doc_a") +:
+      hCols.map(h => col(h).as(s"${h}_a")): _*)
+    val b = banded.select(col("band") +: col("key") +: col("doc_id").as("doc_b") +:
+      hCols.map(h => col(h).as(s"${h}_b")): _*)
+    val matches = (0 until MinhashK)
+      .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast("double") / lit(MinhashK.toDouble), 4).as("est_jaccard"))
+        round(matches.cast("double") / lit(MinhashK.toDouble), 4).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minEst)
   }
@@ -74,27 +90,34 @@ object DedupOps {
     * is then computed exactly on the full distinct-shingle sets.
     */
   def dedupNgramJaccard(documents: DataFrame, tau: Double = 0.5, dfCap: Int = 50): DataFrame = {
-    val sets = documents
-      .select(col("doc_id"),
-        array_distinct(TextFns.shingleHashes(col("text"), 5)).as("hs"))
-      .filter(size(col("hs")) > 0)
-    val exploded = sets.select(col("doc_id"), explode(col("hs")).as("x"))
-    val rare = exploded.groupBy(col("x"))
+    // distinct (doc, shingle-hash) pairs — the working set every later
+    // stage joins against; persisted because it feeds 4 branches
+    val shd = spread(documents)
+      .select(col("doc_id"), explode(TextFns.shingles(col("text"), 5)).as("s"))
+      .select(col("doc_id"), HashFns.hash32(col("s")).as("x"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val rare = shd.groupBy(col("x"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select("x")
-    val keptPost = exploded.join(rare, Seq("x"))
-    val cands = keptPost.select(col("x"), col("doc_id").as("doc_a"))
-      .join(keptPost.select(col("x"), col("doc_id").as("doc_b")), Seq("x"))
+    val kept = shd.join(rare, Seq("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = kept.select(col("x"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("x"), col("doc_id").as("doc_b")), Seq("x"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
-        size(col("hs_a")).cast("long").as("na"),
-        size(col("hs_b")).cast("long").as("nb"))
+    // exact intersection counts as a join-group (codegen'd), not per-row
+    // array ops: candidate pairs × shingles of a, matched to shingles of b
+    val inter = cands
+      .join(shd.select(col("doc_id").as("doc_a"), col("x")), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("x")), Seq("doc_b", "x"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
           .as("jaccard"))
@@ -110,7 +133,7 @@ object DedupOps {
     * then reassemble bits with literal shifts (all codegen'd).
     */
   def withSimhash(documents: DataFrame): DataFrame = {
-    val toks = documents
+    val toks = spread(documents)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), HashFns.hash60(col("tok")).as("h"))
     val aggCols = (0 until SimhashBits).map { j =>
@@ -130,6 +153,7 @@ object DedupOps {
     */
   def dedupSimhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sims = withSimhash(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimhashBands).map { b =>
         struct(lit(b).as("band"),

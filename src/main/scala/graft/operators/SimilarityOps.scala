@@ -40,13 +40,14 @@ object SimilarityOps {
   def planeWeight(p: Int, i: Int): Double =
     ((1103515245L * (p * Dim + i) + 12345L) % 65536L).toDouble / 65536.0 - 0.5
 
-  /** 16-bit sign-projection LSH bucket for each embedding. */
+  /** 16-bit sign-projection LSH bucket for each embedding. The plane
+    * weights are dyadic rationals with ≤17 mantissa bits, so shipping
+    * them as float arrays into the codegen'd dot product is lossless.
+    */
   def withLshBucket(embeddings: DataFrame): DataFrame = {
     val bucket = (0 until Planes).map { p =>
-      val w = (0 until Dim).map(planeWeight(p, _))
-      val dotp = aggregate(
-        zip_with(col("embedding"), typedlit(w), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      val w = (0 until Dim).map(i => planeWeight(p, i).toFloat)
+      val dotp = graft.functions.DotProduct.dotF(col("embedding"), typedlit(w))
       when(dotp >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     embeddings.withColumn("bucket", bucket)

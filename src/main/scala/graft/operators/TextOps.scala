@@ -83,7 +83,7 @@ object TextOps {
     * oracle-parity stand-in for a rolling hash) + duplicate-group size.
     */
   def docFingerprint(documents: DataFrame): DataFrame =
-    documents
+    OpUtils.spread(documents)
       .select(col("doc_id"), HashFns.hash60(TextFns.normText(col("text"))).as("fingerprint"))
       .withColumn("n_same_fp",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
