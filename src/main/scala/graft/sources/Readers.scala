@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Source-side ingestion, Spark-first: the reference shuttles data through
+  * per-row Python (Mongo cursor → json.dumps → S3, pandas read_csv →
+  * to_json — `/root/reference/src/Extract/mongo_to_s3.py`,
+  * `/root/reference/src/Airbnb/airbnb_read.py`); here every format goes
+  * through Spark's distributed readers so ingestion scales with the file
+  * splits.
+  */
+object Readers {
+
+  /** CSV with header + explicit schema (inferSchema double-scans at 100 TB
+    * — always pass the schema when it's known).
+    */
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schema.fold(base.option("inferSchema", "true"))(base.schema).csv(path)
+  }
+
+  /** JSON-lines (or multiLine for API-dump arrays, the reference's raw
+    * layer shape — glue_job_clean_311.py:96-98 falls back csv→json; we
+    * key off the explicit format instead of try/except).
+    */
+  def json(spark: SparkSession, path: String, multiLine: Boolean = false,
+      schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.option("multiLine", multiLine.toString)
+    schema.fold(base)(base.schema).json(path)
+  }
+
+  /** Add any missing expected columns as typed nulls — the reference's
+    * defensive pattern for drifting raw feeds (glue_job_clean_311.py:
+    * 100-111). Cheap: pure projection, no data pass.
+    */
+  def ensureColumns(df: DataFrame, expected: Seq[String]): DataFrame =
+    expected.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(StringType))
+    }
+
+  /** Project to exactly the expected columns (ensure + order + prune). */
+  def conform(df: DataFrame, expected: Seq[String]): DataFrame =
+    ensureColumns(df, expected).select(expected.map(col): _*)
+}

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Warehouse-layer sinks. The reference coalesces everything to one file
+  * for Redshift COPY (glue_job_clean_311.py:151-157 `coalesce(1)`) — a
+  * single-writer bottleneck that cannot work at 100 TB. Here the layout
+  * is partitioned parquet: writers stay parallel, and date-partitioned
+  * facts get partition pruning for free on read.
+  */
+object Sinks {
+
+  /** Staging layer: plain parquet, parallel writers. */
+  def writeStaging(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Fact layer: parquet partitioned by the given key columns (e.g. a
+    * yyyyMMdd date_key) → partition-pruned scans downstream.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Raw-layer format conversion (the reference's CSV→JSON Lambda,
+    * airbnb_read.py) as a distributed job: any source DataFrame →
+    * JSON-lines.
+    */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_sources").toString
+
+  test("csv -> jsonlines -> parquet round trip (the raw->staging path)") {
+    val dir = tmp()
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    df.write.option("header", "true").csv(s"$dir/csv")
+    val fromCsv = Readers.csv(spark, s"$dir/csv")
+    Sinks.writeJsonLines(fromCsv, s"$dir/json")
+    val fromJson = Readers.json(spark, s"$dir/json")
+    Sinks.writeStaging(fromJson, s"$dir/parquet")
+    val back = spark.read.parquet(s"$dir/parquet")
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("id", "name", "v"))
+  }
+
+  test("ensureColumns adds missing expected columns as nulls") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+    val out = Readers.conform(df, Seq("id", "name", "missing_a", "missing_b"))
+    assert(out.columns.toSeq == Seq("id", "name", "missing_a", "missing_b"))
+    assert(out.head.isNullAt(2) && out.head.isNullAt(3))
+  }
+
+  test("writePartitioned produces prunable date partitions") {
+    val dir = tmp()
+    val df = Seq((1L, 20240101, 5.0), (2L, 20240102, 6.0), (3L, 20240102, 7.0))
+      .toDF("id", "date_key", "v")
+    Sinks.writePartitioned(df, s"$dir/fact", Seq("date_key"))
+    val pruned = spark.read.parquet(s"$dir/fact").filter($"date_key" === 20240102)
+    assert(pruned.count() == 2)
+    // partition pruning visible in the plan (no full scan of 20240101)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(new java.io.File(s"$dir/fact/date_key=20240101").exists)
+  }
+}
