@@ -350,6 +350,37 @@ object Oracles {
          |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
     },
 
+    "embed_ivf_ann" -> {
+      def centroidDot(k: Int) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (CAST((69069 * (${k * 64} + i - 1) + 12345) % 4096 AS DOUBLE) / 2048.0 - 1.0)), (x, y) -> x + y)"
+      val scoreCols = (0 until 16).map { k =>
+        s"(${graft.operators.SimilarityOps.centroidNorm2(k)} - 2.0 * ${centroidDot(k)}) AS s$k"
+      }.mkString(", ")
+      val mExpr = s"LEAST(${(0 until 16).map(k => s"s$k").mkString(", ")}) AS m"
+      val cellCase = "CASE " + (0 until 16).map(k => s"WHEN s$k = m THEN $k").mkString(" ") + " END AS cell"
+      val maskedCols = (0 until 16)
+        .map(k => s"CASE WHEN s$k = m THEN ${Double.MaxValue} ELSE s$k END AS t$k").mkString(", ")
+      val m2Expr = s"LEAST(${(0 until 16).map(k => s"t$k").mkString(", ")}) AS m2"
+      val cell2Case = "CASE " + (0 until 16).map(k => s"WHEN t$k = m2 THEN $k").mkString(" ") + " END AS cell2"
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH celled AS (
+         | SELECT vec_id, embedding, $scoreCols, $mExpr, $cellCase, $maskedCols,
+         |  $m2Expr, $cell2Case
+         | FROM embeddings),
+         |pairs AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ROUND(${dotSql("q", "c")} / (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})), 6)
+         |   AS cosine_sim
+         | FROM celled q JOIN celled c
+         |  ON (c.cell = q.cell OR c.cell = q.cell2)
+         |   AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+         | FROM pairs)
+         |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
     "lang_id" -> {
       val lists = graft.operators.TextOps.Stopwords.map { case (l, ws) =>
         val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")

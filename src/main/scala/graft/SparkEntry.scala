@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => DedupOps.dedupSimhash(documents(s, d))),
     "embed_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(embeddings(s, d))),
     "embed_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(embeddings(s, d))),
+    "embed_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(embeddings(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(documents(s, d))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(documents(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCount(documents(s, d))),

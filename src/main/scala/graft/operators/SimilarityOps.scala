@@ -53,6 +53,75 @@ object SimilarityOps {
     embeddings.withColumn("bucket", bucket)
   }
 
+  private val IvfCells = 16
+
+  /** Deterministic pseudo-random IVF centroid weights in [-1, 1) —
+    * dyadic rationals (12-bit numerators), float-exact, shared with the
+    * oracle-SQL generator.
+    */
+  def centroidWeight(k: Int, i: Int): Double =
+    ((69069L * (k * Dim + i) + 12345L) % 4096L).toDouble / 2048.0 - 1.0
+
+  /** Squared L2 norm of centroid k, left-fold — interpolated into the
+    * oracle SQL as a literal so both engines use the identical double.
+    */
+  def centroidNorm2(k: Int): Double =
+    (0 until Dim).map(i => centroidWeight(k, i) * centroidWeight(k, i))
+      .foldLeft(0.0)(_ + _)
+
+  /** Assign each embedding to its nearest IVF centroid (and second
+    * nearest, for nprobe=2 queries). distance² ranking uses
+    * |c|² - 2·v·c (the |v|² term is argmin-invariant); ties break to the
+    * smallest cell id in both engines.
+    */
+  def withIvfCells(embeddings: DataFrame): DataFrame = {
+    val scores = (0 until IvfCells).map { k =>
+      val w = (0 until Dim).map(i => centroidWeight(k, i).toFloat)
+      (lit(centroidNorm2(k)) - lit(2.0) *
+        graft.functions.DotProduct.dotF(col("embedding"), typedlit(w))).as(s"s$k")
+    }
+    val withScores = embeddings.select(col("*") +: scores: _*)
+    val m = least((0 until IvfCells).map(k => col(s"s$k")): _*)
+    val cell = (0 until IvfCells).foldRight(lit(-1): org.apache.spark.sql.Column) {
+      (k, rest) => when(col(s"s$k") === col("__m"), lit(k)).otherwise(rest)
+    }
+    val masked = (0 until IvfCells).map(k =>
+      when(col(s"s$k") === col("__m"), lit(Double.MaxValue)).otherwise(col(s"s$k")).as(s"t$k"))
+    val m2 = least((0 until IvfCells).map(k => col(s"t$k")): _*)
+    val cell2 = (0 until IvfCells).foldRight(lit(-1): org.apache.spark.sql.Column) {
+      (k, rest) => when(col(s"t$k") === col("__m2"), lit(k)).otherwise(rest)
+    }
+    withScores
+      .withColumn("__m", m)
+      .withColumn("cell", cell)
+      .select(col("*") +: masked: _*)
+      .withColumn("__m2", m2)
+      .withColumn("cell2", cell2)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("cell2"))
+  }
+
+  /** IVF-bucketed ANN: corpus partitioned by nearest centroid, queries
+    * probe their 2 nearest cells (nprobe=2), exact cosine re-ranking
+    * within the probed lists. At a billion vectors the per-query work is
+    * 2/IvfCells of the corpus instead of all of it.
+    */
+  def ivfAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val celled = withIvfCells(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = celled.select(col("vec_id"), col("embedding"), col("cell"))
+    val queries = celled.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(array(col("cell"), col("cell2"))).as("cell"))
+    val sims = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.cosine(col("q_emb"), col("embedding")), 6).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share the full 16-bit bucket; top-k by
     * exact cosine within candidates (recall < 1 by design — mirrored by
     * the oracle).

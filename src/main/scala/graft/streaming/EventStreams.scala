@@ -74,6 +74,17 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-delivered event_ids within the
+    * watermark horizon — the streaming form of the batch
+    * `dropDuplicates("event_id")` in CleanOps.cleanEvents. State is one
+    * (event_id, ts) entry per id inside the watermark, evicted as the
+    * watermark advances.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class SessionEvent(user_id: Long, event_id: Long, ts_s: Long)
   case class SessionState(sessionCount: Long, eventCount: Long, lastTs: Long,
       sessionStart: Long, maxDuration: Long)

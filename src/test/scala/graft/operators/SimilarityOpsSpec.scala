@@ -25,6 +25,21 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(math.abs(ws.sum / ws.size) < 0.05)
   }
 
+  test("ivfAnn probes the right cells and finds the identical vector") {
+    val v = Seq.tabulate(64)(i => (i % 5).toFloat - 2f)
+    val df = vecs(0L -> v, 40L -> v)
+    val out = SimilarityOps.ivfAnn(df, nQueries = 1, k = 3).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 40L && out.head.getDouble(2) == 1.0)
+  }
+
+  test("withIvfCells assigns deterministic distinct primary/secondary cells") {
+    val v = Seq.tabulate(64)(i => (i % 5).toFloat - 2f)
+    val r = SimilarityOps.withIvfCells(vecs(0L -> v)).head
+    val (cell, cell2) = (r.getInt(2), r.getInt(3))
+    assert(cell >= 0 && cell < 16 && cell2 >= 0 && cell2 < 16 && cell != cell2)
+  }
+
   test("lshAnn buckets identical vectors together") {
     val v = Seq.tabulate(64)(i => (i % 5).toFloat - 2f)
     val df = vecs(0L -> v, 40L -> v)

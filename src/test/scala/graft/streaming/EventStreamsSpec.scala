@@ -40,6 +40,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
   }
 
+  test("dedupStream drops re-delivered event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.dedupStream(streamDF)
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    mem.addData(sampleEvents: _*)
+    mem.addData(sampleEvents.take(2): _*) // re-delivery of events 1,2
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").count() == sampleEvents.size)
+  }
+
   test("sessionizeStream session counts match sessionizeBatch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.SessionEvent]
