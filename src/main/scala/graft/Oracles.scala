@@ -221,6 +221,62 @@ object Oracles {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
 
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
+        |   - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
+        |   - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+        |   * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6))
+        |   AS sum_charge,
+        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
+        |   AS avg_qty,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
+        |   AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
+        |   - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1998-06-01'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |    WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "local_supplier_volume" ->
+      """SELECT n_name AS nation,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
+        |   - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM region
+        |  WHERE r_regionkey = n_regionkey AND r_name = 'AMERICA')
+        |GROUP BY n_name""".stripMargin,
+
+    "quality_report" ->
+      """SELECT * FROM
+        |(SELECT COUNT(*) AS o_rows,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |  CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate
+        | FROM orders),
+        |(SELECT COUNT(*) AS l_rows,
+        |  CAST(SUM(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_qty,
+        |  CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+        |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
+        | FROM lineitem)""".stripMargin,
+
     "pct_fast_fulfillment" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         | CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),

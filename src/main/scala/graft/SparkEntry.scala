@@ -62,6 +62,14 @@ object SparkEntry {
       Analytics.weekendPattern(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
     "pct_fast_fulfillment" -> ((s, d) =>
       Analytics.pctFastFulfillment(lineitem(s, d), orders(s, d))),
+    "pricing_summary" -> ((s, d) => Analytics.pricingSummary(lineitem(s, d))),
+    "shipping_priority" -> ((s, d) =>
+      Analytics.shippingPriority(lineitem(s, d), orders(s, d), customer(s, d))),
+    "local_supplier_volume" -> ((s, d) =>
+      Analytics.localSupplierVolume(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d), region(s, d))),
+    "quality_report" -> ((s, d) =>
+      Analytics.qualityReport(orders(s, d), lineitem(s, d))),
     // D. training-data pipeline
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.dedupNgramJaccard(documents(s, d))),

@@ -194,6 +194,99 @@ object Analytics {
         col("day_type"), col("region"), col("n_orders"),
         round(col("sum_price_raw").cast("double") / col("n_orders"), 2).as("avg_price"))
 
+  /** Canonical pricing-summary aggregate (TPC-H Q1 shape): the headline
+    * scan-heavy group-by every warehouse runs; exact decimal sums, one
+    * pass, map-side combine.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val tax = col("l_tax").cast("decimal(18,2)")
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        sum(price).cast("decimal(18,2)").as("sum_base_price"),
+        sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("decimal(18,4)")
+          .as("sum_disc_price"),
+        // intermediate cast keeps the precision chain inside 38 digits in
+        // both engines (scale 2×2 → 4, then ×2 → 6), all exact
+        sum((price * (lit(1).cast("decimal(18,2)") - disc)).cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,2)") + tax)).cast("decimal(18,6)").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        round(col("sum_qty").cast("double") / col("count_order"), 2).as("avg_qty"),
+        round(col("sum_base_price").cast("double") / col("count_order"), 2).as("avg_price"),
+        col("count_order"))
+  }
+
+  /** Top-10 open-order revenue by order (TPC-H Q3 shape): selective
+    * filters pushed to both scans, shuffle join on the order key.
+    */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      segment: String = "BUILDING", cutoff: String = "1998-06-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .join(orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)
+        .select("c_custkey")), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+        .cast("decimal(18,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Revenue by nation for intra-region trade (TPC-H Q5 shape): the
+    * customer and supplier nation must match — the classic multi-join
+    * whose only shuffles are on the fact keys; all dims broadcast.
+    */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String = "AMERICA"): DataFrame =
+    lineitem
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"),
+        col("s_nationkey").as("supp_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("supp_nationkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+        .cast("decimal(18,4)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Staging data-quality report (ref: staging-validation pattern +
+    * data_quality_score): per-rule violation counts in ONE scan per table
+    * via conditional aggregation, not one query per rule.
+    */
+  def qualityReport(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.agg(
+      count(lit(1)).as("o_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("nonpositive_price"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"))
+    val l = lineitem.agg(
+      count(lit(1)).as("l_rows"),
+      sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("nonpositive_qty"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L).otherwise(0L))
+        .as("bad_discount"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"))
+    o.crossJoin(l)
+  }
+
   /** Share of lines shipped within a threshold (ref: README insight "~75%
     * of complaints resolved within 3 days").
     */
