@@ -437,6 +437,66 @@ object Oracles {
          |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
     },
 
+    "dedup_embed_cosine" -> {
+      def planeDot(p: Int) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (CAST((1103515245 * (${p * 64} + i - 1) + 12345) % 65536 AS DOUBLE) / 65536.0 - 0.5)), (x, y) -> x + y)"
+      val bucketExpr = (0 until 16)
+        .map(p => s"(CASE WHEN ${planeDot(p)} >= 0.0 THEN (1::BIGINT << $p) ELSE 0 END)")
+        .mkString(" + ")
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings)
+         |SELECT * FROM (
+         | SELECT p.vec_id AS vec_a, q.vec_id AS vec_b,
+         |  ROUND(${dotSql("p", "q")} / (sqrt(${dotSql("p", "p")}) * sqrt(${dotSql("q", "q")})), 6)
+         |   AS cosine_sim
+         | FROM b p JOIN b q ON p.bucket = q.bucket AND p.vec_id < q.vec_id)
+         |WHERE cosine_sim >= 0.99""".stripMargin
+    },
+
+    "top_customers_per_nation" ->
+      """WITH by_cust AS (
+        | SELECT n_name AS nation, c_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name, c_custkey)
+        |SELECT * FROM (
+        | SELECT nation, c_custkey, revenue,
+        |  CAST(row_number() OVER (PARTITION BY nation
+        |    ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank
+        | FROM by_cust)
+        |WHERE rank <= 3""".stripMargin,
+
+    "rolling_order_volume" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n_orders
+        | FROM orders GROUP BY 1),
+        |d2 AS (SELECT *, date_diff('day', DATE '1970-01-01', order_date) AS epoch_day
+        | FROM daily)
+        |SELECT order_date, n_orders,
+        | ROUND(CAST(SUM(n_orders) OVER w AS DOUBLE)
+        |   / CAST(COUNT(*) OVER w AS DOUBLE), 4) AS avg_7d
+        |FROM d2
+        |WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "status_pivot_by_region" ->
+      """SELECT r_name AS region,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "revenue_rollup" ->
+      """SELECT n_name AS nation, c_mktsegment AS segment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin,
+
     "lang_id" -> {
       val lists = graft.operators.TextOps.Stopwords.map { case (l, ws) =>
         val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -70,6 +70,14 @@ object SparkEntry {
         supplier(s, d), nation(s, d), region(s, d))),
     "quality_report" -> ((s, d) =>
       Analytics.qualityReport(orders(s, d), lineitem(s, d))),
+    "top_customers_per_nation" -> ((s, d) =>
+      Analytics.topCustomersPerNation(orders(s, d), customer(s, d), nation(s, d))),
+    "rolling_order_volume" -> ((s, d) => Analytics.rollingOrderVolume(orders(s, d))),
+    "status_pivot_by_region" -> ((s, d) =>
+      Analytics.statusPivotByRegion(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
+    "revenue_rollup" -> ((s, d) =>
+      Analytics.revenueRollup(orders(s, d), customer(s, d), nation(s, d))),
+    "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
     // D. training-data pipeline
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.dedupNgramJaccard(documents(s, d))),

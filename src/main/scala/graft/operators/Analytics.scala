@@ -287,6 +287,71 @@ object Analytics {
     o.crossJoin(l)
   }
 
+  /** Top-N customers per nation by revenue — ranked window over the
+    * aggregated fact (ref: notebook top-N analyses, per-group form).
+    */
+  def topCustomersPerNation(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, n: Int = 3): DataFrame = {
+    val byCust = orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+        .as("revenue"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+    byCust.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
+  /** 7-day trailing moving average of daily order counts — RANGE-frame
+    * window over the daily aggregate (one shuffle, tiny state).
+    */
+  def rollingOrderVolume(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("epoch_day", datediff(col("order_date"), lit("1970-01-01").cast("date")))
+      .withColumn("avg_7d",
+        round(sum(col("n_orders")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"), 4))
+      .select(col("order_date"), col("n_orders"), col("avg_7d"))
+  }
+
+  /** Order-status crosstab per region (pivot) — the QuickSight-style
+    * matrix view; fixed pivot values so the plan is a single pass.
+    */
+  def statusPivotByRegion(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Revenue rollup over (nation, segment) with subtotals + grand total
+    * (GROUPING SETS — Redshift-style summary tables in one pass).
+    */
+  def revenueRollup(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("revenue"))
+
   /** Share of lines shipped within a threshold (ref: README insight "~75%
     * of complaints resolved within 3 days").
     */

@@ -124,6 +124,27 @@ object DedupOps {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH sign-projection buckets
+    * generate candidates (identical 16-bit bucket ⇒ likely-close), exact
+    * cosine verifies ≥ minCos. Same scale shape as the ANN path — the
+    * corpus is never cross-joined.
+    */
+  def dedupEmbedCosine(embeddings: DataFrame, minCos: Double = 0.99): DataFrame = {
+    val bucketed = SimilarityOps.withLshBucket(embeddings)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.functions.VectorFns.cosine(col("emb_a"), col("emb_b")), 6)
+          .as("cosine_sim"))
+      .filter(col("cosine_sim") >= minCos)
+  }
+
   private val SimhashBits = 60
   private val SimhashBands = 4
   private val SimhashBandBits = 15

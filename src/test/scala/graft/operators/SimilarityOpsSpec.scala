@@ -40,6 +40,16 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(cell >= 0 && cell < 16 && cell2 >= 0 && cell2 < 16 && cell != cell2)
   }
 
+  test("dedupEmbedCosine pairs identical embeddings at sim 1.0") {
+    val v = Seq.tabulate(64)(i => (i % 9).toFloat - 4f)
+    val w = Seq.tabulate(64)(i => (i % 3).toFloat + 1f)
+    val df = vecs(1L -> v, 2L -> v, 3L -> w)
+    val out = DedupOps.dedupEmbedCosine(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
   test("lshAnn buckets identical vectors together") {
     val v = Seq.tabulate(64)(i => (i % 5).toFloat - 2f)
     val df = vecs(0L -> v, 40L -> v)
