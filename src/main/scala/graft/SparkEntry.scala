@@ -78,6 +78,8 @@ object SparkEntry {
     "revenue_rollup" -> ((s, d) =>
       Analytics.revenueRollup(orders(s, d), customer(s, d), nation(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
+    // rows-only (sketch internals are engine-specific; no DuckDB oracle)
+    "approx_distincts" -> ((s, d) => Analytics.approxDistincts(lineitem(s, d))),
     // D. training-data pipeline
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.dedupNgramJaccard(documents(s, d))),

@@ -352,6 +352,22 @@ object Analytics {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
           .as("revenue"))
 
+  /** Sketch-based distinct/quantile estimates next to their exact values
+    * — the cardinality pattern a 100 TB scan actually uses (HLL++ and
+    * KLL-style sketches merge associatively across partitions; the exact
+    * countDistinct is the expensive double-shuffle baseline). No SQL
+    * oracle: sketch internals are engine-specific (rows-only check).
+    */
+  def approxDistincts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("median_price_approx"),
+        count(lit(1)).as("n_lines"))
+
   /** Share of lines shipped within a threshold (ref: README insight "~75%
     * of complaints resolved within 3 days").
     */

@@ -85,6 +85,28 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming incremental dimension maintenance — the reference's
+    * Airflow load_dim_date / dim-upsert loop (nyc_hybrid_etl_pipeline.py:
+    * 141-180) as a foreachBatch stream: each micro-batch anti-joins its
+    * new keys against the dim store and appends only unseen rows. The
+    * store is any idempotent sink (parquet dir here; a Delta/Iceberg
+    * MERGE in production).
+    */
+  def incrementalDimStream(events: DataFrame, dimPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch.select(col("user_id")).distinct()
+        val existing =
+          try spark.read.parquet(dimPath).select("user_id")
+          catch { case _: Exception => spark.emptyDataFrame.withColumn("user_id", lit(0L)).limit(0) }
+        incoming.join(existing, Seq("user_id"), "left_anti")
+          .write.mode("append").parquet(dimPath)
+      }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts_s: Long)
   case class SessionState(sessionCount: Long, eventCount: Long, lastTs: Long,
       sessionStart: Long, maxDuration: Long)

@@ -53,6 +53,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("dedup").count() == sampleEvents.size)
   }
 
+  test("incrementalDimStream appends only unseen keys across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dim").toString + "/dim"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.incrementalDimStream(streamDF, dimPath).start()
+    mem.addData(sampleEvents.take(3): _*) // users 1,1,1
+    q.processAllAvailable()
+    mem.addData(sampleEvents: _*)         // users 1,1,1,2,2 — only 2 is new
+    q.processAllAvailable(); q.stop()
+    val dim = spark.read.parquet(dimPath)
+    assert(dim.count() == 2)
+    assert(dim.orderBy("user_id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("sessionizeStream session counts match sessionizeBatch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.SessionEvent]
