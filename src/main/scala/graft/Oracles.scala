@@ -569,6 +569,55 @@ object Oracles {
         |FROM documents""".stripMargin
   )
 
+  private val dExtras: Map[String, String] = Map(
+    "bigram_topk" ->
+      s"""WITH t AS (SELECT CASE WHEN length(${norm("text")}) = 0 THEN []
+         |  ELSE string_split(${norm("text")}, ' ') END AS toks FROM documents),
+         |bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+         | FROM t, unnest(CASE WHEN len(toks) >= 2
+         |   THEN generate_series(1, len(toks) - 1) ELSE [] END) AS u(i))
+         |SELECT bigram, COUNT(*) AS n FROM bg
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "multimodal_framesample" ->
+      """WITH meta AS (
+        | SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames
+        | FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, CAST(u.f AS INT) AS frame_idx,
+        | u.f * (byte_len // greatest(frames, 1)) AS byte_offset
+        |FROM meta, unnest(generate_series(0, frames - 1, 5)) AS u(f)""".stripMargin,
+
+    "events_asof_signup" ->
+      """WITH base AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type, value FROM events),
+        |u AS (
+        | SELECT user_id, ts_s, 0 AS side, event_id, value FROM base
+        |  WHERE event_type = 'signup'
+        | UNION ALL
+        | SELECT user_id, ts_s, 1 AS side, event_id, value FROM base
+        |  WHERE event_type = 'purchase'),
+        |w AS (SELECT *, last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts_s, side, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS last_signup_value
+        | FROM u)
+        |SELECT event_id, user_id, ts_s, value, last_signup_value
+        |FROM w WHERE side = 1""".stripMargin,
+
+    "event_funnel" ->
+      """WITH per_user AS (
+        | SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup'
+        |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_signup,
+        |  MAX(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS last_purchase
+        | FROM events GROUP BY user_id)
+        |SELECT CASE WHEN first_signup IS NULL THEN 0
+        |  WHEN last_purchase IS NOT NULL AND last_purchase >= first_signup THEN 2
+        |  ELSE 1 END AS funnel_stage, COUNT(*) AS n_users
+        |FROM per_user GROUP BY 1""".stripMargin
+  )
+
   private val eStreaming: Map[String, String] = Map(
     "events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -597,5 +646,5 @@ object Oracles {
   )
 
   val all: Map[String, String] =
-    aCleaning ++ bStarSchema ++ cAnalytics ++ dPipeline ++ eStreaming
+    aCleaning ++ bStarSchema ++ cAnalytics ++ dPipeline ++ dExtras ++ eStreaming
 }

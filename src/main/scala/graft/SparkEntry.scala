@@ -94,6 +94,12 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(documents(s, d))),
     "multimodal_meta" -> ((s, d) =>
       MultimodalOps.multimodalMeta(s, documents(s, d)).toDF()),
+    "bigram_topk" -> ((s, d) => TextOps.bigramTopK(documents(s, d))),
+    "multimodal_framesample" -> ((s, d) =>
+      MultimodalOps.frameSample(s, documents(s, d))),
+    "events_asof_signup" -> ((s, d) =>
+      AsOfOps.purchaseWithLastSignup(events(s, d))),
+    "event_funnel" -> ((s, d) => AsOfOps.signupPurchaseFunnel(events(s, d))),
     // E. streaming (batch-equivalent forms; true streaming in tests)
     "events_tumbling" -> ((s, d) =>
       graft.streaming.EventStreams.tumblingAggBatch(events(s, d))),

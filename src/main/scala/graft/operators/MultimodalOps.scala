@@ -35,6 +35,23 @@ object MultimodalOps {
       checksum = checksum)
   }
 
+  /** Frame sampling over the (stub-)decoded video rows: every `step`-th
+    * frame index with its byte offset — the Spark-side shape of a frame
+    * extractor (explode keeps it one scan; a real decoder would read the
+    * offsets per partition). Deterministic arithmetic, oracle-checked.
+    */
+  def frameSample(spark: SparkSession, documents: DataFrame, step: Int = 5): DataFrame = {
+    import spark.implicits._
+    val meta = multimodalMeta(spark, documents).toDF()
+    meta.filter(col("media_type") === "video")
+      .select(col("doc_id"), col("byte_len"), col("frames"),
+        explode(sequence(lit(0), col("frames") - 1, lit(step))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        // integer floor-division (`div`) — `/` would detour through
+        // doubles and round differently than the oracle's `//`
+        expr("frame_idx * (byte_len div greatest(frames, 1))").as("byte_offset"))
+  }
+
   /** Documents → synthetic media payloads (utf-8 bytes as the opaque
     * binary) → per-partition stub decode → typed features Dataset.
     */

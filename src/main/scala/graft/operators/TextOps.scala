@@ -79,6 +79,24 @@ object TextOps {
       length(regexp_replace(t, " ", "")).cast("long").as("n_chars_nospace"))
   }
 
+  /** Top-k word bigrams across the corpus — the n-gram statistics pass
+    * of a training-data pipeline (vocab building, contamination checks).
+    * Bigrams are built per-row then count-aggregated with map-side
+    * combine; the top-k order is fully tie-broken.
+    */
+  def bigramTopK(documents: DataFrame, k: Int = 20): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    OpUtils.spread(documents)
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Content fingerprint (60-bit md5-prefix of normalized text — the
     * oracle-parity stand-in for a rolling hash) + duplicate-group size.
     */

@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan regression tests for the scale properties SURVEY §5
+  * promises: dims broadcast, scans pruned, no accidental cartesian
+  * products. These lock in the plan shape so a refactor can't silently
+  * trade a broadcast for a 100 TB shuffle.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("fact_lineitem prunes the lineitem scan to needed columns") {
+    val p = plan("fact_lineitem")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_quantity"), "untouched column should be pruned from the scan")
+  }
+
+  test("warehouse analytics broadcast their dimension sides") {
+    Seq("agg_region_pct", "price_stats_by_region", "revenue_by_nation_segment",
+      "top_types_by_nation").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q should broadcast dims")
+    }
+  }
+
+  test("selective filters push into the parquet scan") {
+    val p = plan("shipping_priority")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(400))
+    assert(p.contains("GreaterThan(l_shipdate") || p.contains("PushedFilters"), p.take(400))
+  }
+
+  test("LSH/IVF/banded dedup paths contain no cartesian product") {
+    Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+      "embed_lsh_ann", "embed_ivf_ann", "dedup_embed_cosine").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join the corpus")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must not nested-loop join")
+    }
+  }
+
+  test("brute-force top-k is the only deliberate cross join, on the broadcast side") {
+    val p = plan("embed_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+    assert(p.contains("Broadcast"), "query side must be broadcast")
+  }
+
+  test("incremental loads plan as anti joins, not lookups") {
+    val p = plan("incremental_dim_load")
+    assert(p.contains("LeftAnti"), p.take(300))
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: Long, user: Long, typ: String, v: Double) =
+    (id, new Timestamp(t * 1000L), user, typ, v, "{}")
+
+  private val events = Seq(
+    ev(1, 100, 1, "signup", 10.0),
+    ev(2, 200, 1, "purchase", 99.0),  // after signup 10.0
+    ev(3, 300, 1, "signup", 20.0),
+    ev(4, 400, 1, "purchase", 77.0),  // after signup 20.0
+    ev(5, 150, 2, "purchase", 55.0),  // user 2 never signed up
+    ev(6, 500, 3, "signup", 30.0))    // user 3 signed up, never purchased
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("asof join picks the most recent at-or-before signup per purchase") {
+    val out = AsOfOps.purchaseWithLastSignup(events)
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4))).toSeq ==
+      Seq((2L, 10.0), (4L, 20.0), (5L, null)))
+  }
+
+  test("funnel stages count users correctly") {
+    val out = AsOfOps.signupPurchaseFunnel(events)
+      .orderBy("funnel_stage").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(out == Seq((0, 1L), (1, 1L), (2, 1L)))
+  }
+}

@@ -36,6 +36,13 @@ class TextOpsSpec extends SparkSpec {
     assert(good > bad && good <= 1.0 && bad >= 0.0)
   }
 
+  test("bigramTopK counts adjacent token pairs with deterministic order") {
+    val df = docs((1L, "a b a b c", "en"), (2L, "a b", "en"), (3L, "x", "en"))
+    val out = TextOps.bigramTopK(df, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("docFingerprint groups identical content") {
     val df = docs((1L, "same text", "en"), (2L, "same text", "en"), (3L, "other", "en"))
     val out = TextOps.docFingerprint(df).orderBy("doc_id").collect()
