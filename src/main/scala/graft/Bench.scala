@@ -11,8 +11,14 @@ object Bench {
       .getOrCreate()
     GraftSession.register(spark)
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000).selectExpr("sum(id)").collect() // session/JIT warmup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warmup pass at the smallest SF: pays JVM/JIT/codegen-compile cost
+    // once so the timed pass measures the engine, not HotSpot.
+    val warmDir = "/root/testdata/sf0.001"
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
