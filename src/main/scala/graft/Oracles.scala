@@ -570,6 +570,26 @@ object Oracles {
   )
 
   private val dExtras: Map[String, String] = Map(
+    "geo_neighbor_join" -> {
+      s"""WITH cc AS (SELECT c_custkey, ${latSql("c_custkey")} AS c_lat,
+         |  ${lonSql("c_custkey")} AS c_lon FROM customer),
+         |cg AS (SELECT c_custkey, c_lat, c_lon, ${geohashCols("c_lat", "c_lon")} FROM cc),
+         |ss AS (SELECT s_suppkey, ${latSql("s_suppkey")} AS s_lat,
+         |  ${lonSql("s_suppkey")} AS s_lon FROM supplier),
+         |sg AS (SELECT s_suppkey, s_lat, s_lon, ${geohashCols("s_lat", "s_lon")} FROM ss)
+         |SELECT c_custkey, s_suppkey, dist2 FROM (
+         | SELECT c_custkey, s_suppkey,
+         |  ROUND((c_lat - s_lat) * (c_lat - s_lat)
+         |    + (c_lon - s_lon) * (c_lon - s_lon) * 0.5749, 10) AS dist2,
+         |  (c_lat - s_lat) * (c_lat - s_lat)
+         |    + (c_lon - s_lon) * (c_lon - s_lon) * 0.5749 AS dist2_raw
+         | FROM cg JOIN sg ON substr(cg.g_gh, 1, 5) = substr(sg.g_gh, 1, 5))
+         |WHERE dist2_raw <= 0.0001""".stripMargin
+    },
+
+    "heavy_hitter_types" ->
+      """SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type""",
+
     "bigram_topk" ->
       s"""WITH t AS (SELECT CASE WHEN length(${norm("text")}) = 0 THEN []
          |  ELSE string_split(${norm("text")}, ' ') END AS toks FROM documents),

@@ -95,6 +95,15 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) =>
       MultimodalOps.multimodalMeta(s, documents(s, d)).toDF()),
     "bigram_topk" -> ((s, d) => TextOps.bigramTopK(documents(s, d))),
+    "geo_neighbor_join" -> ((s, d) =>
+      GeoOps.neighborJoin(customer(s, d), supplier(s, d), nation(s, d), region(s, d))),
+    "heavy_hitter_types" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val hh = udaf(new graft.functions.HeavyHitters(16),
+        org.apache.spark.sql.Encoders.STRING)
+      events(s, d).agg(hh(col("event_type")).as("sketch"))
+        .select(explode(col("sketch")).as(Seq("event_type", "n_events")))
+    }),
     "multimodal_framesample" -> ((s, d) =>
       MultimodalOps.frameSample(s, documents(s, d))),
     "events_asof_signup" -> ((s, d) =>

@@ -50,6 +50,18 @@ class GeohashSpec extends SparkSpec {
     assert(GeohashEncode.encode(57.64911, 10.40744, 11).toString == "u4pruydqqvj")
   }
 
+  test("lower precisions are exact prefixes (grid-blocking relies on it)") {
+    val rng = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val lat = rng.nextDouble() * 179.98 - 89.99
+      val lon = rng.nextDouble() * 359.98 - 179.99
+      val p7 = GeohashEncode.encode(lat, lon, 7).toString
+      (1 to 6).foreach { p =>
+        assert(GeohashEncode.encode(lat, lon, p).toString == p7.take(p))
+      }
+    }
+  }
+
   test("clamps out-of-range coordinates instead of overflowing") {
     assert(GeohashEncode.encode(95.0, 185.0, 7).toString ==
       GeohashEncode.encode(90.0, 180.0, 7).toString)
