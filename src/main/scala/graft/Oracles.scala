@@ -608,6 +608,19 @@ object Oracles {
         | u.f * (byte_len // greatest(frames, 1)) AS byte_offset
         |FROM meta, unnest(generate_series(0, frames - 1, 5)) AS u(f)""".stripMargin,
 
+    "multimodal_resize" ->
+      """WITH meta AS (
+        | SELECT doc_id, 'image' AS media_type,
+        |  CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height
+        | FROM documents WHERE doc_id % 3 = 0),
+        |sc AS (SELECT *, 100 * 96 // greatest(width, height) AS scale_pct FROM meta)
+        |SELECT doc_id, media_type, width, height,
+        | CAST(width * scale_pct // 100 AS INT) AS target_w,
+        | CAST(height * scale_pct // 100 AS INT) AS target_h,
+        | CAST(scale_pct AS BIGINT) AS scale_pct
+        |FROM sc""".stripMargin,
+
     "events_asof_signup" ->
       """WITH base AS (SELECT user_id, event_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type, value FROM events),

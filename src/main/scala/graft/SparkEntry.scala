@@ -106,6 +106,8 @@ object SparkEntry {
     }),
     "multimodal_framesample" -> ((s, d) =>
       MultimodalOps.frameSample(s, documents(s, d))),
+    "multimodal_resize" -> ((s, d) =>
+      MultimodalOps.resizePlan(s, documents(s, d)).toDF()),
     "events_asof_signup" -> ((s, d) =>
       AsOfOps.purchaseWithLastSignup(events(s, d))),
     "event_funnel" -> ((s, d) => AsOfOps.signupPurchaseFunnel(events(s, d))),

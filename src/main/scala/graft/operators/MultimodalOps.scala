@@ -52,6 +52,33 @@ object MultimodalOps {
         expr("frame_idx * (byte_len div greatest(frames, 1))").as("byte_offset"))
   }
 
+  /** Resized media record: stub resize plan for a target box. */
+  case class ResizedMedia(doc_id: Long, media_type: String, width: Int, height: Int,
+      target_w: Int, target_h: Int, scale_pct: Long)
+
+  /** STUB resize — a real implementation would decode `payload`, resample
+    * to fit the target box and re-encode; the stub computes the
+    * aspect-preserving integer resize plan (the part a pipeline actually
+    * joins/filters on) with pure integer arithmetic the oracle replicates.
+    */
+  def resizeStub(f: MediaFeatures, targetBox: Int): ResizedMedia = {
+    // scale percent = floor(100 * target / longest side)
+    val longest = math.max(f.width, f.height).toLong
+    val scalePct = 100L * targetBox / longest
+    ResizedMedia(f.doc_id, f.media_type, f.width, f.height,
+      (f.width.toLong * scalePct / 100L).toInt,
+      (f.height.toLong * scalePct / 100L).toInt,
+      scalePct)
+  }
+
+  /** Image rows → per-partition stub resize to fit a 96-px box. */
+  def resizePlan(spark: SparkSession, documents: DataFrame, targetBox: Int = 96): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    multimodalMeta(spark, documents)
+      .filter(_.media_type == "image")
+      .mapPartitions(_.map(resizeStub(_, targetBox)))
+  }
+
   /** Documents → synthetic media payloads (utf-8 bytes as the opaque
     * binary) → per-partition stub decode → typed features Dataset.
     */

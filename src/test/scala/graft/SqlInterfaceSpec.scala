@@ -1,0 +1,48 @@
+package graft
+
+/** The SQL surface a reference user would migrate to: tables as temp
+  * views + spark.sql text queries, including graft's registered native
+  * functions.
+  */
+class SqlInterfaceSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val registered: Unit = {
+    Seq("orders", "customer", "nation", "region", "lineitem").foreach { t =>
+      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+  }
+
+  test("plain-SQL star query runs against the views") {
+    registered
+    val df = spark.sql(
+      """SELECT r_name AS region, COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin)
+    assert(df.count() == 5)
+  }
+
+  test("graft_geohash is callable from SQL") {
+    registered
+    val gh = spark.sql(
+      "SELECT graft_geohash(40.7128D, -74.0060D, 7) AS gh").head.getString(0)
+    assert(gh == functions.GeohashEncode.encode(40.7128, -74.0060, 7).toString)
+  }
+
+  test("window + decimal SQL matches the DataFrame operator") {
+    registered
+    val viaSql = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaDf = {
+      import org.apache.spark.sql.functions._
+      Tables.orders(spark, dir).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")).orderBy("o_orderpriority")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    assert(viaSql == viaDf)
+  }
+}
