@@ -277,6 +277,36 @@ object Oracles {
         |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
         | FROM lineitem)""".stripMargin,
 
+    "correlation_density" ->
+      """WITH per_nation AS (
+        | SELECT c_nationkey,
+        |  COUNT(DISTINCT c_custkey) AS x, COUNT(DISTINCT o_orderkey) AS y
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_nationkey),
+        |s AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |  CAST(SUM(y * y) AS BIGINT) AS syy FROM per_nation)
+        |SELECT n,
+        | ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  AS pearson_r
+        |FROM s""".stripMargin,
+
+    "stddev_order_value" ->
+      """SELECT r_name AS region, COUNT(*) AS n,
+        | ROUND(sqrt((CAST(COUNT(*) AS DOUBLE)
+        |   * CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |       * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS DOUBLE)
+        |   - CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+        |     * CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE))
+        |  / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) - 1 AS DOUBLE))), 4) AS stddev_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
     "pct_fast_fulfillment" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         | CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),

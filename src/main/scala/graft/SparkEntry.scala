@@ -77,6 +77,10 @@ object SparkEntry {
       Analytics.statusPivotByRegion(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
     "revenue_rollup" -> ((s, d) =>
       Analytics.revenueRollup(orders(s, d), customer(s, d), nation(s, d))),
+    "correlation_density" -> ((s, d) =>
+      Analytics.correlationDensity(orders(s, d), customer(s, d))),
+    "stddev_order_value" -> ((s, d) =>
+      Analytics.stddevOrderValue(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
     // rows-only (sketch internals are engine-specific; no DuckDB oracle)
     "approx_distincts" -> ((s, d) => Analytics.approxDistincts(lineitem(s, d))),

@@ -368,6 +368,57 @@ object Analytics {
           .as("median_price_approx"),
         count(lit(1)).as("n_lines"))
 
+  /** Pearson correlation between per-nation customer count and order
+    * count (ref: the notebooks' "statistical correlation analysis"
+    * between Airbnb density and complaint volume). Computed from exact
+    * integer sums — streaming co-moment aggregates (corr()) are
+    * merge-order-dependent in the last ulps, so the closed form over
+    * exact Σx, Σy, Σxy, Σx², Σy² is what stays reproducible across
+    * engines and partitionings.
+    */
+  def correlationDensity(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val perNation = customer
+      .join(orders.select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_custkey")).as("x"),
+        countDistinct(col("o_orderkey")).as("y"))
+    perNation.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("pearson_r"))
+  }
+
+  /** Sample standard deviation of order value per region, from exact
+    * decimal sums (same reproducibility rationale as [[correlationDensity]]).
+    */
+  def stddevOrderValue(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("x", col("o_totalprice").cast("decimal(18,2)"))
+      .groupBy(col("r_name").as("region"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(30,4)")).as("sxx"))
+      .select(col("region"), col("n"),
+        round(sqrt((col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (col("n").cast("double") * (col("n") - 1).cast("double"))), 4)
+          .as("stddev_price"))
+
   /** Share of lines shipped within a threshold (ref: README insight "~75%
     * of complaints resolved within 3 days").
     */
