@@ -307,6 +307,35 @@ object Oracles {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
 
+    "median_order_value" ->
+      """WITH priced AS (
+        | SELECT r_name AS region, CAST(o_totalprice AS DECIMAL(18,2)) AS x, o_orderkey
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |ranked AS (SELECT *,
+        |  row_number() OVER (PARTITION BY region ORDER BY x, o_orderkey) AS rn,
+        |  COUNT(*) OVER (PARTITION BY region) AS cnt
+        | FROM priced)
+        |SELECT region,
+        | ROUND(CAST(CAST(SUM(x) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*), 2) AS median_price
+        |FROM ranked
+        |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |GROUP BY region""".stripMargin,
+
+    "weekly_retention" ->
+      """WITH weeks AS (
+        | SELECT user_id,
+        |  CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT)
+        |    AS week
+        | FROM events),
+        |cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id),
+        |dw AS (SELECT DISTINCT user_id, week FROM weeks)
+        |SELECT cohort_week, dw.week - cohort_week AS week_offset,
+        | COUNT(DISTINCT dw.user_id) AS n_users
+        |FROM dw JOIN cohorts ON dw.user_id = cohorts.user_id
+        |GROUP BY cohort_week, dw.week - cohort_week""".stripMargin,
+
     "pct_fast_fulfillment" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         | CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),

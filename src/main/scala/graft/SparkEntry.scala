@@ -81,6 +81,9 @@ object SparkEntry {
       Analytics.correlationDensity(orders(s, d), customer(s, d))),
     "stddev_order_value" -> ((s, d) =>
       Analytics.stddevOrderValue(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
+    "median_order_value" -> ((s, d) =>
+      Analytics.medianOrderValue(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
+    "weekly_retention" -> ((s, d) => Analytics.weeklyRetention(events(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
     // rows-only (sketch internals are engine-specific; no DuckDB oracle)
     "approx_distincts" -> ((s, d) => Analytics.approxDistincts(lineitem(s, d))),

@@ -419,6 +419,45 @@ object Analytics {
           (col("n").cast("double") * (col("n") - 1).cast("double"))), 4)
           .as("stddev_price"))
 
+  /** Exact median order value per region — rank-window formulation
+    * (avg of the middle one/two exact decimals), no approx sketch, no
+    * engine-specific percentile semantics.
+    */
+  def medianOrderValue(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val priced = orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"),
+        col("o_totalprice").cast("decimal(18,2)").as("x"),
+        col("o_orderkey"))
+    val w = Window.partitionBy(col("region")).orderBy(col("x"), col("o_orderkey"))
+    priced
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("region"))))
+      .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy(col("region"))
+      .agg(round(sum(col("x")).cast("double") / count(lit(1)), 2).as("median_price"))
+  }
+
+  /** Weekly cohort retention over the events stream: users grouped by
+    * first-activity week, counted per subsequent activity week (the
+    * engagement view the reference dashboards chart over time).
+    */
+  def weeklyRetention(events: DataFrame): DataFrame = {
+    val weeks = events.select(col("user_id"),
+      floor(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 7)
+        .cast("int").as("week"))
+    val cohorts = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    weeks.distinct()
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Share of lines shipped within a threshold (ref: README insight "~75%
     * of complaints resolved within 3 days").
     */
