@@ -56,31 +56,36 @@ object DedupOps {
     // persist: the banded self-join reads this twice, and without a
     // materialization barrier each branch would recompute every md5 from
     // the raw text.
-    val hCols = (0 until MinhashK).map(i => s"h$i")
     val sigs = withMinhashSignature(documents)
       .select(col("doc_id") +: (0 until MinhashK)
         .map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(
-      (col("doc_id") +: hCols.map(col)) :+
-        explode(array((0 until MinhashBands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws(":", (0 until MinhashRows).map(r =>
-              col(s"h${b * MinhashRows + r}")): _*).as("key"))
-        }: _*)).as("bk"): _*)
-      .select((col("doc_id") +: hCols.map(col)) :+ col("bk.band") :+ col("bk.key"): _*)
-    val a = banded.select(col("band") +: col("key") +: col("doc_id").as("doc_a") +:
-      hCols.map(h => col(h).as(s"${h}_a")): _*)
-    val b = banded.select(col("band") +: col("key") +: col("doc_id").as("doc_b") +:
-      hCols.map(h => col(h).as(s"${h}_b")): _*)
+    // Narrow-first: only (band, key, doc_id) flows through the self-join
+    // (the shuffle that scales with corpus × bands); the 32 signature
+    // columns rejoin after pair dedup, so est is computed once per pair
+    // and the wide rows never shuffle through the bucket join.
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until MinhashBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until MinhashRows).map(r =>
+            col(s"h${b * MinhashRows + r}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val pairs = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until MinhashK).map(i => col(s"h$i").as(s"h${i}_a")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until MinhashK).map(i => col(s"h$i").as(s"h${i}_b")): _*)
     val matches = (0 until MinhashK)
       .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
       .reduce(_ + _)
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
+    pairs.join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(matches.cast("double") / lit(MinhashK.toDouble), 4).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minEst)
   }
 
