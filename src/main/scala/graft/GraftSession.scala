@@ -20,6 +20,9 @@ object GraftSession {
       // testdata events.parquet uses TIMESTAMP(NANOS): read as long ns
       // (Tables.events converts to TimestampType)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed (bucketed) tables land in tmp, not the repo working dir
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
 
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
     val spark = configure(

@@ -28,4 +28,17 @@ object Sinks {
     */
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Bucketed catalog table: pre-shuffles once at write time so every
+    * later equi-join/aggregation on the bucket key is exchange-free —
+    * the Spark-native answer to Redshift DISTKEY. Joining two tables
+    * bucketed the same way on the same key skips both shuffles
+    * (verified in SourcesSpec by plan inspection).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

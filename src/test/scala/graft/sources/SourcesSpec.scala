@@ -28,6 +28,34 @@ class SourcesSpec extends SparkSpec {
     assert(out.head.isNullAt(2) && out.head.isNullAt(3))
   }
 
+  test("bucketed tables join without a shuffle on the bucket key") {
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_b_lines")
+    // a previous JVM's in-memory catalog is gone but its files survive
+    Seq("graft_b_orders", "graft_b_lines").foreach { t =>
+      val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-warehouse/$t")
+      if (dir.exists) {
+        dir.listFiles.foreach(_.delete())
+        dir.delete()
+      }
+    }
+    val orders = (1L to 200L).map(k => (k, k * 10.0)).toDF("k", "total")
+    val lines = (1L to 200L).flatMap(k => Seq((k, 1), (k, 2))).toDF("k", "line")
+    Sinks.writeBucketed(orders, "graft_b_orders", "k")
+    Sinks.writeBucketed(lines, "graft_b_lines", "k")
+    // force the shuffle-join path (tiny test tables would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_b_orders").join(spark.table("graft_b_lines"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join must not shuffle:\n${plan.take(600)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(joined.count() == 400)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("writePartitioned produces prunable date partitions") {
     val dir = tmp()
     val df = Seq((1L, 20240101, 5.0), (2L, 20240102, 6.0), (3L, 20240102, 7.0))
