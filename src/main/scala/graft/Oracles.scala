@@ -336,6 +336,13 @@ object Oracles {
         |FROM dw JOIN cohorts ON dw.user_id = cohorts.user_id
         |GROUP BY cohort_week, dw.week - cohort_week""".stripMargin,
 
+    "customer_sample_by_nation" ->
+      """SELECT n_name AS nation, COUNT(*) AS n_customers,
+        | array_to_string(list_slice(list(c_name ORDER BY c_name), 1, 5), ',')
+        |   AS sample_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
     "pct_fast_fulfillment" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         | CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),

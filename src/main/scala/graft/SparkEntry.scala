@@ -84,6 +84,8 @@ object SparkEntry {
     "median_order_value" -> ((s, d) =>
       Analytics.medianOrderValue(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
     "weekly_retention" -> ((s, d) => Analytics.weeklyRetention(events(s, d))),
+    "customer_sample_by_nation" -> ((s, d) =>
+      Analytics.customerSampleByNation(customer(s, d), nation(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
     // rows-only (sketch internals are engine-specific; no DuckDB oracle)
     "approx_distincts" -> ((s, d) => Analytics.approxDistincts(lineitem(s, d))),

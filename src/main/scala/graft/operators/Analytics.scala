@@ -458,6 +458,21 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Per-nation sorted customer-name sample as a delimited string —
+    * collect/sort/slice/string-agg family (dashboard drill-down lists).
+    * The collect is bounded per group by the slice; at extreme group
+    * sizes swap for a rank-window top-N first.
+    */
+  def customerSampleByNation(customer: DataFrame, nation: DataFrame, k: Int = 5): DataFrame =
+    customer
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        concat_ws(",", slice(sort_array(collect_list(col("c_name"))), 1, k))
+          .as("sample_customers"))
+
   /** Share of lines shipped within a threshold (ref: README insight "~75%
     * of complaints resolved within 3 days").
     */
