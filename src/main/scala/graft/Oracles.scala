@@ -674,6 +674,30 @@ object Oracles {
         | u.f * (byte_len // greatest(frames, 1)) AS byte_offset
         |FROM meta, unnest(generate_series(0, frames - 1, 5)) AS u(f)""".stripMargin,
 
+    "contamination_check" ->
+      s"""WITH t AS (SELECT doc_id, CASE WHEN length(${norm("text")}) = 0 THEN []
+         |  ELSE string_split(${norm("text")}, ' ') END AS toks FROM documents),
+         |bg AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+         | FROM t, unnest(CASE WHEN len(toks) >= 2
+         |   THEN generate_series(1, len(toks) - 1) ELSE [] END) AS u(i)),
+         |probe AS (SELECT doc_id AS probe_id, bigram FROM bg WHERE doc_id < 5),
+         |corpus AS (SELECT doc_id, bigram FROM bg WHERE doc_id >= 5)
+         |SELECT corpus.doc_id, probe_id, COUNT(*) AS n_shared_bigrams
+         |FROM corpus JOIN probe ON corpus.bigram = probe.bigram
+         |GROUP BY corpus.doc_id, probe_id
+         |HAVING COUNT(*) >= 3""".stripMargin,
+
+    "rarity_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(${norm("text")}, ' ')) AS tok
+         | FROM documents WHERE length(${norm("text")}) > 0),
+         |tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         | ROUND(CAST(CAST(SUM(total // tf) AS BIGINT) AS DOUBLE) / COUNT(*), 4)
+         |   AS avg_rarity
+         |FROM toks JOIN tf USING (tok) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
+
     "multimodal_resize" ->
       """WITH meta AS (
         | SELECT doc_id, 'image' AS media_type,

@@ -104,6 +104,8 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) =>
       MultimodalOps.multimodalMeta(s, documents(s, d)).toDF()),
     "bigram_topk" -> ((s, d) => TextOps.bigramTopK(documents(s, d))),
+    "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
+    "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
     "geo_neighbor_join" -> ((s, d) =>
       GeoOps.neighborJoin(customer(s, d), supplier(s, d), nation(s, d), region(s, d))),
     "heavy_hitter_types" -> ((s, d) => {

@@ -97,6 +97,52 @@ object TextOps {
       .limit(k)
   }
 
+  /** Benchmark-contamination check: which corpus docs share suspiciously
+    * many word bigrams with a probe set (here: the first `nProbe` docs
+    * standing in for an eval benchmark). The probe side is tiny →
+    * broadcast; the corpus explodes its bigrams once — the decontamination
+    * sweep shape for a 100 TB pretraining corpus.
+    */
+  def contaminationCheck(documents: DataFrame, nProbe: Int = 5, minOverlap: Int = 3): DataFrame = {
+    def bigrams(df: DataFrame) = {
+      val toks = TextFns.tokens(col("text"))
+      df.select(col("doc_id"), explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+        .distinct()
+    }
+    val probe = bigrams(documents.filter(col("doc_id") < nProbe))
+      .select(col("doc_id").as("probe_id"), col("bigram"))
+    val corpus = bigrams(OpUtils.spread(documents).filter(col("doc_id") >= nProbe))
+    corpus.join(broadcast(probe), Seq("bigram"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared_bigrams"))
+      .filter(col("n_shared_bigrams") >= minOverlap)
+  }
+
+  /** Unigram rarity score — a perplexity proxy with exact integer
+    * arithmetic (no float logs, whose libm rounding differs across
+    * engines): per token, rarity = corpus_tokens div token_frequency;
+    * per doc, the average rarity. Two aggregations: corpus term
+    * frequencies (map-side combined), then a broadcast-joined re-scan.
+    */
+  def rarityScore(documents: DataFrame): DataFrame = {
+    val toks = OpUtils.spread(documents)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    toks
+      .join(tf, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("total div tf").as("rarity"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("rarity")).as("sum_rarity"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_rarity").cast("double") / col("n_tokens"), 4).as("avg_rarity"))
+  }
+
   /** Content fingerprint (60-bit md5-prefix of normalized text — the
     * oracle-parity stand-in for a rolling hash) + duplicate-group size.
     */

@@ -43,6 +43,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("contaminationCheck flags corpus docs overlapping the probe set") {
+    val df = docs(
+      (0L, "alpha beta gamma delta epsilon zeta", "en"),   // probe
+      (10L, "alpha beta gamma delta epsilon other", "en"), // 4 shared bigrams
+      (11L, "totally different words here now", "en"))
+    val out = TextOps.contaminationCheck(df, nProbe = 5, minOverlap = 3).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 10L && out.head.getLong(1) == 0L)
+    assert(out.head.getLong(2) == 4L)
+  }
+
+  test("rarityScore ranks rare-token docs above common-token docs") {
+    val df = docs(
+      (1L, "common common common common", "en"),
+      (2L, "common uniqueword", "en"))
+    val out = TextOps.rarityScore(df).orderBy("doc_id").collect()
+    assert(out(1).getDouble(2) > out.head.getDouble(2))
+  }
+
   test("docFingerprint groups identical content") {
     val df = docs((1L, "same text", "en"), (2L, "same text", "en"), (3L, "other", "en"))
     val out = TextOps.docFingerprint(df).orderBy("doc_id").collect()

@@ -40,6 +40,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
   }
 
+  test("watermark drops events arriving later than the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.tumblingAggStream(streamDF)
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    // batch 1: events up to minute 120 -> watermark advances to 110
+    mem.addData((1L, ts(0), 1L, "click", 1.0, "{}"),
+      (2L, ts(120), 1L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: an event at minute 5 — far behind the watermark; its
+    // hour-0 window is already finalized and emitted, so it is dropped
+    mem.addData((3L, ts(5), 1L, "click", 100.0, "{}"))
+    q.processAllAvailable()
+    // batch 3: advance far enough to close every window
+    mem.addData((4L, ts(600), 1L, "click", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val hour0 = spark.table("late")
+      .filter(col("hour_start") === ts(0)).collect()
+    assert(hour0.length == 1)
+    assert(hour0.head.getAs[Long]("n_events") == 1L) // late event 3 excluded
+  }
+
   test("dedupStream drops re-delivered event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
