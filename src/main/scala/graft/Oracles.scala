@@ -742,6 +742,29 @@ object Oracles {
   )
 
   private val eStreaming: Map[String, String] = Map(
+    "events_interval_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts,
+        |  value AS purchase_value FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, event_id AS signup_id, ts AS s_ts FROM events
+        |  WHERE event_type = 'signup')
+        |SELECT p.user_id, purchase_id, signup_id, purchase_value,
+        | CAST(floor(epoch(p_ts)) AS BIGINT) - CAST(floor(epoch(s_ts)) AS BIGINT)
+        |   AS lag_seconds
+        |FROM p JOIN s ON p.user_id = s.user_id
+        | AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin,
+
+    "composed_revenue_report" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
+        |   - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |   AS total_revenue,
+        | CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INT)
+        |   AS min_days,
+        | CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INT)
+        |   AS max_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
     "events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         | COUNT(*) AS n_events,

@@ -126,7 +126,20 @@ object SparkEntry {
     "events_tumbling" -> ((s, d) =>
       graft.streaming.EventStreams.tumblingAggBatch(events(s, d))),
     "events_sessionize" -> ((s, d) =>
-      graft.streaming.EventStreams.sessionizeBatch(events(s, d)))
+      graft.streaming.EventStreams.sessionizeBatch(events(s, d))),
+    "events_interval_join" -> ((s, d) =>
+      graft.streaming.EventStreams.intervalJoinBatch(events(s, d))),
+    // operator composition: line fact built by StarSchema feeds the
+    // revenue summary directly (one fused plan, no materialization)
+    "composed_revenue_report" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      StarSchema.factLineitem(lineitem(s, d), orders(s, d))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("revenue")).cast("decimal(18,4)").as("total_revenue"),
+          min(col("days_to_ship")).as("min_days"),
+          max(col("days_to_ship")).as("max_days"))
+    })
   )
 
   def oracleSql: Map[String, String] = Oracles.all

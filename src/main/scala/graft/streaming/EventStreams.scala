@@ -74,6 +74,40 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Batch form of the purchase↔signup interval join: each purchase
+    * paired with every signup of the same user in the preceding hour.
+    */
+  def intervalJoinBatch(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+    purchases.join(signups, Seq("user_id"))
+      .filter(col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("signup_id"),
+        col("purchase_value"),
+        (col("p_ts").cast("long") - col("s_ts").cast("long")).as("lag_seconds"))
+  }
+
+  /** Stream-stream interval join: both sides watermarked, join bounded to
+    * the preceding hour so state for either side is evicted once the
+    * watermark passes the bound — constant state per user-hour at any
+    * throughput. Same output as [[intervalJoinBatch]].
+    */
+  def intervalJoinStream(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    val s = signups.withWatermark("s_ts", "2 hours")
+    p.join(s,
+      p("user_id") === s("user_id") &&
+        s("s_ts") <= p("p_ts") &&
+        s("s_ts") >= p("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(p("user_id"), col("purchase_id"), col("signup_id"),
+        col("purchase_value"),
+        (col("p_ts").cast("long") - col("s_ts").cast("long")).as("lag_seconds"))
+  }
+
   /** Streaming exact dedup: drop re-delivered event_ids within the
     * watermark horizon — the streaming form of the batch
     * `dropDuplicates("event_id")` in CleanOps.cleanEvents. State is one

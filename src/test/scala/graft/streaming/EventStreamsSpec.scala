@@ -93,6 +93,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(dim.orderBy("user_id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val sMem = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = pMem.toDF().toDF("user_id", "purchase_id", "p_ts", "purchase_value")
+    val signups = sMem.toDF().toDF("user_id", "signup_id", "s_ts")
+    val q = EventStreams.intervalJoinStream(purchases, signups)
+      .writeStream.outputMode("append").format("memory").queryName("ivj").start()
+    // user 1: signup at min 0, purchases at min 30 (in window) and min 90 (outside)
+    sMem.addData((1L, 100L, ts(0)))
+    pMem.addData((1L, 200L, ts(30), 9.0), (1L, 201L, ts(90), 7.0))
+    // advance both watermarks far enough to emit (distinct users so the
+    // sentinels themselves never join)
+    sMem.addData((9L, 999L, ts(600)))
+    pMem.addData((8L, 998L, ts(600), 0.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ivj")
+      .select("purchase_id", "signup_id", "lag_seconds")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchEvents = Seq(
+      (100L, ts(0), 1L, "signup", 0.0, "{}"),
+      (200L, ts(30), 1L, "click", 9.0, "{}"), // wrong type, excluded below
+      (200L, ts(30), 1L, "purchase", 9.0, "{}"),
+      (201L, ts(90), 1L, "purchase", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = EventStreams.intervalJoinBatch(batchEvents)
+      .select("purchase_id", "signup_id", "lag_seconds")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((200L, 100L, 1800L)))
+    assert(batch == streamed)
+  }
+
   test("sessionizeStream session counts match sessionizeBatch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.SessionEvent]
