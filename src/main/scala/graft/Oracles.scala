@@ -771,6 +771,42 @@ object Oracles {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "events_session_window" ->
+      """WITH lagged AS (SELECT user_id, event_id, ts, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |  OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        | FROM lagged),
+        |sess AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        | MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "scd2_customer_versions" ->
+      """WITH versions AS (
+        | SELECT c_custkey, CAST(year(o_orderdate) AS INT) AS version_year,
+        |  c_mktsegment, MIN(CAST(o_orderdate AS DATE)) AS valid_from,
+        |  COUNT(*) AS n_orders
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_custkey, CAST(year(o_orderdate) AS INT), c_mktsegment)
+        |SELECT *, valid_to IS NULL AS is_current FROM (
+        | SELECT c_custkey, version_year, c_mktsegment, valid_from, n_orders,
+        |  lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY version_year)
+        |    AS valid_to
+        | FROM versions)""".stripMargin,
+
+    "price_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket,
+        | COUNT(*) AS n_orders,
+        | MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
+        | MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, ts FROM events),

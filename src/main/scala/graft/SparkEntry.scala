@@ -129,6 +129,11 @@ object SparkEntry {
       graft.streaming.EventStreams.sessionizeBatch(events(s, d))),
     "events_interval_join" -> ((s, d) =>
       graft.streaming.EventStreams.intervalJoinBatch(events(s, d))),
+    "events_session_window" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionWindowBatch(events(s, d))),
+    "scd2_customer_versions" -> ((s, d) =>
+      StarSchema.scd2CustomerVersions(orders(s, d), customer(s, d))),
+    "price_histogram" -> ((s, d) => Analytics.priceHistogram(orders(s, d))),
     // operator composition: line fact built by StarSchema feeds the
     // revenue summary directly (one fused plan, no materialization)
     "composed_revenue_report" -> ((s, d) => {

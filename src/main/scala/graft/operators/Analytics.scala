@@ -473,6 +473,16 @@ object Analytics {
         concat_ws(",", slice(sort_array(collect_list(col("c_name"))), 1, k))
           .as("sample_customers"))
 
+  /** Fixed-width price histogram — single-pass bucketed distribution
+    * (the QuickSight distribution chart, computed engine-side).
+    */
+  def priceHistogram(orders: DataFrame, bucketWidth: Double = 50000.0): DataFrame =
+    orders
+      .groupBy(floor(col("o_totalprice") / lit(bucketWidth)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice").cast("decimal(18,2)")).as("min_price"),
+        max(col("o_totalprice").cast("decimal(18,2)")).as("max_price"))
+
   /** Share of lines shipped within a threshold (ref: README insight "~75%
     * of complaints resolved within 3 days").
     */

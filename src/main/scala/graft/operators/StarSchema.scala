@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Geohash.geohash
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Star-schema construction — Spark-first re-expression of the reference's
@@ -130,6 +131,26 @@ object StarSchema {
       .join(existing, Seq("o_custkey"), "left_anti")
       .join(customer, col("o_custkey") === customer("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** SCD Type-2 dimension versioning: one row per (customer, active
+    * year) with [valid_from, valid_to) ranges chained via lead() — the
+    * slowly-changing-dimension pattern Redshift models with effective
+    * dates (ref: the dim tables + incremental-load machinery, made
+    * history-preserving). valid_to is NULL on the current version.
+    */
+  def scd2CustomerVersions(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val versions = orders
+      .join(customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), year(col("o_orderdate")).as("version_year"),
+        col("c_mktsegment"))
+      .agg(min(to_date(col("o_orderdate"))).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("version_year"))
+    versions
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 
   /** Incremental fact load: anti-join on the fact PK against the already-

@@ -59,6 +59,18 @@ object EventStreams {
           .as("avg_events_per_session"))
   }
 
+  /** Gap-based sessions via Spark's native session_window (merges rows
+    * whose gaps are < the timeout; works identically under
+    * readStream+watermark). Batch form for the oracle gate.
+    */
+  def sessionWindowBatch(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
   // ------------------------------------------------------------ streaming
 
   /** Streaming tumbling aggregation: 10-minute watermark + 1-hour window.
