@@ -365,6 +365,31 @@ object Oracles {
        |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t)-4)) AS i
        |        FROM norm WHERE length(t) >= 5))""".stripMargin
 
+  /** Full MinHash→LSH chain ending in CTE `lshp(doc_a, doc_b,
+    * est_jaccard)` — the filtered (≥ 0.5) near-dup pair set. Shared by
+    * the pair query and the connected-components cluster query.
+    */
+  private val minhashPairsCte: String = {
+    val bandsUnion = (0 until graft.functions.HashFns.MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM mh")
+      .mkString(" UNION ALL ")
+    val estExpr = (0 until graft.functions.HashFns.MinhashK)
+      .map(i => s"CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$shingleCte,
+       |mh AS (SELECT doc_id, ${minhashAggSql("x").mkString(", ")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS ($bandsUnion),
+       |cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |lshp AS (SELECT * FROM (
+       |  SELECT doc_a, doc_b,
+       |   ROUND(CAST(($estExpr) AS DOUBLE) / 32.0, 4) AS est_jaccard
+       |  FROM cpairs JOIN mh ma ON ma.doc_id = doc_a JOIN mh mb ON mb.doc_id = doc_b)
+       |  WHERE est_jaccard >= 0.5)""".stripMargin
+  }
+
   private val dPipeline: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id, md5(${norm("text")}) AS content_hash,
@@ -390,26 +415,36 @@ object Oracles {
          |  JOIN sizes sb ON sb.doc_id = c.doc_b)
          |WHERE jaccard >= 0.5""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val bandsUnion = (0 until graft.functions.HashFns.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM mh")
-        .mkString(" UNION ALL ")
-      val estExpr = (0 until graft.functions.HashFns.MinhashK)
-        .map(i => s"CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH $shingleCte,
-         |mh AS (SELECT doc_id, ${minhashAggSql("x").mkString(", ")}
-         |  FROM sh GROUP BY doc_id),
-         |bands AS ($bandsUnion),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         |SELECT * FROM (
-         |  SELECT doc_a, doc_b,
-         |   ROUND(CAST(($estExpr) AS DOUBLE) / 32.0, 4) AS est_jaccard
-         |  FROM pairs JOIN mh ma ON ma.doc_id = doc_a JOIN mh mb ON mb.doc_id = doc_b)
-         |WHERE est_jaccard >= 0.5""".stripMargin
-    },
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashPairsCte
+         |SELECT doc_a, doc_b, est_jaccard FROM lshp""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshp
+         |          UNION SELECT doc_b, doc_a FROM lshp),
+         |reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+         |          UNION
+         |          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         |        FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         | COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         | doc_id = cluster_id AS is_representative
+         |FROM lab""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshp
+         |          UNION SELECT doc_b, doc_a FROM lshp),
+         |reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+         |          UNION
+         |          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         |        FROM reach GROUP BY node),
+         |todrop AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+         |SELECT doc_id, lang, source, n_chars FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM todrop t WHERE t.doc_id = d.doc_id)""".stripMargin,
 
     "dedup_simhash" -> {
       val sums = (0 until 60)
@@ -617,6 +652,58 @@ object Oracles {
          |   AS n_alnum_runs,
          | CAST(length(replace(${norm("text")}, ' ', '')) AS BIGINT) AS n_chars_nospace
          |FROM documents""".stripMargin,
+
+    "type_token_ratio" ->
+      s"""SELECT doc_id, n_tokens, n_distinct,
+         | ROUND(CAST(n_distinct AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS ttr,
+         | ROUND(CAST(n_distinct AS DOUBLE) / GREATEST(n_tokens, 1), 4) < 0.3
+         |   AS is_repetitive
+         |FROM (SELECT doc_id,
+         | CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+         |      ELSE len(string_split(${norm("text")}, ' ')) END AS BIGINT) AS n_tokens,
+         | CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+         |      ELSE len(list_distinct(string_split(${norm("text")}, ' '))) END AS BIGINT)
+         |   AS n_distinct
+         |FROM documents)""".stripMargin,
+
+    "stratified_sample" -> {
+      val rateCase = graft.operators.PipelineOps.SampleRatePct
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, lang, sample_bucket, keep_rate_pct FROM (
+         | SELECT doc_id, lang,
+         |  ${hash32Sql(s"'${graft.operators.PipelineOps.SampleSalt}' || CAST(doc_id AS VARCHAR)")} % 100
+         |    AS sample_bucket,
+         |  CAST(CASE lang $rateCase ELSE 0 END AS BIGINT) AS keep_rate_pct
+         | FROM documents)
+         |WHERE sample_bucket < keep_rate_pct""".stripMargin
+    },
+
+    "mixture_report" ->
+      s"""WITH t AS (SELECT lang,
+         |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+         |       ELSE len(string_split(${norm("text")}, ' ')) END AS BIGINT) AS n
+         | FROM documents),
+         |g AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+         |      FROM t GROUP BY lang)
+         |SELECT lang, n_docs, n_tokens,
+         | ROUND(CAST(n_tokens AS DOUBLE) * CAST(100.0 AS DOUBLE)
+         |   / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE), 4)
+         |   AS token_share_pct
+         |FROM g""".stripMargin,
+
+    "token_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+         |       ELSE len(string_split(${norm("text")}, ' ')) END AS BIGINT) AS n_tokens
+         | FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         | FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         | (cum - n_tokens) // ${graft.operators.PipelineOps.PackBudget} AS pack_id,
+         | (cum - n_tokens) % ${graft.operators.PipelineOps.PackBudget} AS pack_offset
+         |FROM c""".stripMargin,
 
     "doc_fingerprint" ->
       s"""SELECT doc_id, ${hash60Sql(norm("text"))} AS fingerprint,

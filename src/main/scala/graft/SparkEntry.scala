@@ -106,6 +106,12 @@ object SparkEntry {
     "bigram_topk" -> ((s, d) => TextOps.bigramTopK(documents(s, d))),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
     "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
+    "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(documents(s, d))),
+    "dedup_survivors" -> ((s, d) => DedupOps.dedupSurvivors(documents(s, d))),
+    "type_token_ratio" -> ((s, d) => TextOps.typeTokenRatio(documents(s, d))),
+    "stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(documents(s, d))),
+    "mixture_report" -> ((s, d) => PipelineOps.mixtureReport(documents(s, d))),
+    "token_pack" -> ((s, d) => PipelineOps.tokenPack(documents(s, d))),
     "geo_neighbor_join" -> ((s, d) =>
       GeoOps.neighborJoin(customer(s, d), supplier(s, d), nation(s, d), region(s, d))),
     "heavy_hitter_types" -> ((s, d) => {

@@ -150,6 +150,61 @@ object DedupOps {
       .filter(col("cosine_sim") >= minCos)
   }
 
+  /** Duplicate clusters = connected components over the MinHash-LSH
+    * near-dup pair graph, via iterative min-label propagation to fixpoint
+    * (labels only decrease → converges within the component diameter;
+    * near-dup components are shallow, so the loop is short). Each
+    * iteration is one shuffle-join + grouped min with map-side combine —
+    * the standard large-scale CC shape (GraphX/large-star use the same
+    * per-round primitive). Driver sees only the changed-label COUNT, never
+    * data. Output: every clustered doc with its component id (= min
+    * doc_id), component size, and a kept-representative flag — the final
+    * "which docs survive dedup" verdict.
+    */
+  def dedupClusters(documents: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = dedupMinhashLsh(documents).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist(lvl)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node")).persist(lvl)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), labels("cluster_id"))
+      val next = labels.select(col("node"), col("cluster_id")).union(prop)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(lvl)
+      changed = next.join(
+        labels.select(col("node"), col("cluster_id").as("prev")), Seq("node"))
+        .filter(col("cluster_id") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .withColumn("is_representative", col("doc_id") === col("cluster_id"))
+  }
+
+  /** The deduplicated corpus: drop every clustered doc except its
+    * cluster representative (min doc_id) — a left-anti join against the
+    * non-representative set, the same NOT-EXISTS shape as the
+    * incremental warehouse loads. This is the operator a pipeline
+    * actually materializes after near-dup detection.
+    */
+  def dedupSurvivors(documents: DataFrame): DataFrame = {
+    val toDrop = dedupClusters(documents)
+      .filter(!col("is_representative"))
+      .select(col("doc_id"))
+    documents.join(toDrop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   private val SimhashBits = 60
   private val SimhashBands = 4
   private val SimhashBandBits = 15

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.{HashFns, TextFns}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining-data pipeline runs after
+  * cleaning/dedup (SURVEY §2.D): reproducible stratified sampling,
+  * data-mixture reporting, and sequence packing. All single-scan,
+  * map-side-combined shapes — the only shuffles are the grouped
+  * aggregations themselves.
+  */
+object PipelineOps {
+
+  /** Per-language sampling keep-rate in percent (downsample the dominant
+    * languages — the classic mixture-rebalancing step). Shared with the
+    * oracle-SQL generator.
+    */
+  val SampleRatePct: Seq[(String, Int)] =
+    Seq("en" -> 30, "zh" -> 60, "de" -> 100, "es" -> 100, "fr" -> 100)
+
+  /** Salt for the sampling hash — versioning the salt re-draws the whole
+    * sample deterministically (the reproducibility contract).
+    */
+  val SampleSalt = "strat:"
+
+  /** Deterministic hash-based stratified sampling: keep a document iff
+    * md5-prefix(salt || doc_id) mod 100 falls under its language's rate.
+    * No RNG, no shuffle, no state — any executor (or engine) re-derives
+    * the same sample, which is what makes a 100 TB sample auditable.
+    */
+  def stratifiedSample(documents: DataFrame): DataFrame = {
+    val bucket = HashFns.hash32(concat(lit(SampleSalt), col("doc_id").cast("string"))) % 100
+    val rate = SampleRatePct.tail.foldLeft(
+      when(col("lang") === SampleRatePct.head._1, lit(SampleRatePct.head._2))) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, lit(r))
+    }.otherwise(lit(0))
+    documents
+      .select(col("doc_id"), col("lang"), bucket.cast("long").as("sample_bucket"),
+        rate.cast("long").as("keep_rate_pct"))
+      .filter(col("sample_bucket") < col("keep_rate_pct"))
+  }
+
+  /** Data-mixture report: per-language doc/token counts and each
+    * language's share of all corpus tokens (window SUM OVER () — the
+    * same %-of-total shape as the warehouse queries, over text stats).
+    */
+  def mixtureReport(documents: DataFrame): DataFrame = {
+    val grouped = documents
+      .select(col("lang"), size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    grouped.select(col("lang"), col("n_docs"), col("n_tokens"),
+      round(col("n_tokens").cast("double") * lit(100.0).cast("double") /
+        sum(col("n_tokens")).over(Window.partitionBy()).cast("double"), 4)
+        .as("token_share_pct"))
+  }
+
+  /** Tokens a single training sequence holds — packing budget. */
+  val PackBudget = 256
+
+  /** Sequence packing: assign documents (in deterministic doc_id order,
+    * stratified by language) to fixed-token-budget packs via a running
+    * token total; a doc whose tokens straddle a boundary spills into the
+    * next pack (greedy contiguous packing). The window partitions by
+    * language so no global single-partition sort exists — at 100 TB each
+    * stratum packs in parallel, and finer strata (e.g. source shards)
+    * widen parallelism without changing semantics.
+    */
+  def tokenPack(documents: DataFrame, budget: Int = PackBudget): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $budget").as("pack_id"),
+        ((col("cum_tokens") - col("n_tokens")) % budget).as("pack_offset"))
+  }
+}

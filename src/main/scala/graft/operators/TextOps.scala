@@ -143,6 +143,22 @@ object TextOps {
         round(col("sum_rarity").cast("double") / col("n_tokens"), 4).as("avg_rarity"))
   }
 
+  /** Type-token ratio (lexical diversity): distinct-token share of the
+    * token stream, the standard repetition-detection quality filter
+    * (boilerplate and degenerate generations score low). Pure per-row
+    * expressions — a single scan at any scale.
+    */
+  def typeTokenRatio(documents: DataFrame, repetitiveBelow: Double = 0.3): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("ttr",
+        round(col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1L)), 4))
+      .withColumn("is_repetitive", col("ttr") < repetitiveBelow)
+  }
+
   /** Content fingerprint (60-bit md5-prefix of normalized text — the
     * oracle-parity stand-in for a rolling hash) + duplicate-group size.
     */

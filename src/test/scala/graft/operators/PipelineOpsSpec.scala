@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("stratifiedSample keeps every doc of a 100%-rate language") {
+    val df = docs((0L until 20L).map(i => (i, s"doc $i", "de")): _*)
+    assert(PipelineOps.stratifiedSample(df).count() == 20)
+  }
+
+  test("stratifiedSample is deterministic and subsamples the capped language") {
+    val df = docs((0L until 200L).map(i => (i, s"doc $i", "en")): _*)
+    val a = PipelineOps.stratifiedSample(df).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = PipelineOps.stratifiedSample(df).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // ~30% rate: exact count is hash-determined but must be a strict subset
+    assert(a.nonEmpty && a.size < 200)
+  }
+
+  test("stratifiedSample drops unknown languages") {
+    val df = docs((1L, "some text", "xx"))
+    assert(PipelineOps.stratifiedSample(df).count() == 0)
+  }
+
+  test("mixtureReport shares sum to 100") {
+    val df = docs((1L, "one two three", "en"), (2L, "uno dos", "es"),
+      (3L, "ein zwei drei vier fuenf", "de"))
+    val rows = PipelineOps.mixtureReport(df).collect()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == 10L)
+    assert(math.abs(rows.map(_.getAs[Double]("token_share_pct")).sum - 100.0) < 0.02)
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getAs[Long]("n_docs") == 1L && en.getAs[Double]("token_share_pct") == 30.0)
+  }
+
+  test("tokenPack packs greedily in doc_id order within a language") {
+    // budget 5: docs of 3,3,2 tokens → cum 3,6,8
+    val df = docs((1L, "a b c", "en"), (2L, "d e f", "en"), (3L, "g h", "en"))
+    val out = PipelineOps.tokenPack(df, budget = 5).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("pack_id")).toSeq == Seq(0L, 0L, 1L))
+    assert(out.map(_.getAs[Long]("pack_offset")).toSeq == Seq(0L, 3L, 1L))
+  }
+
+  test("tokenPack strata pack independently") {
+    val df = docs((1L, "a b c d", "en"), (2L, "x y z w", "fr"))
+    val out = PipelineOps.tokenPack(df, budget = 4).collect()
+    assert(out.forall(_.getAs[Long]("pack_id") == 0L))
+    assert(out.forall(_.getAs[Long]("pack_offset") == 0L))
+  }
+
+  test("dedupClusters labels transitive near-dup chains with the min doc_id") {
+    val base = "the quick brown fox jumps over the lazy dog again and again more words here"
+    // 1≈2 and 2≈3 via LSH (identical text), 9 unrelated → cluster {1,2,3}
+    val df = docs((1L, base, "en"), (2L, base, "en"), (3L, base, "en"),
+      (9L, "totally different content entirely unrelated words", "en"))
+    val out = DedupOps.dedupClusters(df).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.getAs[Long]("cluster_id") == 1L))
+    assert(out.forall(_.getAs[Long]("cluster_size") == 3L))
+    assert(out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_representative")).toMap
+      == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("dedupSurvivors keeps cluster representatives and untouched docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again more words here"
+    val df = docs((1L, base, "en"), (2L, base, "en"), (3L, base, "en"),
+      (9L, "totally different content entirely unrelated words", "en"))
+    val out = DedupOps.dedupSurvivors(df).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 9L))
+  }
+
+  test("typeTokenRatio flags degenerate repetition") {
+    val rep = Seq.fill(50)("spam").mkString(" ")
+    val df = docs((1L, rep, "en"), (2L, "all tokens here are unique words", "en"))
+    val out = TextOps.typeTokenRatio(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("is_repetitive"))
+    assert(out(0).getAs[Long]("n_distinct") == 1L)
+    assert(!out(1).getAs[Boolean]("is_repetitive"))
+    assert(out(1).getAs[Double]("ttr") == 1.0)
+  }
+}
