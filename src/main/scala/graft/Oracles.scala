@@ -343,6 +343,32 @@ object Oracles {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
 
+    "late_shipment_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "customer_order_distribution" ->
+      """SELECT n_orders, COUNT(*) AS n_customers FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey)
+        |GROUP BY n_orders""".stripMargin,
+
+    "customer_spend_quartiles" ->
+      """WITH s AS (
+        | SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+        | FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_mktsegment,
+        | ROUND(CAST(spend AS DOUBLE), 2) AS spend,
+        | ntile(4) OVER (PARTITION BY c_mktsegment
+        |   ORDER BY spend DESC, c_custkey) AS spend_quartile
+        |FROM customer JOIN s ON c_custkey = o_custkey""".stripMargin,
+
     "pct_fast_fulfillment" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         | CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
@@ -445,6 +471,23 @@ object Oracles {
          |todrop AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
          |SELECT doc_id, lang, source, n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM todrop t WHERE t.doc_id = d.doc_id)""".stripMargin,
+
+    "dedup_spans" -> {
+      val span = graft.operators.DedupOps.SpanTokens
+      s"""WITH d AS (SELECT doc_id, string_split(${norm("text")}, ' ') AS ts
+         |  FROM documents WHERE length(${norm("text")}) > 0),
+         |g AS (SELECT doc_id,
+         |  ${hash32Sql(s"array_to_string(ts[i:i+${span - 1}], ' ')")} AS h
+         | FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-${span - 1})) AS i
+         |       FROM d WHERE len(ts) >= $span)),
+         |s AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY h)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         | CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         | ROUND(CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / COUNT(*), 4) AS dup_fraction
+         |FROM g JOIN s USING (h)
+         |GROUP BY doc_id""".stripMargin
+    },
 
     "dedup_simhash" -> {
       val sums = (0 until 60)
@@ -704,6 +747,32 @@ object Oracles {
          | (cum - n_tokens) // ${graft.operators.PipelineOps.PackBudget} AS pack_id,
          | (cum - n_tokens) % ${graft.operators.PipelineOps.PackBudget} AS pack_offset
          |FROM c""".stripMargin,
+
+    "doc_chunk" -> {
+      val c = graft.operators.PipelineOps.ChunkTokens
+      val s = graft.operators.PipelineOps.ChunkStride
+      s"""WITH d AS (SELECT doc_id, string_split(${norm("text")}, ' ') AS ts
+         |  FROM documents WHERE length(${norm("text")}) > 0)
+         |SELECT doc_id, start_tok // $s AS chunk_id, start_tok,
+         | CAST(LEAST($c, len(ts) - start_tok) AS BIGINT) AS chunk_tokens,
+         | array_to_string(ts[start_tok + 1 : start_tok + $c], ' ') AS chunk_text
+         |FROM (SELECT doc_id, ts,
+         |  unnest(generate_series(0, len(ts) - 1, $s)) AS start_tok FROM d)""".stripMargin
+    },
+
+    "vocab_coverage" ->
+      s"""WITH t AS (SELECT tok, COUNT(*) AS tf FROM (
+         |  SELECT unnest(string_split(${norm("text")}, ' ')) AS tok
+         |  FROM documents WHERE length(${norm("text")}) > 0)
+         | GROUP BY tok)
+         |SELECT tok, tf,
+         | CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rank,
+         | ROUND(CAST(CAST(SUM(tf) OVER (ORDER BY tf DESC, tok
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+         |   * CAST(100.0 AS DOUBLE)
+         |   / CAST(CAST(SUM(tf) OVER () AS BIGINT) AS DOUBLE), 4)
+         |   AS cum_coverage_pct
+         |FROM t""".stripMargin,
 
     "doc_fingerprint" ->
       s"""SELECT doc_id, ${hash60Sql(norm("text"))} AS fingerprint,

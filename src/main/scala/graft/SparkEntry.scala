@@ -62,6 +62,12 @@ object SparkEntry {
       Analytics.weekendPattern(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
     "pct_fast_fulfillment" -> ((s, d) =>
       Analytics.pctFastFulfillment(lineitem(s, d), orders(s, d))),
+    "late_shipment_priority" -> ((s, d) =>
+      Analytics.lateShipmentPriority(orders(s, d), lineitem(s, d))),
+    "customer_order_distribution" -> ((s, d) =>
+      Analytics.customerOrderDistribution(customer(s, d), orders(s, d))),
+    "customer_spend_quartiles" -> ((s, d) =>
+      Analytics.customerSpendQuartiles(orders(s, d), customer(s, d))),
     "pricing_summary" -> ((s, d) => Analytics.pricingSummary(lineitem(s, d))),
     "shipping_priority" -> ((s, d) =>
       Analytics.shippingPriority(lineitem(s, d), orders(s, d), customer(s, d))),
@@ -107,11 +113,14 @@ object SparkEntry {
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
     "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(documents(s, d))),
+    "dedup_spans" -> ((s, d) => DedupOps.dedupSpans(documents(s, d))),
     "dedup_survivors" -> ((s, d) => DedupOps.dedupSurvivors(documents(s, d))),
     "type_token_ratio" -> ((s, d) => TextOps.typeTokenRatio(documents(s, d))),
     "stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(documents(s, d))),
     "mixture_report" -> ((s, d) => PipelineOps.mixtureReport(documents(s, d))),
     "token_pack" -> ((s, d) => PipelineOps.tokenPack(documents(s, d))),
+    "doc_chunk" -> ((s, d) => PipelineOps.docChunk(documents(s, d))),
+    "vocab_coverage" -> ((s, d) => PipelineOps.vocabCoverage(documents(s, d))),
     "geo_neighbor_join" -> ((s, d) =>
       GeoOps.neighborJoin(customer(s, d), supplier(s, d), nation(s, d), region(s, d))),
     "heavy_hitter_types" -> ((s, d) => {

@@ -483,6 +483,55 @@ object Analytics {
         min(col("o_totalprice").cast("decimal(18,2)")).as("min_price"),
         max(col("o_totalprice").cast("decimal(18,2)")).as("max_price"))
 
+  /** Orders with at least one line shipped more than `lateDays` after the
+    * order date, counted per priority — the TPC-H Q4 shape (EXISTS →
+    * left-semi join with an inequality residual). The semi join keeps the
+    * probe side narrow: no lineitem columns survive past the join.
+    */
+  def lateShipmentPriority(orders: DataFrame, lineitem: DataFrame, lateDays: Int = 60): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+
+  /** Distribution of orders-per-customer including zero-order customers —
+    * the TPC-H Q13 shape (left outer join, count non-null, re-aggregate
+    * into a histogram). Two shuffles, both map-side combined.
+    */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Lifetime-spend quartile per customer within their market segment —
+    * ntile over an exact-decimal total with a key tiebreak (deterministic
+    * total order). At 100 TB the per-segment partitions are the skew
+    * concern; the spend aggregation (the data-heavy shuffle) is map-side
+    * combined and the ranked pass sees one slim row per customer.
+    */
+  def customerSpendQuartiles(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spend = orders
+      .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("p")).as("spend"))
+    customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("spend").cast("double"), 2).as("spend"),
+        ntile(4).over(Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("spend").desc, col("c_custkey"))).as("spend_quartile"))
+  }
+
   /** Share of lines shipped within a threshold (ref: README insight "~75%
     * of complaints resolved within 3 days").
     */

@@ -57,6 +57,56 @@ object PipelineOps {
         .as("token_share_pct"))
   }
 
+  /** Chunking geometry: window length and stride in tokens (overlap =
+    * ChunkTokens - ChunkStride). Shared with the oracle-SQL generator.
+    */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** Overlapping fixed-token chunking (context-window / RAG prep): each
+    * document emits windows of `ChunkTokens` tokens every `ChunkStride`
+    * tokens, with the trailing partial window kept. Pure per-row
+    * generator expressions (sequence + slice — no interpreted lambdas,
+    * no shuffle at all): embarrassingly parallel at any corpus size.
+    */
+  def docChunk(documents: DataFrame, chunkLen: Int = ChunkTokens,
+      stride: Int = ChunkStride): DataFrame = {
+    val ts = col("ts")
+    documents
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .filter(size(ts) > 0)
+      .select(col("doc_id"), ts,
+        posexplode(sequence(lit(0), size(ts) - 1, lit(stride)))
+          .as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkLen), size(ts) - col("start_tok")).cast("long").as("chunk_tokens"),
+        concat_ws(" ", slice(ts, col("start_tok") + 1, lit(chunkLen))).as("chunk_text"))
+  }
+
+  /** Vocabulary coverage report: tokens ranked by corpus frequency with
+    * the cumulative share of all token occurrences — the "how big must
+    * the vocab be to cover X%" analysis behind tokenizer design. The
+    * corpus-sized work is the map-side-combined term-frequency
+    * aggregation; the ranked window then runs over the vocabulary, which
+    * is orders of magnitude smaller than the corpus (if the vocab itself
+    * outgrew one partition, rank by (tf bucket, tok) ranges instead).
+    */
+  def vocabCoverage(documents: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("tf").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("tok"), col("tf"),
+        row_number().over(Window.orderBy(col("tf").desc, col("tok"))).cast("long")
+          .as("rank"),
+        round(sum(col("tf")).over(w).cast("double") * lit(100.0) /
+          sum(col("tf")).over(Window.partitionBy()).cast("double"), 4)
+          .as("cum_coverage_pct"))
+  }
+
   /** Tokens a single training sequence holds — packing budget. */
   val PackBudget = 256
 

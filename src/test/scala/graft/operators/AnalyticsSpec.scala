@@ -47,6 +47,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(grand.length == 1 && grand.head.getAs[Long]("n_orders") == 3L)
   }
 
+  test("lateShipmentPriority counts each order once however many late lines") {
+    val li = Seq(
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts("2024-03-15")),
+      (1L, 1L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ts("2024-03-20")),
+      (2L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts("2024-01-15")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    val out = Analytics.lateShipmentPriority(orders, li).collect()
+    // order 1 (two >60-day lines) counts once; order 2 shipped in 13 days
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "1-URGENT")
+    assert(out.head.getAs[Long]("n_late_orders") == 1L)
+  }
+
+  test("customerOrderDistribution includes zero-order customers") {
+    val withLurker = customer.union(
+      Seq((30L, "c", 1, 0.0, "AUTO"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    val out = Analytics.customerOrderDistribution(withLurker, orders).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_customers")).toMap
+    // cust 10 → 2 orders, cust 20 → 1, cust 30 → 0
+    assert(out == Map(2L -> 1L, 1L -> 1L, 0L -> 1L))
+  }
+
+  test("customerSpendQuartiles ranks exact spend into ntile(4)") {
+    val cs = Seq((1L, "a", 1, 0.0, "SEG"), (2L, "b", 1, 0.0, "SEG"),
+      (3L, "c", 1, 0.0, "SEG"), (4L, "d", 1, 0.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val os = Seq(
+      (1L, 1L, "O", 250.0, ts("2024-01-01"), "x"),
+      (2L, 1L, "O", 150.0, ts("2024-01-01"), "x"),
+      (3L, 2L, "O", 300.0, ts("2024-01-01"), "x"),
+      (4L, 3L, "O", 200.0, ts("2024-01-01"), "x"),
+      (5L, 4L, "O", 100.0, ts("2024-01-01"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Analytics.customerSpendQuartiles(os, cs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("spend_quartile")).toMap
+    // spends: c1=400, c2=300, c3=200, c4=100
+    assert(out == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+  }
+
   test("qualityReport counts rule violations in one scan") {
     val li = Seq((1L, 1L, 1L, 1, -2.0, 1.0, 1.5, 0.0, "N", "O", ts("2024-01-05")))
       .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",

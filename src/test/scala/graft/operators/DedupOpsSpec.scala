@@ -11,6 +11,20 @@ class DedupOpsSpec extends SparkSpec {
 
   private val base = "the quick brown fox jumps over the lazy dog again and again"
 
+  test("dedupSpans flags cross-document repeated 8-token passages") {
+    val df = docs(
+      1L -> "a b c d e f g h x",
+      2L -> "y a b c d e f g h",
+      3L -> "q w e r t u i o p",
+      4L -> "too short")
+    val out = DedupOps.dedupSpans(df).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))))
+      .toMap
+    // docs 1/2 share the span "a b c d e f g h"; doc 3 has only unique
+    // spans; doc 4 is below the window length and emits none.
+    assert(out == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 0L))))
+  }
+
   test("dedupExact groups identical normalized content") {
     val df = docs(1L -> base, 2L -> (base + " extra"), 3L -> s"  $base  ")
     val out = DedupOps.dedupExact(df).orderBy("doc_id").collect()

@@ -10,6 +10,30 @@ class PipelineOpsSpec extends SparkSpec {
     rows.map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("docChunk emits strided overlapping windows with a kept tail") {
+    // 10 tokens, chunk 4, stride 3 → starts 0,3,6,9; last chunk is 1 token
+    val df = docs((1L, "a b c d e f g h i j", "en"))
+    val out = PipelineOps.docChunk(df, chunkLen = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getAs[Long]("start_tok")).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(out.map(_.getAs[Long]("chunk_tokens")).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(out.head.getAs[String]("chunk_text") == "a b c d")
+    assert(out.last.getAs[String]("chunk_text") == "j")
+  }
+
+  test("docChunk drops empty documents") {
+    val df = docs((1L, "   ", "en"))
+    assert(PipelineOps.docChunk(df).count() == 0)
+  }
+
+  test("vocabCoverage ranks by frequency and accumulates to 100%") {
+    val df = docs((1L, "a a a b b c", "en"))
+    val out = PipelineOps.vocabCoverage(df).orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("tok")).toSeq == Seq("a", "b", "c"))
+    assert(out.map(_.getAs[Long]("tf")).toSeq == Seq(3L, 2L, 1L))
+    assert(out.map(_.getAs[Double]("cum_coverage_pct")).toSeq == Seq(50.0, 83.3333, 100.0))
+  }
+
   test("stratifiedSample keeps every doc of a 100%-rate language") {
     val df = docs((0L until 20L).map(i => (i, s"doc $i", "de")): _*)
     assert(PipelineOps.stratifiedSample(df).count() == 20)
