@@ -30,6 +30,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThan(l_shipdate") || p.contains("PushedFilters"), p.take(400))
   }
 
+  test("doc_chunk plans with zero exchanges — embarrassingly parallel") {
+    val p = plan("doc_chunk")
+    assert(!p.contains("Exchange"), "chunking must not shuffle")
+  }
+
+  test("late_shipment_priority plans as a semi join with pruned scans") {
+    val p = plan("late_shipment_priority")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("l_quantity"), "untouched lineitem columns pruned")
+  }
+
+  test("dedup_spans window grams avoid interpreted higher-order lambdas") {
+    val p = plan("dedup_spans")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      "span grams must come from codegen'd window leads, not transform()")
+  }
+
   test("LSH/IVF/banded dedup paths contain no cartesian product") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
       "embed_lsh_ann", "embed_ivf_ann", "dedup_embed_cosine").foreach { q =>
