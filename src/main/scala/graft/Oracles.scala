@@ -32,11 +32,23 @@ object Oracles {
         |FROM raw""".stripMargin,
 
     "price_clean" ->
-      """SELECT o_orderkey,
-        | '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_raw,
-        | CAST(regexp_replace('$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
-        |                     '[$,]', '', 'g') AS DECIMAL(18,2)) AS price
-        |FROM orders""".stripMargin,
+      """WITH dirty AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 50 = 0 THEN 'NaN'
+        |       WHEN o_orderkey % 50 = 1 THEN ''
+        |       WHEN o_orderkey % 50 = 2 THEN 'INF'
+        |       WHEN o_orderkey % 50 = 3 THEN '-INF'
+        |       WHEN o_orderkey % 50 = 4 THEN 'N/A'
+        |       ELSE '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+        |  END AS price_raw
+        | FROM orders),
+        |parsed AS (SELECT o_orderkey, price_raw,
+        |  TRY_CAST(regexp_replace(price_raw, '[$,]', '', 'g') AS DECIMAL(18,2)) AS p
+        | FROM dirty)
+        |SELECT o_orderkey, price_raw,
+        | ROUND(CAST(p AS DOUBLE), 2) AS price,
+        | p IS NOT NULL AS is_valid
+        |FROM parsed""".stripMargin,
 
     "json_extract_props" ->
       """SELECT event_id,
@@ -90,7 +102,7 @@ object Oracles {
         | CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_date_key,
         | o_custkey, n_name AS nation, c_mktsegment AS segment,
         | o_orderstatus, o_orderpriority,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        | ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
 
@@ -100,8 +112,8 @@ object Oracles {
         | CAST(strftime(l_shipdate, '%Y%m%d') AS INT) AS ship_date_key,
         | CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INT)
         |   AS days_to_ship,
-        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
-        |   - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+        | ROUND(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
+        |   - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE), 4) AS revenue,
         | l_returnflag, l_linestatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
 
@@ -117,7 +129,8 @@ object Oracles {
     "incremental_fact_load" ->
       """SELECT o_orderkey,
         | CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_date_key,
-        | o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        | o_custkey,
+        | ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS total_price
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin
   )
 
@@ -150,8 +163,8 @@ object Oracles {
 
     "price_stats_by_region" ->
       """SELECT r_name AS region, COUNT(*) AS n_orders,
-        | MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
-        | MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price,
+        | ROUND(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS min_price,
+        | ROUND(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS max_price,
         | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
         |   AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -162,7 +175,7 @@ object Oracles {
     "revenue_by_nation_segment" ->
       """SELECT n_name AS nation, COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
         | COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name, COALESCE(c_mktsegment, 'UNKNOWN')""".stripMargin,
@@ -223,13 +236,15 @@ object Oracles {
 
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
-        |   - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
+        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS sum_base_price,
+        | ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
+        |   - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE), 4)
+        |   AS sum_disc_price,
+        | ROUND(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
         |   - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
-        |   * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6))
+        |   * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS DOUBLE), 6)
         |   AS sum_charge,
         | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
         |   AS avg_qty,
@@ -239,21 +254,24 @@ object Oracles {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "shipping_priority" ->
-      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
-        |   - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE l_shipdate > TIMESTAMP '1998-06-01'
-        |  AND o_orderdate < TIMESTAMP '1998-06-01'
-        |  AND EXISTS (SELECT 1 FROM customer
-        |    WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
-        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      """SELECT l_orderkey, order_date, o_orderpriority,
+        | ROUND(CAST(revenue_exact AS DOUBLE), 4) AS revenue
+        |FROM (
+        | SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
+        |    - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue_exact
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_shipdate > TIMESTAMP '1998-06-01'
+        |   AND o_orderdate < TIMESTAMP '1998-06-01'
+        |   AND EXISTS (SELECT 1 FROM customer
+        |     WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        | GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        | ORDER BY revenue_exact DESC, l_orderkey LIMIT 10)""".stripMargin,
 
     "local_supplier_volume" ->
       """SELECT n_name AS nation,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
-        |   - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
+        |   - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE), 4) AS revenue,
         | COUNT(*) AS n_lines
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
@@ -601,14 +619,16 @@ object Oracles {
     "top_customers_per_nation" ->
       """WITH by_cust AS (
         | SELECT n_name AS nation, c_custkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue_exact
         | FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         | GROUP BY n_name, c_custkey)
-        |SELECT * FROM (
-        | SELECT nation, c_custkey, revenue,
+        |SELECT nation, c_custkey,
+        | ROUND(CAST(revenue_exact AS DOUBLE), 2) AS revenue, rank
+        |FROM (
+        | SELECT nation, c_custkey, revenue_exact,
         |  CAST(row_number() OVER (PARTITION BY nation
-        |    ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank
+        |    ORDER BY revenue_exact DESC, c_custkey) AS BIGINT) AS rank
         | FROM by_cust)
         |WHERE rank <= 3""".stripMargin,
 
@@ -636,7 +656,7 @@ object Oracles {
 
     "revenue_rollup" ->
       """SELECT n_name AS nation, c_mktsegment AS segment, COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin,
@@ -911,8 +931,8 @@ object Oracles {
 
     "composed_revenue_report" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
-        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
-        |   - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        | ROUND(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2))
+        |   - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE), 4)
         |   AS total_revenue,
         | CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INT)
         |   AS min_days,
@@ -924,7 +944,7 @@ object Oracles {
     "events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "events_session_window" ->
@@ -940,7 +960,7 @@ object Oracles {
         |SELECT user_id, MIN(ts) AS session_start,
         | MAX(ts) + INTERVAL 30 MINUTE AS session_end,
         | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "scd2_customer_versions" ->
@@ -959,8 +979,8 @@ object Oracles {
     "price_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket,
         | COUNT(*) AS n_orders,
-        | MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
-        | MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+        | ROUND(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS min_price,
+        | ROUND(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,
 
     "events_sessionize" ->

@@ -156,7 +156,11 @@ object SparkEntry {
       StarSchema.factLineitem(lineitem(s, d), orders(s, d))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("revenue")).cast("decimal(18,4)").as("total_revenue"),
+          // factLineitem.revenue is a 4-decimal-rounded double; cast back
+          // to exact decimal for the sum (order-independent), then project
+          // the total as a rounded double (decimal outputs hash-unsafe)
+          round(sum(col("revenue").cast("decimal(18,4)")).cast("double"), 4)
+            .as("total_revenue"),
           min(col("days_to_ship")).as("min_days"),
           max(col("days_to_ship")).as("max_days"))
     })

@@ -89,7 +89,10 @@ object Analytics {
         max(col("price")).as("max_price"),
         sum(col("price")).as("sum_price_raw"))
       .select(
-        col("region"), col("n_orders"), col("min_price"), col("max_price"),
+        col("region"), col("n_orders"),
+        // min/max projected as rounded DOUBLE — decimal outputs hash-unsafe
+        round(col("min_price").cast("double"), 2).as("min_price"),
+        round(col("max_price").cast("double"), 2).as("max_price"),
         round(col("sum_price_raw").cast("double") / col("n_orders"), 2).as("avg_price"))
 
   /** Revenue by (nation, segment) with COALESCE'd group keys (ref: Airbnb
@@ -107,7 +110,8 @@ object Analytics {
         coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+        // exact decimal sum internally, rounded-DOUBLE final projection
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
           .as("revenue"))
 
   /** Geohash-cell join of the two geo domains + per-cell distinct counts
@@ -215,8 +219,13 @@ object Analytics {
           (lit(1).cast("decimal(18,2)") + tax)).cast("decimal(18,6)").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .select(
-        col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
-        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        col("l_returnflag"), col("l_linestatus"),
+        // exact decimal sums internally; rounded-DOUBLE final projection
+        // (value-range safety asserted in NoDecimalOutputSpec)
+        round(col("sum_qty").cast("double"), 2).as("sum_qty"),
+        round(col("sum_base_price").cast("double"), 2).as("sum_base_price"),
+        round(col("sum_disc_price").cast("double"), 4).as("sum_disc_price"),
+        round(col("sum_charge").cast("double"), 6).as("sum_charge"),
         round(col("sum_qty").cast("double") / col("count_order"), 2).as("avg_qty"),
         round(col("sum_base_price").cast("double") / col("count_order"), 2).as("avg_price"),
         col("count_order"))
@@ -238,9 +247,12 @@ object Analytics {
         col("o_orderpriority"))
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
-        .cast("decimal(18,4)").as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+        .cast("decimal(18,4)").as("revenue_exact"))
+      // top-10 picked on the exact decimal; rounded-DOUBLE final projection
+      .orderBy(col("revenue_exact").desc, col("l_orderkey"))
       .limit(10)
+      .select(col("l_orderkey"), col("order_date"), col("o_orderpriority"),
+        round(col("revenue_exact").cast("double"), 4).as("revenue"))
 
   /** Revenue by nation for intra-region trade (TPC-H Q5 shape): the
     * customer and supplier nation must match — the classic multi-join
@@ -265,8 +277,11 @@ object Analytics {
       .groupBy(col("n_name").as("nation"))
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
-        .cast("decimal(18,4)").as("revenue"),
+        .cast("decimal(18,4)").as("revenue_exact"),
         count(lit(1)).as("n_lines"))
+      .select(col("nation"),
+        round(col("revenue_exact").cast("double"), 4).as("revenue"),
+        col("n_lines"))
 
   /** Staging data-quality report (ref: staging-validation pattern +
     * data_quality_score): per-rule violation counts in ONE scan per table
@@ -299,11 +314,14 @@ object Analytics {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), col("c_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
-        .as("revenue"))
+        .as("revenue_exact"))
+    // rank on the exact decimal; rounded-DOUBLE final projection
     val w = Window.partitionBy(col("nation"))
-      .orderBy(col("revenue").desc, col("c_custkey"))
+      .orderBy(col("revenue_exact").desc, col("c_custkey"))
     byCust.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
+      .select(col("nation"), col("c_custkey"),
+        round(col("revenue_exact").cast("double"), 2).as("revenue"), col("rank"))
   }
 
   /** 7-day trailing moving average of daily order counts — RANGE-frame
@@ -349,7 +367,7 @@ object Analytics {
         col("c_nationkey") === col("n_nationkey"))
       .rollup(col("n_name").as("nation"), col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
           .as("revenue"))
 
   /** Sketch-based distinct/quantile estimates next to their exact values
@@ -480,8 +498,10 @@ object Analytics {
     orders
       .groupBy(floor(col("o_totalprice") / lit(bucketWidth)).cast("int").as("bucket"))
       .agg(count(lit(1)).as("n_orders"),
-        min(col("o_totalprice").cast("decimal(18,2)")).as("min_price"),
-        max(col("o_totalprice").cast("decimal(18,2)")).as("max_price"))
+        round(min(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("min_price"),
+        round(max(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("max_price"))
 
   /** Orders with at least one line shipped more than `lateDays` after the
     * order date, counted per priority — the TPC-H Q4 shape (EXISTS →

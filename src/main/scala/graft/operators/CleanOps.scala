@@ -53,20 +53,37 @@ object CleanOps {
         try_to_timestamp(col("raw_ts"), lit("yyyy-MM-dd HH:mm:ss"))).as("parsed_ts"))
   }
 
-  /** Price-string cleaning: strip currency symbols/thousands separators and
-    * cast to exact DECIMAL (ref: airbnb_clean_data.py:43-49). The dirty
-    * strings are synthesized from o_totalprice so the oracle matches.
+  /** Price-string cleaning: strip currency symbols/thousands separators,
+    * TRY_CAST-reject unparseable values (NaN/INF/empty/garbage — the
+    * Airbnb notebook's `price NOT IN ('NaN','nan','','INF','-INF')` +
+    * `TRY_CAST ... IS NOT NULL` guard), and emit a per-row validity flag
+    * so the reject path is exercised and countable. Dirty variants are
+    * synthesized deterministically from o_orderkey so the oracle can
+    * rebuild the identical input. The final price is projected as a
+    * rounded DOUBLE — fixed-scale DECIMAL output columns are hash-unsafe
+    * across engines (trailing-zero rendering); decimal math stays
+    * internal (ref: airbnb_clean_data.py:43-49, Airbnb Analysis q1).
     */
   def priceClean(orders: DataFrame): DataFrame = {
     val dirty = orders.select(
       col("o_orderkey"),
-      concat(lit("$"), col("o_totalprice").cast("decimal(18,2)").cast("string"))
+      when(col("o_orderkey") % 50 === 0, lit("NaN"))
+        .when(col("o_orderkey") % 50 === 1, lit(""))
+        .when(col("o_orderkey") % 50 === 2, lit("INF"))
+        .when(col("o_orderkey") % 50 === 3, lit("-INF"))
+        .when(col("o_orderkey") % 50 === 4, lit("N/A"))
+        .otherwise(
+          concat(lit("$"), col("o_totalprice").cast("decimal(18,2)").cast("string")))
         .as("price_raw"))
+    // try_cast to DECIMAL rejects NaN/INF/empty in BOTH engines (a double
+    // cast would happily parse 'NaN'/'INF'); the valid path round-trips
+    // through exact decimal before the final double projection.
+    val parsed = expr("try_cast(regexp_replace(price_raw, '[$,]', '') AS decimal(18,2))")
     dirty.select(
       col("o_orderkey"),
       col("price_raw"),
-      regexp_replace(col("price_raw"), "[$,]", "").cast("decimal(18,2)")
-        .as("price"))
+      round(parsed.cast("double"), 2).as("price"),
+      parsed.isNotNull.as("is_valid"))
   }
 
   /** JSON property extraction from the raw-ingestion props payload (ref:

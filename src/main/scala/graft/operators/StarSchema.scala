@@ -92,7 +92,10 @@ object StarSchema {
         col("c_mktsegment").as("segment"),
         col("o_orderstatus"),
         col("o_orderpriority"),
-        col("o_totalprice").cast("decimal(18,2)").as("total_price"))
+        // final projection to rounded DOUBLE: fixed-scale DECIMAL output
+        // renders trailing zeros and is hash-unsafe across engines
+        round(col("o_totalprice").cast("decimal(18,2)").cast("double"), 2)
+          .as("total_price"))
 
   /** Line-grain fact: ship/order date keys + exact-decimal revenue measure.
     * orders joins on the shuffle key (o_orderkey == l_orderkey); at scale
@@ -110,11 +113,11 @@ object StarSchema {
         dateKey(col("l_shipdate")).as("ship_date_key"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           .as("days_to_ship"),
-        // exact decimal arithmetic end-to-end (scale 2 × scale 2 → scale 4,
-        // no rounding step → no cross-engine rounding-mode divergence)
-        (col("l_extendedprice").cast("decimal(18,2)") *
+        // exact decimal arithmetic internally (scale 2 × scale 2 → scale 4),
+        // final projection to rounded DOUBLE (decimal outputs hash-unsafe)
+        round((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(18,4)").as("revenue"),
+          .cast("decimal(18,4)").cast("double"), 4).as("revenue"),
         col("l_returnflag"),
         col("l_linestatus"))
 
@@ -165,6 +168,7 @@ object StarSchema {
         col("o_orderkey"),
         dateKey(col("o_orderdate")).as("order_date_key"),
         col("o_custkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("total_price"))
+        round(col("o_totalprice").cast("decimal(18,2)").cast("double"), 2)
+          .as("total_price"))
   }
 }

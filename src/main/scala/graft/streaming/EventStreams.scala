@@ -19,7 +19,10 @@ object EventStreams {
 
   // ---------------------------------------------------------------- batch
 
-  /** Tumbling 1-hour window aggregation per event type (batch form). */
+  /** Tumbling 1-hour window aggregation per event type (batch form).
+    * sum_value is an exact decimal sum projected as a rounded DOUBLE —
+    * fixed-scale DECIMAL outputs are hash-unsafe across engines.
+    */
   def tumblingAggBatch(events: DataFrame): DataFrame =
     events
       .groupBy(
@@ -27,7 +30,8 @@ object EventStreams {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"))
 
   /** 30-minute-gap sessionization per user via window functions (batch
     * form): one shuffle on user_id, lag + running sum for session ids,
@@ -67,7 +71,8 @@ object EventStreams {
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
@@ -82,7 +87,8 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

@@ -51,6 +51,6 @@ class StarSchemaSpec extends SparkSpec {
     assert(r.getAs[Int]("order_date_key") == 20240110)
     assert(r.getAs[Int]("ship_date_key") == 20240201)
     assert(r.getAs[Int]("days_to_ship") == 22)
-    assert(r.getAs[java.math.BigDecimal]("revenue").toString == "95.0000")
+    assert(r.getAs[Double]("revenue") == 95.0)
   }
 }
