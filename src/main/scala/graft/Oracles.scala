@@ -21,15 +21,23 @@ object Oracles {
     "parse_timestamps" ->
       """WITH raw AS (
         | SELECT event_id,
-        |  CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
-        |       WHEN event_id % 3 = 1 THEN strftime(ts, '%m/%d/%Y %H:%M:%S')
+        |  CASE WHEN event_id % 4 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+        |       WHEN event_id % 4 = 1 THEN strftime(ts, '%m/%d/%Y %I:%M:%S %p')
+        |       WHEN event_id % 4 = 2 THEN strftime(ts, '%-m/%-d/%Y %-I:%M:%S %p')
         |       ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS raw_ts
-        | FROM events)
-        |SELECT event_id, raw_ts,
-        | COALESCE(try_strptime(raw_ts, '%Y-%m-%dT%H:%M:%S'),
-        |          try_strptime(raw_ts, '%m/%d/%Y %H:%M:%S'),
-        |          try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S')) AS parsed_ts
-        |FROM raw""".stripMargin,
+        | FROM events),
+        |parsed AS (
+        | SELECT event_id, raw_ts,
+        |  COALESCE(try_strptime(raw_ts, '%Y-%m-%dT%H:%M:%S'),
+        |           try_strptime(raw_ts, '%m/%d/%Y %I:%M:%S %p'),
+        |           try_strptime(raw_ts, '%-m/%-d/%Y %-I:%M:%S %p'),
+        |           try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S')) AS parsed_ts
+        | FROM raw)
+        |SELECT event_id, raw_ts, parsed_ts,
+        | CASE WHEN month(parsed_ts) = 11 AND day(parsed_ts) <= 7
+        |       AND isodow(parsed_ts) = 7 AND hour(parsed_ts) = 1 THEN NULL
+        |      ELSE timezone('UTC', timezone('America/New_York', parsed_ts)) END AS utc_ts
+        |FROM parsed""".stripMargin,
 
     "price_clean" ->
       """WITH dirty AS (
@@ -386,6 +394,15 @@ object Oracles {
         | ntile(4) OVER (PARTITION BY c_mktsegment
         |   ORDER BY spend DESC, c_custkey) AS spend_quartile
         |FROM customer JOIN s ON c_custkey = o_custkey""".stripMargin,
+
+    // sketch columns are tolerance-band booleans: the oracle asserts the
+    // estimates landed in-band (TRUE); exact columns compare directly
+    "approx_distincts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        | COUNT(*) AS n_lines,
+        | TRUE AS approx_parts_ok,
+        | TRUE AS approx_median_rank_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "pct_fast_fulfillment" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,

@@ -93,7 +93,6 @@ object SparkEntry {
     "customer_sample_by_nation" -> ((s, d) =>
       Analytics.customerSampleByNation(customer(s, d), nation(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
-    // rows-only (sketch internals are engine-specific; no DuckDB oracle)
     "approx_distincts" -> ((s, d) => Analytics.approxDistincts(lineitem(s, d))),
     // D. training-data pipeline
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
@@ -108,7 +107,7 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCount(documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(documents(s, d))),
     "multimodal_meta" -> ((s, d) =>
-      MultimodalOps.multimodalMeta(s, documents(s, d)).toDF()),
+      MultimodalOps.multimodalMeta(documents(s, d))),
     "bigram_topk" -> ((s, d) => TextOps.bigramTopK(documents(s, d))),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
     "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
@@ -131,9 +130,9 @@ object SparkEntry {
         .select(explode(col("sketch")).as(Seq("event_type", "n_events")))
     }),
     "multimodal_framesample" -> ((s, d) =>
-      MultimodalOps.frameSample(s, documents(s, d))),
+      MultimodalOps.frameSample(documents(s, d))),
     "multimodal_resize" -> ((s, d) =>
-      MultimodalOps.resizePlan(s, documents(s, d)).toDF()),
+      MultimodalOps.resizePlan(documents(s, d))),
     "events_asof_signup" -> ((s, d) =>
       AsOfOps.purchaseWithLastSignup(events(s, d))),
     "event_funnel" -> ((s, d) => AsOfOps.signupPurchaseFunnel(events(s, d))),

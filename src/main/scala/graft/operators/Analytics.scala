@@ -373,11 +373,15 @@ object Analytics {
   /** Sketch-based distinct/quantile estimates next to their exact values
     * — the cardinality pattern a 100 TB scan actually uses (HLL++ and
     * KLL-style sketches merge associatively across partitions; the exact
-    * countDistinct is the expensive double-shuffle baseline). No SQL
-    * oracle: sketch internals are engine-specific (rows-only check).
+    * countDistinct is the expensive double-shuffle baseline). Sketch
+    * internals are engine-specific, so the sketch columns are emitted as
+    * tolerance-band BOOLEANS the oracle asserts TRUE: the HLL estimate
+    * must land within 5% of the exact count, and the KLL median's exact
+    * rank (verified by a second conditional-count pass) must land within
+    * [0.45, 0.55] — exact columns hash-compare directly.
     */
-  def approxDistincts(lineitem: DataFrame): DataFrame =
-    lineitem
+  def approxDistincts(lineitem: DataFrame): DataFrame = {
+    val sketched = lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
@@ -385,6 +389,20 @@ object Analytics {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("median_price_approx"),
         count(lit(1)).as("n_lines"))
+    val rankCheck = lineitem
+      .join(broadcast(sketched.select(col("l_returnflag").as("rf"),
+        col("median_price_approx"))), col("l_returnflag") === col("rf"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(when(col("l_extendedprice") <= col("median_price_approx"), 1L)
+        .otherwise(0L)).cast("double") / count(lit(1))).as("median_rank"))
+    sketched.join(broadcast(rankCheck), Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"), col("exact_parts"), col("n_lines"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("approx_parts_ok"),
+        (col("median_rank") >= 0.45 && col("median_rank") <= 0.55)
+          .as("approx_median_rank_ok"))
+  }
 
   /** Pearson correlation between per-nation customer count and order
     * count (ref: the notebooks' "statistical correlation analysis"
@@ -437,9 +455,25 @@ object Analytics {
           (col("n").cast("double") * (col("n") - 1).cast("double"))), 4)
           .as("stddev_price"))
 
-  /** Exact median order value per region — rank-window formulation
-    * (avg of the middle one/two exact decimals), no approx sketch, no
-    * engine-specific percentile semantics.
+  /** Exact median order value per region — two-pass, scale-safe
+    * formulation. A naive rank window partitioned by region caps
+    * parallelism at the region count (5 tasks each sorting tens of GB at
+    * 100×); instead:
+    *
+    *  1. one grouped scan computes per-region counts plus an approximate
+    *     [q40, q60] value bracket (rank error ≤ n/10000, so the true
+    *     median ranks are provably inside the bracket for any n > 1000);
+    *  2. a second scan counts rows strictly below the bracket and
+    *     rank-windows ONLY the pruned middle slice (~20% worst case,
+    *     ~0.2% at tight accuracy) — global rank = below-count + rank
+    *     within the slice, from which the middle one/two exact decimals
+    *     are averaged.
+    *
+    * Regions with ≤ 1000 rows skip pruning (the bracket guarantee needs
+    * n > 1000; a 1000-row window is free anyway). Result is exact — the
+    * sketch only prunes, never decides. Remaining scale caveat: a
+    * pathological distribution where >O(memory) rows tie exactly at the
+    * median would need a tie-split third pass.
     */
   def medianOrderValue(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame = {
@@ -452,10 +486,22 @@ object Analytics {
       .select(col("r_name").as("region"),
         col("o_totalprice").cast("decimal(18,2)").as("x"),
         col("o_orderkey"))
+    val stats = priced.groupBy(col("region")).agg(
+      count(lit(1)).as("cnt"),
+      percentile_approx(col("x").cast("double"), lit(0.4), lit(10000)).as("q_lo"),
+      percentile_approx(col("x").cast("double"), lit(0.6), lit(10000)).as("q_hi"))
+    val withStats = priced.join(broadcast(stats), Seq("region"))
+    val xd = col("x").cast("double")
+    val below = withStats
+      .filter(col("cnt") > 1000 && xd < col("q_lo"))
+      .groupBy(col("region")).agg(count(lit(1)).as("n_below"))
+    val middle = withStats
+      .filter(col("cnt") <= 1000 || (xd >= col("q_lo") && xd <= col("q_hi")))
     val w = Window.partitionBy(col("region")).orderBy(col("x"), col("o_orderkey"))
-    priced
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("region"))))
+    middle
+      .withColumn("rn_mid", row_number().over(w))
+      .join(broadcast(below), Seq("region"), "left")
+      .withColumn("rn", coalesce(col("n_below"), lit(0L)) + col("rn_mid"))
       .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
       .groupBy(col("region"))
       .agg(round(sum(col("x")).cast("double") / count(lit(1)), 2).as("median_price"))

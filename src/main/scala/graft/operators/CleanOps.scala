@@ -32,25 +32,42 @@ object CleanOps {
         to_date(col("ts")).as("event_date"),
         hour(col("ts")).as("event_hour"))
 
-  /** Multi-format timestamp parsing via coalesce of format attempts (ref:
-    * glue_job_clean_311.py:40-46 `parse_timestamp`). The raw strings are
-    * derived deterministically from events.ts in three formats so the
+  /** Multi-format timestamp parsing + local→UTC normalization (ref:
+    * glue_job_clean_311.py:40-46 `parse_timestamp` — including the AM/PM
+    * forms "MM/dd/yyyy hh:mm:ss a" / "M/d/yyyy h:mm:ss a" — and :120-121
+    * `to_utc_timestamp(ts, "America/New_York")`). The raw strings are
+    * derived deterministically from events.ts in four formats so the
     * oracle can rebuild the identical input.
+    *
+    * DST-ambiguous wall-clock times (first-Sunday-of-November 01:xx, which
+    * occurs twice) are normalized to NULL: JDK resolves them to the
+    * earlier (EDT) instant while ICU-based engines pick the later (EST)
+    * one, so an ambiguous local time has no engine-independent UTC value —
+    * rejecting it is the only reproducible cleaning semantic. Gap times
+    * (second-Sunday-of-March 02:xx, which never occur) shift forward
+    * identically in both engines and are kept.
     */
   def parseTimestamps(events: DataFrame): DataFrame = {
     val raw = events.select(
       col("event_id"),
-      when(col("event_id") % 3 === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
-        .when(col("event_id") % 3 === 1, date_format(col("ts"), "MM/dd/yyyy HH:mm:ss"))
+      when(col("event_id") % 4 === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(col("event_id") % 4 === 1, date_format(col("ts"), "MM/dd/yyyy hh:mm:ss a"))
+        .when(col("event_id") % 4 === 2, date_format(col("ts"), "M/d/yyyy h:mm:ss a"))
         .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
         .as("raw_ts"))
-    raw.select(
-      col("event_id"),
-      col("raw_ts"),
-      coalesce(
-        try_to_timestamp(col("raw_ts"), lit("yyyy-MM-dd'T'HH:mm:ss")),
-        try_to_timestamp(col("raw_ts"), lit("MM/dd/yyyy HH:mm:ss")),
-        try_to_timestamp(col("raw_ts"), lit("yyyy-MM-dd HH:mm:ss"))).as("parsed_ts"))
+    val parsed = coalesce(
+      try_to_timestamp(col("raw_ts"), lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(col("raw_ts"), lit("MM/dd/yyyy hh:mm:ss a")),
+      try_to_timestamp(col("raw_ts"), lit("M/d/yyyy h:mm:ss a")),
+      try_to_timestamp(col("raw_ts"), lit("yyyy-MM-dd HH:mm:ss")))
+    val ambiguous = month(col("parsed_ts")) === 11 &&
+      dayofmonth(col("parsed_ts")) <= 7 &&
+      weekday(col("parsed_ts")) === 6 &&
+      hour(col("parsed_ts")) === 1
+    raw.select(col("event_id"), col("raw_ts"), parsed.as("parsed_ts"))
+      .withColumn("utc_ts",
+        when(ambiguous, lit(null).cast("timestamp"))
+          .otherwise(to_utc_timestamp(col("parsed_ts"), "America/New_York")))
   }
 
   /** Price-string cleaning: strip currency symbols/thousands separators,

@@ -66,4 +66,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("incremental_dim_load")
     assert(p.contains("LeftAnti"), p.take(300))
   }
+
+  test("median rank window only sees the quantile-pruned slice") {
+    // the scale hazard is a full-data window partitioned by a ≤O(10)-
+    // cardinality key (5 region tasks each sorting the whole fact at
+    // 100×); the two-pass form must filter on the approx bracket BELOW
+    // the window so the sort input is the pruned middle slice
+    val p = SparkEntry.queries("median_order_value")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "expected a rank window over the pruned slice")
+    val below = p.substring(winIdx)
+    assert(below.contains("q_lo") && below.contains("q_hi"),
+      "the window input must be filtered by the quantile bracket:\n" + p.take(800))
+  }
 }

@@ -99,4 +99,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("o_rows") == 3L && r.getAs[Long]("nonpositive_qty") == 1L)
     assert(r.getAs[Long]("bad_discount") == 1L)
   }
+
+  test("medianOrderValue is exact on both the small-region and pruned paths") {
+    // small path (cnt <= 1000): 3 orders, odd count → middle value
+    val small = Analytics.medianOrderValue(orders, customer, nation, region).head
+    assert(small.getAs[Double]("median_price") == 100.0)
+    // pruned path (cnt > 1000): 2001 orders valued 1..2001 → median 1001;
+    // also an even-count region (2000 rows → avg of 1000.0 and 1001.0)
+    val big = (1 to 2001).map(i =>
+      (i.toLong, 10L, "O", i.toDouble, ts("2024-01-01"), "1-URGENT")) ++
+      (1 to 2000).map(i =>
+        (10000L + i, 20L, "O", i.toDouble, ts("2024-01-01"), "2-HIGH"))
+    val bigOrders = big.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val nation2 = Seq((1, "FRANCE", 0), (2, "CANADA", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region2 = Seq((0, "EUROPE"), (1, "AMERICA")).toDF("r_regionkey", "r_name")
+    val cust2 = Seq((10L, "a", 1, 0.0, "BUILDING"), (20L, "b", 2, 0.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = Analytics.medianOrderValue(bigOrders, cust2, nation2, region2)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("median_price")).toMap
+    assert(out == Map("EUROPE" -> 1001.0, "AMERICA" -> 1000.5))
+  }
 }

@@ -32,14 +32,34 @@ class CleanOpsSpec extends SparkSpec {
     assert(out.head.getInt(5) == 10) // event_hour
   }
 
-  test("parseTimestamps round-trips all three formats") {
+  test("parseTimestamps round-trips all four formats including AM/PM") {
     val ts = Timestamp.valueOf("2024-03-05 14:15:16")
     val df = Seq((0L, ts, 1L, "x", 1.0, "{}"), (1L, ts, 1L, "x", 1.0, "{}"),
-      (2L, ts, 1L, "x", 1.0, "{}"))
+      (2L, ts, 1L, "x", 1.0, "{}"), (3L, ts, 1L, "x", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = CleanOps.parseTimestamps(df).collect()
-    assert(out.length == 3)
+    assert(out.length == 4)
     assert(out.forall(r => r.getTimestamp(2) == ts))
+    // event_id 1 and 2 produced AM/PM raw strings
+    val rawByIdx = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rawByIdx(1L).endsWith("PM") && rawByIdx(2L).endsWith("PM"))
+  }
+
+  test("parseTimestamps normalizes local wall-clock to UTC across DST") {
+    def row(id: Long, s: String) =
+      (id, Timestamp.valueOf(s), 1L, "x", 1.0, "{}")
+    val df = Seq(
+      row(0L, "2024-01-15 12:00:00"),  // EST: UTC-5
+      row(4L, "2024-06-15 12:00:00"),  // EDT: UTC-4
+      row(8L, "2024-11-03 01:30:00"),  // ambiguous fall-back hour → NULL
+      row(12L, "2024-03-10 02:30:00")) // spring-forward gap → shifted
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = CleanOps.parseTimestamps(df).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3)).map(_.toString)).toMap
+    assert(out(0L).contains("2024-01-15 17:00:00.0"), s"EST offset: ${out(0L)}")
+    assert(out(4L).contains("2024-06-15 16:00:00.0"), s"EDT offset: ${out(4L)}")
+    assert(out(8L).isEmpty, "ambiguous local time must normalize to NULL")
+    assert(out(12L).contains("2024-03-10 07:30:00.0"), s"gap shift: ${out(12L)}")
   }
 
   test("jsonExtractProps pulls typed values") {

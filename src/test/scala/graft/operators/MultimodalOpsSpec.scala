@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "alpha beta gamma", "en", "web", 16L),
+    (1L, "delta", "en", "web", 5L),
+    (2L, "epsilon zeta eta theta iota kappa", "en", "book", 33L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("multimodalMeta is pure column work — no typed serialization in the plan") {
+    val plan = MultimodalOps.multimodalMeta(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"),
+      "meta must not leave codegen for column-expressible work")
+    assert(!plan.contains("MapPartitions"))
+  }
+
+  test("column meta and the codec-slot decode path agree") {
+    val cols = MultimodalOps.multimodalMeta(docs)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val typed = MultimodalOps.decodeWithCodec(spark, docs)
+      .toDF().orderBy("doc_id").collect().map(_.toSeq)
+    assert(cols.toSeq == typed.toSeq)
+  }
+
+  test("resizePlan fits the longest side into the target box") {
+    val r = MultimodalOps.resizePlan(docs, targetBox = 96)
+      .filter(col("doc_id") === 0L).head
+    val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+    val (tw, th) = (r.getAs[Int]("target_w"), r.getAs[Int]("target_h"))
+    assert(math.max(tw, th) <= 96)
+    val scale = r.getAs[Long]("scale_pct")
+    assert(tw == w * scale / 100 && th == h * scale / 100)
+  }
+
+  test("frameSample emits every 5th frame with integer byte offsets") {
+    val out = MultimodalOps.frameSample(docs).collect()
+    // doc_id 2 is the only video row (doc_id % 3 == 2)
+    assert(out.forall(_.getLong(0) == 2L))
+    assert(out.map(_.getInt(1)).toSeq.sorted == out.map(_.getInt(1)).toSeq)
+    assert(out.map(_.getInt(1)).forall(_ % 5 == 0))
+  }
+}
