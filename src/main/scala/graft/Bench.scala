@@ -17,16 +17,29 @@ object Bench {
     // engine, not HotSpot or first-touch metadata IO.
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // operators persist intermediates for their own multi-branch plans;
+      // drop them between queries so timings don't alias cache reuse
+      spark.catalog.clearCache()
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries report null (never a normal-looking duration) and
+    // are listed separately so a failure can't hide in the totals
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v.toString else "null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -441,8 +441,12 @@ object Oracles {
        |mh AS (SELECT doc_id, ${minhashAggSql("x").mkString(", ")}
        |  FROM sh GROUP BY doc_id),
        |bands AS ($bandsUnion),
+       |keepk AS (SELECT band, key FROM (
+       |  SELECT band, key, count(*) AS bf FROM bands GROUP BY band, key)
+       |  WHERE bf <= ${graft.operators.DedupOps.LshBucketCap}),
+       |capped AS (SELECT bands.* FROM bands JOIN keepk USING (band, key)),
        |cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM capped a JOIN capped b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
        |lshp AS (SELECT * FROM (
        |  SELECT doc_a, doc_b,
@@ -772,16 +776,18 @@ object Oracles {
          |FROM g""".stripMargin,
 
     "token_pack" ->
-      s"""WITH t AS (SELECT doc_id, lang,
+      s"""WITH t AS (SELECT doc_id, lang, source,
          |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
          |       ELSE len(string_split(${norm("text")}, ' ')) END AS BIGINT) AS n_tokens
          | FROM documents),
-         |c AS (SELECT doc_id, lang, n_tokens,
-         |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |c AS (SELECT doc_id, lang, source, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
          | FROM t)
-         |SELECT doc_id, lang, n_tokens,
-         | (cum - n_tokens) // ${graft.operators.PipelineOps.PackBudget} AS pack_id,
+         |SELECT doc_id, lang, source, n_tokens,
+         | lang || '/' || source || '/' ||
+         |   CAST((cum - n_tokens) // ${graft.operators.PipelineOps.PackBudget} AS VARCHAR)
+         |   AS pack_id,
          | (cum - n_tokens) % ${graft.operators.PipelineOps.PackBudget} AS pack_offset
          |FROM c""".stripMargin,
 

@@ -46,9 +46,18 @@ object DedupOps {
         array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Max docs per LSH band bucket: a degenerate band key (e.g. thousands
+    * of identical or near-empty docs) would make its bucket's self-join
+    * quadratic; buckets above the cap are dropped entirely. The recall
+    * loss is principled — a >cap bucket is dominated by exact duplicates,
+    * which [[dedupExact]] already catches with one hash-groupBy.
+    */
+  val LshBucketCap = 200
+
   /** MinHash + LSH candidate pairs with estimated Jaccard ≥ minEst.
     * Bands×Rows = 8×4; pairs surface through a (band, key) equi-join —
-    * work is bounded by bucket sizes, never O(corpus²).
+    * work is bounded by bucket sizes (≤ [[LshBucketCap]]), never
+    * O(corpus²).
     */
   def dedupMinhashLsh(documents: DataFrame, minEst: Double = 0.5): DataFrame = {
     // Signature kept as 32 flat h columns (not an array) so banding keys,
@@ -71,8 +80,16 @@ object DedupOps {
             col(s"h${b * MinhashRows + r}")): _*).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val pairs = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+    // bucket-size cap: drop degenerate band keys before the self-join so
+    // the worst bucket is bounded (the keep-list aggregation is map-side
+    // combined; the join shuffles only (band, key, doc_id) rows)
+    val keepKeys = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bf"))
+      .filter(col("bf") <= LshBucketCap)
+      .select("band", "key")
+    val capped = banded.join(keepKeys, Seq("band", "key"))
+    val pairs = capped.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band"), col("key"), col("doc_id").as("doc_b")),
         Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()

@@ -111,22 +111,25 @@ object PipelineOps {
   val PackBudget = 256
 
   /** Sequence packing: assign documents (in deterministic doc_id order,
-    * stratified by language) to fixed-token-budget packs via a running
-    * token total; a doc whose tokens straddle a boundary spills into the
-    * next pack (greedy contiguous packing). The window partitions by
-    * language so no global single-partition sort exists — at 100 TB each
-    * stratum packs in parallel, and finer strata (e.g. source shards)
-    * widen parallelism without changing semantics.
+    * stratified by (language, source)) to fixed-token-budget packs via a
+    * running token total; a doc whose tokens straddle a boundary spills
+    * into the next pack (greedy contiguous packing). The window
+    * partitions by (lang, source) — ~100 strata here, (lang × source
+    * shard) in production — so parallelism scales with the stratum count
+    * rather than capping at the language count; pack ids are offset per
+    * stratum ("lang/source/N") so they stay globally unique without any
+    * cross-stratum coordination.
     */
   def tokenPack(documents: DataFrame, budget: Int = PackBudget): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("source"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        expr(s"(cum_tokens - n_tokens) div $budget").as("pack_id"),
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        concat_ws("/", col("lang"), col("source"),
+          expr(s"(cum_tokens - n_tokens) div $budget")).as("pack_id"),
         ((col("cum_tokens") - col("n_tokens")) % budget).as("pack_offset"))
   }
 }

@@ -78,6 +78,23 @@ object EventStreams {
 
   // ------------------------------------------------------------ streaming
 
+  /** Streaming session_window form of [[sessionWindowBatch]]: late events
+    * inside the watermark horizon merge into (or bridge) their session —
+    * state per user is the open session aggregate, emitted (append mode)
+    * once the watermark passes the session end and then evicted, so state
+    * is bounded by concurrently-open sessions at any throughput.
+    */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Streaming tumbling aggregation: 10-minute watermark + 1-hour window.
     * Same output schema as [[tumblingAggBatch]].
     */
@@ -140,23 +157,33 @@ object EventStreams {
   /** Streaming incremental dimension maintenance — the reference's
     * Airflow load_dim_date / dim-upsert loop (nyc_hybrid_etl_pipeline.py:
     * 141-180) as a foreachBatch stream: each micro-batch anti-joins its
-    * new keys against the dim store and appends only unseen rows. The
-    * store is any idempotent sink (parquet dir here; a Delta/Iceberg
-    * MERGE in production).
+    * new keys against the dim store and appends only unseen rows. A
+    * committed-batch marker gates replays: foreachBatch re-delivers a
+    * micro-batch with the SAME batchId after a failure, so a marker
+    * written after the append makes the retry a no-op instead of a
+    * double-append (a Delta/Iceberg MERGE subsumes this in production;
+    * the parquet job commit itself is all-or-nothing via the output
+    * committer, so the data+marker pair can't half-apply).
     */
   def incrementalDimStream(events: DataFrame, dimPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events
       .select(col("user_id"), col("event_type"))
       .writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val incoming = batch.select(col("user_id")).distinct()
-        val existing =
-          try spark.read.parquet(dimPath).select("user_id")
-          catch { case _: Exception => spark.emptyDataFrame.withColumn("user_id", lit(0L)).limit(0) }
-        incoming.join(existing, Seq("user_id"), "left_anti")
-          .write.mode("append").parquet(dimPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = java.nio.file.Paths.get(s"$dimPath-commits", s"batch-$batchId")
+        if (!java.nio.file.Files.exists(marker)) {
+          val spark = batch.sparkSession
+          val incoming = batch.select(col("user_id")).distinct()
+          val existing =
+            try spark.read.parquet(dimPath).select("user_id")
+            catch { case _: Exception => spark.emptyDataFrame.withColumn("user_id", lit(0L)).limit(0) }
+          incoming.join(existing, Seq("user_id"), "left_anti")
+            .write.mode("append").parquet(dimPath)
+          java.nio.file.Files.createDirectories(marker.getParent)
+          java.nio.file.Files.createFile(marker)
+        }
+        ()
       }
 
   case class SessionEvent(user_id: Long, event_id: Long, ts_s: Long)

@@ -60,4 +60,16 @@ class DedupOpsSpec extends SparkSpec {
     val df = docs(1L -> "abc", 2L -> base)
     assert(DedupOps.withMinhashSignature(df).count() == 1)
   }
+
+  test("LSH bucket cap keeps a degenerate corpus from going quadratic") {
+    // 1000 identical docs would otherwise form 8 buckets of 1000 docs
+    // each (≈4M joined rows); the cap drops them — exact dedup is the
+    // operator responsible for identical content
+    val df = (1L to 1000L).map(i => (i, base, "en", "src", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(DedupOps.dedupMinhashLsh(df).count() == 0L)
+    // a small near-dup group below the cap still surfaces
+    val mixed = docs(1L -> base, 2L -> base, 3L -> "something else entirely here")
+    assert(DedupOps.dedupMinhashLsh(mixed, minEst = 0.9).count() == 1L)
+  }
 }

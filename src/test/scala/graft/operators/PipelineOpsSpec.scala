@@ -63,18 +63,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(en.getAs[Long]("n_docs") == 1L && en.getAs[Double]("token_share_pct") == 30.0)
   }
 
-  test("tokenPack packs greedily in doc_id order within a language") {
+  test("tokenPack packs greedily in doc_id order within a stratum") {
     // budget 5: docs of 3,3,2 tokens → cum 3,6,8
     val df = docs((1L, "a b c", "en"), (2L, "d e f", "en"), (3L, "g h", "en"))
     val out = PipelineOps.tokenPack(df, budget = 5).orderBy("doc_id").collect()
-    assert(out.map(_.getAs[Long]("pack_id")).toSeq == Seq(0L, 0L, 1L))
+    assert(out.map(_.getAs[String]("pack_id")).toSeq ==
+      Seq("en/src/0", "en/src/0", "en/src/1"))
     assert(out.map(_.getAs[Long]("pack_offset")).toSeq == Seq(0L, 3L, 1L))
   }
 
-  test("tokenPack strata pack independently") {
-    val df = docs((1L, "a b c d", "en"), (2L, "x y z w", "fr"))
+  test("tokenPack (lang, source) strata pack independently with unique pack ids") {
+    val df = Seq(
+      (1L, "a b c d", "en", "web", 7L), (2L, "e f g h", "en", "book", 7L),
+      (3L, "x y z w", "fr", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = PipelineOps.tokenPack(df, budget = 4).collect()
-    assert(out.forall(_.getAs[Long]("pack_id") == 0L))
+    assert(out.map(_.getAs[String]("pack_id")).toSet ==
+      Set("en/web/0", "en/book/0", "fr/web/0"))
     assert(out.forall(_.getAs[Long]("pack_offset") == 0L))
   }
 

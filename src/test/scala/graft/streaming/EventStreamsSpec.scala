@@ -125,6 +125,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("sessionWindowStream matches batch under late-arrival reordering") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.sessionWindowStream(streamDF)
+      .writeStream.outputMode("append").format("memory").queryName("sw").start()
+    // batch 1: user 1 at minutes 0 and 50 — two provisional sessions
+    // (gap 50 > 30); user 2 at 55 and 65 — one session
+    mem.addData((1L, ts(0), 1L, "click", 10.0, "{}"),
+      (3L, ts(50), 1L, "view", 30.0, "{}"),
+      (4L, ts(55), 2L, "click", 5.0, "{}"),
+      (5L, ts(65), 2L, "click", 5.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: a LATE event at minute 25 (inside the 2h watermark) must
+    // bridge user 1's two provisional sessions into one [0, 80)
+    mem.addData((2L, ts(25), 1L, "click", 20.0, "{}"))
+    q.processAllAvailable()
+    // batch 3: sentinel advances the watermark so the real sessions close
+    mem.addData((9L, ts(600), 9L, "click", 0.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sw").filter(col("user_id") =!= 9L)
+      .collect().map(_.toString).toSet
+    // batch over the exact event set the stream saw (minute 25 bridger)
+    val allEvents = Seq(
+      (1L, ts(0), 1L, "click", 10.0, "{}"),
+      (2L, ts(25), 1L, "click", 20.0, "{}"),
+      (3L, ts(50), 1L, "view", 30.0, "{}"),
+      (4L, ts(55), 2L, "click", 5.0, "{}"),
+      (5L, ts(65), 2L, "click", 5.0, "{}"),
+      (9L, ts(600), 9L, "click", 0.0, "{}"))
+    val batch = EventStreams.sessionWindowBatch(
+      allEvents.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .filter(col("user_id") =!= 9L)
+      .collect().map(_.toString).toSet
+    assert(streamed == batch)
+    // user 1 merged into a single bridged session with all three events
+    val u1 = spark.table("sw").filter(col("user_id") === 1L).collect()
+    assert(u1.length == 1 && u1.head.getAs[Long]("n_events") == 3L)
+  }
+
   test("sessionizeStream session counts match sessionizeBatch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.SessionEvent]
