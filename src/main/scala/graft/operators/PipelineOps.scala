@@ -86,24 +86,41 @@ object PipelineOps {
 
   /** Vocabulary coverage report: tokens ranked by corpus frequency with
     * the cumulative share of all token occurrences — the "how big must
-    * the vocab be to cover X%" analysis behind tokenizer design. The
-    * corpus-sized work is the map-side-combined term-frequency
-    * aggregation; the ranked window then runs over the vocabulary, which
-    * is orders of magnitude smaller than the corpus (if the vocab itself
-    * outgrew one partition, rank by (tf bucket, tok) ranges instead).
+    * the vocab be to cover X%" analysis behind tokenizer design.
+    *
+    * Scale shape: the corpus-sized work is the map-side-combined term-
+    * frequency aggregation. The global (tf desc, tok) ranking then
+    * decomposes WITHOUT any vocabulary-sized single-partition window:
+    * within a tf-group every token has the same tf, so global rank =
+    * (tokens in higher-tf groups) + row_number within the group, and the
+    * running tf sum = (occurrences in higher-tf groups) + row_number×tf.
+    * The only unpartitioned window runs over the distinct-tf GROUP table
+    * (zipfian: ~O(√corpus) rows); the per-token window partitions by tf
+    * and parallelizes across groups — a 100M-type web vocabulary never
+    * sorts in one task.
     */
   def vocabCoverage(documents: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("tf").desc, col("tok"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
+    val tf = documents
       .select(explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("tf"))
+    // distinct-tf group table: token count and occurrence mass per tf
+    val groups = tf.groupBy(col("tf"))
+      .agg(count(lit(1)).as("n_toks"))
+      .withColumn("occ", col("tf") * col("n_toks"))
+    val wg = Window.orderBy(col("tf").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = groups.select(col("tf"),
+      coalesce(sum(col("n_toks")).over(wg), lit(0L)).as("rank_offset"),
+      coalesce(sum(col("occ")).over(wg), lit(0L)).as("occ_offset"),
+      sum(col("occ")).over(Window.partitionBy()).as("total_occ"))
+    val wt = Window.partitionBy(col("tf")).orderBy(col("tok"))
+    tf.join(broadcast(offsets), Seq("tf"))
+      .withColumn("rn", row_number().over(wt).cast("long"))
       .select(col("tok"), col("tf"),
-        row_number().over(Window.orderBy(col("tf").desc, col("tok"))).cast("long")
-          .as("rank"),
-        round(sum(col("tf")).over(w).cast("double") * lit(100.0) /
-          sum(col("tf")).over(Window.partitionBy()).cast("double"), 4)
+        (col("rank_offset") + col("rn")).as("rank"),
+        round((col("occ_offset") + col("rn") * col("tf")).cast("double") *
+          lit(100.0) / col("total_occ").cast("double"), 4)
           .as("cum_coverage_pct"))
   }
 
