@@ -822,6 +822,38 @@ object Oracles {
          | COUNT(*) OVER (PARTITION BY ${hash60Sql(norm("text"))}) AS n_same_fp
          |FROM documents""".stripMargin,
 
+    "pii_redact" -> {
+      import graft.operators.TextOps.{PiiEmail, PiiPhone, PiiIp}
+      s"""WITH dirty AS (
+         | SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact agent'
+         |        || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |       WHEN doc_id % 5 = 1 THEN text || ' call 555-'
+         |        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+         |       WHEN doc_id % 5 = 2 THEN text || ' server 10.'
+         |        || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         |        || CAST(doc_id % 200 + 1 AS VARCHAR) || ' logged'
+         |       ELSE text END AS text
+         | FROM documents),
+         |red AS (SELECT doc_id, text,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PiiEmail', '<EMAIL>', 'g'),
+         |    '$PiiIp', '<IP>', 'g'),
+         |    '$PiiPhone', '<PHONE>', 'g') AS r
+         | FROM dirty)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$PiiEmail')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$PiiPhone')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(text, '$PiiIp')) AS BIGINT) AS n_ips,
+         | md5(r) AS redacted_hash,
+         | CAST(length(r) AS BIGINT) AS redacted_len,
+         | len(regexp_extract_all(text, '$PiiEmail'))
+         |  + len(regexp_extract_all(text, '$PiiPhone'))
+         |  + len(regexp_extract_all(text, '$PiiIp')) > 0 AS has_pii
+         |FROM red""".stripMargin
+    },
+
     "multimodal_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -111,6 +111,7 @@ object SparkEntry {
     "bigram_topk" -> ((s, d) => TextOps.bigramTopK(documents(s, d))),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
     "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
+    "pii_redact" -> ((s, d) => TextOps.piiRedact(documents(s, d))),
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(documents(s, d))),
     "dedup_spans" -> ((s, d) => DedupOps.dedupSpans(documents(s, d))),
     "dedup_survivors" -> ((s, d) => DedupOps.dedupSurvivors(documents(s, d))),

@@ -167,4 +167,52 @@ object TextOps {
       .select(col("doc_id"), HashFns.hash60(TextFns.normText(col("text"))).as("fingerprint"))
       .withColumn("n_same_fp",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+
+  /** PII patterns shared with the oracle-SQL generator. Conservative
+    * POSIX-compatible forms so both regex engines agree.
+    */
+  val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiPhone = "\\d{3}-\\d{3}-\\d{4}"
+  val PiiIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** PII detection + redaction — the scrub pass a training-data pipeline
+    * runs before anything ships: count and mask emails / phone numbers /
+    * IPv4 addresses with typed placeholders. Pure per-row regex column
+    * expressions (one scan, codegen'd). PII strings are synthesized
+    * deterministically from doc_id (the corpus itself is clean word
+    * soup) so the oracle rebuilds the identical input; the redacted text
+    * is emitted as an md5 so wide rows never hash-compare raw.
+    * Replacement order: email → ip → phone (patterns are disjoint; the
+    * order is fixed for engine parity).
+    */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val dirty = documents.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact agent"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit(" server 10."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 200 + 1).cast("string"), lit(" logged")))
+        .otherwise(col("text")).as("text"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), PiiEmail, "<EMAIL>"),
+          PiiIp, "<IP>"),
+        PiiPhone, "<PHONE>")
+    dirty.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(PiiEmail)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PiiPhone)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(PiiIp)).cast("long").as("n_ips"),
+      md5(redacted).as("redacted_hash"),
+      length(redacted).cast("long").as("redacted_len"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") > 0)
+  }
 }

@@ -68,4 +68,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out.head.getLong(2) == 2L && out(2).getLong(2) == 1L)
     assert(out.head.getLong(1) == out(1).getLong(1))
   }
+
+  test("piiRedact counts and masks synthesized emails, phones, and IPs") {
+    // doc_id % 5 selects the injected PII kind: 0=email, 1=phone, 2=ip,
+    // 3/4 untouched
+    val df = docs((5L, "plain words", "en"), (6L, "plain words", "en"),
+      (7L, "plain words", "en"), (8L, "plain words", "en"))
+    val out = TextOps.piiRedact(df).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(6))))
+      .toMap
+    assert(out(5L) == ((1L, 0L, 0L, true)))   // email injected
+    assert(out(6L) == ((0L, 1L, 0L, true)))   // phone injected
+    assert(out(7L) == ((0L, 0L, 1L, true)))   // ip injected
+    assert(out(8L) == ((0L, 0L, 0L, false)))  // clean
+    // redaction shrinks/changes the hash only where PII existed
+    val byId = TextOps.piiRedact(df).orderBy("doc_id").collect()
+    val cleanLen = "plain words".length.toLong
+    assert(byId(3).getAs[Long]("redacted_len") == cleanLen)
+    assert(byId.take(3).forall(_.getAs[Long]("redacted_len") > cleanLen))
+  }
 }
