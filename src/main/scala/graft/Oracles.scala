@@ -1002,6 +1002,18 @@ object Oracles {
         | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // hopping 1h window / 15min slide: an event in 15-min bucket b covers
+    // exactly the 4 windows starting at (b-3..b)*900s (epoch-aligned, the
+    // same grid Spark's window() uses)
+    "events_hopping" ->
+      """WITH e AS (SELECT event_type, value,
+        |  CAST(floor(epoch(ts) / 900) AS BIGINT) AS b FROM events)
+        |SELECT make_timestamp((b - u.k) * 900 * 1000000) AS window_start,
+        | event_type, COUNT(*) AS n_events,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM e, unnest([0, 1, 2, 3]) AS u(k)
+        |GROUP BY 1, 2""".stripMargin,
+
     "events_session_window" ->
       """WITH lagged AS (SELECT user_id, event_id, ts, value,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

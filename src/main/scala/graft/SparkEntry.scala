@@ -140,6 +140,8 @@ object SparkEntry {
     // E. streaming (batch-equivalent forms; true streaming in tests)
     "events_tumbling" -> ((s, d) =>
       graft.streaming.EventStreams.tumblingAggBatch(events(s, d))),
+    "events_hopping" -> ((s, d) =>
+      graft.streaming.EventStreams.hoppingAggBatch(events(s, d))),
     "events_sessionize" -> ((s, d) =>
       graft.streaming.EventStreams.sessionizeBatch(events(s, d))),
     "events_interval_join" -> ((s, d) =>

@@ -63,6 +63,37 @@ object EventStreams {
           .as("avg_events_per_session"))
   }
 
+  /** Hopping (sliding) 1-hour window with 15-minute slide per event type
+    * (batch form): every event lands in exactly 4 overlapping windows —
+    * the dashboard-smoothing aggregation tumbling windows can't express.
+    * Spark's `window(ts, len, slide)` explodes to the covering windows
+    * inside codegen; state and shuffle scale with (windows × types), not
+    * events.
+    */
+  def hoppingAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes")("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"))
+
+  /** Streaming form of [[hoppingAggBatch]]: watermark bounds how long
+    * each of the 4 covering windows stays open.
+    */
+  def hoppingAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based sessions via Spark's native session_window (merges rows
     * whose gaps are < the timeout; works identically under
     * readStream+watermark). Batch form for the oracle gate.

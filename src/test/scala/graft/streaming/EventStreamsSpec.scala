@@ -40,6 +40,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
   }
 
+  test("hoppingAggStream matches hoppingAggBatch; each event covers 4 windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.hoppingAggStream(streamDF)
+      .writeStream.outputMode("complete").format("memory").queryName("hop").start()
+    mem.addData(sampleEvents: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hop")
+      .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+    val batch = EventStreams.hoppingAggBatch(eventsDF)
+      .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    // a single event must appear in exactly 4 overlapping windows
+    val one = EventStreams.hoppingAggBatch(
+      Seq((1L, ts(7), 1L, "click", 2.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(one.count() == 4)
+  }
+
   test("watermark drops events arriving later than the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
