@@ -29,6 +29,23 @@ object Sinks {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Sort-clustered fact layout — the Spark-native answer to Redshift
+    * SORTKEY: partition directories give coarse pruning; sorting rows
+    * within each partition on the range key clusters values so parquet
+    * row-group min/max statistics skip row groups inside each file for
+    * range predicates. `sortWithinPartitions` is a local sort (no extra
+    * shuffle beyond the optional repartition to control file count).
+    */
+  def writeSorted(df: DataFrame, path: String, partitionCols: Seq[String],
+      sortCol: String, filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(filesPerPartition, partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols :+ sortCol).map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Bucketed catalog table: pre-shuffles once at write time so every
     * later equi-join/aggregation on the bucket key is exchange-free —
     * the Spark-native answer to Redshift DISTKEY. Joining two tables

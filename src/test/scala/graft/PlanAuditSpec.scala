@@ -67,6 +67,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(300))
   }
 
+  test("single-scan per-row operators plan with zero exchanges") {
+    Seq("pii_redact", "multimodal_meta", "multimodal_resize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle")
+      assert(!p.contains("SerializeFromObject"), s"$q must stay columnar")
+    }
+  }
+
+  test("hopping windows explode inside the aggregation, not via a join") {
+    val p = plan("events_hopping")
+    assert(!p.contains("Join"), "window cover must come from expand, not a join")
+    assert(p.contains("Expand") || p.contains("HashAggregate"), p.take(300))
+  }
+
   test("median rank window only sees the quantile-pruned slice") {
     // the scale hazard is a full-data window partitioned by a ≤O(10)-
     // cardinality key (5 region tasks each sorting the whole fact at

@@ -39,5 +39,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextOps.bigramTopK(empty).count() == 0)
     assert(DedupOps.dedupMinhashLsh(empty).count() == 0)
     assert(TextOps.docFingerprint(empty).count() == 0)
+    assert(TextOps.piiRedact(empty).count() == 0)
+    assert(PipelineOps.vocabCoverage(empty).count() == 0)
+  }
+
+  test("piiRedact and vocabCoverage survive null and blank text") {
+    // null text: synthesized-PII branches concat onto null → null counts
+    // propagate; clean branch stays null — no crash either way
+    assert(TextOps.piiRedact(degenerate).count() == 5)
+    val clean = TextOps.piiRedact(degenerate)
+      .filter($"doc_id" === 3L).head // % 5 == 3: untouched branch
+    assert(!clean.getAs[Boolean]("has_pii"))
+    assert(PipelineOps.vocabCoverage(degenerate).count() >= 5) // doc 5's tokens
+  }
+
+  test("parseTimestamps propagates null timestamps without crashing") {
+    val df = Seq(
+      (0L, null.asInstanceOf[java.sql.Timestamp], 1L, "x", 1.0, "{}"),
+      (1L, java.sql.Timestamp.valueOf("2024-06-01 10:00:00"), 1L, "x", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = CleanOps.parseTimestamps(df).orderBy("event_id").collect()
+    assert(out.length == 2)
+    assert(out.head.isNullAt(2) && out.head.isNullAt(3)) // null in → null out
+    assert(!out(1).isNullAt(3))
   }
 }

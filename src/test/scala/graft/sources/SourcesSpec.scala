@@ -67,4 +67,20 @@ class SourcesSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(new java.io.File(s"$dir/fact/date_key=20240101").exists)
   }
+
+  test("writeSorted clusters rows within each partition file (SORTKEY analog)") {
+    val dir = tmp()
+    val rng = new scala.util.Random(7)
+    val df = (1 to 1000).map(i => (i.toLong, 20240100 + i % 2, rng.nextInt(100000)))
+      .toDF("id", "date_key", "price")
+    Sinks.writeSorted(df, s"$dir/fact", Seq("date_key"), "price")
+    // one file per partition dir, rows sorted by price inside it — the
+    // clustering parquet row-group min/max stats need for range skipping
+    Seq(20240100, 20240101).foreach { dk =>
+      val prices = spark.read.parquet(s"$dir/fact/date_key=$dk")
+        .select("price").collect().map(_.getInt(0))
+      assert(prices.length == 500)
+      assert(prices.sameElements(prices.sorted), s"partition $dk must be sorted")
+    }
+  }
 }

@@ -187,6 +187,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(u1.length == 1 && u1.head.getAs[Long]("n_events") == 3L)
   }
 
+  test("HeavyHitters sketch aggregates across micro-batches (mergeable state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val hh = udaf(new graft.functions.HeavyHitters(16),
+      org.apache.spark.sql.Encoders.STRING)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = streamDF.agg(hh(col("event_type")).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("event_type", "n_events")))
+      .writeStream.outputMode("complete").format("memory").queryName("hh").start()
+    mem.addData(sampleEvents.take(3): _*)   // click, click, view
+    q.processAllAvailable()
+    mem.addData(sampleEvents.drop(3): _*)   // click, click — merged into state
+    q.processAllAvailable(); q.stop()
+    val counts = spark.table("hh").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // distinct types ≤ capacity → exact counts, matching batch GROUP BY
+    assert(counts == Map("click" -> 4L, "view" -> 1L))
+  }
+
   test("sessionizeStream session counts match sessionizeBatch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.SessionEvent]
