@@ -69,10 +69,41 @@ object SimilarityOps {
     (0 until Dim).map(i => centroidWeight(k, i) * centroidWeight(k, i))
       .foldLeft(0.0)(_ + _)
 
-  /** Assign each embedding to its nearest IVF centroid (and second
-    * nearest, for nprobe=2 queries). distance² ranking uses
+  /** Assign each embedding to its nearest centroid of `centroids` (and
+    * second nearest, for nprobe=2 queries). distance² ranking uses
     * |c|² - 2·v·c (the |v|² term is argmin-invariant); ties break to the
-    * smallest cell id in both engines.
+    * smallest cell id. The centroid weights ship as broadcast literals
+    * into the codegen'd dot product — one scan, no shuffle.
+    */
+  def withCells(embeddings: DataFrame, centroids: Seq[Seq[Float]]): DataFrame = {
+    val scores = centroids.zipWithIndex.map { case (w, k) =>
+      val norm2 = w.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      (lit(norm2) - lit(2.0) *
+        graft.functions.DotProduct.dotF(col("embedding"), typedlit(w))).as(s"s$k")
+    }
+    val n = centroids.size
+    val withScores = embeddings.select(col("*") +: scores: _*)
+    val m = least((0 until n).map(k => col(s"s$k")): _*)
+    val cell = (0 until n).foldRight(lit(-1): org.apache.spark.sql.Column) {
+      (k, rest) => when(col(s"s$k") === col("__m"), lit(k)).otherwise(rest)
+    }
+    val masked = (0 until n).map(k =>
+      when(col(s"s$k") === col("__m"), lit(Double.MaxValue)).otherwise(col(s"s$k")).as(s"t$k"))
+    val m2 = least((0 until n).map(k => col(s"t$k")): _*)
+    val cell2 = (0 until n).foldRight(lit(-1): org.apache.spark.sql.Column) {
+      (k, rest) => when(col(s"t$k") === col("__m2"), lit(k)).otherwise(rest)
+    }
+    withScores
+      .withColumn("__m", m)
+      .withColumn("cell", cell)
+      .select(col("*") +: masked: _*)
+      .withColumn("__m2", m2)
+      .withColumn("cell2", cell2)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("cell2"))
+  }
+
+  /** Assign each embedding to its nearest fixed pseudo-random IVF
+    * centroid (the oracle-replicable variant — see [[centroidWeight]]).
     */
   def withIvfCells(embeddings: DataFrame): DataFrame = {
     val scores = (0 until IvfCells).map { k =>
@@ -107,6 +138,63 @@ object SimilarityOps {
     */
   def ivfAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
     val celled = withIvfCells(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = celled.select(col("vec_id"), col("embedding"), col("cell"))
+    val queries = celled.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(array(col("cell"), col("cell2"))).as("cell"))
+    val sims = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.cosine(col("q_emb"), col("embedding")), 6).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Lloyd's k-means over the embedding corpus — the trained-centroid
+    * IVF index the fixed pseudo-random variant approximates. Fully
+    * distributed: assignment broadcasts k centroid literals into the
+    * codegen'd dot product (one scan); the update is a posexplode +
+    * per-(cell, dim) grouped mean (map-side combined). Only k centroid
+    * rows reach the driver per iteration — a dim-table-sized collect,
+    * never data. Deterministic init: the first k vectors by vec_id.
+    * No oracle (centroids are data-dependent floats); quality is
+    * spec-gated by recall against the exact brute-force baseline.
+    */
+  def trainIvfCentroids(embeddings: DataFrame, k: Int = IvfCells,
+      iters: Int = 4): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = embeddings.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = withCells(embeddings, centroids.map(_.toSeq).toSeq)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(map_from_entries(collect_list(struct(col("i"), col("m")))).as("dims"))
+        .collect()
+      val next = centroids.map(_.clone())
+      assigned.foreach { r =>
+        val cell = r.getInt(0)
+        val dims = r.getMap[Int, Double](1)
+        next(cell) = (0 until Dim).map(i => dims(i).toFloat).toArray
+      }
+      centroids = next // cells that lost every vector keep their centroid
+    }
+    centroids
+  }
+
+  /** ANN over the TRAINED IVF index: same nprobe=2 probe + exact cosine
+    * re-rank as [[ivfAnn]], but against Lloyd's centroids — the quality
+    * path; the fixed-centroid variant remains the oracle-checked one.
+    */
+  def ivfTrainedAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
+      iters: Int = 4): DataFrame = {
+    val centroids = trainIvfCentroids(embeddings, IvfCells, iters)
+    val celled = withCells(embeddings, centroids.map(_.toSeq).toSeq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = celled.select(col("vec_id"), col("embedding"), col("cell"))
     val queries = celled.filter(col("vec_id") < nQueries)

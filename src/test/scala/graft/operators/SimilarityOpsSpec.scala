@@ -57,4 +57,22 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getLong(1) == 40L && out.head.getDouble(2) == 1.0)
   }
+
+  test("trained IVF clusters real testdata with high recall vs brute force") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = SimilarityOps.bruteCosineTopK(emb, nQueries = 20, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = SimilarityOps.ivfTrainedAnn(emb, nQueries = 20, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect trained).size.toDouble / exact.size
+    assert(recall >= 0.6, s"trained-IVF recall@3 too low: $recall")
+    // training must actually move centroids off the init vectors: every
+    // cell pair assignment is still valid (cell != cell2, both in range)
+    val cells = SimilarityOps.withCells(emb,
+      SimilarityOps.trainIvfCentroids(emb).map(_.toSeq).toSeq).collect()
+    assert(cells.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 16))
+    assert(cells.forall(r => r.getInt(2) != r.getInt(3)))
+    val distinctCells = cells.map(_.getInt(2)).distinct.length
+    assert(distinctCells >= 8, s"degenerate clustering: $distinctCells cells used")
+  }
 }
