@@ -455,6 +455,60 @@ object Oracles {
        |  WHERE est_jaccard >= 0.5)""".stripMargin
   }
 
+  /** Connected-component labeling CTEs over the `lshp` pair set (assumes
+    * [[minhashPairsCte]] precedes them) ending in `todrop` — shared by
+    * dedup_survivors and curated_corpus.
+    */
+  private val ccTodropCtes: String =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshp
+      |          UNION SELECT doc_b, doc_a FROM lshp),
+      |reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+      |          UNION
+      |          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+      |        FROM reach GROUP BY node),
+      |todrop AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)""".stripMargin
+
+  /** Full quality_score query (also exposed as its own oracle entry). */
+  private lazy val qualityScoreSql: String = {
+    val enArr = graft.operators.TextOps.Stopwords.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT doc_id,
+       |  CAST(length(${norm("text")}) AS BIGINT) AS n_chars,
+       |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+       |       ELSE len(string_split(${norm("text")}, ' ')) END AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(${norm("text")}, '[^a-z ]', '', 'g')) AS BIGINT)
+       |    AS n_alpha_space,
+       |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+       |       ELSE len(list_filter(string_split(${norm("text")}, ' '),
+       |                x -> list_contains($enArr, x))) END AS BIGINT) AS n_stop
+       | FROM documents)
+       |SELECT doc_id, n_chars, n_tokens,
+       | ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS stop_ratio,
+       | ROUND(CAST(n_chars - n_alpha_space AS DOUBLE) / GREATEST(n_chars, 1), 4)
+       |   AS special_ratio,
+       | ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / GREATEST(n_tokens, 1), 4)
+       |   AS avg_word_len,
+       | ROUND(CAST(0.4 AS DOUBLE) * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |  + CAST(0.3 AS DOUBLE) * (1.0 - ROUND(CAST(n_chars - n_alpha_space AS DOUBLE) / GREATEST(n_chars, 1), 4))
+       |  + CAST(0.3 AS DOUBLE) * LEAST(ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 4) * 4.0, 1.0), 4)
+       |   AS quality_score
+       |FROM base""".stripMargin
+  }
+
+  /** Full stratified_sample query (also its own oracle entry). */
+  private lazy val stratifiedSampleSql: String = {
+    val rateCase = graft.operators.PipelineOps.SampleRatePct
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, sample_bucket, keep_rate_pct FROM (
+       | SELECT doc_id, lang,
+       |  ${hash32Sql(s"'${graft.operators.PipelineOps.SampleSalt}' || CAST(doc_id AS VARCHAR)")} % 100
+       |    AS sample_bucket,
+       |  CAST(CASE lang $rateCase ELSE 0 END AS BIGINT) AS keep_rate_pct
+       | FROM documents)
+       |WHERE sample_bucket < keep_rate_pct""".stripMargin
+  }
+
   private val dPipeline: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id, md5(${norm("text")}) AS content_hash,
@@ -500,16 +554,23 @@ object Oracles {
 
     "dedup_survivors" ->
       s"""WITH RECURSIVE $minhashPairsCte,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshp
-         |          UNION SELECT doc_b, doc_a FROM lshp),
-         |reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
-         |          UNION
-         |          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
-         |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
-         |        FROM reach GROUP BY node),
-         |todrop AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+         |$ccTodropCtes
          |SELECT doc_id, lang, source, n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM todrop t WHERE t.doc_id = d.doc_id)""".stripMargin,
+
+    // end-to-end curation verdict: near-dup survivors ∩ quality gate ∩
+    // reproducible stratified sample — composed from the same shared CTEs
+    // the individual oracles use
+    "curated_corpus" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |$ccTodropCtes,
+         |q AS ($qualityScoreSql),
+         |samp AS ($stratifiedSampleSql)
+         |SELECT doc_id, lang, source, n_chars FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM todrop t WHERE t.doc_id = d.doc_id)
+         |  AND EXISTS (SELECT 1 FROM q
+         |    WHERE q.doc_id = d.doc_id AND q.quality_score >= 0.5)
+         |  AND EXISTS (SELECT 1 FROM samp WHERE samp.doc_id = d.doc_id)""".stripMargin,
 
     "dedup_spans" -> {
       val span = graft.operators.DedupOps.SpanTokens
@@ -702,31 +763,7 @@ object Oracles {
          |FROM s""".stripMargin
     },
 
-    "quality_score" -> {
-      val enArr = graft.operators.TextOps.Stopwords.head._2
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH base AS (SELECT doc_id,
-         |  CAST(length(${norm("text")}) AS BIGINT) AS n_chars,
-         |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
-         |       ELSE len(string_split(${norm("text")}, ' ')) END AS BIGINT) AS n_tokens,
-         |  CAST(length(regexp_replace(${norm("text")}, '[^a-z ]', '', 'g')) AS BIGINT)
-         |    AS n_alpha_space,
-         |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
-         |       ELSE len(list_filter(string_split(${norm("text")}, ' '),
-         |                x -> list_contains($enArr, x))) END AS BIGINT) AS n_stop
-         | FROM documents)
-         |SELECT doc_id, n_chars, n_tokens,
-         | ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS stop_ratio,
-         | ROUND(CAST(n_chars - n_alpha_space AS DOUBLE) / GREATEST(n_chars, 1), 4)
-         |   AS special_ratio,
-         | ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / GREATEST(n_tokens, 1), 4)
-         |   AS avg_word_len,
-         | ROUND(CAST(0.4 AS DOUBLE) * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-         |  + CAST(0.3 AS DOUBLE) * (1.0 - ROUND(CAST(n_chars - n_alpha_space AS DOUBLE) / GREATEST(n_chars, 1), 4))
-         |  + CAST(0.3 AS DOUBLE) * LEAST(ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 4) * 4.0, 1.0), 4)
-         |   AS quality_score
-         |FROM base""".stripMargin
-    },
+    "quality_score" -> qualityScoreSql,
 
     "token_count" ->
       s"""SELECT doc_id,
@@ -750,17 +787,7 @@ object Oracles {
          |   AS n_distinct
          |FROM documents)""".stripMargin,
 
-    "stratified_sample" -> {
-      val rateCase = graft.operators.PipelineOps.SampleRatePct
-        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
-      s"""SELECT doc_id, lang, sample_bucket, keep_rate_pct FROM (
-         | SELECT doc_id, lang,
-         |  ${hash32Sql(s"'${graft.operators.PipelineOps.SampleSalt}' || CAST(doc_id AS VARCHAR)")} % 100
-         |    AS sample_bucket,
-         |  CAST(CASE lang $rateCase ELSE 0 END AS BIGINT) AS keep_rate_pct
-         | FROM documents)
-         |WHERE sample_bucket < keep_rate_pct""".stripMargin
-    },
+    "stratified_sample" -> stratifiedSampleSql,
 
     "mixture_report" ->
       s"""WITH t AS (SELECT lang,

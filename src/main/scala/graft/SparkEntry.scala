@@ -121,6 +121,7 @@ object SparkEntry {
     "token_pack" -> ((s, d) => PipelineOps.tokenPack(documents(s, d))),
     "doc_chunk" -> ((s, d) => PipelineOps.docChunk(documents(s, d))),
     "vocab_coverage" -> ((s, d) => PipelineOps.vocabCoverage(documents(s, d))),
+    "curated_corpus" -> ((s, d) => PipelineOps.curatedCorpus(documents(s, d))),
     "geo_neighbor_join" -> ((s, d) =>
       GeoOps.neighborJoin(customer(s, d), supplier(s, d), nation(s, d), region(s, d))),
     "heavy_hitter_types" -> ((s, d) => {

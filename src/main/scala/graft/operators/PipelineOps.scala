@@ -124,6 +124,25 @@ object PipelineOps {
           .as("cum_coverage_pct"))
   }
 
+  /** End-to-end curation verdict — the composition a pipeline actually
+    * materializes as its training corpus: near-duplicate SURVIVORS
+    * (MinHash-LSH + connected components) ∩ QUALITY gate ∩ reproducible
+    * stratified SAMPLE. Each leg is its own oracle-checked operator; the
+    * composition is three left-semi joins on doc_id, so the big text
+    * columns never flow through any shuffle — only doc_id key sets do.
+    */
+  def curatedCorpus(documents: DataFrame, qualityMin: Double = 0.5): DataFrame = {
+    val survivors = DedupOps.dedupSurvivors(documents).select("doc_id")
+    val quality = TextOps.qualityScore(documents)
+      .filter(col("quality_score") >= qualityMin).select("doc_id")
+    val sampled = stratifiedSample(documents).select("doc_id")
+    documents
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(sampled, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Tokens a single training sequence holds — packing budget. */
   val PackBudget = 256
 

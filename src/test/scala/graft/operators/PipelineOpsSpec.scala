@@ -83,6 +83,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("pack_offset") == 0L))
   }
 
+  test("curatedCorpus is the intersection of survivors, quality gate, and sample") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val curated = PipelineOps.curatedCorpus(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = DedupOps.dedupSurvivors(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = PipelineOps.stratifiedSample(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val quality = TextOps.qualityScore(docs)
+      .filter(org.apache.spark.sql.functions.col("quality_score") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curated.nonEmpty)
+    assert(curated == (survivors intersect sampled intersect quality))
+  }
+
   test("dedupClusters labels transitive near-dup chains with the min doc_id") {
     val base = "the quick brown fox jumps over the lazy dog again and again more words here"
     // 1≈2 and 2≈3 via LSH (identical text), 9 unrelated → cluster {1,2,3}
