@@ -538,6 +538,40 @@ object Oracles {
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, est_jaccard FROM lshp""".stripMargin,
 
+    // incremental screening: incoming (doc_id % 10 >= 8) bands join only
+    // existing bands — no self-join, no bucket cap (the existing side is
+    // a precomputed index in production)
+    "dedup_incremental" -> {
+      def bandsOf(tbl: String) = (0 until graft.functions.HashFns.MinhashBands)
+        .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM $tbl")
+        .mkString(" UNION ALL ")
+      val estExpr = (0 until graft.functions.HashFns.MinhashK)
+        .map(i => s"CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id, ${minhashAggSql("x").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |inc AS (SELECT * FROM mh WHERE doc_id % 10 >= 8),
+         |ex AS (SELECT * FROM mh WHERE doc_id % 10 < 8),
+         |bi AS (${bandsOf("inc")}),
+         |be AS (${bandsOf("ex")}),
+         |cpairs AS (SELECT DISTINCT bi.doc_id AS doc_inc, be.doc_id AS doc_ex
+         |  FROM bi JOIN be ON bi.band = be.band AND bi.key = be.key),
+         |scored AS (SELECT * FROM (
+         |  SELECT doc_inc, doc_ex,
+         |   ROUND(CAST(($estExpr) AS DOUBLE) / 32.0, 4) AS est
+         |  FROM cpairs JOIN mh ma ON ma.doc_id = doc_inc
+         |   JOIN mh mb ON mb.doc_id = doc_ex)
+         |  WHERE est >= 0.5),
+         |sel AS (SELECT doc_inc, doc_ex, est,
+         |  COUNT(*) OVER (PARTITION BY doc_inc) AS n_matches,
+         |  row_number() OVER (PARTITION BY doc_inc
+         |    ORDER BY est DESC, doc_ex) AS rn
+         | FROM scored)
+         |SELECT doc_inc, n_matches, est AS best_est, doc_ex AS best_doc_ex
+         |FROM sel WHERE rn = 1""".stripMargin
+    },
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCte,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshp

@@ -98,6 +98,14 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.dedupNgramJaccard(documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.dedupMinhashLsh(documents(s, d))),
+    // continuous-ingestion split: doc_id % 10 >= 8 plays the incoming batch
+    "dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = documents(s, d)
+      DedupOps.dedupIncremental(
+        docs.filter(col("doc_id") % 10 >= 8),
+        docs.filter(col("doc_id") % 10 < 8))
+    }),
     "dedup_simhash" -> ((s, d) => DedupOps.dedupSimhash(documents(s, d))),
     "embed_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(embeddings(s, d))),
     "embed_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(embeddings(s, d))),

@@ -106,6 +106,55 @@ object DedupOps {
       .filter(col("est_jaccard") >= minEst)
   }
 
+  /** Incremental near-dup screening — the continuous-ingestion shape:
+    * an INCOMING batch is checked against the EXISTING corpus without
+    * ever self-joining either side. Both sides band their MinHash
+    * signatures; the candidate join is incoming-bands × existing-bands
+    * on (band, key) — at 100 TB the existing side's banded keys are a
+    * precomputed index and per-batch work scales with the batch, not
+    * the corpus. Returns one row per incoming doc that collides with
+    * the existing corpus at est. Jaccard ≥ minEst (its reject verdict),
+    * with the match count and the best-matching existing doc.
+    */
+  def dedupIncremental(incoming: DataFrame, existing: DataFrame,
+      minEst: Double = 0.5): DataFrame = {
+    def banded(docs: DataFrame, side: String) = {
+      val sigs = withMinhashSignature(docs)
+        .select(col("doc_id") +: (0 until MinhashK)
+          .map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bk = sigs.select(col("doc_id").as(s"doc_$side"),
+        explode(array((0 until MinhashBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(":", (0 until MinhashRows).map(r =>
+              col(s"h${b * MinhashRows + r}")): _*).as("key"))
+        }: _*)).as("bk"))
+        .select(col(s"doc_$side"), col("bk.band"), col("bk.key"))
+      (sigs, bk)
+    }
+    val (sigsInc, bandsInc) = banded(incoming, "inc")
+    val (sigsEx, bandsEx) = banded(existing, "ex")
+    val pairs = bandsInc.join(bandsEx, Seq("band", "key"))
+      .select("doc_inc", "doc_ex").distinct()
+    val sigA = sigsInc.select(col("doc_id").as("doc_inc") +:
+      (0 until MinhashK).map(i => col(s"h$i").as(s"h${i}_a")): _*)
+    val sigB = sigsEx.select(col("doc_id").as("doc_ex") +:
+      (0 until MinhashK).map(i => col(s"h$i").as(s"h${i}_b")): _*)
+    val matches = (0 until MinhashK)
+      .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sigA, Seq("doc_inc")).join(sigB, Seq("doc_ex"))
+      .select(col("doc_inc"), col("doc_ex"),
+        round(matches.cast("double") / lit(MinhashK.toDouble), 4).as("est"))
+      .filter(col("est") >= minEst)
+      .groupBy(col("doc_inc"))
+      .agg(count(lit(1)).as("n_matches"),
+        // best match = highest est, ties to the smallest existing doc_id
+        max(struct(col("est").as("e"), (-col("doc_ex")).as("negid"))).as("best"))
+      .select(col("doc_inc"), col("n_matches"),
+        col("best.e").as("best_est"), (-col("best.negid")).as("best_doc_ex"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs. Candidates = pairs sharing at
     * least one shingle whose document frequency ≤ dfCap (rare-shingle
     * blocking — the cap is what keeps the join linear at 100 TB); Jaccard

@@ -61,6 +61,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.withMinhashSignature(df).count() == 1)
   }
 
+  test("dedupIncremental flags incoming docs colliding with the existing corpus") {
+    val existing = docs(1L -> base, 2L -> "unrelated existing material entirely",
+      3L -> base)
+    val incoming = docs(101L -> base, 102L -> "brand new unseen content here")
+    val out = DedupOps.dedupIncremental(incoming, existing).collect()
+    // only 101 collides; best match is the smallest colliding existing id
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 101L)
+    assert(r.getLong(1) == 2L)                       // matches docs 1 and 3
+    assert(r.getAs[Double]("best_est") == 1.0)
+    assert(r.getAs[Long]("best_doc_ex") == 1L)       // tie → smallest id
+  }
+
   test("LSH bucket cap keeps a degenerate corpus from going quadratic") {
     // 1000 identical docs would otherwise form 8 buckets of 1000 docs
     // each (≈4M joined rows); the cap drops them — exact dedup is the
