@@ -362,6 +362,25 @@ object Oracles {
         |FROM dw JOIN cohorts ON dw.user_id = cohorts.user_id
         |GROUP BY cohort_week, dw.week - cohort_week""".stripMargin,
 
+    "hourly_anomalies" ->
+      """WITH hourly AS (
+        | SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n_events
+        | FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type AS et, COUNT(*) AS n_hours,
+        |  CAST(SUM(n_events) AS BIGINT) AS sx,
+        |  CAST(SUM(n_events * n_events) AS BIGINT) AS sxx
+        | FROM hourly GROUP BY event_type)
+        |SELECT hour_start, event_type, n_events, mean_events, z FROM (
+        | SELECT hour_start, event_type, n_events,
+        |  ROUND(CAST(sx AS DOUBLE) / n_hours, 4) AS mean_events,
+        |  ROUND((CAST(n_events AS DOUBLE) - CAST(sx AS DOUBLE) / n_hours)
+        |    / sqrt(CAST(sxx AS DOUBLE) / n_hours
+        |      - (CAST(sx AS DOUBLE) / n_hours) * (CAST(sx AS DOUBLE) / n_hours)), 4)
+        |    AS z
+        | FROM hourly JOIN stats ON event_type = et)
+        |WHERE abs(z) >= 2.0""".stripMargin,
+
     "customer_sample_by_nation" ->
       """SELECT n_name AS nation, COUNT(*) AS n_customers,
         | array_to_string(list_slice(list(c_name ORDER BY c_name), 1, 5), ',')

@@ -90,6 +90,7 @@ object SparkEntry {
     "median_order_value" -> ((s, d) =>
       Analytics.medianOrderValue(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
     "weekly_retention" -> ((s, d) => Analytics.weeklyRetention(events(s, d))),
+    "hourly_anomalies" -> ((s, d) => Analytics.hourlyAnomalies(events(s, d))),
     "customer_sample_by_nation" -> ((s, d) =>
       Analytics.customerSampleByNation(customer(s, d), nation(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),

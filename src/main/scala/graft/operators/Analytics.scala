@@ -598,6 +598,35 @@ object Analytics {
           .orderBy(col("spend").desc, col("c_custkey"))).as("spend_quartile"))
   }
 
+  /** Hourly volume anomalies per event type: z-score of each hour's
+    * event count against that type's mean/stddev, from exact integer
+    * sums (the dashboard alerting view). Two grouped passes over a
+    * pre-aggregated hourly table; the stats side is tiny and broadcast.
+    * Population stddev in the SQL-standard form from Σx, Σx², n.
+    */
+  def hourlyAnomalies(events: DataFrame, zMin: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n_events")).as("sx"),
+        sum(col("n_events") * col("n_events")).as("sxx"))
+    hourly.join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("mean", col("sx").cast("double") / col("n_hours"))
+      .withColumn("variance",
+        col("sxx").cast("double") / col("n_hours") -
+          (col("sx").cast("double") / col("n_hours")) *
+          (col("sx").cast("double") / col("n_hours")))
+      .withColumn("z",
+        round((col("n_events").cast("double") - col("mean")) /
+          sqrt(col("variance")), 4))
+      .filter(abs(col("z")) >= zMin)
+      .select(col("hour_start"), col("event_type"), col("n_events"),
+        round(col("mean"), 4).as("mean_events"), col("z"))
+  }
+
   /** Share of lines shipped within a threshold (ref: README insight "~75%
     * of complaints resolved within 3 days").
     */
