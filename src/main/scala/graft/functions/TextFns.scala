@@ -19,6 +19,13 @@ object TextFns {
 
   /** Character k-gram shingles of the normalized text (in order, with
     * repeats — minhash is multiset-insensitive; Jaccard callers dedup).
+    *
+    * NOT for hot paths: higher-order `transform` runs interpreted in
+    * Spark 4, and the lambda body re-evaluates `normText`'s regex per
+    * ELEMENT (there is no let-binding inside one expression tree). The
+    * dedup operators use the explode-sequence + substr formulation
+    * (DedupOps.shingleHashRows) which normalizes once per row and stays
+    * in codegen; this array form remains for small-data composition.
     */
   def shingles(c: Column, k: Int): Column = {
     val t = normText(c)

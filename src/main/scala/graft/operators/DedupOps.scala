@@ -18,6 +18,21 @@ object DedupOps {
 
   import OpUtils.spread
 
+  /** Exploded 32-bit k-gram shingle hashes, one row per (doc, position).
+    * The text normalizes ONCE per row before exploding; shingling is a
+    * sequence-generator explode + substr + hash — plain codegen'd column
+    * expressions. (The previous higher-order `transform` formulation ran
+    * interpreted AND re-evaluated the normalization regex once per
+    * shingle element rather than once per document.)
+    */
+  private def shingleHashRows(documents: DataFrame, k: Int): DataFrame =
+    spread(documents)
+      .select(col("doc_id"), graft.functions.TextFns.normText(col("text")).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"))
+      .select(col("doc_id"), HashFns.hash32(expr(s"substr(t, i, $k)")).as("x"))
+
   /** Exact dedup via content-hash groupBy (ref: glue_job_clean_311.py:131
     * dropDuplicates — here with group stats kept, Redshift-style).
     */
@@ -35,9 +50,7 @@ object DedupOps {
     * thanks to map-side combine — the classic scalable formulation.
     */
   def withMinhashSignature(documents: DataFrame): DataFrame = {
-    val shingled = spread(documents)
-      .select(col("doc_id"), explode(TextFns.shingles(col("text"), 5)).as("s"))
-      .select(col("doc_id"), HashFns.hash32(col("s")).as("x"))
+    val shingled = shingleHashRows(documents, 5)
     val minCols = (0 until MinhashK).map { i =>
       min((lit(minhashA(i)) * col("x") + lit(minhashB(i))) % lit(MinhashP)).as(s"h$i")
     }
@@ -163,9 +176,7 @@ object DedupOps {
   def dedupNgramJaccard(documents: DataFrame, tau: Double = 0.5, dfCap: Int = 50): DataFrame = {
     // distinct (doc, shingle-hash) pairs — the working set every later
     // stage joins against; persisted because it feeds 4 branches
-    val shd = spread(documents)
-      .select(col("doc_id"), explode(TextFns.shingles(col("text"), 5)).as("s"))
-      .select(col("doc_id"), HashFns.hash32(col("s")).as("x"))
+    val shd = shingleHashRows(documents, 5)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

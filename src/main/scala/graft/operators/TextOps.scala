@@ -79,23 +79,33 @@ object TextOps {
       length(regexp_replace(t, " ", "")).cast("long").as("n_chars_nospace"))
   }
 
+  /** One row per (doc, word-bigram): tokenize ONCE per row in a
+    * projection, explode a position sequence (codegen generator), and
+    * build each bigram with element_at on the materialized array — no
+    * higher-order lambda. (The previous `transform` formulation ran
+    * interpreted and re-evaluated the tokenize regex+split per bigram
+    * element.)
+    */
+  private def bigramRows(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("toks"), col("i")),
+          element_at(col("toks"), col("i") + 1)).as("bigram"))
+
   /** Top-k word bigrams across the corpus — the n-gram statistics pass
     * of a training-data pipeline (vocab building, contamination checks).
     * Bigrams are built per-row then count-aggregated with map-side
     * combine; the top-k order is fully tie-broken.
     */
-  def bigramTopK(documents: DataFrame, k: Int = 20): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    OpUtils.spread(documents)
-      .select(explode(when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))).as("bigram"))
+  def bigramTopK(documents: DataFrame, k: Int = 20): DataFrame =
+    bigramRows(OpUtils.spread(documents))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
-  }
 
   /** Benchmark-contamination check: which corpus docs share suspiciously
     * many word bigrams with a probe set (here: the first `nProbe` docs
@@ -104,14 +114,7 @@ object TextOps {
     * sweep shape for a 100 TB pretraining corpus.
     */
   def contaminationCheck(documents: DataFrame, nProbe: Int = 5, minOverlap: Int = 3): DataFrame = {
-    def bigrams(df: DataFrame) = {
-      val toks = TextFns.tokens(col("text"))
-      df.select(col("doc_id"), explode(when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))).as("bigram"))
-        .distinct()
-    }
+    def bigrams(df: DataFrame) = bigramRows(df).distinct()
     val probe = bigrams(documents.filter(col("doc_id") < nProbe))
       .select(col("doc_id").as("probe_id"), col("bigram"))
     val corpus = bigrams(OpUtils.spread(documents).filter(col("doc_id") >= nProbe))
