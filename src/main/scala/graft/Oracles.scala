@@ -362,6 +362,32 @@ object Oracles {
         |FROM dw JOIN cohorts ON dw.user_id = cohorts.user_id
         |GROUP BY cohort_week, dw.week - cohort_week""".stripMargin,
 
+    "disjunctive_promo_revenue" ->
+      """SELECT COUNT(*) AS n_lines,
+        | ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    "idle_rich_customers" ->
+      """WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |  / COUNT(*) AS avg_bal FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name AS nation, COUNT(*) AS n_customers,
+        | ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS total_acctbal
+        |FROM customer, a
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY n_name""".stripMargin,
+
     "hourly_anomalies" ->
       """WITH hourly AS (
         | SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -91,6 +91,10 @@ object SparkEntry {
       Analytics.medianOrderValue(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
     "weekly_retention" -> ((s, d) => Analytics.weeklyRetention(events(s, d))),
     "hourly_anomalies" -> ((s, d) => Analytics.hourlyAnomalies(events(s, d))),
+    "disjunctive_promo_revenue" -> ((s, d) =>
+      Analytics.disjunctivePromoRevenue(lineitem(s, d), part(s, d))),
+    "idle_rich_customers" -> ((s, d) =>
+      Analytics.idleRichCustomers(customer(s, d), orders(s, d), nation(s, d))),
     "customer_sample_by_nation" -> ((s, d) =>
       Analytics.customerSampleByNation(customer(s, d), nation(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),

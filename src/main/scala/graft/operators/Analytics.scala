@@ -598,6 +598,61 @@ object Analytics {
           .orderBy(col("spend").desc, col("c_custkey"))).as("spend_quartile"))
   }
 
+  /** Disjunctive-predicate promo revenue (TPC-H Q19 shape): revenue over
+    * an OR of (brand, size-range, quantity-range) conjunctions. The
+    * point at scale is predicate handling — the part-side conjuncts push
+    * into the part scan, the common l_quantity bound into the lineitem
+    * scan, and the join stays a plain broadcast/shuffle equi-join on
+    * partkey with the residual OR evaluated post-join in codegen.
+    */
+  def disjunctivePromoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val joined = lineitem
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 50))
+    joined.filter(cond)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)")).cast("double"), 4).as("promo_revenue"))
+  }
+
+  /** Lapsed high-balance customers (TPC-H Q22 shape): customers whose
+    * account balance exceeds the average positive balance and who placed
+    * NO orders on/after the cutoff — scalar aggregate broadcast against
+    * the dimension, anti-join against the (date-pruned) fact, per-nation
+    * rollup. All heavy work is the anti-join on the order fact's
+    * customer key; the date filter pushes into the orders scan.
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, cutoff: String = "1998-01-01"): DataFrame = {
+    val avgPos = customer
+      .filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    customer
+      .crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+          .as("total_acctbal"))
+  }
+
   /** Hourly volume anomalies per event type: z-score of each hour's
     * event count against that type's mean/stddev, from exact integer
     * sums (the dashboard alerting view). Two grouped passes over a

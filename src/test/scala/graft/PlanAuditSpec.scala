@@ -81,6 +81,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Expand") || p.contains("HashAggregate"), p.take(300))
   }
 
+  test("disjunctive predicate pushes its per-side OR projections into both scans") {
+    val p = plan("disjunctive_promo_revenue")
+    // Catalyst derives a quantity-range OR for the lineitem scan and a
+    // brand/size OR for the part scan from the joint disjunction
+    val pushes = "PushedFilters: \\[[^\\]]*Or".r.findAllIn(p).length
+    assert(pushes >= 2, s"both scans should carry Or pushed filters:\n${p.take(600)}")
+  }
+
+  test("lapsed-customer query anti-joins a date-pruned fact") {
+    val p = plan("idle_rich_customers")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "date filter must push into the orders scan")
+  }
+
   test("median rank window only sees the quantile-pruned slice") {
     // the scale hazard is a full-data window partitioned by a ≤O(10)-
     // cardinality key (5 region tasks each sorting the whole fact at
