@@ -760,6 +760,22 @@ object Oracles {
          |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
     },
 
+    "embed_quantize" ->
+      """WITH ex AS (
+        | SELECT vec_id, g.i - 1 AS i, embedding[g.i]::DOUBLE AS v
+        | FROM embeddings, unnest(generate_series(1, 64)) AS g(i)),
+        |dims AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx,
+        |  (MAX(v) - MIN(v)) / 255.0 AS scale FROM ex GROUP BY i),
+        |coded AS (SELECT vec_id, ex.i,
+        |  CASE WHEN scale = 0.0 THEN 0
+        |       ELSE CAST(ROUND((v - mn) / scale) AS INT) END AS q,
+        |  abs(v - (mn + (CASE WHEN scale = 0.0 THEN 0
+        |       ELSE CAST(ROUND((v - mn) / scale) AS INT) END) * scale)) AS err
+        | FROM ex JOIN dims ON ex.i = dims.i)
+        |SELECT vec_id, list(q ORDER BY i) AS q_embedding,
+        | ROUND(MAX(err), 6) AS max_err
+        |FROM coded GROUP BY vec_id""".stripMargin,
+
     "dedup_embed_cosine" -> {
       def planeDot(p: Int) =
         s"list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (CAST((1103515245 * (${p * 64} + i - 1) + 12345) % 65536 AS DOUBLE) / 65536.0 - 0.5)), (x, y) -> x + y)"

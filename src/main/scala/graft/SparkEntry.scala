@@ -115,6 +115,7 @@ object SparkEntry {
     "embed_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(embeddings(s, d))),
     "embed_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(embeddings(s, d))),
     "embed_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(embeddings(s, d))),
+    "embed_quantize" -> ((s, d) => SimilarityOps.embedQuantize(embeddings(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(documents(s, d))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(documents(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCount(documents(s, d))),

@@ -210,6 +210,33 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage path
+    * a 100 TB vector store actually ships (4× smaller than float32, and
+    * the asymmetric-distance scan reads int8). Per-dimension min/max
+    * over the corpus (one map-side-combined aggregation, 64 tiny rows
+    * broadcast back), code = round((v - min) / scale) in [0, 255], plus
+    * the per-vector max reconstruction error as the quality audit. The
+    * re-assembly window is per-vector over 64 rows — bounded, parallel.
+    */
+  def embedQuantize(embeddings: DataFrame): DataFrame = {
+    val exploded = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), col("v").cast("double").as("v"))
+    val dims = exploded.groupBy(col("i"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+    val coded = exploded.join(broadcast(dims), Seq("i"))
+      .withColumn("q",
+        when(col("scale") === 0.0, lit(0))
+          .otherwise(round((col("v") - col("mn")) / col("scale")).cast("int")))
+      .withColumn("err", abs(col("v") - (col("mn") + col("q") * col("scale"))))
+    coded.groupBy(col("vec_id"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("i"), col("q")))),
+          s => s.getField("q")).as("q_embedding"),
+        round(max(col("err")), 6).as("max_err"))
+  }
+
   /** LSH-bucketed ANN: candidates share the full 16-bit bucket; top-k by
     * exact cosine within candidates (recall < 1 by design — mirrored by
     * the oracle).

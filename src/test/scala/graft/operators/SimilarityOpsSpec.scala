@@ -58,6 +58,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.head.getLong(1) == 40L && out.head.getDouble(2) == 1.0)
   }
 
+  test("embedQuantize codes land in [0,255] with bounded reconstruction error") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = SimilarityOps.embedQuantize(emb).collect()
+    assert(out.length == emb.count())
+    assert(out.forall(_.getSeq[Int](1).forall(q => q >= 0 && q <= 255)))
+    // per-dim error is at most scale/2 = span/510
+    val span = emb
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("embedding")).as("v"))
+      .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("v")) -
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("v")))
+      .head().getFloat(0)
+    val bound = span / 510.0 + 1e-9
+    assert(out.forall(_.getDouble(2) <= bound),
+      s"max_err must be within half a quantization step ($bound)")
+  }
+
   test("trained IVF clusters real testdata with high recall vs brute force") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = SimilarityOps.bruteCosineTopK(emb, nQueries = 20, k = 3)
