@@ -388,6 +388,83 @@ object Oracles {
         |    AND o_orderdate >= TIMESTAMP '1998-01-01')
         |GROUP BY n_name""".stripMargin,
 
+    "returned_item_customers" ->
+      """SELECT c_custkey, c_name, n_name AS nation,
+        | COUNT(*) AS n_return_lines,
+        | ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   AS DECIMAL(18,4))) AS DOUBLE), 4) AS returned_revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1999-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY returned_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "small_qty_revenue" ->
+      """WITH bl AS (
+        | SELECT l_partkey, l_quantity, l_extendedprice
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_brand = 'Brand#23'),
+        |pp AS (SELECT l_partkey AS t_partkey,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, COUNT(*) AS cnt
+        | FROM bl GROUP BY l_partkey)
+        |SELECT COUNT(*) AS n_lines,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   / CAST(7.0 AS DOUBLE), 4) AS avg_yearly
+        |FROM bl JOIN pp ON l_partkey = t_partkey
+        |WHERE l_quantity < CAST(0.2 AS DOUBLE) * (CAST(sq AS DOUBLE) / cnt)""".stripMargin,
+
+    "large_order_customers" ->
+      """WITH big AS (
+        | SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        | ROUND(CAST(sq AS DOUBLE), 2) AS sum_qty
+        |FROM orders
+        | JOIN big ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INT) AS l_year, COUNT(*) AS n_lines,
+        | ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY sn.n_name, cn.n_name, CAST(year(l_shipdate) AS INT)""".stripMargin,
+
+    "product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        | COUNT(*) AS n_lines,
+        | ROUND(CAST(SUM(
+        |   CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |     AS DECIMAL(18,4))
+        |   - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+        |     * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))
+        | ) AS DOUBLE), 4) AS profit
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, CAST(year(o_orderdate) AS INT)""".stripMargin,
+
     "hourly_anomalies" ->
       """WITH hourly AS (
         | SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -1050,6 +1127,23 @@ object Oracles {
          |   AS avg_rarity
          |FROM toks JOIN tf USING (tok) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+
+    "repetition_report" ->
+      s"""WITH t AS (SELECT doc_id, CASE WHEN length(${norm("text")}) = 0 THEN []
+         |  ELSE string_split(${norm("text")}, ' ') END AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+         | FROM t, unnest(CASE WHEN len(toks) >= 2
+         |   THEN generate_series(1, len(toks) - 1) ELSE [] END) AS u(i)),
+         |pc AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram)
+         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         | COUNT(*) AS n_distinct_bigrams,
+         | ROUND(CAST(CAST(SUM(n) AS BIGINT) - COUNT(*) AS DOUBLE)
+         |   / CAST(SUM(n) AS BIGINT), 4) AS dup_bigram_frac,
+         | ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 4)
+         |   AS top_bigram_frac,
+         | ROUND(CAST(CAST(SUM(n) AS BIGINT) - COUNT(*) AS DOUBLE)
+         |   / CAST(SUM(n) AS BIGINT), 4) >= 0.2 AS is_repetitive
+         |FROM pc GROUP BY doc_id""".stripMargin,
 
     "multimodal_resize" ->
       """WITH meta AS (

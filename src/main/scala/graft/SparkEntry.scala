@@ -95,6 +95,19 @@ object SparkEntry {
       Analytics.disjunctivePromoRevenue(lineitem(s, d), part(s, d))),
     "idle_rich_customers" -> ((s, d) =>
       Analytics.idleRichCustomers(customer(s, d), orders(s, d), nation(s, d))),
+    "returned_item_customers" -> ((s, d) =>
+      Analytics.returnedItemCustomers(lineitem(s, d), orders(s, d),
+        customer(s, d), nation(s, d))),
+    "small_qty_revenue" -> ((s, d) =>
+      Analytics.smallQtyRevenue(lineitem(s, d), part(s, d))),
+    "large_order_customers" -> ((s, d) =>
+      Analytics.largeOrderCustomers(lineitem(s, d), orders(s, d), customer(s, d))),
+    "volume_shipping" -> ((s, d) =>
+      Analytics.volumeShipping(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d))),
+    "product_profit" -> ((s, d) =>
+      Analytics.productProfit(lineitem(s, d), orders(s, d), part(s, d),
+        supplier(s, d), nation(s, d))),
     "customer_sample_by_nation" -> ((s, d) =>
       Analytics.customerSampleByNation(customer(s, d), nation(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
@@ -125,6 +138,7 @@ object SparkEntry {
     "bigram_topk" -> ((s, d) => TextOps.bigramTopK(documents(s, d))),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
     "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
+    "repetition_report" -> ((s, d) => TextOps.repetitionReport(documents(s, d))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(documents(s, d))),
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(documents(s, d))),
     "dedup_spans" -> ((s, d) => DedupOps.dedupSpans(documents(s, d))),

@@ -698,4 +698,150 @@ object Analytics {
       .select(
         col("o_orderpriority"), col("n_lines"), col("n_fast"),
         round(col("n_fast").cast("double") * lit(100.0) / col("n_lines"), 2).as("pct_fast"))
+
+  /** Top returned-revenue customers (TPC-H Q10 shape): revenue lost to
+    * returns in a date window, per customer. Scale shape: the returnflag
+    * filter and the date window both push into their scans before the
+    * two fact-fact shuffle joins; nation broadcasts; the top-k is a
+    * TakeOrdered, never a global sort.
+    */
+  def returnedItemCustomers(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame, from: String = "1999-01-01",
+      until: String = "1999-07-01", k: Int = 20): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_return_lines"),
+        round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)")).cast("double"), 4).as("returned_revenue"))
+      .orderBy(col("returned_revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape): lines of one brand
+    * whose quantity is below 20% of that part's average order quantity.
+    * The correlated per-part threshold becomes a broadcast of the tiny
+    * aggregated per-part table back onto the (brand-pruned) line scan —
+    * no correlated subquery re-execution, two passes over a pruned slice.
+    */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#23"): DataFrame = {
+    val brandLines = lineitem
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(part.filter(col("p_brand") === brand).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+    val perPart = brandLines
+      .groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+        count(lit(1)).as("cnt"))
+    brandLines
+      .join(broadcast(perPart), col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") <
+        lit(0.2) * (col("sq").cast("double") / col("cnt")))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / lit(7.0), 4).as("avg_yearly"))
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total line
+    * quantity exceeds a threshold, with their customer. The group-having
+    * runs map-side-combined on the fact alone; only the few surviving
+    * order keys join back to orders/customer. Deterministic top-k.
+    */
+  def largeOrderCustomers(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, minQty: Double = 300.0, k: Int = 100): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      .filter(col("sq").cast("double") > minQty)
+    orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        round(col("sq").cast("double"), 2).as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Bilateral shipping volume (TPC-H Q7 shape): revenue between two
+    * nations by supplier-nation/customer-nation/ship-year. Both nation
+    * filters are applied to the DIMENSIONS first (supplier and customer
+    * each pruned to the two nations before touching a fact), so the
+    * lineitem⋈supplier join prunes the fact early and only the
+    * orders⋈customer link shuffles at fact size.
+    */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationA: String = "NATION_3", nationB: String = "NATION_7"): DataFrame = {
+    val picked = nation
+      .filter(col("n_name").isin(nationA, nationB))
+      .select("n_nationkey", "n_name")
+    val supp = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(picked.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(picked.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey", "cust_nation")
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)")).cast("double"), 4).as("revenue"))
+  }
+
+  /** Product-line profit by nation and year (TPC-H Q9 shape; the
+    * supplycost leg is proxied by part retail price since the testdata
+    * has no partsupp table). The part-name pattern prunes parts → the
+    * lineitem join prunes the fact; supplier/nation/part broadcast;
+    * orders is the only fact-sized shuffle.
+    */
+  def productProfit(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      namePattern: String = "%red%"): DataFrame = {
+    val revenue = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(18,4)")
+    val cost = (col("p_retailprice").cast("decimal(18,2)") *
+      col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,4)")
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part.filter(col("p_name").like(namePattern))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(revenue - cost).cast("double"), 4).as("profit"))
+  }
 }

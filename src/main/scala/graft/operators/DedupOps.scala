@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * band-bucket equi-joins; n-gram Jaccard bounds its shingle join with a
   * document-frequency cap; SimHash pairs come from Hamming-band buckets
   * (pigeonhole: ≤3 differing bits over 4 bands ⇒ one band collides).
+  *
+  * Cache lifecycle: operators persist() intermediates that feed both
+  * sides of a self-join (the plan would otherwise recompute the
+  * signature scan per side). The blocks live until the session drops
+  * them — CALLERS running many operators in one long-lived session
+  * should `spark.catalog.clearCache()` between logical jobs, as
+  * [[graft.Verify]] and [[graft.Bench]] do per query; only the
+  * iterative connected-components loop unpersists eagerly itself.
   */
 object DedupOps {
   import HashFns._

@@ -124,6 +124,28 @@ object TextOps {
       .filter(col("n_shared_bigrams") >= minOverlap)
   }
 
+  /** Per-document n-gram repetition report (the Gopher-style repetition
+    * quality filter): duplicate-bigram fraction and top-bigram fraction
+    * flag boilerplate and degenerate generations. One explode + two
+    * grouped aggregations, all map-side combinable — a single scan shape
+    * at corpus scale. Docs with < 2 tokens have no bigrams and are
+    * excluded (mirrored in the oracle).
+    */
+  def repetitionReport(documents: DataFrame, dupFracMin: Double = 0.2): DataFrame =
+    bigramRows(OpUtils.spread(documents))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("n")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        round((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+          col("n_bigrams"), 4).as("dup_bigram_frac"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 4)
+          .as("top_bigram_frac"))
+      .withColumn("is_repetitive", col("dup_bigram_frac") >= dupFracMin)
+
   /** Unigram rarity score — a perplexity proxy with exact integer
     * arithmetic (no float logs, whose libm rounding differs across
     * engines): per token, rarity = corpus_tokens div token_frequency;

@@ -100,6 +100,113 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("bad_discount") == 1L)
   }
 
+  test("returnedItemCustomers sums only R-flag lines inside the window") {
+    val li = Seq(
+      (1L, 1L, 1L, 1, 1.0, 100.0, 0.1, 0.0, "R", "O", ts("2024-01-05")),
+      (1L, 1L, 1L, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", ts("2024-01-05")),
+      (2L, 1L, 1L, 1, 1.0, 75.0, 0.0, 0.0, "R", "O", ts("2024-02-05")),
+      (3L, 1L, 1L, 1, 1.0, 999.0, 0.0, 0.0, "R", "O", ts("2024-06-05")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    // orders 1,2 (cust 10) in window; order 3 (cust 20) out of window
+    val os = Seq(
+      (1L, 10L, "O", 100.0, ts("2024-01-01"), "x"),
+      (2L, 10L, "O", 100.0, ts("2024-02-01"), "x"),
+      (3L, 20L, "O", 100.0, ts("2024-07-01"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Analytics.returnedItemCustomers(li, os, customer, nation,
+      from = "2024-01-01", until = "2024-07-01").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("c_custkey") == 10L)
+    assert(r.getAs[Long]("n_return_lines") == 2L)
+    // 100*(1-0.1) + 75 = 165
+    assert(r.getAs[Double]("returned_revenue") == 165.0)
+  }
+
+  test("smallQtyRevenue keeps lines under 20% of the part's avg quantity") {
+    val parts = Seq((1L, "p1", "Brand#23", "T", 1, 10.0),
+      (2L, "p2", "Brand#99", "T", 1, 10.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    // part 1: quantities 1, 10, 10 → avg 7, threshold 1.4 → only qty=1 kept
+    val li = Seq(
+      (1L, 1L, 1L, 1, 1.0, 70.0, 0.0, 0.0, "N", "O", ts("2024-01-05")),
+      (2L, 1L, 1L, 1, 10.0, 1.0, 0.0, 0.0, "N", "O", ts("2024-01-05")),
+      (3L, 1L, 1L, 1, 10.0, 1.0, 0.0, 0.0, "N", "O", ts("2024-01-05")),
+      (4L, 2L, 1L, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", ts("2024-01-05")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    val r = Analytics.smallQtyRevenue(li, parts).head
+    assert(r.getAs[Long]("n_lines") == 1L)
+    assert(r.getAs[Double]("avg_yearly") == 10.0) // 70 / 7
+  }
+
+  test("largeOrderCustomers keeps only orders above the quantity threshold") {
+    val li = Seq(
+      (1L, 1L, 1L, 1, 200.0, 1.0, 0.0, 0.0, "N", "O", ts("2024-01-05")),
+      (1L, 1L, 1L, 2, 150.0, 1.0, 0.0, 0.0, "N", "O", ts("2024-01-05")),
+      (2L, 1L, 1L, 1, 299.0, 1.0, 0.0, 0.0, "N", "O", ts("2024-01-05")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    val out = Analytics.largeOrderCustomers(li, orders, customer).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("o_orderkey") == 1L)
+    assert(out.head.getAs[Double]("sum_qty") == 350.0)
+  }
+
+  test("volumeShipping keeps only cross-nation supplier→customer pairs") {
+    val nations = Seq((1, "FRANCE", 0), (2, "CANADA", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val sup = Seq((1L, "s1", 1, 0.0), (2L, "s2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val cust = Seq((10L, "a", 1, 0.0, "SEG"), (20L, "b", 2, 0.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val os = Seq(
+      (1L, 20L, "O", 1.0, ts("2024-01-01"), "x"),  // cust CANADA
+      (2L, 10L, "O", 1.0, ts("2024-01-01"), "x"))  // cust FRANCE
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, 1L, 1L, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", ts("2024-03-15")), // FR→CA
+      (2L, 1L, 1L, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", ts("2024-03-15")))  // FR→FR
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    val out = Analytics.volumeShipping(li, os, cust, sup, nations,
+      nationA = "FRANCE", nationB = "CANADA").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("supp_nation") == "FRANCE")
+    assert(r.getAs[String]("cust_nation") == "CANADA")
+    assert(r.getAs[Int]("l_year") == 2024)
+    assert(r.getAs[Double]("revenue") == 100.0)
+  }
+
+  test("productProfit nets retail cost against discounted revenue") {
+    val parts = Seq((1L, "vivid red metal", "B", "T", 1, 10.0),
+      (2L, "plain blue thing", "B", "T", 1, 10.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val sup = Seq((1L, "s1", 1, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val li = Seq(
+      (1L, 1L, 1L, 1, 2.0, 100.0, 0.1, 0.0, "N", "O", ts("2024-03-15")),
+      (1L, 2L, 1L, 1, 2.0, 999.0, 0.0, 0.0, "N", "O", ts("2024-03-15")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    val out = Analytics.productProfit(li, orders, parts, sup, nation).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("nation") == "FRANCE")
+    assert(r.getAs[Int]("o_year") == 2024)
+    // revenue 100*0.9=90, cost 10*2=20 → 70; blue part excluded by pattern
+    assert(r.getAs[Double]("profit") == 70.0)
+  }
+
   test("medianOrderValue is exact on both the small-region and pruned paths") {
     // small path (cnt <= 1000): 3 orders, odd count → middle value
     val small = Analytics.medianOrderValue(orders, customer, nation, region).head

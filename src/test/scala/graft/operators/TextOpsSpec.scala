@@ -69,6 +69,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out.head.getLong(1) == out(1).getLong(1))
   }
 
+  test("repetitionReport flags duplicate-heavy bigram distributions") {
+    val df = docs(
+      (1L, "spam spam spam spam spam", "en"),  // 4 bigrams, 1 distinct
+      (2L, "all fresh words in here", "en"),   // 4 bigrams, 4 distinct
+      (3L, "solo", "en"))                      // < 2 tokens → no bigrams
+    val out = TextOps.repetitionReport(df).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val spam = out.head
+    assert(spam.getAs[Long]("n_bigrams") == 4L)
+    assert(spam.getAs[Long]("n_distinct_bigrams") == 1L)
+    assert(spam.getAs[Double]("dup_bigram_frac") == 0.75)
+    assert(spam.getAs[Double]("top_bigram_frac") == 1.0)
+    assert(spam.getAs[Boolean]("is_repetitive"))
+    val fresh = out(1)
+    assert(fresh.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(!fresh.getAs[Boolean]("is_repetitive"))
+  }
+
   test("piiRedact counts and masks synthesized emails, phones, and IPs") {
     // doc_id % 5 selects the injected PII kind: 0=email, 1=phone, 2=ip,
     // 3/4 untouched
