@@ -542,6 +542,37 @@ object Oracles {
   /** Shared shingle-hash CTE prefix over documents (32-bit md5-prefix of
     * char-5-grams of the normalized text).
     */
+  /** SELECT body of the `celled` CTE: every embedding with its nearest
+    * (`cell`) and second-nearest (`cell2`) fixed IVF centroid — the
+    * DuckDB mirror of SimilarityOps.withIvfCells. Shared by the IVF ANN
+    * and semantic-dedup oracles.
+    */
+  private val ivfCelledSelect: String = {
+    def centroidDot(k: Int) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (CAST((69069 * (${k * 64} + i - 1) + 12345) % 4096 AS DOUBLE) / 2048.0 - 1.0)), (x, y) -> x + y)"
+    val scoreCols = (0 until 16).map { k =>
+      s"(${graft.operators.SimilarityOps.centroidNorm2(k)} - 2.0 * ${centroidDot(k)}) AS s$k"
+    }.mkString(", ")
+    val mExpr = s"LEAST(${(0 until 16).map(k => s"s$k").mkString(", ")}) AS m"
+    val cellCase = "CASE " + (0 until 16).map(k => s"WHEN s$k = m THEN $k").mkString(" ") + " END AS cell"
+    val maskedCols = (0 until 16)
+      .map(k => s"CASE WHEN s$k = m THEN ${Double.MaxValue} ELSE s$k END AS t$k").mkString(", ")
+    val m2Expr = s"LEAST(${(0 until 16).map(k => s"t$k").mkString(", ")}) AS m2"
+    val cell2Case = "CASE " + (0 until 16).map(k => s"WHEN t$k = m2 THEN $k").mkString(" ") + " END AS cell2"
+    s"""SELECT vec_id, embedding, $scoreCols, $mExpr, $cellCase, $maskedCols,
+       |  $m2Expr, $cell2Case
+       | FROM embeddings""".stripMargin
+  }
+
+  /** Cosine similarity between rows aliased `a` and `b` in DuckDB list
+    * arithmetic, rounded to 6 places (the shared output convention).
+    */
+  private def cosineSql(a: String, b: String): String = {
+    def dotSql(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $x.embedding[i]::DOUBLE * $y.embedding[i]::DOUBLE), (x, y) -> x + y)"
+    s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+  }
+
   private val shingleCte =
     s"""norm AS (SELECT doc_id, ${norm("text")} AS t FROM documents),
        |sh AS (SELECT doc_id, ${hash32Sql("substr(t, i, 5)")} AS x
@@ -806,36 +837,28 @@ object Oracles {
          |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
     },
 
-    "embed_ivf_ann" -> {
-      def centroidDot(k: Int) =
-        s"list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (CAST((69069 * (${k * 64} + i - 1) + 12345) % 4096 AS DOUBLE) / 2048.0 - 1.0)), (x, y) -> x + y)"
-      val scoreCols = (0 until 16).map { k =>
-        s"(${graft.operators.SimilarityOps.centroidNorm2(k)} - 2.0 * ${centroidDot(k)}) AS s$k"
-      }.mkString(", ")
-      val mExpr = s"LEAST(${(0 until 16).map(k => s"s$k").mkString(", ")}) AS m"
-      val cellCase = "CASE " + (0 until 16).map(k => s"WHEN s$k = m THEN $k").mkString(" ") + " END AS cell"
-      val maskedCols = (0 until 16)
-        .map(k => s"CASE WHEN s$k = m THEN ${Double.MaxValue} ELSE s$k END AS t$k").mkString(", ")
-      val m2Expr = s"LEAST(${(0 until 16).map(k => s"t$k").mkString(", ")}) AS m2"
-      val cell2Case = "CASE " + (0 until 16).map(k => s"WHEN t$k = m2 THEN $k").mkString(" ") + " END AS cell2"
-      def dotSql(a: String, b: String) =
-        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
-      s"""WITH celled AS (
-         | SELECT vec_id, embedding, $scoreCols, $mExpr, $cellCase, $maskedCols,
-         |  $m2Expr, $cell2Case
-         | FROM embeddings),
+    "embed_ivf_ann" ->
+      s"""WITH celled AS ($ivfCelledSelect),
          |pairs AS (
          | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |  ROUND(${dotSql("q", "c")} / (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})), 6)
-         |   AS cosine_sim
+         |  ${cosineSql("q", "c")} AS cosine_sim
          | FROM celled q JOIN celled c
          |  ON (c.cell = q.cell OR c.cell = q.cell2)
          |   AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
          |ranked AS (SELECT *, CAST(row_number() OVER (
          |  PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
          | FROM pairs)
-         |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
-    },
+         |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH celled AS ($ivfCelledSelect),
+         |rem AS (
+         | SELECT DISTINCT q.vec_id
+         | FROM celled p JOIN celled q
+         |  ON p.cell = q.cell AND p.vec_id < q.vec_id
+         | WHERE ${cosineSql("p", "q")} >= 0.99)
+         |SELECT c.vec_id, c.cell, (rem.vec_id IS NOT NULL) AS is_removed
+         |FROM celled c LEFT JOIN rem ON c.vec_id = rem.vec_id""".stripMargin,
 
     "embed_quantize" ->
       """WITH ex AS (
@@ -973,6 +996,29 @@ object Oracles {
          |   / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE), 4)
          |   AS token_share_pct
          |FROM g""".stripMargin,
+
+    "mixture_balance" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+         |       ELSE len(string_split(${norm("text")}, ' ')) END AS BIGINT) AS n
+         | FROM documents),
+         |g AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+         |      FROM t GROUP BY lang),
+         |m AS (SELECT MIN(n_tokens) AS min_tokens FROM g),
+         |r AS (SELECT lang, n_docs, n_tokens,
+         |  CAST(FLOOR((100.0 * CAST(min_tokens AS DOUBLE))
+         |    / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS keep_rate_pct
+         | FROM g CROSS JOIN m),
+         |k AS (SELECT lang, COUNT(*) AS kept_docs, CAST(SUM(n) AS BIGINT) AS kept_tokens
+         | FROM t JOIN r USING (lang)
+         | WHERE ${hash32Sql(s"'${graft.operators.PipelineOps.BalanceSalt}' || CAST(doc_id AS VARCHAR)")} % 100 < keep_rate_pct
+         | GROUP BY lang)
+         |SELECT lang, n_docs, n_tokens, keep_rate_pct,
+         | COALESCE(kept_docs, 0) AS kept_docs,
+         | COALESCE(kept_tokens, 0) AS kept_tokens,
+         | ROUND((CAST(COALESCE(kept_tokens, 0) AS DOUBLE) * 100.0)
+         |   / CAST(n_tokens AS DOUBLE), 4) AS realized_pct
+         |FROM r LEFT JOIN k USING (lang)""".stripMargin,
 
     "token_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, source,

@@ -111,6 +111,7 @@ object SparkEntry {
     "customer_sample_by_nation" -> ((s, d) =>
       Analytics.customerSampleByNation(customer(s, d), nation(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
+    "dedup_semantic" -> ((s, d) => DedupOps.dedupSemantic(embeddings(s, d))),
     "approx_distincts" -> ((s, d) => Analytics.approxDistincts(lineitem(s, d))),
     // D. training-data pipeline
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
@@ -139,6 +140,7 @@ object SparkEntry {
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
     "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
     "repetition_report" -> ((s, d) => TextOps.repetitionReport(documents(s, d))),
+    "mixture_balance" -> ((s, d) => PipelineOps.mixtureBalance(documents(s, d))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(documents(s, d))),
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(documents(s, d))),
     "dedup_spans" -> ((s, d) => DedupOps.dedupSpans(documents(s, d))),

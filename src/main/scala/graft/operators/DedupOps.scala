@@ -235,6 +235,38 @@ object DedupOps {
       .filter(col("cosine_sim") >= minCos)
   }
 
+  /** SemDeDup-style semantic dedup verdict: partition the corpus by
+    * nearest IVF centroid, find within-cell cosine near-dup pairs, and
+    * remove every vector that matches a LOWER-id vector in its cell at
+    * cosine ≥ minCos. Unlike [[dedupEmbedCosine]] (which emits the pair
+    * list), this emits the per-vector keep/remove verdict a curation
+    * pipeline consumes. Scale shape: the pair join is cell-partitioned,
+    * so cells parallelize independently; the cell count is the knob that
+    * grows with the corpus (k ≈ N / target cell size) keeping per-cell
+    * work bounded-quadratic — the published SemDeDup recipe (tens of
+    * thousands of cells at web scale). Deterministic fixed centroids
+    * here, shared with the embed_ivf_ann oracle; cross-cell near-dups
+    * are missed by design (the documented recall trade-off).
+    */
+  def dedupSemantic(embeddings: DataFrame, minCos: Double = 0.99): DataFrame = {
+    val celled = SimilarityOps.withIvfCells(embeddings)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = celled.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = celled.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val removed = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(graft.functions.VectorFns.cosine(col("emb_a"), col("emb_b")), 6)
+        >= minCos)
+      .select(col("vec_b").as("vec_id")).distinct()
+    celled.select(col("vec_id"), col("cell"))
+      .join(removed.withColumn("is_removed", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_removed"), lit(false)).as("is_removed"))
+  }
+
   /** Duplicate clusters = connected components over the MinHash-LSH
     * near-dup pair graph, via min-label propagation with pointer doubling
     * (hash-to-min): each round takes the min label over direct neighbors,

@@ -57,6 +57,46 @@ object PipelineOps {
         .as("token_share_pct"))
   }
 
+  /** Salt for the rebalancing sample — distinct from [[SampleSalt]] so
+    * the two samples are independent deterministic draws.
+    */
+  val BalanceSalt = "bal:"
+
+  /** Mixture rebalancing solver + realized outcome: per language, the
+    * keep rate that equalizes token mass down to the smallest language
+    * (rate_pct = floor(100 · min_tokens / lang_tokens)), then the sample
+    * that rate actually draws under the same auditable md5-bucket
+    * contract as [[stratifiedSample]], with achieved doc/token counts.
+    * Unlike the fixed [[SampleRatePct]] table, these rates are SOLVED
+    * from the corpus — the step a pipeline runs when the target mixture
+    * is "uniform across languages". Scale shape: two map-side-combined
+    * aggregations over one doc-stats scan; the language-count-sized rate
+    * table broadcasts back; nothing corpus-sized shuffles twice.
+    */
+  def mixtureBalance(documents: DataFrame): DataFrame = {
+    val stats = documents.select(col("doc_id"), col("lang"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n"))
+    val perLang = stats.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val minTok = perLang.agg(min(col("n_tokens")).as("min_tokens"))
+    val rates = perLang.crossJoin(broadcast(minTok))
+      .withColumn("keep_rate_pct",
+        floor((lit(100.0) * col("min_tokens").cast("double")) /
+          col("n_tokens").cast("double")).cast("long"))
+    val kept = stats
+      .join(broadcast(rates.select(col("lang"), col("keep_rate_pct"))), Seq("lang"))
+      .filter(HashFns.hash32(concat(lit(BalanceSalt), col("doc_id").cast("string")))
+        % 100 < col("keep_rate_pct"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n")).as("kept_tokens"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("keep_rate_pct"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        round((coalesce(col("kept_tokens"), lit(0L)).cast("double") * lit(100.0)) /
+          col("n_tokens").cast("double"), 4).as("realized_pct"))
+  }
+
   /** Chunking geometry: window length and stride in tokens (overlap =
     * ChunkTokens - ChunkStride). Shared with the oracle-SQL generator.
     */

@@ -95,6 +95,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), "date filter must push into the orders scan")
   }
 
+  test("Q10-shape top-k plans as TakeOrdered with pushed selective filters") {
+    val p = plan("returned_item_customers")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must never global-sort")
+    assert(p.contains("EqualTo(l_returnflag,R)") || p.contains("l_returnflag"),
+      "returnflag filter must push into the lineitem scan")
+  }
+
+  test("Q7/Q9 shapes broadcast every dimension leg") {
+    Seq("volume_shipping", "product_profit").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast pruned dims")
+      assert(!p.contains("CartesianProduct"), s"$q must not cross join")
+    }
+  }
+
+  test("Q17 correlated threshold becomes a broadcast, not re-execution") {
+    val p = plan("small_qty_revenue")
+    // both the brand part list and the per-part average broadcast back
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(400))
+  }
+
+  test("Q18 group-having partial-aggregates map-side before its shuffle") {
+    val p = plan("large_order_customers")
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semantic dedup joins cell-partitioned, never all-pairs") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("median rank window only sees the quantile-pruned slice") {
     // the scale hazard is a full-data window partitioned by a ≤O(10)-
     // cardinality key (5 region tasks each sorting the whole fact at

@@ -63,6 +63,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(en.getAs[Long]("n_docs") == 1L && en.getAs[Double]("token_share_pct") == 30.0)
   }
 
+  test("mixtureBalance solves rates toward the smallest language") {
+    // en: 8 tokens across 4 docs; fr: 2 tokens in 1 doc (the floor)
+    val df = docs(
+      (1L, "a b", "en"), (2L, "c d", "en"), (3L, "e f", "en"), (4L, "g h", "en"),
+      (5L, "u v", "fr"))
+    val out = PipelineOps.mixtureBalance(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("fr").getAs[Long]("keep_rate_pct") == 100L)
+    // rate 100 keeps every bucket (0..99 < 100)
+    assert(out("fr").getAs[Long]("kept_docs") == 1L)
+    assert(out("fr").getAs[Double]("realized_pct") == 100.0)
+    assert(out("en").getAs[Long]("keep_rate_pct") == 25L) // floor(100*2/8)
+    assert(out("en").getAs[Long]("kept_docs") <= 4L)
+    assert(out("en").getAs[Long]("kept_tokens") ==
+      2L * out("en").getAs[Long]("kept_docs"))
+    // the draw is deterministic: a re-run realizes the identical sample
+    val again = PipelineOps.mixtureBalance(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("kept_docs")).toMap
+    assert(again("en") == out("en").getAs[Long]("kept_docs"))
+  }
+
   test("tokenPack packs greedily in doc_id order within a stratum") {
     // budget 5: docs of 3,3,2 tokens → cum 3,6,8
     val df = docs((1L, "a b c", "en"), (2L, "d e f", "en"), (3L, "g h", "en"))

@@ -50,6 +50,16 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("dedupSemantic removes the higher-id member of a same-cell near-dup pair") {
+    val v = Seq.tabulate(64)(i => (i % 9).toFloat - 4f)
+    val w = Seq.tabulate(64)(i => (i % 3).toFloat + 1f)
+    val df = vecs(1L -> v, 2L -> v, 3L -> w)
+    val out = DedupOps.dedupSemantic(df).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_removed")).toMap
+    // identical 1/2 share a cell: 2 (the higher id) is removed, 1 kept
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
   test("lshAnn buckets identical vectors together") {
     val v = Seq.tabulate(64)(i => (i % 5).toFloat - 2f)
     val df = vecs(0L -> v, 40L -> v)
