@@ -1174,6 +1174,20 @@ object Oracles {
          |FROM toks JOIN tf USING (tok) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
 
+    "doc_keyterms" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(${norm("text")}, ' ')) AS tok
+         | FROM documents WHERE length(${norm("text")}) > 0),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents
+         |       WHERE length(${norm("text")}) > 0),
+         |s AS (SELECT doc_id, tok, tf, df,
+         |  CAST(tf * ((n_docs * 1000) // df) AS BIGINT) AS score
+         | FROM tf JOIN df USING (tok) CROSS JOIN nd),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score DESC, tok) AS BIGINT) AS rank FROM s)
+         |SELECT doc_id, tok, tf, df, score, rank FROM r WHERE rank <= 3""".stripMargin,
+
     "repetition_report" ->
       s"""WITH t AS (SELECT doc_id, CASE WHEN length(${norm("text")}) = 0 THEN []
          |  ELSE string_split(${norm("text")}, ' ') END AS toks FROM documents),

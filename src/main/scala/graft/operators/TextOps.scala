@@ -168,6 +168,34 @@ object TextOps {
         round(col("sum_rarity").cast("double") / col("n_tokens"), 4).as("avg_rarity"))
   }
 
+  /** Per-document salient terms (TF-IDF shape): rank each document's
+    * tokens by tf × an exact-integer idf surrogate, (n_docs·1000) div df
+    * — integer arithmetic end-to-end, so both engines rank identically
+    * (libm log rounding differs across engines; see rarityScore). Scale
+    * shape: the (doc, tok) tf aggregation and the tf⋈df join are the
+    * corpus-sized shuffles (both map-side combinable / key-partitioned);
+    * the ranking window partitions by doc_id, so it parallelizes with
+    * the corpus rather than capping on any small key.
+    */
+  def docKeyterms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = OpUtils.spread(documents)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = documents
+      .filter(length(TextFns.normText(col("text"))) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("tf * ((n_docs * 1000) div df)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Type-token ratio (lexical diversity): distinct-token share of the
     * token stream, the standard repetition-detection quality filter
     * (boilerplate and degenerate generations score low). Pure per-row

@@ -69,6 +69,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.head.getLong(1) == out(1).getLong(1))
   }
 
+  test("docKeyterms ranks rare-but-frequent terms above common ones") {
+    // "zebra" appears twice in doc 1 only (df=1); "the" is in all 3 docs
+    val df = docs(
+      (1L, "the zebra saw the zebra", "en"),
+      (2L, "the cat sat", "en"),
+      (3L, "the dog ran", "en"))
+    val out = TextOps.docKeyterms(df, k = 2).orderBy("doc_id", "rank").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.head.getAs[String]("tok") == "zebra")
+    // zebra: tf=2, df=1 → 2*(3000 div 1)=6000; the: tf=2, df=3 → 2*1000
+    assert(d1.head.getAs[Long]("score") == 6000L)
+    assert(d1(1).getAs[String]("tok") == "the")
+    assert(d1(1).getAs[Long]("score") == 2000L)
+    assert(out.forall(_.getAs[Long]("rank") <= 2L))
+  }
+
   test("repetitionReport flags duplicate-heavy bigram distributions") {
     val df = docs(
       (1L, "spam spam spam spam spam", "en"),  // 4 bigrams, 1 distinct
