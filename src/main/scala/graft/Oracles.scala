@@ -473,15 +473,19 @@ object Oracles {
         |stats AS (SELECT event_type AS et, COUNT(*) AS n_hours,
         |  CAST(SUM(n_events) AS BIGINT) AS sx,
         |  CAST(SUM(n_events * n_events) AS BIGINT) AS sxx
-        | FROM hourly GROUP BY event_type)
+        | FROM hourly GROUP BY event_type),
+        |jn AS (
+        | SELECT hour_start, event_type, n_events,
+        |  CAST(sx AS DOUBLE) / n_hours AS mean,
+        |  CAST(sxx AS DOUBLE) / n_hours
+        |    - (CAST(sx AS DOUBLE) / n_hours) * (CAST(sx AS DOUBLE) / n_hours)
+        |    AS variance
+        | FROM hourly JOIN stats ON event_type = et)
         |SELECT hour_start, event_type, n_events, mean_events, z FROM (
         | SELECT hour_start, event_type, n_events,
-        |  ROUND(CAST(sx AS DOUBLE) / n_hours, 4) AS mean_events,
-        |  ROUND((CAST(n_events AS DOUBLE) - CAST(sx AS DOUBLE) / n_hours)
-        |    / sqrt(CAST(sxx AS DOUBLE) / n_hours
-        |      - (CAST(sx AS DOUBLE) / n_hours) * (CAST(sx AS DOUBLE) / n_hours)), 4)
-        |    AS z
-        | FROM hourly JOIN stats ON event_type = et)
+        |  ROUND(mean, 4) AS mean_events,
+        |  ROUND((CAST(n_events AS DOUBLE) - mean) / sqrt(variance), 4) AS z
+        | FROM jn WHERE variance > 0)
         |WHERE abs(z) >= 2.0""".stripMargin,
 
     "customer_sample_by_nation" ->
@@ -872,7 +876,7 @@ object Oracles {
         |  abs(v - (mn + (CASE WHEN scale = 0.0 THEN 0
         |       ELSE CAST(ROUND((v - mn) / scale) AS INT) END) * scale)) AS err
         | FROM ex JOIN dims ON ex.i = dims.i)
-        |SELECT vec_id, list(q ORDER BY i) AS q_embedding,
+        |SELECT vec_id, string_agg(q::VARCHAR, ',' ORDER BY i) AS q_codes,
         | ROUND(MAX(err), 6) AS max_err
         |FROM coded GROUP BY vec_id""".stripMargin,
 

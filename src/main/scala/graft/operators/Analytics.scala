@@ -658,6 +658,10 @@ object Analytics {
     * sums (the dashboard alerting view). Two grouped passes over a
     * pre-aggregated hourly table; the stats side is tiny and broadcast.
     * Population stddev in the SQL-standard form from Σx, Σx², n.
+    * Zero-variance types (all hourly counts equal) are dropped BEFORE the
+    * z computation: Spark's divide-by-zero yields NULL while DuckDB's
+    * IEEE 0/0 yields NaN (ordered above all numbers), so only an explicit
+    * variance > 0 guard keeps the two engines row-identical.
     */
   def hourlyAnomalies(events: DataFrame, zMin: Double = 2.0): DataFrame = {
     val hourly = events
@@ -674,6 +678,7 @@ object Analytics {
         col("sxx").cast("double") / col("n_hours") -
           (col("sx").cast("double") / col("n_hours")) *
           (col("sx").cast("double") / col("n_hours")))
+      .filter(col("variance") > 0.0)
       .withColumn("z",
         round((col("n_events").cast("double") - col("mean")) /
           sqrt(col("variance")), 4))

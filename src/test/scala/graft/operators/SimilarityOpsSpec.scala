@@ -72,7 +72,11 @@ class SimilarityOpsSpec extends SparkSpec {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = SimilarityOps.embedQuantize(emb).collect()
     assert(out.length == emb.count())
-    assert(out.forall(_.getSeq[Int](1).forall(q => q >= 0 && q <= 255)))
+    // q_codes is the comma-joined int8 vector (driver-hashable scalar form)
+    assert(out.forall(_.getString(1).split(',').forall { q =>
+      val n = q.toInt; n >= 0 && n <= 255
+    }))
+    assert(out.forall(_.getString(1).split(',').length == 64))
     // per-dim error is at most scale/2 = span/510
     val span = emb
       .select(org.apache.spark.sql.functions.explode(

@@ -64,6 +64,15 @@ for name in names:
         print(f"FAIL {name}: DECIMAL output columns {dec_cols} — hash-unsafe "
               f"under driver canonicalization; final-project as ROUND(CAST(col AS DOUBLE), n)")
         fails.append(name); continue
+    # the driver's pandas canonicalization cannot hash LIST/STRUCT/MAP
+    # values (embed_quantize r2: 'unhashable type: numpy.ndarray') — flag
+    # complex output columns before the driver errors on them
+    cplx_cols = [c for c, t in zip(sdf.columns, sdf.types)
+                 if any(k in str(t).upper() for k in ("[]", "STRUCT", "MAP", "LIST"))]
+    if cplx_cols:
+        print(f"FAIL {name}: complex-typed output columns {cplx_cols} — the driver "
+              f"cannot canonicalize them; project as a joined string or hash")
+        fails.append(name); continue
     if name not in oracle:
         if len(srows) == 0:
             print(f"FAIL {name}: rows-only query returned 0 rows"); fails.append(name)
