@@ -465,6 +465,125 @@ object Oracles {
         |WHERE p_name LIKE '%red%'
         |GROUP BY n_name, CAST(year(o_orderdate) AS INT)""".stripMargin,
 
+    "discount_revenue_delta" ->
+      """SELECT COUNT(*) AS n_lines,
+        | ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS forecast_delta
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "market_share" ->
+      """WITH market_cust AS (
+        | SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA'),
+        |supp AS (SELECT s_suppkey, n_name AS supp_nation
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |rev AS (
+        | SELECT CAST(year(o_orderdate) AS INT) AS o_year, supp_nation,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   AS DECIMAL(18,4)) AS r
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supp ON l_suppkey = s_suppkey
+        | WHERE o_custkey IN (SELECT c_custkey FROM market_cust))
+        |SELECT o_year,
+        | ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN r
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(SUM(r) AS DOUBLE), 6) AS mkt_share,
+        | ROUND(CAST(SUM(r) AS DOUBLE), 2) AS total_revenue
+        |FROM rev GROUP BY o_year""".stripMargin,
+
+    "promo_revenue_pct" ->
+      """SELECT COUNT(*) AS n_lines,
+        | ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,4))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+        |  / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'""".stripMargin,
+
+    "top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   AS DECIMAL(18,4))) AS rev_exact
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |   AND l_shipdate < TIMESTAMP '1999-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        | ROUND(CAST(rev_exact AS DOUBLE), 4) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_exact = (SELECT MAX(rev_exact) FROM rev)""".stripMargin,
+
+    "sole_late_supplier" ->
+      """WITH j AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F'),
+        |per_order AS (
+        | SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp,
+        |  MIN(CASE WHEN late THEN l_suppkey END) AS late_supp
+        | FROM j GROUP BY l_orderkey),
+        |blamed AS (
+        | SELECT late_supp, CAST(COUNT(*) AS BIGINT) AS n_waits
+        | FROM per_order WHERE n_supp >= 2 AND n_late_supp = 1
+        | GROUP BY late_supp)
+        |SELECT s_name, n_name AS nation, n_waits
+        |FROM blamed
+        | JOIN supplier ON late_supp = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_waits DESC, s_name LIMIT 20""".stripMargin,
+
+    "min_cost_supplier" ->
+      """WITH regional_supp AS (
+        | SELECT s_suppkey, s_name, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'EUROPE'),
+        |ps AS (
+        | SELECT l_partkey, l_suppkey,
+        |  (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    * 10000)
+        |   // CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)
+        |   AS unit_cost_micro
+        | FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |j AS (
+        | SELECT p_partkey, p_brand, s_name, n_name AS nation, unit_cost_micro,
+        |  MIN(unit_cost_micro) OVER (PARTITION BY l_partkey) AS min_cost
+        | FROM ps
+        |  JOIN part ON l_partkey = p_partkey AND p_size = 15
+        |  JOIN regional_supp ON l_suppkey = s_suppkey)
+        |SELECT p_partkey, p_brand, s_name, nation, unit_cost_micro
+        |FROM j WHERE unit_cost_micro = min_cost""".stripMargin,
+
+    "part_supplier_counts" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (
+        | SELECT l_partkey, l_suppkey FROM pairs
+        | WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ok JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
     "hourly_anomalies" ->
       """WITH hourly AS (
         | SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -879,6 +998,54 @@ object Oracles {
         |SELECT vec_id, string_agg(q::VARCHAR, ',' ORDER BY i) AS q_codes,
         | ROUND(MAX(err), 6) AS max_err
         |FROM coded GROUP BY vec_id""".stripMargin,
+
+    "embed_knn_label" ->
+      s"""WITH celled AS ($ivfCelledSelect),
+         |pairs AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${cosineSql("q", "c")} AS cosine_sim
+         | FROM celled q JOIN celled c
+         |  ON (c.cell = q.cell OR c.cell = q.cell2)
+         |   AND q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+         | FROM pairs),
+         |votes AS (
+         | SELECT query_id, lang, CAST(COUNT(*) AS BIGINT) AS n_votes
+         | FROM ranked JOIN documents ON neighbor_id = doc_id
+         | WHERE rank <= 5 GROUP BY query_id, lang),
+         |top AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY n_votes DESC, lang) AS vr FROM votes)
+         |SELECT query_id, top.lang AS predicted_lang, n_votes,
+         | d.lang AS actual_lang, (top.lang = d.lang) AS is_correct
+         |FROM top JOIN documents d ON query_id = d.doc_id
+         |WHERE vr = 1""".stripMargin,
+
+    "inverted_index" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(${norm("text")}, ' ')) AS tok
+         | FROM documents WHERE length(${norm("text")}) > 0),
+         |per_doc AS (
+         | SELECT tok, doc_id, COUNT(*) AS n FROM toks GROUP BY tok, doc_id)
+         |SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         | CAST(SUM(n) AS BIGINT) AS tf,
+         | array_to_string(
+         |   list_slice(list(doc_id::VARCHAR ORDER BY doc_id), 1, 5), ',')
+         |   AS posting_sample
+         |FROM per_doc GROUP BY tok""".stripMargin,
+
+    "bpe_pair_counts" ->
+      s"""WITH w AS (
+         | SELECT unnest(string_split(${norm("text")}, ' ')) AS word
+         | FROM documents WHERE length(${norm("text")}) > 0),
+         |wc AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+         |p AS (
+         | SELECT substring(word, i, 2) AS pair, n
+         | FROM wc, unnest(generate_series(1, length(word) - 1)) AS u(i)
+         | WHERE length(word) >= 2)
+         |SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+         |FROM p GROUP BY pair
+         |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
 
     "dedup_embed_cosine" -> {
       def planeDot(p: Int) =

@@ -110,6 +110,23 @@ object SparkEntry {
         supplier(s, d), nation(s, d))),
     "customer_sample_by_nation" -> ((s, d) =>
       Analytics.customerSampleByNation(customer(s, d), nation(s, d))),
+    "discount_revenue_delta" -> ((s, d) =>
+      Analytics.discountRevenueDelta(lineitem(s, d))),
+    "market_share" -> ((s, d) =>
+      Analytics.marketShare(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d), region(s, d))),
+    "promo_revenue_pct" -> ((s, d) =>
+      Analytics.promoRevenuePct(lineitem(s, d), part(s, d))),
+    "top_supplier" -> ((s, d) =>
+      Analytics.topSupplier(lineitem(s, d), supplier(s, d))),
+    "sole_late_supplier" -> ((s, d) =>
+      Analytics.soleLateSupplier(lineitem(s, d), orders(s, d),
+        supplier(s, d), nation(s, d))),
+    "min_cost_supplier" -> ((s, d) =>
+      Analytics.minCostSupplier(lineitem(s, d), part(s, d), supplier(s, d),
+        nation(s, d), region(s, d))),
+    "part_supplier_counts" -> ((s, d) =>
+      Analytics.partSupplierCounts(lineitem(s, d), part(s, d), supplier(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => DedupOps.dedupSemantic(embeddings(s, d))),
     "approx_distincts" -> ((s, d) => Analytics.approxDistincts(lineitem(s, d))),
@@ -130,6 +147,10 @@ object SparkEntry {
     "embed_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(embeddings(s, d))),
     "embed_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(embeddings(s, d))),
     "embed_quantize" -> ((s, d) => SimilarityOps.embedQuantize(embeddings(s, d))),
+    "embed_knn_label" -> ((s, d) =>
+      SimilarityOps.knnLabel(embeddings(s, d), documents(s, d))),
+    "inverted_index" -> ((s, d) => TextOps.invertedIndex(documents(s, d))),
+    "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(documents(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(documents(s, d))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(documents(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCount(documents(s, d))),

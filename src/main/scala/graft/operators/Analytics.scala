@@ -849,4 +849,198 @@ object Analytics {
       .agg(count(lit(1)).as("n_lines"),
         round(sum(revenue - cost).cast("double"), 4).as("profit"))
   }
+
+  private def execRevenue =
+    (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(18,4)")
+
+  /** Revenue delta if mid-band discounts were dropped (TPC-H Q6 shape):
+    * a single filtered aggregate with NO join — the pure-scan query whose
+    * entire predicate set must reach the parquet reader (shipdate range,
+    * discount band, quantity cap all appear in PushedFilters). At 100 TB
+    * this is the query that proves pushdown works: it reads 3 columns of
+    * one year of one fact and nothing else.
+    */
+  def discountRevenueDelta(lineitem: DataFrame, from: String = "1998-01-01",
+      until: String = "1999-01-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("decimal(18,4)"))
+          .cast("double"), 4).as("forecast_delta"))
+
+  /** A nation's share of a region's market revenue per year (TPC-H Q8
+    * shape). Scale shape: the market (customers of the target region) is
+    * a broadcast semi-join onto orders; the supplier nation labels the
+    * revenue side via broadcast dims; one fact-fact shuffle on orderkey.
+    * Share = exact-decimal conditional sum / exact-decimal total, divided
+    * once in double at the end (merge-order independent).
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      targetRegion: String = "ASIA", targetNation: String = "NATION_2"): DataFrame = {
+    val marketCust = customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === targetRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"))
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(marketCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === targetNation, execRevenue)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(execRevenue).cast("double"), 6).as("mkt_share"),
+        round(sum(execRevenue).cast("double"), 2).as("total_revenue"))
+  }
+
+  /** Promotional revenue share in a ship-date window (TPC-H Q14 shape):
+    * conditional-sum over one broadcast part join — the part side prunes
+    * to (partkey, type) before broadcast, and both sums come out of one
+    * scan of the date-pruned fact.
+    */
+  def promoRevenuePct(lineitem: DataFrame, part: DataFrame,
+      from: String = "1998-01-01", until: String = "1999-01-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(when(col("p_type") === "PROMO", execRevenue)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") * 100.0 /
+          sum(execRevenue).cast("double"), 4).as("promo_pct"))
+
+  /** Top supplier(s) by revenue in a ship-date window (TPC-H Q15 shape):
+    * per-supplier exact-decimal revenue, the scalar max broadcast back,
+    * equality on the EXACT decimal (never the rounded double) so ties are
+    * engine-independent. The "view" of Q15 is the grouped agg; no
+    * materialization needed — Catalyst reuses the exchange.
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+      from: String = "1999-01-01", until: String = "1999-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(execRevenue).as("rev_exact"))
+    val mx = rev.agg(max(col("rev_exact")).as("max_exact"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_exact") === col("max_exact"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_exact").cast("double"), 4).as("total_revenue"))
+  }
+
+  /** Suppliers who were the SOLE late shipper on multi-supplier finished
+    * orders (TPC-H Q21 shape, adapted to this schema's shipdate-only
+    * lateness). Instead of Q21's triple self-join (EXISTS + NOT EXISTS on
+    * the same fact), the distributed-friendly form is one grouped pass
+    * per order — countDistinct suppliers / late suppliers — which shuffles
+    * the fact ONCE on orderkey instead of three times; blame lands on the
+    * unique late supplier. Top-k via TakeOrdered with a unique tiebreak.
+    */
+  def soleLateSupplier(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame, lateDays: Int = 60,
+      k: Int = 20): DataFrame = {
+    val perOrder = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+    perOrder
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("n_waits"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+        col("late_supp") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name").as("nation"), col("n_waits"))
+      .orderBy(col("n_waits").desc, col("s_name"))
+      .limit(k)
+  }
+
+  /** Minimum-cost supplier per part within a region (TPC-H Q2 shape; the
+    * part-supplier cost relation is derived from lineitem since the
+    * testdata has no partsupp — unit cost = Σprice/Σqty per (part,
+    * supplier)). The cost is computed and compared in exact INTEGER
+    * micro-units (Σcents·10⁴ div Σqty, both sums exact decimals first):
+    * a rounded-double quotient hit a half-way tie at sf0.1 that Spark's
+    * HALF_UP BigDecimal and DuckDB's float round broke differently, and
+    * integer division is the only engine-independent quotient. Scale
+    * shape: the (part, supplier) agg is the only fact-sized shuffle;
+    * regional suppliers and the size-filtered part list broadcast;
+    * per-part min via a window over the few suppliers of each part.
+    */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame, targetRegion: String = "EUROPE",
+      targetSize: Int = 15): DataFrame = {
+    val regionalSupp = supplier.select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === targetRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val ps = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .withColumn("cents", (col("sum_price") * 100).cast("long"))
+      .withColumn("qty_units", col("sum_qty").cast("long"))
+      .withColumn("unit_cost_micro", expr("(cents * 10000) div qty_units"))
+    val w = Window.partitionBy(col("l_partkey"))
+    ps
+      .join(broadcast(part.filter(col("p_size") === targetSize)
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionalSupp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min(col("unit_cost_micro")).over(w))
+      .filter(col("unit_cost_micro") === col("min_cost"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        col("n_name").as("nation"), col("unit_cost_micro"))
+  }
+
+  /** Distinct supplier counts per part group, excluding flagged suppliers
+    * (TPC-H Q16 shape; negative account balance proxies the complaints
+    * list, and the part-supplier relation is the distinct (partkey,
+    * suppkey) projection of lineitem). Scale shape: the distinct pair
+    * projection is the one fact-sized shuffle; the exclusion list and
+    * part attributes broadcast; countDistinct partial-aggregates.
+    */
+  def partSupplierCounts(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, excludeBrand: String = "Brand#1"): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(supplier.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part.filter(col("p_brand") =!= excludeBrand)
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
 }

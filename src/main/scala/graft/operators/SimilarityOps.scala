@@ -241,6 +241,44 @@ object SimilarityOps {
         round(max(col("err")), 6).as("max_err"))
   }
 
+  /** kNN majority-vote label classifier over the embedding space — the
+    * model-free quality/domain classifier of a curation pipeline (label
+    * docs by their nearest labeled neighbors). Candidates come from the
+    * nprobe=2 IVF cells (same index as [[ivfAnn]]), so per-query work is
+    * 2/IvfCells of the corpus; votes aggregate per (query, label) and the
+    * argmax is a bounded per-query window with a deterministic tiebreak.
+    */
+  def knnLabel(embeddings: DataFrame, documents: DataFrame,
+      nQueries: Int = 50, k: Int = 5): DataFrame = {
+    val labels = documents.select(col("doc_id"), col("lang"))
+    val celled = withIvfCells(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = celled.select(col("vec_id"), col("embedding"), col("cell"))
+    val queries = celled.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(array(col("cell"), col("cell2"))).as("cell"))
+    val sims = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.cosine(col("q_emb"), col("embedding")), 6).as("cosine_sim"))
+    val nnW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    val nn = sims.withColumn("rank", row_number().over(nnW)).filter(col("rank") <= k)
+    val votes = nn
+      .join(broadcast(labels), col("neighbor_id") === col("doc_id"))
+      .groupBy(col("query_id"), col("lang"))
+      .agg(count(lit(1)).as("n_votes"))
+    val voteW = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("lang"))
+    votes.withColumn("vr", row_number().over(voteW)).filter(col("vr") === 1)
+      .join(broadcast(labels.select(col("doc_id").as("q_doc"),
+        col("lang").as("actual_lang"))),
+        col("query_id") === col("q_doc"))
+      .select(col("query_id"), col("lang").as("predicted_lang"),
+        col("n_votes"), col("actual_lang"),
+        (col("lang") === col("actual_lang")).as("is_correct"))
+  }
+
   /** LSH-bucketed ANN: candidates share the full 16-bit bucket; top-k by
     * exact cosine within candidates (recall < 1 by design — mirrored by
     * the oracle).

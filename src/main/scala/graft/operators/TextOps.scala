@@ -268,4 +268,46 @@ object TextOps {
       .withColumn("has_pii",
         col("n_emails") + col("n_phones") + col("n_ips") > 0)
   }
+
+  /** Inverted index build: token → document frequency, total term
+    * frequency, and a bounded posting-list sample (first `postingSample`
+    * doc ids). The search-index construction pass of a corpus engine.
+    * Scale shape: one explode scan → per-(token, doc) partial counts
+    * (map-side combined) → per-token rollup; the posting list is CAPPED
+    * via slice before leaving the aggregation, so no row grows with
+    * corpus size. Postings are projected as a joined string (driver
+    * canonicalization is scalar-only).
+    */
+  def invertedIndex(documents: DataFrame, postingSample: Int = 5): DataFrame =
+    OpUtils.spread(documents)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("n")).as("tf"),
+        concat_ws(",",
+          transform(slice(sort_array(collect_list(col("doc_id"))), 1, postingSample),
+            d => d.cast("string"))).as("posting_sample"))
+
+  /** Most frequent adjacent character pairs — the inner statistic of a
+    * BPE tokenizer-training merge step. The trick that makes BPE feasible
+    * at corpus scale: pair counting runs over the DISTINCT-word frequency
+    * table (vocabulary-sized), never the corpus — the corpus is touched
+    * once to build word counts (map-side combined), then each distinct
+    * word explodes its character pairs weighted by its count.
+    */
+  def bpePairCounts(documents: DataFrame, k: Int = 20): DataFrame =
+    OpUtils.spread(documents)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("n"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("n"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
 }

@@ -143,4 +143,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(below.contains("q_lo") && below.contains("q_hi"),
       "the window input must be filtered by the quantile bracket:\n" + p.take(800))
   }
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("Q6 shape pushes every predicate into the parquet scan") {
+    val p = formatted("discount_revenue_delta")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"),
+      "discount band must reach the scan:\n" + p.take(600))
+    assert(p.contains("LessThan(l_quantity,24.0)"),
+      "quantity cap must reach the scan:\n" + p.take(600))
+    assert(!p.contains("Join"), "Q6 must be a pure scan-aggregate")
+  }
+
+  test("Q8 market share broadcasts the market and supplier dims") {
+    val p = plan("market_share")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("LeftSemi"), "the market membership must be a semi join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("Q21 sole-late-supplier shuffles the fact once and TakeOrders the top-k") {
+    val p = plan("sole_late_supplier")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("Q16 shape anti-joins the flagged-supplier broadcast") {
+    val p = plan("part_supplier_counts")
+    assert(p.contains("LeftAnti"), "exclusion list must be an anti join")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("BPE pair counting explodes the distinct-word table, not the corpus") {
+    val p = formatted("bpe_pair_counts")
+    // the pair explode must consume the AGGREGATED (word, n) table — its
+    // Generate arguments carry the count attribute — never the raw corpus
+    // tokens (that would expand pairs once per occurrence)
+    val genLine = p.linesIterator.find(_.contains("explode(sequence"))
+    assert(genLine.isDefined, p.take(800))
+    assert(genLine.get.contains(" n#"),
+      "pair explode must run over the word-count aggregate:\n" + genLine.get)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k pairs must be TakeOrdered, not a global sort")
+  }
+
+  test("kNN label voting joins cell-partitioned, never all-pairs") {
+    val p = plan("embed_knn_label")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -228,4 +228,109 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("median_price")).toMap
     assert(out == Map("EUROPE" -> 1001.0, "AMERICA" -> 1000.5))
   }
+
+  private def li(rows: (Long, Long, Long, Double, Double, Double, String)*) =
+    rows.zipWithIndex.map { case ((ok, pk, sk, qty, px, disc, ship), i) =>
+      (ok, pk, sk, i + 1, qty, px, disc, 0.0, "N", "O", ts(ship))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+
+  private val suppliers = Seq((1L, "S1", 1, 100.0), (2L, "S2", 1, -5.0))
+    .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+  test("discountRevenueDelta keeps only the discount band inside the window") {
+    val df = li(
+      (1L, 1L, 1L, 10.0, 100.0, 0.06, "2024-02-01"),  // in band, in window
+      (2L, 1L, 1L, 10.0, 100.0, 0.02, "2024-02-01"),  // discount below band
+      (3L, 1L, 1L, 30.0, 100.0, 0.06, "2024-02-01"),  // quantity too large
+      (4L, 1L, 1L, 10.0, 100.0, 0.06, "2025-02-01"))  // outside window
+    val out = Analytics.discountRevenueDelta(df, "2024-01-01", "2025-01-01").head
+    assert(out.getAs[Long]("n_lines") == 1L)
+    assert(out.getAs[Double]("forecast_delta") == 6.0) // 100 * 0.06
+  }
+
+  test("marketShare is the conditional revenue fraction per year") {
+    val df = li(
+      (1L, 1L, 1L, 1.0, 100.0, 0.0, "2024-02-01"),   // target-nation supplier
+      (2L, 1L, 2L, 1.0, 300.0, 0.0, "2024-03-01"))   // same nation here
+    val supp2 = Seq((1L, "S1", 1, 0.0), (2L, "S2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nation2 = Seq((1, "FRANCE", 0), (2, "GERMANY", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val ord = Seq((1L, 10L, "O", 0.0, ts("2024-02-01"), "x"),
+      (2L, 10L, "O", 0.0, ts("2024-03-01"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Analytics.marketShare(df, ord, customer, supp2, nation2, region,
+      targetRegion = "EUROPE", targetNation = "FRANCE").head
+    assert(out.getAs[Int]("o_year") == 2024)
+    assert(out.getAs[Double]("mkt_share") == 0.25) // 100 / 400
+    assert(out.getAs[Double]("total_revenue") == 400.0)
+  }
+
+  test("promoRevenuePct weighs promo-part revenue against the total") {
+    val df = li(
+      (1L, 1L, 1L, 1.0, 100.0, 0.0, "2024-02-01"),
+      (2L, 2L, 1L, 1.0, 300.0, 0.0, "2024-02-01"))
+    val part = Seq((1L, "n1", "Brand#1", "PROMO", 10, 1.0),
+      (2L, "n2", "Brand#2", "STANDARD", 10, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val out = Analytics.promoRevenuePct(df, part, "2024-01-01", "2025-01-01").head
+    assert(out.getAs[Long]("n_lines") == 2L)
+    assert(out.getAs[Double]("promo_pct") == 25.0)
+  }
+
+  test("topSupplier returns every supplier tied at the max") {
+    val df = li(
+      (1L, 1L, 1L, 1.0, 200.0, 0.0, "2024-02-01"),
+      (2L, 1L, 2L, 1.0, 200.0, 0.0, "2024-02-01"))
+    val out = Analytics.topSupplier(df, suppliers, "2024-01-01", "2025-01-01")
+      .orderBy("s_suppkey").collect()
+    assert(out.length == 2) // exact-decimal tie keeps both
+    assert(out.forall(_.getAs[Double]("total_revenue") == 200.0))
+  }
+
+  test("soleLateSupplier blames only the unique late supplier of multi-supplier orders") {
+    val ord = Seq(
+      (1L, 10L, "F", 0.0, ts("2024-01-01"), "x"),
+      (2L, 10L, "F", 0.0, ts("2024-01-01"), "x"),
+      (3L, 10L, "O", 0.0, ts("2024-01-01"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val df = li(
+      (1L, 1L, 1L, 1.0, 1.0, 0.0, "2024-06-01"),  // late
+      (1L, 1L, 2L, 1.0, 1.0, 0.0, "2024-01-15"),  // on time → order 1 blames S1
+      (2L, 1L, 1L, 1.0, 1.0, 0.0, "2024-06-01"),  // late
+      (2L, 1L, 2L, 1.0, 1.0, 0.0, "2024-06-01"),  // both late → no blame
+      (3L, 1L, 1L, 1.0, 1.0, 0.0, "2024-06-01"))  // status O → excluded
+    val out = Analytics.soleLateSupplier(df, ord, suppliers, nation).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "S1")
+    assert(out.head.getAs[Long]("n_waits") == 1L)
+  }
+
+  test("minCostSupplier compares exact integer micro-costs per part") {
+    val df = li(
+      (1L, 1L, 1L, 2.0, 100.0, 0.0, "2024-02-01"),  // S1: 10000/2 → 50 units
+      (2L, 1L, 2L, 4.0, 100.0, 0.0, "2024-02-01"))  // S2: 10000/4 → 25 units
+    val part = Seq((1L, "n1", "Brand#1", "PROMO", 15, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val out = Analytics.minCostSupplier(df, part, suppliers, nation, region).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("s_name") == "S2")
+    assert(out.head.getAs[Long]("unit_cost_micro") == 25000000L) // 25.0 · 10⁶
+  }
+
+  test("partSupplierCounts excludes flagged suppliers and counts distinct") {
+    val df = li(
+      (1L, 1L, 1L, 1.0, 1.0, 0.0, "2024-02-01"),
+      (2L, 1L, 1L, 1.0, 1.0, 0.0, "2024-02-01"),  // dup (part, supp) pair
+      (3L, 1L, 2L, 1.0, 1.0, 0.0, "2024-02-01"))  // S2 negative acctbal → excluded
+    val part = Seq((1L, "n1", "Brand#2", "PROMO", 10, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val out = Analytics.partSupplierCounts(df, part, suppliers).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("supplier_cnt") == 1L)
+  }
 }

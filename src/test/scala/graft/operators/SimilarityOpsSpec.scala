@@ -89,6 +89,22 @@ class SimilarityOpsSpec extends SparkSpec {
       s"max_err must be within half a quantization step ($bound)")
   }
 
+  test("knnLabel predicts by majority vote of IVF-cell neighbors") {
+    import spark.implicits._
+    val v = Seq.tabulate(64)(i => (i % 5).toFloat - 2f)
+    val w = Seq.tabulate(64)(i => (i % 5).toFloat - 2.01f) // near v
+    val emb = vecs(0L -> v, 40L -> v, 41L -> w)
+    val labels = Seq((0L, "fr"), (40L, "en"), (41L, "en"))
+      .toDF("doc_id", "lang")
+      .withColumn("text", org.apache.spark.sql.functions.lit("x"))
+    val out = SimilarityOps.knnLabel(emb, labels, nQueries = 1, k = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("predicted_lang") == "en")
+    assert(out.head.getAs[Long]("n_votes") == 2L)
+    assert(out.head.getAs[String]("actual_lang") == "fr")
+    assert(!out.head.getAs[Boolean]("is_correct"))
+  }
+
   test("trained IVF clusters real testdata with high recall vs brute force") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = SimilarityOps.bruteCosineTopK(emb, nQueries = 20, k = 3)

@@ -78,10 +78,11 @@ class TextOpsSpec extends SparkSpec {
     val out = TextOps.docKeyterms(df, k = 2).orderBy("doc_id", "rank").collect()
     val d1 = out.filter(_.getLong(0) == 1L)
     assert(d1.head.getAs[String]("tok") == "zebra")
-    // zebra: tf=2, df=1 → 2*(3000 div 1)=6000; the: tf=2, df=3 → 2*1000
+    // zebra: tf=2, df=1 → 2*(3000 div 1)=6000; saw: tf=1, df=1 → 3000
+    // (which outranks "the": tf=2, df=3 → 2*1000 = 2000)
     assert(d1.head.getAs[Long]("score") == 6000L)
-    assert(d1(1).getAs[String]("tok") == "the")
-    assert(d1(1).getAs[Long]("score") == 2000L)
+    assert(d1(1).getAs[String]("tok") == "saw")
+    assert(d1(1).getAs[Long]("score") == 3000L)
     assert(out.forall(_.getAs[Long]("rank") <= 2L))
   }
 
@@ -121,5 +122,32 @@ class TextOpsSpec extends SparkSpec {
     val cleanLen = "plain words".length.toLong
     assert(byId(3).getAs[Long]("redacted_len") == cleanLen)
     assert(byId.take(3).forall(_.getAs[Long]("redacted_len") > cleanLen))
+  }
+
+  test("invertedIndex emits df, tf, and a sorted bounded posting sample") {
+    val df = docs((1L, "a b a", "en"), (2L, "b c", "en"))
+    val out = TextOps.invertedIndex(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("tf"),
+          r.getAs[String]("posting_sample")))).toMap
+    assert(out == Map(
+      "a" -> ((1L, 2L, "1")),
+      "b" -> ((2L, 2L, "1,2")),
+      "c" -> ((1L, 1L, "2"))))
+  }
+
+  test("invertedIndex caps the posting sample") {
+    val df = docs((1 to 9).map(i => (i.toLong, "tok", "en")): _*)
+    val out = TextOps.invertedIndex(df, postingSample = 3).head
+    assert(out.getAs[Long]("df") == 9L)
+    assert(out.getAs[String]("posting_sample") == "1,2,3")
+  }
+
+  test("bpePairCounts weighs character pairs by word frequency") {
+    val df = docs((1L, "aa ab aa", "en"), (2L, "ab b", "en"))
+    val out = TextOps.bpePairCounts(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("pair_count")).toMap
+    // aa ×2, ab ×2; single-char word "b" contributes nothing
+    assert(out == Map("aa" -> 2L, "ab" -> 2L))
   }
 }
