@@ -21,6 +21,12 @@ object Bench {
       // drop them between queries so timings don't alias cache reuse
       spark.catalog.clearCache()
     }
+    // The warmup built the session-scoped memoized intermediates (the
+    // LSH pair graph etc.); drop them so the timed pass pays each
+    // derivation exactly once — the honest cost of a fresh session
+    // running the whole workload. Later queries then show the documented
+    // reuse, which is the engine's real steady-state behavior.
+    graft.operators.Memo.invalidate()
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }

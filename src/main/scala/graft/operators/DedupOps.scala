@@ -80,7 +80,13 @@ object DedupOps {
     * work is bounded by bucket sizes (≤ [[LshBucketCap]]), never
     * O(corpus²).
     */
-  def dedupMinhashLsh(documents: DataFrame, minEst: Double = 0.5): DataFrame = {
+  def dedupMinhashLsh(documents: DataFrame, minEst: Double = 0.5): DataFrame =
+    // memoized: the estimated-Jaccard pair graph feeds this query AND the
+    // clusters/survivors/curated_corpus chain — one derivation per
+    // session per input (the pair list is bounded, never corpus-sized)
+    Memo.cached(s"minhash_pairs:$minEst", documents)(dedupMinhashLshImpl(_, minEst))
+
+  private def dedupMinhashLshImpl(documents: DataFrame, minEst: Double): DataFrame = {
     // Signature kept as 32 flat h columns (not an array) so banding keys,
     // the join, and the match-count all stay inside whole-stage codegen.
     // persist: the banded self-join reads this twice, and without a
@@ -281,7 +287,13 @@ object DedupOps {
     * kept-representative flag — the final "which docs survive dedup"
     * verdict.
     */
-  def dedupClusters(documents: DataFrame): DataFrame = {
+  def dedupClusters(documents: DataFrame): DataFrame =
+    // memoized: survivors and curated_corpus both consume the cluster
+    // labels; the CC loop (the expensive iterative part) runs once per
+    // session per input
+    Memo.cached("clusters", documents)(dedupClustersImpl)
+
+  private def dedupClustersImpl(documents: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = dedupMinhashLsh(documents).select(col("doc_a"), col("doc_b"))
     // localCheckpoint (not persist): iterative plans otherwise re-derive
