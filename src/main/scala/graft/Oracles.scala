@@ -572,6 +572,27 @@ object Oracles {
         |SELECT p_partkey, p_brand, s_name, nation, unit_cost_micro
         |FROM j WHERE unit_cost_micro = min_cost""".stripMargin,
 
+    "important_parts" ->
+      """WITH per_part AS (
+        | SELECT n_name AS nation, l_partkey,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)))
+        |   AS part_value_exact
+        | FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | GROUP BY n_name, l_partkey),
+        |per_nation AS (
+        | SELECT nation AS nt, SUM(part_value_exact) AS nation_value
+        | FROM per_part GROUP BY nation)
+        |SELECT nation, l_partkey,
+        | ROUND(CAST(part_value_exact AS DOUBLE), 2) AS part_value,
+        | ROUND(CAST(part_value_exact AS DOUBLE)
+        |  / CAST(nation_value AS DOUBLE), 6) AS value_share
+        |FROM per_part JOIN per_nation ON nation = nt
+        |WHERE ROUND(CAST(part_value_exact AS DOUBLE)
+        |  / CAST(nation_value AS DOUBLE), 6) >= 0.002""".stripMargin,
+
     "part_supplier_counts" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |ok AS (

@@ -127,6 +127,8 @@ object SparkEntry {
         nation(s, d), region(s, d))),
     "part_supplier_counts" -> ((s, d) =>
       Analytics.partSupplierCounts(lineitem(s, d), part(s, d), supplier(s, d))),
+    "important_parts" -> ((s, d) =>
+      Analytics.importantParts(lineitem(s, d), supplier(s, d), nation(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => DedupOps.dedupSemantic(embeddings(s, d))),
     "approx_distincts" -> ((s, d) => Analytics.approxDistincts(lineitem(s, d))),

@@ -1025,6 +1025,39 @@ object Analytics {
         col("n_name").as("nation"), col("unit_cost_micro"))
   }
 
+  /** Parts that are an outsized share of their nation's supplied value
+    * (TPC-H Q11 shape; partsupp value is derived from lineitem shipments).
+    * The Q11 signature move is the HAVING-against-a-scalar-fraction: the
+    * per-part value filters against a threshold computed from the SAME
+    * aggregated data. Scale shape: one fact-sized (nation, part) agg; the
+    * per-nation totals are a tiny second-level agg broadcast back — the
+    * fact is never re-scanned for the threshold.
+    */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, shareMin: Double = 0.002): DataFrame = {
+    val value = (col("l_extendedprice").cast("decimal(18,2)") *
+      col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,4)")
+    val perPart = lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_quantity"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("l_partkey"))
+      .agg(sum(value).as("part_value"))
+    val perNation = perPart.groupBy(col("nation").as("nt"))
+      .agg(sum(col("part_value")).as("nation_value"))
+    perPart.join(broadcast(perNation), col("nation") === col("nt"))
+      .withColumn("value_share",
+        round(col("part_value").cast("double") /
+          col("nation_value").cast("double"), 6))
+      .filter(col("value_share") >= shareMin)
+      .select(col("nation"), col("l_partkey"),
+        round(col("part_value").cast("double"), 2).as("part_value"),
+        col("value_share"))
+  }
+
   /** Distinct supplier counts per part group, excluding flagged suppliers
     * (TPC-H Q16 shape; negative account balance proxies the complaints
     * list, and the part-supplier relation is the distinct (partkey,

@@ -255,4 +255,115 @@ object EventStreams {
           UserSessions(userId, s.sessionCount, s.eventCount, s.maxDuration)
       }
   }
+
+  case class HourCount(event_type: String, hour_start: Long, n_events: Long)
+  case class AnomalyState(nHours: Long, sx: Long, sxx: Long)
+  case class HourAnomaly(event_type: String, hour_start: Long,
+      n_events: Long, z: Option[Double])
+
+  /** Online per-type volume anomaly scoring — the streaming form of the
+    * batch `hourly_anomalies` view, via flatMapGroupsWithState: state per
+    * event type is three longs (n, Σx, Σx² over hours seen so far), and
+    * each arriving hour bucket is z-scored against the PRIOR hours only
+    * (the alerting semantics a live pipeline wants — no peeking at the
+    * future, unlike the batch view's corpus-wide stats). Emits one row
+    * per hour; z is None until `minHours` of history exist or when the
+    * history has zero variance. Exact integer state → identical results
+    * however the hours are micro-batched, as long as event-time order is
+    * preserved per key (upstream: a watermarked tumbling count).
+    */
+  def onlineAnomalyStream(spark: SparkSession, hours: Dataset[HourCount],
+      minHours: Int = 24): Dataset[HourAnomaly] = {
+    import spark.implicits._
+    hours
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, HourAnomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et, batch, state: GroupState[AnomalyState]) =>
+          var s = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+          val out = batch.toSeq.sortBy(_.hour_start).map { h =>
+            val z =
+              if (s.nHours < minHours) None
+              else {
+                val mean = s.sx.toDouble / s.nHours
+                val variance = s.sxx.toDouble / s.nHours - mean * mean
+                if (variance > 0)
+                  Some((h.n_events.toDouble - mean) / math.sqrt(variance))
+                else None
+              }
+            s = AnomalyState(s.nHours + 1, s.sx + h.n_events,
+              s.sxx + h.n_events * h.n_events)
+            HourAnomaly(et, h.hour_start, h.n_events, z)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming SCD Type-2 dimension maintenance — the batch
+    * `scd2_customer_versions` semantics kept current by a stream: each
+    * micro-batch closes the current version of every key whose tracked
+    * attribute changed (valid_to = batchId, is_current = false) and
+    * appends the new version (valid_from = batchId). The store is
+    * rewritten via a staging directory + swap, so a reader never sees a
+    * half-applied batch directory; the swap itself is two renames and a
+    * crash between them needs manual repair — a Delta/Iceberg MERGE is
+    * the transactional production form, this is the parquet-only shape.
+    * Per-batch work is dim-sized (the store) + batch-sized, never
+    * history-sized: closed versions carry forward untouched.
+    */
+  def scd2UpsertStream(events: DataFrame, dimPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // one deterministic attribute value per key per batch
+        val incoming = batch.groupBy(col("user_id"))
+          .agg(max(col("event_type")).as("attr"))
+        val store =
+          try spark.read.parquet(dimPath)
+          catch {
+            case _: Exception =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "user_id LONG, attr STRING, valid_from LONG, valid_to LONG, is_current BOOLEAN"))
+          }
+        val current = store.filter(col("is_current"))
+        val closedHistory = store.filter(!col("is_current"))
+        val joined = current.join(incoming.withColumnRenamed("attr", "new_attr"),
+          Seq("user_id"), "full_outer")
+        // unchanged current rows (no incoming, or same attr) pass through
+        val kept = joined.filter(col("attr").isNotNull &&
+          (col("new_attr").isNull || col("new_attr") === col("attr")))
+          .select(col("user_id"), col("attr"), col("valid_from"),
+            col("valid_to"), col("is_current"))
+        // changed keys: close the old version, open the new one
+        val changed = joined.filter(col("attr").isNotNull &&
+          col("new_attr").isNotNull && col("new_attr") =!= col("attr"))
+        val closed = changed.select(col("user_id"), col("attr"),
+          col("valid_from"), lit(batchId).as("valid_to"),
+          lit(false).as("is_current"))
+        val opened = changed.select(col("user_id"),
+          col("new_attr").as("attr"), lit(batchId).as("valid_from"),
+          lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+        // brand-new keys
+        val fresh = joined.filter(col("attr").isNull)
+          .select(col("user_id"), col("new_attr").as("attr"),
+            lit(batchId).as("valid_from"), lit(null).cast("long").as("valid_to"),
+            lit(true).as("is_current"))
+        val next = closedHistory.unionByName(kept).unionByName(closed)
+          .unionByName(opened).unionByName(fresh)
+        val staging = s"$dimPath-staging-$batchId"
+        next.write.mode("overwrite").parquet(staging)
+        val target = java.nio.file.Paths.get(dimPath)
+        val retired = java.nio.file.Paths.get(s"$dimPath-retired-$batchId")
+        if (java.nio.file.Files.exists(target))
+          java.nio.file.Files.move(target, retired)
+        java.nio.file.Files.move(java.nio.file.Paths.get(staging), target)
+        org.apache.commons.io.FileUtils.deleteQuietly(retired.toFile)
+        ()
+      }
 }

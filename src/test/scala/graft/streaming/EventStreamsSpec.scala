@@ -226,4 +226,52 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq) // (1 -> 2 sessions, 2 -> 1 session)
     assert(batch.toMap == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("onlineAnomalyStream z-scores each hour against prior history only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.HourCount]
+    val q = EventStreams.onlineAnomalyStream(spark, mem.toDS(), minHours = 3)
+      .writeStream.outputMode("append").format("memory").queryName("anom").start()
+    mem.addData(
+      EventStreams.HourCount("a", 0L, 10L),
+      EventStreams.HourCount("a", 1L, 20L),
+      EventStreams.HourCount("a", 2L, 10L))
+    q.processAllAvailable()
+    // state must carry across micro-batches: hours 3-4 score against
+    // batch 1's accumulated Σ/Σ²
+    mem.addData(
+      EventStreams.HourCount("a", 3L, 20L),
+      EventStreams.HourCount("a", 4L, 50L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("anom").orderBy("hour_start").collect()
+    assert(rows.length == 5)
+    // hours 0-2: fewer than minHours of history → no score
+    assert((0 to 2).forall(i => rows(i).isNullAt(3)))
+    // hour 3 vs [10,20,10]: mean 13.3̅, sd 4.714 → z = √2
+    assert(math.abs(rows(3).getDouble(3) - math.sqrt(2.0)) < 1e-9)
+    // hour 4 vs [10,20,10,20]: mean 15, var 25 → z = 35/5 = 7 exactly
+    assert(rows(4).getDouble(3) == 7.0)
+  }
+
+  test("scd2UpsertStream closes changed versions and keeps full history") {
+    implicit val sqlCtx = spark.sqlContext
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_scd2").toString + "/dim"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.scd2UpsertStream(streamDF, dimPath).start()
+    mem.addData((1L, ts(0), 1L, "bronze", 0.0, "{}"),
+      (2L, ts(1), 2L, "silver", 0.0, "{}"))
+    q.processAllAvailable()
+    // user 1 changes tier; user 2 untouched
+    mem.addData((3L, ts(2), 1L, "gold", 0.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val dim = spark.read.parquet(dimPath).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(dim == Set(
+      (1L, "bronze", 0L, 1L, false), // closed at batch 1
+      (1L, "gold", 1L, -1L, true),   // opened at batch 1, current
+      (2L, "silver", 0L, -1L, true)))
+  }
 }
