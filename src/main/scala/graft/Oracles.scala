@@ -1176,6 +1176,26 @@ object Oracles {
 
     "stratified_sample" -> stratifiedSampleSql,
 
+    "quality_gate" ->
+      s"""WITH q AS ($qualityScoreSql)
+         |SELECT doc_id, quality_score,
+         | CASE WHEN n_tokens < 15 THEN 'too_short'
+         |      WHEN special_ratio > 0.05 THEN 'special_chars'
+         |      WHEN stop_ratio < 0.08 THEN 'low_stopword'
+         |      WHEN avg_word_len < 3.0 OR avg_word_len > 10.0 THEN 'word_length'
+         |      ELSE NULL END AS reject_reason,
+         | reject_reason IS NULL AS keep
+         |FROM q""".stripMargin,
+
+    "mixture_cube" ->
+      s"""WITH t AS (SELECT lang, source,
+         |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+         |       ELSE len(string_split(${norm("text")}, ' ')) END AS BIGINT) AS n
+         | FROM documents)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         | CAST(SUM(n) AS BIGINT) AS n_tokens
+         |FROM t GROUP BY CUBE (lang, source)""".stripMargin,
+
     "mixture_report" ->
       s"""WITH t AS (SELECT lang,
          |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0

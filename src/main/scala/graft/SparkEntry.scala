@@ -155,6 +155,8 @@ object SparkEntry {
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(documents(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(documents(s, d))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(documents(s, d))),
+    "quality_gate" -> ((s, d) => TextOps.qualityGate(documents(s, d))),
+    "mixture_cube" -> ((s, d) => PipelineOps.mixtureCube(documents(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCount(documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(documents(s, d))),
     "multimodal_meta" -> ((s, d) =>

@@ -57,6 +57,20 @@ object PipelineOps {
         .as("token_share_pct"))
   }
 
+  /** Mixture report across EVERY (lang, source) rollup level in one pass
+    * — CUBE gives per-lang, per-source, per-(lang, source), and the grand
+    * total from a single scan (the 4 separate dashboards a mixture
+    * curator actually reads). The cube expansion happens inside the
+    * aggregation (map-side combined partials per grouping set); at 100 TB
+    * this is one fact scan instead of four.
+    */
+  def mixtureCube(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+
   /** Salt for the rebalancing sample — distinct from [[SampleSalt]] so
     * the two samples are independent deterministic draws.
     */

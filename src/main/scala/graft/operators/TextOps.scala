@@ -66,6 +66,25 @@ object TextOps {
           lit(0.3) * least(col("stop_ratio") * lit(4.0), lit(1.0)), 4))
   }
 
+  /** Rule-based document filter with first-failing-rule attribution — the
+    * FineWeb/Gopher-style quality gate: each doc either passes or carries
+    * the name of the FIRST rule that rejected it (reject counts per rule
+    * are then one grouped scan away). Built on the qualityScore columns;
+    * pure column expressions, zero shuffles.
+    */
+  def qualityGate(documents: DataFrame): DataFrame = {
+    val reason =
+      when(col("n_tokens") < 15, "too_short")
+        .when(col("special_ratio") > 0.05, "special_chars")
+        .when(col("stop_ratio") < 0.08, "low_stopword")
+        .when(col("avg_word_len") < 3.0 || col("avg_word_len") > 10.0, "word_length")
+        .otherwise(lit(null).cast("string"))
+    qualityScore(documents)
+      .withColumn("reject_reason", reason)
+      .withColumn("keep", col("reject_reason").isNull)
+      .select("doc_id", "quality_score", "reject_reason", "keep")
+  }
+
   /** Whitespace + regex token counting (the BPE-ish pass is the alnum-run
     * regex — a proxy for subword segmentation cost estimation).
     */

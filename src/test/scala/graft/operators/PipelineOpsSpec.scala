@@ -63,6 +63,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(en.getAs[Long]("n_docs") == 1L && en.getAs[Double]("token_share_pct") == 30.0)
   }
 
+  test("mixtureCube emits every rollup level from one pass") {
+    val df = docs((1L, "one two three", "en"), (2L, "uno dos", "es"))
+      .withColumn("source", org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col("doc_id") === 1L, "s1").otherwise("s2"))
+    val rows = PipelineOps.mixtureCube(df).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    // 2 langs × 1 source each + 2 lang totals + 2 source totals + grand
+    assert(rows.size == 7)
+    assert(rows((None, None)) == ((2L, 5L)))              // grand total
+    assert(rows((Some("en"), None)) == ((1L, 3L)))        // per-lang
+    assert(rows((None, Some("s2"))) == ((1L, 2L)))        // per-source
+    assert(rows((Some("es"), Some("s2"))) == ((1L, 2L)))  // finest grain
+  }
+
   test("mixtureBalance solves rates toward the smallest language") {
     // en: 8 tokens across 4 docs; fr: 2 tokens in 1 doc (the floor)
     val df = docs(

@@ -124,6 +124,20 @@ class TextOpsSpec extends SparkSpec {
     assert(byId.take(3).forall(_.getAs[Long]("redacted_len") > cleanLen))
   }
 
+  test("qualityGate attributes the first failing rule and keeps clean docs") {
+    val longClean = ("the quick brown fox jumps over the lazy dog and " * 5).trim
+    val df = docs(
+      (1L, longClean, "en"),                    // passes every rule
+      (2L, "tiny", "en"),                       // too_short fires first
+      (3L, ("zz@@@! " * 30).trim, "en"))        // long enough, special chars
+    val out = TextOps.qualityGate(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Boolean]("keep"), Option(r.getAs[String]("reject_reason"))))).toMap
+    assert(out(1L) == ((true, None)))
+    assert(out(2L) == ((false, Some("too_short"))))
+    assert(out(3L) == ((false, Some("special_chars"))))
+  }
+
   test("invertedIndex emits df, tf, and a sorted bounded posting sample") {
     val df = docs((1L, "a b a", "en"), (2L, "b c", "en"))
     val out = TextOps.invertedIndex(df).collect()
