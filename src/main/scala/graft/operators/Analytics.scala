@@ -961,16 +961,22 @@ object Analytics {
   def soleLateSupplier(lineitem: DataFrame, orders: DataFrame,
       supplier: DataFrame, nation: DataFrame, lateDays: Int = 60,
       k: Int = 20): DataFrame = {
-    val perOrder = lineitem
+    // two-level aggregation instead of countDistinct×2: a per-(order,
+    // supplier) rollup first (map-side combined, no Expand doubling the
+    // shuffle the way multi-distinct aggregates plan), then plain counts
+    // at order grain
+    val perOrderSupp = lineitem
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(orders.filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .withColumn("late",
-        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAY")).as("late"))
+    val perOrder = perOrderSupp
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_supp"),
         min(when(col("late"), col("l_suppkey"))).as("late_supp"))
     perOrder
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)

@@ -46,6 +46,24 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Training-shard export: bounded-size parquet shards with a
+    * deterministic, reproducible doc→shard assignment (hash mod), the
+    * layout a training dataloader consumes. `maxRecordsPerFile` bounds
+    * every file even when a shard key skews, so no shard exceeds what a
+    * loader maps into memory; the repartition keys writers to shards so
+    * shard files are whole units, not writer-task fragments.
+    */
+  def writeShards(df: DataFrame, path: String, idCol: String,
+      shards: Int, maxRecordsPerFile: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, pmod, hash}
+    df.withColumn("shard", pmod(hash(col(idCol)), org.apache.spark.sql.functions.lit(shards)))
+      .repartition(shards, col("shard"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** Bucketed catalog table: pre-shuffles once at write time so every
     * later equi-join/aggregation on the bucket key is exchange-free —
     * the Spark-native answer to Redshift DISTKEY. Joining two tables

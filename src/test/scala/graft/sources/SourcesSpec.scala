@@ -83,4 +83,30 @@ class SourcesSpec extends SparkSpec {
       assert(prices.sameElements(prices.sorted), s"partition $dk must be sorted")
     }
   }
+
+  test("writeShards bounds file size and assigns docs deterministically") {
+    val dir = tmp()
+    val df = (1 to 1000).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    Sinks.writeShards(df, s"$dir/shards", "doc_id", shards = 4,
+      maxRecordsPerFile = 100)
+    val files = new java.io.File(s"$dir/shards").listFiles
+      .filter(_.getName.startsWith("shard=")).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".parquet"))
+    // every physical file respects the record cap
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 100,
+        s"${f.getName} exceeds maxRecordsPerFile")
+    }
+    val back = spark.read.parquet(s"$dir/shards")
+    assert(back.count() == 1000)
+    // assignment is hash(doc_id) mod shards — reproducible across runs
+    val again = tmp()
+    Sinks.writeShards(df, s"$again/shards", "doc_id", shards = 4,
+      maxRecordsPerFile = 100)
+    val a = back.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = spark.read.parquet(s"$again/shards").select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
 }
