@@ -1386,6 +1386,23 @@ object Oracles {
          |FROM toks JOIN tf USING (tok) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
 
+    "ngram_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, CASE WHEN length(${norm("text")}) = 0 THEN []
+         |  ELSE string_split(${norm("text")}, ' ') END AS toks FROM documents),
+         |uni AS (
+         | SELECT u.tok AS first_tok, COUNT(*) AS cw
+         | FROM t, unnest(toks) AS u(tok) GROUP BY u.tok),
+         |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram,
+         |  toks[i] AS first_tok
+         | FROM t, unnest(CASE WHEN len(toks) >= 2
+         |   THEN generate_series(1, len(toks) - 1) ELSE [] END) AS u(i)),
+         |bgc AS (SELECT bigram, COUNT(*) AS cab FROM bg GROUP BY bigram)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         | ROUND(CAST(CAST(SUM((cab * 1000000) // cw) AS BIGINT) AS DOUBLE)
+         |  / COUNT(*), 4) AS lm_score
+         |FROM bg JOIN bgc USING (bigram) JOIN uni USING (first_tok)
+         |GROUP BY doc_id""".stripMargin,
+
     "doc_keyterms" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(${norm("text")}, ' ')) AS tok
          | FROM documents WHERE length(${norm("text")}) > 0),

@@ -164,6 +164,7 @@ object SparkEntry {
     "bigram_topk" -> ((s, d) => TextOps.bigramTopK(documents(s, d))),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
     "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
+    "ngram_lm_score" -> ((s, d) => TextOps.ngramLmScore(documents(s, d))),
     "doc_keyterms" -> ((s, d) => TextOps.docKeyterms(documents(s, d))),
     "repetition_report" -> ((s, d) => TextOps.repetitionReport(documents(s, d))),
     "mixture_balance" -> ((s, d) => PipelineOps.mixtureBalance(documents(s, d))),

@@ -329,4 +329,31 @@ object TextOps {
       .agg(sum(col("n")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(k)
+
+  /** Bigram language-model document score — the KenLM-perplexity-style
+    * fluency signal of a quality pipeline, in EXACT integer math (no
+    * libm logs, so the oracle agrees bit-for-bit): each bigram (a, b)
+    * scores its scaled conditional frequency ⌊10⁶·C(ab)/C(a)⌋ and a doc
+    * reports the mean over its bigrams (high = its word transitions are
+    * common corpus-wide; word salad scores low). Two corpus-sized
+    * grouped counts + two re-joins — the rarity_score shape extended to
+    * transitions.
+    */
+  def ngramLmScore(documents: DataFrame): DataFrame = {
+    val spread = OpUtils.spread(documents)
+    val uni = spread
+      .select(explode(TextFns.tokens(col("text"))).as("first_tok"))
+      .groupBy(col("first_tok"))
+      .agg(count(lit(1)).as("cw"))
+    val bigrams = bigramRows(spread)
+      .withColumn("first_tok", substring_index(col("bigram"), " ", 1))
+    val bgCounts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cab"))
+    bigrams
+      .join(bgCounts, Seq("bigram"))
+      .join(uni, Seq("first_tok"))
+      .withColumn("score", expr("(cab * 1000000) div cw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("score")).cast("double") / count(lit(1)), 4).as("lm_score"))
+  }
 }

@@ -157,6 +157,16 @@ class TextOpsSpec extends SparkSpec {
     assert(out.getAs[String]("posting_sample") == "1,2,3")
   }
 
+  test("ngramLmScore is the exact mean scaled conditional bigram frequency") {
+    val df = docs((1L, "a b a b", "en"), (2L, "x y", "en"))
+    val out = TextOps.ngramLmScore(df).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score")))).toMap
+    // doc 1 bigrams: "a b"×2 (C=2, C(a)=2 → 10⁶ each), "b a" (C=1, C(b)=2 → 5·10⁵)
+    assert(out(1L) == ((3L, 833333.3333)))
+    // doc 2: single unseen-elsewhere bigram → conditional frequency 1
+    assert(out(2L) == ((1L, 1000000.0)))
+  }
+
   test("bpePairCounts weighs character pairs by word frequency") {
     val df = docs((1L, "aa ab aa", "en"), (2L, "ab b", "en"))
     val out = TextOps.bpePairCounts(df).collect()
