@@ -1179,7 +1179,7 @@ object Oracles {
     "quality_gate" ->
       s"""WITH q AS ($qualityScoreSql)
          |SELECT doc_id, quality_score,
-         | CASE WHEN n_tokens < 15 THEN 'too_short'
+         | CASE WHEN n_tokens IS NULL OR n_tokens < 15 THEN 'too_short'
          |      WHEN special_ratio > 0.05 THEN 'special_chars'
          |      WHEN stop_ratio < 0.08 THEN 'low_stopword'
          |      WHEN avg_word_len < 3.0 OR avg_word_len > 10.0 THEN 'word_length'

@@ -1016,6 +1016,10 @@ object Analytics {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
         sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      // value-range note: cents·10⁴ must stay under 2⁶³ — per-(part,
+      // supplier) revenue would need to exceed ~9·10¹⁴ currency units to
+      // overflow, and ANSI mode turns an overflow into a loud error, not
+      // a silent wrap
       .withColumn("cents", (col("sum_price") * 100).cast("long"))
       .withColumn("qty_units", col("sum_qty").cast("long"))
       .withColumn("unit_cost_micro", expr("(cents * 10000) div qty_units"))

@@ -74,7 +74,9 @@ object TextOps {
     */
   def qualityGate(documents: DataFrame): DataFrame = {
     val reason =
-      when(col("n_tokens") < 15, "too_short")
+      // isNull: a NULL text yields NULL counts, and a bare `< 15` CASE
+      // arm would skip every rule and let the doc through
+      when(col("n_tokens").isNull || col("n_tokens") < 15, "too_short")
         .when(col("special_ratio") > 0.05, "special_chars")
         .when(col("stop_ratio") < 0.08, "low_stopword")
         .when(col("avg_word_len") < 3.0 || col("avg_word_len") > 10.0, "word_length")

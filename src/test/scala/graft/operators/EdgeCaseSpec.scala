@@ -53,6 +53,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(PipelineOps.vocabCoverage(degenerate).count() >= 5) // doc 5's tokens
   }
 
+  test("round-3 text ops survive null, blank, and single-token text") {
+    // inverted index / BPE / LM scoring must tolerate rows that produce
+    // zero tokens or zero bigrams without dropping the whole job
+    val inv = TextOps.invertedIndex(degenerate).collect()
+    assert(inv.nonEmpty && inv.forall(_.getAs[Long]("df") >= 1L))
+    val bpe = TextOps.bpePairCounts(degenerate).collect()
+    assert(bpe.forall(_.getAs[Long]("pair_count") >= 1L))
+    // only doc 5 has ≥ 2 tokens → exactly one scored doc
+    val lm = TextOps.ngramLmScore(degenerate).collect()
+    assert(lm.map(_.getLong(0)).toSeq == Seq(5L))
+    // quality gate: null/blank/short text is rejected as too_short, never null verdict
+    val gate = TextOps.qualityGate(degenerate).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(gate.size == 5 && !gate(1L) && !gate(2L) && !gate(3L) && !gate(4L))
+  }
+
   test("parseTimestamps propagates null timestamps without crashing") {
     val df = Seq(
       (0L, null.asInstanceOf[java.sql.Timestamp], 1L, "x", 1.0, "{}"),
