@@ -27,6 +27,14 @@ object Bench {
     // running the whole workload. Later queries then show the documented
     // reuse, which is the engine's real steady-state behavior.
     graft.operators.Memo.invalidate()
+    graft.operators.Memo.drainBuildSeconds() // discard warmup attributions
+    // Memo-miss derivations (LSH pair graph, cluster labels) are shared
+    // intermediates: attributing them to whichever query alphabetically
+    // runs first would make that query's number incomparable across
+    // rounds. Each derivation reports as its own "memo:<op>" line item
+    // and is subtracted from the triggering query's wall time; the total
+    // still includes everything.
+    val memoAgg = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -34,17 +42,24 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      val memo = graft.operators.Memo.drainBuildSeconds()
+      memo.foreach { case (op, s) =>
+        val k = "memo:" + op
+        memoAgg(k) = memoAgg.getOrElse(k, 0.0) + s
+      }
       spark.catalog.clearCache()
-      (name, sec, ok)
+      (name, math.max(0.0, sec - memo.values.sum), ok)
     }
     // failed queries report null (never a normal-looking duration) and
     // are listed separately so a failure can't hide in the totals
-    val qs = results.map { case (k, v, ok) =>
+    val qs = (results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v.toString else "null")
-    }.mkString("{", ",", "}")
+    } ++ memoAgg.map { case (k, v) => "\"" + k + "\":" + v.toString })
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true) => v }.sum +
+      memoAgg.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -294,9 +294,14 @@ object TextOps {
     * frequency, and a bounded posting-list sample (first `postingSample`
     * doc ids). The search-index construction pass of a corpus engine.
     * Scale shape: one explode scan → per-(token, doc) partial counts
-    * (map-side combined) → per-token rollup; the posting list is CAPPED
-    * via slice before leaving the aggregation, so no row grows with
-    * corpus size. Postings are projected as a joined string (driver
+    * (map-side combined) → per-token rank → per-token rollup. The posting
+    * list is capped BEFORE the aggregation buffer: a row_number window
+    * (partitioned by token, ordered by doc_id — it reuses the rollup's
+    * own hash(tok) exchange, costing one sort and no extra shuffle)
+    * marks the first `postingSample` doc ids, and collect_list gathers
+    * only those (a stopword token's buffer holds ≤ postingSample ids,
+    * never its full corpus-wide posting list). df/tf still aggregate
+    * over all rows. Postings are projected as a joined string (driver
     * canonicalization is scalar-only).
     */
   def invertedIndex(documents: DataFrame, postingSample: Int = 5): DataFrame =
@@ -304,11 +309,14 @@ object TextOps {
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy(col("tok"), col("doc_id"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("df"),
         sum(col("n")).as("tf"),
         concat_ws(",",
-          transform(slice(sort_array(collect_list(col("doc_id"))), 1, postingSample),
+          transform(
+            sort_array(collect_list(when(col("rk") <= postingSample, col("doc_id")))),
             d => d.cast("string"))).as("posting_sample"))
 
   /** Most frequent adjacent character pairs — the inner statistic of a

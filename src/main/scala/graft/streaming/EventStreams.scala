@@ -322,15 +322,36 @@ object EventStreams {
         // one deterministic attribute value per key per batch
         val incoming = batch.groupBy(col("user_id"))
           .agg(max(col("event_type")).as("attr"))
-        val store =
-          try spark.read.parquet(dimPath)
-          catch {
-            case _: Exception =>
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                org.apache.spark.sql.types.StructType.fromDDL(
-                  "user_id LONG, attr STRING, valid_from LONG, valid_to LONG, is_current BOOLEAN"))
+        // "No store yet" is decided by an explicit existence check, not
+        // by swallowing read failures: a corrupt store, a permission
+        // error, or a dangling -retired directory from a crash between
+        // the two swap renames must FAIL the batch loudly (the manual
+        // repair documented above), never silently restart version
+        // history from an empty dimension.
+        val dimP = java.nio.file.Paths.get(dimPath).toAbsolutePath
+        val dangling =
+          if (!java.nio.file.Files.isDirectory(dimP.getParent)) None
+          else {
+            val ls = java.nio.file.Files.list(dimP.getParent)
+            try {
+              import scala.jdk.CollectionConverters._
+              ls.iterator.asScala.find(_.getFileName.toString
+                .startsWith(dimP.getFileName.toString + "-retired-"))
+            } finally ls.close()
           }
+        dangling.foreach { d =>
+          throw new IllegalStateException(
+            s"SCD2 store swap was interrupted: found $d; " +
+              s"restore it to $dimPath (or delete it if $dimPath is complete) before resuming")
+        }
+        val store =
+          if (java.nio.file.Files.exists(dimP))
+            spark.read.parquet(dimPath)
+          else
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "user_id LONG, attr STRING, valid_from LONG, valid_to LONG, is_current BOOLEAN"))
         val current = store.filter(col("is_current"))
         val closedHistory = store.filter(!col("is_current"))
         val joined = current.join(incoming.withColumnRenamed("attr", "new_attr"),

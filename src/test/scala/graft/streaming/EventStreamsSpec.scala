@@ -274,4 +274,28 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "gold", 1L, -1L, true),   // opened at batch 1, current
       (2L, "silver", 0L, -1L, true)))
   }
+
+  test("scd2UpsertStream fails loudly on an interrupted store swap") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2_crash")
+    val dimPath = base.toString + "/dim"
+    // simulate a crash between the two swap renames: the store was moved
+    // aside to -retired-N but the staging dir never landed at dimPath
+    java.nio.file.Files.createDirectory(base.resolve("dim-retired-3"))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.scd2UpsertStream(streamDF, dimPath).start()
+    mem.addData((1L, ts(0), 1L, "bronze", 0.0, "{}"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    // the batch must NOT have rebuilt an empty dim over the lost history
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dimPath)))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("swap was interrupted")))
+  }
 }
