@@ -678,7 +678,51 @@ object Oracles {
         |   CAST(l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
         |   * CAST(100.0 AS DOUBLE) / COUNT(*), 2) AS pct_fast
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "late_priority_mix" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_linestatus""".stripMargin,
+
+    "excess_share_suppliers" ->
+      """WITH qty AS (
+        | SELECT l_partkey, l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        | FROM lineitem
+        | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        | GROUP BY 1, 2),
+        |w AS (SELECT l_suppkey, sq,
+        |  CAST(SUM(sq) OVER (PARTITION BY l_partkey) AS BIGINT) AS total_q
+        | FROM qty),
+        |m AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_majority_parts
+        | FROM w WHERE sq * 8 > total_q GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name AS nation, n_majority_parts
+        |FROM m JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+
+    "order_gap_stats" ->
+      """WITH w AS (
+        | SELECT o_custkey, o_orderdate,
+        |  LAG(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_date
+        | FROM orders),
+        |g AS (
+        | SELECT o_custkey,
+        |  CAST(date_diff('day', CAST(prev_date AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        | FROM w WHERE prev_date IS NOT NULL)
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        | CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+        | CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+        | CAST((CAST(SUM(gap_days) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
+        |   AS avg_gap_micro_days
+        |FROM g GROUP BY o_custkey""".stripMargin
   )
 
   private def norm(c: String) = normTextSql(c)
@@ -1474,7 +1518,62 @@ object Oracles {
         |SELECT CASE WHEN first_signup IS NULL THEN 0
         |  WHEN last_purchase IS NOT NULL AND last_purchase >= first_signup THEN 2
         |  ELSE 1 END AS funnel_stage, COUNT(*) AS n_users
-        |FROM per_user GROUP BY 1""".stripMargin
+        |FROM per_user GROUP BY 1""".stripMargin,
+
+    "event_transitions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+        | FROM events),
+        |w AS (
+        | SELECT event_type AS from_type,
+        |  LEAD(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id) AS to_type
+        | FROM e)
+        |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |FROM w WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type""".stripMargin,
+
+    "perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, CASE WHEN length(${norm("text")}) = 0 THEN []
+         |  ELSE string_split(${norm("text")}, ' ') END AS toks FROM documents),
+         |uni AS (
+         | SELECT u.tok AS first_tok, COUNT(*) AS cw
+         | FROM t, unnest(toks) AS u(tok) GROUP BY u.tok),
+         |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram,
+         |  toks[i] AS first_tok
+         | FROM t, unnest(CASE WHEN len(toks) >= 2
+         |   THEN generate_series(1, len(toks) - 1) ELSE [] END) AS u(i)),
+         |bgc AS (SELECT bigram, COUNT(*) AS cab FROM bg GROUP BY bigram),
+         |doc AS (
+         | SELECT doc_id,
+         |  CAST(SUM((cab * 1000000) // cw) AS BIGINT) // COUNT(*) AS score_micro
+         | FROM bg JOIN bgc USING (bigram) JOIN uni USING (first_tok)
+         | GROUP BY doc_id),
+         |by_score AS (
+         | SELECT score_micro, CAST(COUNT(*) AS BIGINT) AS n
+         | FROM doc GROUP BY score_micro),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM doc),
+         |cum AS (
+         | SELECT score_micro, n,
+         |  CAST(SUM(n) OVER (ORDER BY score_micro
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         |  nd
+         | FROM by_score CROSS JOIN nd)
+         |SELECT CAST(((cum_n - n) * 4) // nd + 1 AS BIGINT) AS bucket,
+         | CAST(SUM(n) AS BIGINT) AS n_docs,
+         | CAST(MIN(score_micro) AS BIGINT) AS min_score_micro,
+         | CAST(MAX(score_micro) AS BIGINT) AS max_score_micro
+         |FROM cum GROUP BY 1""".stripMargin,
+
+    "corpus_stats" ->
+      s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN length(${norm("text")}) = 0 THEN 0
+         |   ELSE len(string_split(${norm("text")}, ' ')) END) AS BIGINT) AS n_tokens,
+         | CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         | CAST((CAST(SUM(length(text)) AS HUGEINT) * 1000000) // COUNT(*)
+         |   AS BIGINT) AS chars_per_doc_micro
+         |FROM documents GROUP BY lang, source""".stripMargin
   )
 
   private val eStreaming: Map[String, String] = Map(

@@ -129,6 +129,12 @@ object SparkEntry {
       Analytics.partSupplierCounts(lineitem(s, d), part(s, d), supplier(s, d))),
     "important_parts" -> ((s, d) =>
       Analytics.importantParts(lineitem(s, d), supplier(s, d), nation(s, d))),
+    "late_priority_mix" -> ((s, d) =>
+      Analytics.latePriorityMix(orders(s, d), lineitem(s, d))),
+    "excess_share_suppliers" -> ((s, d) =>
+      Analytics.excessShareSuppliers(lineitem(s, d), part(s, d),
+        supplier(s, d), nation(s, d))),
+    "order_gap_stats" -> ((s, d) => Analytics.orderGapStats(orders(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => DedupOps.dedupSemantic(embeddings(s, d))),
     "approx_distincts" -> ((s, d) => Analytics.approxDistincts(lineitem(s, d))),
@@ -165,6 +171,8 @@ object SparkEntry {
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
     "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
     "ngram_lm_score" -> ((s, d) => TextOps.ngramLmScore(documents(s, d))),
+    "perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(documents(s, d))),
+    "corpus_stats" -> ((s, d) => TextOps.corpusStats(documents(s, d))),
     "doc_keyterms" -> ((s, d) => TextOps.docKeyterms(documents(s, d))),
     "repetition_report" -> ((s, d) => TextOps.repetitionReport(documents(s, d))),
     "mixture_balance" -> ((s, d) => PipelineOps.mixtureBalance(documents(s, d))),
@@ -195,6 +203,7 @@ object SparkEntry {
     "events_asof_signup" -> ((s, d) =>
       AsOfOps.purchaseWithLastSignup(events(s, d))),
     "event_funnel" -> ((s, d) => AsOfOps.signupPurchaseFunnel(events(s, d))),
+    "event_transitions" -> ((s, d) => AsOfOps.eventTransitions(events(s, d))),
     // E. streaming (batch-equivalent forms; true streaming in tests)
     "events_tumbling" -> ((s, d) =>
       graft.streaming.EventStreams.tumblingAggBatch(events(s, d))),

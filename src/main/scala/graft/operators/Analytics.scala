@@ -1086,4 +1086,85 @@ object Analytics {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** High- vs low-priority line counts among late-shipped lines, per line
+    * status — the TPC-H Q12 shape (one fact⋈fact join, then conditional
+    * counts in a single grouped pass; Q12's shipmode becomes linestatus —
+    * the testdata carries no l_shipmode). The join ships only three
+    * orders columns; both conditional sums partial-aggregate map-side, so
+    * the second shuffle is 2 rows per status per task regardless of
+    * corpus size. (Ref behavior: the notebooks' late-delivery priority
+    * breakdowns, e.g. Analysis/NYC accident analysis.ipynb's
+    * severity-by-period pivot.)
+    */
+  def latePriorityMix(orders: DataFrame, lineitem: DataFrame, lateDays: Int = 30): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+
+  /** Suppliers shipping an EXCESS share (> 1/shareDenom) of some promo
+    * part's volume — the TPC-H Q20 shape (nested subqueries →
+    * per-(part, supplier) rollup, a per-part total via a window on the
+    * SAME partitioning, and a supplier-grain count; partsupp
+    * availability becomes shipped volume — the testdata carries no
+    * partsupp). Exact integer math throughout (quantities are integral;
+    * the share test is shareDenom·sq > total in BIGINT). Scale shape:
+    * the promo-part filter prunes the fact scan via a broadcast
+    * semi-join BEFORE the only fact-sized shuffle; the window reuses the
+    * grouped output (one extra exchange, no rescan); supplier/nation
+    * broadcast.
+    */
+  def excessShareSuppliers(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, prefix: String = "red",
+      shareDenom: Int = 8): DataFrame = {
+    val promo = part.filter(col("p_name").startsWith(prefix)).select(col("p_partkey"))
+    val perPartSupp = lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("q"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q")).as("sq"))
+    perPartSupp
+      .withColumn("total_q",
+        sum(col("sq")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("sq") * shareDenom > col("total_q"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_majority_parts"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"),
+        col("n_majority_parts"))
+  }
+
+  /** Per-customer inter-order gap statistics (recency/frequency
+    * signals): consecutive orders by date, the gap in whole days, and
+    * min/max/mean per customer — mean in exact integer micro-days
+    * (multiply-then-integer-divide, engine-stable). The lag() window
+    * partitions by customer (bounded history, no global sort); the
+    * rollup reuses the same hash(custkey) exchange.
+    */
+  def orderGapStats(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_days")).as("min_gap_days"),
+        max(col("gap_days")).as("max_gap_days"),
+        expr("(sum(gap_days) * 1000000) div count(1)").as("avg_gap_micro_days"))
+  }
 }

@@ -51,6 +51,27 @@ object AsOfOps {
         col("asof_value").as("last_signup_value"))
   }
 
+  /** Event-type transition counts (the first-order Markov matrix of user
+    * behavior): per user, events ordered by (time, event_id), each
+    * adjacent pair counted as a from→to transition. The session-path
+    * statistic behind funnel mining and next-event models. Scale shape:
+    * the lead() window partitions by user (bounded per-user history, no
+    * global sort) and the transition rollup is map-side combined to at
+    * most |event_types|² rows.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("ts_s"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Signup→purchase funnel per user: stage 0 = never signed up, 1 =
     * signed up only, 2 = purchased at-or-after first signup. One grouped
     * pass, then a tiny stage histogram.

@@ -349,7 +349,17 @@ object TextOps {
     * grouped counts + two re-joins — the rarity_score shape extended to
     * transitions.
     */
-  def ngramLmScore(documents: DataFrame): DataFrame = {
+  def ngramLmScore(documents: DataFrame): DataFrame =
+    lmScoreParts(documents)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("score_sum").cast("double") / col("n_bigrams"), 4).as("lm_score"))
+
+  /** Per-doc bigram-LM raw parts: bigram count and the exact integer sum
+    * of per-bigram scaled conditional frequencies ⌊10⁶·C(ab)/C(a)⌋ —
+    * shared by [[ngramLmScore]] (rounded mean) and [[perplexityBuckets]]
+    * (integer quantile bucketing).
+    */
+  private def lmScoreParts(documents: DataFrame): DataFrame = {
     val spread = OpUtils.spread(documents)
     val uni = spread
       .select(explode(TextFns.tokens(col("text"))).as("first_tok"))
@@ -363,7 +373,57 @@ object TextOps {
       .join(uni, Seq("first_tok"))
       .withColumn("score", expr("(cab * 1000000) div cw"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("score")).cast("double") / count(lit(1)), 4).as("lm_score"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("score")).as("score_sum"))
   }
+
+  /** Fluency-quantile buckets over the corpus — the "drop the
+    * worst-perplexity quartile" curation step, in EXACT integer math.
+    * Each doc's score is the integer mean bigram-LM score; docs are
+    * assigned to `buckets` quantile buckets by the CDF of the
+    * DISTINCT-SCORE table: bucket = ⌊(first_rank−1)·buckets / N⌋ + 1, so
+    * a tie group lands wholly in its first member's bucket (never split —
+    * deterministic without a per-doc total order). Scale shape: the only
+    * global window runs over distinct scores (bounded — micro-unit
+    * integers), never the corpus; the corpus-sized work is the same two
+    * grouped passes as [[ngramLmScore]] plus one map-side-combined
+    * count per score. An exact global ntile would need a corpus-wide
+    * single-partition sort — this is the formulation that survives
+    * 100 TB.
+    */
+  def perplexityBuckets(documents: DataFrame, buckets: Int = 4): DataFrame = {
+    val doc = lmScoreParts(documents)
+      .select(col("doc_id"), expr("score_sum div n_bigrams").as("score_micro"))
+    val byScore = doc.groupBy(col("score_micro")).agg(count(lit(1)).as("n"))
+    val total = doc.agg(count(lit(1)).as("nd"))
+    byScore.crossJoin(broadcast(total))
+      .withColumn("cum_n", sum(col("n")).over(
+        Window.orderBy(col("score_micro"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bucket",
+        expr(s"((cum_n - n) * $buckets) div nd + 1"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_docs"),
+        min(col("score_micro")).as("min_score_micro"),
+        max(col("score_micro")).as("max_score_micro"))
+  }
+
+  /** Corpus composition report: per (lang, source) stratum — doc count,
+    * whitespace-token and raw-character totals, and mean doc length in
+    * exact character micro-units (multiply-then-integer-divide; no float
+    * division, so the value is engine-stable). The mixture/size
+    * accounting pass before a training run. One map-side-combined
+    * grouped scan; sums widen to decimal so 100 TB character totals
+    * cannot overflow the ×10⁶ scaling.
+    */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        expr("(cast(sum(chars) as decimal(38,0)) * 1000000) div count(1)")
+          .as("chars_per_doc_micro"))
 }

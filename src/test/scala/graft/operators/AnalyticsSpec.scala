@@ -333,4 +333,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getAs[Long]("supplier_cnt") == 1L)
   }
+
+  test("latePriorityMix splits late line counts by priority class") {
+    val ords = Seq(
+      (1L, 10L, "O", 1.0, ts("2024-01-01"), "1-URGENT"),
+      (2L, 10L, "O", 1.0, ts("2024-01-01"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val df = li(
+      (1L, 1L, 1L, 1.0, 1.0, 0.0, "2024-03-01"),  // late, high priority
+      (1L, 1L, 1L, 1.0, 1.0, 0.0, "2024-01-05"),  // on time → dropped
+      (2L, 1L, 1L, 1.0, 1.0, 0.0, "2024-03-01"),  // late, low priority
+      (2L, 1L, 1L, 1.0, 1.0, 0.0, "2024-02-15"))  // late by 45d, low priority
+    val out = Analytics.latePriorityMix(ords, df).collect()
+    assert(out.length == 1) // every line has linestatus O in the fixture
+    assert(out.head.getAs[Long]("high_line_count") == 1L)
+    assert(out.head.getAs[Long]("low_line_count") == 2L)
+  }
+
+  test("excessShareSuppliers keeps only suppliers above the volume share") {
+    val part = Seq((1L, "red widget", "B", "T", 1, 1.0),
+      (2L, "blue bolt", "B", "T", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val df = li(
+      (1L, 1L, 1L, 95.0, 1.0, 0.0, "2024-01-01"), // S1: 95/100 of red → kept
+      (2L, 1L, 2L, 5.0, 1.0, 0.0, "2024-01-01"),  // S2: 5·8 < 100 → dropped
+      (3L, 2L, 2L, 100.0, 1.0, 0.0, "2024-01-01")) // blue: not a promo part
+    val out = Analytics.excessShareSuppliers(df, part, suppliers, nation).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("s_suppkey") == 1L)
+    assert(out.head.getAs[String]("nation") == "FRANCE")
+    assert(out.head.getAs[Long]("n_majority_parts") == 1L)
+  }
+
+  test("orderGapStats reports exact integer gap statistics per customer") {
+    val ords = Seq(
+      (1L, 10L, "O", 1.0, ts("2024-01-01"), "5-LOW"),
+      (2L, 10L, "O", 1.0, ts("2024-01-04"), "5-LOW"),
+      (3L, 10L, "O", 1.0, ts("2024-01-08"), "5-LOW"),
+      (4L, 20L, "O", 1.0, ts("2024-01-01"), "5-LOW")) // single order → no gaps
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Analytics.orderGapStats(ords).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 10L && r.getAs[Long]("n_gaps") == 2L)
+    assert(r.getAs[Long]("min_gap_days") == 3L)
+    assert(r.getAs[Long]("max_gap_days") == 4L)
+    assert(r.getAs[Long]("avg_gap_micro_days") == 3500000L) // (7·10⁶) div 2
+  }
 }

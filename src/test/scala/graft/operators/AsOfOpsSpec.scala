@@ -25,6 +25,15 @@ class AsOfOpsSpec extends SparkSpec {
       Seq((2L, 10.0), (4L, 20.0), (5L, null)))
   }
 
+  test("eventTransitions counts adjacent per-user event pairs") {
+    // user 1: signup→purchase→signup→purchase; users 2 & 3: single events
+    val out = AsOfOps.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("signup", "purchase") -> 2L,
+      ("purchase", "signup") -> 1L))
+  }
+
   test("funnel stages count users correctly") {
     val out = AsOfOps.signupPurchaseFunnel(events)
       .orderBy("funnel_stage").collect()

@@ -167,6 +167,45 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1000000.0)))
   }
 
+  test("corpusStats aggregates exact per-stratum size accounting") {
+    val df = Seq(
+      (1L, "a b c", "en", "web", 5L),
+      (2L, "dd ee", "en", "web", 5L),
+      (3L, "", "en", "book", 0L)) // blank text → zero tokens, zero chars
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.corpusStats(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val web = out(("en", "web"))
+    assert(web.getAs[Long]("n_docs") == 2L)
+    assert(web.getAs[Long]("n_tokens") == 5L)
+    assert(web.getAs[Long]("n_chars") == 10L)
+    assert(web.getAs[Long]("chars_per_doc_micro") == 5000000L)
+    val book = out(("en", "book"))
+    assert(book.getAs[Long]("n_tokens") == 0L && book.getAs[Long]("n_chars") == 0L)
+  }
+
+  test("perplexityBuckets spans ordered non-overlapping ranges covering all docs") {
+    val df = docs((1L, "a b a b a", "en"), (2L, "a b c d e", "en"),
+      (3L, "z z z z", "en"), (4L, "q w e r t y", "en"), (5L, "m n", "en"))
+    val out = TextOps.perplexityBuckets(df).orderBy("bucket").collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 5L) // every doc in one bucket
+    val ranges = out.map(r => (r.getLong(0),
+      r.getAs[Long]("min_score_micro"), r.getAs[Long]("max_score_micro")))
+    ranges.foreach { case (_, mn, mx) => assert(mn <= mx) }
+    ranges.sliding(2).foreach {
+      case Array((b1, _, mx1), (b2, mn2, _)) => assert(b1 < b2 && mx1 < mn2)
+      case _ => ()
+    }
+  }
+
+  test("perplexityBuckets never splits a score tie across buckets") {
+    val df = docs((1L, "a b", "en"), (2L, "a b", "en"),
+      (3L, "a b", "en"), (4L, "a b", "en"))
+    val out = TextOps.perplexityBuckets(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getAs[Long]("n_docs") == 4L)
+  }
+
   test("bpePairCounts weighs character pairs by word frequency") {
     val df = docs((1L, "aa ab aa", "en"), (2L, "ab b", "en"))
     val out = TextOps.bpePairCounts(df).collect()
