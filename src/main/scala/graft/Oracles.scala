@@ -796,6 +796,35 @@ object Oracles {
        |  WHERE est_jaccard >= 0.5)""".stripMargin
   }
 
+  /** SimHash band-bucket candidate-pair CTEs (assumes a `norm(doc_id, t)`
+    * CTE precedes, as in [[shingleCte]]) ending in `shp(doc_a, doc_b,
+    * hamming)` — the Hamming ≤ 3 near-dup pair set. Shared by
+    * dedup_simhash and dedup_method_overlap.
+    */
+  private val simhashPairsCte: String = {
+    val sums = (0 until 60)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val simExpr = (0 until 60)
+      .map(j => s"(CASE WHEN b$j >= 0 THEN (1::BIGINT << $j) ELSE 0 END)")
+      .mkString(" + ")
+    val bandsUnion = (0 until 4)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS key FROM ssim")
+      .mkString(" UNION ALL ")
+    s"""stok AS (SELECT doc_id, ${hash60Sql("tk")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tk
+       |        FROM norm WHERE length(t) > 0)),
+       |ssums AS (SELECT doc_id, $sums FROM stok GROUP BY doc_id),
+       |ssim AS (SELECT doc_id, $simExpr AS simhash FROM ssums),
+       |sbands AS ($bandsUnion),
+       |shp AS (SELECT * FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM sbands a JOIN sbands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= 3)""".stripMargin
+  }
+
   /** Connected-component labeling CTEs over the `lshp` pair set (assumes
     * [[minhashPairsCte]] precedes them) ending in `todrop` — shared by
     * dedup_survivors and curated_corpus.
@@ -964,30 +993,31 @@ object Oracles {
          |GROUP BY doc_id""".stripMargin
     },
 
-    "dedup_simhash" -> {
-      val sums = (0 until 60)
-        .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
-        .mkString(", ")
-      val simExpr = (0 until 60)
-        .map(j => s"(CASE WHEN b$j >= 0 THEN (1::BIGINT << $j) ELSE 0 END)")
-        .mkString(" + ")
-      val bandsUnion = (0 until 4)
-        .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS key FROM sim")
-        .mkString(" UNION ALL ")
+    "dedup_simhash" ->
       s"""WITH norm AS (SELECT doc_id, ${norm("text")} AS t FROM documents),
-         |tok AS (SELECT doc_id, ${hash60Sql("tk")} AS h
-         |  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tk
-         |        FROM norm WHERE length(t) > 0)),
-         |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
-         |sim AS (SELECT doc_id, $simExpr AS simhash FROM sums),
-         |bands AS ($bandsUnion)
-         |SELECT * FROM (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         |WHERE hamming <= 3""".stripMargin
-    },
+         |$simhashPairsCte
+         |SELECT doc_a, doc_b, hamming FROM shp""".stripMargin,
+
+    "dedup_method_overlap" ->
+      s"""WITH $minhashPairsCte,
+         |$simhashPairsCte,
+         |exact_d AS (SELECT doc_id FROM (
+         |  SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(t)) AS n FROM norm)
+         |  WHERE n >= 2),
+         |mh_d AS (SELECT doc_a AS doc_id FROM lshp
+         |         UNION SELECT doc_b FROM lshp),
+         |sh_d AS (SELECT doc_a AS doc_id FROM shp
+         |         UNION SELECT doc_b FROM shp),
+         |flags AS (
+         | SELECT doc_id, 'exact' AS method FROM exact_d
+         | UNION ALL SELECT doc_id, 'minhash' FROM mh_d
+         | UNION ALL SELECT doc_id, 'simhash' FROM sh_d)
+         |SELECT doc_id,
+         | MAX(CASE WHEN method = 'exact' THEN 1 ELSE 0 END) = 1 AS by_exact,
+         | MAX(CASE WHEN method = 'minhash' THEN 1 ELSE 0 END) = 1 AS by_minhash,
+         | MAX(CASE WHEN method = 'simhash' THEN 1 ELSE 0 END) = 1 AS by_simhash,
+         | CAST(COUNT(*) AS BIGINT) AS n_methods
+         |FROM flags GROUP BY doc_id""".stripMargin,
 
     "embed_cosine_topk" -> {
       def dotSql(a: String, b: String) =

@@ -180,6 +180,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(documents(s, d))),
     "dedup_spans" -> ((s, d) => DedupOps.dedupSpans(documents(s, d))),
     "dedup_survivors" -> ((s, d) => DedupOps.dedupSurvivors(documents(s, d))),
+    "dedup_method_overlap" -> ((s, d) => DedupOps.dedupMethodOverlap(documents(s, d))),
     "type_token_ratio" -> ((s, d) => TextOps.typeTokenRatio(documents(s, d))),
     "stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(documents(s, d))),
     "mixture_report" -> ((s, d) => PipelineOps.mixtureReport(documents(s, d))),

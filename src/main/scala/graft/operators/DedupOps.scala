@@ -434,4 +434,36 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Method-agreement audit across the three duplicate detectors: every
+    * doc flagged by ANY of exact-hash, MinHash-LSH (est. Jaccard ≥ 0.5),
+    * or SimHash (Hamming ≤ 3), with a per-method flag and the method
+    * count — the comparison a pipeline runs before picking its
+    * production dedup policy. Scale shape: the MinHash leg reuses the
+    * memoized session pair graph; each leg reduces to a narrow
+    * (doc_id, method) stream; the final rollup is map-side combined.
+    */
+  def dedupMethodOverlap(documents: DataFrame): DataFrame = {
+    val hashed = documents.select(col("doc_id"),
+      md5(TextFns.normText(col("text"))).as("ch"))
+    val dupHashes = hashed.groupBy(col("ch"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("ch"))
+    val byExact = hashed.join(dupHashes, Seq("ch"), "left_semi")
+      .select(col("doc_id"))
+    val mh = dedupMinhashLsh(documents)
+    val byMinhash = mh.select(col("doc_a").as("doc_id"))
+      .union(mh.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = dedupSimhash(documents)
+    val bySimhash = sh.select(col("doc_a").as("doc_id"))
+      .union(sh.select(col("doc_b").as("doc_id"))).distinct()
+    byExact.select(col("doc_id"), lit("exact").as("method"))
+      .union(byMinhash.select(col("doc_id"), lit("minhash").as("method")))
+      .union(bySimhash.select(col("doc_id"), lit("simhash").as("method")))
+      .groupBy(col("doc_id"))
+      .agg(
+        (max(when(col("method") === "exact", 1).otherwise(0)) === 1).as("by_exact"),
+        (max(when(col("method") === "minhash", 1).otherwise(0)) === 1).as("by_minhash"),
+        (max(when(col("method") === "simhash", 1).otherwise(0)) === 1).as("by_simhash"),
+        count(lit(1)).as("n_methods"))
+  }
 }

@@ -195,4 +195,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("Q20 shape semi-joins the promo broadcast before the fact shuffle") {
+    val p = plan("excess_share_suppliers")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "promo-part prune must be a broadcast semi join")
+    assert(!p.contains("CartesianProduct"))
+    // the per-part total is a window over the grouped output, not a
+    // second scan of lineitem
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 4,
+      "lineitem must be scanned once")
+  }
+
+  test("corpus_stats is one map-side-combined grouped scan") {
+    val p = plan("corpus_stats")
+    assert(p.contains("partial"), "aggregation must partial-combine map-side")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      "exactly one shuffle — the stratum rollup")
+  }
+
+  test("perplexity buckets keep the global window off the corpus") {
+    val p = plan("perplexity_buckets")
+    // the only unpartitioned window must consume the distinct-score
+    // aggregate, never per-doc rows: a Window whose child chain includes
+    // the score_micro groupBy
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    assert(p.contains("score_micro"), p.take(400))
+  }
+
+  test("gap and transition windows partition by their natural key") {
+    Seq("order_gap_stats" -> "o_custkey", "event_transitions" -> "user_id")
+      .foreach { case (q, key) =>
+        val p = plan(q)
+        val w = p.linesIterator.find(_.contains("Window")).getOrElse("")
+        assert(w.contains(key), s"$q window must partition by $key:\n$w")
+      }
+  }
 }

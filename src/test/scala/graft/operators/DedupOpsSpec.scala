@@ -86,4 +86,19 @@ class DedupOpsSpec extends SparkSpec {
     val mixed = docs(1L -> base, 2L -> base, 3L -> "something else entirely here")
     assert(DedupOps.dedupMinhashLsh(mixed, minEst = 0.9).count() == 1L)
   }
+
+  test("dedupMethodOverlap flags identical docs by all three methods") {
+    val df = docs(
+      1L -> base,
+      2L -> base,                               // identical → all methods
+      3L -> "entirely unrelated text about completely different subject matter")
+    val out = DedupOps.dedupMethodOverlap(df).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 never flagged
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("by_exact"))
+      assert(r.getAs[Boolean]("by_minhash"))
+      assert(r.getAs[Boolean]("by_simhash"))
+      assert(r.getAs[Long]("n_methods") == 3L)
+    }
+  }
 }
