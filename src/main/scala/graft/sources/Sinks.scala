@@ -76,4 +76,30 @@ object Sinks {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Small-file compaction — the operational pass every long-running
+    * 100 TB lake needs: streaming micro-batches and per-task writers
+    * leave thousands of KB-sized files whose per-file open/footer cost
+    * dominates scans and whose listing breaks planning. Sizes the output
+    * from the INPUT's real on-disk bytes (a driver-side metadata listing,
+    * no data read): n = ⌈totalBytes / targetFileBytes⌉ writer tasks, so
+    * output files land near the target regardless of row width. Returns
+    * the output file count. Round-robin repartition keeps rows balanced
+    * across writers without any key assumption.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long = 128L << 20): Int = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hadoopPath, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
+    val n = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
 }

@@ -300,6 +300,29 @@ object EventStreams {
       }
   }
 
+  /** Windowed streaming heavy hitters — the live form of
+    * `heavy_hitter_types`: per tumbling hour, the dominant event types by
+    * a mergeable Misra–Gries sketch. The streaming state per window is
+    * ONE bounded sketch (≤ capacity counters), updated incrementally and
+    * merged across micro-batches by the Aggregator's associative merge —
+    * the state never grows with event volume or type cardinality, which
+    * is what makes per-window top-k viable on an unbounded 100 TB/day
+    * stream (an exact streaming GROUP BY type would keep one state row
+    * per distinct type per window). Counts are exact while distinct
+    * types ≤ capacity (the spec's regime); above it, Misra–Gries
+    * guarantees any type with frequency > N/(capacity+1) survives.
+    */
+  def heavyHitterStream(events: DataFrame, capacity: Int = 16): DataFrame = {
+    val hh = udaf(new graft.functions.HeavyHitters(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hh(col("event_type")).as("sketch"))
+      .select(col("window.start").as("hour_start"),
+        explode(col("sketch")).as(Seq("event_type", "n_events")))
+  }
+
   /** Streaming SCD Type-2 dimension maintenance — the batch
     * `scd2_customer_versions` semantics kept current by a stream: each
     * micro-batch closes the current version of every key whose tracked

@@ -109,4 +109,27 @@ class SourcesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a == b)
   }
+
+  test("compact rewrites a fragmented layout into size-targeted files") {
+    import spark.implicits._
+    val dir = tmp()
+    // 50 writer tasks → 50 small files
+    (1 to 5000).map(i => (i.toLong, s"row $i payload")).toDF("id", "text")
+      .repartition(50).write.parquet(s"$dir/frag")
+    val fragFiles = new java.io.File(s"$dir/frag").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles == 50)
+    val totalBytes = new java.io.File(s"$dir/frag").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target = half the input bytes → expect exactly 2 output files
+    val n = Sinks.compact(spark, s"$dir/frag", s"$dir/compacted",
+      targetFileBytes = (totalBytes + 1) / 2)
+    assert(n == 2)
+    val outFiles = new java.io.File(s"$dir/compacted").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 2)
+    // content survives byte-identically at the row level
+    assert(spark.read.parquet(s"$dir/compacted").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == (1L to 5000L))
+  }
 }

@@ -61,6 +61,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(one.count() == 4)
   }
 
+  test("heavyHitterStream merges sketch state exactly across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.heavyHitterStream(streamDF)
+      .writeStream.outputMode("complete").format("memory").queryName("hhs").start()
+    val (first, second) = sampleEvents.splitAt(3)
+    mem.addData(first: _*); q.processAllAvailable()
+    mem.addData(second: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hhs").orderBy("hour_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    // distinct types ≤ capacity → Misra–Gries is exact = plain GROUP BY
+    val exact = eventsDF.groupBy(
+        window(col("ts"), "1 hour")("start").as("hour_start"), col("event_type"))
+      .count().orderBy("hour_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == exact && streamed.nonEmpty)
+  }
+
   test("watermark drops events arriving later than the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
