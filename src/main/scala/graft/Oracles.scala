@@ -10,6 +10,54 @@ import graft.OracleSql._
   */
 object Oracles {
 
+  /** parse_timestamps body — shared with the null_profile oracle, which
+    * profiles the parsed output (the column set with genuine NULLs:
+    * unparseable raws and the DST-ambiguous window).
+    */
+  private val parseTimestampsSql: String =
+    """WITH raw AS (
+      | SELECT event_id,
+      |  CASE WHEN event_id % 4 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+      |       WHEN event_id % 4 = 1 THEN strftime(ts, '%m/%d/%Y %I:%M:%S %p')
+      |       WHEN event_id % 4 = 2 THEN strftime(ts, '%-m/%-d/%Y %-I:%M:%S %p')
+      |       ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS raw_ts
+      | FROM events),
+      |parsed AS (
+      | SELECT event_id, raw_ts,
+      |  COALESCE(try_strptime(raw_ts, '%Y-%m-%dT%H:%M:%S'),
+      |           try_strptime(raw_ts, '%m/%d/%Y %I:%M:%S %p'),
+      |           try_strptime(raw_ts, '%-m/%-d/%Y %-I:%M:%S %p'),
+      |           try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S')) AS parsed_ts
+      | FROM raw)
+      |SELECT event_id, raw_ts, parsed_ts,
+      | CASE WHEN month(parsed_ts) = 11 AND day(parsed_ts) <= 7
+      |       AND isodow(parsed_ts) = 7 AND hour(parsed_ts) = 1 THEN NULL
+      |      ELSE timezone('UTC', timezone('America/New_York', parsed_ts)) END AS utc_ts
+      |FROM parsed""".stripMargin
+
+  /** price_clean body — shared with the null_profile oracle, which
+    * profiles the cleaned output (the `price` column is NULL for every
+    * dirty/unparseable raw — a guaranteed non-trivial null mix).
+    */
+  private val priceCleanSql: String =
+    """WITH dirty AS (
+      | SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 50 = 0 THEN 'NaN'
+      |       WHEN o_orderkey % 50 = 1 THEN ''
+      |       WHEN o_orderkey % 50 = 2 THEN 'INF'
+      |       WHEN o_orderkey % 50 = 3 THEN '-INF'
+      |       WHEN o_orderkey % 50 = 4 THEN 'N/A'
+      |       ELSE '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+      |  END AS price_raw
+      | FROM orders),
+      |parsed AS (SELECT o_orderkey, price_raw,
+      |  TRY_CAST(regexp_replace(price_raw, '[$,]', '', 'g') AS DECIMAL(18,2)) AS p
+      | FROM dirty)
+      |SELECT o_orderkey, price_raw,
+      | ROUND(CAST(p AS DOUBLE), 2) AS price,
+      | p IS NOT NULL AS is_valid
+      |FROM parsed""".stripMargin
+
   private val aCleaning: Map[String, String] = Map(
     "clean_events" ->
       """SELECT event_id, user_id, upper(trim(event_type)) AS event_type, value,
@@ -18,45 +66,24 @@ object Oracles {
         |WHERE ts IS NOT NULL AND user_id IS NOT NULL
         |  AND value >= 0.0 AND value <= 400.0""".stripMargin,
 
-    "parse_timestamps" ->
-      """WITH raw AS (
-        | SELECT event_id,
-        |  CASE WHEN event_id % 4 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
-        |       WHEN event_id % 4 = 1 THEN strftime(ts, '%m/%d/%Y %I:%M:%S %p')
-        |       WHEN event_id % 4 = 2 THEN strftime(ts, '%-m/%-d/%Y %-I:%M:%S %p')
-        |       ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS raw_ts
-        | FROM events),
-        |parsed AS (
-        | SELECT event_id, raw_ts,
-        |  COALESCE(try_strptime(raw_ts, '%Y-%m-%dT%H:%M:%S'),
-        |           try_strptime(raw_ts, '%m/%d/%Y %I:%M:%S %p'),
-        |           try_strptime(raw_ts, '%-m/%-d/%Y %-I:%M:%S %p'),
-        |           try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S')) AS parsed_ts
-        | FROM raw)
-        |SELECT event_id, raw_ts, parsed_ts,
-        | CASE WHEN month(parsed_ts) = 11 AND day(parsed_ts) <= 7
-        |       AND isodow(parsed_ts) = 7 AND hour(parsed_ts) = 1 THEN NULL
-        |      ELSE timezone('UTC', timezone('America/New_York', parsed_ts)) END AS utc_ts
-        |FROM parsed""".stripMargin,
+    "parse_timestamps" -> parseTimestampsSql,
 
-    "price_clean" ->
-      """WITH dirty AS (
-        | SELECT o_orderkey,
-        |  CASE WHEN o_orderkey % 50 = 0 THEN 'NaN'
-        |       WHEN o_orderkey % 50 = 1 THEN ''
-        |       WHEN o_orderkey % 50 = 2 THEN 'INF'
-        |       WHEN o_orderkey % 50 = 3 THEN '-INF'
-        |       WHEN o_orderkey % 50 = 4 THEN 'N/A'
-        |       ELSE '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
-        |  END AS price_raw
-        | FROM orders),
-        |parsed AS (SELECT o_orderkey, price_raw,
-        |  TRY_CAST(regexp_replace(price_raw, '[$,]', '', 'g') AS DECIMAL(18,2)) AS p
-        | FROM dirty)
-        |SELECT o_orderkey, price_raw,
-        | ROUND(CAST(p AS DOUBLE), 2) AS price,
-        | p IS NOT NULL AS is_valid
-        |FROM parsed""".stripMargin,
+    "price_clean" -> priceCleanSql,
+
+    "null_profile" -> {
+      val cols = Seq("o_orderkey", "price_raw", "price")
+      val sums = cols
+        .map(c => s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_$c")
+        .mkString(", ")
+      val union = cols
+        .map(c => s"SELECT '$c' AS column_name, n_rows, CAST(n_$c AS BIGINT) AS n_null FROM a")
+        .mkString(" UNION ALL ")
+      s"""WITH pc AS ($priceCleanSql),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, $sums FROM pc)
+         |SELECT column_name, n_rows, n_null,
+         | CAST((n_null * 1000000) // n_rows AS BIGINT) AS null_micro
+         |FROM ($union)""".stripMargin
+    },
 
     "json_extract_props" ->
       """SELECT event_id,
@@ -1549,6 +1576,19 @@ object Oracles {
         |  WHEN last_purchase IS NOT NULL AND last_purchase >= first_signup THEN 2
         |  ELSE 1 END AS funnel_stage, COUNT(*) AS n_users
         |FROM per_user GROUP BY 1""".stripMargin,
+
+    "events_dedup_window" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        | FROM events
+        | WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |w AS (
+        | SELECT *, LAG(ts_s) OVER (PARTITION BY user_id, event_type
+        |   ORDER BY ts_s, event_id) AS prev_ts
+        | FROM e)
+        |SELECT event_id, user_id, event_type, ts_s FROM w
+        |WHERE prev_ts IS NULL OR ts_s - prev_ts > 300""".stripMargin,
 
     "event_transitions" ->
       """WITH e AS (

@@ -27,6 +27,9 @@ object SparkEntry {
     "price_clean" -> ((s, d) => CleanOps.priceClean(orders(s, d))),
     "json_extract_props" -> ((s, d) => CleanOps.jsonExtractProps(events(s, d))),
     "geohash_encode" -> ((s, d) => CleanOps.geohashEncode(customer(s, d))),
+    "null_profile" -> ((s, d) => CleanOps.nullProfile(
+      CleanOps.priceClean(orders(s, d)),
+      Seq("o_orderkey", "price_raw", "price"))),
     // B. star schema
     "dim_date" -> ((s, d) => StarSchema.dimDate(orders(s, d), lineitem(s, d))),
     "dim_customer_geo" -> ((s, d) =>
@@ -205,6 +208,8 @@ object SparkEntry {
       AsOfOps.purchaseWithLastSignup(events(s, d))),
     "event_funnel" -> ((s, d) => AsOfOps.signupPurchaseFunnel(events(s, d))),
     "event_transitions" -> ((s, d) => AsOfOps.eventTransitions(events(s, d))),
+    "events_dedup_window" -> ((s, d) =>
+      graft.streaming.EventStreams.debounceBatch(events(s, d))),
     // E. streaming (batch-equivalent forms; true streaming in tests)
     "events_tumbling" -> ((s, d) =>
       graft.streaming.EventStreams.tumblingAggBatch(events(s, d))),

@@ -131,4 +131,22 @@ object CleanOps {
   def withDerivedCoords(df: DataFrame, keyCol: String): DataFrame =
     df.withColumn("lat", lit(40.4) + (col(keyCol) % 593).cast("double") * lit(0.001))
       .withColumn("lon", lit(-74.3) + (col(keyCol) % 599).cast("double") * lit(0.001))
+
+  /** Column null-profile — the data-quality audit pass that gates an
+    * ingest (the reference eyeballs this per notebook; here it is one
+    * operator): per column, row count, null count, and null rate in
+    * exact integer micro-units. ONE scan with conditional sums (no
+    * multi-distinct Expand, no per-column rescans); the stack() unpivot
+    * runs on the single aggregated row.
+    */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c")): _*)
+    val stackArgs = cols.map(c => s"'$c', n_$c").mkString(", ")
+    agg.select(col("n_rows"),
+        expr(s"stack(${cols.length}, $stackArgs) as (column_name, n_null)"))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        expr("(n_null * 1000000) div n_rows").as("null_micro"))
+  }
 }

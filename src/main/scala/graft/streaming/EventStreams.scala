@@ -185,6 +185,30 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Windowed near-duplicate suppression (debounce), batch form: drop
+    * any event whose user emitted the SAME event type within the
+    * previous `gapSeconds` — the retry/double-click filter of an event
+    * pipeline, and the oracle-checkable batch mirror of the
+    * watermark-dedup family. Semantics: the gap is measured to the
+    * immediately PRECEDING event of the (user, type) chain whether or
+    * not that one survived (lag-based, one deterministic pass — no
+    * iterative chain resolution). The window partitions by
+    * (user, type): bounded per-key history, no global sort.
+    */
+  def debounceBatch(events: DataFrame, gapSeconds: Int = 300): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_s"), col("event_id"))
+    events
+      // null ts/user rows can't join a debounce chain (and the two
+      // engines order NULLs differently — keep the window input total)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("ts_s"))
+      .withColumn("prev_ts", lag(col("ts_s"), 1).over(w))
+      .filter(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > gapSeconds)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+  }
+
   /** Streaming incremental dimension maintenance — the reference's
     * Airflow load_dim_date / dim-upsert loop (nyc_hybrid_etl_pipeline.py:
     * 141-180) as a foreachBatch stream: each micro-batch anti-joins its

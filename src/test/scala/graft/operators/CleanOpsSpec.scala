@@ -74,4 +74,19 @@ class CleanOpsSpec extends SparkSpec {
     val gh = CleanOps.geohashEncode(df).head.getString(3)
     assert(gh.length == 7 && gh.startsWith("dr")) // NYC geohash prefix
   }
+
+  test("nullProfile counts per-column nulls in one scan with exact rates") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, None, Some(2.0)),
+      (3L, Some("c"), None),
+      (4L, None, None))
+      .toDF("id", "s", "v")
+    val out = CleanOps.nullProfile(df, Seq("id", "s", "v")).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_null"), r.getAs[Long]("null_micro")))).toMap
+    assert(out("id") == ((4L, 0L, 0L)))
+    assert(out("s") == ((4L, 2L, 500000L)))
+    assert(out("v") == ((4L, 2L, 500000L)))
+  }
 }

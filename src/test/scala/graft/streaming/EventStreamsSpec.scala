@@ -61,6 +61,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(one.count() == 4)
   }
 
+  test("debounceBatch drops same-type repeats inside the gap, lag-based") {
+    val df = Seq(
+      (1L, ts(0), 1L, "click", 0.0, "{}"),
+      (2L, ts(2), 1L, "click", 0.0, "{}"),   // 120s after #1 → dropped
+      (3L, ts(4), 1L, "click", 0.0, "{}"),   // 120s after #2 (dropped one!) → still dropped
+      (4L, ts(10), 1L, "click", 0.0, "{}"),  // 360s after #3 → kept
+      (5L, ts(1), 1L, "view", 0.0, "{}"),    // different type → own chain
+      (6L, ts(3), 2L, "click", 0.0, "{}"))   // different user → own chain
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val kept = EventStreams.debounceBatch(df).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L, 6L))
+  }
+
   test("heavyHitterStream merges sketch state exactly across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
