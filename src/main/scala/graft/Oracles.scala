@@ -733,6 +733,37 @@ object Oracles {
         |FROM m JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
 
+    "order_value_deciles" ->
+      """WITH v AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS p FROM orders),
+        |b AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY p),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM v),
+        |c AS (SELECT p, n,
+        |  CAST(SUM(n) OVER (ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |  nd
+        | FROM b CROSS JOIN nd)
+        |SELECT CAST(((cum_n - n) * 10) // nd + 1 AS BIGINT) AS decile,
+        | CAST(SUM(n) AS BIGINT) AS n_orders,
+        | CAST(MIN(p) AS BIGINT) AS min_dollars,
+        | CAST(MAX(p) AS BIGINT) AS max_dollars
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "nation_supplier_hhi" ->
+      """WITH ps AS (
+        | SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        | FROM lineitem GROUP BY l_suppkey),
+        |j AS (
+        | SELECT n_name, sq,
+        |  CAST(SUM(sq) OVER (PARTITION BY n_name) AS BIGINT) AS tot
+        | FROM ps
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |s AS (SELECT n_name, (sq * 1000000) // tot AS share_micro FROM j)
+        |SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        | CAST(CAST(SUM(share_micro * share_micro) AS BIGINT) // 1000000 AS BIGINT)
+        |   AS hhi_micro
+        |FROM s GROUP BY n_name""".stripMargin,
+
     "order_gap_stats" ->
       """WITH w AS (
         | SELECT o_custkey, o_orderdate,

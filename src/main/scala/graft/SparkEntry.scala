@@ -138,6 +138,9 @@ object SparkEntry {
       Analytics.excessShareSuppliers(lineitem(s, d), part(s, d),
         supplier(s, d), nation(s, d))),
     "order_gap_stats" -> ((s, d) => Analytics.orderGapStats(orders(s, d))),
+    "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),
+    "nation_supplier_hhi" -> ((s, d) =>
+      Analytics.nationSupplierHhi(lineitem(s, d), supplier(s, d), nation(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => DedupOps.dedupSemantic(embeddings(s, d))),
     "approx_distincts" -> ((s, d) => Analytics.approxDistincts(lineitem(s, d))),

@@ -1145,6 +1145,54 @@ object Analytics {
         col("n_majority_parts"))
   }
 
+  /** Exact order-value deciles without a corpus-wide sort: values are
+    * quantized to whole dollars (bounded distinct domain), the decile is
+    * assigned by the CDF of the DISTINCT-value table (tie groups never
+    * split — same scheme as TextOps.perplexityBuckets), and per-decile
+    * stats are exact integers. The only global window runs over distinct
+    * dollar values — bounded by the price range, never the order count.
+    * An exact global ntile would single-partition-sort every order row.
+    */
+  def orderValueDeciles(orders: DataFrame, buckets: Int = 10): DataFrame = {
+    val vals = orders.select(floor(col("o_totalprice")).cast("long").as("p"))
+    val byV = vals.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val total = vals.agg(count(lit(1)).as("nd"))
+    byV.crossJoin(broadcast(total))
+      .withColumn("cum_n", sum(col("n")).over(
+        Window.orderBy(col("p"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("decile", expr(s"((cum_n - n) * $buckets) div nd + 1"))
+      .groupBy(col("decile"))
+      .agg(sum(col("n")).as("n_orders"),
+        min(col("p")).as("min_dollars"),
+        max(col("p")).as("max_dollars"))
+  }
+
+  /** Supplier market concentration per nation — the Herfindahl–Hirschman
+    * index over shipped-quantity shares, entirely in exact integer
+    * micro-units (share_micro = ⌊10⁶·sq/total⌋; HHI_micro =
+    * ⌊Σ share_micro²/10⁶⌋ ∈ [0, 10⁶]) so the statistic is engine-stable.
+    * One fact-sized grouped shuffle; the per-nation total reuses the
+    * grouped output via a window; nation dim broadcasts.
+    */
+  def nationSupplierHhi(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val perSupp = lineitem
+      .select(col("l_suppkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("q")).as("sq"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+    perSupp
+      .withColumn("tot", sum(col("sq")).over(Window.partitionBy(col("n_name"))))
+      .withColumn("share_micro", expr("(sq * 1000000) div tot"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        expr("sum(share_micro * share_micro) div 1000000").as("hhi_micro"))
+  }
+
   /** Per-customer inter-order gap statistics (recency/frequency
     * signals): consecutive orders by date, the gap in whole days, and
     * min/max/mean per customer — mean in exact integer micro-days

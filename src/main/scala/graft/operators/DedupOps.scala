@@ -204,11 +204,19 @@ object DedupOps {
       .join(kept.select(col("x"), col("doc_id").as("doc_b")), Seq("x"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only candidate docs' shingles matter for the intersection — the
+    // broadcast semi-join cuts the verify stage's input from the WHOLE
+    // corpus-sized shingle set to the (dfCap-bounded) candidate docs'
+    // rows, so the corpus never shuffles through the pair-verify joins
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val shdC = shd.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     // exact intersection counts as a join-group (codegen'd), not per-row
     // array ops: candidate pairs × shingles of a, matched to shingles of b
     val inter = cands
-      .join(shd.select(col("doc_id").as("doc_a"), col("x")), Seq("doc_a"))
-      .join(shd.select(col("doc_id").as("doc_b"), col("x")), Seq("doc_b", "x"))
+      .join(shdC.select(col("doc_id").as("doc_a"), col("x")), Seq("doc_a"))
+      .join(shdC.select(col("doc_id").as("doc_b"), col("x")), Seq("doc_b", "x"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter

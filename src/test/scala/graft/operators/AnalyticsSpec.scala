@@ -334,6 +334,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("supplier_cnt") == 1L)
   }
 
+  test("orderValueDeciles assigns CDF deciles over dollar-quantized values") {
+    val ords = (1 to 10).map(i =>
+      (i.toLong, 10L, "O", i * 100.0 + 0.5, ts("2024-01-01"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Analytics.orderValueDeciles(ords).orderBy("decile").collect()
+    assert(out.length == 10) // 10 distinct dollar values → one per decile
+    assert(out.map(_.getAs[Long]("n_orders")).forall(_ == 1L))
+    assert(out.head.getLong(0) == 1L && out.head.getAs[Long]("min_dollars") == 100L)
+    assert(out.last.getLong(0) == 10L && out.last.getAs[Long]("max_dollars") == 1000L)
+  }
+
+  test("nationSupplierHhi is the exact integer-micro Herfindahl index") {
+    val df = li(
+      (1L, 1L, 1L, 3.0, 1.0, 0.0, "2024-01-01"),
+      (2L, 1L, 2L, 1.0, 1.0, 0.0, "2024-01-01"))
+    val supp = Seq((1L, "S1", 1, 0.0), (2L, "S2", 1, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val out = Analytics.nationSupplierHhi(df, supp, nation).collect()
+    assert(out.length == 1)
+    // shares 3/4 and 1/4 → HHI = 0.75² + 0.25² = 0.625
+    assert(out.head.getAs[Long]("n_suppliers") == 2L)
+    assert(out.head.getAs[Long]("hhi_micro") == 625000L)
+    // monopoly → HHI exactly 10⁶
+    val mono = Analytics.nationSupplierHhi(
+      li((1L, 1L, 1L, 5.0, 1.0, 0.0, "2024-01-01")), supp, nation).collect()
+    assert(mono.head.getAs[Long]("hhi_micro") == 1000000L)
+  }
+
   test("latePriorityMix splits late line counts by priority class") {
     val ords = Seq(
       (1L, 10L, "O", 1.0, ts("2024-01-01"), "1-URGENT"),
