@@ -69,6 +69,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(gate.size == 5 && !gate(1L) && !gate(2L) && !gate(3L) && !gate(4L))
   }
 
+  test("round-4 ops survive degenerate and empty inputs") {
+    val empty = degenerate.limit(0)
+    // perplexity buckets: only doc 5 has bigrams → exactly one bucket row
+    val pb = TextOps.perplexityBuckets(degenerate).collect()
+    assert(pb.length == 1 && pb.head.getAs[Long]("n_docs") == 1L)
+    assert(TextOps.perplexityBuckets(empty).count() == 0)
+    // corpus stats: zero-token strata report zeros, never nulls/crashes
+    val cs = TextOps.corpusStats(degenerate).collect()
+    assert(cs.nonEmpty)
+    assert(TextOps.corpusStats(empty).count() == 0)
+    // method overlap: null/blank/short docs flag only via exact (or not
+    // at all) and the job completes
+    assert(DedupOps.dedupMethodOverlap(empty).count() == 0)
+    val mo = DedupOps.dedupMethodOverlap(degenerate).collect()
+    assert(mo.forall(_.getAs[Long]("n_methods") >= 1L))
+  }
+
   test("parseTimestamps propagates null timestamps without crashing") {
     val df = Seq(
       (0L, null.asInstanceOf[java.sql.Timestamp], 1L, "x", 1.0, "{}"),
