@@ -44,4 +44,17 @@ object Readers {
   /** Project to exactly the expected columns (ensure + order + prune). */
   def conform(df: DataFrame, expected: Seq[String]): DataFrame =
     ensureColumns(df, expected).select(expected.map(col): _*)
+
+  /** Read a parquet lake path whose files were written under EVOLVING
+    * schemas (columns added over time — the normal state of a
+    * long-running ingest): `mergeSchema` unions all file footers' fields
+    * (absent columns read as null), then `conform` pins the caller's
+    * expected projection so downstream plans never shift when yet
+    * another column lands. mergeSchema costs a footer pass per file at
+    * planning time — pair with [[Sinks.compact]] so the footer count
+    * stays proportional to data, not to write history.
+    */
+  def parquetEvolved(spark: SparkSession, path: String,
+      expected: Seq[String]): DataFrame =
+    conform(spark.read.option("mergeSchema", "true").parquet(path), expected)
 }

@@ -110,6 +110,24 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("parquetEvolved reads mixed-schema files under a pinned projection") {
+    import spark.implicits._
+    val dir = tmp()
+    // generation 1: (id, a); generation 2 adds column b
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/lake/g1")
+    Seq((2L, "y", 9L)).toDF("id", "a", "b").write.parquet(s"$dir/lake/g2")
+    val out = Readers.parquetEvolved(spark, s"$dir/lake/*",
+      Seq("id", "a", "b")).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.head.isNullAt(2))        // gen-1 rows read b as null
+    assert(out(1).getLong(2) == 9L)
+    // a column the lake has never seen still conforms (typed null)
+    val pinned = Readers.parquetEvolved(spark, s"$dir/lake/*",
+      Seq("id", "c"))
+    assert(pinned.columns.toSeq == Seq("id", "c"))
+    assert(pinned.collect().forall(_.isNullAt(1)))
+  }
+
   test("compact rewrites a fragmented layout into size-targeted files") {
     import spark.implicits._
     val dir = tmp()
