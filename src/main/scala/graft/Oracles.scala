@@ -764,6 +764,19 @@ object Oracles {
         |   AS hhi_micro
         |FROM s GROUP BY n_name""".stripMargin,
 
+    "nation_top_order_values" ->
+      """WITH j AS (
+        | SELECT n_name AS nation,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (SELECT nation, value_cents,
+        |  CAST(row_number() OVER (PARTITION BY nation
+        |    ORDER BY value_cents DESC) AS BIGINT) AS rank
+        | FROM j)
+        |SELECT nation, rank, value_cents FROM r WHERE rank <= 3""".stripMargin,
+
     "order_gap_stats" ->
       """WITH w AS (
         | SELECT o_custkey, o_orderdate,

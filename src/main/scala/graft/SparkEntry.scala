@@ -141,6 +141,8 @@ object SparkEntry {
     "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),
     "nation_supplier_hhi" -> ((s, d) =>
       Analytics.nationSupplierHhi(lineitem(s, d), supplier(s, d), nation(s, d))),
+    "nation_top_order_values" -> ((s, d) =>
+      Analytics.nationTopOrderValues(orders(s, d), customer(s, d), nation(s, d))),
     "dedup_embed_cosine" -> ((s, d) => DedupOps.dedupEmbedCosine(embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => DedupOps.dedupSemantic(embeddings(s, d))),
     "approx_distincts" -> ((s, d) => Analytics.approxDistincts(lineitem(s, d))),

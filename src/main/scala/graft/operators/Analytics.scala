@@ -1193,6 +1193,31 @@ object Analytics {
         expr("sum(share_micro * share_micro) div 1000000").as("hhi_micro"))
   }
 
+  /** Per-nation top-k order values via the bounded mergeable
+    * [[graft.functions.TopKLongs]] aggregate — the scale-friendly
+    * per-group top-k: a ranked window sorts every group's full order
+    * history; this carries ≤ k values per group through the shuffle with
+    * map-side combine, and is EXACT (bounded state, not a sketch).
+    * Values in exact integer cents.
+    */
+  def nationTopOrderValues(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.TopKLongs(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    orders
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(topk(col("cents")).as("top"))
+      .select(col("nation"), posexplode(col("top")).as(Seq("pos", "value_cents")))
+      .select(col("nation"), (col("pos") + 1).cast("long").as("rank"),
+        col("value_cents"))
+  }
+
   /** Per-customer inter-order gap statistics (recency/frequency
     * signals): consecutive orders by date, the gap in whole days, and
     * min/max/mean per customer — mean in exact integer micro-days
