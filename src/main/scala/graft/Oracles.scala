@@ -1608,6 +1608,30 @@ object Oracles {
         |SELECT event_id, user_id, ts_s, value, last_signup_value
         |FROM w WHERE side = 1""".stripMargin,
 
+    "events_asof_recent" ->
+      """WITH base AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type, value FROM events),
+        |u AS (
+        | SELECT user_id, ts_s, 0 AS side, event_id, value FROM base
+        |  WHERE event_type = 'signup'
+        | UNION ALL
+        | SELECT user_id, ts_s, 1 AS side, event_id, value FROM base
+        |  WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts_s, side, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS lsv,
+        |  last_value(CASE WHEN side = 0 THEN ts_s END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts_s, side, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS lst
+        | FROM u)
+        |SELECT event_id, user_id, ts_s, value,
+        | CASE WHEN lst IS NOT NULL AND ts_s - lst <= 3600 THEN lsv END
+        |   AS recent_signup_value,
+        | CASE WHEN lst IS NOT NULL AND ts_s - lst <= 3600 THEN ts_s - lst END
+        |   AS signup_age_s
+        |FROM w WHERE side = 1""".stripMargin,
+
     "event_funnel" ->
       """WITH per_user AS (
         | SELECT user_id,

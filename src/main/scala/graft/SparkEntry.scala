@@ -211,6 +211,8 @@ object SparkEntry {
       MultimodalOps.resizePlan(documents(s, d))),
     "events_asof_signup" -> ((s, d) =>
       AsOfOps.purchaseWithLastSignup(events(s, d))),
+    "events_asof_recent" -> ((s, d) =>
+      AsOfOps.purchaseWithRecentSignup(events(s, d))),
     "event_funnel" -> ((s, d) => AsOfOps.signupPurchaseFunnel(events(s, d))),
     "event_transitions" -> ((s, d) => AsOfOps.eventTransitions(events(s, d))),
     "events_dedup_window" -> ((s, d) =>

@@ -21,7 +21,34 @@ object AsOfOps {
     * left rows + `asof_<valueCol>`.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      ordCol: String, valueCol: String): DataFrame = {
+      ordCol: String, valueCol: String): DataFrame =
+    withAsof(left, right, keyCol, tsCol, ordCol, valueCol)
+      .drop("__asof_ts")
+
+  /** [[asofJoin]] with a staleness bound — the "max age" form every
+    * time-series store offers (Pandas merge_asof tolerance / kdb wj):
+    * a match older than `tolerance` (tsCol units) is nulled, and the
+    * match's age is reported. Same single-shuffle union+window shape;
+    * the tolerance is a pure post-projection, never a second join or a
+    * range join. Output adds `asof_<valueCol>` and `asof_age` (null when
+    * no fresh-enough match).
+    */
+  def asofJoinWithin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, ordCol: String, valueCol: String, tolerance: Long): DataFrame =
+    withAsof(left, right, keyCol, tsCol, ordCol, valueCol)
+      .withColumn("asof_age",
+        when(col("__asof_ts").isNotNull &&
+          col(tsCol) - col("__asof_ts") <= tolerance,
+          col(tsCol) - col("__asof_ts")))
+      .withColumn(s"asof_$valueCol",
+        when(col("asof_age").isNotNull, col(s"asof_$valueCol")))
+      .drop("__asof_ts")
+
+  /** Shared union+window core: left rows with the most recent right
+    * value AND its timestamp (`__asof_ts`) carried forward.
+    */
+  private def withAsof(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, ordCol: String, valueCol: String): DataFrame = {
     val l = left.select(col(keyCol), col(tsCol), lit(1).as("__side"),
       col(ordCol), col(valueCol))
     val r = right.select(col(keyCol), col(tsCol), lit(0).as("__side"),
@@ -32,6 +59,8 @@ object AsOfOps {
     r.union(l)
       .withColumn(s"asof_$valueCol",
         last(when(col("__side") === 0, col(valueCol)), ignoreNulls = true).over(w))
+      .withColumn("__asof_ts",
+        last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__side")
   }
@@ -49,6 +78,23 @@ object AsOfOps {
       "user_id", "ts_s", "event_id", "value")
       .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
         col("asof_value").as("last_signup_value"))
+  }
+
+  /** [[purchaseWithLastSignup]] with a freshness bound: the signup value
+    * counts only when at most `toleranceS` seconds old at purchase time
+    * (the "recent consent / recent session" enrichment rule). Adds the
+    * match age in seconds; both null when no fresh-enough signup.
+    */
+  def purchaseWithRecentSignup(events: DataFrame, toleranceS: Long = 3600L): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      col("ts").cast("long").as("ts_s"), col("event_type"), col("value"))
+    asofJoinWithin(
+      base.filter(col("event_type") === "purchase"),
+      base.filter(col("event_type") === "signup"),
+      "user_id", "ts_s", "event_id", "value", toleranceS)
+      .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
+        col("asof_value").as("recent_signup_value"),
+        col("asof_age").as("signup_age_s"))
   }
 
   /** Event-type transition counts (the first-order Markov matrix of user

@@ -25,6 +25,20 @@ class AsOfOpsSpec extends SparkSpec {
       Seq((2L, 10.0), (4L, 20.0), (5L, null)))
   }
 
+  test("asof tolerance nulls stale matches and reports the age") {
+    // purchase at 200 is 100s after signup; purchase at 400 is 100s after
+    // the second signup; with tolerance 50s both are stale
+    val out = AsOfOps.purchaseWithRecentSignup(events, toleranceS = 150L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getLong(5))).toSeq
+    assert(out == Seq((2L, 10.0, 100L), (4L, 20.0, 100L), (5L, null, null)))
+    val stale = AsOfOps.purchaseWithRecentSignup(events, toleranceS = 50L)
+      .collect()
+    assert(stale.forall(_.isNullAt(4)) && stale.forall(_.isNullAt(5)))
+  }
+
   test("eventTransitions counts adjacent per-user event pairs") {
     // user 1: signup→purchase→signup→purchase; users 2 & 3: single events
     val out = AsOfOps.eventTransitions(events).collect()
