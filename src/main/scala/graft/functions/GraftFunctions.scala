@@ -23,5 +23,13 @@ object GraftFunctions {
         GeohashExpr(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType), precision)
       },
       "built-in")
+    // typed Aggregators, fixed at their query-surface arities (a UDAF's
+    // parameters are baked in at registration)
+    spark.udf.register("graft_topk3",
+      org.apache.spark.sql.functions.udaf(new TopKLongs(3),
+        org.apache.spark.sql.Encoders.scalaLong))
+    spark.udf.register("graft_heavy_hitters16",
+      org.apache.spark.sql.functions.udaf(new HeavyHitters(16),
+        org.apache.spark.sql.Encoders.STRING))
   }
 }

@@ -45,4 +45,25 @@ class SqlInterfaceSpec extends SparkSpec {
     }
     assert(viaSql == viaDf)
   }
+
+  test("graft aggregators are callable from SQL") {
+    registered
+    // top-3 order cents across all orders == ORDER BY DESC LIMIT 3
+    val viaAgg = spark.sql(
+      """SELECT graft_topk3(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |FROM orders""".stripMargin).head.getSeq[Long](0)
+    val viaSort = spark.sql(
+      """SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |FROM orders ORDER BY c DESC LIMIT 3""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaAgg == viaSort)
+    // heavy hitters: exact vs GROUP BY when distinct keys ≤ capacity
+    val hh = spark.sql(
+      "SELECT graft_heavy_hitters16(o_orderpriority) FROM orders")
+      .head.getMap[String, Long](0)
+    val exact = spark.sql(
+      "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.toMap == exact)
+  }
 }
