@@ -1126,6 +1126,70 @@ object Oracles {
          |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
     },
 
+    "embed_norm_check" -> {
+      val dotSelf =
+        "list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH n AS (SELECT label, $dotSelf AS n2 FROM embeddings)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         | CAST(SUM(CASE WHEN isnan(n2) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+         | CAST(SUM(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         | ROUND(MIN(n2), 6) AS min_norm2,
+         | ROUND(MAX(n2), 6) AS max_norm2
+         |FROM n GROUP BY label""".stripMargin
+    },
+
+    "ann_recall_report" -> {
+      def planeDot(p: Int) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (CAST((1103515245 * (${p * 64} + i - 1) + 12345) % 65536 AS DOUBLE) / 65536.0 - 0.5)), (x, y) -> x + y)"
+      val bucketExpr = (0 until 16)
+        .map(p => s"(CASE WHEN ${planeDot(p)} >= 0.0 THEN (1::BIGINT << $p) ELSE 0 END)")
+        .mkString(" + ")
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      def cosSql(a: String, b: String) =
+        s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+      s"""WITH pairs_e AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${cosSql("q", "c")} AS cosine_sim
+         | FROM embeddings q JOIN embeddings c
+         |  ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         | SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+         | FROM pairs_e) WHERE rank <= 3),
+         |b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+         |pairs_a AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${cosSql("q", "c")} AS cosine_sim
+         | FROM b q JOIN b c
+         |  ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |ap AS (SELECT query_id, neighbor_id, 1 AS hit_lsh FROM (
+         | SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+         | FROM pairs_a) WHERE rank <= 3),
+         |celled AS ($ivfCelledSelect),
+         |pairs_i AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${cosineSql("q", "c")} AS cosine_sim
+         | FROM celled q JOIN celled c
+         |  ON (c.cell = q.cell OR c.cell = q.cell2)
+         |   AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |iv AS (SELECT query_id, neighbor_id, 1 AS hit_ivf FROM (
+         | SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+         | FROM pairs_i) WHERE rank <= 3)
+         |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         | CAST(SUM(COALESCE(hit_lsh, 0)) AS BIGINT) AS n_hit_lsh,
+         | CAST(SUM(COALESCE(hit_ivf, 0)) AS BIGINT) AS n_hit_ivf,
+         | CAST((CAST(SUM(COALESCE(hit_lsh, 0)) AS BIGINT) * 1000000) // COUNT(*)
+         |   AS BIGINT) AS recall_lsh_micro,
+         | CAST((CAST(SUM(COALESCE(hit_ivf, 0)) AS BIGINT) * 1000000) // COUNT(*)
+         |   AS BIGINT) AS recall_ivf_micro
+         |FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
+         | LEFT JOIN iv USING (query_id, neighbor_id)
+         |GROUP BY query_id""".stripMargin
+    },
+
     "embed_ivf_ann" ->
       s"""WITH celled AS ($ivfCelledSelect),
          |pairs AS (

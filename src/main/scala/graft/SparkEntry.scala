@@ -161,6 +161,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => DedupOps.dedupSimhash(documents(s, d))),
     "embed_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(embeddings(s, d))),
     "embed_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(embeddings(s, d))),
+    "ann_recall_report" -> ((s, d) =>
+      SimilarityOps.annRecallReport(embeddings(s, d))),
+    "embed_norm_check" -> ((s, d) =>
+      SimilarityOps.embedNormCheck(embeddings(s, d))),
     "embed_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(embeddings(s, d))),
     "embed_quantize" -> ((s, d) => SimilarityOps.embedQuantize(embeddings(s, d))),
     "embed_knn_label" -> ((s, d) =>

@@ -296,4 +296,53 @@ object SimilarityOps {
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Embedding-column validation — the vector analog of the null
+    * profile: per label, vector count, NaN/zero-vector counts (a NaN
+    * component poisons the self-dot into NaN; a zero vector breaks
+    * cosine), and the squared-norm range. One scan; the norm comes from
+    * the codegen'd strict-left-fold dot product so both engines see
+    * bit-identical doubles.
+    */
+  def embedNormCheck(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        VectorFns.dot(col("embedding"), col("embedding")).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        // isnan, not n2 =!= n2: Spark SQL defines NaN = NaN as TRUE
+        // (non-IEEE), so the self-inequality trick silently never fires
+        sum(when(isnan(col("n2")), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(col("n2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round(min(col("n2")), 6).as("min_norm2"),
+        round(max(col("n2")), 6).as("max_norm2"))
+
+  /** ANN index evaluation: per-query recall of BOTH approximate indexes
+    * (sign-projection LSH, IVF nprobe=2) against the exact brute-force
+    * top-k — the "which index is good enough to ship" report every
+    * vector pipeline runs before swapping exact search out. Recall in
+    * exact integer micro-units (hit counts, no float division). The
+    * exact leg is the (labeled) brute-force baseline — the evaluation
+    * runs on a SAMPLE of queries precisely so that leg stays affordable
+    * at corpus scale. (On this corpus it shows the honest picture: the
+    * 16-plane LSH bucket is too selective for global top-3 recall; IVF
+    * wins.)
+    */
+  def annRecallReport(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val exact = bruteCosineTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = lshAnn(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_lsh"))
+    val ivf = ivfAnn(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_ivf"))
+    exact
+      .join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit_lsh"), lit(0L))).as("n_hit_lsh"),
+        sum(coalesce(col("hit_ivf"), lit(0L))).as("n_hit_ivf"))
+      .withColumn("recall_lsh_micro", expr("(n_hit_lsh * 1000000) div n_exact"))
+      .withColumn("recall_ivf_micro", expr("(n_hit_ivf * 1000000) div n_exact"))
+  }
 }

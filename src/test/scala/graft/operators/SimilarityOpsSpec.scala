@@ -122,4 +122,41 @@ class SimilarityOpsSpec extends SparkSpec {
     val distinctCells = cells.map(_.getInt(2)).distinct.length
     assert(distinctCells >= 8, s"degenerate clustering: $distinctCells cells used")
   }
+
+  test("annRecallReport compares both indexes against the exact top-k") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val out = SimilarityOps.annRecallReport(emb).collect()
+    assert(out.length == 20) // one row per sampled query
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 3L)
+      assert(r.getAs[Long]("recall_ivf_micro") ==
+        r.getAs[Long]("n_hit_ivf") * 1000000L / 3L)
+    }
+    // the honest comparison this report exists for: on this corpus the
+    // nprobe=2 IVF index recalls a substantial fraction of the true
+    // top-3; the all-16-planes LSH bucket is too selective to compete
+    val ivf = out.map(_.getAs[Long]("n_hit_ivf")).sum.toDouble / 60
+    val lsh = out.map(_.getAs[Long]("n_hit_lsh")).sum.toDouble / 60
+    assert(ivf >= 0.2, s"IVF recall@3 collapsed: $ivf")
+    assert(lsh <= ivf, s"expected IVF >= LSH on this corpus: $lsh vs $ivf")
+  }
+
+  test("embedNormCheck flags NaN and zero vectors per label") {
+    import spark.implicits._
+    val bad = Seq(
+      (1L, Array.fill(64)(0.5f), "a"),
+      (2L, Array.fill(64)(0.0f), "a"),          // zero vector
+      (3L, Array.fill(64)(Float.NaN), "a"),     // NaN vector
+      (4L, Array.fill(64)(1.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.embedNormCheck(bad).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_vecs") == 3L)
+    assert(a.getAs[Long]("n_nan") == 1L && a.getAs[Long]("n_zero") == 1L)
+    val b = out("b")
+    assert(b.getAs[Long]("n_nan") == 0L)
+    assert(b.getAs[Double]("min_norm2") == 64.0 && b.getAs[Double]("max_norm2") == 64.0)
+  }
 }
