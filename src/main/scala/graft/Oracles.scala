@@ -733,6 +733,36 @@ object Oracles {
         |FROM m JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
 
+    "customer_rfm_segments" ->
+      """WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+        |per AS (
+        | SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |  CAST(COUNT(*) AS BIGINT) AS frequency,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        | FROM orders GROUP BY o_custkey),
+        |s AS (
+        | SELECT o_custkey,
+        |  CAST(date_diff('day', CAST(last_order AS DATE),
+        |    CAST(ref_date AS DATE)) AS BIGINT) AS recency_days,
+        |  frequency,
+        |  CAST(spend * 100 AS BIGINT) AS monetary_cents
+        | FROM per CROSS JOIN ref)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        | CAST(CASE WHEN recency_days <= 365 THEN 3
+        |      WHEN recency_days <= 1095 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+        | CAST(CASE WHEN frequency >= 15 THEN 3
+        |      WHEN frequency >= 8 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+        | CAST(CASE WHEN monetary_cents >= 300000000 THEN 3
+        |      WHEN monetary_cents >= 150000000 THEN 2 ELSE 1 END AS BIGINT) AS m_score,
+        | CAST(CASE WHEN recency_days <= 365 THEN 3
+        |      WHEN recency_days <= 1095 THEN 2 ELSE 1 END AS VARCHAR) ||
+        | CAST(CASE WHEN frequency >= 15 THEN 3
+        |      WHEN frequency >= 8 THEN 2 ELSE 1 END AS VARCHAR) ||
+        | CAST(CASE WHEN monetary_cents >= 300000000 THEN 3
+        |      WHEN monetary_cents >= 150000000 THEN 2 ELSE 1 END AS VARCHAR)
+        |   AS segment
+        |FROM s""".stripMargin,
+
     "order_value_deciles" ->
       """WITH v AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS p FROM orders),
         |b AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY p),

@@ -138,6 +138,8 @@ object SparkEntry {
       Analytics.excessShareSuppliers(lineitem(s, d), part(s, d),
         supplier(s, d), nation(s, d))),
     "order_gap_stats" -> ((s, d) => Analytics.orderGapStats(orders(s, d))),
+    "customer_rfm_segments" -> ((s, d) =>
+      Analytics.customerRfmSegments(orders(s, d))),
     "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),
     "nation_supplier_hhi" -> ((s, d) =>
       Analytics.nationSupplierHhi(lineitem(s, d), supplier(s, d), nation(s, d))),

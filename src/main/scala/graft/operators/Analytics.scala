@@ -1218,6 +1218,42 @@ object Analytics {
         col("value_cents"))
   }
 
+  /** RFM customer segmentation — the marketing-warehouse classic:
+    * recency (days since last order vs the corpus max date), frequency
+    * (order count), monetary (lifetime spend in exact cents), each
+    * scored 1-3 on fixed thresholds, concatenated into a segment code
+    * ("333" = best). Everything exact integers/decimals — no float
+    * ratios; the reference date is a one-row broadcast, the per-customer
+    * rollup is the only fact-sized shuffle (map-side combined).
+    */
+  def customerRfmSegments(orders: DataFrame): DataFrame = {
+    val ref = orders.agg(max(col("o_orderdate")).as("ref_date"))
+    orders
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("p")).as("spend"))
+      .crossJoin(broadcast(ref))
+      .select(col("o_custkey"),
+        datediff(col("ref_date"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"),
+        (col("spend") * 100).cast("long").as("monetary_cents"))
+      .withColumn("r_score",
+        when(col("recency_days") <= 365, 3L)
+          .when(col("recency_days") <= 1095, 2L).otherwise(1L))
+      .withColumn("f_score",
+        when(col("frequency") >= 15, 3L)
+          .when(col("frequency") >= 8, 2L).otherwise(1L))
+      .withColumn("m_score",
+        when(col("monetary_cents") >= 300000000L, 3L)
+          .when(col("monetary_cents") >= 150000000L, 2L).otherwise(1L))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
   /** Per-customer inter-order gap statistics (recency/frequency
     * signals): consecutive orders by date, the gap in whole days, and
     * min/max/mean per customer — mean in exact integer micro-days

@@ -324,6 +324,43 @@ object EventStreams {
       }
   }
 
+  case class EventRow(event_id: Long, user_id: Long, ts_s: Long)
+  case class BucketState(tokensMilli: Long, lastTs: Long)
+  case class RateVerdict(event_id: Long, user_id: Long, ts_s: Long,
+      allowed: Boolean)
+
+  /** Per-user token-bucket rate limiting — the admission-control stage
+    * of an event ingest (bot/flood suppression before expensive
+    * enrichment). State per user is two longs: a milli-token balance
+    * (capacity-capped, refilled per elapsed second) and the last seen
+    * event time. Exact integer arithmetic → the same verdicts however
+    * the stream is micro-batched, as long as event-time order is
+    * preserved per key. Each admitted event costs 1000 milli-tokens.
+    */
+  def rateLimitStream(spark: SparkSession, events: Dataset[EventRow],
+      capacityTokens: Int = 3, refillMilliPerSec: Long = 100L): Dataset[RateVerdict] = {
+    import spark.implicits._
+    val capMilli = capacityTokens * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BucketState, RateVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, batch, state: GroupState[BucketState]) =>
+          var s = state.getOption.getOrElse(BucketState(capMilli, Long.MinValue))
+          val out = batch.toSeq.sortBy(e => (e.ts_s, e.event_id)).map { e =>
+            val refilled =
+              if (s.lastTs == Long.MinValue) capMilli
+              else math.min(capMilli,
+                s.tokensMilli + (e.ts_s - s.lastTs) * refillMilliPerSec)
+            val allowed = refilled >= 1000L
+            s = BucketState(if (allowed) refilled - 1000L else refilled, e.ts_s)
+            RateVerdict(e.event_id, user, e.ts_s, allowed)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Windowed streaming heavy hitters — the live form of
     * `heavy_hitter_types`: per tumbling hour, the dominant event types by
     * a mergeable Misra–Gries sketch. The streaming state per window is

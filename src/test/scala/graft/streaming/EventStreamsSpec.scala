@@ -61,6 +61,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(one.count() == 4)
   }
 
+  test("rateLimitStream enforces the exact token bucket across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.rateLimitStream(spark, mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("rl").start()
+    // capacity 3, refill 0.1 token/s: burst of 4 → first 3 admitted
+    mem.addData(EventStreams.EventRow(1, 1, 0), EventStreams.EventRow(2, 1, 1),
+      EventStreams.EventRow(3, 1, 2), EventStreams.EventRow(4, 1, 3))
+    q.processAllAvailable()
+    // 10s later one token has refilled (300 + 1000 milli); the next
+    // event 1s after that has only 400 milli → denied
+    mem.addData(EventStreams.EventRow(5, 1, 13), EventStreams.EventRow(6, 1, 14))
+    q.processAllAvailable(); q.stop()
+    val verdicts = spark.table("rl").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdicts == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true, 6L -> false))
+  }
+
   test("debounceBatch drops same-type repeats inside the gap, lag-based") {
     val df = Seq(
       (1L, ts(0), 1L, "click", 0.0, "{}"),
