@@ -733,6 +733,34 @@ object Oracles {
         |FROM m JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
 
+    "cohort_ltv" ->
+      """WITH o AS (
+        | SELECT o_custkey,
+        |  CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS BIGINT) AS qidx,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        | FROM orders),
+        |w AS (SELECT *, MIN(qidx) OVER (PARTITION BY o_custkey) AS cqidx FROM o),
+        |g AS (
+        | SELECT cqidx, qidx - cqidx AS quarter_offset,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+        |  CAST(SUM(p) * 100 AS BIGINT) AS revenue_cents
+        | FROM w GROUP BY 1, 2)
+        |SELECT
+        | CAST(cqidx // 4 AS VARCHAR) || '-Q' || CAST(cqidx % 4 + 1 AS VARCHAR)
+        |   AS cohort_quarter,
+        | CAST(quarter_offset AS BIGINT) AS quarter_offset, n_active, revenue_cents,
+        | CAST(SUM(revenue_cents) OVER (PARTITION BY cqidx ORDER BY quarter_offset
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+        |FROM g""".stripMargin,
+
+    "weekday_hour_heatmap" ->
+      """SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        | CAST(hour(ts) AS BIGINT) AS hour_of_day,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
     "customer_rfm_segments" ->
       """WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
         |per AS (

@@ -140,6 +140,9 @@ object SparkEntry {
     "order_gap_stats" -> ((s, d) => Analytics.orderGapStats(orders(s, d))),
     "customer_rfm_segments" -> ((s, d) =>
       Analytics.customerRfmSegments(orders(s, d))),
+    "cohort_ltv" -> ((s, d) => Analytics.cohortLtv(orders(s, d))),
+    "weekday_hour_heatmap" -> ((s, d) =>
+      Analytics.weekdayHourHeatmap(events(s, d))),
     "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),
     "nation_supplier_hhi" -> ((s, d) =>
       Analytics.nationSupplierHhi(lineitem(s, d), supplier(s, d), nation(s, d))),

@@ -1218,6 +1218,49 @@ object Analytics {
         col("value_cents"))
   }
 
+  /** Cohort lifetime-value curves — customers grouped by first-order
+    * quarter, revenue tracked per quarter offset with a cumulative
+    * running total: the retention-economics view every warehouse ships.
+    * Exact math end-to-end (quarter index arithmetic, decimal→cents).
+    * The cohort assignment is a min() window on the SAME hash(custkey)
+    * partitioning as the source rollup; the cumulative window partitions
+    * by cohort over ≤ #quarters rows — bounded, never corpus-sized.
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val o = orders
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1)
+          .cast("long").as("qidx"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .withColumn("cqidx",
+        min(col("qidx")).over(Window.partitionBy(col("o_custkey"))))
+    o.groupBy(col("cqidx"), (col("qidx") - col("cqidx")).as("quarter_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        (sum(col("p")) * 100).cast("long").as("revenue_cents"))
+      .withColumn("cum_revenue_cents",
+        sum(col("revenue_cents")).over(
+          Window.partitionBy(col("cqidx")).orderBy(col("quarter_offset"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        concat(expr("cqidx div 4").cast("string"), lit("-Q"),
+          (col("cqidx") % 4 + 1).cast("string")).as("cohort_quarter"),
+        col("quarter_offset"), col("n_active"),
+        col("revenue_cents"), col("cum_revenue_cents"))
+  }
+
+  /** Event-activity heatmap by (ISO weekday, hour) — the load-pattern
+    * dashboard view. One map-side-combined grouped scan; value totals in
+    * exact cents.
+    */
+  def weekdayHourHeatmap(events: DataFrame): DataFrame =
+    events
+      .filter(col("ts").isNotNull)
+      .groupBy((weekday(col("ts")) + 1).cast("long").as("iso_dow"),
+        hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+          .as("value_cents"))
+
   /** RFM customer segmentation — the marketing-warehouse classic:
     * recency (days since last order vs the corpus max date), frequency
     * (order count), monetary (lifetime spend in exact cents), each

@@ -334,6 +334,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("supplier_cnt") == 1L)
   }
 
+  test("cohortLtv accumulates exact cohort revenue by quarter offset") {
+    val ords = Seq(
+      (1L, 10L, "O", 100.0, ts("2024-01-15"), "5-LOW"), // cohort 2024-Q1
+      (2L, 10L, "O", 50.0, ts("2024-05-01"), "5-LOW"),  // offset 1
+      (3L, 20L, "O", 70.0, ts("2024-05-02"), "5-LOW"))  // cohort 2024-Q2
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Analytics.cohortLtv(ords)
+      .orderBy("cohort_quarter", "quarter_offset").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("n_active"),
+        r.getAs[Long]("cum_revenue_cents"))).toSeq
+    assert(out == Seq(
+      ("2024-Q1", 0L, 1L, 10000L),
+      ("2024-Q1", 1L, 1L, 15000L), // cumulative 100 + 50 dollars
+      ("2024-Q2", 0L, 1L, 7000L)))
+  }
+
   test("orderValueDeciles assigns CDF deciles over dollar-quantized values") {
     val ords = (1 to 10).map(i =>
       (i.toLong, 10L, "O", i * 100.0 + 0.5, ts("2024-01-01"), "5-LOW"))
