@@ -58,6 +58,27 @@ object Oracles {
       | p IS NOT NULL AS is_valid
       |FROM parsed""".stripMargin
 
+  /** lang_id body — shared with the lang_confusion oracle. */
+  private val langIdSql: String = {
+    val lists = graft.operators.TextOps.Stopwords.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS BIGINT) AS s_$l"
+    }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  CASE WHEN length(${normTextSql("text")}) = 0 THEN []
+       |       ELSE string_split(${normTextSql("text")}, ' ') END AS toks
+       | FROM documents),
+       |s AS (SELECT doc_id, lang, $lists FROM t)
+       |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+       | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |      WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
+       | (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS is_match
+       |FROM s""".stripMargin
+  }
+
   private val aCleaning: Map[String, String] = Map(
     "clean_events" ->
       """SELECT event_id, user_id, upper(trim(event_type)) AS event_type, value,
@@ -1397,25 +1418,19 @@ object Oracles {
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin,
 
-    "lang_id" -> {
-      val lists = graft.operators.TextOps.Stopwords.map { case (l, ws) =>
-        val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS BIGINT) AS s_$l"
-      }.mkString(", ")
-      s"""WITH t AS (SELECT doc_id, lang,
-         |  CASE WHEN length(${norm("text")}) = 0 THEN []
-         |       ELSE string_split(${norm("text")}, ' ') END AS toks
-         | FROM documents),
-         |s AS (SELECT doc_id, lang, $lists FROM t)
-         |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
-         | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-         |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-         |      WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
-         | (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS is_match
-         |FROM s""".stripMargin
-    },
+    "lang_id" -> langIdSql,
+
+    "lang_confusion" ->
+      s"""WITH li AS ($langIdSql),
+         |g AS (
+         | SELECT lang AS actual_lang, predicted_lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         | FROM li GROUP BY 1, 2),
+         |w AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY actual_lang) AS BIGINT)
+         |  AS actual_total FROM g)
+         |SELECT actual_lang, predicted_lang, n,
+         | CAST((n * 1000000) // actual_total AS BIGINT) AS share_micro
+         |FROM w""".stripMargin,
 
     "quality_score" -> qualityScoreSql,
 

@@ -177,6 +177,7 @@ object SparkEntry {
     "inverted_index" -> ((s, d) => TextOps.invertedIndex(documents(s, d))),
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(documents(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(documents(s, d))),
+    "lang_confusion" -> ((s, d) => TextOps.langConfusion(documents(s, d))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(documents(s, d))),
     "quality_gate" -> ((s, d) => TextOps.qualityGate(documents(s, d))),
     "mixture_cube" -> ((s, d) => PipelineOps.mixtureCube(documents(s, d))),

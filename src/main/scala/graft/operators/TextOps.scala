@@ -40,6 +40,22 @@ object TextOps {
       .withColumn("is_match", col("predicted_lang") === col("lang"))
   }
 
+  /** Language-ID confusion matrix — classifier evaluation against the
+    * corpus's ground-truth lang column: (actual, predicted, n) plus the
+    * per-cell share of the actual language's docs in exact integer
+    * micro-units. The model-eval rollup every labeling pipeline reports.
+    * One scan + a |langs|²-row rollup; the per-actual total reuses the
+    * grouped output via a window over ≤ |langs| rows.
+    */
+  def langConfusion(documents: DataFrame): DataFrame =
+    langId(documents)
+      .groupBy(col("lang").as("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("actual_total",
+        sum(col("n")).over(Window.partitionBy(col("actual_lang"))))
+      .select(col("actual_lang"), col("predicted_lang"), col("n"),
+        expr("(n * 1000000) div actual_total").as("share_micro"))
+
   /** Composite quality score from length / special-char ratio / stopword
     * ratio (ref pattern: airbnb_clean_data.py data_quality_score, made
     * real). All double math in a fixed order for oracle parity.

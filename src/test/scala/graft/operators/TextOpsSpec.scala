@@ -167,6 +167,18 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1000000.0)))
   }
 
+  test("langConfusion tabulates predicted vs actual with exact shares") {
+    val df = docs(
+      (1L, "the quick fox is in the den", "en"),  // en → en
+      (2L, "el la de los y que", "es"),           // es → es
+      (3L, "zzz qqq", "en"))                      // no stopwords → en tie-win
+    val out = TextOps.langConfusion(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("share_micro")))).toMap
+    assert(out(("en", "en")) == ((2L, 1000000L)))
+    assert(out(("es", "es")) == ((1L, 1000000L)))
+  }
+
   test("corpusStats aggregates exact per-stratum size accounting") {
     val df = Seq(
       (1L, "a b c", "en", "web", 5L),
