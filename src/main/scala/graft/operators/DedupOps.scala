@@ -419,9 +419,15 @@ object DedupOps {
 
   /** SimHash near-dup pairs within Hamming distance maxHamming (≤3 is
     * exact w.r.t. the 4-band pigeonhole; larger values are LSH-style
-    * candidates-only recall, which the oracle mirrors).
+    * candidates-only recall, which the oracle mirrors). Memoized like
+    * the MinHash pair graph: the bounded pair list feeds this query AND
+    * dedup_method_overlap — one derivation per session per input.
     */
-  def dedupSimhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def dedupSimhash(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    Memo.cached(s"simhash_pairs:$maxHamming", documents)(
+      dedupSimhashImpl(_, maxHamming))
+
+  private def dedupSimhashImpl(documents: DataFrame, maxHamming: Int): DataFrame = {
     val sims = withSimhash(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sims.select(col("doc_id"), col("simhash"),
