@@ -754,6 +754,38 @@ object Oracles {
         |FROM m JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
 
+    "basket_affinity" ->
+      """WITH ot AS (
+        | SELECT DISTINCT l_orderkey, p_type
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ot),
+        |tc AS (SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ot GROUP BY 1),
+        |pairs AS (
+        | SELECT a.p_type AS type_a, b.p_type AS type_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_both
+        | FROM ot a JOIN ot b
+        |  ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        | ta.n_t AS n_a, tb.n_t AS n_b,
+        | CAST((n_both::HUGEINT * n_orders * 1000000) // (ta.n_t::HUGEINT * tb.n_t)
+        |   AS BIGINT) AS lift_micro
+        |FROM pairs
+        | JOIN tc ta ON type_a = ta.p_type
+        | JOIN tc tb ON type_b = tb.p_type
+        | CROSS JOIN n""".stripMargin,
+
+    "seasonality_index" ->
+      """WITH m AS (
+        | SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS revenue_cents
+        | FROM orders GROUP BY 1),
+        |w AS (SELECT *, CAST(SUM(revenue_cents) OVER () AS BIGINT) AS total FROM m)
+        |SELECT month, revenue_cents,
+        | CAST((revenue_cents::HUGEINT * 12000000) // total AS BIGINT) AS index_micro
+        |FROM w""".stripMargin,
+
     "cohort_ltv" ->
       """WITH o AS (
         | SELECT o_custkey,

@@ -141,6 +141,9 @@ object SparkEntry {
     "customer_rfm_segments" -> ((s, d) =>
       Analytics.customerRfmSegments(orders(s, d))),
     "cohort_ltv" -> ((s, d) => Analytics.cohortLtv(orders(s, d))),
+    "basket_affinity" -> ((s, d) =>
+      Analytics.basketAffinity(lineitem(s, d), part(s, d))),
+    "seasonality_index" -> ((s, d) => Analytics.seasonalityIndex(orders(s, d))),
     "weekday_hour_heatmap" -> ((s, d) =>
       Analytics.weekdayHourHeatmap(events(s, d))),
     "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),

@@ -1218,6 +1218,57 @@ object Analytics {
         col("value_cents"))
   }
 
+  /** Market-basket affinity over part types — support counts and lift
+    * per unordered type pair, the co-purchase signal behind "customers
+    * also bought". Exact integer math: lift_micro =
+    * ⌊10⁶ · n_both · N / (n_a · n_b)⌋ with the numerator widened to
+    * decimal so it cannot overflow at lake scale. Scale shape: the
+    * distinct (order, type) projection is the only fact-sized shuffle;
+    * the within-order pair join fans out ≤ |types|² per order; type
+    * counts and the order total broadcast.
+    */
+  def basketAffinity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val ot = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_type")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = ot.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val typeCounts = ot.groupBy(col("p_type")).agg(count(lit(1)).as("n_t"))
+    ot.select(col("l_orderkey"), col("p_type").as("type_a"))
+      .join(ot.select(col("l_orderkey"), col("p_type").as("type_b")),
+        Seq("l_orderkey"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(typeCounts.select(col("p_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(typeCounts.select(col("p_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        expr("(cast(n_both as decimal(38,0)) * n_orders * 1000000) div (n_a * n_b)")
+          .as("lift_micro"))
+  }
+
+  /** Month-of-year revenue seasonality index in exact micro-units:
+    * index = ⌊10⁶ · 12 · month_revenue / total⌋ (10⁶·12⁰ = a flat
+    * month). One grouped scan; the total is a window over the 12-row
+    * grouped output.
+    */
+  def seasonalityIndex(orders: DataFrame): DataFrame =
+    orders
+      .select(month(col("o_orderdate")).cast("long").as("month"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("month"))
+      .agg((sum(col("p")) * 100).cast("long").as("revenue_cents"))
+      .withColumn("total", sum(col("revenue_cents")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("month"), col("revenue_cents"),
+        expr("(cast(revenue_cents as decimal(38,0)) * 12000000) div total")
+          .as("index_micro"))
+
   /** Cohort lifetime-value curves — customers grouped by first-order
     * quarter, revenue tracked per quarter offset with a cumulative
     * running total: the retention-economics view every warehouse ships.

@@ -334,6 +334,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("supplier_cnt") == 1L)
   }
 
+  test("basketAffinity computes exact integer-micro lift per type pair") {
+    val part = Seq((1L, "x", "B", "PROMO", 1, 1.0), (2L, "y", "B", "SMALL", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val df = li(
+      (1L, 1L, 1L, 1.0, 1.0, 0.0, "2024-01-01"), // order 1: PROMO + SMALL
+      (1L, 2L, 1L, 1.0, 1.0, 0.0, "2024-01-01"),
+      (2L, 1L, 1L, 1.0, 1.0, 0.0, "2024-01-01")) // order 2: PROMO only
+    val out = Analytics.basketAffinity(df, part).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("type_a") == "PROMO" && r.getAs[String]("type_b") == "SMALL")
+    // lift = (1 both · 2 orders) / (2 PROMO · 1 SMALL) = 1.0 exactly
+    assert(r.getAs[Long]("n_both") == 1L && r.getAs[Long]("lift_micro") == 1000000L)
+  }
+
+  test("seasonalityIndex is the exact flat-month-relative revenue share") {
+    val ords = Seq(
+      (1L, 10L, "O", 300.0, ts("2024-01-10"), "5-LOW"),
+      (2L, 10L, "O", 100.0, ts("2024-02-10"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Analytics.seasonalityIndex(ords).orderBy("month").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("index_micro")).toMap
+    // Jan = 3/4 of revenue → 12·0.75 = 9× a flat month; Feb = 3×
+    assert(out == Map(1L -> 9000000L, 2L -> 3000000L))
+  }
+
   test("cohortLtv accumulates exact cohort revenue by quarter offset") {
     val ords = Seq(
       (1L, 10L, "O", 100.0, ts("2024-01-15"), "5-LOW"), // cohort 2024-Q1
