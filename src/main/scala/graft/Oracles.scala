@@ -1634,7 +1634,22 @@ object Oracles {
         | CAST(64 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height,
         | CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames,
         | md5(text) AS checksum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "multimodal_dedup" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  md5(text) AS checksum,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        | FROM documents)
+        |SELECT media_type, checksum,
+        | CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_copies,
+        | CAST(MAX(byte_len) * (COUNT(*) - 1) AS BIGINT) AS wasted_bytes
+        |FROM m GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2""".stripMargin
   )
 
   private val dExtras: Map[String, String] = Map(

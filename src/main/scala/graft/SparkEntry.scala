@@ -222,6 +222,8 @@ object SparkEntry {
       MultimodalOps.frameSample(documents(s, d))),
     "multimodal_resize" -> ((s, d) =>
       MultimodalOps.resizePlan(documents(s, d))),
+    "multimodal_dedup" -> ((s, d) =>
+      MultimodalOps.multimodalDedup(documents(s, d))),
     "events_asof_signup" -> ((s, d) =>
       AsOfOps.purchaseWithLastSignup(events(s, d))),
     "events_asof_recent" -> ((s, d) =>

@@ -78,6 +78,24 @@ object MultimodalOps {
       (1L + len % 30L).toInt)
   }
 
+  /** Binary-payload exact dedup — duplicate media detection by content
+    * checksum, with per-media-type dedup accounting: for every duplicate
+    * group (same bytes, ≥ 2 records), the kept representative, copy
+    * count, and wasted bytes. The binary column never shuffles: only
+    * (md5, byte_len, doc_id) flow into the hash-groupBy, which is the
+    * whole point of checksum-first dedup at 100 TB of media.
+    */
+  def multimodalDedup(documents: DataFrame): DataFrame =
+    mediaRecords(documents)
+      .select(col("doc_id"), col("media_type"),
+        md5(col("payload")).as("checksum"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .groupBy(col("media_type"), col("checksum"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        (max(col("byte_len")) * (count(lit(1)) - 1)).as("wasted_bytes"))
+      .filter(col("n_copies") >= 2)
+
   /** Frame sampling over the decoded video rows: every `step`-th frame
     * index with its byte offset — one scan, explode keeps it columnar (a
     * real decoder would read the offsets per partition).

@@ -44,4 +44,20 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.map(_.getInt(1)).toSeq.sorted == out.map(_.getInt(1)).toSeq)
     assert(out.map(_.getInt(1)).forall(_ % 5 == 0))
   }
+
+  test("multimodalDedup groups identical payloads and counts wasted bytes") {
+    val withDup = Seq(
+      (0L, "same bytes", "en", "web", 10L),
+      (3L, "same bytes", "en", "web", 10L),  // same media_type (both % 3 == 0)
+      (6L, "same bytes", "en", "web", 10L),
+      (1L, "unique", "en", "web", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = MultimodalOps.multimodalDedup(withDup).collect()
+    assert(out.length == 1) // the unique payload never surfaces
+    val r = out.head
+    assert(r.getAs[String]("media_type") == "image")
+    assert(r.getAs[Long]("keep_doc_id") == 0L)
+    assert(r.getAs[Long]("n_copies") == 3L)
+    assert(r.getAs[Long]("wasted_bytes") == 20L) // 2 redundant × 10 bytes
+  }
 }
