@@ -224,6 +224,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("score_micro"), p.take(400))
   }
 
+  test("basket affinity broadcasts dims and scans the fact once") {
+    val p = plan("basket_affinity")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // every reference to the distinct (order, type) projection — both
+    // self-join sides, type counts, the order total — reads the SAME
+    // persisted relation (InMemoryRelation prints its stored child plan,
+    // so counting raw FileScan lines would mislead)
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
+      "the (order, type) projection must be persisted and reused")
+  }
+
+  test("RFM and cohort windows stay off the corpus grain") {
+    val rfm = plan("customer_rfm_segments")
+    assert(rfm.contains("BroadcastNestedLoopJoin") ||
+      rfm.contains("BroadcastExchange"), "reference date must broadcast")
+    val cohort = plan("cohort_ltv")
+    val w = cohort.linesIterator.filter(_.contains("Window")).toSeq
+    assert(w.nonEmpty && w.forall(l =>
+      l.contains("o_custkey") || l.contains("cqidx")),
+      "cohort windows must partition by customer or cohort")
+  }
+
   test("gap and transition windows partition by their natural key") {
     Seq("order_gap_stats" -> "o_custkey", "event_transitions" -> "user_id")
       .foreach { case (q, key) =>
