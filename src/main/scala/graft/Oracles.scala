@@ -1846,7 +1846,8 @@ object Oracles {
       """WITH e AS (
         | SELECT user_id, event_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
-        | FROM events),
+        | FROM events
+        | WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |w AS (
         | SELECT event_type AS from_type,
         |  LEAD(event_type) OVER (PARTITION BY user_id

@@ -1155,14 +1155,8 @@ object Analytics {
     */
   def orderValueDeciles(orders: DataFrame, buckets: Int = 10): DataFrame = {
     val vals = orders.select(floor(col("o_totalprice")).cast("long").as("p"))
-    val byV = vals.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val total = vals.agg(count(lit(1)).as("nd"))
-    byV.crossJoin(broadcast(total))
-      .withColumn("cum_n", sum(col("n")).over(
-        Window.orderBy(col("p"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("decile", expr(s"((cum_n - n) * $buckets) div nd + 1"))
-      .groupBy(col("decile"))
+    OpUtils.cdfBuckets(vals, "p", buckets)
+      .groupBy(col("bucket").as("decile"))
       .agg(sum(col("n")).as("n_orders"),
         min(col("p")).as("min_dollars"),
         max(col("p")).as("max_dollars"))
@@ -1248,8 +1242,11 @@ object Analytics {
       .crossJoin(broadcast(nOrders))
       .select(col("type_a"), col("type_b"), col("n_both"),
         col("n_a"), col("n_b"),
-        expr("(cast(n_both as decimal(38,0)) * n_orders * 1000000) div (n_a * n_b)")
-          .as("lift_micro"))
+        // denominator widened too: two lake-scale type counts multiplied
+        // in BIGINT would overflow (ANSI error) exactly where the oracle's
+        // HUGEINT math keeps going
+        expr("(cast(n_both as decimal(38,0)) * n_orders * 1000000) div " +
+          "(cast(n_a as decimal(38,0)) * n_b)").as("lift_micro"))
   }
 
   /** Month-of-year revenue seasonality index in exact micro-units:

@@ -109,6 +109,9 @@ object AsOfOps {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_s"), col("event_id"))
     events
+      // null ts/user rows can't join an adjacency chain (and the two
+      // engines order NULLs differently in windows — keep the input total)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), col("event_id"),
         col("ts").cast("long").as("ts_s"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{HashFns, TextFns}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines (SURVEY §2.D).
@@ -458,12 +459,14 @@ object DedupOps {
     * (doc_id, method) stream; the final rollup is map-side combined.
     */
   def dedupMethodOverlap(documents: DataFrame): DataFrame = {
-    val hashed = documents.select(col("doc_id"),
-      md5(TextFns.normText(col("text"))).as("ch"))
-    val dupHashes = hashed.groupBy(col("ch"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("ch"))
-    val byExact = hashed.join(dupHashes, Seq("ch"), "left_semi")
-      .select(col("doc_id"))
+    // group-size window, not groupBy + semi-join: the window groups NULL
+    // hashes together exactly like the oracle's PARTITION BY (an equi
+    // semi-join would silently drop null-text duplicate groups — NULL
+    // never equals NULL in a join), and it reads the corpus ONCE
+    val byExact = documents.select(col("doc_id"),
+        md5(TextFns.normText(col("text"))).as("ch"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("ch"))))
+      .filter(col("n") >= 2).select(col("doc_id"))
     val mh = dedupMinhashLsh(documents)
     val byMinhash = mh.select(col("doc_a").as("doc_id"))
       .union(mh.select(col("doc_b").as("doc_id"))).distinct()

@@ -70,12 +70,21 @@ object Memo {
         val outerNested = nestedSeconds.get
         nestedSeconds.set(0.0)
         val t0 = System.nanoTime()
-        val built = build(input).localCheckpoint(eager = true)
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        buildSeconds.merge(name, elapsed - nestedSeconds.get, (a, b) => a + b)
-        nestedSeconds.set(outerNested + elapsed)
-        cache.put(k, built)
-        built
+        try {
+          val built = build(input).localCheckpoint(eager = true)
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          buildSeconds.merge(name, elapsed - nestedSeconds.get, (a, b) => a + b)
+          nestedSeconds.set(outerNested + elapsed)
+          cache.put(k, built)
+          built
+        } catch {
+          case e: Throwable =>
+            // restore the outer frame's accumulator (still charging it the
+            // failed attempt's wall time) so a caught-and-handled failure
+            // can't corrupt later attribution
+            nestedSeconds.set(outerNested + (System.nanoTime() - t0) / 1e9)
+            throw e
+        }
       }
     }
   }

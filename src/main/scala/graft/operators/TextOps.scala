@@ -409,14 +409,7 @@ object TextOps {
   def perplexityBuckets(documents: DataFrame, buckets: Int = 4): DataFrame = {
     val doc = lmScoreParts(documents)
       .select(col("doc_id"), expr("score_sum div n_bigrams").as("score_micro"))
-    val byScore = doc.groupBy(col("score_micro")).agg(count(lit(1)).as("n"))
-    val total = doc.agg(count(lit(1)).as("nd"))
-    byScore.crossJoin(broadcast(total))
-      .withColumn("cum_n", sum(col("n")).over(
-        Window.orderBy(col("score_micro"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("bucket",
-        expr(s"((cum_n - n) * $buckets) div nd + 1"))
+    OpUtils.cdfBuckets(doc, "score_micro", buckets)
       .groupBy(col("bucket"))
       .agg(sum(col("n")).as("n_docs"),
         min(col("score_micro")).as("min_score_micro"),

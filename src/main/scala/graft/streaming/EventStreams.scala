@@ -468,7 +468,12 @@ object EventStreams {
         if (java.nio.file.Files.exists(target))
           java.nio.file.Files.move(target, retired)
         java.nio.file.Files.move(java.nio.file.Paths.get(staging), target)
-        org.apache.commons.io.FileUtils.deleteQuietly(retired.toFile)
+        // the retired-store delete must THROW on failure: swallowing it
+        // would leave a dangling -retired dir that makes every later
+        // batch fail the interrupted-swap check with a misleading
+        // "restore the store" message while hiding the real cause
+        if (java.nio.file.Files.exists(retired))
+          org.apache.commons.io.FileUtils.forceDelete(retired.toFile)
         ()
       }
 }

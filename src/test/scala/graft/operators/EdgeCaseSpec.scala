@@ -86,6 +86,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(mo.forall(_.getAs[Long]("n_methods") >= 1L))
   }
 
+  test("a group of null-text duplicates is still an exact-dup group") {
+    // md5(null) is NULL; a semi-join on the hash would silently drop the
+    // group (NULL never equals NULL in a join) — the window formulation
+    // groups NULLs together, matching the oracle's PARTITION BY
+    val df = Seq(
+      (1L, null.asInstanceOf[String], "en", "src", 0L),
+      (2L, null.asInstanceOf[String], "en", "src", 0L),
+      (3L, "some genuinely unique content", "en", "src", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOps.dedupMethodOverlap(df).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
+    out.foreach(r => assert(r.getAs[Boolean]("by_exact")))
+  }
+
   test("parseTimestamps propagates null timestamps without crashing") {
     val df = Seq(
       (0L, null.asInstanceOf[java.sql.Timestamp], 1L, "x", 1.0, "{}"),
