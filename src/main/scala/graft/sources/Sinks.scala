@@ -77,6 +77,36 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Batch MERGE (upsert) into a parquet store by key: update rows
+    * replace matching keys, new keys append, untouched rows carry
+    * forward — the parquet-only MERGE INTO shape (a Delta/Iceberg MERGE
+    * is the transactional production form). The store is rewritten via
+    * staging dir + two-rename swap so a reader never sees a half-written
+    * directory; the retired copy's delete THROWS on failure rather than
+    * leaving a dangling dir. Per-merge work is store+updates-sized —
+    * the anti-join shuffles only the key column against the update set.
+    */
+  def mergeUpsert(spark: org.apache.spark.sql.SparkSession, path: String,
+      updates: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val target = java.nio.file.Paths.get(path)
+    val merged =
+      if (java.nio.file.Files.exists(target)) {
+        val current = spark.read.parquet(path)
+        current.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+      } else updates
+    val token = System.nanoTime()
+    val staging = s"$path-staging-$token"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val retired = java.nio.file.Paths.get(s"$path-retired-$token")
+    if (java.nio.file.Files.exists(target))
+      java.nio.file.Files.move(target, retired)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging), target)
+    if (java.nio.file.Files.exists(retired))
+      org.apache.commons.io.FileUtils.forceDelete(retired.toFile)
+  }
+
   /** Small-file compaction — the operational pass every long-running
     * 100 TB lake needs: streaming micro-batches and per-task writers
     * leave thousands of KB-sized files whose per-file open/footer cost

@@ -110,6 +110,23 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mergeUpsert replaces matching keys, appends new, keeps the rest") {
+    import spark.implicits._
+    val dir = tmp()
+    val store = s"$dir/dim"
+    Sinks.mergeUpsert(spark,
+      store, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "id")
+    Sinks.mergeUpsert(spark,
+      store, Seq((2L, "B"), (4L, "d")).toDF("id", "v"), "id")
+    val out = spark.read.parquet(store).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // no staging/retired leftovers after a clean merge
+    val leftovers = new java.io.File(dir).listFiles
+      .map(_.getName).filter(n => n.contains("staging") || n.contains("retired"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
   test("parquetEvolved reads mixed-schema files under a pinned projection") {
     import spark.implicits._
     val dir = tmp()
