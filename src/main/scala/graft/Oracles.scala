@@ -1923,6 +1923,11 @@ object Oracles {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
+    "events_window_uniques" ->
+      """SELECT date_trunc('hour', ts) AS hour_start,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1""".stripMargin,
+
     "events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         | COUNT(*) AS n_events,

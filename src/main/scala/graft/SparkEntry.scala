@@ -232,6 +232,8 @@ object SparkEntry {
     "event_transitions" -> ((s, d) => AsOfOps.eventTransitions(events(s, d))),
     "events_dedup_window" -> ((s, d) =>
       graft.streaming.EventStreams.debounceBatch(events(s, d))),
+    "events_window_uniques" -> ((s, d) =>
+      graft.streaming.EventStreams.windowUniquesBatch(events(s, d))),
     // E. streaming (batch-equivalent forms; true streaming in tests)
     "events_tumbling" -> ((s, d) =>
       graft.streaming.EventStreams.tumblingAggBatch(events(s, d))),

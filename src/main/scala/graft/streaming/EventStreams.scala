@@ -324,6 +324,31 @@ object EventStreams {
       }
   }
 
+  /** Distinct active users per tumbling hour, batch form — the DAU/HAU
+    * engagement counter. Single-distinct aggregate (no multi-distinct
+    * Expand); map-side partials carry (window, user) once each.
+    */
+  def windowUniquesBatch(events: DataFrame): DataFrame =
+    events
+      .filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "1 hour")("start").as("hour_start"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** Streaming form of [[windowUniquesBatch]]: dedupe (user, window)
+    * within the watermark, then a plain windowed count — the standard
+    * streaming exact-distinct recipe. State is one entry per ACTIVE
+    * (user, hour) inside the watermark horizon, evicted as it advances —
+    * never a corpus-lifetime user set.
+    */
+  def windowUniquesStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("user_id"),
+        window(col("ts"), "1 hour")("start").as("hour_start"))
+      .dropDuplicates("user_id", "hour_start")
+      .groupBy(col("hour_start"))
+      .agg(count(lit(1)).as("n_users"))
+
   case class EventRow(event_id: Long, user_id: Long, ts_s: Long)
   case class BucketState(tokensMilli: Long, lastTs: Long)
   case class RateVerdict(event_id: Long, user_id: Long, ts_s: Long,

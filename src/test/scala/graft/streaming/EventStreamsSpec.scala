@@ -61,6 +61,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(one.count() == 4)
   }
 
+  test("windowUniquesStream matches the batch distinct-user counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.windowUniquesStream(streamDF)
+      .writeStream.outputMode("complete").format("memory").queryName("wu").start()
+    val (a, b) = sampleEvents.splitAt(2) // re-deliver user 1 across batches
+    mem.addData(a: _*); q.processAllAvailable()
+    mem.addData(b: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("wu").orderBy("hour_start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    val batch = EventStreams.windowUniquesBatch(eventsDF).orderBy("hour_start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("rateLimitStream enforces the exact token bucket across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.EventRow]
