@@ -1923,6 +1923,13 @@ object Oracles {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
+    "segment_event_totals" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE user_id IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
     "events_window_uniques" ->
       """SELECT date_trunc('hour', ts) AS hour_start,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

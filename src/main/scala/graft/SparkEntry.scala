@@ -234,6 +234,8 @@ object SparkEntry {
       graft.streaming.EventStreams.debounceBatch(events(s, d))),
     "events_window_uniques" -> ((s, d) =>
       graft.streaming.EventStreams.windowUniquesBatch(events(s, d))),
+    "segment_event_totals" -> ((s, d) =>
+      SkewOps.segmentEventTotals(events(s, d), customer(s, d))),
     // E. streaming (batch-equivalent forms; true streaming in tests)
     "events_tumbling" -> ((s, d) =>
       graft.streaming.EventStreams.tumblingAggBatch(events(s, d))),

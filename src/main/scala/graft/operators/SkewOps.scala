@@ -25,4 +25,23 @@ object SkewOps {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Per-segment event totals routed through [[saltedJoin]] — the
+    * skew-handling plan carrying a real reporting query, oracle-checked
+    * against the plain-join SQL (the whole point: salting changes ONLY
+    * the physical distribution, never the result). The events side is
+    * the skewed one (a handful of hot users hold most rows); the rollup
+    * is map-side combined and exact (cents).
+    */
+  def segmentEventTotals(events: DataFrame, customer: DataFrame,
+      salts: Int = 8): DataFrame =
+    saltedJoin(
+      events.filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("value")),
+      customer.select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+      "user_id", salts)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+          .as("value_cents"))
 }
