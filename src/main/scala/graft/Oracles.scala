@@ -904,7 +904,78 @@ object Oracles {
         | CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
         | CAST((CAST(SUM(gap_days) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
         |   AS avg_gap_micro_days
-        |FROM g GROUP BY o_custkey""".stripMargin
+        |FROM g GROUP BY o_custkey""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH base AS (
+        | SELECT o_orderkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+        | FROM orders),
+        |old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        |neu AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN (price_cents * 110) // 100
+        |       ELSE price_cents END AS price_cents
+        | FROM base WHERE o_orderkey % 5 <> 0)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        | CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |      WHEN n.o_orderkey IS NULL THEN 'delete'
+        |      ELSE 'update' END AS change_type,
+        | o.o_orderstatus AS old_status, n.o_orderstatus AS new_status,
+        | ROUND(o.price_cents / 100.0, 2) AS old_price,
+        | ROUND(n.price_cents / 100.0, 2) AS new_price
+        |FROM old o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |  OR o.o_orderstatus <> n.o_orderstatus
+        |  OR o.price_cents <> n.price_cents""".stripMargin,
+
+    "ols_revenue_trend" ->
+      """WITH m AS (
+        | SELECT r_name AS region,
+        |  CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS t,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_cents
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2),
+        |s AS (
+        | SELECT region, CAST(COUNT(*) AS HUGEINT) AS n,
+        |  CAST(SUM(t) AS HUGEINT) AS st, CAST(SUM(t*t) AS HUGEINT) AS stt,
+        |  CAST(SUM(y_cents) AS HUGEINT) AS sy,
+        |  CAST(SUM(t*y_cents) AS HUGEINT) AS sty
+        | FROM m GROUP BY region)
+        |SELECT region, CAST(n AS BIGINT) AS n_months,
+        | ROUND(CAST(n*sty - st*sy AS DOUBLE) /
+        |       CAST(n*stt - st*st AS DOUBLE), 4) AS slope_cents_per_month,
+        | ROUND(CAST(sy*stt - st*sty AS DOUBLE) /
+        |       CAST(n*stt - st*st AS DOUBLE), 2) AS intercept_cents,
+        | ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_monthly_cents
+        |FROM s""".stripMargin,
+
+    "daily_gapfill" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+        |             MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        |spine AS (
+        | SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        | FROM b),
+        |j AS (
+        | SELECT s.d, daily.n_orders, daily.cents,
+        |  CASE WHEN daily.n_orders > 0 THEN daily.cents // daily.n_orders END
+        |    AS avg_cents
+        | FROM spine s LEFT JOIN daily ON s.d = daily.d)
+        |SELECT d, COALESCE(n_orders, 0) AS n_orders,
+        | ROUND(COALESCE(cents, 0) / 100.0, 2) AS revenue,
+        | ROUND((last_value(avg_cents IGNORE NULLS) OVER (ORDER BY d
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 100.0, 2)
+        |   AS avg_order_value_ffill
+        |FROM j""".stripMargin
   )
 
   private def norm(c: String) = normTextSql(c)

@@ -144,6 +144,14 @@ object SparkEntry {
     "basket_affinity" -> ((s, d) =>
       Analytics.basketAffinity(lineitem(s, d), part(s, d))),
     "seasonality_index" -> ((s, d) => Analytics.seasonalityIndex(orders(s, d))),
+    "snapshot_diff" -> ((s, d) => {
+      val (old, neu) = ChangeOps.orderSnapshots(orders(s, d))
+      ChangeOps.snapshotDiff(old, neu)
+    }),
+    "ols_revenue_trend" -> ((s, d) =>
+      TrendOps.olsRevenueTrend(orders(s, d), customer(s, d), nation(s, d),
+        region(s, d))),
+    "daily_gapfill" -> ((s, d) => TrendOps.dailyGapfill(orders(s, d))),
     "weekday_hour_heatmap" -> ((s, d) =>
       Analytics.weekdayHourHeatmap(events(s, d))),
     "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),

@@ -1012,8 +1012,19 @@ object Analytics {
       .join(broadcast(region.filter(col("r_name") === targetRegion)),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    // both selective broadcast filters (target size ≈ 2% of parts,
+    // target region ≈ 20% of suppliers) run BEFORE the (part, supplier)
+    // rollup, so the grouped shuffle carries ~0.4% of the fact instead
+    // of every pair — per-pair sums are unchanged by pruning other keys
     val ps = lineitem
-      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_quantity"))
+      .join(broadcast(part.filter(col("p_size") === targetSize)
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionalSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("p_partkey"),
+        col("p_brand"), col("s_name"), col("n_name"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
         sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
       // value-range note: cents·10⁴ must stay under 2⁶³ — per-(part,
@@ -1025,10 +1036,6 @@ object Analytics {
       .withColumn("unit_cost_micro", expr("(cents * 10000) div qty_units"))
     val w = Window.partitionBy(col("l_partkey"))
     ps
-      .join(broadcast(part.filter(col("p_size") === targetSize)
-        .select("p_partkey", "p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .join(broadcast(regionalSupp), col("l_suppkey") === col("s_suppkey"))
       .withColumn("min_cost", min(col("unit_cost_micro")).over(w))
       .filter(col("unit_cost_micro") === col("min_cost"))
       .select(col("p_partkey"), col("p_brand"), col("s_name"),
@@ -1056,9 +1063,14 @@ object Analytics {
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), col("l_partkey"))
       .agg(sum(value).as("part_value"))
-    val perNation = perPart.groupBy(col("nation").as("nt"))
-      .agg(sum(col("part_value")).as("nation_value"))
-    perPart.join(broadcast(perNation), col("nation") === col("nt"))
+    // nation total as a window over the grouped (nation, part) output —
+    // the fact is scanned and shuffled exactly once; the window
+    // re-shuffles only the part-grain intermediate (dim-bounded), where
+    // a second agg + join-back would re-derive the fact rollup twice
+    // whenever exchange reuse misses
+    perPart
+      .withColumn("nation_value",
+        sum(col("part_value")).over(Window.partitionBy(col("nation"))))
       .withColumn("value_share",
         round(col("part_value").cast("double") /
           col("nation_value").cast("double"), 6))

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture operators: classify the delta between two
+  * snapshots of the same keyed table — the nightly "what changed"
+  * feed every warehouse publishes downstream (ref: the incremental
+  * load loops of nyc_hybrid_etl_pipeline.py:184-223, generalized from
+  * append-only to full insert/update/delete detection).
+  *
+  * Scale: one full-outer hash join on the key — both snapshots shuffle
+  * once on the same key, AQE handles skew; no window, no driver state.
+  * At 100 TB this is the canonical CDC merge shape (a sort-merge join
+  * over two bucketed-by-key snapshots would avoid even the shuffle when
+  * both sides come from [[graft.sources.Sinks.writeBucketed]] layouts).
+  */
+object ChangeOps {
+
+  /** Diff two keyed order snapshots into an insert/update/delete feed.
+    * Unchanged rows are dropped (the overwhelming majority at scale —
+    * the filter runs post-join, before any further shuffle). Prices are
+    * compared in exact cents; the projection emits rounded doubles
+    * (decimal outputs are driver-hash-unsafe, SURVEY §6).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      key: String = "o_orderkey"): DataFrame = {
+    val o = oldSnap.select(col(key).as("old_key"),
+      col("o_orderstatus").as("old_status"), col("price_cents").as("old_cents"))
+    val n = newSnap.select(col(key).as("new_key"),
+      col("o_orderstatus").as("new_status"), col("price_cents").as("new_cents"))
+    o.join(n, col("old_key") === col("new_key"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_key").isNull, lit("insert"))
+          .when(col("new_key").isNull, lit("delete"))
+          .when(col("old_status") =!= col("new_status") ||
+            col("old_cents") =!= col("new_cents"), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col("old_key"), col("new_key")).as("o_orderkey"),
+        col("change_type"), col("old_status"), col("new_status"),
+        round(col("old_cents") / 100.0, 2).as("old_price"),
+        round(col("new_cents") / 100.0, 2).as("new_price"))
+  }
+
+  /** Deterministic snapshot pair derived from `orders`, used by the
+    * `snapshot_diff` query: the "old" snapshot drops every 7th key, the
+    * "new" snapshot drops every 5th key (inserts + deletes), bumps every
+    * 3rd price by exactly 10% in integer cents, and flips every 11th
+    * status (updates) — every change class exercised, all arithmetic
+    * exact so the oracle reproduces it bit-for-bit.
+    */
+  def orderSnapshots(orders: DataFrame): (DataFrame, DataFrame) = {
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("price_cents"))
+    val old = base.filter(col("o_orderkey") % 7 =!= 0)
+    val neu = base.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("price_cents",
+        when(col("o_orderkey") % 3 === 0,
+          expr("(price_cents * 110) div 100")).otherwise(col("price_cents")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 11 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    (old, neu)
+  }
+}

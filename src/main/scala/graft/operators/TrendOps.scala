@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series trend operators over the order history: closed-form OLS
+  * regression and calendar gap-filling — the statistical layer the
+  * reference runs notebook-side (SageMaker trend analyses over the
+  * warehouse) re-expressed as exact distributed aggregations.
+  */
+object TrendOps {
+
+  /** Per-region OLS trend of monthly revenue: slope/intercept from the
+    * closed form on EXACT integer sums (n, Σt, Σt², Σy, Σty in cents),
+    * so partitioning/merge order can never change the result; the only
+    * floating-point step is the final division, identical IEEE ops in
+    * both engines.
+    *
+    * Scale: one fact-sized grouped agg to (region, month) — map-side
+    * combined, ≤ regions×months rows out — then a region-sized second
+    * agg. The closed-form products are computed in DECIMAL(38,0): cents
+    * sums at 100 TB reach ~10¹⁴-10¹⁵ and n·Σty-style products cross 2⁶³,
+    * so BIGINT products would overflow where decimal(38) does not.
+    */
+  def olsRevenueTrend(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val monthly = orders
+      .select(col("o_custkey"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("t"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("t"))
+      .agg((sum(col("p")) * 100).cast("long").as("y_cents"))
+    monthly
+      .groupBy(col("region"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("t")).cast("decimal(38,0)").as("st"),
+        sum(col("t") * col("t")).cast("decimal(38,0)").as("stt"),
+        sum(col("y_cents")).cast("decimal(38,0)").as("sy"),
+        sum(col("t") * col("y_cents")).cast("decimal(38,0)").as("sty"))
+      .select(col("region"), col("n").cast("long").as("n_months"),
+        round((col("n") * col("sty") - col("st") * col("sy")).cast("double") /
+          (col("n") * col("stt") - col("st") * col("st")).cast("double"), 4)
+          .as("slope_cents_per_month"),
+        round((col("sy") * col("stt") - col("st") * col("sty")).cast("double") /
+          (col("n") * col("stt") - col("st") * col("st")).cast("double"), 2)
+          .as("intercept_cents"),
+        round(col("sy").cast("double") / col("n").cast("double"), 2)
+          .as("mean_monthly_cents"))
+  }
+
+  /** Daily revenue with the calendar gaps filled in: a generated date
+    * spine (no driver collect — the min/max bounds stay a 1-row
+    * DataFrame cross-joined in, which Spark broadcasts) left-joined to
+    * the per-day rollup, zero-filled counts, and a forward-filled
+    * last-known average order value (`last(_, ignoreNulls)` running
+    * window).
+    *
+    * Scale: the spine is bounded by the CALENDAR SPAN (days), never the
+    * row count — the single-partition ordered window runs over ~10³
+    * rows regardless of fact size; everything fact-sized is map-side
+    * combined before it.
+    */
+  def dailyGapfill(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("p")) * 100).cast("long").as("cents"))
+    val bounds = orders.agg(to_date(min(col("o_orderdate"))).as("d0"),
+      to_date(max(col("o_orderdate"))).as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .withColumn("avg_cents",
+        when(col("n_orders") > 0, expr("cents div n_orders")))
+      .withColumn("filled_avg_cents",
+        last(col("avg_cents"), ignoreNulls = true).over(
+          Window.orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("d"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        round(coalesce(col("cents"), lit(0L)) / 100.0, 2).as("revenue"),
+        round(col("filled_avg_cents") / 100.0, 2).as("avg_order_value_ffill"))
+  }
+}

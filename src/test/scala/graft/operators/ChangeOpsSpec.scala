@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChangeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, String, Long)*) =
+    rows.toDF("o_orderkey", "o_orderstatus", "price_cents")
+
+  test("snapshotDiff classifies insert/update/delete and drops unchanged") {
+    val old = snap((1L, "O", 100L), (2L, "O", 200L), (3L, "F", 300L),
+      (4L, "O", 400L))
+    val neu = snap((1L, "O", 100L), (2L, "F", 200L), (3L, "F", 333L),
+      (5L, "O", 500L))
+    val out = ChangeOps.snapshotDiff(old, neu)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(2L -> "update", 3L -> "update", 4L -> "delete",
+      5L -> "insert"))
+  }
+
+  test("snapshotDiff carries old/new values with nulls on one-sided rows") {
+    val old = snap((4L, "O", 400L))
+    val neu = snap((5L, "O", 500L))
+    val rows = ChangeOps.snapshotDiff(old, neu)
+      .orderBy("o_orderkey").collect()
+    val del = rows(0)
+    assert(del.getString(1) == "delete" && del.getString(2) == "O" &&
+      del.isNullAt(3) && del.getDouble(4) == 4.0 && del.isNullAt(5))
+    val ins = rows(1)
+    assert(ins.getString(1) == "insert" && ins.isNullAt(2) &&
+      ins.getString(3) == "O" && ins.isNullAt(4) && ins.getDouble(5) == 5.0)
+  }
+
+  test("orderSnapshots exercises every change class deterministically") {
+    val orders = (1L to 100L)
+      .map(k => (k, if (k % 2 == 0) "O" else "F", k * 10.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val (old, neu) = ChangeOps.orderSnapshots(orders)
+    val diff = ChangeOps.snapshotDiff(old, neu)
+    val byType = diff.groupBy("change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // keys %7==0 and %5!=0 are inserts; %5==0 and %7!=0 deletes; both-present
+    // keys with %3==0 (price bump) or %11==0 (status flip) are updates
+    assert(byType.keySet == Set("insert", "delete", "update"))
+    assert(byType("insert") == (1L to 100L)
+      .count(k => k % 7 == 0 && k % 5 != 0))
+    assert(byType("delete") == (1L to 100L)
+      .count(k => k % 5 == 0 && k % 7 != 0))
+    // price bump is exact integer cents: 10% of k*10.00 = k cents
+    val upd = diff.filter(col("o_orderkey") === 6L).collect()(0)
+    assert(upd.getDouble(4) == 60.0 && upd.getDouble(5) == 66.0)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+class TrendOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  test("olsRevenueTrend recovers an exact linear trend") {
+    // single region, revenue = 1000 + 250*t dollars for t = 0..11
+    val orders = (0 until 12).flatMap { t =>
+      val m = f"${t % 12 + 1}%02d"
+      Seq((t.toLong, 1L, ts(s"1995-$m-15"), 1000.0 + 250.0 * t))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val customer = Seq((1L, 1)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((1, 1)).toDF("n_nationkey", "n_regionkey")
+    val region = Seq((1, "R1")).toDF("r_regionkey", "r_name")
+    val r = TrendOps.olsRevenueTrend(orders, customer, nation, region)
+      .collect()(0)
+    assert(r.getAs[String]("region") == "R1")
+    assert(r.getAs[Long]("n_months") == 12L)
+    assert(r.getAs[Double]("slope_cents_per_month") == 25000.0)
+    assert(r.getAs[Double]("intercept_cents") == 100000.0)
+  }
+
+  test("dailyGapfill zero-fills missing days and forward-fills averages") {
+    val orders = Seq(
+      (1L, ts("2000-01-01"), 10.0),
+      (2L, ts("2000-01-01"), 20.0),
+      (3L, ts("2000-01-04"), 40.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = TrendOps.dailyGapfill(orders).orderBy("d").collect()
+    assert(out.length == 4) // Jan 1-4 inclusive
+    val byDay = out.map(r => r.getDate(0).toString ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byDay("2000-01-01") == ((2L, 30.0, 15.0)))
+    assert(byDay("2000-01-02") == ((0L, 0.0, 15.0))) // gap: ffilled avg
+    assert(byDay("2000-01-03") == ((0L, 0.0, 15.0)))
+    assert(byDay("2000-01-04") == ((1L, 40.0, 40.0)))
+  }
+}
