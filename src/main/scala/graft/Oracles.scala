@@ -954,6 +954,17 @@ object Oracles {
         | ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_monthly_cents
         |FROM s""".stripMargin,
 
+    // bloom_segment_revenue routes through BloomOps.bloomPrunedJoin —
+    // the bloom is physical-only, so the oracle is the PLAIN join
+    "bloom_segment_revenue" ->
+      """SELECT o_orderpriority,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "daily_gapfill" ->
       """WITH daily AS (
         | SELECT CAST(o_orderdate AS DATE) AS d,

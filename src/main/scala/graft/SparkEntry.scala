@@ -152,6 +152,8 @@ object SparkEntry {
       TrendOps.olsRevenueTrend(orders(s, d), customer(s, d), nation(s, d),
         region(s, d))),
     "daily_gapfill" -> ((s, d) => TrendOps.dailyGapfill(orders(s, d))),
+    "bloom_segment_revenue" -> ((s, d) =>
+      BloomOps.bloomSegmentRevenue(orders(s, d), customer(s, d))),
     "weekday_hour_heatmap" -> ((s, d) =>
       Analytics.weekdayHourHeatmap(events(s, d))),
     "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),
