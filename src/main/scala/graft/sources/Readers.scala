@@ -45,6 +45,27 @@ object Readers {
   def conform(df: DataFrame, expected: Seq[String]): DataFrame =
     ensureColumns(df, expected).select(expected.map(col): _*)
 
+  /** ORC lake read — same columnar pushdown/pruning contract as parquet
+    * (`spark.sql.orc.filterPushdown` is on by default in Spark 4), for
+    * warehouses whose upstream (Hive-era jobs) lands ORC instead.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw media ingestion for the multimodal pipeline: each file becomes
+    * one row (path, modificationTime, length, content BINARY) via
+    * Spark's distributed binaryFile source — the bytes land directly in
+    * the opaque-binary column shape [[graft.operators.MultimodalOps]]
+    * processes, with `pathGlobFilter` narrowing to one media type per
+    * scan. The scan parallelizes over files; `maxPartitionBytes` keeps
+    * per-task memory bounded however large the files.
+    */
+  def binaryFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    glob.fold(base)(g => base.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Read a parquet lake path whose files were written under EVOLVING
     * schemas (columns added over time — the normal state of a
     * long-running ingest): `mergeSchema` unions all file footers' fields

@@ -46,6 +46,24 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Z-order clustered layout: range-partition and locally sort on the
+    * Morton interleave of TWO columns ([[graft.functions.ZOrder]]), so
+    * every output file's parquet footer carries narrow min/max ranges on
+    * BOTH dimensions — the multi-column data-skipping layout (Delta/
+    * Iceberg `ZORDER BY`, Spark-native): a reader filtering on either
+    * column prunes most files, where a plain sort only serves its
+    * leading column. The z-value is computed from built-in bit ops
+    * (fully codegen'd) and never materialized into the written schema.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.ZOrder.zValue(col(colA), col(colB))
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Training-shard export: bounded-size parquet shards with a
     * deterministic, reproducible doc→shard assignment (hash mod), the
     * layout a training dataloader consumes. `maxRecordsPerFile` bounds

@@ -167,4 +167,61 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/compacted").orderBy("id")
       .collect().map(_.getLong(0)).toSeq == (1L to 5000L))
   }
+
+  test("orc round trip preserves rows and pushes filters") {
+    val dir = tmp()
+    val df = (1L to 1000L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "v")
+    df.write.orc(s"$dir/orc")
+    val back = Readers.orc(spark, s"$dir/orc")
+    assert(back.count() == 1000)
+    val plan = back.filter($"id" > 900L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
+    assert(back.filter($"id" > 900L).count() == 100)
+  }
+
+  test("binaryFiles lands one (path, length, content) row per media file") {
+    val dir = tmp()
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, 4),
+      "b.img" -> Array[Byte](5, 6), "skip.txt" -> Array[Byte](9))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val media = Readers.binaryFiles(spark, dir, glob = Some("*.img"))
+    val rows = media.collect()
+    assert(rows.length == 2) // the .txt is glob-filtered out
+    val byName = rows.map(r => new java.io.File(r.getString(0)).getName ->
+      r.getAs[Array[Byte]]("content").toSeq).toMap
+    assert(byName("a.img") == Seq[Byte](1, 2, 3, 4))
+    assert(byName("b.img") == Seq[Byte](5, 6))
+    assert(rows.forall(r => r.getAs[Long]("length") ==
+      r.getAs[Array[Byte]]("content").length.toLong))
+  }
+
+  test("writeZOrdered files carry narrow min/max ranges on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    // a 64x64 grid: the z-curve split into 16 contiguous ranges is ~16
+    // aligned tiles; a linear (x, y) sort makes files x-narrow, y-wide
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y)))
+      .toDF("x", "y")
+    Sinks.writeZOrdered(grid, s"$dir/z", "x", "y", numFiles = 16)
+    val zStats = spark.read.parquet(s"$dir/z")
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+      .agg(avg("rx").as("ax"), avg("ry").as("ay")).collect()(0)
+    // each dimension's per-file span stays a fraction of the 0..63 domain
+    assert(zStats.getDouble(0) < 25.0 && zStats.getDouble(1) < 25.0,
+      s"z ranges: $zStats")
+    grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions("x", "y")
+      .write.parquet(s"$dir/linear")
+    val linStats = spark.read.parquet(s"$dir/linear")
+      .groupBy(input_file_name().as("f"))
+      .agg((max("y") - min("y")).as("ry"))
+      .agg(avg("ry").as("ay")).collect()(0)
+    // the non-leading dimension spans the whole domain under a plain sort
+    assert(linStats.getDouble(0) > 55.0, s"linear y range: $linStats")
+    // layout change only: the same 4096 rows come back
+    assert(spark.read.parquet(s"$dir/z").count() == 4096)
+  }
 }
