@@ -180,6 +180,21 @@ object EventStreams {
     * (event_id, ts) entry per id inside the watermark, evicted as the
     * watermark advances.
     */
+  /** Stream-static enrichment: every micro-batch broadcast-joins the
+    * STATIC dim (the live form of the warehouse dim lookup — route/tag
+    * events with customer attributes before windowing). Stateless: no
+    * watermark, no state store; the dim is re-planned per micro-batch so
+    * a dim refresh lands on the next batch. Left join + UNKNOWN default
+    * keeps unmatched events flowing (a live pipeline must not drop
+    * events because the dim is late).
+    */
+  def enrichWithDim(events: DataFrame, customerDim: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .join(broadcast(customerDim.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"))), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+      .drop("c_mktsegment")
+
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")

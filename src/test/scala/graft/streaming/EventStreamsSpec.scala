@@ -167,6 +167,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("dedup").count() == sampleEvents.size)
   }
 
+  test("enrichWithDim stream-static join matches batch, UNKNOWN for unmatched") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (102L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.enrichWithDim(streamDF, dim)
+      .writeStream.outputMode("append").format("memory").queryName("enrich").start()
+    mem.addData(sampleEvents: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enrich").orderBy("event_id")
+      .collect().map(_.toString).toSeq
+    val batch = EventStreams.enrichWithDim(eventsDF, dim).orderBy("event_id")
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // dim-matched users carry their segment; users outside the dim
+    // still flow, tagged UNKNOWN
+    val segs = spark.table("enrich").select("user_id", "segment").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(segs == Map(1L -> "BUILDING", 2L -> "UNKNOWN"))
+  }
+
   test("incrementalDimStream appends only unseen keys across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dimPath = java.nio.file.Files.createTempDirectory("graft_dim").toString + "/dim"
