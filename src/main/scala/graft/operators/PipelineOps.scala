@@ -154,10 +154,7 @@ object PipelineOps {
     * sorts in one task.
     */
   def vocabCoverage(documents: DataFrame): DataFrame = {
-    val tf = documents
-      .select(explode(TextFns.tokens(col("text"))).as("tok"))
-      .groupBy(col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = TextOps.corpusTf(documents)
     // distinct-tf group table: token count and occurrence mass per tf
     val groups = tf.groupBy(col("tf"))
       .agg(count(lit(1)).as("n_toks"))

@@ -183,6 +183,20 @@ object TextOps {
           .as("top_bigram_frac"))
       .withColumn("is_repetitive", col("dup_bigram_frac") >= dupFracMin)
 
+  /** Corpus term-frequency table (tok, tf) — VOCABULARY-bounded, and
+    * shared by rarity scoring, bigram-LM scoring and vocabulary coverage
+    * in one session: derived once via [[Memo]] instead of re-exploding
+    * the corpus per consumer (at 100 TB, three full token scans become
+    * one).
+    */
+  private[operators] def corpusTf(documents: DataFrame): DataFrame =
+    Memo.cached("corpus_tf", documents) { docs =>
+      OpUtils.spread(docs)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
   /** Unigram rarity score — a perplexity proxy with exact integer
     * arithmetic (no float logs, whose libm rounding differs across
     * engines): per token, rarity = corpus_tokens div token_frequency;
@@ -192,7 +206,7 @@ object TextOps {
   def rarityScore(documents: DataFrame): DataFrame = {
     val toks = OpUtils.spread(documents)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = corpusTf(documents)
     val total = tf.agg(sum(col("tf")).as("total"))
     toks
       .join(tf, Seq("tok"))
@@ -375,12 +389,13 @@ object TextOps {
     * shared by [[ngramLmScore]] (rounded mean) and [[perplexityBuckets]]
     * (integer quantile bucketing).
     */
-  private def lmScoreParts(documents: DataFrame): DataFrame = {
+  private def lmScoreParts(documents: DataFrame): DataFrame =
+    Memo.cached("lm_parts", documents)(lmScorePartsImpl)
+
+  private def lmScorePartsImpl(documents: DataFrame): DataFrame = {
     val spread = OpUtils.spread(documents)
-    val uni = spread
-      .select(explode(TextFns.tokens(col("text"))).as("first_tok"))
-      .groupBy(col("first_tok"))
-      .agg(count(lit(1)).as("cw"))
+    val uni = corpusTf(documents)
+      .select(col("tok").as("first_tok"), col("tf").as("cw"))
     val bigrams = bigramRows(spread)
       .withColumn("first_tok", substring_index(col("bigram"), " ", 1))
     val bgCounts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cab"))
