@@ -954,6 +954,45 @@ object Oracles {
         | ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_monthly_cents
         |FROM s""".stripMargin,
 
+    // the CMS booleans are deterministic guarantees — the oracle checks
+    // the exact counts and asserts the bands hold (approx_distincts
+    // pattern)
+    "cms_event_type_freq" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        | TRUE AS cms_no_undercount, TRUE AS cms_within_band
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "nation_trade_pagerank" -> {
+      // the same integer recurrence unrolled as a CTE chain: it0 = 10⁶//N,
+      // it_{k+1} = 15·10⁴//N + (85·Σ_{u→v} it_k(u)//outdeg(u)) // 100
+      def iter(k: Int): String =
+        s"""it$k AS (
+           | SELECT n.nation, b.base + (85 * COALESCE(c.in_sum, 0)) // 100 AS r
+           | FROM nodes n
+           | CROSS JOIN (SELECT 150000 // n_nodes AS base FROM nn) b
+           | LEFT JOIN (
+           |   SELECT e.dst, SUM(p.r // e.outdeg) AS in_sum
+           |   FROM e JOIN it${k - 1} p ON e.src = p.nation
+           |   GROUP BY e.dst) c ON n.nation = c.dst)"""
+      """WITH ls AS (
+        | SELECT DISTINCT l_orderkey, n_name AS src
+        | FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |os AS (
+        | SELECT o_orderkey, n_name AS dst
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |e0 AS (SELECT DISTINCT src, dst FROM ls JOIN os ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS outdeg FROM e0),
+        |nodes AS (SELECT n_name AS nation FROM nation),
+        |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+        |it0 AS (SELECT nation, 1000000 // n_nodes AS r FROM nodes, nn),""" +
+        (1 to 5).map(iter).mkString(",") + """
+        |SELECT nation, CAST(r AS BIGINT) AS rank_micro FROM it5"""
+    }.stripMargin,
+
     // bloom_segment_revenue routes through BloomOps.bloomPrunedJoin —
     // the bloom is physical-only, so the oracle is the PLAIN join
     "bloom_segment_revenue" ->

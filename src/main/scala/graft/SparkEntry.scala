@@ -154,6 +154,11 @@ object SparkEntry {
     "daily_gapfill" -> ((s, d) => TrendOps.dailyGapfill(orders(s, d))),
     "bloom_segment_revenue" -> ((s, d) =>
       BloomOps.bloomSegmentRevenue(orders(s, d), customer(s, d))),
+    "cms_event_type_freq" -> ((s, d) =>
+      Analytics.cmsEventTypeFreq(events(s, d))),
+    "nation_trade_pagerank" -> ((s, d) =>
+      GraphOps.nationTradePagerank(lineitem(s, d), orders(s, d),
+        customer(s, d), supplier(s, d), nation(s, d))),
     "weekday_hour_heatmap" -> ((s, d) =>
       Analytics.weekdayHourHeatmap(events(s, d))),
     "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),

@@ -380,6 +380,32 @@ object Analytics {
     * rank (verified by a second conditional-count pass) must land within
     * [0.45, 0.55] — exact columns hash-compare directly.
     */
+  /** Count-min-sketch frequency estimates next to exact counts, graded
+    * as tolerance-band booleans the oracle can check (the
+    * approx_distincts pattern): `cms_no_undercount` is the sketch's hard
+    * guarantee, `cms_within_band` the collision bound 2·total/width. At
+    * 100 TB the sketch side carries a few KB of mergeable state per
+    * partition however many distinct keys flow through — the exact side
+    * here exists only to grade it.
+    */
+  def cmsEventTypeFreq(events: DataFrame, width: Int = 1024,
+      depth: Int = 4): DataFrame = {
+    val cms = org.apache.spark.sql.functions.udaf(
+      new graft.functions.CountMinAgg(width, depth),
+      org.apache.spark.sql.Encoders.STRING)
+    val sketch = events.agg(cms(col("event_type")).as("sketch"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val total = events.agg(count(lit(1)).as("total"))
+    exact.join(broadcast(sketch)).join(broadcast(total))
+      .withColumn("est",
+        graft.functions.CountMin.estimate(col("sketch"), col("event_type"), width))
+      .select(col("event_type"), col("n_events"),
+        (col("est") >= col("n_events")).as("cms_no_undercount"),
+        (col("est") - col("n_events") <= expr(s"(2 * total) div $width"))
+          .as("cms_within_band"))
+  }
+
   def approxDistincts(lineitem: DataFrame): DataFrame = {
     val sketched = lineitem
       .groupBy(col("l_returnflag"))

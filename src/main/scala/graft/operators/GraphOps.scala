@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over warehouse entities. Connected components
+  * (DedupOps.dedupClusters) covers the equivalence-class family; here
+  * PageRank covers the iterative-propagation family — centrality of the
+  * international trade network (which nations sit at the center of
+  * supplier→customer flows).
+  *
+  * All rank arithmetic is EXACT integer micro-units (rank·10⁶): each
+  * iteration is `contrib = r div outdeg` per edge, `r' = base +
+  * (85·Σcontrib) div 100` per node — no float accumulation, so the
+  * fixed-iteration result is engine-stable and the DuckDB oracle unrolls
+  * the same five iterations as a CTE chain, bit for bit.
+  *
+  * Scale: the fact-sized work is ONE pass building the distinct
+  * nation-pair edge list (two broadcast dim joins + one fact-fact join
+  * on orderkey); the iterations run over the NATION-sized rank table ×
+  * the ≤|nations|² edge list — driver-loop of 5 tiny joins, no
+  * checkpointing needed because every iteration's input is dim-bounded.
+  */
+object GraphOps {
+
+  /** Distinct (src_nation, dst_nation) trade edges: supplier's nation →
+    * ordering customer's nation, with the supplier-side projection
+    * reduced to (orderkey, src) BEFORE the fact-fact join.
+    */
+  private def tradeEdges(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val n = broadcast(nation.select(col("n_nationkey"), col("n_name")))
+    val lineSide = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_orderkey"), col("n_name").as("src"))
+      .distinct()
+    val orderSide = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("n_name").as("dst"))
+    lineSide.join(orderSide, col("l_orderkey") === col("o_orderkey"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  /** Five-iteration integer PageRank of nations in the trade graph.
+    * Dangling mass is dropped (the standard simplified variant) — the
+    * oracle mirrors the same recurrence, so the semantics are part of
+    * the contract, not an accident.
+    */
+  def nationTradePagerank(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      iterations: Int = 5): DataFrame = {
+    val nodes = nation.select(col("n_name").as("nation"))
+    // the edge list is the only fact-derived input and every iteration
+    // re-reads it — pin the ≤|nations|² rows once so the fact joins run
+    // exactly once, not once per iteration
+    val edges = tradeEdges(lineitem, orders, customer, supplier, nation)
+      .withColumn("outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))))
+      .localCheckpoint(true)
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    // r0 = 10⁶ div N and base = 15·10⁴ div N, exactly as the oracle
+    var ranks = nodes.crossJoin(broadcast(nNodes))
+      .select(col("nation"), expr("1000000 div n_nodes").as("r"))
+    val base = broadcast(nNodes.select(expr("150000 div n_nodes").as("base")))
+    for (_ <- 1 to iterations) {
+      val contribs = edges
+        .join(ranks, col("src") === col("nation"))
+        .select(col("dst"), expr("r div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_sum"))
+      ranks = nodes
+        .join(contribs, col("nation") === col("dst"), "left")
+        .crossJoin(base)
+        .select(col("nation"),
+          (col("base") + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("r"))
+    }
+    ranks.select(col("nation"), col("r").as("rank_micro"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nation = Seq((0, "A"), (1, "B")).toDF("n_nationkey", "n_name")
+
+  test("nationTradePagerank matches the hand-computed integer recurrence") {
+    // one edge A→B: supplier in A ships the only order, placed by a
+    // customer in B. N=2 → r0 = 500000, base = 75000.
+    // it1: A = 75000, B = 75000 + (85·500000)//100 = 500000
+    // it2..5: A stays 75000; B = 75000 + (85·75000)//100 = 138750
+    val supplier = Seq((10L, 0)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 1)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((30L, 20L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((30L, 10L)).toDF("l_orderkey", "l_suppkey")
+    val ranks = GraphOps.nationTradePagerank(lineitem, orders, customer,
+      supplier, nation).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks == Map("A" -> 75000L, "B" -> 138750L))
+  }
+
+  test("an edgeless graph converges to the base rank for every node") {
+    val empty = Seq.empty[(Long, Long)]
+    val ranks = GraphOps.nationTradePagerank(
+      empty.toDF("l_orderkey", "l_suppkey"),
+      empty.toDF("o_orderkey", "o_custkey"),
+      Seq.empty[(Long, Int)].toDF("c_custkey", "c_nationkey"),
+      Seq.empty[(Long, Int)].toDF("s_suppkey", "s_nationkey"),
+      nation).collect().map(r => r.getLong(1)).toSeq
+    assert(ranks == Seq(75000L, 75000L))
+  }
+
+  test("duplicate trade lines collapse to one edge (distinct pairs)") {
+    val supplier = Seq((10L, 0), (11L, 0)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 1)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((30L, 20L), (31L, 20L)).toDF("o_orderkey", "o_custkey")
+    // four lines, all the same A→B nation pair
+    val lineitem = Seq((30L, 10L), (30L, 11L), (31L, 10L), (31L, 11L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ranks = GraphOps.nationTradePagerank(lineitem, orders, customer,
+      supplier, nation).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks == Map("A" -> 75000L, "B" -> 138750L))
+  }
+}
