@@ -31,5 +31,21 @@ object GraftFunctions {
     spark.udf.register("graft_heavy_hitters16",
       org.apache.spark.sql.functions.udaf(new HeavyHitters(16),
         org.apache.spark.sql.Encoders.STRING))
+    // sketch builders at their query-surface shapes (bloom: 2¹⁷ bits /
+    // 5 hashes; cms: 1024×4), plus the codegen'd probes
+    spark.udf.register("graft_bloom_agg",
+      org.apache.spark.sql.functions.udaf(new BloomFilterAgg(1 << 17, 5),
+        org.apache.spark.sql.Encoders.scalaLong))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      (exprs: Seq[Expression]) => BloomMightContainExpr(exprs(0), exprs(1), 5),
+      "built-in")
+    spark.udf.register("graft_cms_agg",
+      org.apache.spark.sql.functions.udaf(new CountMinAgg(1024, 4),
+        org.apache.spark.sql.Encoders.STRING))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_estimate",
+      (exprs: Seq[Expression]) => CmsEstimateExpr(exprs(0), exprs(1), 1024),
+      "built-in")
   }
 }

@@ -66,4 +66,25 @@ class SqlInterfaceSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hh.toMap == exact)
   }
+
+  test("bloom and cms sketches are callable from SQL") {
+    registered
+    // bloom: build over even custkeys, probe both parities — no false
+    // negatives on members
+    val bloomHits = spark.sql(
+      """WITH b AS (SELECT graft_bloom_agg(c_custkey) AS w FROM customer
+        |           WHERE c_custkey % 2 = 0)
+        |SELECT COUNT(*) FROM customer, b
+        |WHERE c_custkey % 2 = 0 AND NOT graft_bloom_contains(w, c_custkey)
+        |""".stripMargin).head.getLong(0)
+    assert(bloomHits == 0L)
+    // cms: estimates over a low-cardinality key are exact
+    val cms = spark.sql(
+      """WITH s AS (SELECT graft_cms_agg(o_orderpriority) AS g FROM orders)
+        |SELECT o_orderpriority,
+        |  MAX(graft_cms_estimate(g, o_orderpriority)) AS est, COUNT(*) AS n
+        |FROM orders, s GROUP BY o_orderpriority
+        |""".stripMargin).collect()
+    assert(cms.nonEmpty && cms.forall(r => r.getLong(1) == r.getLong(2)))
+  }
 }
