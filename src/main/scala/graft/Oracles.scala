@@ -954,6 +954,41 @@ object Oracles {
         | ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_monthly_cents
         |FROM s""".stripMargin,
 
+    // the skyline oracle is the single-window strict-prefix-max form —
+    // Spark's two-level bucket factorization computes the same predicate
+    "price_qty_skyline" ->
+      """WITH r AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS price_cents,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        | FROM lineitem),
+        |w AS (
+        | SELECT *, MAX(qty) OVER (ORDER BY price_cents
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mq
+        | FROM r)
+        |SELECT l_orderkey, l_linenumber,
+        | ROUND(price_cents / 100.0, 2) AS price, qty
+        |FROM w WHERE mq IS NULL OR mq <= qty""".stripMargin,
+
+    "supplier_abc_classes" ->
+      """WITH s AS (
+        | SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS revenue_cents
+        | FROM lineitem GROUP BY l_suppkey),
+        |c AS (
+        | SELECT l_suppkey, revenue_cents,
+        |  SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_suppkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+        |  SUM(revenue_cents) OVER () AS total_cents
+        | FROM s)
+        |SELECT l_suppkey, ROUND(revenue_cents / 100.0, 2) AS revenue,
+        | CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+        |      WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+        |      ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
+
     // the CMS booleans are deterministic guarantees — the oracle checks
     // the exact counts and asserts the bands hold (approx_distincts
     // pattern)

@@ -159,6 +159,10 @@ object SparkEntry {
     "nation_trade_pagerank" -> ((s, d) =>
       GraphOps.nationTradePagerank(lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d), nation(s, d))),
+    "price_qty_skyline" -> ((s, d) =>
+      SkylineOps.priceQuantityFrontier(lineitem(s, d))),
+    "supplier_abc_classes" -> ((s, d) =>
+      Analytics.supplierAbcClasses(lineitem(s, d))),
     "weekday_hour_heatmap" -> ((s, d) =>
       Analytics.weekdayHourHeatmap(events(s, d))),
     "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),

@@ -380,6 +380,34 @@ object Analytics {
     * rank (verified by a second conditional-count pass) must land within
     * [0.45, 0.55] — exact columns hash-compare directly.
     */
+  /** ABC (Pareto-class) supplier segmentation: rank suppliers by exact
+    * revenue, classify by CUMULATIVE share — A carries the first 80% of
+    * revenue, B to 95%, C the tail. The ranked window runs over the
+    * SUPPLIER-grain rollup (dim-bounded, never fact-sized); share
+    * thresholds compare exact integer products (cum·100 vs total·80) so
+    * no float boundary can flip a class between engines. Ties break on
+    * supplier key for a total order.
+    */
+  def supplierAbcClasses(lineitem: DataFrame): DataFrame = {
+    val perSupp = lineitem
+      .select(col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("l_suppkey"))
+      .agg((sum(col("p")) * 100).cast("long").as("revenue_cents"))
+    val wCum = Window.orderBy(col("revenue_cents").desc, col("l_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perSupp
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(wCum))
+      .withColumn("total_cents", sum(col("revenue_cents")).over(wTot))
+      .select(col("l_suppkey"),
+        round(col("revenue_cents") / 100.0, 2).as("revenue"),
+        when(col("cum_cents") * 100 <= col("total_cents") * 80, "A")
+          .when(col("cum_cents") * 100 <= col("total_cents") * 95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   /** Count-min-sketch frequency estimates next to exact counts, graded
     * as tolerance-band booleans the oracle can check (the
     * approx_distincts pattern): `cms_no_undercount` is the sketch's hard
