@@ -1288,16 +1288,23 @@ object Analytics {
     * counts and the order total broadcast.
     */
   def basketAffinity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    // ONE fact-sized shuffle: collect the distinct type set per order
+    // (state bounded by |types|, not basket size), then every downstream
+    // frame — order count, per-type supports, within-order pairs (a
+    // double explode, bounded by |types|² per order) — derives from the
+    // order-grain table without re-shuffling the fact. The former
+    // self-join formulation shuffled the (order, type) projection twice.
     val ot = lineitem.select(col("l_orderkey"), col("l_partkey"))
       .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_type")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("p_type")).as("types"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nOrders = ot.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val typeCounts = ot.groupBy(col("p_type")).agg(count(lit(1)).as("n_t"))
-    ot.select(col("l_orderkey"), col("p_type").as("type_a"))
-      .join(ot.select(col("l_orderkey"), col("p_type").as("type_b")),
-        Seq("l_orderkey"))
+    val nOrders = ot.agg(count(lit(1)).as("n_orders"))
+    val typeCounts = ot.select(explode(col("types")).as("p_type"))
+      .groupBy(col("p_type")).agg(count(lit(1)).as("n_t"))
+    ot.select(explode(col("types")).as("type_a"), col("types"))
+      .select(col("type_a"), explode(col("types")).as("type_b"))
       .filter(col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n_both"))
