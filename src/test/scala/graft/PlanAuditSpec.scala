@@ -148,6 +148,30 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  test("bloom pruning probes before the exact join's shuffle") {
+    val p = plan("bloom_segment_revenue")
+    // the bits arrive as a 1-row broadcast, the codegen'd probe filters
+    // the fact, and only then does the hinted shuffled-hash join run
+    assert(p.contains("graft_bloom_contains"), p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("ShuffledHashJoin"))
+    val probeAt = p.indexOf("graft_bloom_contains")
+    val joinAt = p.indexOf("ShuffledHashJoin")
+    assert(joinAt < probeAt, "probe must sit below (after in text) the join")
+  }
+
+  test("skyline's fact-side window partitions by bucket, not one partition") {
+    val p = plan("price_qty_skyline")
+    assert(p.contains("hashpartitioning(bucket"),
+      "per-bucket window must hash-partition the fact:\n" + p.take(800))
+  }
+
+  test("snapshot diff is one full-outer join on the key") {
+    val p = plan("snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("Q6 shape pushes every predicate into the parquet scan") {
     val p = formatted("discount_revenue_delta")
     assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"),
