@@ -954,6 +954,36 @@ object Oracles {
         | ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_monthly_cents
         |FROM s""".stripMargin,
 
+    "mixture_temperature" ->
+      s"""WITH t AS (SELECT lang,
+         |  CAST(CASE WHEN length(${normTextSql("text")}) = 0 THEN 0
+         |       ELSE len(string_split(${normTextSql("text")}, ' ')) END AS BIGINT) AS n
+         | FROM documents),
+         |g AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+         |w AS (SELECT lang, n_tokens,
+         |  CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s1 FROM g),
+         |c AS (SELECT lang, n_tokens,
+         |  CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens THEN s1 + 1
+         |       WHEN s1 * s1 > n_tokens THEN s1 - 1
+         |       ELSE s1 END AS weight FROM w)
+         |SELECT lang, n_tokens, weight,
+         | (weight * 1000000) // (SUM(weight) OVER ()) AS share_micro,
+         | (n_tokens * 1000000) // (SUM(n_tokens) OVER ()) AS natural_share_micro
+         |FROM c""".stripMargin,
+
+    "embed_dim_stats" ->
+      """WITH e AS (
+        | SELECT label, d.dim AS dim,
+        |  CAST(TRUNC(embedding[d.dim]::DOUBLE * 1000000) AS BIGINT) AS micro
+        | FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) d
+        | WHERE embedding IS NOT NULL AND NOT isnan(embedding[d.dim]::DOUBLE))
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        | CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        | CAST(SUM(CAST(micro AS HUGEINT)) AS BIGINT) AS sum_micro,
+        | ROUND(CAST(SUM(CAST(micro AS HUGEINT)) AS DOUBLE) / COUNT(*), 2)
+        |   AS mean_micro
+        |FROM e GROUP BY label, dim""".stripMargin,
+
     // the skyline oracle is the single-window strict-prefix-max form —
     // Spark's two-level bucket factorization computes the same predicate
     "price_qty_skyline" ->

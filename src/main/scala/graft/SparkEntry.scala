@@ -163,6 +163,10 @@ object SparkEntry {
       SkylineOps.priceQuantityFrontier(lineitem(s, d))),
     "supplier_abc_classes" -> ((s, d) =>
       Analytics.supplierAbcClasses(lineitem(s, d))),
+    "mixture_temperature" -> ((s, d) =>
+      PipelineOps.mixtureTemperature(documents(s, d))),
+    "embed_dim_stats" -> ((s, d) =>
+      SimilarityOps.embedDimStats(embeddings(s, d))),
     "weekday_hour_heatmap" -> ((s, d) =>
       Analytics.weekdayHourHeatmap(events(s, d))),
     "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),

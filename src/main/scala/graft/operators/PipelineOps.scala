@@ -175,6 +175,36 @@ object PipelineOps {
           .as("cum_coverage_pct"))
   }
 
+  /** Temperature-scaled mixture weights (α = 0.5): the multilingual
+    * up/down-sampling standard — sampling ∝ p^α flattens the language
+    * distribution so low-resource languages aren't drowned. p^0.5 is the
+    * EXACT integer square root of the token count (floor-sqrt with a
+    * ±1 correction step, so libm rounding at perfect-square boundaries
+    * can never flip it in either engine), and every share is integer
+    * micro-units over window totals that span ≤ |langs| rows.
+    */
+  def mixtureTemperature(documents: DataFrame): DataFrame = {
+    val perLang = documents
+      .select(col("lang"), size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_tokens"))
+      // exact isqrt: sqrt is correctly rounded, but FLOOR of it can land
+      // one off right at k² boundaries — correct both directions
+      .withColumn("s1", expr("cast(floor(sqrt(cast(n_tokens as double))) as bigint)"))
+      .withColumn("weight", expr(
+        """case when (s1 + 1) * (s1 + 1) <= n_tokens then s1 + 1
+          |     when s1 * s1 > n_tokens then s1 - 1
+          |     else s1 end""".stripMargin))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perLang
+      .withColumn("tot_w", sum(col("weight")).over(wAll))
+      .withColumn("tot_t", sum(col("n_tokens")).over(wAll))
+      .select(col("lang"), col("n_tokens"), col("weight"),
+        expr("(weight * 1000000) div tot_w").as("share_micro"),
+        expr("(n_tokens * 1000000) div tot_t").as("natural_share_micro"))
+  }
+
   /** End-to-end curation verdict — the composition a pipeline actually
     * materializes as its training corpus: near-duplicate SURVIVORS
     * (MinHash-LSH + connected components) ∩ QUALITY gate ∩ reproducible

@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** Per-(label, dimension) embedding statistics — the feature-drift /
+    * column-profile audit for vector columns: counts and EXACT
+    * micro-unit sums per dimension (floats quantized by truncation, so
+    * both engines agree bit-for-bit; the mean alone is projected as a
+    * rounded double). One posexplode scan, map-side combined into
+    * |labels|·dims rows; sums are decimal-widened so 100 TB of vectors
+    * cannot overflow the accumulator.
+    */
+  def embedDimStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(!isnan(col("v")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        expr("cast(cast(v as double) * 1000000 as bigint)").as("micro"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("micro").cast("decimal(38,0)")).as("sum_d"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        col("sum_d").cast("long").as("sum_micro"),
+        round(col("sum_d").cast("double") / col("n_vecs").cast("double"), 2)
+          .as("mean_micro"))
+
   /** Brute-force cosine top-k for each query vector (vec_id < nQueries). */
   def bruteCosineTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
     val queries = embeddings.filter(col("vec_id") < nQueries)

@@ -165,4 +165,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out(1).getAs[Boolean]("is_repetitive"))
     assert(out(1).getAs[Double]("ttr") == 1.0)
   }
+
+  test("mixtureTemperature uses exact integer sqrt weights") {
+    // "en": 16 tokens -> weight 4; "fr": 15 tokens -> isqrt 3 (floor-sqrt
+    // correction must not bump it to 4); "de": 1 token -> weight 1
+    val d = docs(
+      (1L, ("tok " * 16).trim, "en"),
+      (2L, ("tok " * 15).trim, "fr"),
+      (3L, "tok", "de"))
+    val out = PipelineOps.mixtureTemperature(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("en") == ((16L, 4L, 500000L)))  // 4/8 of weight mass
+    assert(out("fr") == ((15L, 3L, 375000L)))
+    assert(out("de") == ((1L, 1L, 125000L)))
+  }
 }

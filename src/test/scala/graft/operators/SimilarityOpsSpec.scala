@@ -159,4 +159,16 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(b.getAs[Long]("n_nan") == 0L)
     assert(b.getAs[Double]("min_norm2") == 64.0 && b.getAs[Double]("max_norm2") == 64.0)
   }
+
+  test("embedDimStats sums exact truncated micro-units per dimension") {
+    val rows = Seq(
+      (1L, Seq.tabulate(64)(i => if (i == 0) 0.25f else 1f), 7),
+      (2L, Seq.tabulate(64)(i => if (i == 0) 0.5f else -1f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.embedDimStats(rows).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((2L, 750000L, 375000.0)))   // 0.25 + 0.5
+    assert(out(2L) == ((2L, 0L, 0.0)))             // 1 + (-1)
+    assert(out.size == 64)
+  }
 }
