@@ -954,6 +954,27 @@ object Oracles {
         | ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_monthly_cents
         |FROM s""".stripMargin,
 
+    "order_backlog_timeline" ->
+      """WITH opens AS (
+        | SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(COUNT(*) AS BIGINT) AS n_opened
+        | FROM orders GROUP BY 1),
+        |lastship AS (
+        | SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS d
+        | FROM lineitem GROUP BY l_orderkey),
+        |closes AS (
+        | SELECT d, CAST(COUNT(*) AS BIGINT) AS n_closed
+        | FROM lastship GROUP BY d),
+        |tl AS (
+        | SELECT COALESCE(o.d, c.d) AS d,
+        |  COALESCE(o.n_opened, 0) AS n_opened,
+        |  COALESCE(c.n_closed, 0) AS n_closed
+        | FROM opens o FULL OUTER JOIN closes c ON o.d = c.d)
+        |SELECT d, n_opened, n_closed,
+        | SUM(n_opened - n_closed) OVER (ORDER BY d
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_backlog
+        |FROM tl""".stripMargin,
+
     "mixture_temperature" ->
       s"""WITH t AS (SELECT lang,
          |  CAST(CASE WHEN length(${normTextSql("text")}) = 0 THEN 0

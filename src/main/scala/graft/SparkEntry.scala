@@ -152,6 +152,8 @@ object SparkEntry {
       TrendOps.olsRevenueTrend(orders(s, d), customer(s, d), nation(s, d),
         region(s, d))),
     "daily_gapfill" -> ((s, d) => TrendOps.dailyGapfill(orders(s, d))),
+    "order_backlog_timeline" -> ((s, d) =>
+      TrendOps.orderBacklogTimeline(orders(s, d), lineitem(s, d))),
     "bloom_segment_revenue" -> ((s, d) =>
       BloomOps.bloomSegmentRevenue(orders(s, d), customer(s, d))),
     "cms_event_type_freq" -> ((s, d) =>

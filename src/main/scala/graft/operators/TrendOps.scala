@@ -56,6 +56,34 @@ object TrendOps {
           .as("mean_monthly_cents"))
   }
 
+  /** Open-order backlog timeline — interval-overlap counting: how many
+    * orders were open (placed, not yet fully shipped) on each day. The
+    * classic sweep-line reformulation keeps it distributed: +1 events at
+    * order dates and −1 events at each order's LAST ship date are both
+    * fact-sized grouped aggs (map-side combined to date-grain), and the
+    * running backlog is a prefix sum over the DATE-grain timeline —
+    * bounded by the calendar span like [[dailyGapfill]], never by order
+    * count. Orders with no shipped lines never close (stay in backlog).
+    */
+  def orderBacklogTimeline(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val opens = orders
+      .select(to_date(col("o_orderdate")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_opened"))
+    val closes = lineitem
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("sd")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_closed"))
+    opens.join(closes, Seq("d"), "full_outer")
+      .select(col("d"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("open_backlog",
+        sum(col("n_opened") - col("n_closed")).over(
+          Window.orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Daily revenue with the calendar gaps filled in: a generated date
     * spine (no driver collect — the min/max bounds stay a 1-row
     * DataFrame cross-joined in, which Spark broadcasts) left-joined to

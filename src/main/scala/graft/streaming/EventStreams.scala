@@ -174,6 +174,27 @@ object EventStreams {
         (col("p_ts").cast("long") - col("s_ts").cast("long")).as("lag_seconds"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every purchase emits —
+    * matched rows immediately, UNMATCHED purchases as null-signup rows
+    * once the watermark proves no in-window signup can still arrive.
+    * The attribution-with-organic-fallback shape: inner joins silently
+    * drop organic purchases; the outer form accounts for every event
+    * while keeping the same bounded per-user-hour state (eviction and
+    * null emission both ride the watermark).
+    */
+  def intervalJoinOuterStream(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    val s = signups.withWatermark("s_ts", "2 hours")
+    p.join(s,
+      p("user_id") === s("user_id") &&
+        s("s_ts") <= p("p_ts") &&
+        s("s_ts") >= p("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(p("user_id"), col("purchase_id"), col("signup_id"),
+        col("purchase_value"),
+        (col("p_ts").cast("long") - col("s_ts").cast("long")).as("lag_seconds"))
+  }
+
   /** Streaming exact dedup: drop re-delivered event_ids within the
     * watermark horizon — the streaming form of the batch
     * `dropDuplicates("event_id")` in CleanOps.cleanEvents. State is one

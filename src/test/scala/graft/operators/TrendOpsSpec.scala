@@ -26,6 +26,24 @@ class TrendOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept_cents") == 100000.0)
   }
 
+  test("orderBacklogTimeline sweeps opens and last-ship closes") {
+    val orders = Seq(
+      (1L, ts("2000-01-01")), (2L, ts("2000-01-01")), (3L, ts("2000-01-02")))
+      .toDF("o_orderkey", "o_orderdate")
+    // order 1 ships over two days (closes on the LAST), order 2 never
+    // ships (stays open), order 3 ships same-day
+    val lineitem = Seq(
+      (1L, ts("2000-01-02")), (1L, ts("2000-01-03")), (3L, ts("2000-01-02")))
+      .toDF("l_orderkey", "l_shipdate")
+    val out = TrendOps.orderBacklogTimeline(orders, lineitem)
+      .orderBy("d").collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("2000-01-01") == ((2L, 0L, 2L)))
+    assert(out("2000-01-02") == ((1L, 1L, 2L))) // order 3 opens AND closes
+    assert(out("2000-01-03") == ((0L, 1L, 1L))) // order 2 remains forever
+  }
+
   test("dailyGapfill zero-fills missing days and forward-fills averages") {
     val orders = Seq(
       (1L, ts("2000-01-01"), 10.0),

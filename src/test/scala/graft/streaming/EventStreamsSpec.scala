@@ -238,6 +238,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("left-outer interval join emits unmatched purchases after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val sMem = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = pMem.toDF().toDF("user_id", "purchase_id", "p_ts", "purchase_value")
+    val signups = sMem.toDF().toDF("user_id", "signup_id", "s_ts")
+    val q = EventStreams.intervalJoinOuterStream(purchases, signups)
+      .writeStream.outputMode("append").format("memory").queryName("ivjo").start()
+    // user 1 purchases inside the signup window; user 2 is ORGANIC (no
+    // signup anywhere) and must still emit, with a null signup
+    sMem.addData((1L, 100L, ts(0)))
+    pMem.addData((1L, 200L, ts(30), 9.0), (2L, 300L, ts(30), 5.0))
+    // watermark far past the window bound on both sides → the organic
+    // row's null completion can flush
+    sMem.addData((9L, 999L, ts(2000)))
+    pMem.addData((8L, 998L, ts(2000), 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ivjo")
+      .filter($"purchase_id".isin(200L, 300L))
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set((200L, 100L), (300L, -1L)),
+      s"got $rows — matched joins now, organic purchase after watermark")
+  }
+
   test("sessionWindowStream matches batch under late-arrival reordering") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
