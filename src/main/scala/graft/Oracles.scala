@@ -975,6 +975,26 @@ object Oracles {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_backlog
         |FROM tl""".stripMargin,
 
+    "shipping_sla_percentiles" ->
+      """WITH d AS (
+        | SELECT o_orderpriority,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |v AS (SELECT o_orderpriority, days, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, days, n,
+        |  SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+        | FROM v)
+        |SELECT o_orderpriority,
+        | MIN(CASE WHEN cum * 100 >= total * 50 THEN days END) AS p50,
+        | MIN(CASE WHEN cum * 100 >= total * 90 THEN days END) AS p90,
+        | MIN(CASE WHEN cum * 100 >= total * 99 THEN days END) AS p99,
+        | MAX(total) AS n_lines
+        |FROM r GROUP BY o_orderpriority""".stripMargin,
+
     "mixture_temperature" ->
       s"""WITH t AS (SELECT lang,
          |  CAST(CASE WHEN length(${normTextSql("text")}) = 0 THEN 0

@@ -165,6 +165,8 @@ object SparkEntry {
       SkylineOps.priceQuantityFrontier(lineitem(s, d))),
     "supplier_abc_classes" -> ((s, d) =>
       Analytics.supplierAbcClasses(lineitem(s, d))),
+    "shipping_sla_percentiles" -> ((s, d) =>
+      Analytics.shippingSlaPercentiles(lineitem(s, d), orders(s, d))),
     "mixture_temperature" -> ((s, d) =>
       PipelineOps.mixtureTemperature(documents(s, d))),
     "embed_dim_stats" -> ((s, d) =>

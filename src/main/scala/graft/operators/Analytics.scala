@@ -380,6 +380,34 @@ object Analytics {
     * rank (verified by a second conditional-count pass) must land within
     * [0.45, 0.55] — exact columns hash-compare directly.
     */
+  /** Exact per-group shipping-SLA percentiles (P50/P90/P99 of days to
+    * ship per order priority) WITHOUT sorting rows: group to the
+    * (priority, days) distinct-value table first — bounded by the day
+    * RANGE, not the fact — then rank cumulative counts per priority.
+    * Percentile-p = the smallest value whose cumulative count reaches
+    * ⌈p·n⌉ (type-1 quantile), all integer comparisons, engine-stable.
+    */
+  def shippingSlaPercentiles(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val days = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("days"))
+    val byVal = days.groupBy(col("o_orderpriority"), col("days"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("o_orderpriority"))
+    val ranked = byVal
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(wTot))
+    def pct(p: Int) = min(when(
+      col("cum") * 100 >= col("total") * p, col("days"))).as(s"p$p")
+    ranked.groupBy(col("o_orderpriority"))
+      .agg(pct(50), pct(90), pct(99), max(col("total")).as("n_lines"))
+  }
+
   /** ABC (Pareto-class) supplier segmentation: rank suppliers by exact
     * revenue, classify by CUMULATIVE share — A carries the first 80% of
     * revenue, B to 95%, C the tail. The ranked window runs over the

@@ -125,6 +125,41 @@ object Sinks {
       org.apache.commons.io.FileUtils.forceDelete(retired.toFile)
   }
 
+  /** Incremental AGGREGATE maintenance — the materialized-view merge:
+    * fold a new batch's per-key partial sums into a persistent rollup
+    * store without ever re-reading the facts that built it. Because the
+    * maintained measures are ADDITIVE (counts, exact decimal-cents
+    * sums), merge = groupBy key over (store ∪ pre-aggregated batch) —
+    * per-run work is store+batch-sized however much history the rollup
+    * summarizes, the property that makes a 100 TB dashboard table
+    * maintainable from deltas. Same staging + two-rename swap as
+    * [[mergeUpsert]], so readers never see a half-written store.
+    */
+  def mergeAggregate(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, keyCols: Seq[String], sumCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val pre = batch.groupBy(keyCols.map(col): _*)
+      .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+        sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+    val target = java.nio.file.Paths.get(path)
+    val merged =
+      if (java.nio.file.Files.exists(target))
+        spark.read.parquet(path).unionByName(pre)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+            sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+      else pre
+    val token = System.nanoTime()
+    val staging = s"$path-staging-$token"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val retired = java.nio.file.Paths.get(s"$path-retired-$token")
+    if (java.nio.file.Files.exists(target))
+      java.nio.file.Files.move(target, retired)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging), target)
+    if (java.nio.file.Files.exists(retired))
+      org.apache.commons.io.FileUtils.forceDelete(retired.toFile)
+  }
+
   /** Small-file compaction — the operational pass every long-running
     * 100 TB lake needs: streaming micro-batches and per-task writers
     * leave thousands of KB-sized files whose per-file open/footer cost

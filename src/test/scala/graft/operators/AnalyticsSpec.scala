@@ -455,4 +455,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_gap_days") == 4L)
     assert(r.getAs[Long]("avg_gap_micro_days") == 3500000L) // (7·10⁶) div 2
   }
+
+  test("shippingSlaPercentiles picks exact type-1 quantiles per priority") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    // priority P: days 1..10 once each -> p50=5, p90=9, p99=10
+    val orders = (1L to 10L).map(k => (k, t("2000-01-01"), "P"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val lineitem = (1L to 10L).map(k => (k, t(f"2000-01-${k + 1}%02d")))
+      .toDF("l_orderkey", "l_shipdate")
+    val r = Analytics.shippingSlaPercentiles(lineitem, orders).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 9L, 10L, 10L)))
+  }
 }

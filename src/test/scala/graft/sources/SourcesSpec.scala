@@ -224,4 +224,21 @@ class SourcesSpec extends SparkSpec {
     // layout change only: the same 4096 rows come back
     assert(spark.read.parquet(s"$dir/z").count() == 4096)
   }
+
+  test("mergeAggregate folds batch partials into the rollup store") {
+    val dir = tmp()
+    val path = s"$dir/rollup"
+    val b1 = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 5L))
+      .toDF("k", "n", "cents")
+    Sinks.mergeAggregate(spark, path, b1, Seq("k"), Seq("n", "cents"))
+    val b2 = Seq(("a", 1L, 100L), ("c", 7L, 7L)).toDF("k", "n", "cents")
+    Sinks.mergeAggregate(spark, path, b2, Seq("k"), Seq("n", "cents"))
+    val got = spark.read.parquet(path).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 4L, 130L), ("b", 1L, 5L), ("c", 7L, 7L)))
+    // no staging/retired leftovers
+    val leftovers = new java.io.File(dir).listFiles
+      .map(_.getName).filter(n => n.contains("staging") || n.contains("retired"))
+    assert(leftovers.isEmpty, leftovers.toSeq.toString)
+  }
 }
