@@ -975,6 +975,48 @@ object Oracles {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_backlog
         |FROM tl""".stripMargin,
 
+    "segment_migration_matrix" ->
+      """WITH yearly AS (
+        | SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        | FROM orders GROUP BY 1, 2),
+        |t AS (
+        | SELECT o_custkey, y,
+        |  CASE WHEN cents < 35000000 THEN 'LOW'
+        |       WHEN cents < 60000000 THEN 'MID' ELSE 'HIGH' END AS tier
+        | FROM yearly),
+        |led AS (
+        | SELECT o_custkey, y, tier,
+        |  LEAD(y) OVER (PARTITION BY o_custkey ORDER BY y) AS next_y,
+        |  LEAD(tier) OVER (PARTITION BY o_custkey ORDER BY y) AS next_tier
+        | FROM t),
+        |mx AS (SELECT MAX(y) AS max_y FROM t)
+        |SELECT y AS year, tier AS src_tier,
+        | CASE WHEN next_y = y + 1 THEN next_tier ELSE 'CHURNED' END AS dst_tier,
+        | CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM led, mx WHERE y < max_y
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "windowed_conversion" ->
+      """WITH su AS (
+        | SELECT user_id, MIN(ts) AS s_ts FROM events
+        | WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (
+        | SELECT e.user_id, MIN(e.ts) AS p_ts
+        | FROM events e JOIN su ON e.user_id = su.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+        | GROUP BY e.user_id),
+        |c AS (
+        | SELECT CAST(date_trunc('week', su.s_ts) AS DATE) AS signup_week,
+        |  CASE WHEN fp.p_ts <= su.s_ts + INTERVAL 7 DAY THEN 1 ELSE 0 END
+        |    AS converted
+        | FROM su LEFT JOIN fp ON su.user_id = fp.user_id)
+        |SELECT signup_week, CAST(COUNT(*) AS BIGINT) AS n_signups,
+        | CAST(SUM(converted) AS BIGINT) AS n_converted,
+        | (CAST(SUM(converted) AS BIGINT) * 1000000) // COUNT(*)
+        |   AS conversion_micro
+        |FROM c GROUP BY signup_week""".stripMargin,
+
     "shipping_sla_percentiles" ->
       """WITH d AS (
         | SELECT o_orderpriority,

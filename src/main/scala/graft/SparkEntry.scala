@@ -167,6 +167,10 @@ object SparkEntry {
       Analytics.supplierAbcClasses(lineitem(s, d))),
     "shipping_sla_percentiles" -> ((s, d) =>
       Analytics.shippingSlaPercentiles(lineitem(s, d), orders(s, d))),
+    "segment_migration_matrix" -> ((s, d) =>
+      Analytics.segmentMigrationMatrix(orders(s, d))),
+    "windowed_conversion" -> ((s, d) =>
+      Analytics.windowedConversion(events(s, d))),
     "mixture_temperature" -> ((s, d) =>
       PipelineOps.mixtureTemperature(documents(s, d))),
     "embed_dim_stats" -> ((s, d) =>

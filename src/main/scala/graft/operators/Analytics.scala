@@ -380,6 +380,64 @@ object Analytics {
     * rank (verified by a second conditional-count pass) must land within
     * [0.45, 0.55] — exact columns hash-compare directly.
     */
+  /** Year-over-year customer value-tier migration matrix — the
+    * customer-dynamics view (who upgraded, who lapsed): yearly exact
+    * spend → fixed cent-threshold tiers, then each (customer, year)
+    * pairs with its OWN next year via a lead window; a customer with no
+    * orders the following year migrates to CHURNED. The dataset's last
+    * year is excluded (its future is unobserved, not churned). One
+    * fact-sized rollup to customer-year grain; the lead window rides the
+    * same customer partitioning.
+    */
+  def segmentMigrationMatrix(orders: DataFrame,
+      lowBelowCents: Long = 35000000L,
+      midBelowCents: Long = 60000000L): DataFrame = {
+    val yearly = orders
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("y"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("o_custkey"), col("y"))
+      .agg((sum(col("p")) * 100).cast("long").as("cents"))
+      .withColumn("tier", when(col("cents") < lowBelowCents, "LOW")
+        .when(col("cents") < midBelowCents, "MID").otherwise("HIGH"))
+    val maxYear = yearly.agg(max(col("y")).as("max_y"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("y"))
+    yearly
+      .withColumn("next_y", lead(col("y"), 1).over(w))
+      .withColumn("next_tier", lead(col("tier"), 1).over(w))
+      .crossJoin(broadcast(maxYear))
+      .filter(col("y") < col("max_y"))
+      .withColumn("dst_tier",
+        when(col("next_y") === col("y") + 1, col("next_tier"))
+          .otherwise(lit("CHURNED")))
+      .groupBy(col("y").as("year"), col("tier").as("src_tier"),
+        col("dst_tier"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Windowed funnel conversion: of each week's first-time signups, how
+    * many purchased within 7 days — the bounded-window form of the
+    * funnel (event_funnel counts any-time conversion; marketing reports
+    * need the deadline). First-signup and first-qualifying-purchase are
+    * min-aggregations (map-side combined); the only joins are per-user.
+    */
+  def windowedConversion(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val su = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val firstPurchase = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(su, Seq("user_id"))
+      .filter(col("ts") >= col("s_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    su.join(firstPurchase, Seq("user_id"), "left")
+      .select(date_trunc("week", col("s_ts")).cast("date").as("signup_week"),
+        when(col("p_ts") <= col("s_ts") + expr(s"INTERVAL $windowDays DAYS"), 1L)
+          .otherwise(0L).as("converted"))
+      .groupBy(col("signup_week"))
+      .agg(count(lit(1)).as("n_signups"), sum(col("converted")).as("n_converted"))
+      .withColumn("conversion_micro",
+        expr("(n_converted * 1000000) div n_signups"))
+  }
+
   /** Exact per-group shipping-SLA percentiles (P50/P90/P99 of days to
     * ship per order priority) WITHOUT sorting rows: group to the
     * (priority, days) distinct-value table first — bounded by the day

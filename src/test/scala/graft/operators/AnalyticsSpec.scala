@@ -468,4 +468,37 @@ class AnalyticsSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
       ((5L, 9L, 10L, 10L)))
   }
+
+  test("segmentMigrationMatrix tracks tier moves and churn, skips the last year") {
+    import java.sql.Timestamp
+    def t(y: Int) = Timestamp.valueOf(s"$y-06-01 00:00:00")
+    // custom thresholds: LOW < 100 cents spend... use dollars: LOW<1, MID<2
+    val orders = Seq(
+      (1L, t(2000), 0.50), (1L, t(2001), 1.50),  // LOW -> MID
+      (2L, t(2000), 2.50),                        // HIGH -> CHURNED (no 2001)
+      (3L, t(2001), 0.50))                        // last year only: excluded
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val m = Analytics.segmentMigrationMatrix(orders,
+      lowBelowCents = 100L, midBelowCents = 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(m == Map((2000L, "LOW", "MID") -> 1L,
+      (2000L, "HIGH", "CHURNED") -> 1L))
+  }
+
+  test("windowedConversion counts only purchases within the deadline") {
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"2000-01-$d 00:00:00")
+    val ev = Seq(
+      (1L, t("03"), 10L, "signup", 0.0, "{}"),   // Monday Jan 3
+      (2L, t("05"), 10L, "purchase", 1.0, "{}"), // within 7d -> converted
+      (3L, t("03"), 11L, "signup", 0.0, "{}"),
+      (4L, t("20"), 11L, "purchase", 1.0, "{}"), // outside 7d
+      (5L, t("04"), 12L, "signup", 0.0, "{}"))   // never purchases
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.windowedConversion(ev).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) ==
+      ((3L, 1L, 333333L)))
+  }
 }
