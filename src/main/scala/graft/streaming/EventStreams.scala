@@ -281,6 +281,33 @@ object EventStreams {
         ()
       }
 
+  /** Live materialized-view maintenance: each micro-batch's per-type
+    * partial sums fold into the persistent rollup store via
+    * [[graft.sources.Sinks.mergeAggregate]] — the streaming form of the
+    * dashboard table the reference re-aggregates on an Airflow schedule.
+    * Per-batch work is store+batch-sized (never the event history); the
+    * batchId marker makes replayed micro-batches idempotent, so the
+    * additive merge survives restarts without double counting.
+    */
+  def aggMaintainStream(events: DataFrame,
+      storePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .select(col("event_type"), lit(1L).as("n_events"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("value_cents"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = java.nio.file.Paths.get(s"$storePath-commits", s"batch-$batchId")
+        if (!java.nio.file.Files.exists(marker)) {
+          graft.sources.Sinks.mergeAggregate(batch.sparkSession, storePath,
+            batch, Seq("event_type"), Seq("n_events", "value_cents"))
+          java.nio.file.Files.createDirectories(marker.getParent)
+          java.nio.file.Files.createFile(marker)
+        }
+        ()
+      }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts_s: Long)
   case class SessionState(sessionCount: Long, eventCount: Long, lastTs: Long,
       sessionStart: Long, maxDuration: Long)

@@ -110,4 +110,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.head.isNullAt(2) && out.head.isNullAt(3)) // null in → null out
     assert(!out(1).isNullAt(3))
   }
+
+  test("session additions survive empty and degenerate inputs") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.col
+    val emptyOrders = Seq.empty[(Long, Timestamp, Double)]
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    // snapshot diff of identical snapshots is empty
+    val snap = Seq((1L, "O", 100L), (2L, "F", 200L))
+      .toDF("o_orderkey", "o_orderstatus", "price_cents")
+    assert(ChangeOps.snapshotDiff(snap, snap).count() == 0)
+    // gap-fill of a single-day history is that one day
+    val oneDay = Seq((1L, Timestamp.valueOf("2000-01-01 00:00:00"), 5.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(TrendOps.dailyGapfill(oneDay).count() == 1)
+    // skyline of one row is that row; of empty input, empty
+    val one = Seq((1L, 1, 10.0, 5.0))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    assert(SkylineOps.priceQuantityFrontier(one).count() == 1)
+    assert(SkylineOps.priceQuantityFrontier(one.limit(0)).count() == 0)
+    // ABC with a single supplier: 100% of revenue -> class C by the
+    // strict cumulative definition (cum == total > 95%)
+    val solo = Seq((1L, 10.0)).toDF("l_suppkey", "l_extendedprice")
+    assert(Analytics.supplierAbcClasses(solo).collect()(0).getString(2) == "C")
+    // migration matrix over a single year emits nothing (no observed future)
+    assert(Analytics.segmentMigrationMatrix(oneDay.withColumnRenamed(
+      "o_orderkey", "o_custkey").select(col("o_custkey"), col("o_orderdate"),
+      col("o_totalprice"))).count() == 0)
+    // backlog with unshipped-only orders never closes
+    val noShip = Seq.empty[(Long, Timestamp)].toDF("l_orderkey", "l_shipdate")
+    val bl = TrendOps.orderBacklogTimeline(oneDay, noShip).collect()
+    assert(bl.length == 1 && bl(0).getLong(3) == 1L)
+  }
 }

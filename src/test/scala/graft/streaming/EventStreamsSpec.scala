@@ -167,6 +167,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("dedup").count() == sampleEvents.size)
   }
 
+  test("aggMaintainStream folds micro-batches into the rollup store") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_agg").toString + "/rollup"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.aggMaintainStream(streamDF, store).start()
+    mem.addData(sampleEvents.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(sampleEvents.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(store).orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // sampleEvents: clicks 10+20+5+5, one view 30 — folded across batches
+    assert(got == Seq(("click", 4L, 4000L), ("view", 1L, 3000L)))
+  }
+
   test("enrichWithDim stream-static join matches batch, UNKNOWN for unmatched") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "BUILDING"), (102L, "MACHINERY"))
