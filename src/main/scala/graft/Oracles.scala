@@ -1054,6 +1054,35 @@ object Oracles {
          | (n_tokens * 1000000) // (SUM(n_tokens) OVER ()) AS natural_share_micro
          |FROM c""".stripMargin,
 
+    "embed_outliers" ->
+      """WITH clean AS (
+        | SELECT vec_id, label, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL
+        |  AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)))) = 0),
+        |q AS (
+        | SELECT vec_id, label, CAST(d.dim AS BIGINT) AS dim,
+        |  CAST(TRUNC(embedding[d.dim]::DOUBLE * 1000000) AS BIGINT) AS micro
+        | FROM clean, (SELECT unnest(generate_series(1, 64)) AS dim) d),
+        |st AS (
+        | SELECT label, dim, COUNT(*) AS n, SUM(CAST(micro AS HUGEINT)) AS s
+        | FROM q GROUP BY label, dim),
+        |dev AS (
+        | SELECT q.label, q.vec_id,
+        |  SUM((CAST(q.micro AS HUGEINT) * n - s) * (CAST(q.micro AS HUGEINT) * n - s))
+        |    AS dev2,
+        |  MAX(n) AS n
+        | FROM q JOIN st ON q.label = st.label AND q.dim = st.dim
+        | GROUP BY q.label, q.vec_id),
+        |r AS (
+        | SELECT label, vec_id, dev2, n, CAST(row_number() OVER (
+        |   PARTITION BY label ORDER BY dev2 DESC, vec_id) AS BIGINT) AS rank
+        | FROM dev)
+        |SELECT label, vec_id, rank,
+        | ROUND(CAST(dev2 AS DOUBLE) /
+        |   CAST(CAST(n * n AS HUGEINT) * 1000000000000 AS DOUBLE), 6)
+        |   AS outlier_score
+        |FROM r WHERE rank <= 20""".stripMargin,
+
     "embed_dim_stats" ->
       """WITH e AS (
         | SELECT label, d.dim AS dim,
@@ -1109,6 +1138,33 @@ object Oracles {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         | TRUE AS cms_no_undercount, TRUE AS cms_within_band
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "trade_triangles" ->
+      """WITH ls AS (
+        | SELECT DISTINCT l_orderkey, n_name AS src
+        | FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |os AS (
+        | SELECT o_orderkey, n_name AS dst
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |e AS (SELECT DISTINCT src, dst FROM ls JOIN os ON l_orderkey = o_orderkey
+        |      WHERE src <> dst),
+        |cyc AS (
+        | SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        | FROM e e1
+        |  JOIN e e2 ON e1.dst = e2.src
+        |  JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src
+        | WHERE e1.src < e1.dst AND e1.src < e2.dst),
+        |p AS (SELECT a AS nation FROM cyc
+        |      UNION ALL SELECT b FROM cyc
+        |      UNION ALL SELECT c FROM cyc)
+        |SELECT n_name AS nation, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_cycles
+        |FROM nation LEFT JOIN (
+        |  SELECT nation, COUNT(*) AS cnt FROM p GROUP BY nation) q
+        | ON n_name = q.nation""".stripMargin,
 
     "nation_trade_pagerank" -> {
       // the same integer recurrence unrolled as a CTE chain: it0 = 10⁶//N,
@@ -1173,7 +1229,24 @@ object Oracles {
         | ROUND((last_value(avg_cents IGNORE NULLS) OVER (ORDER BY d
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 100.0, 2)
         |   AS avg_order_value_ffill
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    "ewma_daily_revenue" -> {
+      val num = (0 until 8)
+        .map(k => s"COALESCE(LAG(cents, $k) OVER (ORDER BY d) * ${1L << (7 - k)}, 0)")
+        .mkString(" + ")
+      val den = (0 until 8)
+        .map(k => s"(CASE WHEN LAG(cents, $k) OVER (ORDER BY d) IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH daily AS (
+         | SELECT CAST(o_orderdate AS DATE) AS d,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         | FROM orders GROUP BY 1)
+         |SELECT d, n_orders, ROUND(cents / 100.0, 2) AS revenue,
+         | ROUND(($num) / ($den) / 100.0, 2) AS ewma_revenue
+         |FROM daily""".stripMargin
+    }
   )
 
   private def norm(c: String) = normTextSql(c)

@@ -152,6 +152,7 @@ object SparkEntry {
       TrendOps.olsRevenueTrend(orders(s, d), customer(s, d), nation(s, d),
         region(s, d))),
     "daily_gapfill" -> ((s, d) => TrendOps.dailyGapfill(orders(s, d))),
+    "ewma_daily_revenue" -> ((s, d) => TrendOps.ewmaDailyRevenue(orders(s, d))),
     "order_backlog_timeline" -> ((s, d) =>
       TrendOps.orderBacklogTimeline(orders(s, d), lineitem(s, d))),
     "bloom_segment_revenue" -> ((s, d) =>
@@ -160,6 +161,9 @@ object SparkEntry {
       Analytics.cmsEventTypeFreq(events(s, d))),
     "nation_trade_pagerank" -> ((s, d) =>
       GraphOps.nationTradePagerank(lineitem(s, d), orders(s, d),
+        customer(s, d), supplier(s, d), nation(s, d))),
+    "trade_triangles" -> ((s, d) =>
+      GraphOps.nationTradeTriangles(lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d), nation(s, d))),
     "price_qty_skyline" -> ((s, d) =>
       SkylineOps.priceQuantityFrontier(lineitem(s, d))),
@@ -175,6 +179,8 @@ object SparkEntry {
       PipelineOps.mixtureTemperature(documents(s, d))),
     "embed_dim_stats" -> ((s, d) =>
       SimilarityOps.embedDimStats(embeddings(s, d))),
+    "embed_outliers" -> ((s, d) =>
+      SimilarityOps.embedOutliers(embeddings(s, d))),
     "weekday_hour_heatmap" -> ((s, d) =>
       Analytics.weekdayHourHeatmap(events(s, d))),
     "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),

@@ -81,4 +81,37 @@ object GraphOps {
     }
     ranks.select(col("nation"), col("r").as("rank_micro"))
   }
+
+  /** Directed-triangle (3-cycle) participation per nation — the
+    * circular-trade motif count (A supplies B supplies C supplies A),
+    * the graph-clustering complement to PageRank's centrality.
+    *
+    * Scale: the fact contributes exactly one pass (the shared
+    * [[tradeEdges]] derivation, pinned so the triple join re-reads the
+    * ≤|nations|² edge rows, not the fact); the cycle enumeration is a
+    * dim-bounded 3-way self-join. Rotation-canonical counting (a is the
+    * lexicographic minimum of the cycle) counts each cycle once;
+    * self-loops are excluded up front so cycle nodes are distinct by
+    * construction.
+    */
+  def nationTradeTriangles(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val edges = tradeEdges(lineitem, orders, customer, supplier, nation)
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val cycles = edges.select(col("src").as("a"), col("dst").as("b"))
+      .join(edges.select(col("src").as("b2"), col("dst").as("c")),
+        col("b") === col("b2"))
+      .join(edges.select(col("src").as("c3"), col("dst").as("a3")),
+        col("c") === col("c3") && col("a3") === col("a"))
+      .filter(col("a") < col("b") && col("a") < col("c"))
+      .select(col("a"), col("b"), col("c"))
+    val participation = cycles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("nation"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_cycles"))
+    nation.select(col("n_name").as("nation"))
+      .join(participation, Seq("nation"), "left")
+      .select(col("nation"), coalesce(col("n_cycles"), lit(0L)).as("n_cycles"))
+  }
 }

@@ -368,4 +368,49 @@ object SimilarityOps {
       .withColumn("recall_lsh_micro", expr("(n_hit_lsh * 1000000) div n_exact"))
       .withColumn("recall_ivf_micro", expr("(n_hit_ivf * 1000000) div n_exact"))
   }
+
+  /** Per-label centroid-distance outliers — prototypicality filtering:
+    * the vectors farthest from their label's centroid are mislabeled /
+    * atypical candidates a curation pass reviews first (the embedding
+    * analog of quality gating). NaN-poisoned vectors are excluded up
+    * front (they'd corrupt the centroid itself).
+    *
+    * Exactness: components quantize to integer micro-units (same
+    * truncation as [[embedDimStats]]); the squared deviation avoids the
+    * mean's division entirely via (xᵢ·n − Σx)² — every sum is an exact
+    * DECIMAL(38,0) integer (BIGINT crosses 2⁶³ once n reaches corpus
+    * scale), so the ranking is merge-order- and engine-stable. The only
+    * float op is the final display division.
+    *
+    * Scale: one posexplode rollup to |labels|·64 stat rows (map-side
+    * combined, broadcast back), one per-vector rollup, then a ranked
+    * window whose rank ≤ k filter Spark rewrites to WindowGroupLimit —
+    * partial top-k per map task BEFORE the shuffle, so no label's full
+    * vector population ever sorts in one place.
+    */
+  def embedOutliers(embeddings: DataFrame, topK: Int = 20): DataFrame = {
+    val quant = embeddings
+      .filter(col("embedding").isNotNull &&
+        !expr("exists(embedding, v -> isnan(cast(v as double)))"))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).cast("long").as("dim"),
+        expr("cast(cast(v as double) * 1000000 as bigint)").as("micro"))
+    val stats = quant.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("micro").cast("decimal(38,0)")).as("s"))
+    val devTerm = col("micro").cast("decimal(38,0)") * col("n") - col("s")
+    val perVec = quant.join(broadcast(stats), Seq("label", "dim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(devTerm * devTerm).as("dev2"), max(col("n")).as("n"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dev2").desc, col("vec_id"))
+    perVec
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("label"), col("vec_id"), col("rank"),
+        round(col("dev2").cast("double") /
+          ((col("n") * col("n")).cast("decimal(38,0)") * lit(1000000000000L))
+            .cast("double"), 6).as("outlier_score"))
+  }
 }

@@ -119,4 +119,42 @@ object TrendOps {
         round(coalesce(col("cents"), lit(0L)) / 100.0, 2).as("revenue"),
         round(col("filled_avg_cents") / 100.0, 2).as("avg_order_value_ffill"))
   }
+
+  /** Exponentially weighted moving average of daily revenue with
+    * binary weights 2⁷…2⁰ over the 8 most recent trading days — the
+    * truncated-EWMA smoother dashboards run over warehouse rollups.
+    * Power-of-two weights keep every numerator/denominator an EXACT
+    * integer (cents × 2ᵏ), so the smoothed series is engine- and
+    * partition-order-stable; the single final division is one IEEE
+    * double op, identical in both engines.
+    *
+    * Series heads renormalize: the denominator sums only the weights of
+    * lags that exist, so day 1's EWMA equals day 1's revenue (no zero
+    * padding bias).
+    *
+    * Scale: the fact collapses to a date-grain rollup first (map-side
+    * combined), so the ordered lag window runs over CALENDAR-SPAN rows
+    * (~10³ for years of data) regardless of fact size — same bound as
+    * [[dailyGapfill]].
+    */
+  def ewmaDailyRevenue(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("p")) * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("d"))
+    val lags = (0 until 8).map(k => (lag(col("cents"), k).over(w), 1L << (7 - k)))
+    val num = lags.map { case (c, wt) => coalesce(c * wt, lit(0L)) }.reduce(_ + _)
+    val den = lags.map { case (c, wt) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    daily
+      .withColumn("ewma_cents_num", num)
+      .withColumn("ewma_den", den)
+      .select(col("d"), col("n_orders"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("ewma_cents_num") / col("ewma_den") / 100.0, 2)
+          .as("ewma_revenue"))
+  }
 }

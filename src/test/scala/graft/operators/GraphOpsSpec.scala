@@ -43,4 +43,21 @@ class GraphOpsSpec extends SparkSpec {
       supplier, nation).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ranks == Map("A" -> 75000L, "B" -> 138750L))
   }
+
+  test("nationTradeTriangles counts each 3-cycle once per participant") {
+    val nation3 = Seq((0, "A"), (1, "B"), (2, "C"), (3, "D"))
+      .toDF("n_nationkey", "n_name")
+    // suppliers: one per nation A,B,C; customers: one per nation A,B,C,D
+    val supplier = Seq((10L, 0), (11L, 1), (12L, 2)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 0), (21L, 1), (22L, 2), (23L, 3))
+      .toDF("c_custkey", "c_nationkey")
+    // edges A→B, B→C, C→A (one cycle) + A→D (no cycle) + a self-loop B→B
+    val orders = Seq((30L, 21L), (31L, 22L), (32L, 20L), (33L, 23L), (34L, 21L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((30L, 10L), (31L, 11L), (32L, 12L), (33L, 10L), (34L, 11L))
+      .toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.nationTradeTriangles(lineitem, orders, customer,
+      supplier, nation3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("A" -> 1L, "B" -> 1L, "C" -> 1L, "D" -> 0L))
+  }
 }

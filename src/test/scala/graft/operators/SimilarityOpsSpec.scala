@@ -171,4 +171,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 0.0)))             // 1 + (-1)
     assert(out.size == 64)
   }
+
+  test("embedOutliers ranks the far-from-centroid vector first, skips NaN") {
+    // three near-identical vectors + one far outlier + one NaN-poisoned
+    val base = Seq.tabulate(64)(_ => 1f)
+    val rows = Seq(
+      (1L, base, 7), (2L, base, 7), (3L, base, 7),
+      (4L, Seq.tabulate(64)(_ => 3f), 7),
+      (5L, Seq.tabulate(64)(i => if (i == 0) Float.NaN else 1f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.embedOutliers(rows, topK = 2).orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out.head.getLong(1) == 4L && out.head.getLong(2) == 1L)
+    // centroid = (3·1 + 3)/4 = 1.5; outlier dev² = 64·(3−1.5)² = 144.0
+    assert(out.head.getDouble(3) == 144.0)
+    // the three base vectors tie at 64·0.25 = 16; vec 1 wins the tiebreak
+    assert(out(1).getLong(1) == 1L && out(1).getDouble(3) == 16.0)
+    // NaN vector excluded entirely (it appears in no ranking)
+    assert(!SimilarityOps.embedOutliers(rows, topK = 5).collect()
+      .exists(_.getLong(1) == 5L))
+  }
 }

@@ -59,4 +59,20 @@ class TrendOpsSpec extends SparkSpec {
     assert(byDay("2000-01-03") == ((0L, 0.0, 15.0)))
     assert(byDay("2000-01-04") == ((1L, 40.0, 40.0)))
   }
+
+  test("ewmaDailyRevenue renormalizes the series head and weights recency") {
+    val orders = Seq(
+      (1L, ts("2000-01-01"), 100.0),
+      (2L, ts("2000-01-02"), 200.0),
+      (3L, ts("2000-01-03"), 400.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = TrendOps.ewmaDailyRevenue(orders).orderBy("d").collect()
+      .map(r => r.getDate(0).toString -> (r.getDouble(2), r.getDouble(3))).toMap
+    // day 1: only itself → ewma == revenue (head renormalization)
+    assert(out("2000-01-01") == ((100.0, 100.0)))
+    // day 2: (200·128 + 100·64) / (128 + 64) = 166.67
+    assert(out("2000-01-02") == ((200.0, 166.67)))
+    // day 3: (400·128 + 200·64 + 100·32) / (128+64+32) = 300.0
+    assert(out("2000-01-03") == ((400.0, 300.0)))
+  }
 }
