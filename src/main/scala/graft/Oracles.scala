@@ -930,6 +930,38 @@ object Oracles {
         |  OR o.o_orderstatus <> n.o_orderstatus
         |  OR o.price_cents <> n.price_cents""".stripMargin,
 
+    "table_fingerprint" ->
+      """WITH oh AS (
+        | SELECT ('0x'||substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |   o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |   CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)),
+        |   1, 15))::BIGINT AS h
+        | FROM orders),
+        |lh AS (
+        | SELECT ('0x'||substr(md5(concat_ws('|', l_orderkey, l_partkey,
+        |   l_suppkey, l_linenumber, CAST(l_quantity AS BIGINT),
+        |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+        |   l_returnflag, l_linestatus,
+        |   CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 15))::BIGINT AS h
+        | FROM lineitem),
+        |ch AS (
+        | SELECT ('0x'||substr(md5(concat_ws('|', c_custkey, c_name,
+        |   c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+        |   c_mktsegment)), 1, 15))::BIGINT AS h
+        | FROM customer)
+        |SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+        | bit_xor(h) AS xor_fp,
+        | CAST(SUM(CAST(h AS HUGEINT)) % 1000000000000000000 AS BIGINT) AS sum_fp
+        |FROM oh
+        |UNION ALL
+        |SELECT 'lineitem', COUNT(*), bit_xor(h),
+        | CAST(SUM(CAST(h AS HUGEINT)) % 1000000000000000000 AS BIGINT)
+        |FROM lh
+        |UNION ALL
+        |SELECT 'customer', COUNT(*), bit_xor(h),
+        | CAST(SUM(CAST(h AS HUGEINT)) % 1000000000000000000 AS BIGINT)
+        |FROM ch""".stripMargin,
+
     "ols_revenue_trend" ->
       """WITH m AS (
         | SELECT r_name AS region,
@@ -1246,7 +1278,28 @@ object Oracles {
          |SELECT d, n_orders, ROUND(cents / 100.0, 2) AS revenue,
          | ROUND(($num) / ($den) / 100.0, 2) AS ewma_revenue
          |FROM daily""".stripMargin
-    }
+    },
+
+    "changepoint_cusum" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |c AS (
+        | SELECT d, cents,
+        |  CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS t,
+        |  SUM(CAST(cents AS HUGEINT)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        |    AS prefix,
+        |  CAST(COUNT(*) OVER () AS HUGEINT) AS n,
+        |  SUM(CAST(cents AS HUGEINT)) OVER () AS s
+        | FROM daily),
+        |r AS (SELECT d, cents, n, n * prefix - t * s AS cusum FROM c),
+        |k AS (SELECT *, CAST(row_number() OVER (
+        |  ORDER BY abs(cusum) DESC, d) AS BIGINT) AS rnk FROM r)
+        |SELECT d, rnk, ROUND(cents / 100.0, 2) AS revenue,
+        | ROUND(CAST(cusum AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 2)
+        |   AS cusum_dollars
+        |FROM k WHERE rnk <= 10""".stripMargin
   )
 
   private def norm(c: String) = normTextSql(c)
@@ -1542,6 +1595,22 @@ object Oracles {
          | MAX(CASE WHEN method = 'simhash' THEN 1 ELSE 0 END) = 1 AS by_simhash,
          | CAST(COUNT(*) AS BIGINT) AS n_methods
          |FROM flags GROUP BY doc_id""".stripMargin,
+
+    "source_overlap" ->
+      s"""WITH fp AS (
+         | SELECT DISTINCT md5(${norm("text")}) AS h, source FROM documents),
+         |per AS (SELECT source, COUNT(*) AS n_fp FROM fp GROUP BY source),
+         |sh AS (
+         | SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_shared
+         | FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+         | GROUP BY 1, 2)
+         |SELECT p1.source AS source_a, p2.source AS source_b,
+         | CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+         | p1.n_fp AS n_a, p2.n_fp AS n_b,
+         | (CAST(COALESCE(sh.n_shared, 0) AS BIGINT) * 1000000)
+         |   // (p1.n_fp + p2.n_fp - COALESCE(sh.n_shared, 0)) AS jaccard_micro
+         |FROM per p1 JOIN per p2 ON p1.source < p2.source
+         |LEFT JOIN sh ON sh.sa = p1.source AND sh.sb = p2.source""".stripMargin,
 
     "embed_cosine_topk" -> {
       def dotSql(a: String, b: String) =
@@ -2348,7 +2417,26 @@ object Oracles {
         | MAX(duration_s) AS max_session_s,
         | ROUND(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
         |   AS avg_events_per_session
-        |FROM per_sess GROUP BY user_id""".stripMargin
+        |FROM per_sess GROUP BY user_id""".stripMargin,
+
+    "session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, ts FROM events),
+        |lagged AS (SELECT *, lag(ts_s) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s FROM e),
+        |flagged AS (SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800
+        |  THEN 1 ELSE 0 END AS new_session FROM lagged),
+        |sess AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM flagged),
+        |firstk AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rnk
+        | FROM sess),
+        |paths AS (SELECT user_id, session_id,
+        |  string_agg(event_type, '>' ORDER BY rnk) AS path
+        | FROM firstk WHERE rnk <= 5 GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
   )
 
   val all: Map[String, String] =

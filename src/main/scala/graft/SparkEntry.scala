@@ -148,11 +148,14 @@ object SparkEntry {
       val (old, neu) = ChangeOps.orderSnapshots(orders(s, d))
       ChangeOps.snapshotDiff(old, neu)
     }),
+    "table_fingerprint" -> ((s, d) =>
+      ChangeOps.tableFingerprint(orders(s, d), lineitem(s, d), customer(s, d))),
     "ols_revenue_trend" -> ((s, d) =>
       TrendOps.olsRevenueTrend(orders(s, d), customer(s, d), nation(s, d),
         region(s, d))),
     "daily_gapfill" -> ((s, d) => TrendOps.dailyGapfill(orders(s, d))),
     "ewma_daily_revenue" -> ((s, d) => TrendOps.ewmaDailyRevenue(orders(s, d))),
+    "changepoint_cusum" -> ((s, d) => TrendOps.changepointCusum(orders(s, d))),
     "order_backlog_timeline" -> ((s, d) =>
       TrendOps.orderBacklogTimeline(orders(s, d), lineitem(s, d))),
     "bloom_segment_revenue" -> ((s, d) =>
@@ -239,6 +242,7 @@ object SparkEntry {
     "dedup_spans" -> ((s, d) => DedupOps.dedupSpans(documents(s, d))),
     "dedup_survivors" -> ((s, d) => DedupOps.dedupSurvivors(documents(s, d))),
     "dedup_method_overlap" -> ((s, d) => DedupOps.dedupMethodOverlap(documents(s, d))),
+    "source_overlap" -> ((s, d) => DedupOps.sourceOverlap(documents(s, d))),
     "type_token_ratio" -> ((s, d) => TextOps.typeTokenRatio(documents(s, d))),
     "stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(documents(s, d))),
     "mixture_report" -> ((s, d) => PipelineOps.mixtureReport(documents(s, d))),
@@ -280,6 +284,8 @@ object SparkEntry {
       graft.streaming.EventStreams.hoppingAggBatch(events(s, d))),
     "events_sessionize" -> ((s, d) =>
       graft.streaming.EventStreams.sessionizeBatch(events(s, d))),
+    "session_paths" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionPathsBatch(events(s, d))),
     "events_interval_join" -> ((s, d) =>
       graft.streaming.EventStreams.intervalJoinBatch(events(s, d))),
     "events_session_window" -> ((s, d) =>

@@ -483,4 +483,39 @@ object DedupOps {
         (max(when(col("method") === "simhash", 1).otherwise(0)) === 1).as("by_simhash"),
         count(lit(1)).as("n_methods"))
   }
+
+  /** Cross-source duplication matrix — which pairs of ingestion sources
+    * ship the same content: exact content fingerprints per (hash, source),
+    * then shared-fingerprint counts and Jaccard overlap for every source
+    * pair. The provenance-audit view that decides which feed to drop when
+    * two crawls overlap heavily.
+    *
+    * Scale: the corpus contributes one distinct-(hash, source) projection
+    * (narrow — text never shuffles); the self-join fan-out per hash is
+    * bounded by |sources|, so the pair join is corpus-linear; everything
+    * after runs on |sources|²-bounded rows with the per-source totals
+    * broadcast. Jaccard is exact integer micro-units (engine-stable).
+    */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val fp = documents
+      .select(md5(TextFns.normText(col("text"))).as("h"), col("source"))
+      .distinct()
+      .persist()
+    val perSource = fp.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    val shared = fp
+      .join(fp.select(col("h"), col("source").as("source_b")), Seq("h"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val allPairs = perSource.select(col("source").as("source_a"), col("n_fp").as("n_a"))
+      .join(perSource.select(col("source").as("source_b"), col("n_fp").as("n_b")),
+        col("source_a") < col("source_b"))
+    allPairs
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_a"), col("n_b"))
+      .withColumn("jaccard_micro",
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)"))
+  }
 }

@@ -63,6 +63,45 @@ object EventStreams {
           .as("avg_events_per_session"))
   }
 
+  /** Top session paths — the most common opening event sequences (first
+    * `pathLen` event types per 30-min-gap session, joined ">"): the
+    * clickstream path-analysis view behind "how do users actually start".
+    *
+    * Scale: sessionization is the same one-shuffle lag/cumsum core as
+    * [[sessionizeBatch]]; a per-session row_number keeps only the first
+    * `pathLen` events BEFORE aggregation, so every agg buffer holds ≤
+    * pathLen elements no matter how long a session runs. The sort+join
+    * into a path string runs per session row over those ≤ pathLen
+    * elements (bounded, so the interpreted array lambda is irrelevant);
+    * the final count is a map-side-combined groupBy over path strings.
+    */
+  def sessionPathsBatch(events: DataFrame, gapSeconds: Long = 1800,
+      pathLen: Int = 5, topK: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("ts").cast("long").as("ts_s"))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sess
+      .withColumn("rnk", row_number().over(bySess))
+      .filter(col("rnk") <= pathLen)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rnk"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Hopping (sliding) 1-hour window with 15-minute slide per event type
     * (batch form): every event lands in exactly 4 overlapping windows —
     * the dashboard-smoothing aggregation tumbling windows can't express.

@@ -52,4 +52,43 @@ class ChangeOpsSpec extends SparkSpec {
     val upd = diff.filter(col("o_orderkey") === 6L).collect()(0)
     assert(upd.getDouble(4) == 60.0 && upd.getDouble(5) == 66.0)
   }
+
+  private def fpTables = {
+    val ts = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    val orders = Seq((1L, 10L, "O", 100.50, ts, "1-URGENT"),
+      (2L, 11L, "F", 200.00, ts, "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val lineitem = Seq((1L, 5L, 7L, 1, 3.0, 99.99, "N", "O", ts))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    val customer = Seq((10L, "Customer#1", 3, 500.25, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    (orders, lineitem, customer)
+  }
+
+  test("tableFingerprint is row-order/partitioning-invariant and change-sensitive") {
+    val (orders, lineitem, customer) = fpTables
+    def fps(o: org.apache.spark.sql.DataFrame) =
+      ChangeOps.tableFingerprint(o, lineitem, customer)
+        .orderBy("table_name").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = fps(orders)
+    assert(base.map(_._1).toSeq == Seq("customer", "lineitem", "orders"))
+    // shuffled/repartitioned input → identical fingerprints
+    assert(fps(orders.repartition(7).orderBy(col("o_orderkey").desc))
+      .sameElements(base))
+    // a one-cent change flips both hashes but not the row count
+    val tweaked = fps(orders.withColumn("o_totalprice",
+      when(col("o_orderkey") === 1L, 100.51).otherwise(col("o_totalprice"))))
+    val (b, t) = (base.find(_._1 == "orders").get, tweaked.find(_._1 == "orders").get)
+    assert(t._2 == b._2 && t._3 != b._3 && t._4 != b._4)
+    // duplicating a row twice: XOR is blind (x⊕x = 0) — the additive
+    // sum is exactly what catches even-multiplicity duplicates
+    val dup = fps(orders.unionAll(orders.filter(col("o_orderkey") === 1L))
+      .unionAll(orders.filter(col("o_orderkey") === 1L)))
+    val d = dup.find(_._1 == "orders").get
+    assert(d._2 == b._2 + 2 && d._3 == b._3 && d._4 != b._4)
+  }
 }

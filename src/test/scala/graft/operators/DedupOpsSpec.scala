@@ -101,4 +101,22 @@ class DedupOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_methods") == 3L)
     }
   }
+
+  test("sourceOverlap reports shared fingerprints + Jaccard per source pair") {
+    val df = Seq(
+      (1L, "shared doc", "en", "A", 10L), (2L, "only in a", "en", "A", 9L),
+      (3L, "shared doc", "en", "B", 10L), (4L, "only in b", "en", "B", 9L),
+      (5L, "lonely", "en", "C", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOps.sourceOverlap(df).orderBy("source_a", "source_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // every pair present, including zero-overlap ones
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // A∩B = {"shared doc"}: jaccard = 1/(2+2−1) = 333333 micro
+    assert(out(("A", "B")) == ((1L, 2L, 2L, 333333L)))
+    assert(out(("A", "C")) == ((0L, 2L, 1L, 0L)))
+    assert(out(("B", "C")) == ((0L, 2L, 1L, 0L)))
+  }
 }

@@ -60,6 +60,26 @@ class TrendOpsSpec extends SparkSpec {
     assert(byDay("2000-01-04") == ((1L, 40.0, 40.0)))
   }
 
+  test("changepointCusum peaks at the level-shift boundary") {
+    // 3 days at $100 then 3 days at $200: |CUSUM| must peak on day 3,
+    // the last day of the old regime
+    val orders = Seq(
+      (1L, ts("2000-01-01"), 100.0), (2L, ts("2000-01-02"), 100.0),
+      (3L, ts("2000-01-03"), 100.0), (4L, ts("2000-01-04"), 200.0),
+      (5L, ts("2000-01-05"), 200.0), (6L, ts("2000-01-06"), 200.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = TrendOps.changepointCusum(orders).orderBy("rnk").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(3)))
+    assert(out.length == 6)
+    // n·prefix − t·S at day 3 = 6·30000 − 3·90000 = −90000 cents → /n/100
+    assert(out.head == (("2000-01-03", 1L, -150.0)))
+    // days 2 and 4 tie at −60000; earlier date wins the tiebreak
+    assert(out(1) == (("2000-01-02", 2L, -100.0)))
+    assert(out(2) == (("2000-01-04", 3L, -100.0)))
+    // the full-span CUSUM closes at zero on the last day
+    assert(out.last == (("2000-01-06", 6L, 0.0)))
+  }
+
   test("ewmaDailyRevenue renormalizes the series head and weights recency") {
     val orders = Seq(
       (1L, ts("2000-01-01"), 100.0),

@@ -432,4 +432,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
       c.getMessage.contains("swap was interrupted")))
   }
+
+  test("sessionPathsBatch orders within sessions and caps the path length") {
+    // user 3: one 7-event session — only the first 5 types make the path
+    val longSession = (0 until 7).map(i =>
+      (100L + i, ts(100 + i), 3L, s"e$i", 1.0, "{}"))
+    val df = (sampleEvents ++ longSession)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.sessionPathsBatch(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // user 1 splits into two sessions at the 40-min gap; user 2 is one
+    assert(out == Map(
+      "click>click" -> 2L,   // user 1 session 1 AND user 2
+      "view" -> 1L,          // user 1 session 2
+      "e0>e1>e2>e3>e4" -> 1L // user 3, truncated at pathLen=5
+    ))
+  }
 }
