@@ -1299,6 +1299,27 @@ object Oracles {
         |SELECT d, rnk, ROUND(cents / 100.0, 2) AS revenue,
         | ROUND(CAST(cusum AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 2)
         |   AS cusum_dollars
+        |FROM k WHERE rnk <= 10""".stripMargin,
+
+    "revenue_streaks" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |f AS (
+        | SELECT d, cents, CAST(COUNT(*) OVER () AS HUGEINT) AS n,
+        |  SUM(CAST(cents AS HUGEINT)) OVER () AS s
+        | FROM daily),
+        |ab AS (SELECT d, cents FROM f WHERE CAST(cents AS HUGEINT) * n > s),
+        |isl AS (SELECT d, cents,
+        |  d - CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS island FROM ab),
+        |st AS (SELECT island, MIN(d) AS streak_start, MAX(d) AS streak_end,
+        |  COUNT(*) AS n_days, SUM(CAST(cents AS HUGEINT)) AS cents
+        | FROM isl GROUP BY island),
+        |k AS (SELECT *, CAST(row_number() OVER (
+        |  ORDER BY n_days DESC, streak_start) AS BIGINT) AS rnk FROM st)
+        |SELECT streak_start, streak_end, n_days, rnk,
+        | ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue
         |FROM k WHERE rnk <= 10""".stripMargin
   )
 
@@ -1900,6 +1921,25 @@ object Oracles {
          |FROM documents)""".stripMargin,
 
     "stratified_sample" -> stratifiedSampleSql,
+
+    "dataset_split" ->
+      s"""WITH b AS (
+         | SELECT lang,
+         |  ${hash32Sql(s"'${graft.operators.PipelineOps.SplitSalt}' || CAST(doc_id AS VARCHAR)")} % 100
+         |    AS h,
+         |  CAST(CASE WHEN length(${norm("text")}) = 0 THEN 0
+         |       ELSE len(string_split(${norm("text")}, ' ')) END AS BIGINT) AS ntok
+         | FROM documents),
+         |g AS (
+         | SELECT lang,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, SUM(ntok) AS n_tokens
+         | FROM b GROUP BY 1, 2)
+         |SELECT lang, split, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST((n_docs * 1000000) //
+         |   (SUM(n_docs) OVER (PARTITION BY lang)) AS BIGINT) AS doc_share_micro
+         |FROM g""".stripMargin,
 
     "quality_gate" ->
       s"""WITH q AS ($qualityScoreSql)

@@ -156,6 +156,7 @@ object SparkEntry {
     "daily_gapfill" -> ((s, d) => TrendOps.dailyGapfill(orders(s, d))),
     "ewma_daily_revenue" -> ((s, d) => TrendOps.ewmaDailyRevenue(orders(s, d))),
     "changepoint_cusum" -> ((s, d) => TrendOps.changepointCusum(orders(s, d))),
+    "revenue_streaks" -> ((s, d) => TrendOps.revenueStreaks(orders(s, d))),
     "order_backlog_timeline" -> ((s, d) =>
       TrendOps.orderBacklogTimeline(orders(s, d), lineitem(s, d))),
     "bloom_segment_revenue" -> ((s, d) =>
@@ -245,6 +246,7 @@ object SparkEntry {
     "source_overlap" -> ((s, d) => DedupOps.sourceOverlap(documents(s, d))),
     "type_token_ratio" -> ((s, d) => TextOps.typeTokenRatio(documents(s, d))),
     "stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(documents(s, d))),
+    "dataset_split" -> ((s, d) => PipelineOps.datasetSplit(documents(s, d))),
     "mixture_report" -> ((s, d) => PipelineOps.mixtureReport(documents(s, d))),
     "token_pack" -> ((s, d) => PipelineOps.tokenPack(documents(s, d))),
     "doc_chunk" -> ((s, d) => PipelineOps.docChunk(documents(s, d))),

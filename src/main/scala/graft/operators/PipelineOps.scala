@@ -42,6 +42,35 @@ object PipelineOps {
       .filter(col("sample_bucket") < col("keep_rate_pct"))
   }
 
+  /** Salt for the train/val/test assignment hash — bump to re-draw every
+    * split deterministically (same contract as [[SampleSalt]]).
+    */
+  val SplitSalt = "split:v1:"
+
+  /** Deterministic train/val/test split (80/10/10 by hashed doc_id) +
+    * per-(lang, split) accounting — the reproducible holdout assignment
+    * every training pipeline needs: no RNG, no state, any engine
+    * re-derives the same membership, and a doc's split never changes as
+    * the corpus grows (it depends only on the doc's own id).
+    *
+    * Scale: split assignment is a pure column expression; the rollup is
+    * one map-side-combined grouped scan to ≤ |langs|·3 rows; the share
+    * window runs over ≤ 3 rows per language.
+    */
+  def datasetSplit(documents: DataFrame): DataFrame = {
+    val bucket =
+      HashFns.hash32(concat(lit(SplitSalt), col("doc_id").cast("string"))) % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test")
+    documents
+      .select(col("lang"), split.as("split"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("doc_share_micro",
+        expr("(n_docs * 1000000) div (sum(n_docs) over (partition by lang))"))
+  }
+
   /** Data-mixture report: per-language doc/token counts and each
     * language's share of all corpus tokens (window SUM OVER () — the
     * same %-of-total shape as the warehouse queries, over text stats).

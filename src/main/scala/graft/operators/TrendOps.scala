@@ -137,6 +137,45 @@ object TrendOps {
     * (~10³ for years of data) regardless of fact size — same bound as
     * [[dailyGapfill]].
     */
+  /** Longest above-average revenue streaks — the gaps-and-islands
+    * pattern (consecutive-run detection by the d − row_number() island
+    * key), the classic warehouse idiom for "how long did the hot streak
+    * last" that plain aggregation cannot express.
+    *
+    * Exactness: the above-mean test is the division-free cents·n > S in
+    * DECIMAL(38,0) — no float mean, so membership (and therefore every
+    * island) is engine- and partition-order-exact.
+    *
+    * Scale: the fact collapses to the date-grain rollup first; islands,
+    * streak stats, and the top-k rank all run over CALENDAR-SPAN rows.
+    */
+  def revenueStreaks(orders: DataFrame, topK: Int = 10): DataFrame = {
+    val daily = orders
+      .select(to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("d"))
+      .agg((sum(col("p")) * 100).cast("long").as("cents"))
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val above = daily
+      .withColumn("n", count(lit(1)).over(full).cast("decimal(38,0)"))
+      .withColumn("s", sum(col("cents").cast("decimal(38,0)")).over(full))
+      .filter(col("cents").cast("decimal(38,0)") * col("n") > col("s"))
+    above
+      .withColumn("island",
+        date_sub(col("d"), row_number().over(Window.orderBy(col("d")))))
+      .groupBy(col("island"))
+      .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+        count(lit(1)).as("n_days"),
+        sum(col("cents").cast("decimal(38,0)")).as("streak_cents"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n_days").desc, col("streak_start")))
+          .cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("streak_start"), col("streak_end"), col("n_days"), col("rnk"),
+        round(col("streak_cents").cast("double") / 100.0, 2).as("revenue"))
+  }
+
   /** CUSUM changepoint scan over daily revenue: the day where the
     * cumulative deviation from the series mean peaks is the most likely
     * single level-shift point (Page's classic statistic, offline form) —

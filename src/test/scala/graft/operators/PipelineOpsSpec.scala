@@ -34,6 +34,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("cum_coverage_pct")).toSeq == Seq(50.0, 83.3333, 100.0))
   }
 
+  test("datasetSplit is a deterministic, exhaustive 80/10/10 partition") {
+    val df = docs((0L until 300L).map(i => (i, s"tok$i words here", "en")): _*)
+    val out = PipelineOps.datasetSplit(df).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // every doc lands in exactly one split
+    assert(out.values.map(_._1).sum == 300L)
+    assert(out.keySet == Set("train", "val", "test"))
+    // hash-based: roughly 80/10/10, exactly reproducible
+    assert(out("train")._1 > out("val")._1 && out("train")._1 > out("test")._1)
+    val again = PipelineOps.datasetSplit(df).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(again == out.map { case (k, v) => k -> v._1 })
+    // shares in exact micro-units sum to ≤ 10^6 (integer division floors)
+    val shares = out.values.map(_._3).sum
+    assert(shares <= 1000000L && shares > 999990L)
+    // token accounting: 3 tokens per doc
+    assert(out.values.map(_._2).sum == 900L)
+  }
+
   test("stratifiedSample keeps every doc of a 100%-rate language") {
     val df = docs((0L until 20L).map(i => (i, s"doc $i", "de")): _*)
     assert(PipelineOps.stratifiedSample(df).count() == 20)

@@ -60,6 +60,22 @@ class TrendOpsSpec extends SparkSpec {
     assert(byDay("2000-01-04") == ((1L, 40.0, 40.0)))
   }
 
+  test("revenueStreaks finds consecutive above-mean runs, splits on gaps") {
+    // days 1-2 high, day 3 low, days 5-7 high (calendar gap at day 4):
+    // mean = (200+200+40+200+200+200)/6 = 173.33 → highs are above
+    val orders = Seq(
+      (1L, ts("2000-01-01"), 200.0), (2L, ts("2000-01-02"), 200.0),
+      (3L, ts("2000-01-03"), 40.0), (4L, ts("2000-01-05"), 200.0),
+      (5L, ts("2000-01-06"), 200.0), (6L, ts("2000-01-07"), 200.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = TrendOps.revenueStreaks(orders).orderBy("rnk").collect()
+      .map(r => (r.getDate(0).toString, r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2000-01-05", "2000-01-07", 3L, 1L, 600.0),
+      ("2000-01-01", "2000-01-02", 2L, 2L, 400.0)))
+  }
+
   test("changepointCusum peaks at the level-shift boundary") {
     // 3 days at $100 then 3 days at $200: |CUSUM| must peak on day 3,
     // the last day of the old regime
