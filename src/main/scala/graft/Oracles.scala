@@ -2381,6 +2381,32 @@ object Oracles {
         |WHERE user_id IS NOT NULL
         |GROUP BY 1""".stripMargin,
 
+    "key_skew_report" -> {
+      val legs = Seq(
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("events.user_id", "events", "user_id"),
+        ("events.event_type", "events", "event_type"))
+      val ctes = legs.zipWithIndex.map { case ((_, tbl, k), i) =>
+        s"""c$i AS (SELECT COALESCE(CAST($k AS VARCHAR), '<null>') AS k,
+           |  COUNT(*) AS cnt FROM $tbl GROUP BY 1),
+           |a$i AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           |  COUNT(*) AS n_keys, MAX(cnt) AS max_cnt FROM c$i),
+           |t$i AS (SELECT MIN(k) AS top_key FROM c$i, a$i
+           |  WHERE cnt = max_cnt)""".stripMargin
+      }.mkString(",\n")
+      val sels = legs.zipWithIndex.map { case ((name, _, _), i) =>
+        s"""SELECT '$name' AS key_name, n_rows, n_keys, max_cnt, top_key,
+           | CAST((CAST(max_cnt AS HUGEINT) * 1000000) // n_rows AS BIGINT)
+           |   AS max_share_micro,
+           | CAST((CAST(max_cnt AS HUGEINT) * n_keys * 1000000) // n_rows
+           |   AS BIGINT) AS skew_factor_micro
+           |FROM a$i, t$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$sels"
+    },
+
     "events_window_uniques" ->
       """SELECT date_trunc('hour', ts) AS hour_start,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

@@ -157,6 +157,12 @@ object SparkEntry {
     "ewma_daily_revenue" -> ((s, d) => TrendOps.ewmaDailyRevenue(orders(s, d))),
     "changepoint_cusum" -> ((s, d) => TrendOps.changepointCusum(orders(s, d))),
     "revenue_streaks" -> ((s, d) => TrendOps.revenueStreaks(orders(s, d))),
+    "key_skew_report" -> ((s, d) => SkewOps.keySkewReport(Seq(
+      ("orders.o_custkey", orders(s, d), "o_custkey"),
+      ("lineitem.l_partkey", lineitem(s, d), "l_partkey"),
+      ("lineitem.l_suppkey", lineitem(s, d), "l_suppkey"),
+      ("events.user_id", events(s, d), "user_id"),
+      ("events.event_type", events(s, d), "event_type")))),
     "order_backlog_timeline" -> ((s, d) =>
       TrendOps.orderBacklogTimeline(orders(s, d), lineitem(s, d))),
     "bloom_segment_revenue" -> ((s, d) =>
