@@ -1487,9 +1487,14 @@ object Oracles {
       s"""WITH $shingleCte,
          |shd AS (SELECT DISTINCT doc_id, x FROM sh),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-         |rare AS (SELECT x FROM (SELECT x, count(*) AS df FROM shd GROUP BY x)
-         |         WHERE df <= 50),
-         |kept AS (SELECT shd.doc_id, shd.x FROM shd JOIN rare ON shd.x = rare.x),
+         |dfs AS (SELECT x, count(*) AS df FROM shd GROUP BY x),
+         |kept AS (SELECT doc_id, x FROM (
+         |  SELECT shd.doc_id, shd.x, dfs.df, s.n, row_number() OVER (
+         |    PARTITION BY shd.doc_id ORDER BY dfs.df, shd.x) AS rnk
+         |  FROM shd JOIN dfs ON shd.x = dfs.x
+         |   JOIN sizes s ON s.doc_id = shd.doc_id)
+         | WHERE rnk <= n - ((n * 500000 + 999999) // 1000000) + 1
+         |  AND df <= 50),
          |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM kept a JOIN kept b ON a.x = b.x AND a.doc_id < b.doc_id),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

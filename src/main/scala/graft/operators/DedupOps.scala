@@ -184,22 +184,34 @@ object DedupOps {
   }
 
   /** Exact n-gram Jaccard near-dup pairs. Candidates = pairs sharing at
-    * least one shingle whose document frequency ≤ dfCap (rare-shingle
-    * blocking — the cap is what keeps the join linear at 100 TB); Jaccard
+    * least one shingle that lies in BOTH docs' prefixes (prefix
+    * filtering, the PPJoin principle: with shingles in a global
+    * rarest-first order, any pair with J ≥ τ must collide within the
+    * first n − ⌈τ·n⌉ + 1 shingles of each side) and whose document
+    * frequency ≤ dfCap (rare-shingle blocking). The prefix cut shrinks
+    * the Σdf² candidate join by ~(1−τ)² — the quadratic term that
+    * dominates at 100 TB; the df cap bounds the worst shingle. Jaccard
     * is then computed exactly on the full distinct-shingle sets.
+    * ⌈τ·n⌉ is exact integer arithmetic on a micro-unit τ (engine-stable,
+    * shared with the oracle).
     */
   def dedupNgramJaccard(documents: DataFrame, tau: Double = 0.5, dfCap: Int = 50): DataFrame = {
+    val tauMicro = math.round(tau * 1e6)
     // distinct (doc, shingle-hash) pairs — the working set every later
     // stage joins against; persisted because it feeds 4 branches
     val shd = shingleHashRows(documents, 5)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val rare = shd.groupBy(col("x"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select("x")
-    val kept = shd.join(rare, Seq("x"))
+    val dfs = shd.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    val kept = shd.join(dfs, Seq("x"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("x"))))
+      .filter(col("rnk") <=
+        col("n") - expr(s"(n * $tauMicro + 999999) div 1000000") + 1 &&
+        col("df") <= dfCap)
+      .select("doc_id", "x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = kept.select(col("x"), col("doc_id").as("doc_a"))
       .join(kept.select(col("x"), col("doc_id").as("doc_b")), Seq("x"))

@@ -48,6 +48,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) > 0.8)
   }
 
+  test("dedupNgramJaccard prefix filtering loses no τ-pair vs the quadratic definition") {
+    // sliding-window docs over a word pool: adjacent docs share 9 of 10
+    // words in order (high shingle overlap), distant docs share few
+    val pool = (0 until 30).map(k => f"w$k%02d")
+    val rows = (0 until 20).map(i => (i.toLong + 1) -> pool.slice(i, i + 10).mkString(" "))
+    val df = docs(rows: _*)
+    // dfCap high so only the prefix filter shapes the candidate set —
+    // the PPJoin guarantee says the final output must equal ALL τ-pairs
+    val got = DedupOps.dedupNgramJaccard(df, tau = 0.5, dfCap = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sh(s: String) =
+      (0 to s.length - 5).map(j => s.substring(j, j + 5)).toSet
+    val texts = rows.toMap
+    val expect = (for {
+      a <- 1L to 20L; b <- (a + 1) to 20L
+      sa = sh(texts(a)); sb = sh(texts(b))
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(expect.nonEmpty && got == expect)
+  }
+
   test("dedupSimhash pairs identical docs at hamming 0") {
     val df = docs(1L -> base, 2L -> base, 3L -> "unrelated corpus entry entirely different")
     val out = DedupOps.dedupSimhash(df).collect()
