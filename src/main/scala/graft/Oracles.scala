@@ -2272,6 +2272,38 @@ object Oracles {
         |   AS signup_age_s
         |FROM w WHERE side = 1""".stripMargin,
 
+    "purchase_attribution" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+        | WHERE user_id IS NOT NULL),
+        |u AS (
+        | SELECT user_id, ts_s, 0 AS side, event_id, event_type FROM base
+        |  WHERE event_type IN ('click', 'view')
+        | UNION ALL
+        | SELECT user_id, ts_s, 1 AS side, event_id, event_type FROM base
+        |  WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN side = 0 THEN event_type END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts_s, side, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS ltt,
+        |  last_value(CASE WHEN side = 0 THEN ts_s END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts_s, side, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS ltts
+        | FROM u),
+        |att AS (
+        | SELECT event_id,
+        |  CASE WHEN ltts IS NOT NULL AND ts_s - ltts <= 259200 THEN ltt
+        |       ELSE 'organic' END AS touch_type
+        | FROM w WHERE side = 1),
+        |g AS (
+        | SELECT touch_type, COUNT(*) AS n_purchases,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        | FROM att JOIN base USING (event_id) GROUP BY 1)
+        |SELECT touch_type, n_purchases, revenue,
+        | CAST((n_purchases * 1000000) // (SUM(n_purchases) OVER ()) AS BIGINT)
+        |   AS purchase_share_micro
+        |FROM g""".stripMargin,
+
     "event_funnel" ->
       """WITH per_user AS (
         | SELECT user_id,

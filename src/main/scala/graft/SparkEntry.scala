@@ -278,6 +278,8 @@ object SparkEntry {
     "events_asof_recent" -> ((s, d) =>
       AsOfOps.purchaseWithRecentSignup(events(s, d))),
     "event_funnel" -> ((s, d) => AsOfOps.signupPurchaseFunnel(events(s, d))),
+    "purchase_attribution" -> ((s, d) =>
+      AsOfOps.purchaseAttribution(events(s, d))),
     "event_transitions" -> ((s, d) => AsOfOps.eventTransitions(events(s, d))),
     "events_dedup_window" -> ((s, d) =>
       graft.streaming.EventStreams.debounceBatch(events(s, d))),

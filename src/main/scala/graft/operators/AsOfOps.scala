@@ -121,6 +121,43 @@ object AsOfOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Last-touch purchase attribution — each purchase credits the most
+    * recent click/view by the same user within `toleranceS` seconds;
+    * older or absent touches fall back to 'organic'. The attribution
+    * rollup every marketing dashboard runs, composed directly from the
+    * [[asofJoinWithin]] single-shuffle union+window core (no range join,
+    * no per-user collect).
+    *
+    * Scale: one shuffle by user for the as-of pass; the value join-back
+    * is keyed by event_id over purchase-count rows only; the rollup is
+    * map-side combined to ≤ |touch types|+1 rows. Exact decimal revenue
+    * projected as a rounded double; share in integer micro-units.
+    */
+  def purchaseAttribution(events: DataFrame, toleranceS: Long = 259200): DataFrame = {
+    val e = events
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("long").as("ts_s"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+    val purchases = e.filter(col("event_type") === "purchase")
+    val attributed = asofJoinWithin(
+      purchases.select(col("user_id"), col("ts_s"), col("event_id"),
+        col("event_type")),
+      touches.select(col("user_id"), col("ts_s"), col("event_id"),
+        col("event_type")),
+      "user_id", "ts_s", "event_id", "event_type", toleranceS)
+      .select(col("event_id"),
+        coalesce(col("asof_event_type"), lit("organic")).as("touch_type"))
+    attributed
+      .join(purchases.select(col("event_id"), col("value")), Seq("event_id"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .withColumn("purchase_share_micro",
+        expr("(n_purchases * 1000000) div (sum(n_purchases) over ())"))
+  }
+
   /** Signup→purchase funnel per user: stage 0 = never signed up, 1 =
     * signed up only, 2 = purchased at-or-after first signup. One grouped
     * pass, then a tiny stage histogram.

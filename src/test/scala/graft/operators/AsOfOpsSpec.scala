@@ -54,4 +54,21 @@ class AsOfOpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(out == Seq((0, 1L), (1, 1L), (2, 1L)))
   }
+
+  test("purchaseAttribution credits the last fresh touch, else organic") {
+    val evs = Seq(
+      ev(1, 100, 1, "click", 0.0),
+      ev(2, 150, 1, "view", 0.0),
+      ev(3, 200, 1, "purchase", 50.0),   // last touch = view@150
+      ev(4, 1000, 2, "click", 0.0),
+      ev(5, 5000, 2, "purchase", 30.0),  // click stale at tolerance 1000
+      ev(6, 300, 3, "purchase", 20.0))   // no touch at all
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AsOfOps.purchaseAttribution(evs, toleranceS = 1000)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "view" -> ((1L, 50.0, 333333L)),
+      "organic" -> ((2L, 50.0, 666666L))))
+  }
 }
