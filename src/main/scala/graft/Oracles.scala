@@ -786,6 +786,46 @@ object Oracles {
         | CAST((revenue_cents::HUGEINT * 12000000) // total AS BIGINT) AS index_micro
         |FROM w""".stripMargin,
 
+    "new_vs_returning" ->
+      """WITH o AS (
+        | SELECT o_custkey,
+        |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        | FROM orders),
+        |f AS (SELECT *, MIN(ym) OVER (PARTITION BY o_custkey) AS first_ym FROM o),
+        |g AS (
+        | SELECT ym,
+        |  CAST(SUM(CASE WHEN ym = first_ym THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN ym <> first_ym THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning,
+        |  ROUND(CAST(COALESCE(SUM(CASE WHEN ym = first_ym THEN p END),
+        |    0) AS DOUBLE), 2) AS new_revenue,
+        |  ROUND(CAST(COALESCE(SUM(CASE WHEN ym <> first_ym THEN p END),
+        |    0) AS DOUBLE), 2) AS returning_revenue
+        | FROM f GROUP BY ym)
+        |SELECT ym, n_new, n_returning, new_revenue, returning_revenue,
+        | CAST((n_new * 1000000) // (n_new + n_returning) AS BIGINT)
+        |   AS new_share_micro
+        |FROM g""".stripMargin,
+
+    "category_growth" ->
+      """WITH y AS (
+        | SELECT p_type, CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,4))) * 10000 AS BIGINT) AS r4
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY 1, 2),
+        |l AS (SELECT *,
+        |  lag(r4) OVER (PARTITION BY p_type ORDER BY yr) AS prev_r4,
+        |  lag(yr) OVER (PARTITION BY p_type ORDER BY yr) AS prev_yr
+        | FROM y)
+        |SELECT p_type, yr, ROUND(r4 / 10000.0, 2) AS revenue,
+        | CASE WHEN prev_yr = yr - 1 AND prev_r4 > 0
+        |  THEN CAST((r4::HUGEINT * 1000000) // prev_r4 AS BIGINT) END
+        |   AS yoy_growth_micro
+        |FROM l""".stripMargin,
+
     "cohort_ltv" ->
       """WITH o AS (
         | SELECT o_custkey,

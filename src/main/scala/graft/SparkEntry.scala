@@ -144,6 +144,9 @@ object SparkEntry {
     "basket_affinity" -> ((s, d) =>
       Analytics.basketAffinity(lineitem(s, d), part(s, d))),
     "seasonality_index" -> ((s, d) => Analytics.seasonalityIndex(orders(s, d))),
+    "new_vs_returning" -> ((s, d) => Analytics.newVsReturning(orders(s, d))),
+    "category_growth" -> ((s, d) =>
+      Analytics.categoryGrowth(lineitem(s, d), part(s, d))),
     "snapshot_diff" -> ((s, d) => {
       val (old, neu) = ChangeOps.orderSnapshots(orders(s, d))
       ChangeOps.snapshotDiff(old, neu)

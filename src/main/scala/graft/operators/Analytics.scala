@@ -1408,6 +1408,67 @@ object Analytics {
           "(cast(n_a as decimal(38,0)) * n_b)").as("lift_micro"))
   }
 
+  /** New-vs-returning customer mix per month — orders in a customer's
+    * first-ever month are "new", everything later "returning": the
+    * acquisition-vs-retention decomposition on every growth dashboard.
+    *
+    * Scale: the first month rides a min() window on the single
+    * o_custkey shuffle (no separate rollup + join-back); the monthly
+    * rollup is map-side combined to calendar-bounded rows. Exact
+    * decimal revenue projected as rounded doubles; share in integer
+    * micro-units.
+    */
+  def newVsReturning(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    o.withColumn("first_ym", min(col("ym")).over(
+        Window.partitionBy(col("o_custkey"))))
+      .groupBy(col("ym"))
+      .agg(
+        sum(when(col("ym") === col("first_ym"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("ym") =!= col("first_ym"), 1L).otherwise(0L))
+          .as("n_returning"),
+        round(coalesce(sum(when(col("ym") === col("first_ym"), col("p"))),
+          lit(0).cast("decimal(18,2)")).cast("double"), 2).as("new_revenue"),
+        round(coalesce(sum(when(col("ym") =!= col("first_ym"), col("p"))),
+          lit(0).cast("decimal(18,2)")).cast("double"), 2)
+          .as("returning_revenue"))
+      .withColumn("new_share_micro",
+        expr("(n_new * 1000000) div (n_new + n_returning)"))
+  }
+
+  /** Year-over-year revenue growth per part type — the "fastest growing
+    * categories" trend view. Growth is exact integer micro-units
+    * (10⁶ = flat) computed on ten-thousandth-unit revenue integers; the
+    * lag window runs over the (type, year) rollup (≤ |types|·|years|
+    * rows), never the fact.
+    */
+  def categoryGrowth(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val yearly = lineitem
+      .select(col("l_partkey"), year(col("l_shipdate")).cast("long").as("yr"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("rev"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("yr"))
+      .agg((sum(col("rev")).cast("decimal(18,4)") * 10000).cast("long")
+        .as("r4"))
+    yearly
+      .withColumn("prev_r4", lag(col("r4"), 1).over(
+        Window.partitionBy(col("p_type")).orderBy(col("yr"))))
+      // guard: consecutive years only (a gap year is not a YoY base)
+      .withColumn("prev_yr", lag(col("yr"), 1).over(
+        Window.partitionBy(col("p_type")).orderBy(col("yr"))))
+      .select(col("p_type"), col("yr"),
+        round(col("r4") / 10000.0, 2).as("revenue"),
+        when(col("prev_yr") === col("yr") - 1 && col("prev_r4") > 0,
+          expr("(cast(r4 as decimal(38,0)) * 1000000) div prev_r4"))
+          .as("yoy_growth_micro"))
+  }
+
   /** Month-of-year revenue seasonality index in exact micro-units:
     * index = ⌊10⁶ · 12 · month_revenue / total⌋ (10⁶·12⁰ = a flat
     * month). One grouped scan; the total is a window over the 12-row

@@ -501,4 +501,34 @@ class AnalyticsSpec extends SparkSpec {
     assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) ==
       ((3L, 1L, 333333L)))
   }
+
+  test("newVsReturning splits first-month orders from later ones") {
+    val o = Seq(
+      (1L, 10L, 100.0, ts("2024-01-05")),  // cust 10 first month (2 orders)
+      (2L, 10L, 50.0, ts("2024-01-20")),
+      (3L, 10L, 70.0, ts("2024-02-10")),   // cust 10 returning
+      (4L, 20L, 30.0, ts("2024-02-01")))   // cust 20 new in feb
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val out = Analytics.newVsReturning(o).orderBy("ym").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (202401L, 2L, 0L, 150.0, 0.0, 1000000L),
+      (202402L, 1L, 1L, 30.0, 70.0, 500000L)))
+  }
+
+  test("categoryGrowth reports exact YoY micro growth, null on gaps") {
+    val li = Seq(
+      (1L, 100L, 100.0, 0.0, ts("1995-03-01")),
+      (2L, 100L, 150.0, 0.0, ts("1996-03-01")),  // +50% → 1_500_000
+      (3L, 100L, 30.0, 0.0, ts("1998-03-01")))   // gap year → null base
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val part = Seq((100L, "TYPE_A")).toDF("p_partkey", "p_type")
+    val out = Analytics.categoryGrowth(li, part).orderBy("yr").collect()
+      .map(r => (r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1995L, 100.0, -1L), (1996L, 150.0, 1500000L), (1998L, 30.0, -1L)))
+  }
 }
