@@ -786,6 +786,72 @@ object Oracles {
         | CAST((revenue_cents::HUGEINT * 12000000) // total AS BIGINT) AS index_micro
         |FROM w""".stripMargin,
 
+    "fk_orphans" -> {
+      def orphanLeg(name: String, child: String, fk: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS relationship, 'fk_orphan' AS audit,
+           | CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+           | COUNT(*) AS n_keys
+           |FROM (SELECT $fk AS k, COUNT(*) AS cnt FROM $child
+           |      WHERE $fk IS NOT NULL GROUP BY 1) c
+           |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p ON c.k = p.k
+           |WHERE p.k IS NULL""".stripMargin
+      def unrefLeg(name: String, child: String, fk: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS relationship, 'unreferenced_parent' AS audit,
+           | COUNT(*) AS n_rows, COUNT(*) AS n_keys
+           |FROM (SELECT DISTINCT $pk AS k FROM $parent) p
+           |LEFT JOIN (SELECT DISTINCT $fk AS k FROM $child
+           |           WHERE $fk IS NOT NULL) c ON p.k = c.k
+           |WHERE c.k IS NULL""".stripMargin
+      val edges = Seq(
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      edges.flatMap { case (n, c, fk, p, pk) =>
+        Seq(orphanLeg(n, c, fk, p, pk), unrefLeg(n, c, fk, p, pk))
+      }.mkString("\nUNION ALL\n")
+    },
+
+    "benford_audit" -> {
+      val expCase = graft.operators.AuditOps.benfordExpMicro
+        .map { case (d, m) => s"WHEN $d THEN $m" }.mkString(" ")
+      s"""WITH obs AS (
+         | SELECT 'o_totalprice' AS src_col,
+         |  CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+         |    1, 1) AS INT) AS digit,
+         |  COUNT(*) AS n_obs
+         | FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1, 2
+         | UNION ALL
+         | SELECT 'l_extendedprice' AS src_col,
+         |  CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+         |    1, 1) AS INT) AS digit,
+         |  COUNT(*) AS n_obs
+         | FROM lineitem WHERE l_extendedprice >= 1.0 GROUP BY 1, 2),
+         |t AS (SELECT *, SUM(n_obs) OVER (PARTITION BY src_col) AS total
+         |      FROM obs),
+         |m AS (SELECT src_col, CAST(digit AS BIGINT) AS digit, n_obs,
+         |  CAST((n_obs * 1000000) // total AS BIGINT) AS obs_micro,
+         |  CAST(CASE digit $expCase END AS BIGINT) AS exp_micro
+         | FROM t)
+         |SELECT *, abs(obs_micro - exp_micro) AS dev_micro FROM m""".stripMargin
+    },
+
+    "name_fuzzy_pairs" ->
+      """WITH n AS (
+        | SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+        |  substr(c_name, 1, length(c_name) - 3) AS block
+        | FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        | a.name AS name_a, b.name AS name_b,
+        | CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.block = b.block AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+
     "new_vs_returning" ->
       """WITH o AS (
         | SELECT o_custkey,

@@ -145,6 +145,11 @@ object SparkEntry {
       Analytics.basketAffinity(lineitem(s, d), part(s, d))),
     "seasonality_index" -> ((s, d) => Analytics.seasonalityIndex(orders(s, d))),
     "new_vs_returning" -> ((s, d) => Analytics.newVsReturning(orders(s, d))),
+    "fk_orphans" -> ((s, d) => AuditOps.fkOrphans(lineitem(s, d), orders(s, d),
+      part(s, d), supplier(s, d), customer(s, d), nation(s, d), region(s, d))),
+    "benford_audit" -> ((s, d) =>
+      AuditOps.benfordAudit(orders(s, d), lineitem(s, d))),
+    "name_fuzzy_pairs" -> ((s, d) => AuditOps.nameFuzzyPairs(customer(s, d))),
     "category_growth" -> ((s, d) =>
       Analytics.categoryGrowth(lineitem(s, d), part(s, d))),
     "snapshot_diff" -> ((s, d) => {

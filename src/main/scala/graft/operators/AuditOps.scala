@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Warehouse data-quality audits — the checks a warehouse team runs after
+  * every load (the reference's notebooks eyeball these properties by hand;
+  * here they are first-class operators): referential integrity across the
+  * star schema, Benford first-digit screening of money columns, and
+  * blocked edit-distance record linkage.
+  *
+  * Scale design: every audit aggregates BEFORE it joins — the integrity
+  * check rolls each fact up to its foreign-key grain first so the join
+  * carries the keyspace, not the rows; Benford is one conditional-sum
+  * scan per column; the fuzzy join is blocked so the candidate set is
+  * Σ(block²), never corpus².
+  */
+object AuditOps {
+
+  /** One referential-integrity relationship: child rolled up to the FK
+    * grain, left-joined to the parent keyset. Emits two long-format rows:
+    * `fk_orphan` (child rows whose FK has no parent — broken integrity)
+    * and `unreferenced_parent` (parent keys no child row references —
+    * dead dimension entries). The child rollup map-side combines to
+    * distinct FK keys, so the join input is keyspace-sized.
+    */
+  private def relationship(name: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val childKeys = child.filter(col(fk).isNotNull)
+      .groupBy(col(fk).cast("long").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val parentKeys = parent.select(col(pk).cast("long").as("k")).distinct()
+    val orphans = childKeys.join(parentKeys.withColumn("hit", lit(1)), Seq("k"), "left")
+      .filter(col("hit").isNull)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      .select(lit(name).as("relationship"), lit("fk_orphan").as("audit"),
+        col("n_rows"), col("n_keys"))
+    val unreferenced = parentKeys.join(childKeys.select(col("k"), lit(1).as("hit")), Seq("k"), "left")
+      .filter(col("hit").isNull)
+      .agg(count(lit(1)).as("n_keys"))
+      .select(lit(name).as("relationship"), lit("unreferenced_parent").as("audit"),
+        col("n_keys").as("n_rows"), col("n_keys"))
+    orphans.unionByName(unreferenced)
+  }
+
+  /** Referential-integrity audit over the whole star schema: for each
+    * FK → PK edge, orphaned child rows (should be zero on a healthy
+    * warehouse) and unreferenced parent keys (expected nonzero — parts
+    * nobody ordered, customers with no orders). 14 rows out regardless
+    * of data size; each edge costs one keyspace-grain join.
+    */
+  def fkOrphans(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+      supplier: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    Seq(
+      relationship("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+      relationship("lineitem.l_partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+      relationship("lineitem.l_suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+      relationship("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+      relationship("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+      relationship("supplier.s_nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+      relationship("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"))
+      .reduce(_.unionByName(_))
+
+  /** Benford expected first-digit shares in integer micro-units —
+    * ⌊10⁶·log₁₀(1+1/d)⌋, computed once here and interpolated as literals
+    * into BOTH engines' plans so no runtime libm call has to agree.
+    */
+  val benfordExpMicro: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> (1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
+  /** Benford's-law screen over a money column: observed first-significant-
+    * digit counts vs the Benford expectation (the forensic-accounting
+    * anomaly test; synthetic TPC-H prices are uniform-ish, so the audit
+    * honestly reports large deviations — that's the report working).
+    * One grouped scan per column; shares and deviations in exact integer
+    * micro-units (share = ⌊n_d·10⁶/n⌋, expectation a shared literal).
+    */
+  def benfordAudit(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def leg(df: DataFrame, colName: String): DataFrame =
+      df.filter(col(colName) >= 1.0)
+        .select(substring(floor(col(colName)).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+        .select(lit(colName).as("src_col"), col("digit"), col("n_obs"))
+    val obs = leg(orders, "o_totalprice")
+      .unionByName(leg(lineitem, "l_extendedprice"))
+    val totalW = org.apache.spark.sql.expressions.Window.partitionBy(col("src_col"))
+    val expCase = benfordExpMicro.foldRight(lit(null).cast("long"): Column) {
+      case ((d, micro), rest) => when(col("digit") === d, lit(micro)).otherwise(rest)
+    }
+    obs
+      .withColumn("total", sum(col("n_obs")).over(totalW))
+      .withColumn("obs_micro", expr("(n_obs * 1000000) div total"))
+      .select(col("src_col"), col("digit").cast("long").as("digit"), col("n_obs"),
+        col("obs_micro"), expCase.as("exp_micro"))
+      .withColumn("dev_micro", abs(col("obs_micro") - col("exp_micro")))
+  }
+
+  /** Blocked edit-distance record linkage over a name column — the
+    * entity-resolution primitive (find near-identical identities). Names
+    * block on their all-but-last-3-chars prefix; candidates pair within a
+    * block (id-ordered, no self/dup pairs) and survive at Levenshtein
+    * distance ≤ maxDist. Recall trade-off is the standard blocking one —
+    * edits confined to the blocked prefix are not candidates — and the
+    * oracle mirrors the same blocking, so the check is exact.
+    *
+    * Scale: the self-join is on the block key, so candidate work is
+    * Σ(block²) with blocks bounded by the suffix alphabet (10³ here),
+    * never corpus². The distance runs on codegen'd `levenshtein`.
+    */
+  def nameFuzzyPairs(customer: DataFrame, maxDist: Int = 1): DataFrame = {
+    val names = customer.select(col("c_custkey").cast("long").as("id"),
+      col("c_name").as("name"))
+      .withColumn("block", expr("substring(name, 1, length(name) - 3)"))
+    val left = names.select(col("block"), col("id").as("id_a"), col("name").as("name_a"))
+    val right = names.select(col("block"), col("id").as("id_b"), col("name").as("name_b"))
+    left.join(right, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
+  }
+}

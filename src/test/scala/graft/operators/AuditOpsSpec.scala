@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AuditOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  test("fkOrphans counts orphaned child rows and unreferenced parents") {
+    val orders = Seq(
+      (1L, 10L, "O", 100.0, ts("2024-01-01"), "1-URGENT"),
+      (2L, 99L, "O", 200.0, ts("2024-01-02"), "1-URGENT")) // orphan cust 99
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (1L, 100L, 7L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts("2024-01-03")),
+      (3L, 100L, 7L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts("2024-01-03"))) // orphan order 3
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val part = Seq((100L, "p", "b", "t", 1, 1.0), (200L, "q", "b", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val supplier = Seq((7L, "s", 1, 0.0)).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val customer = Seq((10L, "c", 1, 0.0, "AUTO"), (20L, "d", 1, 0.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val nation = Seq((1, "FRANCE", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0, "EUROPE")).toDF("r_regionkey", "r_name")
+
+    val out = AuditOps.fkOrphans(lineitem, orders, part, supplier, customer,
+      nation, region).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.size == 14)
+    // lineitem order 3 has no parent order -> 1 orphan row / 1 key
+    assert(out(("lineitem.l_orderkey->orders", "fk_orphan")) == ((1L, 1L)))
+    // order for cust 99 -> orphan; customer 20 never ordered -> unreferenced
+    assert(out(("orders.o_custkey->customer", "fk_orphan")) == ((1L, 1L)))
+    assert(out(("orders.o_custkey->customer", "unreferenced_parent")) == ((1L, 1L)))
+    // part 200 never shipped
+    assert(out(("lineitem.l_partkey->part", "unreferenced_parent")) == ((1L, 1L)))
+    // healthy edge: zero orphans
+    assert(out(("nation.n_regionkey->region", "fk_orphan")) == ((0L, 0L)))
+  }
+
+  test("benfordAudit reports exact micro-unit shares vs the Benford table") {
+    // 2 orders starting with 1, 1 with 9 -> shares 666666 / 333333
+    val orders = Seq(
+      (1L, 10L, "O", 100.0, ts("2024-01-01"), "x"),
+      (2L, 10L, "O", 199.0, ts("2024-01-01"), "x"),
+      (3L, 10L, "O", 900.0, ts("2024-01-01"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (1L, 100L, 7L, 1, 1.0, 55.5, 0.0, 0.0, "N", "O", ts("2024-01-03")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val out = AuditOps.benfordAudit(orders, lineitem).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(("o_totalprice", 1L)) == ((2L, 666666L, 301029L, 365637L)))
+    assert(out(("o_totalprice", 9L)) == ((1L, 333333L, 45757L, 287576L)))
+    assert(out(("l_extendedprice", 5L)) == ((1L, 1000000L, 79181L, 920819L)))
+  }
+
+  test("benford expectation table matches the closed form") {
+    assert(AuditOps.benfordExpMicro.head == ((1, 301029L)))
+    assert(AuditOps.benfordExpMicro.map(_._2).sum >= 999990L) // floors sum just under 1e6
+  }
+
+  test("nameFuzzyPairs finds within-block near-duplicates only") {
+    val customer = Seq(
+      (1L, "Customer#000000001", 1, 0.0, "AUTO"),
+      (2L, "Customer#000000002", 1, 0.0, "AUTO"),  // dist 1 from #1
+      (3L, "Customer#000000092", 1, 0.0, "AUTO"),  // dist 1 from #2, 2 from #1
+      (4L, "Customer#000001001", 1, 0.0, "AUTO"))  // other block (prefix differs)
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = AuditOps.nameFuzzyPairs(customer).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).sorted
+    assert(out.toSeq == Seq((1L, 2L, 1L), (2L, 3L, 1L)))
+  }
+}
