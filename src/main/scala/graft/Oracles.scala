@@ -841,16 +841,47 @@ object Oracles {
          |SELECT *, abs(obs_micro - exp_micro) AS dev_micro FROM m""".stripMargin
     },
 
+    "rolling_anomaly_flags" ->
+      """WITH c AS (
+        | SELECT event_id, event_type, ts,
+        |  CAST(floor(value * 100.0) AS BIGINT) AS value_cents
+        | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (
+        | SELECT event_id, event_type, value_cents,
+        |  COUNT(value_cents) OVER pre AS n_prior,
+        |  COALESCE(SUM(CAST(value_cents AS HUGEINT)) OVER pre, 0) AS s,
+        |  COALESCE(SUM(CAST(value_cents AS HUGEINT) * value_cents) OVER pre,
+        |    0) AS q
+        | FROM c
+        | WINDOW pre AS (PARTITION BY event_type ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, value_cents, n_prior,
+        | n_prior >= 30 AND
+        |  (value_cents * n_prior - s) * (value_cents * n_prior - s) >
+        |  9 * (n_prior * q - s * s) AS is_anomaly
+        |FROM w""".stripMargin,
+
     "name_fuzzy_pairs" ->
       """WITH n AS (
-        | SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
-        |  substr(c_name, 1, length(c_name) - 3) AS block
-        | FROM customer)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        | a.name AS name_a, b.name AS name_b,
-        | CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-        |FROM n a JOIN n b ON a.block = b.block AND a.id < b.id
-        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+        | SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name
+        | FROM customer),
+        |pos AS (
+        | SELECT id, name, unnest(range(1, length(name) + 1)) AS i FROM n),
+        |keys AS (
+        | SELECT DISTINCT id, name, k FROM (
+        |  SELECT id, name, name AS k FROM n
+        |  UNION ALL
+        |  SELECT id, name,
+        |   substr(name, 1, CAST(i AS INT) - 1) ||
+        |   substr(name, CAST(i AS INT) + 1, length(name)) AS k
+        |  FROM pos)),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |  a.name AS name_a, b.name AS name_b
+        | FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id)
+        |SELECT id_a, id_b, name_a, name_b,
+        | CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
 
     "new_vs_returning" ->
       """WITH o AS (

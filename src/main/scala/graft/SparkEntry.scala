@@ -145,6 +145,8 @@ object SparkEntry {
       Analytics.basketAffinity(lineitem(s, d), part(s, d))),
     "seasonality_index" -> ((s, d) => Analytics.seasonalityIndex(orders(s, d))),
     "new_vs_returning" -> ((s, d) => Analytics.newVsReturning(orders(s, d))),
+    "rolling_anomaly_flags" -> ((s, d) =>
+      TrendOps.rollingAnomalyFlags(events(s, d))),
     "fk_orphans" -> ((s, d) => AuditOps.fkOrphans(lineitem(s, d), orders(s, d),
       part(s, d), supplier(s, d), customer(s, d), nation(s, d), region(s, d))),
     "benford_audit" -> ((s, d) =>

@@ -241,4 +241,47 @@ object TrendOps {
         round(col("ewma_cents_num") / col("ewma_den") / 100.0, 2)
           .as("ewma_revenue"))
   }
+
+  /** Per-event running 3σ anomaly flags over each event type's value
+    * stream — the metric-monitor primitive. Each event is judged against
+    * the EXACT prefix statistics of its type's earlier history (n, Σx,
+    * Σx² in cents, current row excluded): anomalous iff n ≥ minPrior and
+    * (x·n − S)² > z²·(n·Q − S²) — the z-score inequality cleared of
+    * divisions, every term an integer in DECIMAL(38,0), so the verdict is
+    * bit-stable across engines and partitionings ((x·n−S)² crosses 2⁶³
+    * while still inside any realistic corpus).
+    *
+    * Scale: the cumulative window sorts each event type's history inside
+    * one partition — fine at dashboard-metric cardinalities, but the
+    * 100 TB path is the streaming family member
+    * ([[graft.streaming.EventStreams.onlineAnomalyStream]]): verdicts
+    * from O(1) prefix state per key, no sort, no history retained. This
+    * batch form is the oracle-checkable mirror that pins the
+    * prior-history-only semantics (and the backfill you run over
+    * history once).
+    */
+  def rollingAnomalyFlags(events: DataFrame, z: Int = 3,
+      minPrior: Int = 30): DataFrame = {
+    val cents = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        floor(col("value") * lit(100.0)).cast("long").as("value_cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    cents
+      .withColumn("n_prior", coalesce(count(col("value_cents")).over(w), lit(0L)))
+      .withColumn("s", coalesce(sum(dec(col("value_cents"))).over(w),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("q", coalesce(
+        sum(dec(col("value_cents")) * dec(col("value_cents"))).over(w),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("dev", dec(col("value_cents")) * col("n_prior") - col("s"))
+      .withColumn("is_anomaly", col("n_prior") >= minPrior &&
+        col("dev") * col("dev") > lit(z * z) *
+          (col("n_prior") * col("q") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), col("value_cents"),
+        col("n_prior"), col("is_anomaly"))
+  }
 }

@@ -71,15 +71,18 @@ class AuditOpsSpec extends SparkSpec {
     assert(AuditOps.benfordExpMicro.map(_._2).sum >= 999990L) // floors sum just under 1e6
   }
 
-  test("nameFuzzyPairs finds within-block near-duplicates only") {
+  test("nameFuzzyPairs has full recall at distance 1 via symmetric delete") {
     val customer = Seq(
       (1L, "Customer#000000001", 1, 0.0, "AUTO"),
-      (2L, "Customer#000000002", 1, 0.0, "AUTO"),  // dist 1 from #1
+      (2L, "Customer#000000002", 1, 0.0, "AUTO"),  // dist 1 from #1 (subst)
       (3L, "Customer#000000092", 1, 0.0, "AUTO"),  // dist 1 from #2, 2 from #1
-      (4L, "Customer#000001001", 1, 0.0, "AUTO"))  // other block (prefix differs)
+      (4L, "Customer#000001001", 1, 0.0, "AUTO"),  // dist 1 from #1 — NOT in
+                                                   // #1's tail-prefix block
+      (5L, "Customer#00000001", 1, 0.0, "AUTO"))   // deletion variant of #1
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     val out = AuditOps.nameFuzzyPairs(customer).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).sorted
-    assert(out.toSeq == Seq((1L, 2L, 1L), (2L, 3L, 1L)))
+    assert(out.toSeq == Seq((1L, 2L, 1L), (1L, 4L, 1L), (1L, 5L, 1L),
+      (2L, 3L, 1L), (4L, 5L, 1L)))
   }
 }

@@ -111,4 +111,22 @@ class TrendOpsSpec extends SparkSpec {
     // day 3: (400·128 + 200·64 + 100·32) / (128+64+32) = 300.0
     assert(out("2000-01-03") == ((400.0, 300.0)))
   }
+
+  test("rollingAnomalyFlags judges each event against prior history only") {
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d")
+    // 30 alternating values (zero-mean-drift, small variance), then a spike
+    // and a normal value: only the spike flags; early rows lack history
+    val rows = (0 until 30).map(i =>
+      (i.toLong, "CLICK", if (i % 2 == 0) 99.0 else 101.0, t(i))) ++
+      Seq((30L, "CLICK", 150.0, t(30)),   // dev²=2.25e10 > 9·(nQ−S²)=8.1e7
+          (31L, "CLICK", 101.0, t(31)),   // dev within band
+          (32L, "VIEW", 500.0, t(32)))    // different type, no history
+    val events = rows.toDF("event_id", "event_type", "value", "ts")
+    val out = TrendOps.rollingAnomalyFlags(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(5L) == ((5L, false)))     // n_prior < 30 never flags
+    assert(out(30L) == ((30L, true)))    // the spike
+    assert(out(31L) == ((31L, false)))   // post-spike normal value
+    assert(out(32L) == ((0L, false)))    // fresh key
+  }
 }
