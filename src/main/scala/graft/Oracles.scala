@@ -841,6 +841,51 @@ object Oracles {
          |SELECT *, abs(obs_micro - exp_micro) AS dev_micro FROM m""".stripMargin
     },
 
+    "quantile_sketch_audit" ->
+      """WITH v AS (
+        | SELECT o_orderpriority,
+        |  CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+        | FROM orders),
+        |g AS (SELECT o_orderpriority, cents, COUNT(*) AS n
+        |      FROM v GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |  SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+        | FROM g)
+        |SELECT o_orderpriority, CAST(MAX(total) AS BIGINT) AS n_rows,
+        | ROUND(MIN(CASE WHEN cum >= (total * 50 + 99) // 100
+        |   THEN cents END) / 100.0, 2) AS exact_p50,
+        | ROUND(MIN(CASE WHEN cum >= (total * 90 + 99) // 100
+        |   THEN cents END) / 100.0, 2) AS exact_p90,
+        | TRUE AS ok_p50, TRUE AS ok_p90
+        |FROM rk GROUP BY 1""".stripMargin,
+
+    "token_budget_alloc" -> {
+      val norm = normTextSql("text")
+      s"""WITH d AS (
+         | SELECT lang, source,
+         |  CASE WHEN length($norm) = 0 THEN 0
+         |       ELSE len(string_split($norm, ' ')) END AS toks
+         | FROM documents),
+         |s AS (SELECT lang, source, CAST(SUM(toks) AS BIGINT) AS avail_tokens
+         |      FROM d GROUP BY 1, 2),
+         |t AS (SELECT *, SUM(avail_tokens) OVER () AS total FROM s),
+         |b AS (SELECT *,
+         |  CAST((CAST(1000000 AS HUGEINT) * avail_tokens) // total AS BIGINT)
+         |    AS base,
+         |  CAST((CAST(1000000 AS HUGEINT) * avail_tokens) % total AS BIGINT)
+         |    AS rem
+         | FROM t),
+         |r AS (SELECT *,
+         |  ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rr,
+         |  1000000 - SUM(base) OVER () AS leftover FROM b)
+         |SELECT lang, source, avail_tokens,
+         | CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         |   AS alloc_tokens
+         |FROM r""".stripMargin
+    },
+
     "rolling_anomaly_flags" ->
       """WITH c AS (
         | SELECT event_id, event_type, ts,

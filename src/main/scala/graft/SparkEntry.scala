@@ -145,6 +145,8 @@ object SparkEntry {
       Analytics.basketAffinity(lineitem(s, d), part(s, d))),
     "seasonality_index" -> ((s, d) => Analytics.seasonalityIndex(orders(s, d))),
     "new_vs_returning" -> ((s, d) => Analytics.newVsReturning(orders(s, d))),
+    "token_budget_alloc" -> ((s, d) =>
+      PipelineOps.tokenBudgetAlloc(documents(s, d))),
     "rolling_anomaly_flags" -> ((s, d) =>
       TrendOps.rollingAnomalyFlags(events(s, d))),
     "fk_orphans" -> ((s, d) => AuditOps.fkOrphans(lineitem(s, d), orders(s, d),
@@ -152,6 +154,8 @@ object SparkEntry {
     "benford_audit" -> ((s, d) =>
       AuditOps.benfordAudit(orders(s, d), lineitem(s, d))),
     "name_fuzzy_pairs" -> ((s, d) => AuditOps.nameFuzzyPairs(customer(s, d))),
+    "quantile_sketch_audit" -> ((s, d) =>
+      AuditOps.quantileSketchAudit(orders(s, d))),
     "category_growth" -> ((s, d) =>
       Analytics.categoryGrowth(lineitem(s, d), part(s, d))),
     "snapshot_diff" -> ((s, d) => {

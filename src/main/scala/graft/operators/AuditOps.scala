@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Warehouse data-quality audits — the checks a warehouse team runs after
@@ -97,6 +98,51 @@ object AuditOps {
       .select(col("src_col"), col("digit").cast("long").as("digit"), col("n_obs"),
         col("obs_micro"), expCase.as("exp_micro"))
       .withColumn("dev_micro", abs(col("obs_micro") - col("exp_micro")))
+  }
+
+  /** Sketch-governance audit for approximate percentiles: per order
+    * priority, the EXACT P50/P90 (nearest-rank over the value-CDF — the
+    * scale-safe formulation: the ranked window runs on distinct values,
+    * never a row sort) next to `percentile_approx`'s answer, verified to
+    * sit inside its contractual rank-error band (±n/accuracy, +1 for the
+    * definitional off-by-one between nearest-rank and the sketch's
+    * target). The booleans are the audit: the oracle pins them TRUE, so
+    * a sketch drifting out of contract fails the hash gate. This is the
+    * "is the cheap estimator still trustworthy" check a 100 TB pipeline
+    * runs before replacing exact quantiles with sketches.
+    */
+  def quantileSketchAudit(orders: DataFrame, accuracy: Int = 1000): DataFrame = {
+    val vals = orders.select(col("o_orderpriority"),
+      floor(col("o_totalprice") * 100.0).cast("long").as("cents"))
+    val byVal = vals.groupBy(col("o_orderpriority"), col("cents"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy(col("o_orderpriority"))
+    val ranked = byVal
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(wT))
+    def r(p: Int) = expr(s"(total * $p + 99) div 100")
+    val e = expr(s"total div $accuracy") + lit(1L)
+    def at(rank: Column, name: String) =
+      min(when(col("cum") >= rank, col("cents"))).as(name)
+    val exact = ranked.groupBy(col("o_orderpriority")).agg(
+      max(col("total")).as("n_rows"),
+      at(r(50), "p50_cents"),
+      at(greatest(r(50) - e, lit(1L)), "p50_lo"),
+      at(least(r(50) + e, col("total")), "p50_hi"),
+      at(r(90), "p90_cents"),
+      at(greatest(r(90) - e, lit(1L)), "p90_lo"),
+      at(least(r(90) + e, col("total")), "p90_hi"))
+    val approx = vals.groupBy(col("o_orderpriority")).agg(
+      percentile_approx(col("cents"), lit(0.5), lit(accuracy)).as("a50"),
+      percentile_approx(col("cents"), lit(0.9), lit(accuracy)).as("a90"))
+    exact.join(approx, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_rows"),
+        round(col("p50_cents") / 100.0, 2).as("exact_p50"),
+        round(col("p90_cents") / 100.0, 2).as("exact_p90"),
+        col("a50").between(col("p50_lo"), col("p50_hi")).as("ok_p50"),
+        col("a90").between(col("p90_lo"), col("p90_hi")).as("ok_p90"))
   }
 
   /** Edit-distance record linkage over a name column — the

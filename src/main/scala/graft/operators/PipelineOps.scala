@@ -278,4 +278,36 @@ object PipelineOps {
           expr(s"(cum_tokens - n_tokens) div $budget")).as("pack_id"),
         ((col("cum_tokens") - col("n_tokens")) % budget).as("pack_offset"))
   }
+
+  /** Proportional token-budget apportionment across (lang, source)
+    * strata — "we can afford B training tokens; how many come from each
+    * stratum?" — via EXACT largest-remainder (Hamilton) rounding: base
+    * share ⌊B·avail/T⌋ per stratum, the Σbase→B shortfall distributed to
+    * the largest remainders (ties to stratum name). Σalloc = B exactly,
+    * no float ever enters. B·avail runs in DECIMAL(38,0): at lake scale
+    * (B, avail ~ 10¹³) the product crosses 2⁶³.
+    *
+    * Scale: one map-side-combined rollup of the corpus to |strata| rows;
+    * the apportionment windows run on that stratum table, never on docs.
+    */
+  def tokenBudgetAlloc(documents: DataFrame, budget: Long = 1000000L): DataFrame = {
+    val strata = documents
+      .select(col("lang"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("toks")).as("avail_tokens"))
+    val all = Window.partitionBy()
+    strata
+      .withColumn("total", sum(col("avail_tokens")).over(all))
+      .withColumn("p",
+        lit(budget).cast("decimal(38,0)") * col("avail_tokens"))
+      .withColumn("base", expr("cast(p div total as bigint)"))
+      .withColumn("rem", expr("cast(p % total as bigint)"))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(all))
+      .select(col("lang"), col("source"), col("avail_tokens"),
+        (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
 }

@@ -71,6 +71,20 @@ class AuditOpsSpec extends SparkSpec {
     assert(AuditOps.benfordExpMicro.map(_._2).sum >= 999990L) // floors sum just under 1e6
   }
 
+  test("quantileSketchAudit exact nearest-rank values with in-band sketch") {
+    // 1..100 dollars in one group: P50 = 50.00, P90 = 90.00
+    val orders = (1 to 100).map(i =>
+      (i.toLong, 1L, "O", i.toDouble, ts("2024-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = AuditOps.quantileSketchAudit(orders).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 100L)
+    assert(row.getDouble(2) == 50.0 && row.getDouble(3) == 90.0)
+    assert(row.getBoolean(4) && row.getBoolean(5))
+  }
+
   test("nameFuzzyPairs has full recall at distance 1 via symmetric delete") {
     val customer = Seq(
       (1L, "Customer#000000001", 1, 0.0, "AUTO"),

@@ -199,4 +199,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("fr") == ((15L, 3L, 375000L)))
     assert(out("de") == ((1L, 1L, 125000L)))
   }
+
+  test("tokenBudgetAlloc apportions exactly via largest remainder") {
+    val d = Seq(
+      (1L, "a b c d e f", "en", "src0", 11L),  // 6 tokens
+      (2L, "a b c", "en", "src1", 5L),         // 3 tokens
+      (3L, "x", "de", "src0", 1L))             // 1 token
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // budget 7, total 10: p = 42,21,7 → base 4,2,0, rem 2,1,7 → leftover 1
+    // goes to the largest remainder (de/src0) — it gets a token despite a
+    // zero base share; Σalloc = budget exactly
+    val out = PipelineOps.tokenBudgetAlloc(d, budget = 7L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(("en", "src0")) == ((6L, 4L)))
+    assert(out(("en", "src1")) == ((3L, 2L)))
+    assert(out(("de", "src0")) == ((1L, 1L)))
+    assert(out.values.map(_._2).sum == 7L)
+  }
 }
