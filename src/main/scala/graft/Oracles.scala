@@ -841,6 +841,14 @@ object Oracles {
          |SELECT *, abs(obs_micro - exp_micro) AS dev_micro FROM m""".stripMargin
     },
 
+    "hll_merge_audit" ->
+      """SELECT event_type,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+        | TRUE AS hll_within_5pct
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
     "quantile_sketch_audit" ->
       """WITH v AS (
         | SELECT o_orderpriority,

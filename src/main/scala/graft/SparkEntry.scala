@@ -156,6 +156,7 @@ object SparkEntry {
     "name_fuzzy_pairs" -> ((s, d) => AuditOps.nameFuzzyPairs(customer(s, d))),
     "quantile_sketch_audit" -> ((s, d) =>
       AuditOps.quantileSketchAudit(orders(s, d))),
+    "hll_merge_audit" -> ((s, d) => Analytics.hllMergeAudit(events(s, d))),
     "category_growth" -> ((s, d) =>
       Analytics.categoryGrowth(lineitem(s, d), part(s, d))),
     "snapshot_diff" -> ((s, d) => {

@@ -517,6 +517,19 @@ class AnalyticsSpec extends SparkSpec {
       (202402L, 1L, 1L, 30.0, 70.0, 500000L)))
   }
 
+  test("hllMergeAudit merged daily sketches agree with exact distincts") {
+    val events = Seq(
+      (1L, 10L, "CLICK", 1.0, ts("2024-01-01")),
+      (2L, 10L, "CLICK", 1.0, ts("2024-01-02")),  // same user, other day
+      (3L, 20L, "CLICK", 1.0, ts("2024-01-02")),
+      (4L, 30L, "VIEW", 1.0, ts("2024-01-01")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Analytics.hllMergeAudit(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("CLICK") == ((2L, true)))  // cross-day union dedups user 10
+    assert(out("VIEW") == ((1L, true)))
+  }
+
   test("categoryGrowth reports exact YoY micro growth, null on gaps") {
     val li = Seq(
       (1L, 100L, 100.0, 0.0, ts("1995-03-01")),
