@@ -849,6 +849,35 @@ object Oracles {
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |GROUP BY 1""".stripMargin,
 
+    "equi_depth_histogram" ->
+      """WITH v AS (
+        | SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |        COUNT(*) AS cnt
+        | FROM orders GROUP BY 1),
+        |c AS (
+        | SELECT cents, cnt,
+        |        SUM(cnt) OVER (ORDER BY cents) AS cum,
+        |        SUM(cnt) OVER () AS total
+        | FROM v)
+        |SELECT CAST(((cum - cnt) * 8) // total AS INT) AS bucket,
+        |       round(MIN(cents) / 100.0, 2) AS lo_price,
+        |       round(MAX(cents) / 100.0, 2) AS hi_price,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |       COUNT(*) AS n_values
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "partition_stats" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        | COUNT(*) AS n_rows,
+        | CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+        | CAST(MAX(l_quantity) AS BIGINT) AS max_qty,
+        | round(MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS min_price,
+        | round(MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS max_price,
+        | CAST(MIN(l_shipdate) AS DATE) AS min_shipdate,
+        | CAST(MAX(l_shipdate) AS DATE) AS max_shipdate,
+        | CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "quantile_sketch_audit" ->
       """WITH v AS (
         | SELECT o_orderpriority,

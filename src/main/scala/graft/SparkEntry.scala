@@ -157,6 +157,9 @@ object SparkEntry {
     "quantile_sketch_audit" -> ((s, d) =>
       AuditOps.quantileSketchAudit(orders(s, d))),
     "hll_merge_audit" -> ((s, d) => Analytics.hllMergeAudit(events(s, d))),
+    "equi_depth_histogram" -> ((s, d) =>
+      Analytics.equiDepthHistogram(orders(s, d))),
+    "partition_stats" -> ((s, d) => AuditOps.partitionStats(lineitem(s, d))),
     "category_growth" -> ((s, d) =>
       Analytics.categoryGrowth(lineitem(s, d), part(s, d))),
     "snapshot_diff" -> ((s, d) => {

@@ -717,6 +717,39 @@ object Analytics {
         round(max(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
           .as("max_price"))
 
+  /** Equi-depth (equi-height) price histogram — the statistic a
+    * cost-based optimizer's ANALYZE collects for selectivity estimation,
+    * computed engine-side and exactly. Buckets are assigned on the
+    * DISTINCT-value CDF (each distinct price lands in the bucket of its
+    * starting rank, so ties never split across buckets and the result is
+    * deterministic — the property a sort-based NTILE over raw rows lacks).
+    *
+    * Scale: the corpus is touched once by a map-side-combined grouped
+    * count; the only global window runs over DISTINCT prices, which is
+    * domain-bounded (cents values), never corpus-sized. Bucket bounds in
+    * exact cents; `cum·B` stays well inside BIGINT for any real corpus.
+    */
+  def equiDepthHistogram(orders: DataFrame, buckets: Int = 8): DataFrame = {
+    val perValue = orders
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("bucket",
+        expr(s"CAST(((cum - cnt) * $buckets) DIV total AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(round(min(col("cents")) / 100.0, 2).as("lo_price"),
+        round(max(col("cents")) / 100.0, 2).as("hi_price"),
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_values"))
+  }
+
   /** Orders with at least one line shipped more than `lateDays` after the
     * order date, counted per priority — the TPC-H Q4 shape (EXISTS →
     * left-semi join with an inequality residual). The semi join keeps the

@@ -145,6 +145,35 @@ object AuditOps {
         col("a90").between(col("p90_lo"), col("p90_hi")).as("ok_p90"))
   }
 
+  /** Lakehouse-manifest-style partition statistics: per ship-month of
+    * the line fact, row count plus min/max/null-count for the pruning
+    * columns (quantity, price, shipdate). This is exactly the metadata a
+    * Delta/Iceberg manifest carries per file — computed engine-side it
+    * (a) audits that a partitioned layout WOULD skip (tight non-
+    * overlapping bounds ⇒ a price/date predicate prunes whole months)
+    * and (b) feeds external tools that plan reads from stats alone.
+    *
+    * Scale: one map-side-combined grouped scan of the fact; output is
+    * |months|-sized. All stats are commutative aggregates — at 100 TB
+    * this parallelizes perfectly and nothing but the final rollup moves.
+    */
+  def partitionStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_quantity"), col("l_shipdate"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).cast("long").as("min_qty"),
+        max(col("l_quantity")).cast("long").as("max_qty"),
+        round(min(col("cents")) / 100.0, 2).as("min_price"),
+        round(max(col("cents")) / 100.0, 2).as("max_price"),
+        to_date(min(col("l_shipdate"))).as("min_shipdate"),
+        to_date(max(col("l_shipdate"))).as("max_shipdate"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+          .as("null_qty"))
+
   /** Edit-distance record linkage over a name column — the
     * entity-resolution primitive (find near-identical identities), via
     * symmetric-delete (SymSpell) candidate generation: each name emits

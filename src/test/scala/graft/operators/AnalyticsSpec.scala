@@ -530,6 +530,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("VIEW") == ((1L, true)))
   }
 
+  test("equiDepthHistogram assigns whole distinct values to CDF buckets") {
+    // 8 rows over 4 distinct prices; B=2 buckets of ~4 rows each.
+    // Value 10.00 has 3 rows (ranks 0-2 → bucket 0), 20.00 has 3 (ranks
+    // 3-5 → starting rank 3*2/8=0 → bucket 0), 30.00 ranks 6 → bucket 1,
+    // 40.00 rank 7 → bucket 1. Ties never split across buckets.
+    val orders = (1L to 3L).map(i => (i, 10.0)) ++
+      (4L to 6L).map(i => (i, 20.0)) ++ Seq((7L, 30.0), (8L, 40.0))
+    val df = orders.toDF("o_orderkey", "o_totalprice")
+    val out = Analytics.equiDepthHistogram(df, buckets = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0) == ((10.0, 20.0, 6L, 2L)))
+    assert(out(1) == ((30.0, 40.0, 2L, 2L)))
+  }
+
   test("categoryGrowth reports exact YoY micro growth, null on gaps") {
     val li = Seq(
       (1L, 100L, 100.0, 0.0, ts("1995-03-01")),

@@ -99,4 +99,23 @@ class AuditOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1L), (1L, 4L, 1L), (1L, 5L, 1L),
       (2L, 3L, 1L), (4L, 5L, 1L)))
   }
+
+  test("partitionStats emits manifest-grade min/max/null stats per month") {
+    val li = Seq(
+      (1L, 1L, 1L, 1, 5.0, 100.50, 0.0, 0.0, "N", "O", ts("1995-03-01")),
+      (2L, 1L, 1L, 1, 9.0, 200.25, 0.0, 0.0, "N", "O", ts("1995-03-20")),
+      (3L, 1L, 1L, 1, 2.0, 50.00, 0.0, 0.0, "N", "O", ts("1995-04-02")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val out = AuditOps.partitionStats(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val mar = out("1995-03")
+    assert(mar.getLong(1) == 2L && mar.getLong(2) == 5L && mar.getLong(3) == 9L)
+    assert(mar.getDouble(4) == 100.50 && mar.getDouble(5) == 200.25)
+    assert(mar.getDate(6).toString == "1995-03-01" &&
+      mar.getDate(7).toString == "1995-03-20")
+    assert(mar.getLong(8) == 0L)
+    assert(out("1995-04").getLong(1) == 1L)
+  }
 }
