@@ -202,8 +202,11 @@ object AuditOps {
       // every position in the run — dedupe, or buckets fan out quadratically
       .distinct()
     // join on the 64-bit key hash, not the string: half the shuffle bytes;
-    // a hash collision only adds a candidate the exact verify rejects
+    // a hash collision only adds a candidate the exact verify rejects.
+    // Persisted: both sides of the self-join read this, and without the
+    // pin each side re-pays the explode + distinct derivation.
     val hashed = keys.select(xxhash64(col("k")).as("h"), col("id"), col("name"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = hashed.select(col("h"), col("id").as("id_a"), col("name").as("name_a"))
     val right = hashed.select(col("h"), col("id").as("id_b"), col("name").as("name_b"))
     left.join(right, Seq("h"))

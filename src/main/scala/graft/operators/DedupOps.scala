@@ -320,7 +320,6 @@ object DedupOps {
     Memo.cached("clusters", documents)(dedupClustersImpl)
 
   private def dedupClustersImpl(documents: DataFrame): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = dedupMinhashLsh(documents).select(col("doc_a"), col("doc_b"))
     // localCheckpoint (not persist): iterative plans otherwise re-derive
     // the whole lineage each round — the checkpoint pins round N's labels
@@ -338,21 +337,25 @@ object DedupOps {
       val t0 = System.nanoTime()
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(edges("dst").as("node"), labels("cluster_id"))
+      // no persist: the self-join reads the identical subplan twice and
+      // Spark's ReusedExchange dedups it inside the one checkpoint job
       val onehop = labels.select(col("node"), col("cluster_id")).union(prop)
         .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(lvl)
       // pointer doubling: a label is always a node of the same component,
-      // so jump straight to that node's (smaller-or-equal) label
+      // so jump straight to that node's (smaller-or-equal) label. The
+      // changed flag rides the SAME checkpoint job (vs a separate
+      // join+count job per round — the fixed-overhead killer when the
+      // graph is small); the convergence count is then a leaf-only scan.
       val next = onehop
         .join(onehop.select(col("node").as("mid"), col("cluster_id").as("lbl2")),
           col("cluster_id") === col("mid"))
         .select(col("node"), col("lbl2").as("cluster_id"))
+        .join(labels.select(col("node"), col("cluster_id").as("prev")), Seq("node"))
+        .select(col("node"), col("cluster_id"),
+          (col("cluster_id") < col("prev")).as("chg"))
         .localCheckpoint(true)
-      changed = next.join(
-        labels.select(col("node"), col("cluster_id").as("prev")), Seq("node"))
-        .filter(col("cluster_id") < col("prev")).count()
-      onehop.unpersist()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("node"), col("cluster_id"))
       rounds += 1
       if (dbg) println(s"[cc] round $rounds changed=$changed ${(System.nanoTime()-t0)/1e9}s")
     }

@@ -25,9 +25,19 @@ object GraphOps {
 
   /** Distinct (src_nation, dst_nation) trade edges: supplier's nation →
     * ordering customer's nation, with the supplier-side projection
-    * reduced to (orderkey, src) BEFORE the fact-fact join.
+    * reduced to (orderkey, src) BEFORE the fact-fact join. Memoized
+    * (key = every input's plan): PageRank and the triangle count both
+    * consume this ≤|nations|²-row list, and the fact-fact join behind it
+    * is by far their dominant cost — one session derives it once.
     */
   private def tradeEdges(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
+    Memo.cachedMulti("trade_edges",
+      Seq(lineitem, orders, customer, supplier, nation)) {
+      tradeEdgesImpl(lineitem, orders, customer, supplier, nation)
+    }
+
+  private def tradeEdgesImpl(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
     val n = broadcast(nation.select(col("n_nationkey"), col("n_name")))
     val lineSide = lineitem.select(col("l_orderkey"), col("l_suppkey"))
