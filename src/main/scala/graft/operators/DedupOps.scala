@@ -197,20 +197,32 @@ object DedupOps {
     */
   def dedupNgramJaccard(documents: DataFrame, tau: Double = 0.5, dfCap: Int = 50): DataFrame = {
     val tauMicro = math.round(tau * 1e6)
-    // distinct (doc, shingle-hash) pairs — the working set every later
-    // stage joins against; persisted because it feeds 4 branches
-    val shd = shingleHashRows(documents, 5)
-      .distinct()
+    // Per-doc DISTINCT shingle sets as arrays — THE working set: the
+    // per-doc size comes free (size(xs)), document frequencies explode
+    // from it, and the exact verify reads the arrays directly. One
+    // corpus-sized shuffle builds it (vs. the previous distinct-pass +
+    // separate sizes agg + late per-doc re-collection — two corpus
+    // shuffles saved). Agg state per doc is O(its distinct shingles),
+    // the same bound as the document text itself.
+    val docSets = shingleHashRows(documents, 5)
+      .groupBy(col("doc_id")).agg(collect_set(col("x")).as("xs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfs = shd.groupBy(col("x")).agg(count(lit(1)).as("df"))
-    val kept = shd.join(dfs, Seq("x"))
-      .join(sizes, Seq("doc_id"))
+    val dfs = docSets.select(explode(col("xs")).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("df"))
+    // df-cap BEFORE the rank window: rows with df > dfCap sort strictly
+    // after every df ≤ dfCap row in the (df, x) ascending prefix order,
+    // so dropping them first cannot change any surviving row's rank —
+    // and the window sort input loses the common-shingle mass (the bulk
+    // of the rows). `n` stays the ORIGINAL per-doc distinct count.
+    val kept = docSets
+      .select(col("doc_id"), size(col("xs")).cast("long").as("n"),
+        explode(col("xs")).as("x"))
+      .join(dfs, Seq("x"))
+      .filter(col("df") <= dfCap)
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("x"))))
       .filter(col("rnk") <=
-        col("n") - expr(s"(n * $tauMicro + 999999) div 1000000") + 1 &&
-        col("df") <= dfCap)
+        col("n") - expr(s"(n * $tauMicro + 999999) div 1000000") + 1)
       .select("doc_id", "x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = kept.select(col("x"), col("doc_id").as("doc_a"))
@@ -218,24 +230,19 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // only candidate docs' shingles matter for the intersection — the
+    // only candidate docs' sets matter for the intersection — the
     // broadcast semi-join cuts the verify stage's input from the WHOLE
-    // corpus-sized shingle set to the (dfCap-bounded) candidate docs'
-    // rows, so the corpus never shuffles through the pair-verify joins
+    // corpus to the (dfCap-bounded) candidate docs' rows, so the corpus
+    // arrays never shuffle through the pair-verify joins. The verify
+    // carries one row per CANDIDATE PAIR (two doc-length-bounded
+    // arrays), not a pair × shingle row explosion (measured 3× on this
+    // stage). Set sizes double as |A|, |B| (no extra sizes joins).
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val shdC = shd.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    // exact intersection via per-doc shingle sets + array_intersect: the
-    // verify joins carry one row per CANDIDATE PAIR (each with two
-    // doc-length-bounded arrays), not the pair × shingle row explosion a
-    // shingle-grain join-group pays (measured 3× on this stage). Agg
-    // state per doc is O(its distinct shingles) — the same bound as the
-    // document text itself. Set sizes double as |A|, |B| (no extra
-    // sizes joins).
-    val docSets = shdC.groupBy(col("doc_id")).agg(collect_list(col("x")).as("xs"))
+    val dsC = docSets.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     cands
-      .join(docSets.select(col("doc_id").as("doc_a"), col("xs").as("xs_a")), Seq("doc_a"))
-      .join(docSets.select(col("doc_id").as("doc_b"), col("xs").as("xs_b")), Seq("doc_b"))
+      .join(dsC.select(col("doc_id").as("doc_a"), col("xs").as("xs_a")), Seq("doc_a"))
+      .join(dsC.select(col("doc_id").as("doc_b"), col("xs").as("xs_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("xs_a"), col("xs_b"))).cast("long").as("inter"),
         size(col("xs_a")).cast("long").as("na"),
