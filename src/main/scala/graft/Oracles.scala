@@ -859,12 +859,80 @@ object Oracles {
         |        SUM(cnt) OVER (ORDER BY cents) AS cum,
         |        SUM(cnt) OVER () AS total
         | FROM v)
-        |SELECT CAST(((cum - cnt) * 8) // total AS INT) AS bucket,
+        |SELECT CAST(((cum - cnt) * 8) // total + 1 AS INT) AS bucket,
         |       round(MIN(cents) / 100.0, 2) AS lo_price,
         |       round(MAX(cents) / 100.0, 2) AS hi_price,
         |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
         |       COUNT(*) AS n_values
         |FROM c GROUP BY 1""".stripMargin,
+
+    "rfm_segments" ->
+      """WITH cust AS (
+        | SELECT o_custkey,
+        |        MAX(CAST(o_orderdate AS DATE)) AS last_d,
+        |        COUNT(*) AS freq,
+        |        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        | FROM orders GROUP BY 1),
+        |mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+        |base AS (
+        | SELECT o_custkey, CAST(date_diff('day', last_d, max_d) AS BIGINT) AS rec_days,
+        |        freq, cents
+        | FROM cust CROSS JOIN mx),
+        |tr AS (
+        | SELECT MIN(CASE WHEN cum >= (n * 33 + 99) // 100 THEN v END) AS t33,
+        |        MIN(CASE WHEN cum >= (n * 66 + 99) // 100 THEN v END) AS t66
+        | FROM (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n
+        |       FROM (SELECT rec_days AS v, COUNT(*) AS cnt FROM base GROUP BY 1))),
+        |tf AS (
+        | SELECT MIN(CASE WHEN cum >= (n * 33 + 99) // 100 THEN v END) AS t33,
+        |        MIN(CASE WHEN cum >= (n * 66 + 99) // 100 THEN v END) AS t66
+        | FROM (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n
+        |       FROM (SELECT freq AS v, COUNT(*) AS cnt FROM base GROUP BY 1))),
+        |tm AS (
+        | SELECT MIN(CASE WHEN cum >= (n * 33 + 99) // 100 THEN v END) AS t33,
+        |        MIN(CASE WHEN cum >= (n * 66 + 99) // 100 THEN v END) AS t66
+        | FROM (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n
+        |       FROM (SELECT cents AS v, COUNT(*) AS cnt FROM base GROUP BY 1))),
+        |scored AS (
+        | SELECT b.*,
+        |  CASE WHEN rec_days <= tr.t33 THEN 3 WHEN rec_days <= tr.t66 THEN 2 ELSE 1 END AS r,
+        |  CASE WHEN freq <= tf.t33 THEN 1 WHEN freq <= tf.t66 THEN 2 ELSE 3 END AS f,
+        |  CASE WHEN cents <= tm.t33 THEN 1 WHEN cents <= tm.t66 THEN 2 ELSE 3 END AS m
+        | FROM base b, tr, tf, tm)
+        |SELECT CASE
+        |   WHEN r = 3 AND f = 3 AND m = 3 THEN 'champion'
+        |   WHEN r = 3 AND f >= 2 THEN 'loyal'
+        |   WHEN r >= 2 AND m = 3 THEN 'big_spender'
+        |   WHEN r = 1 AND f >= 2 THEN 'at_risk'
+        |   WHEN r = 1 THEN 'hibernating'
+        |   ELSE 'regular' END AS segment,
+        | COUNT(*) AS n_customers,
+        | CAST(SUM(rec_days) AS BIGINT) AS sum_rec_days,
+        | CAST(SUM(freq) AS BIGINT) AS sum_orders,
+        | round(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS total_spend
+        |FROM scored GROUP BY 1""".stripMargin,
+
+    "spend_decile_lift" ->
+      """WITH spend AS (
+        | SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        | FROM orders GROUP BY 1),
+        |v AS (SELECT cents, COUNT(*) AS cnt FROM spend GROUP BY 1),
+        |c AS (
+        | SELECT cents, cnt,
+        |        SUM(cnt) OVER (ORDER BY cents DESC) AS cum,
+        |        SUM(cnt) OVER () AS n
+        | FROM v),
+        |d AS (
+        | SELECT CAST(((cum - cnt) * 10) // n + 1 AS INT) AS decile,
+        |        CAST(SUM(cnt) AS BIGINT) AS n_customers,
+        |        SUM(cents::HUGEINT * cnt) AS rev_cents
+        | FROM c GROUP BY 1)
+        |SELECT decile, n_customers,
+        | round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS revenue,
+        | CAST((rev_cents * 1000000) // SUM(rev_cents) OVER () AS BIGINT) AS rev_share_micro,
+        | CAST((rev_cents * SUM(n_customers) OVER () * 1000000) //
+        |      (n_customers::HUGEINT * SUM(rev_cents) OVER ()) AS BIGINT) AS lift_micro
+        |FROM d""".stripMargin,
 
     "partition_stats" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

@@ -159,6 +159,8 @@ object SparkEntry {
     "hll_merge_audit" -> ((s, d) => Analytics.hllMergeAudit(events(s, d))),
     "equi_depth_histogram" -> ((s, d) =>
       Analytics.equiDepthHistogram(orders(s, d))),
+    "rfm_segments" -> ((s, d) => Analytics.rfmSegments(orders(s, d))),
+    "spend_decile_lift" -> ((s, d) => Analytics.spendDecileLift(orders(s, d))),
     "partition_stats" -> ((s, d) => AuditOps.partitionStats(lineitem(s, d))),
     "category_growth" -> ((s, d) =>
       Analytics.categoryGrowth(lineitem(s, d), part(s, d))),

@@ -717,6 +717,111 @@ object Analytics {
         round(max(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
           .as("max_price"))
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic CRM warehouse rollup. Each dimension scores 1–3 against its
+    * own nearest-rank P33/P66 thresholds, computed on the DISTINCT-value
+    * CDF (deterministic under ties; the only windows run over distinct
+    * metric values, never the customer table, and thresholds broadcast
+    * back). Segment labels follow the standard RFM playbook; output is
+    * the |segments|-row rollup with exact integer sums.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val cust = orders
+      .select(col("o_custkey"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("freq"), sum(col("cents")).as("cents"))
+    val maxD = orders.agg(max(to_date(col("o_orderdate"))).as("max_d"))
+    // customer-grain base read by three threshold aggs + the final
+    // scoring pass — persist, or the orders rollup runs four times
+    val scored0 = cust.crossJoin(broadcast(maxD))
+      .withColumn("rec_days", datediff(col("max_d"), col("last_d")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nearest-rank P33/P66 per dimension from the distinct-value CDF:
+    // t = MIN value whose cumulative count ≥ ceil(p·n) — exact integer
+    // rank arithmetic shared verbatim with the oracle
+    def thresholds(metric: String): DataFrame = {
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored0.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .agg(
+          min(when(col("cum") >= expr("(n * 33 + 99) div 100"), col("v")))
+            .as(s"${metric}_t33"),
+          min(when(col("cum") >= expr("(n * 66 + 99) div 100"), col("v")))
+            .as(s"${metric}_t66"))
+    }
+    def score(metric: String, lowIsGood: Boolean): org.apache.spark.sql.Column = {
+      val lo = col(s"${metric}_t33"); val hi = col(s"${metric}_t66")
+      if (lowIsGood)
+        when(col(metric) <= lo, 3L).when(col(metric) <= hi, 2L).otherwise(1L)
+      else
+        when(col(metric) <= lo, 1L).when(col(metric) <= hi, 2L).otherwise(3L)
+    }
+    scored0
+      .crossJoin(broadcast(thresholds("rec_days")))
+      .crossJoin(broadcast(thresholds("freq")))
+      .crossJoin(broadcast(thresholds("cents")))
+      .withColumn("r", score("rec_days", lowIsGood = true))
+      .withColumn("f", score("freq", lowIsGood = false))
+      .withColumn("m", score("cents", lowIsGood = false))
+      .withColumn("segment",
+        when(col("r") === 3 && col("f") === 3 && col("m") === 3, "champion")
+          .when(col("r") === 3 && col("f") >= 2, "loyal")
+          .when(col("r") >= 2 && col("m") === 3, "big_spender")
+          .when(col("r") === 1 && col("f") >= 2, "at_risk")
+          .when(col("r") === 1, "hibernating")
+          .otherwise("regular"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rec_days")).as("sum_rec_days"),
+        sum(col("freq")).as("sum_orders"),
+        round((sum(col("cents").cast("decimal(38,0)")) / 100.0).cast("double"),
+          2).as("total_spend"))
+  }
+
+  /** Decile lift table over customer spend — the marketing-analytics
+    * standard ("the top decile carries X× its share"). Deciles are
+    * assigned on the DISTINCT-spend CDF in DESCENDING order (ties share
+    * a decile — deterministic), shares and lift in exact integer micro
+    * units: lift = (decile revenue · total customers · 10⁶) div
+    * (decile customers · total revenue).
+    */
+  def spendDecileLift(orders: DataFrame): DataFrame = {
+    val spend = orders
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+    val w = Window.orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spend.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("decile", expr("((cum - cnt) * 10) div n + 1").cast("int"))
+      .groupBy(col("decile"))
+      // cents·cnt and the micro products cross 2⁶³ at corpus scale —
+      // DECIMAL(38,0) throughout, BIGINT only at the final projection
+      .agg(sum(col("cnt")).as("n_customers"),
+        sum(col("cents").cast("decimal(38,0)") * col("cnt")).as("rev_cents"))
+      .withColumn("total_rev", sum(col("rev_cents")).over(all))
+      .withColumn("total_cust", sum(col("n_customers")).over(all))
+      .select(col("decile"), col("n_customers"),
+        round((col("rev_cents") / 100.0).cast("double"), 2).as("revenue"),
+        expr("CAST((rev_cents * 1000000) DIV total_rev AS BIGINT)")
+          .as("rev_share_micro"),
+        expr("CAST((rev_cents * total_cust * 1000000) DIV " +
+          "(CAST(n_customers AS DECIMAL(38,0)) * total_rev) AS BIGINT)")
+          .as("lift_micro"))
+  }
+
   /** Equi-depth (equi-height) price histogram — the statistic a
     * cost-based optimizer's ANALYZE collects for selectivity estimation,
     * computed engine-side and exactly. Buckets are assigned on the
@@ -730,23 +835,14 @@ object Analytics {
     * exact cents; `cum·B` stays well inside BIGINT for any real corpus.
     */
   def equiDepthHistogram(orders: DataFrame, buckets: Int = 8): DataFrame = {
-    val perValue = orders
+    val vals = orders
       .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
         .as("cents"))
-      .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perValue
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("total", sum(col("cnt")).over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      .withColumn("bucket",
-        expr(s"CAST(((cum - cnt) * $buckets) DIV total AS INT)"))
-      .groupBy(col("bucket"))
+    OpUtils.cdfBuckets(vals, "cents", buckets)
+      .groupBy(col("bucket").cast("int").as("bucket"))
       .agg(round(min(col("cents")) / 100.0, 2).as("lo_price"),
         round(max(col("cents")) / 100.0, 2).as("hi_price"),
-        sum(col("cnt")).as("n_rows"),
+        sum(col("n")).as("n_rows"),
         count(lit(1)).as("n_values"))
   }
 

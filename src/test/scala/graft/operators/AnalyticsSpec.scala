@@ -530,19 +530,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("VIEW") == ((1L, true)))
   }
 
+  test("rfmSegments scores against nearest-rank terciles and labels segments") {
+    // 3 customers: #1 recent+frequent+big (champion), #2 middling,
+    // #3 stale single small order (hibernating).
+    val orders = Seq(
+      (1L, 1L, "O", 1000.0, ts("2024-06-01"), "1-URGENT"),
+      (2L, 1L, "O", 1000.0, ts("2024-06-02"), "1-URGENT"),
+      (3L, 1L, "O", 1000.0, ts("2024-06-03"), "1-URGENT"),
+      (4L, 2L, "O", 500.0, ts("2024-03-01"), "1-URGENT"),
+      (5L, 2L, "O", 500.0, ts("2024-03-02"), "1-URGENT"),
+      (6L, 3L, "O", 100.0, ts("2023-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Analytics.rfmSegments(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out("champion") == ((1L, 3L, 3000.0)))
+    assert(out.contains("hibernating"))
+    assert(out.values.map(_._1).sum == 3L)
+  }
+
+  test("spendDecileLift ties share a decile; shares and lift exact micro") {
+    // 10 customers, one spends 10x the rest: top decile carries
+    // 1000/1900 of revenue → lift ≈ 5.26x.
+    val orders = ((1L to 9L).map(i => (i, i, 100.0)) :+ (10L, 10L, 1000.0))
+      .map { case (k, c, p) => (k, c, "O", p, ts("2024-01-01"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Analytics.spendDecileLift(orders).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out(1) == ((1L, 1000.0, 526315L, 5263157L)))
+    // the nine tied customers all land in decile 2 (ties never split)
+    assert(out(2) == ((9L, 900.0, 473684L, 526315L)))
+    assert(out.size == 2)
+  }
+
   test("equiDepthHistogram assigns whole distinct values to CDF buckets") {
     // 8 rows over 4 distinct prices; B=2 buckets of ~4 rows each.
-    // Value 10.00 has 3 rows (ranks 0-2 → bucket 0), 20.00 has 3 (ranks
-    // 3-5 → starting rank 3*2/8=0 → bucket 0), 30.00 ranks 6 → bucket 1,
-    // 40.00 rank 7 → bucket 1. Ties never split across buckets.
+    // Value 10.00 has 3 rows (start rank 0 → bucket 1), 20.00 has 3
+    // (start rank 3, 3*2/8=0 → bucket 1), 30.00 starts at 6 → bucket 2,
+    // 40.00 at 7 → bucket 2. Ties never split across buckets.
     val orders = (1L to 3L).map(i => (i, 10.0)) ++
       (4L to 6L).map(i => (i, 20.0)) ++ Seq((7L, 30.0), (8L, 40.0))
     val df = orders.toDF("o_orderkey", "o_totalprice")
     val out = Analytics.equiDepthHistogram(df, buckets = 2).collect()
       .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2),
         r.getLong(3), r.getLong(4)))).toMap
-    assert(out(0) == ((10.0, 20.0, 6L, 2L)))
-    assert(out(1) == ((30.0, 40.0, 2L, 2L)))
+    assert(out(1) == ((10.0, 20.0, 6L, 2L)))
+    assert(out(2) == ((30.0, 40.0, 2L, 2L)))
   }
 
   test("categoryGrowth reports exact YoY micro growth, null on gaps") {
