@@ -15,6 +15,11 @@ object GraftSession {
     builder
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // size-first coalescing (the production recommendation): shuffles
+      // shrink to what their bytes justify instead of being held at the
+      // parallelism floor — dim-sized exchanges collapse to 1-2 tasks,
+      // which is most of the fixed overhead across a 170-query workload
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.parquet uses TIMESTAMP(NANOS): read as long ns

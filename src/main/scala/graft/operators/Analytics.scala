@@ -739,23 +739,33 @@ object Analytics {
     val scored0 = cust.crossJoin(broadcast(maxD))
       .withColumn("rec_days", datediff(col("max_d"), col("last_d")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // nearest-rank P33/P66 per dimension from the distinct-value CDF:
-    // t = MIN value whose cumulative count ≥ ceil(p·n) — exact integer
-    // rank arithmetic shared verbatim with the oracle
-    def thresholds(metric: String): DataFrame = {
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored0.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .withColumn("n", sum(col("cnt")).over(
-          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-        .agg(
-          min(when(col("cum") >= expr("(n * 33 + 99) div 100"), col("v")))
-            .as(s"${metric}_t33"),
-          min(when(col("cum") >= expr("(n * 66 + 99) div 100"), col("v")))
-            .as(s"${metric}_t66"))
-    }
+    // nearest-rank P33/P66 for ALL THREE dimensions in one melted pass:
+    // t = MIN value whose cumulative count ≥ ceil(p·n), computed on the
+    // per-dimension distinct-value CDF (exact integer rank arithmetic
+    // shared verbatim with the oracle). One shuffle + one window instead
+    // of three of each; the result folds to a single broadcast row.
+    val melted = scored0.select(explode(array(
+      struct(lit("r").as("dim"), col("rec_days").as("v")),
+      struct(lit("f").as("dim"), col("freq").as("v")),
+      struct(lit("m").as("dim"), col("cents").as("v")))).as("e"))
+      .select(col("e.dim").as("dim"), col("e.v").as("v"))
+    val wCum = Window.partitionBy(col("dim")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("dim"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perDim = melted.groupBy(col("dim"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("dim"))
+      .agg(
+        min(when(col("cum") >= expr("(n * 33 + 99) div 100"), col("v"))).as("t33"),
+        min(when(col("cum") >= expr("(n * 66 + 99) div 100"), col("v"))).as("t66"))
+    def pick(dim: String, t: String) =
+      min(when(col("dim") === dim, col(t)))
+    val thresholdRow = perDim.agg(
+      pick("r", "t33").as("rec_days_t33"), pick("r", "t66").as("rec_days_t66"),
+      pick("f", "t33").as("freq_t33"), pick("f", "t66").as("freq_t66"),
+      pick("m", "t33").as("cents_t33"), pick("m", "t66").as("cents_t66"))
     def score(metric: String, lowIsGood: Boolean): org.apache.spark.sql.Column = {
       val lo = col(s"${metric}_t33"); val hi = col(s"${metric}_t66")
       if (lowIsGood)
@@ -764,9 +774,7 @@ object Analytics {
         when(col(metric) <= lo, 1L).when(col(metric) <= hi, 2L).otherwise(3L)
     }
     scored0
-      .crossJoin(broadcast(thresholds("rec_days")))
-      .crossJoin(broadcast(thresholds("freq")))
-      .crossJoin(broadcast(thresholds("cents")))
+      .crossJoin(broadcast(thresholdRow))
       .withColumn("r", score("rec_days", lowIsGood = true))
       .withColumn("f", score("freq", lowIsGood = false))
       .withColumn("m", score("cents", lowIsGood = false))
