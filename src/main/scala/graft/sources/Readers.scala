@@ -78,4 +78,28 @@ object Readers {
   def parquetEvolved(spark: SparkSession, path: String,
       expected: Seq[String]): DataFrame =
     conform(spark.read.option("mergeSchema", "true").parquet(path), expected)
+
+  /** Read ONLY the files named by the directory's `_manifest` (written by
+    * [[Sinks.writeWithManifest]]) — the read side of the commit
+    * protocol: stragglers from failed or in-flight jobs sit on disk but
+    * are invisible, so every scan is a consistent snapshot. Throws if no
+    * manifest has ever been published (an uncommitted directory is not
+    * silently readable). The manifest is one small driver-side read; the
+    * data scan stays fully distributed over the listed files.
+    */
+  def readCommitted(spark: SparkSession, path: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(dir, "_manifest")
+    if (!fs.exists(manifest))
+      throw new java.io.FileNotFoundException(
+        s"$path has no _manifest — not a committed dataset")
+    val in = fs.open(manifest)
+    val names =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    val files = names.map(n => new org.apache.hadoop.fs.Path(dir, n).toString)
+    spark.read.parquet(files: _*)
+  }
 }

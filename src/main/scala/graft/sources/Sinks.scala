@@ -185,4 +185,45 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     n
   }
+
+  /** Manifest-committed write — the transaction-log commit protocol
+    * (Delta/Iceberg's core idea at its smallest): data files land first,
+    * then a `_manifest` file naming exactly the committed part files is
+    * published by an ATOMIC rename. A reader that goes through
+    * [[graft.sources.Readers.readCommitted]] sees either the complete
+    * new snapshot or none of it — never a torn write — and stragglers
+    * from a failed/concurrent job (present on disk, absent from the
+    * manifest) are invisible. Appends re-list + re-publish the manifest;
+    * the data files themselves are immutable once named.
+    */
+  def writeWithManifest(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    publishManifest(spark, path)
+  }
+
+  /** (Re)publish `_manifest` from the parquet files currently in `path`
+    * — temp-file + atomic rename, so readers never observe a partial
+    * manifest. Returns the committed file count.
+    */
+  def publishManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = {
+      val it = fs.listStatus(dir).iterator
+      it.map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted
+    }
+    val tmp = new org.apache.hadoop.fs.Path(dir, "._manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val manifest = new org.apache.hadoop.fs.Path(dir, "_manifest")
+    fs.delete(manifest, false)
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(s"manifest publish failed for $path")
+    names.size
+  }
 }

@@ -241,4 +241,28 @@ class SourcesSpec extends SparkSpec {
       .map(_.getName).filter(n => n.contains("staging") || n.contains("retired"))
     assert(leftovers.isEmpty, leftovers.toSeq.toString)
   }
+
+  test("manifest commit protocol: stragglers invisible, uncommitted throws") {
+    val dir = tmp()
+    val path = s"$dir/committed"
+    val df = (1L to 100L).map(i => (i, s"row $i")).toDF("id", "text")
+    val n = Sinks.writeWithManifest(df, path)
+    assert(n >= 1)
+    assert(Readers.readCommitted(spark, path).count() == 100)
+    // a straggler from a failed/concurrent job: on disk, not in manifest
+    Seq((999L, "orphan")).toDF("id", "text")
+      .write.mode("append").parquet(path)
+    assert(spark.read.parquet(path).count() == 101) // raw read sees it...
+    val committed = Readers.readCommitted(spark, path)
+    assert(committed.count() == 100) // ...the committed snapshot doesn't
+    assert(!committed.collect().map(_.getLong(0)).contains(999L))
+    // re-publishing adopts the straggler (the "commit" of an append)
+    Sinks.publishManifest(spark, path)
+    assert(Readers.readCommitted(spark, path).count() == 101)
+    // a directory without a manifest is not silently readable
+    df.write.parquet(s"$dir/uncommitted")
+    intercept[java.io.FileNotFoundException] {
+      Readers.readCommitted(spark, s"$dir/uncommitted")
+    }
+  }
 }
