@@ -102,4 +102,42 @@ object Readers {
     val files = names.map(n => new org.apache.hadoop.fs.Path(dir, n).toString)
     spark.read.parquet(files: _*)
   }
+
+  /** Time-travel read of a [[Sinks.commitSnapshot]] directory: the file
+    * set of `version` (default: the latest committed). Older snapshots
+    * stay readable after later commits because data files are immutable
+    * — `readSnapshot(spark, path, Some(1))` reproduces the first commit
+    * bit-for-bit forever.
+    */
+  def readSnapshot(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(Snapshots.versions(fs, dir).lastOption)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"$path has no committed snapshot"))
+    val files = Snapshots.files(fs, dir, v)
+      .map(n => new org.apache.hadoop.fs.Path(dir, n).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  /** Incremental (CDC-style) read: the rows ADDED between two committed
+    * snapshots — exactly the files named by `toVersion` but not by
+    * `fromVersion`. On an append-only lake this is the per-interval
+    * changelog consumers fold downstream; the scan is proportional to
+    * the delta, never the table.
+    */
+  def readChangesBetween(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = Snapshots.files(fs, dir, fromVersion).toSet
+    val added = Snapshots.files(fs, dir, toVersion).filterNot(before)
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        readSnapshot(spark, path, Some(toVersion)).schema)
+    else
+      spark.read.parquet(
+        added.map(n => new org.apache.hadoop.fs.Path(dir, n).toString): _*)
+  }
 }

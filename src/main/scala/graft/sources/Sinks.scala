@@ -226,4 +226,64 @@ object Sinks {
       throw new java.io.IOException(s"manifest publish failed for $path")
     names.size
   }
+
+  /** Commit the directory's current parquet files as an immutable
+    * numbered snapshot (`_manifest-v00001`, `-v00002`, …) — the Iceberg
+    * snapshot concept at its core. Each snapshot names the complete file
+    * set visible at commit time; data files are append-only and never
+    * rewritten, so every older snapshot stays readable forever
+    * ([[graft.sources.Readers.readSnapshot]] time travel) and the file-set
+    * DIFF between two snapshots is an incremental changelog
+    * ([[graft.sources.Readers.readChangesBetween]]). Returns the new
+    * version number. Publication is a temp-file + atomic rename; the
+    * "latest" snapshot needs no mutable pointer — it is simply the
+    * highest version present, so concurrent readers never see a torn
+    * update.
+    */
+  def commitSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .toSeq.sorted
+    val next = Snapshots.versions(fs, dir).lastOption.getOrElse(0) + 1
+    val tmp = new org.apache.hadoop.fs.Path(dir, f"._manifest-v$next%05d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val manifest = new org.apache.hadoop.fs.Path(dir, f"_manifest-v$next%05d")
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(s"snapshot commit failed for $path")
+    next
+  }
+}
+
+/** Shared snapshot-manifest naming/listing for [[Sinks]] and
+  * [[Readers]].
+  */
+private[sources] object Snapshots {
+  /** Ascending committed version numbers in `dir`. */
+  def versions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("_manifest-v\\d{5}") =>
+        n.stripPrefix("_manifest-v").toInt }
+      .toSeq.sorted
+
+  /** File names listed by one committed snapshot manifest. */
+  def files(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, version: Int): Seq[String] = {
+    val manifest = new org.apache.hadoop.fs.Path(dir, f"_manifest-v$version%05d")
+    if (!fs.exists(manifest))
+      throw new java.io.FileNotFoundException(
+        s"$dir has no committed snapshot v$version")
+    val in = fs.open(manifest)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
 }

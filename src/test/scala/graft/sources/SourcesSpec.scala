@@ -265,4 +265,34 @@ class SourcesSpec extends SparkSpec {
       Readers.readCommitted(spark, s"$dir/uncommitted")
     }
   }
+
+  test("versioned snapshots: time travel + incremental changes") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 100L).map(i => (i, s"row $i")).toDF("id", "text")
+      .write.parquet(path)
+    val v1 = Sinks.commitSnapshot(spark, path)
+    (101L to 150L).map(i => (i, s"row $i")).toDF("id", "text")
+      .write.mode("append").parquet(path)
+    val v2 = Sinks.commitSnapshot(spark, path)
+    assert(v1 == 1 && v2 == 2)
+    // latest sees everything committed; v1 time-travels to the original
+    assert(Readers.readSnapshot(spark, path).count() == 150)
+    assert(Readers.readSnapshot(spark, path, Some(1)).count() == 100)
+    // an uncommitted straggler is invisible to every snapshot
+    Seq((999L, "orphan")).toDF("id", "text")
+      .write.mode("append").parquet(path)
+    assert(Readers.readSnapshot(spark, path).count() == 150)
+    // incremental read = exactly the appended interval
+    val delta = Readers.readChangesBetween(spark, path, 1, 2)
+    assert(delta.count() == 50)
+    assert(delta.agg(org.apache.spark.sql.functions.min("id"))
+      .head.getLong(0) == 101L)
+    // empty delta between identical versions, schema preserved
+    val none = Readers.readChangesBetween(spark, path, 2, 2)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "text"))
+    intercept[java.io.FileNotFoundException] {
+      Readers.readSnapshot(spark, s"$dir/never-committed")
+    }
+  }
 }
