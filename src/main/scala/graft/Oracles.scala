@@ -2214,6 +2214,15 @@ object Oracles {
 
     "stratified_sample" -> stratifiedSampleSql,
 
+    "source_cap_sample" ->
+      s"""SELECT doc_id, source, cap_rank FROM (
+         | SELECT doc_id, source,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |   ORDER BY ${hash32Sql(s"'${graft.operators.PipelineOps.CapSalt}' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |   AS BIGINT) AS cap_rank
+         | FROM documents)
+         |WHERE cap_rank <= 10""".stripMargin,
+
     "dataset_split" ->
       s"""WITH b AS (
          | SELECT lang,

@@ -273,6 +273,8 @@ object SparkEntry {
     "type_token_ratio" -> ((s, d) => TextOps.typeTokenRatio(documents(s, d))),
     "stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(documents(s, d))),
     "dataset_split" -> ((s, d) => PipelineOps.datasetSplit(documents(s, d))),
+    "source_cap_sample" -> ((s, d) =>
+      PipelineOps.sourceCapSample(documents(s, d))),
     "mixture_report" -> ((s, d) => PipelineOps.mixtureReport(documents(s, d))),
     "token_pack" -> ((s, d) => PipelineOps.tokenPack(documents(s, d))),
     "doc_chunk" -> ((s, d) => PipelineOps.docChunk(documents(s, d))),

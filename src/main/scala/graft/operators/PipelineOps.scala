@@ -42,6 +42,31 @@ object PipelineOps {
       .filter(col("sample_bucket") < col("keep_rate_pct"))
   }
 
+  /** Salt for the per-source cap ranking — same versioned-redraw
+    * contract as [[SampleSalt]].
+    */
+  val CapSalt = "cap:v1:"
+
+  /** Per-source frequency cap — the domain-cap step of web-corpus
+    * curation (no single domain may dominate the mixture): keep at most
+    * `cap` documents per source, chosen by deterministic salted-hash
+    * rank (a reproducible uniform draw, not "first seen wins" — which at
+    * 100 TB would bias toward crawl order). The row_number ≤ cap filter
+    * compiles to WindowGroupLimit, so every map task keeps only `cap`
+    * rows per source BEFORE the shuffle — a hot domain with billions of
+    * docs never single-partitions the sort.
+    */
+  def sourceCapSample(documents: DataFrame, cap: Int = 10): DataFrame = {
+    val h = HashFns.hash32(concat(lit(CapSalt), col("doc_id").cast("string")))
+    documents
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("cap_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .filter(col("cap_rank") <= cap)
+      .select(col("doc_id"), col("source"), col("cap_rank"))
+  }
+
   /** Salt for the train/val/test assignment hash — bump to re-draw every
     * split deterministically (same contract as [[SampleSalt]]).
     */

@@ -217,4 +217,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(("de", "src0")) == ((1L, 1L)))
     assert(out.values.map(_._2).sum == 7L)
   }
+
+  test("sourceCapSample keeps at most cap docs per source, deterministically") {
+    val d = ((1L to 20L).map(i => (i, s"t$i", "en", "srcA", 2L)) ++
+      (21L to 25L).map(i => (i, s"t$i", "en", "srcB", 2L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = PipelineOps.sourceCapSample(d, cap = 8)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the oversized source is capped; the small one passes whole
+    assert(bySource == Map("srcA" -> 8L, "srcB" -> 5L))
+    // ranks are 1..k within each source and the draw is reproducible
+    assert(out.filter(col("source") === "srcA")
+      .agg(max("cap_rank")).head.getLong(0) == 8L)
+    val again = PipelineOps.sourceCapSample(d, cap = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }

@@ -184,6 +184,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Seq(("click", 4L, 4000L), ("view", 1L, 3000L)))
   }
 
+  test("snapshotIngestStream commits one readable snapshot per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/events"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.snapshotIngestStream(streamDF, table).start()
+    mem.addData(sampleEvents.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(sampleEvents.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    import graft.sources.Readers
+    // one snapshot per micro-batch; latest sees everything
+    assert(Readers.readSnapshot(spark, table).count() == sampleEvents.size)
+    assert(Readers.readSnapshot(spark, table, Some(1)).count() == 3)
+    // the incremental feed between the two commits is exactly batch 2
+    val delta = Readers.readChangesBetween(spark, table, 1, 2)
+    assert(delta.count() == sampleEvents.size - 3)
+  }
+
   test("enrichWithDim stream-static join matches batch, UNKNOWN for unmatched") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "BUILDING"), (102L, "MACHINERY"))
