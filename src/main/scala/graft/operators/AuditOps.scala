@@ -18,51 +18,85 @@ import org.apache.spark.sql.functions._
   */
 object AuditOps {
 
-  /** One referential-integrity relationship: child rolled up to the FK
-    * grain, left-joined to the parent keyset. Emits two long-format rows:
-    * `fk_orphan` (child rows whose FK has no parent — broken integrity)
-    * and `unreferenced_parent` (parent keys no child row references —
-    * dead dimension entries). The child rollup map-side combines to
-    * distinct FK keys, so the join input is keyspace-sized.
+  /** All FK keys of ONE child table as (relationship, key, cnt) rows at
+    * the keyspace grain — a melted explode so the table is SCANNED ONCE
+    * for every edge it participates in (lineitem carries three FK edges;
+    * three separate rollups would read the 100 TB fact three times). The
+    * hash aggregate map-side combines, so the shuffle still carries only
+    * Σ per-edge distinct keys — the same volume as per-edge rollups.
     */
-  private def relationship(name: String, child: DataFrame, fk: String,
-      parent: DataFrame, pk: String): DataFrame = {
-    val childKeys = child.filter(col(fk).isNotNull)
-      .groupBy(col(fk).cast("long").as("k"))
+  private def childKeyRollup(child: DataFrame, edges: Seq[(String, String)]): DataFrame =
+    child.select(explode(array(edges.map { case (rel, fk) =>
+        struct(lit(rel).as("rel"), col(fk).cast("long").as("k"))
+      }: _*)).as("e"))
+      .filter(col("e.k").isNotNull)
+      .groupBy(col("e.rel").as("rel"), col("e.k").as("k"))
       .agg(count(lit(1)).as("cnt"))
-    val parentKeys = parent.select(col(pk).cast("long").as("k")).distinct()
-    val orphans = childKeys.join(parentKeys.withColumn("hit", lit(1)), Seq("k"), "left")
-      .filter(col("hit").isNull)
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
-        count(lit(1)).as("n_keys"))
-      .select(lit(name).as("relationship"), lit("fk_orphan").as("audit"),
-        col("n_rows"), col("n_keys"))
-    val unreferenced = parentKeys.join(childKeys.select(col("k"), lit(1).as("hit")), Seq("k"), "left")
-      .filter(col("hit").isNull)
-      .agg(count(lit(1)).as("n_keys"))
-      .select(lit(name).as("relationship"), lit("unreferenced_parent").as("audit"),
-        col("n_keys").as("n_rows"), col("n_keys"))
-    orphans.unionByName(unreferenced)
-  }
 
   /** Referential-integrity audit over the whole star schema: for each
     * FK → PK edge, orphaned child rows (should be zero on a healthy
     * warehouse) and unreferenced parent keys (expected nonzero — parts
     * nobody ordered, customers with no orders). 14 rows out regardless
-    * of data size; each edge costs one keyspace-grain join.
+    * of data size. Every base table is scanned exactly once; all seven
+    * edges resolve through ONE (relationship, key) full-outer join of
+    * the unioned child rollups against the unioned parent keysets —
+    * child-only rows are orphans, parent-only rows are unreferenced.
     */
   def fkOrphans(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
       supplier: DataFrame, customer: DataFrame, nation: DataFrame,
-      region: DataFrame): DataFrame =
-    Seq(
-      relationship("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
-      relationship("lineitem.l_partkey->part", lineitem, "l_partkey", part, "p_partkey"),
-      relationship("lineitem.l_suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
-      relationship("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
-      relationship("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
-      relationship("supplier.s_nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
-      relationship("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"))
+      region: DataFrame): DataFrame = {
+    val edges = Seq(
+      ("lineitem.l_orderkey->orders", "l_orderkey", "o_orderkey"),
+      ("lineitem.l_partkey->part", "l_partkey", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "l_suppkey", "s_suppkey"),
+      ("orders.o_custkey->customer", "o_custkey", "c_custkey"),
+      ("customer.c_nationkey->nation", "c_nationkey", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "s_nationkey", "n_nationkey"),
+      ("nation.n_regionkey->region", "n_regionkey", "r_regionkey"))
+    val childKeys = Seq(
+      childKeyRollup(lineitem, edges.take(3).map(e => (e._1, e._2))),
+      childKeyRollup(orders, Seq((edges(3)._1, edges(3)._2))),
+      childKeyRollup(customer, Seq((edges(4)._1, edges(4)._2))),
+      childKeyRollup(supplier, Seq((edges(5)._1, edges(5)._2))),
+      childKeyRollup(nation, Seq((edges(6)._1, edges(6)._2))))
       .reduce(_.unionByName(_))
+    val parents = Seq(
+      ("orders", orders, "o_orderkey"), ("part", part, "p_partkey"),
+      ("supplier", supplier, "s_suppkey"), ("customer", customer, "c_custkey"),
+      ("nation", nation, "n_nationkey"), ("region", region, "r_regionkey"))
+    val parentKeys = edges.map { case (rel, _, pk) =>
+      val (_, pdf, _) = parents.find(_._3 == pk).get
+      pdf.select(lit(rel).as("rel"), col(pk).cast("long").as("k")).distinct()
+        .withColumn("hit", lit(1))
+    }.reduce(_.unionByName(_))
+    val joined = childKeys
+      .join(parentKeys, Seq("rel", "k"), "full_outer")
+    val orphanAgg = joined.filter(col("hit").isNull)
+      .groupBy(col("rel"))
+      .agg(sum(col("cnt")).as("o_rows"), count(lit(1)).as("o_keys"))
+    val unrefAgg = joined.filter(col("cnt").isNull)
+      .groupBy(col("rel"))
+      .agg(count(lit(1)).as("u_keys"))
+    // every relationship reports both audits even when clean — seed the
+    // 14-row output frame from the edge list and coalesce counts to 0
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val relFrame = edges.map(_._1).toDF("rel")
+    relFrame
+      .join(broadcast(orphanAgg), Seq("rel"), "left")
+      .join(broadcast(unrefAgg), Seq("rel"), "left")
+      .select(
+        explode(array(
+          struct(lit("fk_orphan").as("audit"),
+            coalesce(col("o_rows"), lit(0L)).as("n_rows"),
+            coalesce(col("o_keys"), lit(0L)).as("n_keys")),
+          struct(lit("unreferenced_parent").as("audit"),
+            coalesce(col("u_keys"), lit(0L)).as("n_rows"),
+            coalesce(col("u_keys"), lit(0L)).as("n_keys")))).as("a"),
+        col("rel").as("relationship"))
+      .select(col("relationship"), col("a.audit").as("audit"),
+        col("a.n_rows").as("n_rows"), col("a.n_keys").as("n_keys"))
+  }
 
   /** Benford expected first-digit shares in integer micro-units —
     * ⌊10⁶·log₁₀(1+1/d)⌋, computed once here and interpolated as literals
