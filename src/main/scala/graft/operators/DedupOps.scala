@@ -395,23 +395,19 @@ object DedupOps {
     * for Spark, cf. "Deduplicating Training Data Makes Language Models
     * Better"): slide a `SpanTokens`-token window over every document,
     * hash each window, and flag spans whose hash occurs in ≥2 distinct
-    * documents; report the per-doc duplicated-span fraction. The windows
-    * come from codegen'd `lead()` over a per-doc sort (one shuffle by
-    * doc_id — no interpreted higher-order lambdas in the hot path), and
-    * cross-doc counting is two map-side-combined aggregations on the
-    * 64-bit span hash, never on the span text.
+    * documents; report the per-doc duplicated-span fraction. The window
+    * hashes come from the codegen'd [[graft.functions.SpanHash]]
+    * expression — adjacency is explicit in the token array, so the spans
+    * are enumerated row-local with ZERO exchange (the previous `lead()`
+    * formulation shuffled and sorted every token instance by doc just to
+    * line up neighbors). Cross-doc counting is two map-side-combined
+    * aggregations on the 64-bit span hash, never on the span text.
     */
   def dedupSpans(documents: DataFrame, span: Int = SpanTokens): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until span).map(i => lead(col("tok"), i).over(w))
     val grams = spread(documents)
-      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"),
-        concat_ws(" ", col("tok") +: leads: _*).as("gram"),
-        leads.last.as("tail"))
-      .filter(col("tail").isNotNull)
-      .select(col("doc_id"), hash32(col("gram")).as("h"))
+        explode(graft.functions.SpanHash.spanHashes(
+          TextFns.tokens(col("text")), span)).as("h"))
     val stats = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     grams.join(stats, Seq("h"))

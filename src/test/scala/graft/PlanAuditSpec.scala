@@ -41,10 +41,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("l_quantity"), "untouched lineitem columns pruned")
   }
 
-  test("dedup_spans window grams avoid interpreted higher-order lambdas") {
+  test("dedup_spans grams are row-local: no lambdas, no token-sort window") {
     val p = plan("dedup_spans")
     assert(!p.toLowerCase.contains("lambdafunction"),
-      "span grams must come from codegen'd window leads, not transform()")
+      "span grams must come from the codegen'd span-hash expression, not transform()")
+    assert(p.contains("graft_span_hashes"), "span-hash expression in the plan")
+    assert(!p.contains("Window"),
+      "no per-doc token sort: spans enumerate inside the scan stage")
   }
 
   test("LSH/IVF/banded dedup paths contain no cartesian product") {
