@@ -1607,7 +1607,76 @@ object Oracles {
         |  ORDER BY n_days DESC, streak_start) AS BIGINT) AS rnk FROM st)
         |SELECT streak_start, streak_end, n_days, rnk,
         | ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue
-        |FROM k WHERE rnk <= 10""".stripMargin
+        |FROM k WHERE rnk <= 10""".stripMargin,
+
+    "rolling_distinct_users" ->
+      """WITH e AS (
+        | SELECT CAST(ts AS DATE) AS d, user_id FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |days AS (SELECT DISTINCT d AS day FROM e)
+        |SELECT day AS d,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+        | TRUE AS hll_within_5pct
+        |FROM e JOIN days ON e.d >= day - 6 AND e.d <= day
+        |GROUP BY day""".stripMargin,
+
+    // textual formula parity with TextOps.bm25Search: both strings
+    // interpolate the SAME Scala doubles, so each float op sees
+    // bit-identical inputs in the same order in both engines
+    "bm25_search" ->
+      s"""WITH docs AS (
+         | SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS ts
+         | FROM documents WHERE length(${normTextSql("text")}) > 0),
+         |dd AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM docs),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dd),
+         |tf AS (
+         | SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+         | FROM (SELECT doc_id, dl, unnest(ts) AS t FROM dd)
+         | WHERE t IN (${graft.operators.TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         | GROUP BY 1, 2),
+         |dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         | SELECT doc_id,
+         |  SUM(CAST(ROUND(LN((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE) * (tf * ${1.2 + 1.0}::DOUBLE / (tf + ${1.2}::DOUBLE * (${1.0 - 0.75}::DOUBLE + ${0.75}::DOUBLE * dl * n_docs / sum_dl))) * 1000000.0::DOUBLE) AS BIGINT)) AS score_micro,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+         | FROM tf JOIN dfc USING (term), stats GROUP BY doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+         |   AS rank, doc_id, score_micro, n_terms_hit
+         |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the k-means recurrence unrolled: seeds = 8 lowest vec_ids, two
+    // assignment rounds with one floor-mean centroid recompute between —
+    // all-integer micro-unit distances, ties to the lowest centroid id
+    "embed_kmeans" ->
+      """WITH p AS (
+        | SELECT vec_id, CAST(d.dim AS BIGINT) AS dim,
+        |  CAST(TRUNC(embedding[d.dim]::DOUBLE * 1000000) AS BIGINT) AS p
+        | FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) d
+        | WHERE embedding IS NOT NULL
+        |  AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)))) = 0),
+        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, dim, p AS c
+        |       FROM p WHERE vec_id < 8),
+        |d0 AS (SELECT p.vec_id, c0.cid,
+        |         SUM((p.p - c0.c) * (p.p - c0.c)) AS d2
+        |       FROM p JOIN c0 USING (dim) GROUP BY 1, 2),
+        |a0 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT cid, dim,
+        |         CAST(FLOOR(CAST(SUM(p.p) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        |       FROM p JOIN a0 USING (vec_id) GROUP BY 1, 2),
+        |d1 AS (SELECT p.vec_id, c1.cid,
+        |         SUM((p.p - c1.c) * (p.p - c1.c)) AS d2
+        |       FROM p JOIN c1 USING (dim) GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid, d2 FROM (
+        |         SELECT vec_id, cid, d2, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
+        |       WHERE rn = 1)
+        |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        | ROUND(CAST(SUM(CAST(d2 AS HUGEINT)) AS DOUBLE) / COUNT(*)
+        |   / 1000000000000.0, 6) AS mean_sqdist
+        |FROM a1 GROUP BY cid""".stripMargin
   )
 
   private def norm(c: String) = normTextSql(c)

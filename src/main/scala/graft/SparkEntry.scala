@@ -157,6 +157,8 @@ object SparkEntry {
     "quantile_sketch_audit" -> ((s, d) =>
       AuditOps.quantileSketchAudit(orders(s, d))),
     "hll_merge_audit" -> ((s, d) => Analytics.hllMergeAudit(events(s, d))),
+    "rolling_distinct_users" -> ((s, d) =>
+      Analytics.rollingDistinctUsers(events(s, d))),
     "equi_depth_histogram" -> ((s, d) =>
       Analytics.equiDepthHistogram(orders(s, d))),
     "rfm_segments" -> ((s, d) => Analytics.rfmSegments(orders(s, d))),
@@ -211,6 +213,8 @@ object SparkEntry {
       SimilarityOps.embedDimStats(embeddings(s, d))),
     "embed_outliers" -> ((s, d) =>
       SimilarityOps.embedOutliers(embeddings(s, d))),
+    "embed_kmeans" -> ((s, d) =>
+      SimilarityOps.embedKmeans(embeddings(s, d))),
     "weekday_hour_heatmap" -> ((s, d) =>
       Analytics.weekdayHourHeatmap(events(s, d))),
     "order_value_deciles" -> ((s, d) => Analytics.orderValueDeciles(orders(s, d))),
@@ -261,6 +265,7 @@ object SparkEntry {
     "ngram_lm_score" -> ((s, d) => TextOps.ngramLmScore(documents(s, d))),
     "perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(documents(s, d))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(documents(s, d))),
+    "bm25_search" -> ((s, d) => TextOps.bm25Search(documents(s, d))),
     "doc_keyterms" -> ((s, d) => TextOps.docKeyterms(documents(s, d))),
     "repetition_report" -> ((s, d) => TextOps.repetitionReport(documents(s, d))),
     "mixture_balance" -> ((s, d) => PipelineOps.mixtureBalance(documents(s, d))),

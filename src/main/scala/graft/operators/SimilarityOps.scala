@@ -413,4 +413,58 @@ object SimilarityOps {
           ((col("n") * col("n")).cast("decimal(38,0)") * lit(1000000000000L))
             .cast("double"), 6).as("outlier_score"))
   }
+
+  /** Deterministic Lloyd k-means over the embedding column — the
+    * centroid-training step of an IVF index (the scale path of
+    * [[ivfAnn]]) run as a first-class batch operator: seeds are the `k`
+    * lowest vec_ids, then `iters` assign/recompute rounds, reporting
+    * per-cluster membership and mean squared distance.
+    *
+    * Exactness: components quantize to integer micro-units (the
+    * [[embedDimStats]] truncation), distances are exact integer sums of
+    * squared micro differences, centroid recompute is floor(mean) — so
+    * assignment and the oracle's unrolled recurrence agree exactly;
+    * ties break to the lowest centroid id. The only float display op is
+    * the final mean division.
+    *
+    * Scale: points stay in long format (vec_id, dim, micro) — each
+    * assignment joins the broadcast k·64-row centroid table and
+    * map-side combines per-(vec, centroid) partial squared sums, so the
+    * shuffle carries k rows per vector, not k·dim; recompute is one
+    * map-side-combined rollup back to k·64 rows. Centroids remain
+    * DataFrames end-to-end (no collect); the fixed iteration count
+    * unrolls statically into one DAG, the PageRank loop shape.
+    * (floor(Σ/n) is computed in doubles: exact while |Σmicro| < 2⁵³,
+    * i.e. up to ~10⁹ unit-scale vectors per cluster; beyond that the
+    * recompute moves to DECIMAL division at the same semantics.)
+    */
+  def embedKmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val points = embeddings
+      .filter(col("embedding").isNotNull &&
+        !expr("exists(embedding, v -> isnan(cast(v as double)))"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        expr("cast(cast(v as double) * 1000000 as bigint)").as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c0 = points.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"), col("dim"), col("p").as("c"))
+    def assign(cent: DataFrame): DataFrame =
+      points.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("p") - col("c")) * (col("p") - col("c"))).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+    def recompute(asg: DataFrame): DataFrame =
+      points.join(asg.select("vec_id", "cid"), Seq("vec_id"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(floor(sum(col("p")).cast("double") / count(lit(1))).cast("long").as("c"))
+    val last = (1 until iters).foldLeft(assign(c0))((a, _) => assign(recompute(a)))
+    last.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("d2").cast("decimal(38,0)")).as("sd2"))
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        round(col("sd2").cast("double") / col("n_members") / 1e12, 6)
+          .as("mean_sqdist"))
+  }
 }

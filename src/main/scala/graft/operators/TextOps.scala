@@ -450,4 +450,56 @@ object TextOps {
         sum(col("chars")).as("n_chars"),
         expr("(cast(sum(chars) as decimal(38,0)) * 1000000) div count(1)")
           .as("chars_per_doc_micro"))
+
+  /** Fixed query-term set for [[bm25Search]] — shared with the oracle. */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "window", "scan", "stream", "vector")
+
+  /** BM25 ranked retrieval of the top `topN` documents for a fixed
+    * conjunctive term set — the classic lexical-retrieval scorer
+    * (Robertson/Okapi; idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with the
+    * Lucene +1-inside-the-log idf so scores stay positive).
+    *
+    * Engine parity: tf/df/dl are exact integers; the per-(doc, term)
+    * float score quantizes to ROUNDED MICRO-UNITS before the per-doc
+    * sum, so the aggregate is an exact long (float addition is not
+    * associative — summing doubles across partitions would tie the
+    * result to merge order). Ranking orders by that integer.
+    *
+    * Scale: one corpus scan; term filter before the (doc, term) rollup
+    * (map-side combined, ≤|terms| rows per doc); df and the corpus
+    * length stats are tiny broadcasts; the global top-N compiles to
+    * TakeOrderedAndProject (per-partition partial top-N, never a global
+    * sort).
+    */
+  def bm25Search(documents: DataFrame, terms: Seq[String] = Bm25Terms,
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+    val docs = OpUtils.spread(documents)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
+      .filter(col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(stats))
+      // formula SHAPE must stay identical to the oracle's: float ops are
+      // deterministic per-op, so same-order same-input means same bits.
+      // Every constant carries an explicit double suffix — a bare `0.5`
+      // parses as DECIMAL in Spark SQL and the decimal-scale division
+      // would diverge from the oracle's float math at the 10⁻⁶ digit.
+      .withColumn("score_micro_term",
+        expr(s"cast(round(ln((n_docs - df + 0.5d) / (df + 0.5d) + 1.0d) * " +
+          s"(tf * ${k1 + 1.0}d / (tf + ${k1}d * (${1.0 - b}d + ${b}d * dl * n_docs / sum_dl))) " +
+          s"* 1000000.0d) as bigint)"))
+    val scored = perTerm.groupBy(col("doc_id"))
+      .agg(sum(col("score_micro_term")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topN)
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score_micro"), col("n_terms_hit"))
+  }
 }

@@ -530,6 +530,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("VIEW") == ((1L, true)))
   }
 
+  test("rollingDistinctUsers unions trailing-window partials per day") {
+    // day 1: users {10}, day 2: {10, 20}, day 9: {30} — the 7-day window
+    // for day 2 covers days 1-2 (2 distinct), for day 9 only day 9 (1):
+    // day 2's user 10 re-appearance must not double-count.
+    val events = Seq(
+      (1L, 10L, "CLICK", 1.0, ts("2024-01-01")),
+      (2L, 10L, "CLICK", 1.0, ts("2024-01-02")),
+      (3L, 20L, "CLICK", 1.0, ts("2024-01-02")),
+      (4L, 30L, "VIEW", 1.0, ts("2024-01-09")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Analytics.rollingDistinctUsers(events).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 3) // only days with events report
+    assert(out("2024-01-01") == ((1L, true)))
+    assert(out("2024-01-02") == ((2L, true)))
+    assert(out("2024-01-09") == ((1L, true))) // days 1-2 fell out of the window
+  }
+
   test("rfmSegments scores against nearest-rank terciles and labels segments") {
     // 3 customers: #1 recent+frequent+big (champion), #2 middling,
     // #3 stale single small order (hibernating).

@@ -191,4 +191,33 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!SimilarityOps.embedOutliers(rows, topK = 5).collect()
       .exists(_.getLong(1) == 5L))
   }
+
+  test("embedKmeans converges two separated blobs onto their seed centroids") {
+    // vec_ids 0,1 seed the two centroids; 0,2,3 cluster near 1.0 and
+    // 1,4,5 near -1.0 — after one recompute each point stays with its
+    // blob and the mean squared distance is the within-blob spread
+    def const(x: Float) = Seq.tabulate(64)(_ => x)
+    val df = vecs(
+      0L -> const(1.0f), 2L -> const(1.1f), 3L -> const(0.9f),
+      1L -> const(-1.0f), 4L -> const(-1.1f), 5L -> const(-0.9f))
+    val out = SimilarityOps.embedKmeans(df, k = 2, iters = 2)
+      .orderBy("cluster_id").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 3L))
+    // centroid of {1.0, 1.1, 0.9} = 1.0 in every dim → mean sqdist =
+    // (0 + 64·0.1² + 64·0.1²)/3 ≈ 0.426667 (micro-quantized)
+    out.foreach(r => assert(math.abs(r.getDouble(2) - 64 * 2.0 / 300) < 1e-3))
+  }
+
+  test("embedKmeans ties break to the lowest centroid id") {
+    def const(x: Float) = Seq.tabulate(64)(_ => x)
+    // both seeds identical: every point is equidistant to cid 0 and 1 —
+    // all mass lands on cluster 0 and cluster 1 keeps only... nothing,
+    // so exactly one output row with every member
+    val df = vecs(0L -> const(1.0f), 1L -> const(1.0f), 2L -> const(1.0f))
+    val out = SimilarityOps.embedKmeans(df, k = 2, iters = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 3L)
+    assert(out.head.getDouble(2) == 0.0)
+  }
 }

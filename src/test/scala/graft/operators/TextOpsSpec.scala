@@ -225,4 +225,17 @@ class TextOpsSpec extends SparkSpec {
     // aa ×2, ab ×2; single-char word "b" contributes nothing
     assert(out == Map("aa" -> 2L, "ab" -> 2L))
   }
+
+  test("bm25Search ranks multi-term matches above dilute single-term docs") {
+    val df = docs(
+      (1L, "spark join spark window", "en"),      // 3 query terms, short doc
+      (2L, "spark the the the the the the the", "en"), // 1 term, diluted
+      (3L, "the cat sat", "en"))                  // no query terms
+    val out = TextOps.bm25Search(df).orderBy("rank").collect()
+    assert(out.length == 2) // doc 3 matches nothing and is absent
+    assert(out.head.getLong(1) == 1L && out.head.getLong(3) == 3L)
+    assert(out(1).getLong(1) == 2L && out(1).getLong(3) == 1L)
+    assert(out.head.getLong(2) > out(1).getLong(2) && out(1).getLong(2) > 0L)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
 }
