@@ -631,15 +631,15 @@ object Oracles {
         |  JOIN nation ON s_nationkey = n_nationkey
         | GROUP BY n_name, l_partkey),
         |per_nation AS (
-        | SELECT nation AS nt, SUM(part_value_exact) AS nation_value
+        | SELECT nation AS nt, SUM(part_value_exact) AS nation_value,
+        |  COUNT(*) AS n_parts
         | FROM per_part GROUP BY nation)
         |SELECT nation, l_partkey,
         | ROUND(CAST(part_value_exact AS DOUBLE), 2) AS part_value,
         | ROUND(CAST(part_value_exact AS DOUBLE)
         |  / CAST(nation_value AS DOUBLE), 6) AS value_share
         |FROM per_part JOIN per_nation ON nation = nt
-        |WHERE ROUND(CAST(part_value_exact AS DOUBLE)
-        |  / CAST(nation_value AS DOUBLE), 6) >= 0.002""".stripMargin,
+        |WHERE part_value_exact * n_parts >= nation_value * 4""".stripMargin,
 
     "part_supplier_counts" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

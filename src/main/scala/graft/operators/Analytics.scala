@@ -1380,12 +1380,18 @@ object Analytics {
     * (TPC-H Q11 shape; partsupp value is derived from lineitem shipments).
     * The Q11 signature move is the HAVING-against-a-scalar-fraction: the
     * per-part value filters against a threshold computed from the SAME
-    * aggregated data. Scale shape: one fact-sized (nation, part) agg; the
+    * aggregated data. The threshold is DATA-DERIVED — share ≥
+    * `meanMult`× the nation's mean part share (Q11 scales its literal
+    * fraction by 1/SF for exactly this reason: any fixed share cutoff
+    * degenerates to zero rows as the part population grows; this form
+    * stays meaningful from sf0.001 to 100 TB). The filter compares in
+    * exact decimal cross-multiplied form — no float division on the
+    * predicate path. Scale shape: one fact-sized (nation, part) agg; the
     * per-nation totals are a tiny second-level agg broadcast back — the
     * fact is never re-scanned for the threshold.
     */
   def importantParts(lineitem: DataFrame, supplier: DataFrame,
-      nation: DataFrame, shareMin: Double = 0.002): DataFrame = {
+      nation: DataFrame, meanMult: Int = 4): DataFrame = {
     val value = (col("l_extendedprice").cast("decimal(18,2)") *
       col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,4)")
     val perPart = lineitem
@@ -1402,16 +1408,17 @@ object Analytics {
     // re-shuffles only the part-grain intermediate (dim-bounded), where
     // a second agg + join-back would re-derive the fact rollup twice
     // whenever exchange reuse misses
+    val w = Window.partitionBy(col("nation"))
     perPart
-      .withColumn("nation_value",
-        sum(col("part_value")).over(Window.partitionBy(col("nation"))))
-      .withColumn("value_share",
-        round(col("part_value").cast("double") /
-          col("nation_value").cast("double"), 6))
-      .filter(col("value_share") >= shareMin)
+      .withColumn("nation_value", sum(col("part_value")).over(w))
+      .withColumn("n_parts", count(lit(1)).over(w))
+      // share ≥ meanMult/n_parts, cross-multiplied: exact decimal × long
+      .filter(col("part_value") * col("n_parts") >=
+        col("nation_value") * meanMult)
       .select(col("nation"), col("l_partkey"),
         round(col("part_value").cast("double"), 2).as("part_value"),
-        col("value_share"))
+        round(col("part_value").cast("double") /
+          col("nation_value").cast("double"), 6).as("value_share"))
   }
 
   /** Distinct supplier counts per part group, excluding flagged suppliers
