@@ -1676,7 +1676,40 @@ object Oracles {
         |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
         | ROUND(CAST(SUM(CAST(d2 AS HUGEINT)) AS DOUBLE) / COUNT(*)
         |   / 1000000000000.0, 6) AS mean_sqdist
-        |FROM a1 GROUP BY cid""".stripMargin
+        |FROM a1 GROUP BY cid""".stripMargin,
+
+    // three unrolled BPE rounds over the ␟-wrapped symbol encoding —
+    // replace() is left-to-right non-overlapping in both engines, which
+    // is exactly the BPE merge rule (see TextOps.bpeLearnMerges)
+    "bpe_learn_merges" -> {
+      def pc(w: String) =
+        s"""SELECT ts[i] AS lhs, ts[i+1] AS rhs, SUM(n) AS c
+           | FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31)) AS ts, n
+           |       FROM $w) q,
+           |  unnest(generate_series(1, len(ts) - 1)) AS u(i)
+           | WHERE len(ts) >= 2 GROUP BY 1, 2""".stripMargin
+      def mrg(w: String, t: String) =
+        s"""SELECT replace(s, chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
+           |   chr(31) || lhs || rhs || chr(31)) AS s, n FROM $w, $t""".stripMargin
+      s"""WITH w AS (
+         | SELECT unnest(string_split(${norm("text")}, ' ')) AS word
+         | FROM documents WHERE length(${norm("text")}) > 0),
+         |wc AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+         |w0 AS (SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s, n
+         |       FROM wc WHERE length(word) >= 2),
+         |pc0 AS (${pc("w0")}),
+         |t1 AS (SELECT lhs, rhs, c FROM pc0 ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w1 AS (${mrg("w0", "t1")}),
+         |pc1 AS (${pc("w1")}),
+         |t2 AS (SELECT lhs, rhs, c FROM pc1 ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w2 AS (${mrg("w1", "t2")}),
+         |pc2 AS (${pc("w2")}),
+         |t3 AS (SELECT lhs, rhs, c FROM pc2 ORDER BY c DESC, lhs, rhs LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS merge_rank, lhs, rhs,
+         |  CAST(c AS BIGINT) AS pair_count FROM t1
+         |UNION ALL SELECT 2, lhs, rhs, CAST(c AS BIGINT) FROM t2
+         |UNION ALL SELECT 3, lhs, rhs, CAST(c AS BIGINT) FROM t3""".stripMargin
+    }
   )
 
   private def norm(c: String) = normTextSql(c)

@@ -266,6 +266,7 @@ object SparkEntry {
     "perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(documents(s, d))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(documents(s, d))),
     "bm25_search" -> ((s, d) => TextOps.bm25Search(documents(s, d))),
+    "bpe_learn_merges" -> ((s, d) => TextOps.bpeLearnMerges(documents(s, d))),
     "doc_keyterms" -> ((s, d) => TextOps.docKeyterms(documents(s, d))),
     "repetition_report" -> ((s, d) => TextOps.repetitionReport(documents(s, d))),
     "mixture_balance" -> ((s, d) => PipelineOps.mixtureBalance(documents(s, d))),

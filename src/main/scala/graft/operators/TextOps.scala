@@ -451,6 +451,63 @@ object TextOps {
         expr("(cast(sum(chars) as decimal(38,0)) * 1000000) div count(1)")
           .as("chars_per_doc_micro"))
 
+  /** Iterative BPE merge learning — the actual tokenizer-training loop
+    * (Sennrich et al.): `rounds` times, count adjacent symbol pairs
+    * across the word-frequency table, pick the most frequent pair
+    * (ties: lexicographic), and merge it everywhere. Words are
+    * represented as strings with every symbol WRAPPED in unit
+    * separators (`␟sym␟`, so two separators stand between adjacent
+    * symbols) and one merge round is exactly
+    * `replace(s, ␟l␟␟r␟, ␟lr␟)`: the pattern can only match whole
+    * symbols (a boundary-crossing match would need a separator inside a
+    * symbol), consecutive pair occurrences share no characters, and
+    * left-to-right non-overlapping `replace` IS the BPE merge rule in
+    * both engines — no custom expression needed, and the oracle unrolls
+    * the identical recurrence.
+    *
+    * Scale: ONE corpus scan builds the word-frequency rollup
+    * (map-side combined, vocabulary-sized — checkpoint-pinned so the
+    * loop never re-reads the corpus); every round then works on vocab
+    * rows: a pair-explode bounded by word length, a 1-row argmax
+    * broadcast back, and a per-row replace. That is the published
+    * scalable recipe — BPE training never iterates over the corpus,
+    * only over the vocabulary.
+    */
+  def bpeLearnMerges(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    val sep = "\u001f"
+    val words0 = Memo.cached("bpe_words", documents) { docs =>
+      OpUtils.spread(docs)
+        .select(explode(TextFns.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .filter(length(col("word")) >= 2)
+        .select(regexp_replace(col("word"), "(.)", sep + "$1" + sep)
+          .as("s"), col("n"))
+    }
+    def top1(words: DataFrame): DataFrame =
+      words.select(split(trim(col("s"), sep), sep + sep).as("ts"), col("n"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("ts"), col("n"),
+          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+        .select(element_at(col("ts"), col("i")).as("lhs"),
+          element_at(col("ts"), col("i") + 1).as("rhs"), col("n"))
+        .groupBy(col("lhs"), col("rhs")).agg(sum(col("n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1)
+    val (_, merges) = (1 to rounds).foldLeft((words0, Seq.empty[DataFrame])) {
+      case ((words, acc), r) =>
+        val t = top1(words)
+          .select(lit(r.toLong).as("merge_rank"), col("lhs"), col("rhs"),
+            col("pair_count"))
+        val merged = words.crossJoin(broadcast(t.select(col("lhs"), col("rhs"))))
+          .select(replace(col("s"),
+            concat(lit(sep), col("lhs"), lit(sep + sep), col("rhs"), lit(sep)),
+            concat(lit(sep), col("lhs"), col("rhs"), lit(sep))).as("s"),
+            col("n"))
+        (merged, acc :+ t)
+    }
+    merges.reduce(_.unionByName(_))
+  }
+
   /** Fixed query-term set for [[bm25Search]] — shared with the oracle. */
   val Bm25Terms: Seq[String] = Seq("spark", "join", "window", "scan", "stream", "vector")
 

@@ -226,6 +226,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map("aa" -> 2L, "ab" -> 2L))
   }
 
+  test("bpeLearnMerges learns merges in frequency order with BPE overlap rules") {
+    graft.operators.Memo.invalidate()
+    // words: aaab ×2, aab ×1.
+    // round 1 pairs: (a,a) = 2·2+1 = 5, (a,b) = 2+1 = 3 → merge (a,a).
+    //   aaab → [aa, a, b] (left-to-right non-overlap), aab → [aa, b]
+    // round 2 pairs: (aa,a)=2, (a,b)=2, (aa,b)=1 → tie → lexicographic
+    //   lhs picks (a,b): "a" < "aa".  aaab → [aa, ab]; aab unchanged.
+    // round 3 pairs: (aa,ab)=2, (aa,b)=1 → merge (aa,ab).
+    val df = docs((1L, "aaab aaab aab", "en"))
+    val out = TextOps.bpeLearnMerges(df).orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 5L), (2L, "a", "b", 2L), (3L, "aa", "ab", 2L)))
+  }
+
   test("bm25Search ranks multi-term matches above dilute single-term docs") {
     val df = docs(
       (1L, "spark join spark window", "en"),      // 3 query terms, short doc
