@@ -282,4 +282,39 @@ class PlanAuditSpec extends SparkSpec {
         assert(w.contains(key), s"$q window must partition by $key:\n$w")
       }
   }
+
+  test("SWEEP: no query plans a non-broadcast cartesian product") {
+    // CartesianProduct = both sides large and unkeyed — the one operator
+    // that can never survive a 100 TB input. Every deliberate cross join
+    // in the library rides a broadcast (scalar stats, probe sets, day
+    // ranges), which plans as BroadcastNestedLoopJoin instead.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
+      plan(q).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("SWEEP: no query global-sorts the corpus (range partitioning)") {
+    // A rangepartitioning Exchange is a full global sort — top-N queries
+    // must compile to TakeOrderedAndProject / WindowGroupLimit instead.
+    // Whitelist: sinks that DELIBERATELY range-partition files for
+    // data-skipping layout would go here (none are in `queries`).
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
+      plan(q).contains("rangepartitioning")
+    }
+    assert(offenders.isEmpty, s"global sorts in: $offenders")
+  }
+
+  test("SWEEP: every nested-loop join builds a broadcast side") {
+    // BroadcastNestedLoopJoin is legitimate ONLY as broadcast-of-tiny
+    // (scalar aggregates, day tables, probe sets). A BuildLeft/BuildRight
+    // marker is always present; this guards against a future Spark
+    // version or refactor degrading one to a shuffled nested loop.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
+      plan(q).linesIterator.exists(l =>
+        l.contains("BroadcastNestedLoopJoin") &&
+          !(l.contains("BuildRight") || l.contains("BuildLeft")))
+    }
+    assert(offenders.isEmpty, s"non-broadcast nested loops in: $offenders")
+  }
 }
