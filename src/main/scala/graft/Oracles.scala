@@ -1709,7 +1709,69 @@ object Oracles {
          |  CAST(c AS BIGINT) AS pair_count FROM t1
          |UNION ALL SELECT 2, lhs, rhs, CAST(c AS BIGINT) FROM t2
          |UNION ALL SELECT 3, lhs, rhs, CAST(c AS BIGINT) FROM t3""".stripMargin
-    }
+    },
+
+    "join_size_estimate" -> {
+      def edge(i: Int, name: String, l: String, lk: String,
+          r: String, rk: String) =
+        s"""l$i AS (SELECT CAST($lk AS BIGINT) AS k, COUNT(*) AS cl
+           |  FROM $l WHERE $lk IS NOT NULL GROUP BY 1),
+           |r$i AS (SELECT CAST($rk AS BIGINT) AS k, COUNT(*) AS cr
+           |  FROM $r WHERE $rk IS NOT NULL GROUP BY 1),
+           |e$i AS (
+           | SELECT '$name' AS join_key,
+           |  CAST(n_left AS BIGINT) AS n_left,
+           |  CAST(n_right AS BIGINT) AS n_right,
+           |  CAST(ndv_left AS BIGINT) AS ndv_left,
+           |  CAST(ndv_right AS BIGINT) AS ndv_right,
+           |  (n_left * n_right) // GREATEST(ndv_left, ndv_right) AS est_rows,
+           |  exact_rows,
+           |  ((n_left * n_right) // GREATEST(ndv_left, ndv_right) - exact_rows)
+           |    * 1000000 // exact_rows AS est_err_micro
+           | FROM (SELECT CAST(SUM(cl) AS HUGEINT) AS n_left,
+           |         COUNT(*) AS ndv_left FROM l$i),
+           |  (SELECT CAST(SUM(cr) AS HUGEINT) AS n_right,
+           |     COUNT(*) AS ndv_right FROM r$i),
+           |  (SELECT COALESCE(SUM(CAST(cl AS HUGEINT) * cr), 0) AS exact_rows
+           |   FROM l$i JOIN r$i USING (k)))""".stripMargin
+      s"""WITH ${edge(1, "orders.o_orderkey=lineitem.l_orderkey",
+            "orders", "o_orderkey", "lineitem", "l_orderkey")},
+         |${edge(2, "customer.c_custkey=orders.o_custkey",
+            "customer", "c_custkey", "orders", "o_custkey")}
+         |SELECT * FROM e1 UNION ALL SELECT * FROM e2""".stripMargin
+    },
+
+    // three unrolled synchronous LPA rounds; argmax = (count DESC,
+    // label ASC) row_number, isolated nodes keep their own label
+    "nation_communities" -> {
+      def round(k: Int): String =
+        s"""nb$k AS (SELECT u, community, COUNT(*) AS c
+           |  FROM und JOIN l${k - 1} ON v = nation GROUP BY 1, 2),
+           |b$k AS (SELECT u, community FROM (
+           |  SELECT u, community, row_number() OVER (
+           |    PARTITION BY u ORDER BY c DESC, community) AS rn FROM nb$k)
+           |  WHERE rn = 1),
+           |l$k AS (SELECT n.nation, COALESCE(b.community, n.nation) AS community
+           |  FROM nodes n LEFT JOIN b$k b ON n.nation = b.u)""".stripMargin
+      """WITH ls AS (
+        | SELECT DISTINCT l_orderkey, n_name AS src
+        | FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |os AS (
+        | SELECT o_orderkey, n_name AS dst
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |e0 AS (SELECT DISTINCT src, dst FROM ls JOIN os ON l_orderkey = o_orderkey
+        |       WHERE src <> dst),
+        |und AS (SELECT src AS u, dst AS v FROM e0
+        |        UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT n_name AS nation FROM nation),
+        |l0 AS (SELECT nation, nation AS community FROM nodes),""" +
+        (1 to 3).map(round).mkString(",") + """
+        |SELECT nation, community FROM l3"""
+    }.stripMargin
   )
 
   private def norm(c: String) = normTextSql(c)

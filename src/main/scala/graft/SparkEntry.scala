@@ -156,6 +156,11 @@ object SparkEntry {
     "name_fuzzy_pairs" -> ((s, d) => AuditOps.nameFuzzyPairs(customer(s, d))),
     "quantile_sketch_audit" -> ((s, d) =>
       AuditOps.quantileSketchAudit(orders(s, d))),
+    "join_size_estimate" -> ((s, d) =>
+      AuditOps.joinSizeEstimate(orders(s, d), lineitem(s, d), customer(s, d))),
+    "nation_communities" -> ((s, d) =>
+      GraphOps.nationCommunities(lineitem(s, d), orders(s, d),
+        customer(s, d), supplier(s, d), nation(s, d))),
     "hll_merge_audit" -> ((s, d) => Analytics.hllMergeAudit(events(s, d))),
     "rolling_distinct_users" -> ((s, d) =>
       Analytics.rollingDistinctUsers(events(s, d))),

@@ -249,4 +249,55 @@ object AuditOps {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 1)
   }
+
+  /** Join-cardinality estimation audit — the CBO primitive behind every
+    * join-order decision: for each candidate equi-join, the classic
+    * per-side-stats estimate |L|·|R| / max(ndv_L, ndv_R) (what an
+    * optimizer computes from table stats WITHOUT touching the join)
+    * against the exact size Σ_k c_L(k)·c_R(k) (computable from two
+    * keyspace-grain rollups — still never executing the row-level
+    * join). The err column is what tells a planner its stats are stale
+    * or a key is skewed. All arithmetic in DECIMAL(38,0): two lake-scale
+    * row counts multiply past 2⁶³ long before the join itself breaks.
+    *
+    * Scale: per edge, two map-side-combined rollups to keyspace grain
+    * plus a keyspace-sized join — the same volume a distinct-count pass
+    * already touches; the corpus rows are never paired.
+    */
+  def joinSizeEstimate(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame): DataFrame = {
+    def edge(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val l = left.filter(col(lk).isNotNull)
+        .groupBy(col(lk).cast("long").as("k")).agg(count(lit(1)).as("cl"))
+      val r = right.filter(col(rk).isNotNull)
+        .groupBy(col(rk).cast("long").as("k")).agg(count(lit(1)).as("cr"))
+      val sides = l.agg(sum(col("cl")).as("n_left"),
+          count(lit(1)).as("ndv_left"))
+        .crossJoin(r.agg(sum(col("cr")).as("n_right"),
+          count(lit(1)).as("ndv_right")))
+      val exact = l.join(r, Seq("k"))
+        .agg(coalesce(sum(col("cl").cast("decimal(38,0)") * col("cr")),
+          lit(0).cast("decimal(38,0)")).as("exact_rows"))
+      // internal arithmetic is DECIMAL(38,0); outputs project to LONG —
+      // ANSI mode turns a (pathological many-to-many) overflow into a
+      // loud error, never a silent wrap
+      sides.crossJoin(exact)
+        .select(lit(name).as("join_key"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"),
+          expr("(cast(n_left as decimal(38,0)) * n_right) div " +
+            "greatest(ndv_left, ndv_right)").as("est_rows"),
+          col("exact_rows").cast("decimal(38,0)").as("exact_d"))
+        .withColumn("est_err_micro",
+          expr("cast(((est_rows - exact_d) * 1000000) div exact_d as bigint)"))
+        .select(col("join_key"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"),
+          col("est_rows").cast("long").as("est_rows"),
+          col("exact_d").cast("long").as("exact_rows"), col("est_err_micro"))
+    }
+    edge("orders.o_orderkey=lineitem.l_orderkey",
+        orders, "o_orderkey", lineitem, "l_orderkey")
+      .unionByName(edge("customer.c_custkey=orders.o_custkey",
+        customer, "c_custkey", orders, "o_custkey"))
+  }
 }

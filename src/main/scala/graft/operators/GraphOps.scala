@@ -124,4 +124,43 @@ object GraphOps {
       .join(participation, Seq("nation"), "left")
       .select(col("nation"), coalesce(col("n_cycles"), lit(0L)).as("n_cycles"))
   }
+
+  /** Synchronous label propagation over the undirected trade graph
+    * (Raghavan et al.) — the community-detection complement to the
+    * connected-components min-propagation: each round every node adopts
+    * its neighbors' most frequent community label (ties: lexicographic
+    * minimum, so the fixpoint is deterministic — no random sweep order);
+    * isolated nodes keep their own label.
+    *
+    * Scale: the fact is touched once via the shared memoized
+    * [[tradeEdges]] derivation; each of the fixed `rounds` is two
+    * map-side-combined keyspace-grain aggregations ((node, label)
+    * counts, then the per-node argmax as min(struct(-count, label))) —
+    * the statically-unrolled PageRank loop shape, with the label table
+    * never larger than the node set.
+    */
+  def nationCommunities(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    val e0 = tradeEdges(lineitem, orders, customer, supplier, nation)
+      .filter(col("src") =!= col("dst"))
+    val und = e0.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(e0.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = nation.select(col("n_name").as("nation"))
+    val l0 = nodes.select(col("nation"), col("nation").as("community"))
+    (1 to rounds).foldLeft(l0) { (labels, _) =>
+      val best = und
+        .join(labels.select(col("nation").as("v"), col("community")), Seq("v"))
+        .groupBy(col("u"), col("community"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("c")).as("nc"), col("community"))).as("m"))
+        .select(col("u").as("nation"), col("m.community").as("next_community"))
+      nodes.join(best, Seq("nation"), "left")
+        .select(col("nation"),
+          coalesce(col("next_community"), col("nation")).as("community"))
+    }
+  }
 }

@@ -6,6 +6,24 @@ import java.sql.Timestamp
 class AuditOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("joinSizeEstimate reports stats-only estimate vs exact join size") {
+    val orders = Seq((1L, 10L), (2L, 10L), (3L, 20L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(Tuple1(1L), Tuple1(1L), Tuple1(1L))
+      .toDF("l_orderkey")
+    val customer = Seq(Tuple1(10L), Tuple1(20L)).toDF("c_custkey")
+    val out = AuditOps.joinSizeEstimate(orders, lineitem, customer)
+      .collect().map(r => r.getString(0) ->
+        (1 to 7).map(i => BigDecimal(r.get(i).toString).toLongExact).toSeq)
+      .toMap
+    // orderkey edge: est = 3·3/max(3,1) = 3, exact = cl(1)·cr(1) = 1·3 = 3
+    assert(out("orders.o_orderkey=lineitem.l_orderkey") ==
+      Seq(3L, 3L, 3L, 1L, 3L, 3L, 0L))
+    // custkey edge: est = 2·3/max(2,2) = 3, exact = 1·2 + 1·1 = 3
+    assert(out("customer.c_custkey=orders.o_custkey") ==
+      Seq(2L, 3L, 2L, 2L, 3L, 3L, 0L))
+  }
+
   private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
 
   test("fkOrphans counts orphaned child rows and unreferenced parents") {

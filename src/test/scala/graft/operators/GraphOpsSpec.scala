@@ -60,4 +60,24 @@ class GraphOpsSpec extends SparkSpec {
       supplier, nation3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("A" -> 1L, "B" -> 1L, "C" -> 1L, "D" -> 0L))
   }
+
+  test("nationCommunities converges a connected group; pairs oscillate") {
+    val nation5 = Seq((0, "A"), (1, "B"), (2, "C"), (3, "D"), (4, "E"))
+      .toDF("n_nationkey", "n_name")
+    // trade edges A→B, A→C, B→C (one community) and D→E (detached pair)
+    val supplier = Seq((10L, 0), (11L, 1), (13L, 3)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((21L, 1), (22L, 2), (24L, 4)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((30L, 21L), (31L, 22L), (32L, 22L), (33L, 24L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((30L, 10L), (31L, 10L), (32L, 11L), (33L, 13L))
+      .toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.nationCommunities(lineitem, orders, customer,
+      supplier, nation5).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // hand-unrolled 3 synchronous rounds with (count desc, label asc):
+    // the triangle settles on "A"; the detached pair oscillates (the
+    // documented synchronous-LPA two-cycle) and sits swapped at round 3
+    assert(out == Map("A" -> "A", "B" -> "A", "C" -> "A",
+      "D" -> "E", "E" -> "D"))
+  }
 }
