@@ -1771,7 +1771,35 @@ object Oracles {
         |l0 AS (SELECT nation, nation AS community FROM nodes),""" +
         (1 to 3).map(round).mkString(",") + """
         |SELECT nation, community FROM l3"""
-    }.stripMargin
+    }.stripMargin,
+
+    // quantile_cont semantics re-derived in exact integer math over the
+    // distinct-cents CDF (same recurrence as the Spark side; the
+    // built-in quantile_cont would drift in float rank arithmetic)
+    "order_value_percentiles_cont" -> {
+      def interp(p: Int) =
+        s"""ROUND(CAST(
+           |  MIN(CASE WHEN cum >= ((total - 1) * $p) // 100 + 1 THEN v END)
+           |    * (100 - (MAX(total) - 1) * $p % 100)
+           |  + MIN(CASE WHEN cum >= LEAST(((total - 1) * $p) // 100 + 2, total)
+           |      THEN v END)
+           |    * ((MAX(total) - 1) * $p % 100)
+           | AS DOUBLE) / 10000.0, 4) AS p$p""".stripMargin
+      s"""WITH c AS (
+         | SELECT o_orderpriority,
+         |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+         | FROM orders),
+         |bv AS (SELECT o_orderpriority, v, COUNT(*) AS n
+         |       FROM c GROUP BY 1, 2),
+         |r AS (SELECT o_orderpriority, v,
+         |  SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+         | FROM bv)
+         |SELECT o_orderpriority, CAST(MAX(total) AS BIGINT) AS n_orders,
+         | ${interp(50)}, ${interp(90)}, ${interp(99)}
+         |FROM r GROUP BY o_orderpriority""".stripMargin
+    }
   )
 
   private def norm(c: String) = normTextSql(c)

@@ -161,6 +161,8 @@ object SparkEntry {
     "nation_communities" -> ((s, d) =>
       GraphOps.nationCommunities(lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d), nation(s, d))),
+    "order_value_percentiles_cont" -> ((s, d) =>
+      Analytics.orderValuePercentilesCont(orders(s, d))),
     "hll_merge_audit" -> ((s, d) => Analytics.hllMergeAudit(events(s, d))),
     "rolling_distinct_users" -> ((s, d) =>
       Analytics.rollingDistinctUsers(events(s, d))),

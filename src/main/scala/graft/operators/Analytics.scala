@@ -466,6 +466,45 @@ object Analytics {
       .agg(pct(50), pct(90), pct(99), max(col("total")).as("n_lines"))
   }
 
+  /** Linearly-INTERPOLATED percentiles (SQL `percentile_cont` /
+    * DuckDB `quantile_cont` semantics) of order value per priority,
+    * computed EXACTLY without a global sort: over the distinct-cents
+    * CDF, the continuous rank h = (n−1)·p is carried as the integer
+    * H = (n−1)·p·100 (p is an exact rational), the bracketing values
+    * come from two rank probes against the cumulative counts, and the
+    * interpolation v_lo·(100−H mod 100) + v_hi·(H mod 100) stays in
+    * exact integer cents·100 until the single display division. The
+    * scale-safe substitute for percentile_cont's sort-based plan: the
+    * window runs on the distinct-VALUE table (cents-bounded), never the
+    * row population — same CDF core as [[shippingSlaPercentiles]], which
+    * reports the coarser nearest-rank form.
+    */
+  def orderValuePercentilesCont(orders: DataFrame): DataFrame = {
+    val cents = orders.select(col("o_orderpriority"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val byVal = cents.groupBy(col("o_orderpriority"), col("v"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("o_orderpriority"))))
+    def interp(p: Int) = {
+      // row-level rank probes (total is constant within the group)...
+      val loRank = expr(s"((total - 1) * $p) div 100 + 1")
+      val hiRank = least(loRank + 1, col("total"))
+      val vLo = min(when(col("cum") >= loRank, col("v")))
+      val vHi = min(when(col("cum") >= hiRank, col("v")))
+      // ...but the interpolation factor must be aggregate-composed
+      val frac = (max(col("total")) - 1) * p % 100
+      round((vLo * (lit(100) - frac) + vHi * frac).cast("double") / 10000.0, 4)
+        .as(s"p$p")
+    }
+    ranked.groupBy(col("o_orderpriority"))
+      .agg(max(col("total")).as("n_orders"), interp(50), interp(90), interp(99))
+  }
+
   /** ABC (Pareto-class) supplier segmentation: rank suppliers by exact
     * revenue, classify by CUMULATIVE share — A carries the first 80% of
     * revenue, B to 95%, C the tail. The ranked window runs over the

@@ -530,6 +530,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("VIEW") == ((1L, true)))
   }
 
+  test("orderValuePercentilesCont interpolates like percentile_cont") {
+    val orders = Seq(
+      (1L, 1L, "O", 1.0, ts("2024-01-01"), "P"),
+      (2L, 1L, "O", 2.0, ts("2024-01-02"), "P"),
+      (3L, 1L, "O", 3.0, ts("2024-01-03"), "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = Analytics.orderValuePercentilesCont(orders).collect().head
+    assert(r.getLong(1) == 3L)
+    // quantile_cont of [1,2,3]: p50 = 2.0, p90 = 1 + 1.8 = 2.8, p99 = 2.98
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 2.8 && r.getDouble(4) == 2.98)
+  }
+
   test("rollingDistinctUsers unions trailing-window partials per day") {
     // day 1: users {10}, day 2: {10, 20}, day 9: {30} — the 7-day window
     // for day 2 covers days 1-2 (2 distinct), for day 9 only day 9 (1):
