@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-document shingle hashing in ONE codegen'd pass — the scalar
+  * core of the dedup family. The explode-based formulation materialized
+  * one row per character shingle (~|text| rows per document) and pushed
+  * them through a 32-buffer min aggregate (MinHash) or a collect_set
+  * shuffle (Jaccard); both reductions are associative folds a tight
+  * per-row loop computes without leaving the scan stage. Hash and
+  * permutation constants are [[HashFns]]' — the DuckDB oracle recomputes
+  * identical integers, so swapping the physical computation is invisible
+  * to the correctness gate.
+  */
+object MinhashSigUtil {
+  private val A: Array[Long] =
+    Array.tabulate(HashFns.MinhashK)(HashFns.minhashA)
+  private val B: Array[Long] =
+    Array.tabulate(HashFns.MinhashK)(HashFns.minhashB)
+  private val P: Long = HashFns.MinhashP
+
+  /** K min-hashes of the char-`k`-gram shingle hashes of `t`; null when
+    * the text is too short to carry a single shingle (callers filter).
+    */
+  def signature(t: UTF8String, k: Int): ArrayData = {
+    val n = t.numChars()
+    if (n < k) return null
+    val kk = A.length
+    val mins = Array.fill(kk)(Long.MaxValue)
+    var i = 1
+    while (i <= n - k + 1) {
+      val h = Md5PrefixUtil.md5PrefixLong(t.substringSQL(i, k), 8)
+      var j = 0
+      while (j < kk) {
+        val v = (A(j) * h + B(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Distinct char-`k`-gram shingle hashes of `t` in first-seen order
+    * (consumers are order-insensitive: size, explode, array_intersect).
+    * Null when the text carries no shingle.
+    */
+  def distinctHashes(t: UTF8String, k: Int): ArrayData = {
+    val n = t.numChars()
+    if (n < k) return null
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 1
+    while (i <= n - k + 1) {
+      val h = Md5PrefixUtil.md5PrefixLong(t.substringSQL(i, k), 8)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+abstract class ShingleFoldExpr extends UnaryExpression {
+  def k: Int
+  def helper: String
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = child.eval(input)
+    if (c == null) null else evalString(c.asInstanceOf[UTF8String])
+  }
+  protected def evalString(t: UTF8String): Any
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashSigUtil.$helper($c, $k);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+}
+
+case class MinhashSigExpr(child: Expression, k: Int) extends ShingleFoldExpr {
+  override def helper: String = "signature"
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def evalString(t: UTF8String): Any =
+    MinhashSigUtil.signature(t, k)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class DistinctShinglesExpr(child: Expression, k: Int) extends ShingleFoldExpr {
+  override def helper: String = "distinctHashes"
+  override def prettyName: String = "graft_distinct_shingles"
+  override protected def evalString(t: UTF8String): Any =
+    MinhashSigUtil.distinctHashes(t, k)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  /** K=32 MinHash signature of the normalized text's char-k shingles. */
+  def signature(normText: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MinhashSigExpr(GraftColumnBridge.expression(normText), k))
+
+  /** Distinct shingle-hash array of the normalized text. */
+  def distinctShingles(normText: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      DistinctShinglesExpr(GraftColumnBridge.expression(normText), k))
+}

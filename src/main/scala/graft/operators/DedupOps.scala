@@ -52,21 +52,21 @@ object DedupOps {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("content_hash"), col("n_copies"))
 
-  /** Per-doc MinHash signature (array<long>, K=32) via explode + hash
-    * aggregate with K min() buffers. Everything stays in whole-stage
-    * codegen (higher-order array lambdas would run interpreted); the
-    * shuffle carries only partially-aggregated (doc_id, 32 mins) rows
-    * thanks to map-side combine — the classic scalable formulation.
+  /** Per-doc MinHash signature (array<long>, K=32) computed in ONE
+    * codegen'd pass over each document by
+    * [[graft.functions.MinhashSigExpr]] — no shingle-row explode, no
+    * 32-buffer aggregate, no shuffle at all: MinHash is an associative
+    * fold over the shingle stream, so it belongs in the scan stage. The
+    * hash/permutation constants (and hence every signature value) are
+    * unchanged — the oracle recomputes the identical integers via its
+    * explode-based SQL.
     */
-  def withMinhashSignature(documents: DataFrame): DataFrame = {
-    val shingled = shingleHashRows(documents, 5)
-    val minCols = (0 until MinhashK).map { i =>
-      min((lit(minhashA(i)) * col("x") + lit(minhashB(i))) % lit(MinhashP)).as(s"h$i")
-    }
-    shingled.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  def withMinhashSignature(documents: DataFrame): DataFrame =
+    spread(documents)
       .select(col("doc_id"),
-        array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sig"))
-  }
+        graft.functions.MinhashSig.signature(
+          graft.functions.TextFns.normText(col("text")), 5).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Max docs per LSH band bucket: a degenerate band key (e.g. thousands
     * of identical or near-empty docs) would make its bucket's self-join
@@ -199,13 +199,16 @@ object DedupOps {
     val tauMicro = math.round(tau * 1e6)
     // Per-doc DISTINCT shingle sets as arrays — THE working set: the
     // per-doc size comes free (size(xs)), document frequencies explode
-    // from it, and the exact verify reads the arrays directly. One
-    // corpus-sized shuffle builds it (vs. the previous distinct-pass +
-    // separate sizes agg + late per-doc re-collection — two corpus
-    // shuffles saved). Agg state per doc is O(its distinct shingles),
-    // the same bound as the document text itself.
-    val docSets = shingleHashRows(documents, 5)
-      .groupBy(col("doc_id")).agg(collect_set(col("x")).as("xs"))
+    // from it, and the exact verify reads the arrays directly. Built
+    // ROW-LOCAL by the codegen'd DistinctShinglesExpr (dedup within one
+    // document needs no shuffle — the previous collect_set formulation
+    // shuffled every shingle instance); set state per doc is O(its
+    // distinct shingles), the same bound as the document text itself.
+    val docSets = spread(documents)
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.distinctShingles(
+          graft.functions.TextFns.normText(col("text")), 5).as("xs"))
+      .filter(col("xs").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = docSets.select(explode(col("xs")).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("df"))
