@@ -46,6 +46,45 @@ object MinhashSigUtil {
     new GenericArrayData(mins)
   }
 
+  /** 60-bit SimHash over the whitespace-token multiset of (normalized)
+    * `t`: per token, md5-prefix-15 hash; each bit position accumulates
+    * ±1 by the hash bit; the result sets bits with counter ≥ 0.
+    * Returns Long.MinValue (a sentinel outside the 60-bit range — the
+    * expression maps it to NULL) when the text has no tokens.
+    */
+  def simhash60(t: UTF8String): Long = {
+    val bytes = t.getBytes
+    if (bytes.isEmpty) return Long.MinValue
+    val counters = new Array[Int](60)
+    var start = 0
+    var any = false
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          any = true
+          val h = Md5PrefixUtil.md5PrefixLong(
+            UTF8String.fromBytes(bytes, start, i - start), 15)
+          var j = 0
+          while (j < 60) {
+            if (((h >> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (!any) return Long.MinValue
+    var sim = 0L
+    var j = 0
+    while (j < 60) {
+      if (counters(j) >= 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+
   /** Distinct char-`k`-gram shingle hashes of `t` in first-seen order
     * (consumers are order-insensitive: size, explode, array_intersect).
     * Null when the text carries no shingle.
@@ -93,6 +132,30 @@ case class MinhashSigExpr(child: Expression, k: Int) extends ShingleFoldExpr {
     copy(child = newChild)
 }
 
+case class SimhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = child.eval(input)
+    if (c == null) null
+    else {
+      val r = MinhashSigUtil.simhash60(c.asInstanceOf[UTF8String])
+      if (r == Long.MinValue) null else r
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashSigUtil.simhash60($c);
+      if (${ev.value} == Long.MIN_VALUE) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class DistinctShinglesExpr(child: Expression, k: Int) extends ShingleFoldExpr {
   override def helper: String = "distinctHashes"
   override def prettyName: String = "graft_distinct_shingles"
@@ -112,4 +175,9 @@ object MinhashSig {
   def distinctShingles(normText: Column, k: Int): Column =
     GraftColumnBridge.column(
       DistinctShinglesExpr(GraftColumnBridge.expression(normText), k))
+
+  /** 60-bit SimHash of the normalized text's token multiset. */
+  def simhash(normText: Column): Column =
+    GraftColumnBridge.column(
+      SimhashExpr(GraftColumnBridge.expression(normText)))
 }

@@ -425,24 +425,19 @@ object DedupOps {
   private val SimhashBands = 4
   private val SimhashBandBits = 15
 
-  /** Per-doc 60-bit SimHash over the token multiset: explode tokens, one
-    * shuffle with map-side partial aggregation of the 60 sign counters,
-    * then reassemble bits with literal shifts (all codegen'd).
+  /** Per-doc 60-bit SimHash over the token multiset, folded row-local by
+    * the codegen'd [[graft.functions.SimhashExpr]] — the 60 sign
+    * counters are per-document state, so like the MinHash signature the
+    * whole computation lives in the scan stage (the previous explode +
+    * 60-buffer sum aggregate shuffled every token instance). Bit
+    * semantics unchanged; the oracle recomputes identical values.
     */
-  def withSimhash(documents: DataFrame): DataFrame = {
-    val toks = spread(documents)
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), HashFns.hash60(col("tok")).as("h"))
-    val aggCols = (0 until SimhashBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$j")
-    }
-    val sums = toks.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
-    val sim = (0 until SimhashBits).map { j =>
-      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), sim.as("simhash"))
-  }
+  def withSimhash(documents: DataFrame): DataFrame =
+    spread(documents)
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.simhash(
+          graft.functions.TextFns.normText(col("text"))).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs within Hamming distance maxHamming (≤3 is
     * exact w.r.t. the 4-band pigeonhole; larger values are LSH-style
