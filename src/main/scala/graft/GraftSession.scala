@@ -22,9 +22,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.parquet uses TIMESTAMP(NANOS): read as long ns
-      // (Tables.events converts to TimestampType)
+      // testdata events.parquet has varied across generations:
+      // TIMESTAMP(NANOS) (read as long ns; Tables.events converts) and
+      // naive timestamp[us] (read as LTZ directly instead of NTZ so the
+      // scan needs no cast and ts predicates still push down)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // managed (bucketed) tables land in tmp, not the repo working dir
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")

@@ -12,17 +12,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    fixNtz(spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark 4 only reads as
-    * long (spark.sql.legacy.parquet.nanosAsLong, set in GraftSession /
-    * Verify / Bench); convert ns → µs-truncated TimestampType here so
-    * downstream operators see a normal timestamp column.
+  /** A foreign session (the driver's smoke check) reads the testdata's
+    * timezone-naive timestamp[us] columns (events.ts, o_orderdate,
+    * l_shipdate) as TIMESTAMP_NTZ, which breaks epoch casts downstream;
+    * our own sessions set spark.sql.parquet.inferTimestampNTZ.enabled=
+    * false so this rewrite never fires for Verify/Bench (keeping scans
+    * cast-free and pushdown-friendly). NTZ→LTZ preserves the stored
+    * microseconds under the UTC session zone the oracle uses.
     */
-  private def fixNanos(df: DataFrame): DataFrame =
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
-      .getOrElse(df)
+  private def fixNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    ntz.foldLeft(df)((d, f) => d.withColumn(f.name,
+      org.apache.spark.sql.functions.col(f.name)
+        .cast(org.apache.spark.sql.types.TimestampType)))
+  }
+
+  /** Normalize the events `ts` column to plain TimestampType regardless
+    * of how the parquet writer encoded it. Seen across testdata
+    * generations: TIMESTAMP(NANOS) (readable only as long via
+    * spark.sql.legacy.parquet.nanosAsLong, set in GraftSession) and
+    * timezone-naive timestamp[us] (Spark 4 infers TIMESTAMP_NTZ unless
+    * spark.sql.parquet.inferTimestampNTZ.enabled=false — set in
+    * GraftSession, but a foreign session such as the driver's smoke
+    * check may not have it). With the session time zone pinned to UTC
+    * the NTZ→LTZ cast preserves the stored microsecond values, which is
+    * exactly what the DuckDB oracle reads.
+    */
+  private def fixTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }).getOrElse(df)
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -31,7 +57,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = fixNanos(table(s, d, "events"))
+  def events(s: SparkSession, d: String): DataFrame    = fixTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
