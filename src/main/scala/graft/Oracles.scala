@@ -1273,6 +1273,31 @@ object Oracles {
         | ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_monthly_cents
         |FROM s""".stripMargin,
 
+    "acf_daily_revenue" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        | FROM orders GROUP BY 1),
+        |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+        |p AS (
+        | SELECT l.lag, a.y AS x, b.y AS y2
+        | FROM daily a CROSS JOIN lags l
+        | JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)),
+        |s AS (
+        | SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+        |  CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y2) AS HUGEINT) AS sy,
+        |  CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |  CAST(SUM(CAST(y2 AS HUGEINT) * y2) AS HUGEINT) AS syy,
+        |  CAST(SUM(CAST(x AS HUGEINT) * y2) AS HUGEINT) AS sxy
+        | FROM p GROUP BY lag)
+        |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+        | CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0
+        |       AND CAST(n*syy - sy*sy AS DOUBLE) > 0
+        |  THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |   sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+        |        CAST(n*syy - sy*sy AS DOUBLE)), 4) END AS acf
+        |FROM s""".stripMargin,
+
     "order_backlog_timeline" ->
       """WITH opens AS (
         | SELECT CAST(o_orderdate AS DATE) AS d,
@@ -2690,6 +2715,32 @@ object Oracles {
          |  ORDER BY score DESC, tok) AS BIGINT) AS rank FROM s)
          |SELECT doc_id, tok, tf, df, score, rank FROM r WHERE rank <= 3""".stripMargin,
 
+    "tfidf_doc_pairs" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(${norm("text")}, ' ')) AS tok
+         | FROM documents WHERE length(${norm("text")}) > 0),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |w AS (SELECT doc_id, tok, df,
+         |  CAST(tf * ((n_docs * 1000) // df) AS BIGINT) AS wt
+         | FROM tf JOIN df USING (tok) CROSS JOIN nd),
+         |norms AS (SELECT doc_id,
+         |  CAST(SUM(CAST(wt AS HUGEINT) * wt) AS HUGEINT) AS norm2
+         | FROM w GROUP BY doc_id),
+         |idx AS (SELECT tok, doc_id, wt FROM w WHERE df <= 100),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(SUM(CAST(a.wt AS HUGEINT) * b.wt) AS HUGEINT) AS dot,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         | FROM idx a JOIN idx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b, n_shared,
+         |  CAST(dot AS DOUBLE) /
+         |    sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) AS sim
+         | FROM dots JOIN norms na ON na.doc_id = doc_a
+         |  JOIN norms nb ON nb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, n_shared, ROUND(sim, 4) AS sim
+         |FROM j WHERE sim >= 0.25""".stripMargin,
+
     "repetition_report" ->
       s"""WITH t AS (SELECT doc_id, CASE WHEN length(${norm("text")}) = 0 THEN []
          |  ELSE string_split(${norm("text")}, ' ') END AS toks FROM documents),
@@ -2804,6 +2855,36 @@ object Oracles {
         |  WHEN last_purchase IS NOT NULL AND last_purchase >= first_signup THEN 2
         |  ELSE 1 END AS funnel_stage, COUNT(*) AS n_users
         |FROM per_user GROUP BY 1""".stripMargin,
+
+    // running-maxima reformulation of the ordered-chain existence test;
+    // RANGE frames so equal timestamps resolve set-wise in both engines
+    "window_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+        | FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (
+        | SELECT user_id, ts_s, event_type,
+        |  MAX(CASE WHEN event_type = 'view' THEN ts_s END) OVER w AS lv
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (
+        | SELECT user_id, ts_s, event_type, lv,
+        |  MAX(CASE WHEN event_type = 'click' THEN lv END) OVER w AS clv
+        | FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pu AS (
+        | SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+        |  MAX(CASE WHEN event_type = 'click' AND lv >= ts_s - 21600
+        |      THEN 1 ELSE 0 END) AS l2,
+        |  MAX(CASE WHEN event_type = 'purchase' AND clv >= ts_s - 21600
+        |      THEN 1 ELSE 0 END) AS l3
+        | FROM s2 GROUP BY user_id)
+        |SELECT CAST(CASE WHEN l3 = 1 THEN 3 WHEN l2 = 1 THEN 2
+        |  WHEN l1 = 1 THEN 1 ELSE 0 END AS BIGINT) AS funnel_level,
+        | CAST(COUNT(*) AS BIGINT) AS n_users,
+        | (COUNT(*) * 1000000) // SUM(COUNT(*)) OVER () AS user_share_micro
+        |FROM pu GROUP BY 1""".stripMargin,
 
     "events_dedup_window" ->
       """WITH e AS (

@@ -183,6 +183,7 @@ object SparkEntry {
       TrendOps.olsRevenueTrend(orders(s, d), customer(s, d), nation(s, d),
         region(s, d))),
     "daily_gapfill" -> ((s, d) => TrendOps.dailyGapfill(orders(s, d))),
+    "acf_daily_revenue" -> ((s, d) => TrendOps.acfDailyRevenue(orders(s, d))),
     "ewma_daily_revenue" -> ((s, d) => TrendOps.ewmaDailyRevenue(orders(s, d))),
     "changepoint_cusum" -> ((s, d) => TrendOps.changepointCusum(orders(s, d))),
     "revenue_streaks" -> ((s, d) => TrendOps.revenueStreaks(orders(s, d))),
@@ -275,6 +276,7 @@ object SparkEntry {
     "bm25_search" -> ((s, d) => TextOps.bm25Search(documents(s, d))),
     "bpe_learn_merges" -> ((s, d) => TextOps.bpeLearnMerges(documents(s, d))),
     "doc_keyterms" -> ((s, d) => TextOps.docKeyterms(documents(s, d))),
+    "tfidf_doc_pairs" -> ((s, d) => TextOps.tfidfDocPairs(documents(s, d))),
     "repetition_report" -> ((s, d) => TextOps.repetitionReport(documents(s, d))),
     "mixture_balance" -> ((s, d) => PipelineOps.mixtureBalance(documents(s, d))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(documents(s, d))),
@@ -313,6 +315,7 @@ object SparkEntry {
     "events_asof_recent" -> ((s, d) =>
       AsOfOps.purchaseWithRecentSignup(events(s, d))),
     "event_funnel" -> ((s, d) => AsOfOps.signupPurchaseFunnel(events(s, d))),
+    "window_funnel" -> ((s, d) => AsOfOps.windowFunnel(events(s, d))),
     "purchase_attribution" -> ((s, d) =>
       AsOfOps.purchaseAttribution(events(s, d))),
     "event_transitions" -> ((s, d) => AsOfOps.eventTransitions(events(s, d))),

@@ -158,6 +158,48 @@ object AsOfOps {
         expr("(n_purchases * 1000000) div (sum(n_purchases) over ())"))
   }
 
+  /** Ordered-step conversion funnel within a time window (the
+    * ClickHouse `windowFunnel` shape): per user, the deepest chain
+    * view ≤ click ≤ purchase whose whole span fits in `windowS` seconds
+    * of the anchoring view, then a level histogram. Existence of a
+    * level-3 chain is decided WITHOUT enumerating chains: with
+    * lv(t) = latest view at-or-before t and clv(t) = max over clicks
+    * c ≤ t of lv(c), a purchase p completes a chain iff clv(p) ≥ p−W
+    * (a click before p that had a view within [p−W, c] — the greedy
+    * latest-view choice is optimal because a later view only leaves
+    * more window). Both are running maxima over ONE per-user
+    * time-ordered window (RANGE frame so equal timestamps are handled
+    * set-wise, not by nondeterministic peer order).
+    *
+    * Scale: one shuffle by user_id; two Window operators share the
+    * same sort; the histogram is a ≤4-row aggregate. No self-joins —
+    * the naive exists-chain formulation is two fact-fact inequality
+    * joins that explode on active users.
+    */
+  def windowFunnel(events: DataFrame, windowS: Long = 21600): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts").cast("long").as("ts_s"), col("event_type"))
+    val staged = e
+      .withColumn("lv", max(when(col("event_type") === "view", col("ts_s"))).over(w))
+      .withColumn("clv", max(when(col("event_type") === "click", col("lv"))).over(w))
+    val perUser = staged.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "view", 1).otherwise(0)).as("l1"),
+      max(when(col("event_type") === "click" &&
+        col("lv") >= col("ts_s") - windowS, 1).otherwise(0)).as("l2"),
+      max(when(col("event_type") === "purchase" &&
+        col("clv") >= col("ts_s") - windowS, 1).otherwise(0)).as("l3"))
+    perUser
+      .select(when(col("l3") === 1, 3L).when(col("l2") === 1, 2L)
+        .when(col("l1") === 1, 1L).otherwise(0L).as("funnel_level"))
+      .groupBy(col("funnel_level"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("user_share_micro",
+        expr("(n_users * 1000000) div (sum(n_users) over ())"))
+  }
+
   /** Signup→purchase funnel per user: stage 0 = never signed up, 1 =
     * signed up only, 2 = purchased at-or-after first signup. One grouped
     * pass, then a tiny stage histogram.

@@ -320,6 +320,55 @@ object TextOps {
         col("n_emails") + col("n_phones") + col("n_ips") > 0)
   }
 
+  /** Sparse TF-IDF cosine near-duplicate pairs — the classic IR
+    * duplicate detector, and the sparse-vector complement of the dense
+    * embedding family ([[DedupOps]] hashes exact token sets; this
+    * weighs SHARED RARE tokens, so two docs sharing distinctive
+    * vocabulary pair up even when their common boilerplate differs).
+    * Weights are exact integers (w = tf · ((N·1000) div df), the same
+    * idf surrogate [[docKeyterms]] uses — no libm logs), norms and dot
+    * products are exact DECIMAL(38,0) sums, and the only float step is
+    * the final sim = dot/√(n2a·n2b) from those exact integers
+    * (correctly-rounded IEEE ops — engine-stable).
+    *
+    * Scale: per-doc tf and corpus df are map-side-combined rollups; the
+    * candidate join is an inverted-index equi-join on the token,
+    * restricted to tokens with df ≤ dfCap, so the blocking cost is
+    * Σ_{df≤cap} df² — bounded by cap·Σdf — and stopwords (which carry
+    * ~zero idf weight anyway) never join. The documented trade-off:
+    * pairs sharing ONLY df>cap tokens are missed — by construction
+    * those are low-signal pairs, the same recall contract as the
+    * rare-shingle blocking in [[DedupOps.dedupNgramJaccard]].
+    */
+  def tfidfDocPairs(documents: DataFrame, dfCap: Long = 100,
+      minSim: Double = 0.25): DataFrame = {
+    val tf = OpUtils.spread(documents)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(df, Seq("tok")).crossJoin(broadcast(nDocs))
+      .withColumn("wt", expr("tf * ((n_docs * 1000) div df)"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("wt").cast("decimal(38,0)") * col("wt")).as("norm2"))
+    val idx = w.filter(col("df") <= dfCap)
+      .select(col("tok"), col("doc_id"), col("wt"))
+    val dots = idx.alias("a")
+      .join(idx.alias("b"), col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wt").cast("decimal(38,0)") * col("b.wt")).as("dot"),
+        count(lit(1)).as("n_shared"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm2").as("n2a")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("n2b")), Seq("doc_b"))
+      .withColumn("sim", col("dot").cast("double") /
+        sqrt(col("n2a").cast("double") * col("n2b").cast("double")))
+      .filter(col("sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Inverted index build: token → document frequency, total term
     * frequency, and a bounded posting-list sample (first `postingSample`
     * doc ids). The search-index construction pass of a corpus engine.

@@ -244,19 +244,109 @@ object Sinks {
       path: String): Int = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val names = fs.listStatus(dir).iterator
+    val physical = fs.listStatus(dir).iterator
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .toSeq.sorted
-    val next = Snapshots.versions(fs, dir).lastOption.getOrElse(0) + 1
-    val tmp = new org.apache.hadoop.fs.Path(dir, f"._manifest-v$next%05d.tmp")
+    val versions = Snapshots.versions(fs, dir)
+    // next snapshot = the latest snapshot's file set plus files never
+    // named by ANY prior manifest. Listing the physical directory alone
+    // would silently RESURRECT files a compaction superseded (they stay
+    // on disk so older snapshots remain readable) — the union-of-history
+    // filter makes append-after-compaction safe.
+    val names = versions.lastOption match {
+      case None => physical
+      case Some(latest) =>
+        val seenEver = versions.flatMap(v => Snapshots.files(fs, dir, v)).toSet
+        (Snapshots.files(fs, dir, latest) ++
+          physical.filterNot(seenEver)).sorted
+    }
+    publishVersion(fs, dir, versions.lastOption.getOrElse(0) + 1, names)
+  }
+
+  /** Compaction commit: rewrite the LATEST snapshot's rows as a fresh
+    * generation of `numFiles` files and commit a manifest naming ONLY
+    * them. Old-generation files are not touched — every earlier
+    * snapshot stays readable bit-for-bit — they are simply no longer
+    * referenced by the new head, which is what later lets
+    * [[vacuumSnapshots]] reclaim them. This is the OPTIMIZE/rewrite
+    * half of the Iceberg/Delta maintenance pair (vacuum is the other).
+    */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, numFiles: Int = 1): Int = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = Snapshots.versions(fs, dir)
+    val latest = versions.lastOption.getOrElse(
+      throw new java.io.FileNotFoundException(s"$path has no committed snapshot"))
+    val next = latest + 1
+    val cur = Snapshots.files(fs, dir, latest)
+      .map(n => new org.apache.hadoop.fs.Path(dir, n).toString)
+    val tmp = new org.apache.hadoop.fs.Path(dir, f".compact-v$next%05d")
+    spark.read.parquet(cur: _*).repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).iterator.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+    val names = parts.zipWithIndex.map { case (p, i) =>
+      val n = f"compact-v$next%05d-p$i%04d.parquet"
+      if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, n)))
+        throw new java.io.IOException(s"compaction rename failed for $p")
+      n
+    }
+    fs.delete(tmp, true)
+    publishVersion(fs, dir, next, names)
+  }
+
+  /** Temp-write + atomic-rename publish of `_manifest-v<version>`. */
+  private def publishVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, version: Int,
+      names: Seq[String]): Int = {
+    val tmp = new org.apache.hadoop.fs.Path(dir, f"._manifest-v$version%05d.tmp")
     val out = fs.create(tmp, true)
     try out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    val manifest = new org.apache.hadoop.fs.Path(dir, f"_manifest-v$next%05d")
+    val manifest = new org.apache.hadoop.fs.Path(dir, f"_manifest-v$version%05d")
     if (!fs.rename(tmp, manifest))
-      throw new java.io.IOException(s"snapshot commit failed for $path")
-    next
+      throw new java.io.IOException(s"snapshot commit failed for $dir")
+    version
+  }
+
+  /** Retention vacuum for a [[commitSnapshot]] directory: drop every
+    * snapshot older than the newest `keepLast`, then delete the data
+    * files those dropped snapshots referenced that no RETAINED snapshot
+    * still references (on an append-only lake that is exactly the
+    * rewritten/compacted generations). Returns the number of data files
+    * deleted.
+    *
+    * Safety contract: only files provably committed-then-superseded are
+    * touched — a file never named by any manifest (a straggler from a
+    * failed or still-running job) is left alone, because the manifest
+    * protocol already makes it invisible to readers and deleting it
+    * could race an in-flight commit. Retained snapshots stay readable
+    * bit-for-bit; vacuumed versions fail loudly on read (their manifest
+    * is removed first, so a reader can never resolve a version whose
+    * files are gone).
+    */
+  def vacuumSnapshots(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepLast: Int = 2): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = Snapshots.versions(fs, dir)
+    if (versions.size <= keepLast) return 0
+    val (dropped, kept) = versions.splitAt(versions.size - keepLast)
+    val keptFiles = kept.flatMap(v => Snapshots.files(fs, dir, v)).toSet
+    val deadFiles = dropped.flatMap(v => Snapshots.files(fs, dir, v))
+      .toSet.diff(keptFiles)
+    // manifests first: once a version is unreadable its files are
+    // unreachable, so a crash mid-vacuum leaves garbage, never a
+    // readable snapshot with missing files
+    dropped.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"_manifest-v$v%05d"), false)
+    }
+    deadFiles.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+    deadFiles.size
   }
 }
 

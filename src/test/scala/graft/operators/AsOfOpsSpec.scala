@@ -18,6 +18,40 @@ class AsOfOpsSpec extends SparkSpec {
     ev(6, 500, 3, "signup", 30.0))    // user 3 signed up, never purchased
     .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("window funnel: ordered chain within the window, greedy anchor, boundaries") {
+    def fe(id: Long, user: Long, t: Long, typ: String) = ev(id, t, user, typ, 0.0)
+    val funnelEvents = Seq(
+      // u1: clean 3-step chain, span 200s → level 3
+      fe(1, 1, 0, "view"), fe(2, 1, 100, "click"), fe(3, 1, 200, "purchase"),
+      // u2: click/purchase BEFORE the only view → order violated → level 1
+      fe(4, 2, 0, "click"), fe(5, 2, 100, "purchase"), fe(6, 2, 200, "view"),
+      // u3: click 5000s after the view (> 3600) → level 1
+      fe(7, 3, 0, "view"), fe(8, 3, 5000, "click"),
+      // u4: view+click ok, purchase outside the view's window → level 2
+      fe(9, 4, 0, "view"), fe(10, 4, 100, "click"), fe(11, 4, 4000, "purchase"),
+      // u5: purchase only → level 0
+      fe(12, 5, 100, "purchase"),
+      // u6: click exactly AT the window boundary (3600 ≤ W) → level 2
+      fe(13, 6, 0, "view"), fe(14, 6, 3600, "click"),
+      // u7: whole chain at one timestamp (RANGE frame peers) → level 3
+      fe(15, 7, 50, "view"), fe(16, 7, 50, "click"), fe(17, 7, 50, "purchase"),
+      // u8: stale first (view, click), fresh second pair makes the
+      // purchase reachable — the greedy latest-view anchor must win
+      fe(18, 8, 0, "view"), fe(19, 8, 100, "click"),
+      fe(20, 8, 3000, "view"), fe(21, 8, 3100, "click"),
+      fe(22, 8, 6500, "purchase"),
+      // noise: non-funnel event types are ignored
+      fe(23, 1, 150, "error"), fe(24, 5, 50, "signup"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AsOfOps.windowFunnel(funnelEvents, windowS = 3600)
+      .orderBy("funnel_level")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // levels: u5→0; u2,u3→1; u4,u6→2; u1,u7,u8→3 (8 users)
+    assert(out == Seq(
+      (0L, 1L, 125000L), (1L, 2L, 250000L),
+      (2L, 2L, 250000L), (3L, 3L, 375000L)))
+  }
+
   test("asof join picks the most recent at-or-before signup per purchase") {
     val out = AsOfOps.purchaseWithLastSignup(events)
       .orderBy("event_id").collect()

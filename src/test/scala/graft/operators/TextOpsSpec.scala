@@ -9,6 +9,28 @@ class TextOpsSpec extends SparkSpec {
     rows.map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("tfidfDocPairs weighs shared rare tokens, exact integer internals") {
+    val df = docs(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta delta", "en"),
+      (3L, "zeta eta theta", "en"))
+    // N=3; df(alpha)=df(beta)=2 → wt=1500; unique tokens → wt=3000.
+    // norm²(1)=norm²(2)=1500²·2+3000²=13.5e6; dot(1,2)=1500²·2=4.5e6;
+    // sim = 4.5/13.5 = 1/3 → 0.3333. doc3 shares nothing.
+    val out = TextOps.tfidfDocPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 2L, 2L, 0.3333)))
+  }
+
+  test("tfidfDocPairs: df cap drops pairs sharing only common tokens") {
+    val common = (1L to 9L).map(i => (i, s"filler$i shared", "en"))
+    val df = docs(common: _*)
+    // 'shared' df=9 > cap → no candidate token survives → no pairs
+    assert(TextOps.tfidfDocPairs(df, dfCap = 5).count() == 0)
+    // with the cap above df the pairs appear (sim = 1M/82M ≈ 0.0122)
+    assert(TextOps.tfidfDocPairs(df, dfCap = 100, minSim = 0.01).count() == 36)
+  }
+
   test("langId prefers the language with most stopword hits") {
     val df = docs(
       (1L, "the cat and the dog is in the house", "en"),

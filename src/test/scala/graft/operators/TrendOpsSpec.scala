@@ -26,6 +26,33 @@ class TrendOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept_cents") == 100000.0)
   }
 
+  test("acfDailyRevenue: alternating series gives exact ±1 autocorrelation") {
+    // daily totals 1,2,1,2,... for 10 consecutive days: lag-1 pairs are
+    // perfectly anti-correlated (r = −1 exactly), lag-2 perfectly
+    // correlated (r = +1) — closed-form checks of the exact-integer path
+    val orders = (0 until 10).map { i =>
+      (i.toLong, ts(f"2000-01-${i + 1}%02d"), if (i % 2 == 0) 1.0 else 2.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = TrendOps.acfDailyRevenue(orders, maxLag = 3)
+      .orderBy("lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 9L, -1.0), (2L, 8L, 1.0), (3L, 7L, -1.0)))
+  }
+
+  test("acfDailyRevenue pairs skip calendar gaps") {
+    // days 1,2,4: lag-1 pairs only (1→2); lag-2 only (2→4); lag-3 (1→4)
+    val orders = Seq(
+      (1L, ts("2000-01-01"), 10.0), (2L, ts("2000-01-02"), 20.0),
+      (3L, ts("2000-01-04"), 30.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val n = TrendOps.acfDailyRevenue(orders, maxLag = 3)
+      .orderBy("lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSeq
+    // single-pair lags have zero variance → acf is NULL (not NaN), the
+    // engine-stable degenerate verdict
+    assert(n == Seq((1L, 1L, true), (2L, 1L, true), (3L, 1L, true)))
+  }
+
   test("orderBacklogTimeline sweeps opens and last-ship closes") {
     val orders = Seq(
       (1L, ts("2000-01-01")), (2L, ts("2000-01-01")), (3L, ts("2000-01-02")))

@@ -295,4 +295,66 @@ class SourcesSpec extends SparkSpec {
       Readers.readSnapshot(spark, s"$dir/never-committed")
     }
   }
+
+  test("compaction + vacuum: rewrite head generation, reclaim superseded files") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).iterator
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).toSet
+    (1L to 100L).map(i => (i, s"row $i")).toDF("id", "text")
+      .repartition(4).write.parquet(path)
+    Sinks.commitSnapshot(spark, path) // v1: 4 files
+    (101L to 150L).map(i => (i, s"row $i")).toDF("id", "text")
+      .repartition(2).write.mode("append").parquet(path)
+    Sinks.commitSnapshot(spark, path) // v2: 6 files
+    val gen0 = parquetFiles()
+    val v3 = Sinks.compactSnapshot(spark, path, numFiles = 1)
+    assert(v3 == 3)
+    // every generation still readable; compacted head has the same rows
+    assert(Readers.readSnapshot(spark, path, Some(1)).count() == 100)
+    assert(Readers.readSnapshot(spark, path, Some(2)).count() == 150)
+    assert(Readers.readSnapshot(spark, path).count() == 150)
+    // appending AFTER a compaction must not resurrect superseded files
+    (151L to 160L).map(i => (i, s"row $i")).toDF("id", "text")
+      .repartition(1).write.mode("append").parquet(path)
+    val v4 = Sinks.commitSnapshot(spark, path)
+    assert(Readers.readSnapshot(spark, path, Some(v4)).count() == 160)
+    // an uncommitted straggler must survive the vacuum untouched
+    Seq((999L, "orphan")).toDF("id", "text").repartition(1)
+      .write.mode("append").parquet(path)
+    val straggler = (parquetFiles() -- gen0)
+      .filterNot(_.startsWith("compact-")).diff(
+        Snapshots2.files(spark, path, v4).toSet)
+    assert(straggler.size == 1)
+    val removed = Sinks.vacuumSnapshots(spark, path, keepLast = 2)
+    // v1/v2's six generation-0 files are dead (v3 rewrote, v4 kept the
+    // compacted file); both retained snapshots and the straggler remain
+    assert(removed == 6)
+    assert(gen0.intersect(parquetFiles()).isEmpty)
+    assert(straggler.subsetOf(parquetFiles()))
+    assert(Readers.readSnapshot(spark, path, Some(3)).count() == 150)
+    assert(Readers.readSnapshot(spark, path, Some(4)).count() == 160)
+    intercept[java.io.FileNotFoundException] {
+      Readers.readSnapshot(spark, path, Some(1))
+    }
+    // vacuum with everything retained is a no-op
+    assert(Sinks.vacuumSnapshots(spark, path, keepLast = 10) == 0)
+  }
+
+  /** Test-side view of a committed manifest's file list. */
+  private object Snapshots2 {
+    def files(spark: org.apache.spark.sql.SparkSession, path: String,
+        version: Int): Seq[String] = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, f"_manifest-v$version%05d"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
 }
