@@ -849,6 +849,87 @@ object Oracles {
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |GROUP BY 1""".stripMargin,
 
+    // the KMV estimator is exact integer arithmetic on md5-prefix
+    // hashes, so the oracle reproduces the ESTIMATES, not just bands
+    "kmv_intersection" ->
+      """WITH u AS (
+        | SELECT DISTINCT event_type, user_id FROM events
+        | WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')),
+        |hh AS (SELECT event_type,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM u),
+        |r AS (SELECT event_type, h,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS r FROM hh),
+        |sk AS (SELECT event_type, h FROM r WHERE r <= 64),
+        |uk AS (SELECT h FROM (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS r
+        |  FROM (SELECT DISTINCT h FROM sk)) WHERE r <= 64),
+        |us AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_hashes,
+        |  MAX(h) AS hk FROM uk),
+        |ib AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM uk
+        | JOIN (SELECT h FROM sk WHERE event_type = 'view') a USING (h)
+        | JOIN (SELECT h FROM sk WHERE event_type = 'purchase') b USING (h)),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+        |  CAST(SUM(v * p) AS BIGINT) AS exact_intersection FROM (
+        |  SELECT user_id,
+        |   MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+        |  GROUP BY user_id)),
+        |e1 AS (SELECT *,
+        |  CASE WHEN n_union_hashes < 64 THEN exact_union
+        |   ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+        |     // CAST(hk AS HUGEINT) AS BIGINT) END AS est_union
+        | FROM ex CROSS JOIN us CROSS JOIN ib),
+        |e2 AS (SELECT *,
+        |  CASE WHEN n_union_hashes < 64 THEN exact_intersection
+        |   ELSE CAST((CAST(n_both AS HUGEINT) * est_union) // 64 AS BIGINT)
+        |  END AS est_intersection
+        | FROM e1)
+        |SELECT CAST(64 AS BIGINT) AS k, est_union, exact_union,
+        | est_intersection, exact_intersection,
+        | n_both AS n_sketch_overlap,
+        | abs(est_union - exact_union) * 100 <= exact_union * 40
+        |   AS union_within_40pct,
+        | abs(est_intersection - exact_intersection) * 100
+        |   <= exact_intersection * 40 AS intersection_within_40pct
+        |FROM e2""".stripMargin,
+
+    "robust_price_stats" ->
+      """WITH cdf AS (
+        | SELECT o_orderpriority AS grp,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS usd,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM orders GROUP BY 1, 2),
+        |c AS (SELECT grp, usd, n,
+        |  SUM(n) OVER (PARTITION BY grp ORDER BY usd) AS cum,
+        |  SUM(n) OVER (PARTITION BY grp) AS total FROM cdf),
+        |med AS (SELECT grp, MIN(usd) AS median_usd FROM c
+        | WHERE cum * 2 >= total GROUP BY grp),
+        |p5 AS (SELECT grp, MIN(usd) AS p5_usd FROM c
+        | WHERE cum * 20 >= total GROUP BY grp),
+        |p95 AS (SELECT grp, MIN(usd) AS p95_usd FROM c
+        | WHERE cum * 20 >= total * 19 GROUP BY grp),
+        |dev AS (SELECT c.grp, abs(usd - median_usd) AS dev,
+        |  CAST(SUM(n) AS BIGINT) AS n
+        | FROM c JOIN med ON c.grp = med.grp GROUP BY 1, 2),
+        |d2 AS (SELECT grp, dev, n,
+        |  SUM(n) OVER (PARTITION BY grp ORDER BY dev) AS cum,
+        |  SUM(n) OVER (PARTITION BY grp) AS total FROM dev),
+        |mad AS (SELECT grp, MIN(dev) AS mad_usd FROM d2
+        | WHERE cum * 2 >= total GROUP BY grp),
+        |win AS (SELECT c.grp, CAST(SUM(n) AS BIGINT) AS n_orders,
+        |  SUM(CAST(LEAST(GREATEST(usd, p5_usd), p95_usd) AS HUGEINT) * n) AS s
+        | FROM c JOIN p5 ON c.grp = p5.grp JOIN p95 ON c.grp = p95.grp
+        | GROUP BY 1)
+        |SELECT win.grp AS o_orderpriority, n_orders, median_usd, mad_usd,
+        | p5_usd, p95_usd,
+        | ROUND(CAST(s AS DOUBLE) / n_orders, 2) AS winsor_mean_usd
+        |FROM win JOIN med ON win.grp = med.grp
+        | JOIN mad ON win.grp = mad.grp
+        | JOIN p5 ON win.grp = p5.grp JOIN p95 ON win.grp = p95.grp""".stripMargin,
+
     "equi_depth_histogram" ->
       """WITH v AS (
         | SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

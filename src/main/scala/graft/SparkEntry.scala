@@ -164,6 +164,8 @@ object SparkEntry {
     "order_value_percentiles_cont" -> ((s, d) =>
       Analytics.orderValuePercentilesCont(orders(s, d))),
     "hll_merge_audit" -> ((s, d) => Analytics.hllMergeAudit(events(s, d))),
+    "kmv_intersection" -> ((s, d) => Analytics.kmvIntersection(events(s, d))),
+    "robust_price_stats" -> ((s, d) => Analytics.robustPriceStats(orders(s, d))),
     "rolling_distinct_users" -> ((s, d) =>
       Analytics.rollingDistinctUsers(events(s, d))),
     "equi_depth_histogram" -> ((s, d) =>

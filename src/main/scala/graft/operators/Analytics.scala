@@ -640,6 +640,120 @@ object Analytics {
           col("n_exact_users") * 5).as("hll_within_5pct"))
   }
 
+  /** Robust (outlier-resistant) order-value statistics per priority:
+    * dollar-quantized exact median, median absolute deviation, P5/P95,
+    * and the [P5, P95]-winsorized mean — the robust-statistics layer a
+    * fraud/data-quality review runs where plain mean/stddev are hostage
+    * to a single fat-fingered order. All quantiles are type-1
+    * (nearest-rank) probes on the DISTINCT-value CDF: the corpus is
+    * touched once (map-side-combined (grp, usd) rollup), every window
+    * runs over the distinct dollar values of a group — bounded by the
+    * PRICE DOMAIN, never the order count — and rank tests are
+    * division-free integer cross-multiplications (cum·2 ≥ total etc.),
+    * so ties and boundaries resolve identically in both engines. The
+    * MAD pass reuses the same CDF joined against the |value − median|
+    * axis; the winsorized mean clamps on the CDF and sums exact
+    * integer products, with one final rounded-double division.
+    */
+  def robustPriceStats(orders: DataFrame): DataFrame = {
+    val grpW = Window.partitionBy(col("grp"))
+    val cdf = orders
+      .select(col("o_orderpriority").as("grp"),
+        floor(col("o_totalprice")).cast("long").as("usd"))
+      .groupBy(col("grp"), col("usd")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(grpW.orderBy(col("usd"))))
+      .withColumn("total", sum(col("n")).over(grpW))
+    def probe(test: org.apache.spark.sql.Column, as: String) =
+      cdf.filter(test).groupBy(col("grp")).agg(min(col("usd")).as(as))
+    val med = probe(col("cum") * 2 >= col("total"), "median_usd")
+    val p5 = probe(col("cum") * 20 >= col("total"), "p5_usd")
+    val p95 = probe(col("cum") * 20 >= col("total") * 19, "p95_usd")
+    val mad = cdf.join(broadcast(med), Seq("grp"))
+      .select(col("grp"), abs(col("usd") - col("median_usd")).as("dev"), col("n"))
+      .groupBy(col("grp"), col("dev")).agg(sum(col("n")).as("n"))
+      .withColumn("cum", sum(col("n")).over(grpW.orderBy(col("dev"))))
+      .withColumn("total", sum(col("n")).over(grpW))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("grp")).agg(min(col("dev")).as("mad_usd"))
+    val winsor = cdf.join(broadcast(p5), Seq("grp")).join(broadcast(p95), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(least(greatest(col("usd"), col("p5_usd")), col("p95_usd"))
+          .cast("decimal(38,0)") * col("n")).as("s"))
+    winsor.join(med, Seq("grp")).join(mad, Seq("grp"))
+      .join(p5, Seq("grp")).join(p95, Seq("grp"))
+      .select(col("grp").as("o_orderpriority"), col("n_orders"),
+        col("median_usd"), col("mad_usd"), col("p5_usd"), col("p95_usd"),
+        round(col("s").cast("double") / col("n_orders"), 2).as("winsor_mean_usd"))
+  }
+
+  /** KMV (k-minimum-values) sketch audit for distinct-set INTERSECTION
+    * cardinality — the set operation HLL cannot answer (HLL unions;
+    * inclusion-exclusion on HLLs explodes the error when the overlap is
+    * small). Per event type the k smallest 60-bit user-id hashes form
+    * the sketch; the union sketch is the k smallest of the merged hash
+    * sets; |A∪B| ≈ (k−1)·M / h_k and |A∩B| ≈ |S_k(A∪B) ∩ S(A) ∩ S(B)|
+    * / k · |A∪B| — all exact integer arithmetic on the hash values, so
+    * the estimator (not just the band verdict) reproduces bit-for-bit
+    * in the oracle. When a side has fewer than k distinct members the
+    * sketch IS the set and the estimate collapses to the exact count.
+    *
+    * Scale: the only corpus-sized work is the distinct (type, user)
+    * rollup; the k-smallest ranking compiles to WindowGroupLimit
+    * (partial top-k below the exchange), and everything downstream
+    * operates on ≤ 2k rows. The exact legs are the test-scale audit.
+    */
+  def kmvIntersection(events: DataFrame, k: Int = 64): DataFrame = {
+    import graft.functions.HashFns
+    val m = 1L << 60
+    val users = events
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", HashFns.hash60(col("user_id").cast("string")))
+    val ranked = users
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))))
+    val sketches = ranked.filter(col("r") <= k).select(col("event_type"), col("h"))
+    val unionK = sketches.select(col("h")).distinct()
+      .withColumn("r", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("r") <= k)
+    val unionStats = unionK.agg(count(lit(1)).as("n_union_hashes"),
+      max(col("h")).as("hk"))
+    val inBoth = unionK.join(
+        sketches.filter(col("event_type") === "view").select(col("h")), Seq("h"))
+      .join(sketches.filter(col("event_type") === "purchase").select(col("h")), Seq("h"))
+      .agg(count(lit(1)).as("n_both"))
+    val exact = events
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(col("v") * col("p")).cast("long").as("exact_intersection"))
+    exact.crossJoin(broadcast(unionStats)).crossJoin(broadcast(inBoth))
+      // truncating integer div throughout (Spark `div` == DuckDB `//`);
+      // a decimal `/` would round at some scale before the long cast and
+      // could disagree with the oracle's floor by one ulp-of-a-cent
+      .withColumn("est_union",
+        when(col("n_union_hashes") < k, col("exact_union"))
+          .otherwise(expr(s"(CAST(${k - 1} AS DECIMAL(38,0)) * $m) " +
+            "div CAST(hk AS DECIMAL(38,0))").cast("long")))
+      .withColumn("est_intersection",
+        when(col("n_union_hashes") < k, col("exact_intersection"))
+          .otherwise(expr(
+            s"(CAST(n_both AS DECIMAL(38,0)) * est_union) div $k")))
+      .select(lit(k.toLong).as("k"), col("est_union"), col("exact_union"),
+        col("est_intersection"), col("exact_intersection"),
+        col("n_both").as("n_sketch_overlap"))
+      .withColumn("union_within_40pct",
+        abs(col("est_union") - col("exact_union")) * 100 <= col("exact_union") * 40)
+      .withColumn("intersection_within_40pct",
+        abs(col("est_intersection") - col("exact_intersection")) * 100 <=
+          col("exact_intersection") * 40)
+  }
+
   /** Pearson correlation between per-nation customer count and order
     * count (ref: the notebooks' "statistical correlation analysis"
     * between Airbnb density and complaint volume). Computed from exact

@@ -518,6 +518,63 @@ object EventStreams {
       }
   }
 
+  case class FunnelEvent(user_id: Long, ts_s: Long, event_type: String)
+  /** lv = latest view ts, clv = max over clicks of their lv at click
+    * time, best = deepest level reached. Long.MinValue = "none yet". */
+  case class FunnelState(lv: Long, clv: Long, best: Long)
+  case class FunnelProgress(user_id: Long, ts_s: Long, funnel_level: Long)
+
+  /** Streaming form of [[graft.operators.AsOfOps.windowFunnel]] — live
+    * ordered-chain funnel tracking with O(1) state per user. The batch
+    * operator's running-maxima reformulation is what makes this
+    * streamable: the whole chain-existence test needs only (latest view
+    * ts, max view-ts-at-click) — two longs — so state never grows with
+    * a user's history, unlike a naive formulation that would buffer
+    * events to search for chains. Emits a row whenever a user's deepest
+    * level increases (the live funnel dashboard feed). Within a
+    * micro-batch, events sort by (ts, view<click<purchase) so
+    * equal-timestamp chains resolve exactly like the batch RANGE frame
+    * (set-wise peer inclusion); across micro-batches the state carries
+    * the maxima, so verdicts are micro-batch-split invariant for
+    * in-order feeds.
+    */
+  def funnelStream(spark: SparkSession, events: Dataset[FunnelEvent],
+      windowS: Long = 21600L): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .filter(e => rank.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, batch, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(
+            FunnelState(Long.MinValue, Long.MinValue, 0L))
+          val out = batch.toSeq
+            .sortBy(e => (e.ts_s, rank(e.event_type)))
+            .flatMap { e =>
+              val before = s.best
+              e.event_type match {
+                case "view" =>
+                  s = s.copy(lv = math.max(s.lv, e.ts_s),
+                    best = math.max(s.best, 1L))
+                case "click" if s.lv != Long.MinValue =>
+                  s = s.copy(clv = math.max(s.clv, s.lv))
+                  if (s.lv >= e.ts_s - windowS)
+                    s = s.copy(best = math.max(s.best, 2L))
+                case "purchase" if s.clv != Long.MinValue =>
+                  if (s.clv >= e.ts_s - windowS)
+                    s = s.copy(best = math.max(s.best, 3L))
+                case _ => ()
+              }
+              if (s.best > before) Some(FunnelProgress(user, e.ts_s, s.best))
+              else None
+            }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Windowed streaming heavy hitters — the live form of
     * `heavy_hitter_types`: per tumbling hour, the dominant event types by
     * a mergeable Misra–Gries sketch. The streaming state per window is

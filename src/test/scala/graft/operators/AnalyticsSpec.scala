@@ -19,6 +19,52 @@ class AnalyticsSpec extends SparkSpec {
   private val nation = Seq((1, "FRANCE", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
   private val region = Seq((0, "EUROPE")).toDF("r_regionkey", "r_name")
 
+  test("robustPriceStats: median/MAD shrug off the outlier the mean can't") {
+    val o = (Seq((1L, 1.0, "A"), (2L, 2.0, "A"), (3L, 3.0, "A"),
+      (4L, 4.0, "A"), (5L, 100.0, "A")) ++
+      (10L to 13L).map(i => (i, 10.0, "B")))
+      .map { case (k, p, g) => (k, p, g) }
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val out = Analytics.robustPriceStats(o).orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    // A: values 1..4,100 → median 3, MAD 1 (the 100 outlier moves the
+    // mean to 22 but the robust pair barely notices); P5=1, P95=100
+    // (n=5 keeps the tail), winsorized mean = plain mean here.
+    // B: constant 10s → median 10, MAD 0.
+    assert(out == Seq(
+      ("A", 5L, 3L, 1L, 1L, 100L, 22.0),
+      ("B", 4L, 10L, 0L, 10L, 10L, 10.0)))
+  }
+
+  test("kmvIntersection is exact below k and in-band above it") {
+    def ev(id: Long, user: Long, typ: String) =
+      (id, ts("2024-01-01"), user, typ, 0.0, "{}")
+    // 10 viewers, purchasers 5..14 → union 14, intersection 6 — all
+    // under k=64, so the sketch IS the set and estimates are exact
+    val small = ((1L to 10L).map(u => ev(u, u, "view")) ++
+      (5L to 14L).map(u => ev(100 + u, u, "purchase")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = Analytics.kmvIntersection(small).collect()(0)
+    assert(s.getAs[Long]("est_union") == 14L &&
+      s.getAs[Long]("exact_union") == 14L)
+    assert(s.getAs[Long]("est_intersection") == 6L &&
+      s.getAs[Long]("exact_intersection") == 6L)
+    assert(s.getAs[Boolean]("union_within_40pct") &&
+      s.getAs[Boolean]("intersection_within_40pct"))
+    // 200 viewers, even purchasers → sketch path (union > k): the
+    // estimator must land in band and the sketch overlap is bounded by k
+    val big = ((1L to 200L).map(u => ev(u, u, "view")) ++
+      (1L to 200L).filter(_ % 2 == 0).map(u => ev(1000 + u, u, "purchase")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val b = Analytics.kmvIntersection(big).collect()(0)
+    assert(b.getAs[Long]("exact_union") == 200L &&
+      b.getAs[Long]("exact_intersection") == 100L)
+    assert(b.getAs[Long]("est_union") != 200L) // genuinely estimated
+    assert(b.getAs[Boolean]("union_within_40pct") &&
+      b.getAs[Boolean]("intersection_within_40pct"))
+  }
+
   test("topCustomersPerNation ranks by revenue with deterministic ties") {
     val out = Analytics.topCustomersPerNation(orders, customer, nation, n = 1).collect()
     assert(out.length == 1)

@@ -97,6 +97,42 @@ class EventStreamsSpec extends SparkSpec {
       4L -> false, 5L -> true, 6L -> false))
   }
 
+  test("funnelStream reaches the batch funnel levels across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.FunnelEvent
+    val mem = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelStream(spark, mem.toDS(), windowS = 3600L)
+      .writeStream.outputMode("append").format("memory").queryName("fnl").start()
+    // same scenario as the batch windowFunnel spec (AsOfOpsSpec), split
+    // mid-history so chains must complete ACROSS micro-batches
+    mem.addData(
+      FunnelEvent(1, 0, "view"), FunnelEvent(1, 100, "click"),
+      FunnelEvent(2, 0, "click"), FunnelEvent(2, 100, "purchase"),
+      FunnelEvent(3, 0, "view"),
+      FunnelEvent(4, 0, "view"), FunnelEvent(4, 100, "click"),
+      FunnelEvent(5, 100, "purchase"),
+      FunnelEvent(6, 0, "view"),
+      FunnelEvent(7, 50, "view"), FunnelEvent(7, 50, "click"),
+      FunnelEvent(7, 50, "purchase"),
+      FunnelEvent(8, 0, "view"), FunnelEvent(8, 100, "click"))
+    q.processAllAvailable()
+    mem.addData(
+      FunnelEvent(1, 200, "purchase"),      // completes u1's chain
+      FunnelEvent(2, 200, "view"),          // order violated → stays 1
+      FunnelEvent(3, 5000, "click"),        // outside window → stays 1
+      FunnelEvent(4, 4000, "purchase"),     // purchase too late → stays 2
+      FunnelEvent(6, 3600, "click"),        // boundary click → 2
+      FunnelEvent(8, 3000, "view"), FunnelEvent(8, 3100, "click"),
+      FunnelEvent(8, 6500, "purchase"))     // greedy re-anchor → 3
+    q.processAllAvailable(); q.stop()
+    val levels = spark.table("fnl").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    // matches the batch spec: u5 (purchase only) never emits
+    assert(levels == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      6L -> 2L, 7L -> 3L, 8L -> 3L))
+  }
+
   test("debounceBatch drops same-type repeats inside the gap, lag-based") {
     val df = Seq(
       (1L, ts(0), 1L, "click", 0.0, "{}"),
