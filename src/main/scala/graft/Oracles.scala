@@ -2096,6 +2096,33 @@ object Oracles {
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, est_jaccard FROM lshp""".stripMargin,
 
+    // one-sided prefix filter (only the SMALL side is cut), exact
+    // verify on full distinct-shingle sets, integer threshold test
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |shd AS (SELECT DISTINCT doc_id, x FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         |dfs AS (SELECT x, count(*) AS df FROM shd GROUP BY x),
+         |kept AS (SELECT shd.doc_id, shd.x, dfs.df, s.n
+         |  FROM shd JOIN dfs ON shd.x = dfs.x
+         |   JOIN sizes s ON s.doc_id = shd.doc_id
+         |  WHERE dfs.df <= 50),
+         |pfx AS (SELECT doc_id, x FROM (
+         |   SELECT doc_id, x, n, row_number() OVER (
+         |     PARTITION BY doc_id ORDER BY df, x) AS rnk FROM kept)
+         |  WHERE rnk <= n - ((n * 800000 + 999999) // 1000000) + 1),
+         |cands AS (SELECT DISTINCT p.doc_id AS doc_small, k.doc_id AS doc_big
+         |  FROM pfx p JOIN kept k ON p.x = k.x AND p.doc_id <> k.doc_id),
+         |inter AS (SELECT c.doc_small, c.doc_big, count(*) AS i
+         |  FROM cands c JOIN shd a ON a.doc_id = c.doc_small
+         |   JOIN shd b ON b.doc_id = c.doc_big AND b.x = a.x
+         |  GROUP BY 1, 2)
+         |SELECT doc_small, doc_big, sa.n AS n_small, sb.n AS n_big,
+         | ROUND(CAST(i AS DOUBLE) / sa.n, 4) AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_small
+         | JOIN sizes sb ON sb.doc_id = doc_big
+         |WHERE i * 1000000 >= sa.n * 800000""".stripMargin,
+
     // incremental screening: incoming (doc_id % 10 >= 8) bands join only
     // existing bands — no self-join, no bucket cap (the existing side is
     // a precomputed index in production)
@@ -2795,6 +2822,17 @@ object Oracles {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
          |  ORDER BY score DESC, tok) AS BIGINT) AS rank FROM s)
          |SELECT doc_id, tok, tf, df, score, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "template_fingerprint" ->
+      s"""SELECT template_fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         | MIN(doc_id) AS rep_doc_id
+         |FROM (SELECT doc_id, source,
+         |  ${hash60Sql("regexp_replace(array_to_string(" +
+        s"(string_split(${norm("text")}, ' '))[1:8], ' '), '[0-9]+', '#', 'g')")}
+         |    AS template_fp
+         | FROM documents)
+         |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
 
     "tfidf_doc_pairs" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(${norm("text")}, ' ')) AS tok

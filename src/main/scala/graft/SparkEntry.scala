@@ -279,6 +279,10 @@ object SparkEntry {
     "bpe_learn_merges" -> ((s, d) => TextOps.bpeLearnMerges(documents(s, d))),
     "doc_keyterms" -> ((s, d) => TextOps.docKeyterms(documents(s, d))),
     "tfidf_doc_pairs" -> ((s, d) => TextOps.tfidfDocPairs(documents(s, d))),
+    "template_fingerprint" -> ((s, d) =>
+      TextOps.templateFingerprint(documents(s, d))),
+    "dedup_containment" -> ((s, d) =>
+      DedupOps.dedupContainment(documents(s, d))),
     "repetition_report" -> ((s, d) => TextOps.repetitionReport(documents(s, d))),
     "mixture_balance" -> ((s, d) => PipelineOps.mixtureBalance(documents(s, d))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(documents(s, d))),

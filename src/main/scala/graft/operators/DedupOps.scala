@@ -256,6 +256,66 @@ object DedupOps {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Shingle-CONTAINMENT near-duplicate pairs — the asymmetric
+    * complement of [[dedupNgramJaccard]]: C(A→B) = |S_A∩S_B| / |S_A|
+    * detects a document mostly CONTAINED in another (quotes, scraped
+    * inclusions, article+boilerplate wrappers), which Jaccard misses
+    * whenever the containing side is much larger (J ≤ |A|/|B| no matter
+    * how complete the inclusion). Candidates use the one-sided prefix
+    * filter: C(A→B) ≥ τ needs ≥ ⌈τ·n_A⌉ shared shingles, so a
+    * collision must fall inside A's rarest-first n_A − ⌈τ·n_A⌉ + 1
+    * prefix — only the SMALL side is prefix-cut (the big side has no
+    * bound to exploit), and both sides keep the df ≤ dfCap blocking of
+    * the Jaccard path with the same documented recall trade-off.
+    * Exact verify on the full distinct-shingle arrays; ⌈τ·n⌉ in
+    * integer micro-units shared with the oracle.
+    */
+  def dedupContainment(documents: DataFrame, tauC: Double = 0.8,
+      dfCap: Int = 50): DataFrame = {
+    val tauMicro = math.round(tauC * 1e6)
+    val docSets = spread(documents)
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.distinctShingles(
+          graft.functions.TextFns.normText(col("text")), 5).as("xs"))
+      .filter(col("xs").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfs = docSets.select(explode(col("xs")).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("df"))
+    val kept = docSets
+      .select(col("doc_id"), size(col("xs")).cast("long").as("n"),
+        explode(col("xs")).as("x"))
+      .join(dfs, Seq("x"))
+      .filter(col("df") <= dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = kept
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("x"))))
+      .filter(col("rnk") <=
+        col("n") - expr(s"(n * $tauMicro + 999999) div 1000000") + 1)
+      .select(col("doc_id").as("doc_small"), col("x"))
+    val cands = prefix
+      .join(kept.select(col("x"), col("doc_id").as("doc_big")), Seq("x"))
+      .filter(col("doc_small") =!= col("doc_big"))
+      .select("doc_small", "doc_big").distinct()
+    val candDocs = cands.select(col("doc_small").as("doc_id"))
+      .union(cands.select(col("doc_big").as("doc_id"))).distinct()
+    val dsC = docSets.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    cands
+      .join(dsC.select(col("doc_id").as("doc_small"), col("xs").as("xs_s")),
+        Seq("doc_small"))
+      .join(dsC.select(col("doc_id").as("doc_big"), col("xs").as("xs_b")),
+        Seq("doc_big"))
+      .select(col("doc_small"), col("doc_big"),
+        size(array_intersect(col("xs_s"), col("xs_b"))).cast("long").as("inter"),
+        size(col("xs_s")).cast("long").as("n_small"),
+        size(col("xs_b")).cast("long").as("n_big"))
+      // exact integer threshold test (inter·10⁶ ≥ τµ·n_small), then the
+      // rounded-double ratio only as a display column
+      .filter(col("inter") * 1000000 >= col("n_small") * tauMicro)
+      .select(col("doc_small"), col("doc_big"), col("n_small"), col("n_big"),
+        round(col("inter").cast("double") / col("n_small"), 4).as("containment"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH sign-projection buckets
     * generate candidates (identical 16-bit bucket ⇒ likely-close), exact
     * cosine verifies ≥ minCos. Same scale shape as the ANN path — the

@@ -263,6 +263,30 @@ object TextOps {
       .withColumn("is_repetitive", col("ttr") < repetitiveBelow)
   }
 
+  /** Template / boilerplate detection: fingerprint each document's
+    * OPENING SKELETON — the digit-masked first `prefixTokens` tokens
+    * (`order #1234 shipped ...` and `order #88 shipped ...` collapse to
+    * one skeleton; generated pages and form letters share openings long
+    * after their bodies diverge) — and report skeletons carried by ≥ 2
+    * documents. This is the boilerplate-header detector a web-corpus
+    * pipeline runs where exact dedup sees distinct texts. One codegen'd
+    * scan (slice + regex mask + md5-prefix hash) and one
+    * map-side-combined rollup; output is template-group-sized.
+    */
+  def templateFingerprint(documents: DataFrame, prefixTokens: Int = 8): DataFrame =
+    OpUtils.spread(documents)
+      .select(col("doc_id"), col("source"),
+        HashFns.hash60(
+          regexp_replace(
+            array_join(slice(TextFns.tokens(col("text")), 1, prefixTokens), " "),
+            "[0-9]+", "#"))
+          .as("template_fp"))
+      .groupBy(col("template_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("rep_doc_id"))
+      .filter(col("n_docs") >= 2)
+
   /** Content fingerprint (60-bit md5-prefix of normalized text — the
     * oracle-parity stand-in for a rolling hash) + duplicate-group size.
     */

@@ -25,6 +25,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 0L))))
   }
 
+  test("dedupContainment finds asymmetric near-subset pairs Jaccard misses") {
+    val small = "the quick brown fox jumps over the lazy dog"
+    val big = small + " and then several additional trailing words arrive here today"
+    val df = docs(
+      1L -> small,      // contained in 2 (prefix ⇒ containment = 1.0)
+      2L -> big,
+      3L -> "completely unrelated content about something else entirely",
+      4L -> small)      // exact dup of 1
+    val out = DedupOps.dedupContainment(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    // every 5-gram of `small` is a 5-gram of `big`, so 1→2 and 4→2 are
+    // full containments; 1↔4 are mutual; 2→1 fails (n_big ≫) and 3
+    // pairs with nothing
+    assert(out == Map((1L, 2L) -> 1.0, (4L, 2L) -> 1.0,
+      (1L, 4L) -> 1.0, (4L, 1L) -> 1.0))
+  }
+
   test("dedupExact groups identical normalized content") {
     val df = docs(1L -> base, 2L -> (base + " extra"), 3L -> s"  $base  ")
     val out = DedupOps.dedupExact(df).orderBy("doc_id").collect()

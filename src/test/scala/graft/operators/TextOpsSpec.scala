@@ -9,6 +9,21 @@ class TextOpsSpec extends SparkSpec {
     rows.map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("templateFingerprint groups digit-masked opening skeletons") {
+    val df = docs(
+      // same first-8-token skeleton after digit masking, divergent tails
+      (1L, "invoice 123 for customer alpha due on friday please remit promptly", "en"),
+      (2L, "invoice 99954 for customer alpha due on friday thanks and goodbye", "en"),
+      // differs within the first 8 tokens → own skeleton
+      (3L, "invoice 55 for customer beta due on friday please remit", "en"),
+      (4L, "no digits here", "en"),
+      (5L, "no digits here", "en"))          // exact dup of 4
+    val out = TextOps.templateFingerprint(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // two groups of 2 (reps 1 and 4); singletons filtered out
+    assert(out == Set((2L, 1L, 1L), (2L, 1L, 4L)))
+  }
+
   test("tfidfDocPairs weighs shared rare tokens, exact integer internals") {
     val df = docs(
       (1L, "alpha beta gamma", "en"),
