@@ -657,17 +657,24 @@ object Analytics {
     */
   def robustPriceStats(orders: DataFrame): DataFrame = {
     val grpW = Window.partitionBy(col("grp"))
+    // ONE derivation of the per-group CDF feeds every probe (persisted:
+    // the value rollup + two windows would otherwise re-run per probe),
+    // and the three order-statistic probes fold into a single
+    // conditional-min pass instead of three filter+agg scans
     val cdf = orders
       .select(col("o_orderpriority").as("grp"),
         floor(col("o_totalprice")).cast("long").as("usd"))
       .groupBy(col("grp"), col("usd")).agg(count(lit(1)).as("n"))
       .withColumn("cum", sum(col("n")).over(grpW.orderBy(col("usd"))))
       .withColumn("total", sum(col("n")).over(grpW))
-    def probe(test: org.apache.spark.sql.Column, as: String) =
-      cdf.filter(test).groupBy(col("grp")).agg(min(col("usd")).as(as))
-    val med = probe(col("cum") * 2 >= col("total"), "median_usd")
-    val p5 = probe(col("cum") * 20 >= col("total"), "p5_usd")
-    val p95 = probe(col("cum") * 20 >= col("total") * 19, "p95_usd")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = cdf.groupBy(col("grp")).agg(
+      min(when(col("cum") * 2 >= col("total"), col("usd"))).as("median_usd"),
+      min(when(col("cum") * 20 >= col("total"), col("usd"))).as("p5_usd"),
+      min(when(col("cum") * 20 >= col("total") * 19, col("usd"))).as("p95_usd"))
+    val med = probes.select(col("grp"), col("median_usd"))
+    val p5 = probes.select(col("grp"), col("p5_usd"))
+    val p95 = probes.select(col("grp"), col("p95_usd"))
     val mad = cdf.join(broadcast(med), Seq("grp"))
       .select(col("grp"), abs(col("usd") - col("median_usd")).as("dev"), col("n"))
       .groupBy(col("grp"), col("dev")).agg(sum(col("n")).as("n"))
@@ -715,8 +722,12 @@ object Analytics {
       .withColumn("r", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("h"))))
     val sketches = ranked.filter(col("r") <= k).select(col("event_type"), col("h"))
+    // ≤ 2k rows reach this point, so the single-partition rank is fine;
+    // the literal partition key just spells that out (and silences the
+    // unpartitioned-window warning)
     val unionK = sketches.select(col("h")).distinct()
-      .withColumn("r", row_number().over(Window.orderBy(col("h"))))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("h"))))
       .filter(col("r") <= k)
     val unionStats = unionK.agg(count(lit(1)).as("n_union_hashes"),
       max(col("h")).as("hk"))

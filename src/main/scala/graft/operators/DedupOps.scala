@@ -195,21 +195,28 @@ object DedupOps {
     * ⌈τ·n⌉ is exact integer arithmetic on a micro-unit τ (engine-stable,
     * shared with the oracle).
     */
+  /** Per-doc DISTINCT shingle sets as arrays — THE working set of the
+    * set-similarity family: the per-doc size comes free (size(xs)),
+    * document frequencies explode from it, and the exact verifies read
+    * the arrays directly. Built ROW-LOCAL by the codegen'd
+    * DistinctShinglesExpr (dedup within one document needs no shuffle);
+    * set state per doc is O(its distinct shingles), the same bound as
+    * the document text itself. Memoized: Jaccard and containment dedup
+    * share one derivation per session instead of re-shingling the
+    * corpus each.
+    */
+  private def docShingleSets(documents: DataFrame): DataFrame =
+    Memo.cached("doc_shingle_sets", documents) { docs =>
+      spread(docs)
+        .select(col("doc_id"),
+          graft.functions.MinhashSig.distinctShingles(
+            graft.functions.TextFns.normText(col("text")), 5).as("xs"))
+        .filter(col("xs").isNotNull)
+    }
+
   def dedupNgramJaccard(documents: DataFrame, tau: Double = 0.5, dfCap: Int = 50): DataFrame = {
     val tauMicro = math.round(tau * 1e6)
-    // Per-doc DISTINCT shingle sets as arrays — THE working set: the
-    // per-doc size comes free (size(xs)), document frequencies explode
-    // from it, and the exact verify reads the arrays directly. Built
-    // ROW-LOCAL by the codegen'd DistinctShinglesExpr (dedup within one
-    // document needs no shuffle — the previous collect_set formulation
-    // shuffled every shingle instance); set state per doc is O(its
-    // distinct shingles), the same bound as the document text itself.
-    val docSets = spread(documents)
-      .select(col("doc_id"),
-        graft.functions.MinhashSig.distinctShingles(
-          graft.functions.TextFns.normText(col("text")), 5).as("xs"))
-      .filter(col("xs").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docSets = docShingleSets(documents)
     val dfs = docSets.select(explode(col("xs")).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("df"))
     // df-cap BEFORE the rank window: rows with df > dfCap sort strictly
@@ -273,12 +280,7 @@ object DedupOps {
   def dedupContainment(documents: DataFrame, tauC: Double = 0.8,
       dfCap: Int = 50): DataFrame = {
     val tauMicro = math.round(tauC * 1e6)
-    val docSets = spread(documents)
-      .select(col("doc_id"),
-        graft.functions.MinhashSig.distinctShingles(
-          graft.functions.TextFns.normText(col("text")), 5).as("xs"))
-      .filter(col("xs").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docSets = docShingleSets(documents)
     val dfs = docSets.select(explode(col("xs")).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("df"))
     val kept = docSets
@@ -297,6 +299,7 @@ object DedupOps {
       .join(kept.select(col("x"), col("doc_id").as("doc_big")), Seq("x"))
       .filter(col("doc_small") =!= col("doc_big"))
       .select("doc_small", "doc_big").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candDocs = cands.select(col("doc_small").as("doc_id"))
       .union(cands.select(col("doc_big").as("doc_id"))).distinct()
     val dsC = docSets.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
