@@ -125,6 +125,43 @@ object Sinks {
       org.apache.commons.io.FileUtils.forceDelete(retired.toFile)
   }
 
+  /** Apply a classified CDC delta (the [[graft.operators.ChangeOps]]
+    * `snapshot_diff` shape: rows tagged insert / update / delete) to a
+    * keyed parquet store — the consumer side of change capture, and the
+    * piece [[mergeUpsert]] lacks: DELETES. New store =
+    * (current ANTI-JOIN every changed key) ∪ insert/update payloads —
+    * one key-column anti-join against the delta (store+delta-sized
+    * work, never history-sized), then the same staging + two-rename
+    * swap so readers never see a half-applied delta. Unknown ops THROW
+    * (a CDC feed with a typo'd op must not silently drop rows).
+    */
+  def applyChanges(spark: org.apache.spark.sql.SparkSession, path: String,
+      changes: DataFrame, keyCol: String, opCol: String = "change_type"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val badOps = changes
+      .filter(!col(opCol).isin("insert", "update", "delete"))
+      .limit(1).collect()
+    require(badOps.isEmpty,
+      s"unknown $opCol value: ${badOps.headOption.map(_.toString).getOrElse("")}")
+    val payload = changes.filter(col(opCol) =!= "delete").drop(opCol)
+    val target = java.nio.file.Paths.get(path)
+    val merged =
+      if (java.nio.file.Files.exists(target)) {
+        val current = spark.read.parquet(path)
+        current.join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(payload)
+      } else payload
+    val token = System.nanoTime()
+    val staging = s"$path-staging-$token"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val retired = java.nio.file.Paths.get(s"$path-retired-$token")
+    if (java.nio.file.Files.exists(target))
+      java.nio.file.Files.move(target, retired)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging), target)
+    if (java.nio.file.Files.exists(retired))
+      org.apache.commons.io.FileUtils.forceDelete(retired.toFile)
+  }
+
   /** Incremental AGGREGATE maintenance — the materialized-view merge:
     * fold a new batch's per-key partial sums into a persistent rollup
     * store without ever re-reading the facts that built it. Because the

@@ -412,6 +412,68 @@ object EventStreams {
       }
   }
 
+  case class SessionEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(start: Long, lastTs: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long, duration_s: Long)
+
+  /** Session FINALIZER — the other half of streaming sessionization:
+    * [[sessionizeStream]] maintains a running per-user rollup, but a
+    * downstream sessions FACT TABLE needs one immutable record per
+    * COMPLETED session, and completion is only provable when event time
+    * has moved `gapSeconds` past the session's last event. This is the
+    * canonical EventTimeTimeout use: a gap inside a batch closes a
+    * session inline; a gap that spans silence closes it when the
+    * WATERMARK passes session_end + gap (the timeout callback fires
+    * with an empty batch), so a user who disappears forever still gets
+    * their last session emitted. State per user is one open-session
+    * record (three longs) — never the event history. The timeout
+    * timestamp is clamped to just above the current watermark so a
+    * late-but-within-watermark event can never set an already-expired
+    * timeout (which Spark rejects).
+    */
+  def sessionFinalizeStream(spark: SparkSession, events: Dataset[SessionEv],
+      gapSeconds: Long = 1800): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, batch, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.start, s.lastTs, s.n,
+              s.lastTs - s.start))
+          } else {
+            val sorted = batch.toSeq
+              .map(e => (e.ts.getTime / 1000, e.event_id))
+              .sortBy(identity)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { case (t, _) =>
+              cur match {
+                case Some(s) if t - s.lastTs <= gapSeconds =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(user, s.start, s.lastTs, s.n,
+                    s.lastTs - s.start)
+                  cur = Some(OpenSession(t, t, 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1, (s.lastTs + gapSeconds) * 1000))
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   case class HourCount(event_type: String, hour_start: Long, n_events: Long)
   case class AnomalyState(nHours: Long, sx: Long, sxx: Long)
   case class HourAnomaly(event_type: String, hour_start: Long,

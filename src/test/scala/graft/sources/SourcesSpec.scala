@@ -296,6 +296,25 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("applyChanges applies insert/update/delete deltas atomically") {
+    val dir = tmp()
+    val path = s"$dir/store"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").write.parquet(path)
+    val delta = Seq((2L, "B", "update"), (4L, "d", "insert"),
+      (3L, null.asInstanceOf[String], "delete"))
+      .toDF("id", "v", "change_type")
+    Sinks.applyChanges(spark, path, delta, "id")
+    val out = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "B"), (4L, "d")))
+    // a typo'd op must throw before anything is rewritten
+    intercept[IllegalArgumentException] {
+      Sinks.applyChanges(spark, path,
+        Seq((1L, "x", "upsert")).toDF("id", "v", "change_type"), "id")
+    }
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("compaction + vacuum: rewrite head generation, reclaim superseded files") {
     val dir = tmp()
     val path = s"$dir/table"

@@ -97,6 +97,33 @@ class EventStreamsSpec extends SparkSpec {
       4L -> false, 5L -> true, 6L -> false))
   }
 
+  test("sessionFinalizeStream closes sessions on in-batch gap AND watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.SessionEv
+    def st(s: Long) = new Timestamp(s * 1000)
+    val mem = MemoryStream[SessionEv]
+    val q = EventStreams.sessionFinalizeStream(spark, mem.toDS(), gapSeconds = 60)
+      .writeStream.outputMode("append").format("memory").queryName("sfin").start()
+    // timestamps start well above 0 — a row AT the initial epoch-0
+    // watermark is dropped as late before the state function sees it
+    mem.addData(SessionEv(1, 1, st(1000)), SessionEv(1, 2, st(1030)),
+      SessionEv(2, 3, st(1010)))
+    q.processAllAvailable()
+    assert(spark.table("sfin").count() == 0) // nothing provably complete yet
+    // u1's event at 1300 exceeds the 60s gap IN-BATCH → session
+    // (1000..1030) closes inline; the batch advances the watermark to 1300
+    mem.addData(SessionEv(1, 4, st(1300)))
+    q.processAllAvailable()
+    // u2 went silent; its timeout (1010+60 < wm 1300) fires on the next
+    // trigger, emitting the session even though no u2 event ever arrives
+    mem.addData(SessionEv(3, 5, st(1301)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sfin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(rows == Set((1L, 1000L, 1030L, 2L, 30L), (2L, 1010L, 1010L, 1L, 0L)))
+  }
+
   test("funnelStream reaches the batch funnel levels across micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.FunnelEvent
