@@ -2096,6 +2096,46 @@ object Oracles {
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, est_jaccard FROM lshp""".stripMargin,
 
+    // both legs reuse the shared CTE fragments; the report is one
+    // pair-list-sized full-outer join over them
+    "lsh_recall_report" ->
+      s"""WITH $minhashPairsCte,
+         |shd AS (SELECT DISTINCT doc_id, x FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         |dfs AS (SELECT x, count(*) AS df FROM shd GROUP BY x),
+         |kept AS (SELECT doc_id, x FROM (
+         |  SELECT shd.doc_id, shd.x, dfs.df, s.n, row_number() OVER (
+         |    PARTITION BY shd.doc_id ORDER BY dfs.df, shd.x) AS rnk
+         |  FROM shd JOIN dfs ON shd.x = dfs.x
+         |   JOIN sizes s ON s.doc_id = shd.doc_id)
+         | WHERE rnk <= n - ((n * 500000 + 999999) // 1000000) + 1
+         |  AND df <= 50),
+         |jcands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b ON a.x = b.x AND a.doc_id < b.doc_id),
+         |jinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM shd a JOIN shd b ON a.x = b.x AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |   ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+         |  FROM jcands c JOIN jinter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+         | WHERE jaccard >= 0.5),
+         |m AS (SELECT
+         |  CASE WHEN jp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+         |  CASE WHEN lp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS e
+         | FROM jp FULL OUTER JOIN (SELECT doc_a, doc_b FROM lshp) lp
+         |  ON jp.doc_a = lp.doc_a AND jp.doc_b = lp.doc_b)
+         |SELECT CAST(SUM(t) AS BIGINT) AS n_true_pairs,
+         | CAST(SUM(e) AS BIGINT) AS n_est_pairs,
+         | CAST(SUM(t * e) AS BIGINT) AS n_common,
+         | CASE WHEN SUM(e) > 0 THEN
+         |  CAST((SUM(t * e) * 1000000) // SUM(e) AS BIGINT) END AS precision_micro,
+         | CASE WHEN SUM(t) > 0 THEN
+         |  CAST((SUM(t * e) * 1000000) // SUM(t) AS BIGINT) END AS recall_micro
+         |FROM m""".stripMargin,
+
     // one-sided prefix filter (only the SMALL side is cut), exact
     // verify on full distinct-shingle sets, integer threshold test
     "dedup_containment" ->

@@ -283,6 +283,8 @@ object SparkEntry {
       TextOps.templateFingerprint(documents(s, d))),
     "dedup_containment" -> ((s, d) =>
       DedupOps.dedupContainment(documents(s, d))),
+    "lsh_recall_report" -> ((s, d) =>
+      DedupOps.lshRecallReport(documents(s, d))),
     "repetition_report" -> ((s, d) => TextOps.repetitionReport(documents(s, d))),
     "mixture_balance" -> ((s, d) => PipelineOps.mixtureBalance(documents(s, d))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(documents(s, d))),

@@ -319,6 +319,34 @@ object DedupOps {
         round(col("inter").cast("double") / col("n_small"), 4).as("containment"))
   }
 
+  /** Dedup-estimator quality audit — the [[SimilarityOps]]
+    * `ann_recall_report` analog for the near-dup family: precision and
+    * recall of the MinHash-LSH pair graph against the exact-Jaccard
+    * reference at the same τ. (The reference itself carries the
+    * documented df-cap blocking recall limit, so this audits the
+    * SKETCH error — signature estimation + banding — on the pairs the
+    * blocking can see, which is the production question: "what does
+    * switching from exact verification to MinHash cost me?") Both
+    * legs are memoized derivations shared with the dedup queries —
+    * the audit adds one pair-list-sized full-outer join. Integer
+    * micro-unit rates; division guarded identically in both engines.
+    */
+  def lshRecallReport(documents: DataFrame, tau: Double = 0.5): DataFrame = {
+    val truth = dedupNgramJaccard(documents, tau)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+    val est = dedupMinhashLsh(documents, tau)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("e"))
+    truth.join(est, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(col("t")).cast("long").as("n_true_pairs"),
+        sum(col("e")).cast("long").as("n_est_pairs"),
+        sum(col("t") * col("e")).cast("long").as("n_common"))
+      .select(col("n_true_pairs"), col("n_est_pairs"), col("n_common"),
+        when(col("n_est_pairs") > 0,
+          expr("(n_common * 1000000) div n_est_pairs")).as("precision_micro"),
+        when(col("n_true_pairs") > 0,
+          expr("(n_common * 1000000) div n_true_pairs")).as("recall_micro"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH sign-projection buckets
     * generate candidates (identical 16-bit bucket ⇒ likely-close), exact
     * cosine verifies ≥ minCos. Same scale shape as the ANN path — the

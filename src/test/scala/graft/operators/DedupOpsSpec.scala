@@ -25,6 +25,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 0L))))
   }
 
+  test("lshRecallReport scores the sketch pairs against blocked-exact truth") {
+    val df = docs(
+      1L -> base, 2L -> base, // exact dups: in both legs
+      3L -> "totally different content words that share nothing at all")
+    val r = DedupOps.lshRecallReport(df).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4)) == ((1L, 1L, 1L, 1000000L, 1000000L)))
+  }
+
   test("dedupContainment finds asymmetric near-subset pairs Jaccard misses") {
     val small = "the quick brown fox jumps over the lazy dog"
     val big = small + " and then several additional trailing words arrive here today"
