@@ -2403,6 +2403,37 @@ object Oracles {
          | FROM pairs)
          |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3""".stripMargin,
 
+    // hard negatives rank ROUNDED cosines (the shared output
+    // convention) so ties break identically; easy negative is the
+    // hash-argmin outside the anchor's probed cells
+    "contrastive_pairs" ->
+      s"""WITH celled AS ($ivfCelledSelect),
+         |anc AS (SELECT vec_id AS anchor_id, embedding,
+         |  cell AS a_cell, cell2 AS a_cell2
+         | FROM celled WHERE vec_id < 20),
+         |h0 AS (SELECT anc.anchor_id, c.vec_id AS other_id,
+         |  ${cosineSql("anc", "c")} AS cosine_sim
+         | FROM celled c JOIN anc
+         |  ON c.cell = anc.a_cell AND c.vec_id <> anc.anchor_id),
+         |h1 AS (SELECT anchor_id, other_id, cosine_sim,
+         |  CAST(row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cosine_sim DESC, other_id) AS BIGINT) AS rank
+         | FROM h0 WHERE cosine_sim < 0.99),
+         |hard AS (SELECT anchor_id, 'hard_neg' AS pair_type, other_id,
+         |  cosine_sim, rank FROM h1 WHERE rank <= 2),
+         |e0 AS (SELECT anc.anchor_id, c.vec_id AS other_id,
+         |  ${cosineSql("anc", "c")} AS cosine_sim,
+         |  ('0x' || substr(md5(anc.anchor_id || ':' || c.vec_id), 1, 15))::BIGINT
+         |    AS pick
+         | FROM celled c JOIN anc
+         |  ON c.cell <> anc.a_cell AND c.cell <> anc.a_cell2),
+         |e1 AS (SELECT anchor_id, other_id, cosine_sim,
+         |  CAST(row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY pick, other_id) AS BIGINT) AS rank FROM e0),
+         |easy AS (SELECT anchor_id, 'easy_neg' AS pair_type, other_id,
+         |  cosine_sim, rank FROM e1 WHERE rank = 1)
+         |SELECT * FROM hard UNION ALL SELECT * FROM easy""".stripMargin,
+
     "dedup_semantic" ->
       s"""WITH celled AS ($ivfCelledSelect),
          |rem AS (

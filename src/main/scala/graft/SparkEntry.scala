@@ -258,6 +258,8 @@ object SparkEntry {
     "embed_quantize" -> ((s, d) => SimilarityOps.embedQuantize(embeddings(s, d))),
     "embed_knn_label" -> ((s, d) =>
       SimilarityOps.knnLabel(embeddings(s, d), documents(s, d))),
+    "contrastive_pairs" -> ((s, d) =>
+      SimilarityOps.contrastivePairs(embeddings(s, d))),
     "inverted_index" -> ((s, d) => TextOps.invertedIndex(documents(s, d))),
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(documents(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(documents(s, d))),

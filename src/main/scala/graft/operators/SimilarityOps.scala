@@ -176,6 +176,57 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Contrastive training-pair mining — the negative-sampling stage of
+    * embedding-model training data prep. Per anchor (the standard
+    * vec_id < nQueries query set): the top `hardK` HARD negatives (most
+    * cosine-similar same-cell vectors that are NOT near-duplicates —
+    * cosine < dupCos excludes positives-in-disguise) and one
+    * deterministic EASY negative drawn hash-uniformly from OUTSIDE the
+    * anchor's probed cells (no RNG: argmin of the 60-bit md5 of
+    * "anchor:candidate", reproducible in the oracle). Hard negatives
+    * ride the same cell-bounded join as [[ivfAnn]] (per-anchor work is
+    * one cell, not the corpus); the easy-negative leg is a labeled
+    * broadcast-anchors × corpus scan — the same acceptable shape as the
+    * brute-force ANN baseline, one corpus pass for the whole anchor
+    * set.
+    */
+  def contrastivePairs(embeddings: DataFrame, nQueries: Int = 20,
+      hardK: Int = 2, dupCos: Double = 0.99): DataFrame = {
+    val celled = withIvfCells(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anchors = celled.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+        col("cell").as("a_cell"), col("cell2").as("a_cell2"))
+    val hard = celled.select(col("vec_id"), col("embedding"), col("cell"))
+      .join(broadcast(anchors), col("cell") === col("a_cell") &&
+        col("vec_id") =!= col("anchor_id"))
+      .withColumn("cosine_sim",
+        round(VectorFns.cosine(col("a_emb"), col("embedding")), 6))
+      .filter(col("cosine_sim") < dupCos)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cosine_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= hardK)
+      .select(col("anchor_id"), lit("hard_neg").as("pair_type"),
+        col("vec_id").as("other_id"), col("cosine_sim"), col("rank"))
+    val easy = celled.select(col("vec_id"), col("embedding"), col("cell"))
+      .join(broadcast(anchors),
+        col("cell") =!= col("a_cell") && col("cell") =!= col("a_cell2"))
+      .withColumn("pick", graft.functions.HashFns.hash60(
+        concat(col("anchor_id").cast("string"), lit(":"),
+          col("vec_id").cast("string"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("pick"), col("vec_id"))).cast("long"))
+      .filter(col("rank") === 1)
+      .select(col("anchor_id"), lit("easy_neg").as("pair_type"),
+        col("vec_id").as("other_id"),
+        round(VectorFns.cosine(col("a_emb"), col("embedding")), 6)
+          .as("cosine_sim"),
+        col("rank"))
+    hard.unionByName(easy)
+  }
+
   /** Lloyd's k-means over the embedding corpus — the trained-centroid
     * IVF index the fixed pseudo-random variant approximates. Fully
     * distributed: assignment broadcasts k centroid literals into the

@@ -3,6 +3,23 @@ package graft.operators
 import graft.SparkSpec
 
 class SimilarityOpsSpec extends SparkSpec {
+
+  test("contrastivePairs emits ≤hardK hard + exactly 1 easy negative per anchor") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = SimilarityOps.contrastivePairs(emb, nQueries = 5).collect()
+    val byAnchor = out.groupBy(r => (r.getLong(0), r.getString(1)))
+    byAnchor.foreach { case ((a, t), rows) =>
+      if (t == "hard_neg") {
+        assert(rows.length <= 2, s"anchor $a has ${rows.length} hard negs")
+        rows.foreach(r => assert(r.getDouble(3) < 0.99))
+      } else assert(rows.length == 1, s"anchor $a has ${rows.length} easy negs")
+    }
+    // every anchor that produced pairs has its easy negative
+    val anchors = out.map(_.getLong(0)).toSet
+    anchors.foreach { a =>
+      assert(byAnchor.contains((a, "easy_neg")), s"anchor $a lacks easy neg")
+    }
+  }
   import spark.implicits._
 
   private def vecs(rows: (Long, Seq[Float])*) =
