@@ -41,6 +41,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextOps.docFingerprint(empty).count() == 0)
     assert(TextOps.piiRedact(empty).count() == 0)
     assert(PipelineOps.vocabCoverage(empty).count() == 0)
+    assert(DedupOps.dedupContainment(empty).count() == 0)
+    assert(TextOps.tfidfDocPairs(empty).count() == 0)
+    assert(TextOps.templateFingerprint(empty).count() == 0)
+  }
+
+  test("session-5 operators survive degenerate and empty inputs") {
+    // single real doc → no pairs anywhere; blank/null texts don't crash
+    assert(DedupOps.dedupContainment(degenerate).count() == 0)
+    assert(TextOps.tfidfDocPairs(degenerate).count() == 0)
+    // empty string and whitespace mask to the same skeleton → one group;
+    // the null-text group is its own (grouped, not join-dropped)
+    assert(TextOps.templateFingerprint(degenerate).count() == 1)
+    val evSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    val ev = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, null, 1L, "view", 0.0, "{}"),
+        org.apache.spark.sql.Row(2L, new java.sql.Timestamp(1000L), null,
+          "click", 0.0, "{}"),
+        org.apache.spark.sql.Row(3L, new java.sql.Timestamp(2000L), 2L,
+          "purchase", 0.0, "{}")),
+      evSchema)
+    assert(AsOfOps.windowFunnel(ev).count() >= 1)       // runs, no crash
+    assert(Analytics.kmvIntersection(ev).count() == 1)  // one audit row
+    val emptyOrders = Seq.empty[(Long, java.sql.Timestamp, Double, String)]
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+    assert(Analytics.robustPriceStats(emptyOrders).count() == 0)
+    assert(TrendOps.acfDailyRevenue(emptyOrders).count() == 0)
   }
 
   test("piiRedact and vocabCoverage survive null and blank text") {
