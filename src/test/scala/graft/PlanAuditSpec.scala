@@ -283,6 +283,21 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("kmv per-type sketch ranking compiles to WindowGroupLimit partial top-k") {
+    val p = plan("kmv_intersection")
+    assert(p.contains("WindowGroupLimit"),
+      "k-smallest ranking must keep k rows per map task below the exchange")
+  }
+
+  test("window_funnel shares one user shuffle across both running-maxima windows") {
+    val p = plan("window_funnel")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(exchanges == 1, s"expected one user_id exchange, plan:\n${p.take(600)}")
+    assert(p.contains("PushedFilters: [In(event_type"),
+      "funnel event-type filter must reach the scan")
+  }
+
   test("SWEEP: no query plans a non-broadcast cartesian product") {
     // CartesianProduct = both sides large and unkeyed — the one operator
     // that can never survive a 100 TB input. Every deliberate cross join
