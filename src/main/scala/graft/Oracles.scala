@@ -1354,6 +1354,30 @@ object Oracles {
         | ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_monthly_cents
         |FROM s""".stripMargin,
 
+    // the dyadic Holt weights are interpolated from the SAME Scala
+    // integer recurrence the operator uses — one source of truth
+    "holt_forecast" -> {
+      val (lw, bw, den) = graft.operators.TrendOps.holtWeights
+      def dot(ws: Seq[Long]) =
+        ws.zipWithIndex.map { case (wt, j) => s"($wt * y$j)" }.mkString(" + ")
+      val lagCols = (0 to 7)
+        .map(j => s"lag(cents, ${7 - j}) OVER w AS y$j").mkString(", ")
+      val notNull = (0 to 7).map(j => s"y$j IS NOT NULL").mkString(" AND ")
+      val scale = s"${den * 100}.0"
+      s"""WITH daily AS (
+         | SELECT CAST(o_orderdate AS DATE) AS d,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         | FROM orders GROUP BY 1),
+         |lg AS (SELECT d, cents, $lagCols
+         | FROM daily WINDOW w AS (ORDER BY d))
+         |SELECT d, ROUND(cents / 100.0, 2) AS revenue,
+         | ROUND((${dot(lw)}) / $scale, 2) AS holt_level,
+         | ROUND((${dot(bw)}) / $scale, 2) AS holt_trend,
+         | ROUND(((${dot(lw)}) + (${dot(bw)})) / $scale, 2) AS forecast_next,
+         | ROUND(((${dot(lw)}) + 7 * (${dot(bw)})) / $scale, 2) AS forecast_7d
+         |FROM lg WHERE $notNull""".stripMargin
+    },
+
     "acf_daily_revenue" ->
       """WITH daily AS (
         | SELECT CAST(o_orderdate AS DATE) AS d,

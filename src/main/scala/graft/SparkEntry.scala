@@ -186,6 +186,7 @@ object SparkEntry {
         region(s, d))),
     "daily_gapfill" -> ((s, d) => TrendOps.dailyGapfill(orders(s, d))),
     "acf_daily_revenue" -> ((s, d) => TrendOps.acfDailyRevenue(orders(s, d))),
+    "holt_forecast" -> ((s, d) => TrendOps.holtForecast(orders(s, d))),
     "ewma_daily_revenue" -> ((s, d) => TrendOps.ewmaDailyRevenue(orders(s, d))),
     "changepoint_cusum" -> ((s, d) => TrendOps.changepointCusum(orders(s, d))),
     "revenue_streaks" -> ((s, d) => TrendOps.revenueStreaks(orders(s, d))),

@@ -288,6 +288,71 @@ object TrendOps {
           .as("ewma_revenue"))
   }
 
+  /** Holt(α=β=½) weights over the last 8 observations, computed ONCE by
+    * exact integer recurrence: with dyadic smoothing constants every
+    * level/trend value is an integer combination of y_{t-7..t} over the
+    * common denominator 4⁷ = 2¹⁴, so the whole recurrence collapses to
+    * two dot products with these literal weights — no sequential scan,
+    * and bit-identical in the oracle (which interpolates the SAME
+    * longs). Returns (levelWeights, trendWeights, denominator), index 0
+    * = oldest observation.
+    */
+  private[graft] lazy val holtWeights: (Seq[Long], Seq[Long], Long) = {
+    var l = Array.tabulate(8)(j => if (j == 0) BigInt(1) else BigInt(0))
+    var b = Array.fill(8)(BigInt(0))
+    var den = BigInt(1)
+    for (i <- 1 to 7) {
+      val e = Array.tabulate(8)(j => if (j == i) den else BigInt(0))
+      // l_i = (y_i + l_{i-1} + b_{i-1}) / 2          → denominator 2·den
+      val lNew = Array.tabulate(8)(j => e(j) + l(j) + b(j))
+      // b_i = ((l_i − l_{i-1}) + b_{i-1}) / 2        → denominator 4·den
+      val bNew = Array.tabulate(8)(j => lNew(j) - 2 * l(j) + 2 * b(j))
+      l = lNew.map(_ * 2) // rescale level to the common 4·den
+      b = bNew
+      den *= 4
+    }
+    (l.map(_.toLong).toSeq, b.map(_.toLong).toSeq, den.toLong)
+  }
+
+  /** Truncated Holt linear-trend forecast over daily revenue — the
+    * h-step-ahead projection that completes the time-series suite
+    * (EWMA smooths, ACF diagnoses, OLS fits the global line, Holt
+    * extrapolates the LOCAL level+trend). Initialized 8 observations
+    * back (level = y, trend = 0) like the truncated EWMA, which turns
+    * the sequential recurrence into two literal-weight dot products
+    * over lag columns (see [[holtWeights]]) — exact integer cents until
+    * one final display division, engine-stable. Rows without 8 prior
+    * observations are dropped (no partially-initialized forecasts).
+    * Scale: one fact-sized map-side-combined rollup; the lag window
+    * runs over the CALENDAR-bounded daily table. Gap days are simply
+    * absent (the EWMA convention): the window is the last 8
+    * OBSERVATIONS, not calendar days.
+    */
+  def holtForecast(orders: DataFrame): DataFrame = {
+    val (lw, bw, den) = holtWeights
+    val daily = orders
+      .select(to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("d"))
+      .agg((sum(col("p")) * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("d"))
+    val lagCols = (0 to 7).map(j => lag(col("cents"), 7 - j).over(w))
+    val complete = lagCols.map(_.isNotNull).reduce(_ && _)
+    val sl = lagCols.zip(lw).map { case (c, wt) => c * wt }.reduce(_ + _)
+    val sb = lagCols.zip(bw).map { case (c, wt) => c * wt }.reduce(_ + _)
+    val scale = den * 100.0
+    daily
+      .withColumn("ok", complete)
+      .withColumn("sl", sl).withColumn("sb", sb)
+      .filter(col("ok"))
+      .select(col("d"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("sl") / scale, 2).as("holt_level"),
+        round(col("sb") / scale, 2).as("holt_trend"),
+        round((col("sl") + col("sb")) / scale, 2).as("forecast_next"),
+        round((col("sl") + lit(7L) * col("sb")) / scale, 2).as("forecast_7d"))
+  }
+
   /** Per-event running 3σ anomaly flags over each event type's value
     * stream — the metric-monitor primitive. Each event is judged against
     * the EXACT prefix statistics of its type's earlier history (n, Σx,

@@ -53,6 +53,35 @@ class TrendOpsSpec extends SparkSpec {
     assert(n == Seq((1L, 1L, true), (2L, 1L, true), (3L, 1L, true)))
   }
 
+  test("holtForecast matches the direct recurrence; constant series is flat") {
+    // linear series: 100, 110, ..., 180 dollars over 9 consecutive days
+    val orders = (0 until 9).map { i =>
+      (i.toLong, ts(f"2000-01-${i + 1}%02d"), 100.0 + 10.0 * i)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = TrendOps.holtForecast(orders).orderBy("d").collect()
+    assert(out.length == 2) // first complete 8-obs window at day 8
+    // direct recurrence in cents (dyadic values — doubles are exact)
+    var l = 100.0 * 100; var b = 0.0
+    for (i <- 1 to 7) {
+      val y = (100.0 + 10.0 * i) * 100
+      val l2 = (y + l + b) / 2; b = ((l2 - l) + b) / 2; l = l2
+    }
+    def r2(x: Double) = math.rint(x * 100) / 100
+    val row = out.head
+    assert(row.getDouble(2) == r2(l / 100))
+    assert(row.getDouble(3) == r2(b / 100))
+    assert(row.getDouble(4) == r2((l + b) / 100))
+    assert(row.getDouble(5) == r2((l + 7 * b) / 100))
+    // constant series: level = the constant, trend = 0, forecasts flat
+    val const = (0 until 8).map { i =>
+      (i.toLong, ts(f"2000-02-${i + 1}%02d"), 50.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val c = TrendOps.holtForecast(const).collect()
+    assert(c.length == 1)
+    assert(c.head.getDouble(2) == 50.0 && c.head.getDouble(3) == 0.0 &&
+      c.head.getDouble(5) == 50.0)
+  }
+
   test("orderBacklogTimeline sweeps opens and last-ship closes") {
     val orders = Seq(
       (1L, ts("2000-01-01")), (2L, ts("2000-01-01")), (3L, ts("2000-01-02")))
