@@ -71,7 +71,7 @@ object Bench {
     java.nio.file.Files.write(fullPath,
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$fullJson,"failed":$failed,"sf":"$sfDir"}\n"""
         .getBytes("UTF-8"))
-    val top = all.filter(_._3).sortBy(-_._2).take(25)
+    val top = all.filter(_._3).sortBy(-_._2).take(12)
       .map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$top,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")

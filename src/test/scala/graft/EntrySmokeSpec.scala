@@ -10,6 +10,19 @@ class EntrySmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("entry and events queries survive a FOREIGN session (NTZ inference on)") {
+    // the driver's smoke check calls entry(spark) with its own session,
+    // which does NOT carry our parquet configs: timestamp[us] columns
+    // then read as TIMESTAMP_NTZ and only the Tables.fixNtz loader
+    // shim stands between that and an analysis error (the round-4
+    // testdata-regeneration incident)
+    val foreign = spark.newSession()
+    foreign.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    assert(SparkEntry.entry(foreign).count() > 0)
+    assert(SparkEntry.queries("clean_events")(foreign, dir).count() > 0)
+    assert(SparkEntry.queries("events_sessionize")(foreign, dir).count() > 0)
+  }
+
   test("every oracle key has a query and vice versa (weaker rows-only ops aside)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
