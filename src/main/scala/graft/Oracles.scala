@@ -3070,6 +3070,44 @@ object Oracles {
         |  ELSE 1 END AS funnel_stage, COUNT(*) AS n_users
         |FROM per_user GROUP BY 1""".stripMargin,
 
+    // exact-cents Hamilton split per purchase; RANGE-frame counts
+    // replace the purchases×touches interval join
+    "linear_attribution" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |c AS (
+        | SELECT user_id, ts_s, event_type, cents,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS nv,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS nc
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |   RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)),
+        |p AS (
+        | SELECT cents, nv, nc, nv + nc AS n,
+        |  CASE WHEN nv + nc = 0 THEN 0 ELSE (cents * nv) // (nv + nc) END AS cv0,
+        |  CASE WHEN nv + nc = 0 THEN 0 ELSE (cents * nc) // (nv + nc) END AS cc0,
+        |  CASE WHEN nv + nc = 0 THEN 0 ELSE (cents * nv) % (nv + nc) END AS rv,
+        |  CASE WHEN nv + nc = 0 THEN 0 ELSE (cents * nc) % (nv + nc) END AS rc
+        | FROM c WHERE event_type = 'purchase'),
+        |cr AS (
+        | SELECT *, cents - cv0 - cc0 AS leftover,
+        |  cv0 + CASE WHEN n > 0 AND rv >= rc
+        |    THEN cents - cv0 - cc0 ELSE 0 END AS cv,
+        |  cc0 + CASE WHEN n > 0 AND rv < rc
+        |    THEN cents - cv0 - cc0 ELSE 0 END AS cc
+        | FROM p),
+        |x AS (
+        | SELECT 'view' AS touch_type, cv AS credit_cents FROM cr
+        | UNION ALL SELECT 'click', cc FROM cr
+        | UNION ALL SELECT 'organic',
+        |  CASE WHEN n = 0 THEN cents ELSE 0 END FROM cr)
+        |SELECT touch_type,
+        | CAST(COUNT(CASE WHEN credit_cents > 0 THEN 1 END) AS BIGINT)
+        |   AS n_credited_purchases,
+        | ROUND(SUM(credit_cents) / 100.0, 2) AS credit
+        |FROM x GROUP BY 1""".stripMargin,
+
     // running-maxima reformulation of the ordered-chain existence test;
     // RANGE frames so equal timestamps resolve set-wise in both engines
     "window_funnel" ->

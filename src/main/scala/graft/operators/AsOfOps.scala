@@ -200,6 +200,60 @@ object AsOfOps {
         expr("(n_users * 1000000) div (sum(n_users) over ())"))
   }
 
+  /** Multi-touch LINEAR attribution — the equal-split complement of
+    * [[purchaseAttribution]]'s last-touch model: each purchase's value
+    * divides equally over every view/click touch in its trailing
+    * `windowS` window, in EXACT cents via largest-remainder (Hamilton)
+    * apportionment per purchase (credit_view + credit_click = value
+    * exactly; the ≤1 leftover cent goes to the larger remainder, ties
+    * to view). Purchases with no in-window touch credit 'organic'.
+    *
+    * Zero joins: per-touch-type in-window counts are RANGE-frame window
+    * counts over ONE user-partitioned pass (the naive formulation is a
+    * purchases×touches interval join), so the plan is a single shuffle
+    * by user_id; the rollup is a ≤3-row aggregate.
+    */
+  def linearAttribution(events: DataFrame, windowS: Long = 21600): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-windowS, Window.currentRow)
+    val counted = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts").cast("long").as("ts_s"),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("nv",
+        count(when(col("event_type") === "view", 1)).over(w))
+      .withColumn("nc",
+        count(when(col("event_type") === "click", 1)).over(w))
+    val p = counted.filter(col("event_type") === "purchase")
+      .withColumn("n", col("nv") + col("nc"))
+      .withColumn("cv0", when(col("n") === 0, 0L)
+        .otherwise(expr("(cents * nv) div n")))
+      .withColumn("cc0", when(col("n") === 0, 0L)
+        .otherwise(expr("(cents * nc) div n")))
+      .withColumn("rv", when(col("n") === 0, 0L)
+        .otherwise(expr("(cents * nv) % n")))
+      .withColumn("rc", when(col("n") === 0, 0L)
+        .otherwise(expr("(cents * nc) % n")))
+      // the n = 0 leftover is the WHOLE value and belongs to organic,
+      // not to the tied-remainder view bucket
+      .withColumn("leftover", col("cents") - col("cv0") - col("cc0"))
+      .withColumn("cv", col("cv0") +
+        when(col("n") > 0 && col("rv") >= col("rc"), col("leftover")).otherwise(0L))
+      .withColumn("cc", col("cc0") +
+        when(col("n") > 0 && col("rv") < col("rc"), col("leftover")).otherwise(0L))
+    p.select(explode(array(
+        struct(lit("view").as("touch_type"), col("cv").as("credit_cents")),
+        struct(lit("click").as("touch_type"), col("cc").as("credit_cents")),
+        struct(lit("organic").as("touch_type"),
+          when(col("n") === 0, col("cents")).otherwise(0L).as("credit_cents"))))
+        .as("t"))
+      .select(col("t.touch_type"), col("t.credit_cents"))
+      .groupBy(col("touch_type"))
+      .agg(count(when(col("credit_cents") > 0, 1)).as("n_credited_purchases"),
+        round(sum(col("credit_cents")) / 100.0, 2).as("credit"))
+  }
+
   /** Signup→purchase funnel per user: stage 0 = never signed up, 1 =
     * signed up only, 2 = purchased at-or-after first signup. One grouped
     * pass, then a tiny stage histogram.

@@ -18,6 +18,27 @@ class AsOfOpsSpec extends SparkSpec {
     ev(6, 500, 3, "signup", 30.0))    // user 3 signed up, never purchased
     .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("linear attribution splits exact cents with largest-remainder leftovers") {
+    val evs = Seq(
+      // u1: one view + one click before a 1.00 purchase → 50/50
+      ev(1, 0, 1, "view", 0.0), ev(2, 100, 1, "click", 0.0),
+      ev(3, 200, 1, "purchase", 1.0),
+      // u2: one view + two clicks before a 1.00 purchase → 33/67 (the
+      // leftover cent goes to click: remainder 2 > 1)
+      ev(4, 50, 2, "view", 0.0), ev(5, 60, 2, "click", 0.0),
+      ev(6, 70, 2, "click", 0.0), ev(7, 100, 2, "purchase", 1.0),
+      // u3: no touches → organic
+      ev(8, 100, 3, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AsOfOps.linearAttribution(evs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      "view" -> ((2L, 0.83)), "click" -> ((2L, 1.17)),
+      "organic" -> ((1L, 5.0))))
+    // conservation: credits sum exactly to the purchase value total
+    assert(out.values.map(_._2).sum == 7.0)
+  }
+
   test("window funnel: ordered chain within the window, greedy anchor, boundaries") {
     def fe(id: Long, user: Long, t: Long, typ: String) = ev(id, t, user, typ, 0.0)
     val funnelEvents = Seq(
