@@ -1420,8 +1420,9 @@ object Oracles {
         |  COALESCE(c.n_closed, 0) AS n_closed
         | FROM opens o FULL OUTER JOIN closes c ON o.d = c.d)
         |SELECT d, n_opened, n_closed,
-        | SUM(n_opened - n_closed) OVER (ORDER BY d
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_backlog
+        | CAST(SUM(n_opened - n_closed) OVER (ORDER BY d
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS open_backlog
         |FROM tl""".stripMargin,
 
     "segment_migration_matrix" ->
@@ -1483,7 +1484,7 @@ object Oracles {
         | MIN(CASE WHEN cum * 100 >= total * 50 THEN days END) AS p50,
         | MIN(CASE WHEN cum * 100 >= total * 90 THEN days END) AS p90,
         | MIN(CASE WHEN cum * 100 >= total * 99 THEN days END) AS p99,
-        | MAX(total) AS n_lines
+        | CAST(MAX(total) AS BIGINT) AS n_lines
         |FROM r GROUP BY o_orderpriority""".stripMargin,
 
     "mixture_temperature" ->
@@ -1499,8 +1500,10 @@ object Oracles {
          |       WHEN s1 * s1 > n_tokens THEN s1 - 1
          |       ELSE s1 END AS weight FROM w)
          |SELECT lang, n_tokens, weight,
-         | (weight * 1000000) // (SUM(weight) OVER ()) AS share_micro,
-         | (n_tokens * 1000000) // (SUM(n_tokens) OVER ()) AS natural_share_micro
+         | CAST((weight * 1000000) // (SUM(weight) OVER ()) AS BIGINT)
+         |   AS share_micro,
+         | CAST((n_tokens * 1000000) // (SUM(n_tokens) OVER ()) AS BIGINT)
+         |   AS natural_share_micro
          |FROM c""".stripMargin,
 
     "embed_outliers" ->
@@ -1750,9 +1753,9 @@ object Oracles {
         |FROM e JOIN days ON e.d >= day - 6 AND e.d <= day
         |GROUP BY day""".stripMargin,
 
-    // textual formula parity with TextOps.bm25Search: both strings
-    // interpolate the SAME Scala doubles, so each float op sees
-    // bit-identical inputs in the same order in both engines
+    // exact-integer BM25 surrogate (odds-ratio idf, fractions cleared);
+    // constants are k1=6/5, b=3/4 folded: (k1n+k1d)*bd=44, k1d*bd=20,
+    // k1n*(bd-bn)=6, k1n*bn=18 — mirror TextOps.bm25Search's defaults
     "bm25_search" ->
       s"""WITH docs AS (
          | SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS ts
@@ -1767,7 +1770,12 @@ object Oracles {
          |dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
          |sc AS (
          | SELECT doc_id,
-         |  SUM(CAST(ROUND(LN((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE) * (tf * ${1.2 + 1.0}::DOUBLE / (tf + ${1.2}::DOUBLE * (${1.0 - 0.75}::DOUBLE + ${0.75}::DOUBLE * dl * n_docs / sum_dl))) * 1000000.0::DOUBLE) AS BIGINT)) AS score_micro,
+         |  CAST(SUM(CAST(
+         |    (CAST(2 * (n_docs - df) + 1 AS HUGEINT) * (44 * tf) * sum_dl
+         |      * 1000000) //
+         |    (CAST(2 * df + 1 AS HUGEINT) *
+         |      ((20 * tf) * sum_dl + 6 * sum_dl + 18 * dl * n_docs))
+         |   AS BIGINT)) AS BIGINT) AS score_micro,
          |  CAST(COUNT(*) AS BIGINT) AS n_terms_hit
          | FROM tf JOIN dfc USING (term), stats GROUP BY doc_id)
          |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
@@ -1854,16 +1862,20 @@ object Oracles {
            |  CAST(n_right AS BIGINT) AS n_right,
            |  CAST(ndv_left AS BIGINT) AS ndv_left,
            |  CAST(ndv_right AS BIGINT) AS ndv_right,
-           |  (n_left * n_right) // GREATEST(ndv_left, ndv_right) AS est_rows,
-           |  exact_rows,
-           |  ((n_left * n_right) // GREATEST(ndv_left, ndv_right) - exact_rows)
-           |    * 1000000 // exact_rows AS est_err_micro
-           | FROM (SELECT CAST(SUM(cl) AS HUGEINT) AS n_left,
-           |         COUNT(*) AS ndv_left FROM l$i),
-           |  (SELECT CAST(SUM(cr) AS HUGEINT) AS n_right,
-           |     COUNT(*) AS ndv_right FROM r$i),
-           |  (SELECT COALESCE(SUM(CAST(cl AS HUGEINT) * cr), 0) AS exact_rows
-           |   FROM l$i JOIN r$i USING (k)))""".stripMargin
+           |  CAST(est AS BIGINT) AS est_rows,
+           |  CAST(exact_rows AS BIGINT) AS exact_rows,
+           |  CAST(CASE WHEN est >= exact_rows
+           |    THEN ((est - exact_rows) * 1000000) // exact_rows
+           |    ELSE -(((exact_rows - est) * 1000000) // exact_rows)
+           |   END AS BIGINT) AS est_err_micro
+           | FROM (SELECT n_left, n_right, ndv_left, ndv_right, exact_rows,
+           |   (n_left * n_right) // GREATEST(ndv_left, ndv_right) AS est
+           |  FROM (SELECT CAST(SUM(cl) AS HUGEINT) AS n_left,
+           |          COUNT(*) AS ndv_left FROM l$i),
+           |   (SELECT CAST(SUM(cr) AS HUGEINT) AS n_right,
+           |      COUNT(*) AS ndv_right FROM r$i),
+           |   (SELECT COALESCE(SUM(CAST(cl AS HUGEINT) * cr), 0) AS exact_rows
+           |    FROM l$i JOIN r$i USING (k))))""".stripMargin
       s"""WITH ${edge(1, "orders.o_orderkey=lineitem.l_orderkey",
             "orders", "o_orderkey", "lineitem", "l_orderkey")},
          |${edge(2, "customer.c_custkey=orders.o_custkey",
@@ -3135,7 +3147,8 @@ object Oracles {
         |SELECT CAST(CASE WHEN l3 = 1 THEN 3 WHEN l2 = 1 THEN 2
         |  WHEN l1 = 1 THEN 1 ELSE 0 END AS BIGINT) AS funnel_level,
         | CAST(COUNT(*) AS BIGINT) AS n_users,
-        | (COUNT(*) * 1000000) // SUM(COUNT(*)) OVER () AS user_share_micro
+        | CAST((COUNT(*) * 1000000) // SUM(COUNT(*)) OVER () AS BIGINT)
+        |   AS user_share_micro
         |FROM pu GROUP BY 1""".stripMargin,
 
     "events_dedup_window" ->

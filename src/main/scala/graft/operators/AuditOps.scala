@@ -288,8 +288,15 @@ object AuditOps {
           expr("(cast(n_left as decimal(38,0)) * n_right) div " +
             "greatest(ndv_left, ndv_right)").as("est_rows"),
           col("exact_rows").cast("decimal(38,0)").as("exact_d"))
+        // err computed on the non-negative magnitude with an explicit
+        // sign branch: both engines' integer division then agrees
+        // regardless of their floor-vs-truncate convention for
+        // negative numerators
         .withColumn("est_err_micro",
-          expr("cast(((est_rows - exact_d) * 1000000) div exact_d as bigint)"))
+          expr("cast(case when est_rows >= exact_d " +
+            "then ((est_rows - exact_d) * 1000000) div exact_d " +
+            "else -(((exact_d - est_rows) * 1000000) div exact_d) " +
+            "end as bigint)"))
         .select(col("join_key"), col("n_left"), col("n_right"),
           col("ndv_left"), col("ndv_right"),
           col("est_rows").cast("long").as("est_rows"),

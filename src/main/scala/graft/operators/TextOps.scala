@@ -585,15 +585,27 @@ object TextOps {
   val Bm25Terms: Seq[String] = Seq("spark", "join", "window", "scan", "stream", "vector")
 
   /** BM25 ranked retrieval of the top `topN` documents for a fixed
-    * conjunctive term set — the classic lexical-retrieval scorer
-    * (Robertson/Okapi; idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with the
-    * Lucene +1-inside-the-log idf so scores stay positive).
+    * conjunctive term set — the classic lexical-retrieval scorer shape
+    * (Robertson/Okapi; idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))) with
+    * one deliberate substitution: the idf factor is the exact ODDS
+    * RATIO (N−df+½)/(df+½) — the very quantity whose log classic BM25
+    * takes — rather than its logarithm. The surrogate is strictly
+    * monotone in the classic idf, so per-term document ordering is
+    * identical; only the relative weighting between rare and common
+    * terms stretches. The payoff: no `ln` anywhere, so the score never
+    * depends on two engines' libm producing bit-identical doubles
+    * (the repo-wide exact-math policy; see rarity_score/ngram_lm_score).
     *
-    * Engine parity: tf/df/dl are exact integers; the per-(doc, term)
-    * float score quantizes to ROUNDED MICRO-UNITS before the per-doc
-    * sum, so the aggregate is an exact long (float addition is not
-    * associative — summing doubles across partitions would tie the
-    * result to merge order). Ranking orders by that integer.
+    * With k1 = k1Num/k1Den and b = bNum/bDen, clearing every fraction
+    * gives one integer ratio per (doc, term):
+    *
+    *   score_micro = ⌊ (2(N−df)+1) · (k1Num+k1Den)·bDen · tf · Σdl · 10⁶
+    *                 ÷ ( (2df+1) · (k1Den·bDen·tf·Σdl
+    *                     + k1Num·(bDen−bNum)·Σdl + k1Num·bNum·dl·N) ) ⌋
+    *
+    * computed in DECIMAL(38,0) (corpus token totals × 10⁶ pass 2⁶³ at
+    * lake scale; ANSI mode makes a pathological overflow loud), floored
+    * ONCE, cast to long, then summed per doc — exact in both engines.
     *
     * Scale: one corpus scan; term filter before the (doc, term) rollup
     * (map-side combined, ≤|terms| rows per doc); df and the corpus
@@ -602,7 +614,8 @@ object TextOps {
     * sort).
     */
   def bm25Search(documents: DataFrame, terms: Seq[String] = Bm25Terms,
-      k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+      k1Num: Int = 6, k1Den: Int = 5, bNum: Int = 3, bDen: Int = 4,
+      topN: Int = 20): DataFrame = {
     val docs = OpUtils.spread(documents)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) > 0)
@@ -613,16 +626,17 @@ object TextOps {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfNum = (k1Num + k1Den) * bDen   // tf-saturation numerator coeff
+    val tfDen = k1Den * bDen             // · tf·Σdl in the denominator
+    val cConst = k1Num * (bDen - bNum)   // · Σdl  (the (1−b) term)
+    val cLen = k1Num * bNum              // · dl·N (the length norm)
     val perTerm = tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(stats))
-      // formula SHAPE must stay identical to the oracle's: float ops are
-      // deterministic per-op, so same-order same-input means same bits.
-      // Every constant carries an explicit double suffix — a bare `0.5`
-      // parses as DECIMAL in Spark SQL and the decimal-scale division
-      // would diverge from the oracle's float math at the 10⁻⁶ digit.
       .withColumn("score_micro_term",
-        expr(s"cast(round(ln((n_docs - df + 0.5d) / (df + 0.5d) + 1.0d) * " +
-          s"(tf * ${k1 + 1.0}d / (tf + ${k1}d * (${1.0 - b}d + ${b}d * dl * n_docs / sum_dl))) " +
-          s"* 1000000.0d) as bigint)"))
+        expr("cast((cast(2 * (n_docs - df) + 1 as decimal(38,0)) * " +
+          s"($tfNum * tf) * sum_dl * 1000000) div " +
+          "(cast(2 * df + 1 as decimal(38,0)) * " +
+          s"(($tfDen * tf) * sum_dl + $cConst * sum_dl + $cLen * dl * n_docs)) " +
+          "as bigint)"))
     val scored = perTerm.groupBy(col("doc_id"))
       .agg(sum(col("score_micro_term")).as("score_micro"),
         count(lit(1)).as("n_terms_hit"))

@@ -84,6 +84,20 @@ for name in names:
         ocols, orows = [c.lower() for c in odf.columns], odf.fetchall()
     except Exception as e:
         print(f"FAIL {name}: oracle error {str(e)[:200]}"); fails.append(name); continue
+    # round-4 escape class: DuckDB promotes SUM(BIGINT) and HUGEINT `//`
+    # to INT128; local fetchall() yields exact Python ints so the replica
+    # passes, but the driver's pandas canonicalization renders INT128 via
+    # float64 (60000.0 vs 60000) and the hash diverges. Same for DECIMAL
+    # (round-1 class). Any non-canonical-width oracle output type fails
+    # HERE, before the driver ever sees it.
+    bad_otypes = [f"{c}:{t}" for c, t in zip(odf.columns, odf.types)
+                  if any(k in str(t).upper()
+                         for k in ("HUGEINT", "INT128", "DECIMAL"))]
+    if bad_otypes:
+        print(f"FAIL {name}: oracle output columns {bad_otypes} — driver "
+              f"canonicalizes HUGEINT/DECIMAL via float64; wrap in "
+              f"CAST(... AS BIGINT) (or ROUND(CAST(... AS DOUBLE), n))")
+        fails.append(name); continue
     problems = []
     if sorted(scols) != sorted(ocols):
         problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
