@@ -22,7 +22,7 @@ object Analytics {
   def aggRegionPct(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame = {
     val counts = orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))
@@ -40,11 +40,11 @@ object Analytics {
   def topTypesByNation(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
       part: DataFrame): DataFrame =
     lineitem
-      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+      .join(supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(part.select("p_partkey", "p_type")),
+      .join(part.select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"), col("n_name").as("nation"))
       .agg(count(lit(1)).as("n_lines"))
@@ -76,7 +76,7 @@ object Analytics {
   def priceStatsByRegion(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))
@@ -101,7 +101,7 @@ object Analytics {
   def revenueByNationSegment(orders: DataFrame, customer: DataFrame,
       nation: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+      .join(customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
@@ -124,7 +124,7 @@ object Analytics {
       .select(col("geohash"), col("c_custkey"))
     val supp = StarSchema.dimSupplierGeo(supplier, nation, region)
       .select(col("geohash"), col("s_suppkey"))
-    cust.join(broadcast(supp), Seq("geohash"))
+    cust.join(supp, Seq("geohash"))
       .groupBy(col("geohash"))
       .agg(
         countDistinct(col("c_custkey")).as("n_customers"),
@@ -139,7 +139,7 @@ object Analytics {
       nation: DataFrame): DataFrame = {
     val custN = customer.select(col("c_custkey"), col("c_nationkey"))
     val orderCounts = orders
-      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nationkey"))
       .agg(countDistinct(col("o_orderkey")).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"))
@@ -162,7 +162,7 @@ object Analytics {
   /** Quarterly trend with window AVG over partition (ref: Combined q3). */
   def quarterlyTrend(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
     val counts = orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
@@ -183,7 +183,7 @@ object Analytics {
   def weekendPattern(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))
@@ -241,8 +241,8 @@ object Analytics {
       .join(orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.filter(col("c_mktsegment") === segment)
-        .select("c_custkey")), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(customer.filter(col("c_mktsegment") === segment)
+        .select("c_custkey"), col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
         col("o_orderpriority"))
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
@@ -264,10 +264,10 @@ object Analytics {
     lineitem
       .join(orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier.select(col("s_suppkey"),
-        col("s_nationkey").as("supp_nationkey"))),
+      .join(supplier.select(col("s_suppkey"),
+        col("s_nationkey").as("supp_nationkey")),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("supp_nationkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
@@ -308,7 +308,7 @@ object Analytics {
   def topCustomersPerNation(orders: DataFrame, customer: DataFrame,
       nation: DataFrame, n: Int = 3): DataFrame = {
     val byCust = orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
@@ -346,7 +346,7 @@ object Analytics {
   def statusPivotByRegion(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))
@@ -361,7 +361,7 @@ object Analytics {
     */
   def revenueRollup(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+      .join(customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
@@ -799,7 +799,7 @@ object Analytics {
   def stddevOrderValue(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))
@@ -839,7 +839,7 @@ object Analytics {
   def medianOrderValue(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame = {
     val priced = orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))
@@ -1107,7 +1107,7 @@ object Analytics {
     val joined = lineitem
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
         col("l_discount"))
-      .join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+      .join(part.select("p_partkey", "p_brand", "p_size"),
         col("l_partkey") === col("p_partkey"))
     val cond =
       (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
@@ -1241,14 +1241,14 @@ object Analytics {
       brand: String = "Brand#23"): DataFrame = {
     val brandLines = lineitem
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .join(broadcast(part.filter(col("p_brand") === brand).select("p_partkey")),
+      .join(part.filter(col("p_brand") === brand).select("p_partkey"),
         col("l_partkey") === col("p_partkey"))
     val perPart = brandLines
       .groupBy(col("l_partkey").as("t_partkey"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
         count(lit(1)).as("cnt"))
     brandLines
-      .join(broadcast(perPart), col("l_partkey") === col("t_partkey"))
+      .join(perPart, col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") <
         lit(0.2) * (col("sq").cast("double") / col("cnt")))
       .agg(count(lit(1)).as("n_lines"),
@@ -1304,7 +1304,7 @@ object Analytics {
     lineitem
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
         col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
@@ -1334,10 +1334,10 @@ object Analytics {
     lineitem
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(part.filter(col("p_name").like(namePattern))
-        .select("p_partkey", "p_retailprice")),
+      .join(part.filter(col("p_name").like(namePattern))
+        .select("p_partkey", "p_retailprice"),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+      .join(supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
@@ -1398,8 +1398,8 @@ object Analytics {
         col("l_discount"))
       .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(marketCust), col("o_custkey") === col("c_custkey"), "left_semi")
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(marketCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         round(sum(when(col("supp_nation") === targetNation, execRevenue)
@@ -1419,7 +1419,7 @@ object Analytics {
       .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
         col("l_shipdate") < lit(until).cast("timestamp"))
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(part.select("p_partkey", "p_type")),
+      .join(part.select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .agg(count(lit(1)).as("n_lines"),
         round(sum(when(col("p_type") === "PROMO", execRevenue)
@@ -1442,7 +1442,7 @@ object Analytics {
     val mx = rev.agg(max(col("rev_exact")).as("max_exact"))
     rev.crossJoin(broadcast(mx))
       .filter(col("rev_exact") === col("max_exact"))
-      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+      .join(supplier.select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         round(col("rev_exact").cast("double"), 4).as("total_revenue"))
@@ -1480,7 +1480,7 @@ object Analytics {
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .groupBy(col("late_supp"))
       .agg(count(lit(1)).as("n_waits"))
-      .join(broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+      .join(supplier.select("s_suppkey", "s_name", "s_nationkey"),
         col("late_supp") === col("s_suppkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
@@ -1517,10 +1517,10 @@ object Analytics {
     val ps = lineitem
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
         col("l_quantity"))
-      .join(broadcast(part.filter(col("p_size") === targetSize)
-        .select("p_partkey", "p_brand")),
+      .join(part.filter(col("p_size") === targetSize)
+        .select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(regionalSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(regionalSupp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"), col("p_partkey"),
         col("p_brand"), col("s_name"), col("n_name"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
@@ -1561,7 +1561,7 @@ object Analytics {
     val perPart = lineitem
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
         col("l_quantity"))
-      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+      .join(supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
@@ -1595,11 +1595,11 @@ object Analytics {
   def partSupplierCounts(lineitem: DataFrame, part: DataFrame,
       supplier: DataFrame, excludeBrand: String = "Brand#1"): DataFrame =
     lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(broadcast(supplier.filter(col("s_acctbal") < 0)
-        .select(col("s_suppkey"))),
+      .join(supplier.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey")),
         col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(part.filter(col("p_brand") =!= excludeBrand)
-        .select("p_partkey", "p_brand", "p_type", "p_size")),
+      .join(part.filter(col("p_brand") =!= excludeBrand)
+        .select("p_partkey", "p_brand", "p_type", "p_size"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -1645,7 +1645,7 @@ object Analytics {
     val promo = part.filter(col("p_name").startsWith(prefix)).select(col("p_partkey"))
     val perPartSupp = lineitem
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("q"))
-      .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(promo, col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("q")).as("sq"))
     perPartSupp
@@ -1654,7 +1654,7 @@ object Analytics {
       .filter(col("sq") * shareDenom > col("total_q"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_majority_parts"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+      .join(supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
@@ -1692,7 +1692,7 @@ object Analytics {
       .select(col("l_suppkey"), col("l_quantity").cast("long").as("q"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("q")).as("sq"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
@@ -1718,7 +1718,7 @@ object Analytics {
     orders
       .select(col("o_custkey"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
@@ -1746,7 +1746,7 @@ object Analytics {
     // order-grain table without re-shuffling the fact. The former
     // self-join formulation shuffled the (order, type) projection twice.
     val ot = lineitem.select(col("l_orderkey"), col("l_partkey"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+      .join(part.select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("p_type")).as("types"))
@@ -1816,7 +1816,7 @@ object Analytics {
         (col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           .as("rev"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+      .join(part.select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"), col("yr"))
       .agg((sum(col("rev")).cast("decimal(18,4)") * 10000).cast("long")

@@ -249,7 +249,7 @@ object DedupOps {
     // stage). Set sizes double as |A|, |B| (no extra sizes joins).
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val dsC = docSets.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val dsC = docSets.join(candDocs, Seq("doc_id"), "left_semi")
     cands
       .join(dsC.select(col("doc_id").as("doc_a"), col("xs").as("xs_a")), Seq("doc_a"))
       .join(dsC.select(col("doc_id").as("doc_b"), col("xs").as("xs_b")), Seq("doc_b"))
@@ -302,7 +302,7 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candDocs = cands.select(col("doc_small").as("doc_id"))
       .union(cands.select(col("doc_big").as("doc_id"))).distinct()
-    val dsC = docSets.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val dsC = docSets.join(candDocs, Seq("doc_id"), "left_semi")
     cands
       .join(dsC.select(col("doc_id").as("doc_small"), col("xs").as("xs_s")),
         Seq("doc_small"))

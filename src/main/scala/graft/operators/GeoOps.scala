@@ -29,7 +29,7 @@ object GeoOps {
     val supp = StarSchema.dimSupplierGeo(supplier, nation, region)
       .select(col("s_suppkey"), col("lat").as("s_lat"), col("lon").as("s_lon"))
       .withColumn("cell", geohash(col("s_lat"), col("s_lon"), 5))
-    cust.join(broadcast(supp), Seq("cell"))
+    cust.join(supp, Seq("cell"))
       .withColumn("dist2",
         (col("c_lat") - col("s_lat")) * (col("c_lat") - col("s_lat")) +
           (col("c_lon") - col("s_lon")) * (col("c_lon") - col("s_lon")) * lit(LonScale2))

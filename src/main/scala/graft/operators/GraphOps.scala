@@ -41,13 +41,13 @@ object GraphOps {
       customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
     val n = broadcast(nation.select(col("n_nationkey"), col("n_name")))
     val lineSide = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+      .join(supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .select(col("l_orderkey"), col("n_name").as("src"))
       .distinct()
     val orderSide = orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .select(col("o_orderkey"), col("n_name").as("dst"))

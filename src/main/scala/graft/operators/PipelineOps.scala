@@ -220,7 +220,7 @@ object PipelineOps {
       coalesce(sum(col("occ")).over(wg), lit(0L)).as("occ_offset"),
       sum(col("occ")).over(Window.partitionBy()).as("total_occ"))
     val wt = Window.partitionBy(col("tf")).orderBy(col("tok"))
-    tf.join(broadcast(offsets), Seq("tf"))
+    tf.join(offsets, Seq("tf"))
       .withColumn("rn", row_number().over(wt).cast("long"))
       .select(col("tok"), col("tf"),
         (col("rank_offset") + col("rn")).as("rank"),

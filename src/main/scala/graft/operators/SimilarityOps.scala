@@ -339,14 +339,14 @@ object SimilarityOps {
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     val nn = sims.withColumn("rank", row_number().over(nnW)).filter(col("rank") <= k)
     val votes = nn
-      .join(broadcast(labels), col("neighbor_id") === col("doc_id"))
+      .join(labels, col("neighbor_id") === col("doc_id"))
       .groupBy(col("query_id"), col("lang"))
       .agg(count(lit(1)).as("n_votes"))
     val voteW = Window.partitionBy(col("query_id"))
       .orderBy(col("n_votes").desc, col("lang"))
     votes.withColumn("vr", row_number().over(voteW)).filter(col("vr") === 1)
-      .join(broadcast(labels.select(col("doc_id").as("q_doc"),
-        col("lang").as("actual_lang"))),
+      .join(labels.select(col("doc_id").as("q_doc"),
+        col("lang").as("actual_lang")),
         col("query_id") === col("q_doc"))
       .select(col("query_id"), col("lang").as("predicted_lang"),
         col("n_votes"), col("actual_lang"),

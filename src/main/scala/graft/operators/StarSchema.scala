@@ -80,7 +80,7 @@ object StarSchema {
     */
   def factOrders(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+      .join(customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
         orders("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))

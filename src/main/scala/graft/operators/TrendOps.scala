@@ -30,7 +30,7 @@ object TrendOps {
         ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
           .cast("long").as("t"),
         col("o_totalprice").cast("decimal(18,2)").as("p"))
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))

@@ -320,6 +320,81 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"global sorts in: $offenders")
   }
 
+  test("SWEEP: explicit broadcast hints build only provably bounded sides") {
+    // A broadcast() hint is FORCED: it bypasses autoBroadcastJoinThreshold
+    // and AQE's size check, so hinting a relation that scales with the
+    // data (customer ≈ 15B rows at the 100 TB design point) is a job-
+    // killing 8 GB BroadcastExchange, not a slow plan. Policy: hint only
+    // provably bounded sides; SF-scaling sides stay unhinted — AQE
+    // re-picks broadcast at runtime when the side is actually small.
+    // Provably bounded here means the hinted subtree either
+    //   (a) scans no SF-scaling table at all (region/nation/literal
+    //       frames — their cardinality is fixed by the schema),
+    //   (b) contains an ungrouped Aggregate (≤ 1 row regardless of SF),
+    //   (c) contains a Limit (explicitly capped).
+    // Grouped aggregates over bounded DOMAINS (enum columns, fixed
+    // grids) are bounded too but unprovable mechanically — each such
+    // hint is whitelisted below with its cardinality argument.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+    // query -> allowed count of scaling-derived hints, each justified
+    // (grouped aggregates whose grouping DOMAIN is fixed by the schema
+    // or a literal, so the frame is bounded at every SF):
+    val whitelist: Map[String, Int] = Map(
+      "ann_recall_report" -> 3, // 3× query-sample frames: filter(vec_id < nQueries literal)
+      "approx_distincts" -> 2, // sketch + rank-check per l_returnflag (3-value enum)
+      "basket_affinity" -> 2, // type counts per p_type (fixed ~150-value domain)
+      "bm25_search" -> 1, // df per term, ≤ |fixed query-term set| = 6 rows
+      "contamination_check" -> 1, // probe bigrams of ≤ nProbe literal benchmark docs
+      "contrastive_pairs" -> 2, // anchor set: filter(vec_id < nQueries literal), 2 joins
+      "embed_cosine_topk" -> 1, // query sample: filter(vec_id < nQueries literal)
+      "embed_ivf_ann" -> 1, // query sample: filter(vec_id < nQueries literal)
+      "embed_kmeans" -> 2, // k×64 centroid frame + query sample (both literal-bounded)
+      "embed_knn_label" -> 1, // query sample: filter(vec_id < nQueries literal)
+      "embed_lsh_ann" -> 1, // query sample: filter(vec_id < nQueries literal)
+      "embed_outliers" -> 1, // per-(label, dim) stats: ~10 langs × 64 dims
+      "embed_quantize" -> 1, // per-dim min/max: exactly 64 rows
+      "fk_orphans" -> 2, // orphan/unref rollups per rel (7 literal edges)
+      "hourly_anomalies" -> 1, // per-event-type stats (5-value enum)
+      "median_order_value" -> 3, // quantile-bracket probes per region (5-value dim)
+      "price_qty_skyline" -> 1, // per-cell maxima of the fixed anti-corner grid
+      "robust_price_stats" -> 3, // median/P5/P95 probes per o_orderpriority (5-value enum)
+      "rolling_distinct_users" -> 2) // distinct-day frames: calendar-bounded, not SF-bounded
+    def tables(p: LogicalPlan): Set[String] = p.collect {
+      case r: LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.getName.stripSuffix(".parquet")).toSet
+          case _ => Set.empty[String]
+        }
+    }.flatten.toSet
+    def bounded(p: LogicalPlan): Boolean =
+      (tables(p) & scaling).isEmpty ||
+        p.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => ()
+          case _: GlobalLimit => ()
+          case _: LocalLimit => ()
+        }.isDefined
+    val report = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val analyzed = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed
+      val offending = analyzed.collect {
+        // broadcast hints only: shuffle_hash/merge on a scaling side is
+        // exactly the non-broadcast regime this policy routes to
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) &&
+            !bounded(h.child) =>
+          tables(h.child) & scaling
+      }
+      val allowed = whitelist.getOrElse(q, 0)
+      if (offending.length > allowed)
+        Some(s"$q: ${offending.length} unbounded hint(s) (allowed $allowed) over ${offending.mkString(",")}")
+      else None
+    }
+    assert(report.isEmpty, "forced broadcasts of SF-scaling sides:\n" +
+      report.mkString("\n"))
+  }
+
   test("SWEEP: every nested-loop join builds a broadcast side") {
     // BroadcastNestedLoopJoin is legitimate ONLY as broadcast-of-tiny
     // (scalar aggregates, day tables, probe sets). A BuildLeft/BuildRight
