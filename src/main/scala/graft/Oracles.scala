@@ -1354,10 +1354,17 @@ object Oracles {
         | ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_monthly_cents
         |FROM s""".stripMargin,
 
-    // the dyadic Holt weights are interpolated from the SAME Scala
-    // integer recurrence the operator uses — one source of truth
+    // the dyadic Holt weights are hard-coded LITERALS derived by an
+    // independent exact-fraction recurrence (NOT imported from
+    // TrendOps.holtWeights — a shared weight table would let one bug
+    // reproduce identically in both engines and pass verification):
+    //   l_i = (y_i + l_{i-1} + b_{i-1})/2, b_i = ((l_i − l_{i-1}) + b_{i-1})/2,
+    //   l_0 = y_0, b_0 = 0, α = β = ½ → after 7 steps every weight is an
+    //   integer multiple of 1/16384. Σlw = 16384 (level weights sum to 1).
     "holt_forecast" -> {
-      val (lw, bw, den) = graft.operators.TrendOps.holtWeights
+      val lw = Seq(-1254L, -914L, -744L, -32L, 1408L, 3584L, 6144L, 8192L)
+      val bw = Seq(287L, -627L, -1084L, -1456L, -1472L, -768L, 1024L, 4096L)
+      val den = 16384L
       def dot(ws: Seq[Long]) =
         ws.zipWithIndex.map { case (wt, j) => s"($wt * y$j)" }.mkString(" + ")
       val lagCols = (0 to 7)

@@ -19,14 +19,29 @@ object Tables {
     * l_shipdate) as TIMESTAMP_NTZ, which breaks epoch casts downstream;
     * our own sessions set spark.sql.parquet.inferTimestampNTZ.enabled=
     * false so this rewrite never fires for Verify/Bench (keeping scans
-    * cast-free and pushdown-friendly). NTZ→LTZ preserves the stored
-    * microseconds under the UTC session zone the oracle uses.
+    * cast-free and pushdown-friendly).
+    *
+    * The stored wall-clock values MEAN UTC (that is what the DuckDB
+    * oracle reads), but a bare NTZ→LTZ cast interprets them in the
+    * SESSION zone — correct only for UTC-pinned GraftSession sessions.
+    * For a foreign session in any other zone, the cast is compensated
+    * with from_utc_timestamp(·, sessionZone): cast subtracts the
+    * session-zone offset, from_utc_timestamp adds it back, so the epoch
+    * equals the wall clock read as UTC in EVERY session zone. (The two
+    * offsets are looked up microseconds apart, so a value falling
+    * exactly inside a DST transition hour of an exotic session zone
+    * could still shift — the synthetic data carries no such instants.)
     */
   private def fixNtz(df: DataFrame): DataFrame = {
     val ntz = df.schema.fields.filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
-    ntz.foldLeft(df)((d, f) => d.withColumn(f.name,
-      org.apache.spark.sql.functions.col(f.name)
-        .cast(org.apache.spark.sql.types.TimestampType)))
+    if (ntz.isEmpty) df
+    else {
+      val zone = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+      ntz.foldLeft(df)((d, f) => d.withColumn(f.name,
+        org.apache.spark.sql.functions.from_utc_timestamp(
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampType), zone)))
+    }
   }
 
   /** Normalize the events `ts` column to plain TimestampType regardless

@@ -337,6 +337,11 @@ object DedupOps {
     val est = dedupMinhashLsh(documents, tau)
       .select(col("doc_a"), col("doc_b"), lit(1).as("e"))
     truth.join(est, Seq("doc_a", "doc_b"), "full_outer")
+      // join-miss NULLs become 0 BEFORE aggregating (the oracle's CASE
+      // WHEN normalization): without this, a zero-overlap pair graph
+      // yields SUM(t*e) = NULL where the oracle reports 0
+      .select(coalesce(col("t"), lit(0)).as("t"),
+        coalesce(col("e"), lit(0)).as("e"))
       .agg(sum(col("t")).cast("long").as("n_true_pairs"),
         sum(col("e")).cast("long").as("n_est_pairs"),
         sum(col("t") * col("e")).cast("long").as("n_common"))

@@ -138,8 +138,13 @@ object Sinks {
   def applyChanges(spark: org.apache.spark.sql.SparkSession, path: String,
       changes: DataFrame, keyCol: String, opCol: String = "change_type"): Unit = {
     import org.apache.spark.sql.functions.col
+    // isNull first: for a NULL op, !isin(...) evaluates to NULL and the
+    // filter would DROP the row — the guard would pass while the NULL-op
+    // row silently acted as a delete (excluded from payload, key still
+    // anti-joined)
     val badOps = changes
-      .filter(!col(opCol).isin("insert", "update", "delete"))
+      .filter(col(opCol).isNull ||
+        !col(opCol).isin("insert", "update", "delete"))
       .limit(1).collect()
     require(badOps.isEmpty,
       s"unknown $opCol value: ${badOps.headOption.map(_.toString).getOrElse("")}")

@@ -23,6 +23,26 @@ class EntrySmokeSpec extends SparkSpec {
     assert(SparkEntry.queries("events_sessionize")(foreign, dir).count() > 0)
   }
 
+  test("a non-UTC foreign session reads the SAME timestamp values, not just rows") {
+    // fixNtz must pin the NTZ wall clock to UTC semantics in every
+    // session zone: a bare NTZ→LTZ cast would shift epochs by the
+    // session offset and silently corrupt every event-time computation
+    // in a foreign non-UTC session
+    import org.apache.spark.sql.functions.{col, min, sum, unix_micros}
+    def fingerprint(s: org.apache.spark.sql.SparkSession): (Long, Long) = {
+      val r = Tables.events(s, dir)
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          sum(unix_micros(col("ts"))).as("sm")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val home = fingerprint(spark)
+    val foreign = spark.newSession()
+    foreign.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    foreign.conf.set("spark.sql.session.timeZone", "America/New_York")
+    assert(fingerprint(foreign) == home,
+      "foreign-session epochs must equal the UTC-pinned session's")
+  }
+
   test("every oracle key has a query and vice versa (weaker rows-only ops aside)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

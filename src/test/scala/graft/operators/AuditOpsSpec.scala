@@ -24,6 +24,25 @@ class AuditOpsSpec extends SparkSpec {
       Seq(2L, 3L, 2L, 2L, 3L, 3L, 0L))
   }
 
+  test("joinSizeEstimate: negative error is sign-safe across division conventions") {
+    // correlated keys make exact(7) exceed the uniform estimate(6);
+    // −10⁶/7 is where floor (−142858) and truncate (−142857) diverge —
+    // the magnitude-plus-sign formulation must yield the truncate value
+    // in BOTH engines regardless of their native // convention
+    val orders = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(Tuple1(1L)).toDF("l_orderkey")
+    val customer = Seq(Tuple1(10L), Tuple1(10L), Tuple1(20L)).toDF("c_custkey")
+    val out = AuditOps.joinSizeEstimate(orders, lineitem, customer)
+      .collect().map(r => r.getString(0) ->
+        (1 to 7).map(i => BigDecimal(r.get(i).toString).toLongExact).toSeq)
+      .toMap
+    // est = 3·4 // max(2,2) = 6; exact = 2·3 + 1·1 = 7
+    // err = −⌊(7−6)·10⁶ / 7⌋ = −142857 (never floor's −142858)
+    assert(out("customer.c_custkey=orders.o_custkey") ==
+      Seq(3L, 4L, 2L, 2L, 6L, 7L, -142857L))
+  }
+
   private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
 
   test("fkOrphans counts orphaned child rows and unreferenced parents") {

@@ -313,6 +313,14 @@ class SourcesSpec extends SparkSpec {
         Seq((1L, "x", "upsert")).toDF("id", "v", "change_type"), "id")
     }
     assert(spark.read.parquet(path).count() == 3)
+    // a NULL op must ALSO throw: three-valued logic would otherwise slip
+    // it past an isin-only guard and the row would act as a delete
+    intercept[IllegalArgumentException] {
+      Sinks.applyChanges(spark, path,
+        Seq((2L, "y", null.asInstanceOf[String]))
+          .toDF("id", "v", "change_type"), "id")
+    }
+    assert(spark.read.parquet(path).count() == 3)
   }
 
   test("compaction + vacuum: rewrite head generation, reclaim superseded files") {
