@@ -35,20 +35,36 @@ object Bench {
     // and is subtracted from the triggering query's wall time; the total
     // still includes everything.
     val memoAgg = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Median of 3 timed iterations per query: the box shows documented
+    // ~2× run-to-run variance, and a single sample per round made every
+    // cross-round comparison eat that noise (round 4 adjudicated four
+    // phantom "regressions" that re-timed at steady state). The memoized
+    // shared derivations still bill once, to their own memo:* line item
+    // (subtracted from whichever iteration paid them), so the median is
+    // over comparable steady-state samples.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val samples = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val memo = graft.operators.Memo.drainBuildSeconds()
+        memo.foreach { case (op, s) =>
+          val k = "memo:" + op
+          memoAgg(k) = memoAgg.getOrElse(k, 0.0) + s
+        }
+        // per-iteration cache drop: a query's own persisted
+        // intermediates must not make iterations 2..n artificially warm
+        spark.catalog.clearCache()
+        (math.max(0.0, sec - memo.values.sum), ok)
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val memo = graft.operators.Memo.drainBuildSeconds()
-      memo.foreach { case (op, s) =>
-        val k = "memo:" + op
-        memoAgg(k) = memoAgg.getOrElse(k, 0.0) + s
-      }
-      spark.catalog.clearCache()
-      (name, math.max(0.0, sec - memo.values.sum), ok)
+      val good = samples.collect { case (s, true) => s }.sorted
+      val median =
+        if (good.isEmpty) 0.0 else good(good.length / 2)
+      (name, median, good.nonEmpty)
     }
     // failed queries report null (never a normal-looking duration) and
     // are listed separately so a failure can't hide in the totals
