@@ -3129,6 +3129,47 @@ object Oracles {
 
     // running-maxima reformulation of the ordered-chain existence test;
     // RANGE frames so equal timestamps resolve set-wise in both engines
+    // the stream-emission mirror: same lv/clv RANGE staging as
+    // window_funnel, then a per-event achieved level and a running best
+    // over (ts, view<click<purchase) ROWS order; a row survives where
+    // best strictly increases. Tie groups compute identical running
+    // values, so both engines emit the same rows whatever the physical
+    // peer order.
+    "funnel_progress" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type,
+        |  CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |   ELSE 2 END AS rk
+        | FROM events
+        | WHERE event_type IN ('view', 'click', 'purchase')
+        |  AND ts IS NOT NULL),
+        |s1 AS (
+        | SELECT user_id, ts_s, event_type, rk,
+        |  MAX(CASE WHEN event_type = 'view' THEN ts_s END) OVER w AS lv
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (
+        | SELECT user_id, ts_s, event_type, rk, lv,
+        |  MAX(CASE WHEN event_type = 'click' THEN lv END) OVER w AS clv
+        | FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (
+        | SELECT user_id, ts_s, rk,
+        |  CASE WHEN event_type = 'view' THEN 1
+        |       WHEN event_type = 'click' AND lv >= ts_s - 21600 THEN 2
+        |       WHEN event_type = 'purchase' AND clv >= ts_s - 21600 THEN 3
+        |       ELSE 0 END AS ach
+        | FROM s2),
+        |b AS (
+        | SELECT user_id, ts_s,
+        |  MAX(ach) OVER (PARTITION BY user_id ORDER BY ts_s, rk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best,
+        |  COALESCE(MAX(ach) OVER (PARTITION BY user_id ORDER BY ts_s, rk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_best
+        | FROM a)
+        |SELECT user_id, ts_s, CAST(best AS BIGINT) AS funnel_level
+        |FROM b WHERE best > prev_best""".stripMargin,
+
     "window_funnel" ->
       """WITH e AS (
         | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type

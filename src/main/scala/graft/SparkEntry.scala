@@ -327,6 +327,7 @@ object SparkEntry {
       AsOfOps.purchaseWithRecentSignup(events(s, d))),
     "event_funnel" -> ((s, d) => AsOfOps.signupPurchaseFunnel(events(s, d))),
     "window_funnel" -> ((s, d) => AsOfOps.windowFunnel(events(s, d))),
+    "funnel_progress" -> ((s, d) => AsOfOps.funnelProgress(events(s, d))),
     "linear_attribution" -> ((s, d) => AsOfOps.linearAttribution(events(s, d))),
     "purchase_attribution" -> ((s, d) =>
       AsOfOps.purchaseAttribution(events(s, d))),

@@ -200,6 +200,57 @@ object AsOfOps {
         expr("(n_users * 1000000) div (sum(n_users) over ())"))
   }
 
+  /** Per-event funnel level-progress emissions — the oracle-checkable
+    * batch mirror of [[graft.streaming.EventStreams.funnelStream]]: one
+    * row (user_id, ts_s, funnel_level) for every event at which the
+    * user's deepest reached level increases, exactly the rows the live
+    * dashboard feed emits. Shares [[windowFunnel]]'s running-maxima
+    * staging (lv/clv over RANGE frames, so equal timestamps resolve
+    * set-wise); the emission layer adds a per-event achieved level and
+    * a running best over (ts, view<click<purchase) ROWS order — the
+    * same sequencing the stream applies inside a micro-batch, which is
+    * what makes stream output ≡ batch output row-for-row (spec'd).
+    * Within an equal-(ts, rank) tie group every member computes the
+    * same running values, so exactly one emission survives regardless
+    * of physical peer order in either engine.
+    *
+    * Scale: one shuffle by user_id shared by all four windows; no
+    * joins, no per-user history retained — the stream needs two longs
+    * of state, the batch mirror needs two sorted window passes.
+    */
+  def funnelProgress(events: DataFrame, windowS: Long = 21600): DataFrame = {
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = events
+      .filter(col("event_type").isin("view", "click", "purchase") &&
+        col("ts").isNotNull)
+      .select(col("user_id"), col("ts").cast("long").as("ts_s"),
+        col("event_type"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1).otherwise(2).as("rk"))
+    val staged = e
+      .withColumn("lv",
+        max(when(col("event_type") === "view", col("ts_s"))).over(wr))
+      .withColumn("clv",
+        max(when(col("event_type") === "click", col("lv"))).over(wr))
+      .withColumn("ach",
+        when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "click" &&
+            col("lv") >= col("ts_s") - windowS, 2L)
+          .when(col("event_type") === "purchase" &&
+            col("clv") >= col("ts_s") - windowS, 3L)
+          .otherwise(0L))
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("rk"))
+    staged
+      .withColumn("best", max(col("ach")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_best", coalesce(max(col("ach")).over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("best") > col("prev_best"))
+      .select(col("user_id"), col("ts_s"), col("best").as("funnel_level"))
+  }
+
   /** Multi-touch LINEAR attribution — the equal-split complement of
     * [[purchaseAttribution]]'s last-touch model: each purchase's value
     * divides equally over every view/click touch in its trailing

@@ -160,6 +160,41 @@ class EventStreamsSpec extends SparkSpec {
       6L -> 2L, 7L -> 3L, 8L -> 3L))
   }
 
+  test("funnelProgress batch mirror reproduces funnelStream's emissions row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.FunnelEvent
+    val history = Seq(
+      FunnelEvent(1, 0, "view"), FunnelEvent(1, 100, "click"),
+      FunnelEvent(2, 0, "click"), FunnelEvent(2, 100, "purchase"),
+      FunnelEvent(3, 0, "view"),
+      FunnelEvent(4, 0, "view"), FunnelEvent(4, 100, "click"),
+      FunnelEvent(5, 100, "purchase"),
+      FunnelEvent(6, 0, "view"),
+      FunnelEvent(7, 50, "view"), FunnelEvent(7, 50, "click"),
+      FunnelEvent(7, 50, "purchase"),
+      FunnelEvent(8, 0, "view"), FunnelEvent(8, 100, "click"))
+    val tail = Seq(
+      FunnelEvent(1, 200, "purchase"), FunnelEvent(2, 200, "view"),
+      FunnelEvent(3, 5000, "click"), FunnelEvent(4, 4000, "purchase"),
+      FunnelEvent(6, 3600, "click"),
+      FunnelEvent(8, 3000, "view"), FunnelEvent(8, 3100, "click"),
+      FunnelEvent(8, 6500, "purchase"))
+    val mem = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelStream(spark, mem.toDS(), windowS = 3600L)
+      .writeStream.outputMode("append").format("memory").queryName("fnlmirror").start()
+    mem.addData(history: _*); q.processAllAvailable()
+    mem.addData(tail: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("fnlmirror").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val batchDf = (history ++ tail)
+      .map(e => (e.user_id, new Timestamp(e.ts_s * 1000), e.event_type))
+      .toDF("user_id", "ts", "event_type")
+    val mirrored = graft.operators.AsOfOps.funnelProgress(batchDf, windowS = 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(mirrored == streamed,
+      s"batch mirror $mirrored != stream emissions $streamed")
+  }
+
   test("debounceBatch drops same-type repeats inside the gap, lag-based") {
     val df = Seq(
       (1L, ts(0), 1L, "click", 0.0, "{}"),
