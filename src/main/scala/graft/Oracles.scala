@@ -1948,6 +1948,85 @@ object Oracles {
          |SELECT o_orderpriority, CAST(MAX(total) AS BIGINT) AS n_orders,
          | ${interp(50)}, ${interp(90)}, ${interp(99)}
          |FROM r GROUP BY o_orderpriority""".stripMargin
+    },
+
+    // StatOps.theilSenTrend: pairwise integer micro-slopes of daily
+    // revenue with a sign branch around the floor division; the median
+    // as the two central order statistics via distinct-value-CDF rank
+    // probes. HUGEINT stays internal; every output column is BIGINT.
+    "theil_sen_trend" ->
+      """WITH daily AS (
+        | SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS t,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        | FROM orders GROUP BY o_orderdate),
+        |slopes AS (
+        | SELECT CASE WHEN b.y >= a.y
+        |   THEN CAST((CAST(b.y - a.y AS HUGEINT) * 1000000) // (b.t - a.t) AS BIGINT)
+        |   ELSE -CAST((CAST(a.y - b.y AS HUGEINT) * 1000000) // (b.t - a.t) AS BIGINT)
+        |   END AS s
+        | FROM daily a JOIN daily b ON b.t > a.t),
+        |tot AS (SELECT COUNT(*) AS m FROM slopes),
+        |nd AS (SELECT COUNT(*) AS n_days FROM daily),
+        |cum AS (SELECT s, n, SUM(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM (SELECT s, COUNT(*) AS n FROM slopes GROUP BY s)),
+        |lo AS (SELECT s AS slope_lo_micro FROM cum, tot
+        | WHERE cum - n < (m + 1) // 2 AND (m + 1) // 2 <= cum),
+        |hi AS (SELECT s AS slope_hi_micro FROM cum, tot
+        | WHERE cum - n < m // 2 + 1 AND m // 2 + 1 <= cum)
+        |SELECT n_days, m AS n_pairs, slope_lo_micro, slope_hi_micro,
+        | ROUND(CAST(slope_lo_micro + slope_hi_micro AS DOUBLE) / 2.0 / 1000000.0, 4)
+        |   AS sen_slope_cents_per_day
+        |FROM nd, tot, lo, hi""".stripMargin,
+
+    // StatOps.revenueMotifs: quartile symbols from the distinct-value
+    // CDF (OpUtils.cdfBuckets semantics: a tie group lands wholly in its
+    // first member's bucket), motifs from two consecutive-day equi-joins.
+    "revenue_motifs" ->
+      """WITH daily AS (
+        | SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS t,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        | FROM orders GROUP BY o_orderdate),
+        |byv AS (SELECT y, COUNT(*) AS n FROM daily GROUP BY y),
+        |tot AS (SELECT COUNT(*) AS nd FROM daily),
+        |buck AS (SELECT y, ((cum_n - n) * 4) // nd + 1 AS bucket FROM (
+        |  SELECT y, n, SUM(n) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cum_n
+        |  FROM byv), tot),
+        |sym AS (SELECT t, bucket AS q FROM daily JOIN buck USING (y))
+        |SELECT CAST(s0.q AS VARCHAR) || CAST(s1.q AS VARCHAR) || CAST(s2.q AS VARCHAR)
+        |   AS motif, COUNT(*) AS n_windows
+        |FROM sym s0 JOIN sym s1 ON s1.t = s0.t + 1 JOIN sym s2 ON s2.t = s0.t + 2
+        |GROUP BY 1""".stripMargin,
+
+    // StatOps.bootstrapCiOrderValue: Poisson(1) weights from the shared
+    // inverse-CDF micro thresholds on hash60(key:resample); per-resample
+    // means as exact integer micro ratios; CI = rank-4 / rank-61 order
+    // statistics of the 64 resample means.
+    "bootstrap_ci_order_value" -> {
+      val u = hash60Sql("CAST(o_orderkey AS VARCHAR) || ':' || CAST(r AS VARCHAR)")
+      s"""WITH y AS (SELECT o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+         | FROM orders),
+         |pt AS (SELECT COUNT(*) AS n_orders,
+         |  CAST((SUM(CAST(y AS HUGEINT)) * 1000000) // COUNT(*) AS BIGINT) AS mean_micro
+         | FROM y),
+         |rs AS (SELECT o_orderkey, y, r
+         | FROM y CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS r)),
+         |w AS (SELECT y, r,
+         |  CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+         |       WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+         |       WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+         |       WHEN u < 999916 THEN 6 ELSE 7 END AS w
+         | FROM (SELECT y, r, $u % 1000000 AS u FROM rs)),
+         |means AS (SELECT r,
+         |  CAST((SUM(CAST(w AS HUGEINT) * y) * 1000000)
+         |    // NULLIF(CAST(SUM(w) AS BIGINT), 0) AS BIGINT) AS rm
+         | FROM w GROUP BY r),
+         |ranked AS (SELECT rm, row_number() OVER (ORDER BY rm, r) AS rk FROM means),
+         |lo AS (SELECT rm AS ci_lo_micro FROM ranked WHERE rk = 4),
+         |hi AS (SELECT rm AS ci_hi_micro FROM ranked WHERE rk = 61)
+         |SELECT n_orders, CAST(64 AS BIGINT) AS n_resamples, mean_micro,
+         | ci_lo_micro, ci_hi_micro
+         |FROM pt, lo, hi""".stripMargin
     }
   )
 
@@ -1992,6 +2071,35 @@ object Oracles {
        |sh AS (SELECT doc_id, ${hash32Sql("substr(t, i, 5)")} AS x
        |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t)-4)) AS i
        |        FROM norm WHERE length(t) >= 5))""".stripMargin
+
+  /** Exact n-gram-Jaccard chain (PPJoin prefix filter + df cap, the
+    * DedupOps.dedupNgramJaccard mirror) ending in CTE `jp(doc_a, doc_b,
+    * jaccard)` — the τ ≥ 0.5 exact near-dup pair set. Shared by
+    * dedup_ngram_jaccard and lsh_band_tuning.
+    */
+  private val jaccardPairsCte: String =
+    s"""$shingleCte,
+       |shd AS (SELECT DISTINCT doc_id, x FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |dfs AS (SELECT x, count(*) AS df FROM shd GROUP BY x),
+       |kept AS (SELECT doc_id, x FROM (
+       |  SELECT shd.doc_id, shd.x, dfs.df, s.n, row_number() OVER (
+       |    PARTITION BY shd.doc_id ORDER BY dfs.df, shd.x) AS rnk
+       |  FROM shd JOIN dfs ON shd.x = dfs.x
+       |   JOIN sizes s ON s.doc_id = shd.doc_id)
+       | WHERE rnk <= n - ((n * 500000 + 999999) // 1000000) + 1
+       |  AND df <= 50),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b ON a.x = b.x AND a.doc_id < b.doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM shd a JOIN shd b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jp AS (SELECT * FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |   ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+       |  FROM cands c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+       | WHERE jaccard >= 0.5)""".stripMargin
 
   /** Full MinHash→LSH chain ending in CTE `lshp(doc_a, doc_b,
     * est_jaccard)` — the filtered (≥ 0.5) near-dup pair set. Shared by
@@ -2112,28 +2220,8 @@ object Oracles {
          |FROM documents GROUP BY md5(${norm("text")})""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH $shingleCte,
-         |shd AS (SELECT DISTINCT doc_id, x FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-         |dfs AS (SELECT x, count(*) AS df FROM shd GROUP BY x),
-         |kept AS (SELECT doc_id, x FROM (
-         |  SELECT shd.doc_id, shd.x, dfs.df, s.n, row_number() OVER (
-         |    PARTITION BY shd.doc_id ORDER BY dfs.df, shd.x) AS rnk
-         |  FROM shd JOIN dfs ON shd.x = dfs.x
-         |   JOIN sizes s ON s.doc_id = shd.doc_id)
-         | WHERE rnk <= n - ((n * 500000 + 999999) // 1000000) + 1
-         |  AND df <= 50),
-         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM kept a JOIN kept b ON a.x = b.x AND a.doc_id < b.doc_id),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM shd a JOIN shd b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT * FROM (
-         |  SELECT c.doc_a, c.doc_b,
-         |   ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
-         |  FROM cands c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN sizes sa ON sa.doc_id = c.doc_a
-         |  JOIN sizes sb ON sb.doc_id = c.doc_b)
-         |WHERE jaccard >= 0.5""".stripMargin,
+      s"""WITH $jaccardPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM jp""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsCte
@@ -2332,6 +2420,60 @@ object Oracles {
          |   // (p1.n_fp + p2.n_fp - COALESCE(sh.n_shared, 0)) AS jaccard_micro
          |FROM per p1 JOIN per p2 ON p1.source < p2.source
          |LEFT JOIN sh ON sh.sa = p1.source AND sh.sb = p2.source""".stripMargin,
+
+    // DedupOps.lshBandTuning: expected recall of each (bands × rows)
+    // banding over the observed exact-Jaccard pairs, with the S-curve
+    // 1-(1-j^r)^b in micro-unit fixed point — the power is UNROLLED with
+    // a floor after every multiply (powMicroSql), identical in both
+    // engines, never libm pow().
+    "lsh_band_tuning" -> {
+      def pm(base: String, e: Int): String =
+        (2 to e).foldLeft(base)((acc, _) => s"(($acc) * ($base)) // 1000000")
+      val rows = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
+        val sr = pm("j", r)
+        val qb = pm(s"(1000000 - ($sr))", b)
+        s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+           | COUNT(*) AS n_true_pairs,
+           | CAST(SUM(CAST(1000000 - ($qb) AS HUGEINT))
+           |   // NULLIF(COUNT(*), 0) AS BIGINT) AS expected_recall_micro
+           |FROM jm""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $jaccardPairsCte,
+         |jm AS (SELECT CAST(ROUND(jaccard * 1000000) AS BIGINT) AS j FROM jp)
+         |$rows""".stripMargin
+    },
+
+    // DedupOps.dedupDegreeStats: degree census of the MinHash-LSH pair
+    // graph (both endpoints of every pair, then a histogram).
+    "dedup_degree_stats" ->
+      s"""WITH $minhashPairsCte,
+         |deg AS (SELECT doc_id, COUNT(*) AS degree FROM (
+         |  SELECT doc_a AS doc_id FROM lshp
+         |  UNION ALL SELECT doc_b AS doc_id FROM lshp) GROUP BY doc_id)
+         |SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree""".stripMargin,
+
+    // TextOps.dsirWeights: hashed-unigram importance ratios
+    // (add-one-smoothed target/raw cell frequencies) averaged per doc —
+    // exact integer micro-units end to end; HUGEINT stays internal.
+    "dsir_weights" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, lang, ${hash32Sql("tok")} % 1024 AS cell
+         | FROM (SELECT doc_id, lang,
+         |   unnest(string_split(${norm("text")}, ' ')) AS tok
+         |  FROM documents WHERE length(${norm("text")}) > 0)),
+         |raw AS (SELECT cell, COUNT(*) AS rn FROM toks GROUP BY cell),
+         |tgt AS (SELECT cell, COUNT(*) AS tn FROM toks
+         | WHERE lang = 'en' GROUP BY cell),
+         |tot AS (SELECT COUNT(*) AS rtot,
+         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ttot
+         | FROM toks),
+         |wts AS (SELECT raw.cell,
+         |  CAST((CAST(COALESCE(tn, 0) + 1 AS HUGEINT) * (rtot + 1024) * 1000000)
+         |    // (CAST(rn + 1 AS HUGEINT) * (ttot + 1024)) AS BIGINT) AS w_micro
+         | FROM raw LEFT JOIN tgt ON raw.cell = tgt.cell, tot)
+         |SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         | CAST(SUM(CAST(w_micro AS HUGEINT)) // COUNT(*) AS BIGINT) AS dsir_avg_micro
+         |FROM toks JOIN wts USING (cell) GROUP BY doc_id, lang""".stripMargin,
 
     "embed_cosine_topk" -> {
       def dotSql(a: String, b: String) =

@@ -187,6 +187,10 @@ object SparkEntry {
     "daily_gapfill" -> ((s, d) => TrendOps.dailyGapfill(orders(s, d))),
     "acf_daily_revenue" -> ((s, d) => TrendOps.acfDailyRevenue(orders(s, d))),
     "holt_forecast" -> ((s, d) => TrendOps.holtForecast(orders(s, d))),
+    "theil_sen_trend" -> ((s, d) => StatOps.theilSenTrend(orders(s, d))),
+    "revenue_motifs" -> ((s, d) => StatOps.revenueMotifs(orders(s, d))),
+    "bootstrap_ci_order_value" -> ((s, d) =>
+      StatOps.bootstrapCiOrderValue(orders(s, d))),
     "ewma_daily_revenue" -> ((s, d) => TrendOps.ewmaDailyRevenue(orders(s, d))),
     "changepoint_cusum" -> ((s, d) => TrendOps.changepointCusum(orders(s, d))),
     "revenue_streaks" -> ((s, d) => TrendOps.revenueStreaks(orders(s, d))),
@@ -296,6 +300,9 @@ object SparkEntry {
     "dedup_survivors" -> ((s, d) => DedupOps.dedupSurvivors(documents(s, d))),
     "dedup_method_overlap" -> ((s, d) => DedupOps.dedupMethodOverlap(documents(s, d))),
     "source_overlap" -> ((s, d) => DedupOps.sourceOverlap(documents(s, d))),
+    "lsh_band_tuning" -> ((s, d) => DedupOps.lshBandTuning(documents(s, d))),
+    "dedup_degree_stats" -> ((s, d) => DedupOps.dedupDegreeStats(documents(s, d))),
+    "dsir_weights" -> ((s, d) => TextOps.dsirWeights(documents(s, d))),
     "type_token_ratio" -> ((s, d) => TextOps.typeTokenRatio(documents(s, d))),
     "stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(documents(s, d))),
     "dataset_split" -> ((s, d) => PipelineOps.datasetSplit(documents(s, d))),

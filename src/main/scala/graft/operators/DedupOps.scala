@@ -214,7 +214,14 @@ object DedupOps {
         .filter(col("xs").isNotNull)
     }
 
-  def dedupNgramJaccard(documents: DataFrame, tau: Double = 0.5, dfCap: Int = 50): DataFrame = {
+  def dedupNgramJaccard(documents: DataFrame, tau: Double = 0.5, dfCap: Int = 50): DataFrame =
+    // memoized: the exact-Jaccard pair graph feeds this query AND
+    // lsh_recall_report / lsh_band_tuning — one derivation per session
+    // per (input, τ, dfCap); the pair list is bounded, never corpus-sized
+    Memo.cached(s"jaccard_pairs:$tau:$dfCap", documents)(
+      dedupNgramJaccardImpl(_, tau, dfCap))
+
+  private def dedupNgramJaccardImpl(documents: DataFrame, tau: Double, dfCap: Int): DataFrame = {
     val tauMicro = math.round(tau * 1e6)
     val docSets = docShingleSets(documents)
     val dfs = docSets.select(explode(col("xs")).as("x"))
@@ -635,4 +642,60 @@ object DedupOps {
       .withColumn("jaccard_micro",
         expr("(n_shared * 1000000) div (n_a + n_b - n_shared)"))
   }
+
+  /** Micro-unit fixed-point power: x^e with x in [0, 10⁶] scaled by 10⁶,
+    * flooring after every multiply — an EXACT stepwise definition both
+    * engines evaluate identically (unlike pow(), whose libm rounding is
+    * not portable). Unrolled: e is a literal config, never data.
+    */
+  private def powMicroSql(base: String, e: Int): String =
+    (2 to e).foldLeft(base)((acc, _) => s"(($acc) * ($base)) div 1000000")
+
+  /** LSH band-tuning report — the design study run BEFORE committing a
+    * banding scheme at 100 TB: for each candidate (bands b × rows r)
+    * split of the 32-hash signature, the EXPECTED RECALL over the
+    * corpus's own observed near-dup pairs, i.e. mean over true pairs of
+    * the S-curve collision probability 1 − (1 − j^r)^b at the pair's
+    * exact Jaccard j. Unlike the textbook curve at a hypothetical
+    * similarity, this weights the curve by where YOUR duplicates
+    * actually live — the number that tells you whether 4×8 banding
+    * sacrifices real recall or only hypothetical recall. Probabilities
+    * are micro-unit fixed point ([[powMicroSql]]), so both engines get
+    * bit-identical integers.
+    *
+    * Scale: rides the memoized exact-Jaccard pair graph (bounded); each
+    * config adds one aggregation over the pair list.
+    */
+  def lshBandTuning(documents: DataFrame, tau: Double = 0.5,
+      configs: Seq[(Int, Int)] = Seq((16, 2), (8, 4), (4, 8))): DataFrame = {
+    val jm = dedupNgramJaccard(documents, tau)
+      .select(round(col("jaccard") * 1e6).cast("long").as("j"))
+    configs.map { case (b, r) =>
+      val sr = powMicroSql("j", r)
+      val qb = powMicroSql(s"(1000000 - ($sr))", b)
+      jm.agg(count(lit(1)).as("n_true_pairs"),
+          sum(expr(s"cast(1000000 - ($qb) as decimal(38,0))")).as("sp"))
+        .select(lit(b).cast("long").as("bands"),
+          lit(r).cast("long").as("rows_per_band"),
+          col("n_true_pairs"),
+          expr("cast(sp div nullif(n_true_pairs, 0) as bigint)")
+            .as("expected_recall_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Degree census of the near-dup pair graph: how many docs have 1, 2,
+    * …, k near-duplicates under the MinHash-LSH graph. The shape check
+    * run before cluster-collapse — a heavy tail here means boilerplate
+    * families that [[dedupClusters]]' connected components will fuse
+    * into giant clusters (and that survivor selection will discard
+    * almost entirely). Rides the memoized pair graph; two bounded
+    * aggregations.
+    */
+  def dedupDegreeStats(documents: DataFrame, minEst: Double = 0.5): DataFrame =
+    dedupMinhashLsh(documents, minEst)
+      .select(col("doc_a").as("doc_id"))
+      .unionAll(dedupMinhashLsh(documents, minEst)
+        .select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
 }

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust / resampling statistics over the order history — the
+  * outlier-tolerant complement of [[TrendOps]]'s OLS layer (ref: the
+  * notebooks' trend analyses, e.g. src/Notebooks/nyc_analysis.ipynb
+  * trend cells, which eyeball monthly slopes; here the slope estimate
+  * survives the outliers those notebooks filter by hand).
+  *
+  * Numeric policy (repo-wide): every estimator is exact integer
+  * arithmetic in micro-units — order statistics of integer slopes, not
+  * float regressions — so partitioning, merge order, and engine can
+  * never change a result. Doubles appear only in final display columns
+  * via `round`, computed from the same exact integers in both engines.
+  */
+object StatOps {
+
+  /** Daily revenue in exact cents keyed by day index t (days since
+    * 1992-01-01 — the fact table's epoch). ONE fact-sized map-side-
+    * combined rollup; everything downstream of it is calendar-bounded
+    * (≤ ~2.5k rows per 7-year history REGARDLESS of SF).
+    */
+  private def dailyCents(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderdate").as("d"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("y"))
+      .select(datediff(col("d"), to_date(lit("1992-01-01")))
+        .cast("long").as("t"), col("y"))
+
+  /** Theil–Sen robust trend of daily revenue: the MEDIAN of all pairwise
+    * slopes (y_j−y_i)/(t_j−t_i), the classic 29%-breakdown-point slope
+    * estimator (Sen 1968) — one revenue spike that would drag OLS barely
+    * moves it. Slopes are exact integer micro-cents-per-day with an
+    * explicit sign branch around the division (floor-vs-truncate
+    * conventions for negative numerators differ across engines; on the
+    * non-negative magnitude they agree). The median is reported as the
+    * two central order statistics (equal when the pair count is odd) —
+    * no averaging division inside the exact columns.
+    *
+    * Scale: the O(days²) pair join runs on the CALENDAR-bounded daily
+    * table (~2.5k rows → ~3M pairs at ANY SF), broadcast on one side —
+    * the fact table itself is touched once by [[dailyCents]]. The median
+    * scan is a single-partition cumulative over the distinct-slope
+    * table, bounded by the pair count, never the corpus.
+    */
+  def theilSenTrend(orders: DataFrame): DataFrame = {
+    val daily = dailyCents(orders)
+    val a = daily.select(col("t").as("ta"), col("y").as("ya"))
+    val b = daily.select(col("t").as("tb"), col("y").as("yb"))
+    val slopes = a.join(broadcast(b), col("tb") > col("ta"))
+      .select(expr(
+        "CASE WHEN yb >= ya THEN " +
+          "cast((cast(yb - ya as decimal(38,0)) * 1000000) div (tb - ta) as bigint) " +
+          "ELSE -cast((cast(ya - yb as decimal(38,0)) * 1000000) div (tb - ta) as bigint) " +
+          "END").as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = slopes.agg(count(lit(1)).as("m"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+    // distinct-value CDF (the cdfBuckets pattern): rank probes find the
+    // two central order statistics without a per-row global sort
+    val cum = slopes.groupBy(col("s")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val lo = cum
+      .filter(expr("cum - n < (m + 1) div 2 AND (m + 1) div 2 <= cum"))
+      .select(col("s").as("slope_lo_micro"))
+    val hi = cum
+      .filter(expr("cum - n < m div 2 + 1 AND m div 2 + 1 <= cum"))
+      .select(col("s").as("slope_hi_micro"))
+    totals.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_days"), col("m").as("n_pairs"),
+        col("slope_lo_micro"), col("slope_hi_micro"),
+        round((col("slope_lo_micro") + col("slope_hi_micro")).cast("double")
+          / 2.0 / 1e6, 4).as("sen_slope_cents_per_day"))
+  }
+
+  /** Symbolic motif discovery over daily revenue (the SAX idea with
+    * exact-rank symbols): each day maps to its revenue QUARTILE symbol
+    * via the distinct-value CDF (deterministic — no z-normalization, no
+    * float breakpoints), then every run of three CONSECUTIVE calendar
+    * days becomes a motif "q0q1q2" and the motif census is returned
+    * (≤ 64 rows). Recurring motifs are the repeated weekly shapes a
+    * forecaster should model; rare ones are the anomalies.
+    *
+    * Scale: symbols and windows live on the calendar-bounded daily
+    * table; consecutive days pair through two EQUI-joins on the day
+    * index (no global sort, no window over rows).
+    */
+  def revenueMotifs(orders: DataFrame): DataFrame = {
+    val daily = dailyCents(orders)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = OpUtils.cdfBuckets(daily.select(col("y")), "y", 4)
+    val sym = daily.join(buckets.select(col("y"), col("bucket")), Seq("y"))
+      .select(col("t"), col("bucket").as("q"))
+    val s1 = sym.select((col("t") - 1).as("t"), col("q").as("q1"))
+    val s2 = sym.select((col("t") - 2).as("t"), col("q").as("q2"))
+    sym.join(s1, Seq("t")).join(s2, Seq("t"))
+      .groupBy(concat(col("q"), col("q1"), col("q2")).as("motif"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
+  /** Poisson(1) weight from a uniform micro-draw u ∈ [0, 10⁶): inverse-
+    * CDF thresholds ⌊10⁶·P(X≤k)⌋ for k = 0..6 (weights cap at 7 —
+    * P(X≥7) < 10⁻⁴ is one dropped micro-cell). The thresholds are exact
+    * integer literals shared with the oracle, so resampling is a pure
+    * function of the hash — no RNG state anywhere.
+    */
+  private val PoissonCdfMicro = Seq(367879L, 735758L, 919698L, 981011L,
+    996340L, 999405L, 999916L)
+
+  private def poissonWeight(u: org.apache.spark.sql.Column) =
+    PoissonCdfMicro.zipWithIndex
+      .foldRight(lit(7): org.apache.spark.sql.Column) { case ((t, k), e) =>
+        when(u < t, k).otherwise(e)
+      }
+
+  /** Poisson-bootstrap confidence interval for the mean order value —
+    * the distributed bootstrap (Chamandy et al.'s "Estimating uncertainty
+    * for massive data streams" / the mapreduce-bootstrap standard): each
+    * row joins resample r with weight ~ Poisson(1) derived from
+    * hash(key, r), so no resample ever materializes and the pass is ONE
+    * scan with a map-side-combined rollup to `resamples` rows. Each
+    * resample's mean is an exact integer micro-cent ratio; the CI is the
+    * (⌈αR⌉, R+1−⌈αR⌉) order statistics of those R integers (α = 0.05 —
+    * rank 4 and 61 of R = 64), picked by rank probes over R rows.
+    *
+    * At 100 TB the explode costs resamples× CPU on one scan but shuffles
+    * only R rows per map partition — the reason the Poisson form exists.
+    */
+  def bootstrapCiOrderValue(orders: DataFrame, resamples: Int = 64): DataFrame = {
+    require(resamples >= 20, "need enough resamples for the 5% tails")
+    val y = orders.select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
+    val point = y.agg(count(lit(1)).as("n_orders"),
+      expr("cast((sum(cast(y as decimal(38,0))) * 1000000) div count(1) as bigint)")
+        .as("mean_micro"))
+    val weighted = y
+      .select(col("o_orderkey"), col("y"),
+        explode(sequence(lit(0), lit(resamples - 1))).as("r"))
+      .withColumn("u", pmod(graft.functions.HashFns.hash60(
+        concat(col("o_orderkey"), lit(":"), col("r"))), lit(1000000L)))
+      .withColumn("w", poissonWeight(col("u")))
+    val means = weighted.groupBy(col("r"))
+      .agg(expr("cast((sum(cast(w as decimal(38,0)) * y) * 1000000) div " +
+        "nullif(sum(cast(w as bigint)), 0) as bigint)").as("rm"))
+    val loRank = math.max(1, math.ceil(0.05 * resamples).toInt)
+    val hiRank = resamples + 1 - loRank
+    val ranked = means
+      .withColumn("rk", row_number().over(Window.orderBy(col("rm"), col("r"))))
+    val lo = ranked.filter(col("rk") === loRank)
+      .select(col("rm").as("ci_lo_micro"))
+    val hi = ranked.filter(col("rk") === hiRank)
+      .select(col("rm").as("ci_hi_micro"))
+    point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_orders"), lit(resamples).cast("long").as("n_resamples"),
+        col("mean_micro"), col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+}

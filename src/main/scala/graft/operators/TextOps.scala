@@ -646,4 +646,52 @@ object TextOps {
         Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("score_micro"), col("n_terms_hit"))
   }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw documents by
+    * how target-like their hashed-unigram distribution is. Each token
+    * hashes into one of `buckets` cells; the per-token importance ratio
+    * p_target(cell)/p_raw(cell) uses add-one smoothing; a document's
+    * score is its MEAN per-token ratio (length-normalized, so long docs
+    * aren't favored). The published method multiplies ratios (sums
+    * logs) — here the per-token ratios are AVERAGED instead: monotone
+    * agreement on which cells look target-like, but every quantity stays
+    * an exact integer micro-unit (repo-wide policy: no cross-engine
+    * libm-log gamble; see [[bm25Search]]'s idf surrogate for the same
+    * move), at the cost of the heavier tail-emphasis the product form
+    * has. Target = the corpus's `lang = targetLang` slice, the common
+    * "select web data that looks like my curated set" setup.
+    *
+    * Scale: one tokenize pass; cell stats are two map-side-combined
+    * rollups to a FIXED `buckets`-sized frame (broadcast — bounded by
+    * the literal, not the corpus); the per-doc score is one more
+    * map-side-combined rollup. Nothing shuffles at token grain except
+    * the (cell)-keyed stats.
+    */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 1024): DataFrame = {
+    val toks = OpUtils.spread(documents)
+      .select(col("doc_id"), col("lang"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(HashFns.hash32(col("tok")), lit(buckets.toLong)).as("cell"))
+    val raw = toks.groupBy(col("cell")).agg(count(lit(1)).as("rn"))
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy(col("cell")).agg(count(lit(1)).as("tn"))
+    val totals = toks.agg(count(lit(1)).as("rtot"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ttot"))
+    val weights = raw.join(tgt, Seq("cell"), "left")
+      .select(col("cell"), col("rn"), coalesce(col("tn"), lit(0L)).as("tn"))
+      .crossJoin(broadcast(totals))
+      .select(col("cell"), expr(
+        s"cast((cast(tn + 1 as decimal(38,0)) * (rtot + $buckets) * 1000000) div " +
+          s"(cast(rn + 1 as decimal(38,0)) * (ttot + $buckets)) as bigint)")
+        .as("w_micro"))
+    toks.join(broadcast(weights), Seq("cell"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("w_micro").cast("decimal(38,0)")).as("sw"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("cast(sw div n_tokens as bigint)").as("dsir_avg_micro"))
+  }
 }

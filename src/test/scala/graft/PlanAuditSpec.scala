@@ -347,6 +347,10 @@ class PlanAuditSpec extends SparkSpec {
       "approx_distincts" -> 2, // sketch + rank-check per l_returnflag (3-value enum)
       "basket_affinity" -> 2, // type counts per p_type (fixed ~150-value domain)
       "bm25_search" -> 1, // df per term, ≤ |fixed query-term set| = 6 rows
+      "bootstrap_ci_order_value" -> 2, // CI rank probes over R = 64 resample means
+      "theil_sen_trend" -> 5, // ONE calendar-bounded daily-frame hint; it counts
+      // 5× because the slopes subtree (which embeds it) recurs in the
+      // totals/lo/hi branches of the logical tree (plans copy shared subplans)
       "contamination_check" -> 1, // probe bigrams of ≤ nProbe literal benchmark docs
       "contrastive_pairs" -> 2, // anchor set: filter(vec_id < nQueries literal), 2 joins
       "embed_cosine_topk" -> 1, // query sample: filter(vec_id < nQueries literal)

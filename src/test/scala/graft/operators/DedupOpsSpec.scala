@@ -167,4 +167,56 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(("A", "C")) == ((0L, 2L, 1L, 0L)))
     assert(out(("B", "C")) == ((0L, 2L, 1L, 0L)))
   }
+
+  test("lshBandTuning: exact duplicates give certain recall at every banding") {
+    // one j = 1.0 pair: s^r = 1e6, (1−s^r)^b = 0 → p = 1e6 exactly
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "A", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "A", 43L),
+      (3L, "completely different content with zero overlap", "en", "B", 46L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOps.lshBandTuning(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set((16L, 2L), (8L, 4L), (4L, 8L)))
+    assert(out.values.forall(_ == ((1L, 1000000L))))
+  }
+
+  test("lshBandTuning matches the stepwise fixed-point S-curve on partial overlaps") {
+    // overlapping-but-unequal docs: jaccard strictly inside (0.5, 1), so
+    // the unrolled micro-power path actually exercises intermediate
+    // flooring; replicate the arithmetic directly from the exact pairs
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, base, "en", "A", 60L),
+      (2L, base + " extra", "en", "A", 66L),
+      (3L, "unrelated words entirely elsewhere", "en", "B", 34L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val js = DedupOps.dedupNgramJaccard(df).collect()
+      .map(r => math.round(r.getAs[Double]("jaccard") * 1e6))
+    assert(js.nonEmpty && js.exists(j => j > 500000L && j < 1000000L))
+    def powM(x: Long, e: Int): Long =
+      (2 to e).foldLeft(x)((a, _) => a * x / 1000000L)
+    val out = DedupOps.lshBandTuning(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    for (((b, r), got) <- out) {
+      val exp = js.map(j => 1000000L - powM(1000000L - powM(j, r.toInt), b.toInt))
+        .sum / js.length
+      assert(got == exp, s"config ($b,$r)")
+    }
+    // fewer rows per band → more forgiving banding → recall monotone
+    assert(out((16L, 2L)) >= out((8L, 4L)) && out((8L, 4L)) >= out((4L, 8L)))
+  }
+
+  test("dedupDegreeStats: a triangle of duplicates is three degree-2 docs") {
+    val df = Seq(
+      (1L, "identical payload text for the cluster", "en", "A", 38L),
+      (2L, "identical payload text for the cluster", "en", "A", 38L),
+      (3L, "identical payload text for the cluster", "en", "B", 38L),
+      (4L, "a singleton document with its own words", "en", "B", 39L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOps.dedupDegreeStats(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 3L))
+  }
 }

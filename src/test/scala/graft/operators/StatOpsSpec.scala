@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class StatOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  test("theilSenTrend: exact slope, untouched by one massive outlier") {
+    // days 1..9 linear at +5 dollars/day (every linear pair's slope is
+    // exactly 500 cents/day), day 10 a 100k outlier: its 9 pairs all
+    // have larger slopes, so ranks 1..36 of 45 still sit on the linear
+    // slope and BOTH central order statistics (rank 23) are exact.
+    val orders = ((1 to 9).map { t =>
+      (t.toLong, ts(f"2000-01-$t%02d"), 100.0 + 5.0 * t)
+    } :+ ((10L, ts("2000-01-10"), 100000.0)))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = StatOps.theilSenTrend(orders).collect()(0)
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Long]("n_pairs") == 45L)
+    assert(r.getAs[Long]("slope_lo_micro") == 500000000L)
+    assert(r.getAs[Long]("slope_hi_micro") == 500000000L)
+    assert(r.getAs[Double]("sen_slope_cents_per_day") == 500.0)
+  }
+
+  test("theilSenTrend: negative slopes floor on the magnitude (sign branch)") {
+    // two days, revenue FALLS by 1 cent over 3 days: slope = -1/3 cent
+    // per day → magnitude floor((1*1e6)/3) = 333333, negated — not the
+    // floor(-333333.3) = -333334 a naive floor-div would give.
+    val orders = Seq(
+      (1L, ts("2000-01-01"), 10.00), (2L, ts("2000-01-04"), 9.99))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = StatOps.theilSenTrend(orders).collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Long]("slope_lo_micro") == -333333L)
+    assert(r.getAs[Long]("slope_hi_micro") == -333333L)
+  }
+
+  test("revenueMotifs: ascending 8-day series yields the six staircase motifs") {
+    // distinct ascending revenues over 8 consecutive days: the CDF
+    // quartiles are days (1,2|3,4|5,6|7,8) → symbols 1,1,2,2,3,3,4,4 →
+    // exactly the six staircase 3-grams, once each.
+    val orders = (1 to 8).map { t =>
+      (t.toLong, ts(f"2000-01-$t%02d"), 100.0 * t)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = StatOps.revenueMotifs(orders).collect()
+      .map(r => (r.getAs[String]("motif"), r.getAs[Long]("n_windows"))).toSet
+    assert(out == Set("112" -> 1L, "122" -> 1L, "223" -> 1L,
+      "233" -> 1L, "334" -> 1L, "344" -> 1L))
+  }
+
+  test("revenueMotifs: windows never span calendar gaps") {
+    // days 1,2,3 then 5,6,7: only two complete consecutive triples
+    val orders = Seq(1, 2, 3, 5, 6, 7).map { t =>
+      (t.toLong, ts(f"2000-01-$t%02d"), 100.0 * t)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(StatOps.revenueMotifs(orders).collect()
+      .map(_.getAs[Long]("n_windows")).sum == 2L)
+  }
+
+  test("bootstrapCiOrderValue matches a direct hash-weight replication") {
+    val orders = (1 to 30).map(i => (i.toLong, i * 10.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val out = StatOps.bootstrapCiOrderValue(orders, resamples = 64).collect()(0)
+    // independent replication: md5-prefix hash → Poisson(1) inverse-CDF
+    // weight → per-resample exact integer micro mean → order statistics
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val thr = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
+    def w(u: Long): Long = thr.indexWhere(u < _) match {
+      case -1 => 7L
+      case k => k.toLong
+    }
+    val ys = (1 to 30).map(i => (i.toLong, i * 1000L))
+    val means = (0 until 64).map { r =>
+      val ws = ys.map { case (k, y) => (w(h60(s"$k:$r") % 1000000L), y) }
+      val sw = ws.map(_._1).sum
+      (ws.map { case (wi, y) => wi * y }.sum * 1000000L) / sw
+    }.sorted
+    assert(out.getAs[Long]("n_orders") == 30L)
+    assert(out.getAs[Long]("n_resamples") == 64L)
+    assert(out.getAs[Long]("mean_micro") == ys.map(_._2).sum * 1000000L / 30L)
+    assert(out.getAs[Long]("ci_lo_micro") == means(3))
+    assert(out.getAs[Long]("ci_hi_micro") == means(60))
+    assert(out.getAs[Long]("ci_lo_micro") <= out.getAs[Long]("ci_hi_micro"))
+  }
+}

@@ -290,4 +290,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out.head.getLong(2) > out(1).getLong(2) && out(1).getLong(2) > 0L)
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
+
+  test("dsirWeights matches a direct hashed-cell replication") {
+    val df = docs(
+      (1L, "apple banana apple", "en"),
+      (2L, "apple cherry", "fr"),
+      (3L, "banana banana apple", "en"))
+    // independent replication of the full chain: md5-prefix cell hash,
+    // add-one-smoothed target/raw ratios, floored integer micro averages
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val toks = Seq(
+      1L -> Seq("apple", "banana", "apple"),
+      2L -> Seq("apple", "cherry"),
+      3L -> Seq("banana", "banana", "apple"))
+    val lang = Map(1L -> "en", 2L -> "fr", 3L -> "en")
+    val cells = toks.flatMap { case (d, ts) => ts.map(t => (d, h32(t) % 1024L)) }
+    val rn = cells.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tn = cells.filter(c => lang(c._1) == "en")
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rtot = cells.size.toLong
+    val ttot = cells.count(c => lang(c._1) == "en").toLong
+    def w(cell: Long): Long =
+      ((BigInt(tn.getOrElse(cell, 0L) + 1) * (rtot + 1024) * 1000000) /
+        (BigInt(rn(cell) + 1) * (ttot + 1024))).toLong
+    val exp = cells.groupBy(_._1).map { case (d, cs) =>
+      d -> (cs.map(c => BigInt(w(c._2))).sum / cs.size).toLong
+    }
+    val out = TextOps.dsirWeights(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    for ((d, ts) <- toks)
+      assert(out(d) == ((lang(d), ts.size.toLong, exp(d))), s"doc $d")
+    // the en-only vocabulary scores above the doc carrying a raw-only token
+    assert(out(3L)._3 > out(2L)._3)
+  }
 }
