@@ -10,19 +10,46 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
   * call [[registerAll]] idempotently via GraftSession.register).
   */
 object GraftFunctions {
+  /** Optional int-literal argument at `pos` (config parameters like
+    * precision / shingle width are plan-time constants, never data).
+    */
+  private def intLit(exprs: Seq[Expression], pos: Int, default: Int,
+      fn: String, what: String): Int = exprs.lift(pos) match {
+    case Some(Literal(v: Int, IntegerType)) => v
+    case None => default
+    case other => throw new IllegalArgumentException(
+      s"$fn $what must be an int literal, got $other")
+  }
+
   def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_geohash",
-      (exprs: Seq[Expression]) => {
-        val precision = exprs.lift(2) match {
-          case Some(Literal(v: Int, IntegerType)) => v
-          case None => 7
-          case other => throw new IllegalArgumentException(
-            s"graft_geohash precision must be an int literal, got $other")
-        }
-        GeohashExpr(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType), precision)
-      },
-      "built-in")
+    def expressionFn(name: String)(builder: Seq[Expression] => Expression): Unit =
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    expressionFn("graft_geohash") { exprs =>
+      GeohashExpr(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
+        intLit(exprs, 2, 7, "graft_geohash", "precision"))
+    }
+    // embedding dot product (array<float> × array<float> → double)
+    expressionFn("graft_dot")(exprs => DotProductExpr(exprs(0), exprs(1)))
+    // oracle-parity positive hash from an md5 prefix (nHex hex chars)
+    expressionFn("graft_hash64") { exprs =>
+      Md5PrefixExpr(exprs(0), intLit(exprs, 1, 15, "graft_hash64", "nHex"))
+    }
+    // MinHash signature / distinct shingle set / SimHash of (normalized)
+    // text — the dedup family's row-local primitives
+    expressionFn("graft_minhash_sig") { exprs =>
+      MinhashSigExpr(exprs(0), intLit(exprs, 1, 5, "graft_minhash_sig", "k"))
+    }
+    expressionFn("graft_shingle_set") { exprs =>
+      DistinctShinglesExpr(exprs(0), intLit(exprs, 1, 5, "graft_shingle_set", "k"))
+    }
+    expressionFn("graft_simhash")(exprs => SimhashExpr(exprs(0)))
+    // rolling token-span hashes (array<string> tokens → array<long>)
+    expressionFn("graft_span_hashes") { exprs =>
+      SpanHashExpr(exprs(0),
+        intLit(exprs, 1, 8, "graft_span_hashes", "span"),
+        intLit(exprs, 2, 15, "graft_span_hashes", "nHex"))
+    }
     // typed Aggregators, fixed at their query-surface arities (a UDAF's
     // parameters are baked in at registration)
     spark.udf.register("graft_topk3",
@@ -36,16 +63,12 @@ object GraftFunctions {
     spark.udf.register("graft_bloom_agg",
       org.apache.spark.sql.functions.udaf(new BloomFilterAgg(1 << 17, 5),
         org.apache.spark.sql.Encoders.scalaLong))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_contains",
-      (exprs: Seq[Expression]) => BloomMightContainExpr(exprs(0), exprs(1), 5),
-      "built-in")
+    expressionFn("graft_bloom_contains")(exprs =>
+      BloomMightContainExpr(exprs(0), exprs(1), 5))
     spark.udf.register("graft_cms_agg",
       org.apache.spark.sql.functions.udaf(new CountMinAgg(1024, 4),
         org.apache.spark.sql.Encoders.STRING))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cms_estimate",
-      (exprs: Seq[Expression]) => CmsEstimateExpr(exprs(0), exprs(1), 1024),
-      "built-in")
+    expressionFn("graft_cms_estimate")(exprs =>
+      CmsEstimateExpr(exprs(0), exprs(1), 1024))
   }
 }

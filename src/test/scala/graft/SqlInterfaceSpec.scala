@@ -87,4 +87,37 @@ class SqlInterfaceSpec extends SparkSpec {
         |""".stripMargin).collect()
     assert(cms.nonEmpty && cms.forall(r => r.getLong(1) == r.getLong(2)))
   }
+
+  test("text/hash/vector primitives are callable from SQL and match the Column API") {
+    registered
+    import org.apache.spark.sql.functions._
+    // md5-prefix hash
+    val viaSql = spark.sql("SELECT graft_hash64('abc', 8)").head.getLong(0)
+    val viaCol = spark.range(1)
+      .select(functions.HashFns.hash32(lit("abc"))).head.getLong(0)
+    assert(viaSql == viaCol)
+    // minhash signature + shingle set + simhash agree with the Column API
+    val t = "the quick brown fox jumps over the lazy dog"
+    val sqlRow = spark.sql(
+      s"""SELECT graft_minhash_sig('$t', 5) AS sig,
+         |  graft_shingle_set('$t', 5) AS xs, graft_simhash('$t') AS sh
+         |""".stripMargin).head
+    val colRow = spark.range(1).select(
+      functions.MinhashSig.signature(lit(t), 5).as("sig"),
+      functions.MinhashSig.distinctShingles(lit(t), 5).as("xs"),
+      functions.MinhashSig.simhash(lit(t)).as("sh")).head
+    assert(sqlRow.getSeq[Long](0) == colRow.getSeq[Long](0))
+    assert(sqlRow.getSeq[Long](1) == colRow.getSeq[Long](1))
+    assert(sqlRow.getLong(2) == colRow.getLong(2))
+    // span hashes over a token array
+    val spans = spark.sql(
+      "SELECT graft_span_hashes(array('a','b','c','d'), 2, 8)").head.getSeq[Long](0)
+    assert(spans.length == 3)
+    // dot product on float arrays
+    val dot = spark.sql(
+      """SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                 CAST(array(3.0, 4.0) AS ARRAY<FLOAT>))""".stripMargin)
+      .head.getDouble(0)
+    assert(dot == 11.0)
+  }
 }
