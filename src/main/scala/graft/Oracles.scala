@@ -1890,6 +1890,83 @@ object Oracles {
          |SELECT * FROM e1 UNION ALL SELECT * FROM e2""".stripMargin
     },
 
+    // AuditOps.statsDrift: per-column stats of a baseline (pre-1997) vs
+    // current (1997+) orders snapshot, melted so each snapshot is one
+    // scan; null-rate delta in exact integer micro-units.
+    "stats_drift" ->
+      """WITH proj AS (
+        | SELECT o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |  CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS order_day,
+        |  o_orderdate < DATE '1997-01-01' AS is_base
+        | FROM orders),
+        |m AS (
+        | SELECT 'o_custkey' AS col_name, CAST(o_custkey AS BIGINT) AS v, is_base FROM proj
+        | UNION ALL SELECT 'price_cents', price_cents, is_base FROM proj
+        | UNION ALL SELECT 'order_day', order_day, is_base FROM proj),
+        |b AS (SELECT col_name, COUNT(*) AS n_base,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_base,
+        |  MIN(v) AS min_base, MAX(v) AS max_base
+        | FROM m WHERE is_base GROUP BY col_name),
+        |c AS (SELECT col_name, COUNT(*) AS n_cur,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_cur,
+        |  MIN(v) AS min_cur, MAX(v) AS max_cur
+        | FROM m WHERE NOT is_base GROUP BY col_name)
+        |SELECT col_name, n_base, n_cur, nulls_base, nulls_cur,
+        | min_base, min_cur, max_base, max_cur,
+        | (nulls_cur * 1000000) // n_cur - (nulls_base * 1000000) // n_base
+        |   AS null_rate_delta_micro,
+        | (min_cur < min_base OR max_cur > max_base) AS range_expanded
+        |FROM b JOIN c USING (col_name)""".stripMargin,
+
+    // AuditOps.joinPlanAdvisor: per-edge keyspace stats → deterministic
+    // strategy pick (broadcast ≤ 2000 rows, right wins ties; salted when
+    // either side's hottest·ndv/n skew factor ≥ 10×uniform; else hash).
+    "join_plan_advisor" -> {
+      def edge(i: Int, name: String, l: String, lk: String,
+          r: String, rk: String) =
+        s"""ls$i AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_left,
+           |  COUNT(*) AS ndv_left, MAX(cnt) AS max_cnt_left
+           | FROM (SELECT COUNT(*) AS cnt FROM $l
+           |       WHERE $lk IS NOT NULL GROUP BY CAST($lk AS BIGINT))),
+           |rs$i AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_right,
+           |  COUNT(*) AS ndv_right, MAX(cnt) AS max_cnt_right
+           | FROM (SELECT COUNT(*) AS cnt FROM $r
+           |       WHERE $rk IS NOT NULL GROUP BY CAST($rk AS BIGINT))),
+           |e$i AS (
+           | SELECT '$name' AS join_key, n_left, n_right, ndv_left, ndv_right,
+           |  max_cnt_left, max_cnt_right,
+           |  CAST((CAST(max_cnt_left AS HUGEINT) * ndv_left * 1000000) // n_left
+           |    AS BIGINT) AS skew_left_micro,
+           |  CAST((CAST(max_cnt_right AS HUGEINT) * ndv_right * 1000000) // n_right
+           |    AS BIGINT) AS skew_right_micro
+           | FROM ls$i, rs$i)""".stripMargin
+      val edges = Seq(
+        ("lineitem.l_orderkey=orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey=customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey=nation.n_nationkey",
+          "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("events.user_id=orders.o_custkey",
+          "events", "user_id", "orders", "o_custkey"))
+      val ctes = edges.zipWithIndex.map { case ((n, l, lk, r, rk), i) =>
+        edge(i + 1, n, l, lk, r, rk)
+      }.mkString(",\n")
+      val sel = edges.indices.map(i => s"SELECT * FROM e${i + 1}")
+        .mkString(" UNION ALL ")
+      s"""WITH $ctes,
+         |u AS ($sel)
+         |SELECT join_key, n_left, n_right, ndv_left, ndv_right,
+         | max_cnt_left, max_cnt_right, skew_left_micro, skew_right_micro,
+         | CASE WHEN n_right <= 2000 AND n_right <= n_left THEN 'broadcast_right'
+         |      WHEN n_left <= 2000 THEN 'broadcast_left'
+         |      WHEN skew_left_micro >= 10000000 OR skew_right_micro >= 10000000
+         |        THEN 'shuffle_salted'
+         |      ELSE 'shuffle_hash' END AS recommended
+         |FROM u""".stripMargin
+    },
+
     // three unrolled synchronous LPA rounds; argmax = (count DESC,
     // label ASC) row_number, isolated nodes keep their own label
     "nation_communities" -> {

@@ -158,6 +158,30 @@ object SparkEntry {
       AuditOps.quantileSketchAudit(orders(s, d))),
     "join_size_estimate" -> ((s, d) =>
       AuditOps.joinSizeEstimate(orders(s, d), lineitem(s, d), customer(s, d))),
+    "stats_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val proj = orders(s, d).select(
+        col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"),
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long")
+          .as("order_day"),
+        col("o_orderdate"))
+      val cut = to_date(lit("1997-01-01"))
+      AuditOps.statsDrift(
+        proj.filter(col("o_orderdate") < cut).drop("o_orderdate"),
+        proj.filter(col("o_orderdate") >= cut).drop("o_orderdate"),
+        Seq("o_custkey", "price_cents", "order_day"))
+    }),
+    "join_plan_advisor" -> ((s, d) => AuditOps.joinPlanAdvisor(Seq(
+      ("lineitem.l_orderkey=orders.o_orderkey",
+        lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey"),
+      ("orders.o_custkey=customer.c_custkey",
+        orders(s, d), "o_custkey", customer(s, d), "c_custkey"),
+      ("customer.c_nationkey=nation.n_nationkey",
+        customer(s, d), "c_nationkey", nation(s, d), "n_nationkey"),
+      ("events.user_id=orders.o_custkey",
+        events(s, d), "user_id", orders(s, d), "o_custkey")))),
     "nation_communities" -> ((s, d) =>
       GraphOps.nationCommunities(lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d), nation(s, d))),

@@ -307,4 +307,84 @@ object AuditOps {
       .unionByName(edge("customer.c_custkey=orders.o_custkey",
         customer, "c_custkey", orders, "o_custkey"))
   }
+
+  /** Per-column statistics drift between a BASELINE and a CURRENT
+    * snapshot of the same table — the data-contract check a warehouse
+    * team runs on every load before publishing: row/null accounting and
+    * value-range movement per column, with a range-expansion flag (a new
+    * min below or max above the baseline envelope is the classic symptom
+    * of an upstream schema/unit change, e.g. dollars→cents). Columns are
+    * compared as longs — callers project/quantize first (cents, day
+    * numbers), which also fixes the cross-engine representation.
+    *
+    * Scale: each snapshot is scanned ONCE via a melted explode (the
+    * [[childKeyRollup]] trick — one pass however many columns), rolled
+    * up map-side to |cols| rows; the join is |cols|-sized. Null-rate
+    * deltas are exact integer micro-units.
+    */
+  def statsDrift(baseline: DataFrame, current: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    def leg(df: DataFrame, side: String): DataFrame =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("c"), col(c).cast("long").as("v"))): _*)).as("e"))
+        .select(col("e.c").as("col_name"), col("e.v").as("v"))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as(s"n_$side"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as(s"nulls_$side"),
+          min(col("v")).as(s"min_$side"), max(col("v")).as(s"max_$side"))
+    leg(baseline, "base").join(leg(current, "cur"), Seq("col_name"))
+      .withColumn("null_rate_delta_micro",
+        expr("(nulls_cur * 1000000) div n_cur - (nulls_base * 1000000) div n_base"))
+      .withColumn("range_expanded",
+        col("min_cur") < col("min_base") || col("max_cur") > col("max_base"))
+      .select(col("col_name"), col("n_base"), col("n_cur"),
+        col("nulls_base"), col("nulls_cur"),
+        col("min_base"), col("min_cur"), col("max_base"), col("max_cur"),
+        col("null_rate_delta_micro"), col("range_expanded"))
+  }
+
+  /** Join-strategy advisor — the planning decision the CBO makes from
+    * table stats, surfaced as a report: for each candidate equi-join
+    * edge, both sides' row counts, key NDVs, and hottest-key counts,
+    * and the strategy a 100 TB planner should pick:
+    *   - `broadcast_right` / `broadcast_left`: the smaller side fits the
+    *     broadcast budget (right wins ties — build side convention);
+    *   - `shuffle_salted`: both sides big AND either side's skew factor
+    *     (hottest·ndv/n; 10⁶ = uniform) crosses the threshold — a plain
+    *     shuffle would bottleneck on the hot key's single reducer;
+    *   - `shuffle_hash`: both big, no pathological key.
+    * Null keys are excluded (they never match an equi-join anyway).
+    *
+    * Scale: per side ONE map-side-combined keyspace rollup folded to a
+    * single stats row — the volume a distinct-count already pays; the
+    * fact rows are never joined. Skew factors in DECIMAL(38,0) micro
+    * units (cnt·ndv crosses 2⁶³ at corpus scale).
+    */
+  def joinPlanAdvisor(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)],
+      broadcastRowLimit: Long = 2000, skewFactorMicro: Long = 10000000): DataFrame =
+    edges.map { case (name, left, lk, right, rk) =>
+      def side(df: DataFrame, k: String, s: String): DataFrame =
+        df.filter(col(k).isNotNull)
+          .groupBy(col(k).cast("long").as("k")).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as(s"n_$s"), count(lit(1)).as(s"ndv_$s"),
+            max(col("cnt")).as(s"max_cnt_$s"))
+      side(left, lk, "left").crossJoin(broadcast(side(right, rk, "right")))
+        .withColumn("skew_left_micro",
+          expr("(cast(max_cnt_left as decimal(38,0)) * ndv_left * 1000000) div n_left"))
+        .withColumn("skew_right_micro",
+          expr("(cast(max_cnt_right as decimal(38,0)) * ndv_right * 1000000) div n_right"))
+        .select(lit(name).as("join_key"),
+          col("n_left"), col("n_right"), col("ndv_left"), col("ndv_right"),
+          col("max_cnt_left"), col("max_cnt_right"),
+          expr("cast(skew_left_micro as bigint)").as("skew_left_micro"),
+          expr("cast(skew_right_micro as bigint)").as("skew_right_micro"),
+          when(col("n_right") <= broadcastRowLimit &&
+              col("n_right") <= col("n_left"), "broadcast_right")
+            .when(col("n_left") <= broadcastRowLimit, "broadcast_left")
+            .when(expr("cast(skew_left_micro as bigint)") >= skewFactorMicro ||
+              expr("cast(skew_right_micro as bigint)") >= skewFactorMicro,
+              "shuffle_salted")
+            .otherwise("shuffle_hash").as("recommended"))
+    }.reduce(_ unionByName _)
 }

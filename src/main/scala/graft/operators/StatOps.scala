@@ -67,13 +67,15 @@ object StatOps {
       .withColumn("cum", sum(col("n")).over(
         Window.orderBy(col("s"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val lo = cum
-      .filter(expr("cum - n < (m + 1) div 2 AND (m + 1) div 2 <= cum"))
-      .select(col("s").as("slope_lo_micro"))
-    val hi = cum
-      .filter(expr("cum - n < m div 2 + 1 AND m div 2 + 1 <= cum"))
-      .select(col("s").as("slope_hi_micro"))
-    totals.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    // both rank probes in ONE pass over the CDF (the cum derivation — a
+    // sorted cumulative — would otherwise run twice): the ≤2 matched
+    // rows collapse to (min, max) = (lower, upper) central statistic
+    val picks = cum
+      .filter(expr("(cum - n < (m + 1) div 2 AND (m + 1) div 2 <= cum) OR " +
+        "(cum - n < m div 2 + 1 AND m div 2 + 1 <= cum)"))
+      .agg(min(col("s")).as("slope_lo_micro"),
+        max(col("s")).as("slope_hi_micro"))
+    totals.crossJoin(broadcast(picks))
       .select(col("n_days"), col("m").as("n_pairs"),
         col("slope_lo_micro"), col("slope_hi_micro"),
         round((col("slope_lo_micro") + col("slope_hi_micro")).cast("double")

@@ -155,4 +155,44 @@ class AuditOpsSpec extends SparkSpec {
     assert(mar.getLong(8) == 0L)
     assert(out("1995-04").getLong(1) == 1L)
   }
+
+  test("statsDrift accounts rows, nulls, ranges, and flags expansion per column") {
+    import spark.implicits._
+    val base = Seq((Some(1L), Some(10L)), (Some(2L), Some(20L)),
+      (None, Some(30L))).toDF("a", "b")
+    val cur = Seq((Some(5L), Some(15L)), (None, Some(25L)),
+      (None, Some(12L)), (None, Some(18L))).toDF("a", "b")
+    val out = AuditOps.statsDrift(base, cur, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 4L) // rows
+    assert(a.getLong(3) == 1L && a.getLong(4) == 3L) // nulls
+    assert(a.getLong(5) == 1L && a.getLong(6) == 5L) // mins
+    assert(a.getLong(7) == 2L && a.getLong(8) == 5L) // maxes
+    // (3·10⁶ div 4) − (1·10⁶ div 3) = 750000 − 333333
+    assert(a.getLong(9) == 416667L)
+    assert(a.getBoolean(10)) // max moved above the baseline envelope
+    val b = out("b")
+    assert(b.getLong(9) == 0L && !b.getBoolean(10)) // inside the envelope
+  }
+
+  test("joinPlanAdvisor picks each strategy from the side stats") {
+    import spark.implicits._
+    def keys(ks: Long*) = ks.map(Tuple1(_)).toDF("k")
+    val big = keys(1L, 2L, 3L, 4L, 5L)
+    val out = AuditOps.joinPlanAdvisor(Seq(
+      ("small_right", big, "k", keys(1L, 2L), "k"),
+      ("small_left", keys(1L, 2L), "k", big, "k"),
+      ("hot_key", keys(1L, 1L, 1L, 1L, 2L, 3L), "k", big, "k"),
+      ("uniform", big, "k", big, "k")),
+      broadcastRowLimit = 2, skewFactorMicro = 1500000).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("small_right").getAs[String]("recommended") == "broadcast_right")
+    assert(out("small_left").getAs[String]("recommended") == "broadcast_left")
+    // hot side: max_cnt 4 · ndv 3 / n 6 = 2× uniform ≥ 1.5× threshold
+    assert(out("hot_key").getAs[Long]("skew_left_micro") == 2000000L)
+    assert(out("hot_key").getAs[String]("recommended") == "shuffle_salted")
+    assert(out("uniform").getAs[Long]("skew_left_micro") == 1000000L)
+    assert(out("uniform").getAs[String]("recommended") == "shuffle_hash")
+  }
 }
