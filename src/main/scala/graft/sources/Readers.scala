@@ -140,4 +140,51 @@ object Readers {
       spark.read.parquet(
         added.map(n => new org.apache.hadoop.fs.Path(dir, n).toString): _*)
   }
+
+  /** Files of a [[Sinks.writeWithStats]] directory whose `[min, max]`
+    * zone for `column` intersects `[lo, hi]` — the data-skipping
+    * decision, exposed so callers (and specs) can see exactly what a
+    * range predicate prunes. Files with an all-NULL zone (empty min/max)
+    * are conservatively kept. Returns (selected files, total files).
+    */
+  def statsPrunedFiles(spark: SparkSession, path: String, column: String,
+      lo: Long, hi: Long): (Seq[String], Int) = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsPath = new org.apache.hadoop.fs.Path(dir, "_stats")
+    if (!fs.exists(statsPath))
+      throw new java.io.FileNotFoundException(
+        s"$path has no _stats sidecar — not a stats-committed dataset")
+    val in = fs.open(statsPath)
+    val rows =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.split("\t", -1)).toList
+      finally in.close()
+    val byFile = rows.filter(_(1) == column)
+    require(byFile.nonEmpty, s"_stats carries no zone for column $column")
+    val keep = byFile.filter { a =>
+      a(2).isEmpty || a(3).isEmpty ||
+        !(a(3).toLong < lo || a(2).toLong > hi)
+    }.map(_(0))
+    (keep, byFile.size)
+  }
+
+  /** Zone-map data-skipping read: scan ONLY the files whose min/max
+    * zone for `column` can contain `[lo, hi]`, then apply the exact
+    * filter (zones prune, the predicate decides). With a range-clustered
+    * layout this turns a selective range query from a full-table scan
+    * into a few-file read — the manifest-level analog of parquet
+    * row-group pruning, one level earlier. Returns an empty frame (with
+    * the right schema) when every file is pruned.
+    */
+  def readSkipping(spark: SparkSession, path: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val (files, _) = statsPrunedFiles(spark, path, column, lo, hi)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(
+        files.map(n => new org.apache.hadoop.fs.Path(dir, n).toString): _*)
+    base.filter(col(column).cast("long") >= lo && col(column).cast("long") <= hi)
+  }
 }

@@ -390,6 +390,50 @@ object Sinks {
       fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
     deadFiles.size
   }
+
+  /** Zone-map-committed write: parquet files land, then a `_stats`
+    * sidecar publishes per-file min/max/null-count for the given long
+    * columns (the Delta/Iceberg file-statistics idea, readable by
+    * [[graft.sources.Readers.readSkipping]] to prune files a range
+    * predicate can't touch). Pair with `repartitionByRange`/
+    * [[writeZOrdered]] layouts so file ranges are actually disjoint —
+    * stats over randomly-placed rows prune nothing.
+    *
+    * The stats derive from ONE distributed read-back pass melted across
+    * all columns; only the files×cols stat rows reach the driver
+    * (manifest-sized — the same bound every table format accepts).
+    * Publication is temp-file + atomic rename: readers see the complete
+    * sidecar or none.
+    */
+  def writeWithStats(df: DataFrame, path: String, statsCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    val stats = spark.read.parquet(path)
+      .select(input_file_name().as("f"), explode(array(statsCols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("long").as("v"))): _*)).as("e"))
+      .groupBy(col("f"), col("e.c").as("c"))
+      .agg(min(col("e.v")).as("mn"), max(col("e.v")).as("mx"),
+        sum(when(col("e.v").isNull, 1L).otherwise(0L)).as("nulls"))
+      .collect()
+    val lines = stats.map { r =>
+      val base = r.getString(0).split('/').last
+      val mn = if (r.isNullAt(2)) "" else r.getLong(2).toString
+      val mx = if (r.isNullAt(3)) "" else r.getLong(3).toString
+      s"$base\t${r.getString(1)}\t$mn\t$mx\t${r.getLong(4)}"
+    }.sorted
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "._stats.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val statsPath = new org.apache.hadoop.fs.Path(dir, "_stats")
+    fs.delete(statsPath, false)
+    if (!fs.rename(tmp, statsPath))
+      throw new java.io.IOException(s"stats publish failed for $path")
+    lines.length
+  }
 }
 
 /** Shared snapshot-manifest naming/listing for [[Sinks]] and

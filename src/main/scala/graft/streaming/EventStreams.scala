@@ -260,6 +260,46 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Ingest-quality observation riding any event stream: per-micro-batch
+    * row / null-key accounting and the event-time envelope, attached via
+    * the `observe` metrics API — the aggregates piggyback on the
+    * existing scan (zero extra passes, zero extra shuffles), and land in
+    * each batch's StreamingQueryProgress for the ops pipeline to alert
+    * on. Use [[ingestAuditMetrics]] to read them and
+    * [[droppedLateRows]] for the watermark-drop counter the state
+    * operators publish — together the production answer to "how much of
+    * the feed is junk and how much arrived too late to count".
+    */
+  def withIngestAudit(events: DataFrame): DataFrame =
+    events.observe("graft_ingest",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+      min(col("ts")).as("min_ts"),
+      max(col("ts")).as("max_ts"))
+
+  /** One row per completed micro-batch that carried [[withIngestAudit]]
+    * metrics: (batchId, n_rows, n_null_user, min_ts, max_ts).
+    */
+  def ingestAuditMetrics(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Seq[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)] =
+    q.recentProgress.toSeq.flatMap { p =>
+      Option(p.observedMetrics.get("graft_ingest")).map { r =>
+        (p.batchId, r.getAs[Long]("n_rows"), r.getAs[Long]("n_null_user"),
+          r.getAs[java.sql.Timestamp]("min_ts"),
+          r.getAs[java.sql.Timestamp]("max_ts"))
+      }
+    }
+
+  /** Total rows the stateful operators dropped as later than the
+    * watermark across the query's recent progress — the data-loss
+    * counter every watermarked pipeline must alert on (a silent rise
+    * means upstream lag is eating events).
+    */
+  def droppedLateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsDroppedByWatermark))
+      .sum
+
   /** Windowed near-duplicate suppression (debounce), batch form: drop
     * any event whose user emitted the SAME event type within the
     * previous `gapSeconds` — the retry/double-click filter of an event

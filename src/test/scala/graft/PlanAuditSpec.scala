@@ -92,6 +92,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushes >= 2, s"both scans should carry Or pushed filters:\n${p.take(600)}")
   }
 
+  test("stats_drift scans each snapshot once however many columns it profiles") {
+    // the melted explode folds all profiled columns into one pass; a
+    // per-column rollup would re-read the 100 TB snapshot per column
+    val p = plan("stats_drift")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 scans (one per snapshot), got $scans")
+  }
+
+  test("join_plan_advisor never joins fact rows — only 1-row stats frames meet") {
+    // the advisor's whole point: decide the strategy from keyspace
+    // rollups WITHOUT paying the row-level join it is advising on
+    val p = plan("join_plan_advisor")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no row-level join may appear")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "stats frames meet via broadcast of 1-row aggregates")
+  }
+
   test("lapsed-customer query anti-joins a date-pruned fact") {
     val p = plan("idle_rich_customers")
     assert(p.contains("LeftAnti"))

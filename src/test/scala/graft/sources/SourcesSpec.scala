@@ -384,4 +384,28 @@ class SourcesSpec extends SparkSpec {
       finally in.close()
     }
   }
+
+  test("zone-map stats skip files a range predicate cannot touch") {
+    val dir = tmp()
+    // range-clustered layout: 4 files with disjoint key ranges
+    val df = (1 to 400).map(i => (i.toLong, s"row$i"))
+      .toDF("k", "payload").repartitionByRange(4, $"k")
+    val nStats = Sinks.writeWithStats(df, s"$dir/t", Seq("k"))
+    assert(nStats == 4) // 4 files × 1 column
+    // a one-file range: pruning must drop most files, results stay exact
+    val (files, total) = Readers.statsPrunedFiles(spark, s"$dir/t", "k", 10, 20)
+    assert(total == 4 && files.length < total,
+      s"expected pruning, kept ${files.length}/$total")
+    val got = Readers.readSkipping(spark, s"$dir/t", "k", 10, 20)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (10L to 20L))
+    // fully out-of-range: every file pruned, schema preserved
+    val none = Readers.readSkipping(spark, s"$dir/t", "k", 1000, 2000)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "payload"))
+    // an uncommitted directory refuses to pretend it has zones
+    df.write.mode("overwrite").parquet(s"$dir/raw")
+    intercept[java.io.FileNotFoundException] {
+      Readers.readSkipping(spark, s"$dir/raw", "k", 0, 1)
+    }
+  }
 }

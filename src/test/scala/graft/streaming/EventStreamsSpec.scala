@@ -265,6 +265,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("dedup").count() == sampleEvents.size)
   }
 
+  test("ingest audit observes batch accounting and counts watermark drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Option[Long], String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.dedupStream(EventStreams.withIngestAudit(streamDF))
+      .writeStream.outputMode("append").format("memory").queryName("audited").start()
+    // batch 1: three rows, one with a null user, spanning minutes 0..120
+    mem.addData(
+      (1L, ts(0), Some(1L), "click", 1.0, "{}"),
+      (2L, ts(60), None, "view", 2.0, "{}"),
+      (3L, ts(120), Some(2L), "click", 3.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: one fresh row advances the watermark past minute 60...
+    mem.addData((4L, ts(180), Some(1L), "click", 4.0, "{}"))
+    q.processAllAvailable()
+    // ...so this 2h-stale straggler is dropped by the watermark
+    mem.addData((5L, ts(0), Some(2L), "view", 5.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val metrics = EventStreams.ingestAuditMetrics(q)
+      .map { case (_, n, nulls, mn, mx) => (n, nulls, mn, mx) }
+    assert(metrics.contains((3L, 1L, ts(0), ts(120))),
+      s"batch-1 accounting missing from $metrics")
+    assert(metrics.map(_._1).sum == 5L) // every ingested row observed
+    assert(EventStreams.droppedLateRows(q) == 1L)
+  }
+
   test("aggMaintainStream folds micro-batches into the rollup store") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft_agg").toString + "/rollup"
