@@ -13,6 +13,8 @@ object GraftSession {
   /** Apply graft defaults + function registration to an existing builder. */
   def configure(builder: SparkSession.Builder): SparkSession.Builder =
     builder
+      // Catalyst rule injection (geohash-prefix → bounding-box pushdown)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // size-first coalescing (the production recommendation): shuffles

@@ -3083,6 +3083,19 @@ object Oracles {
     "heavy_hitter_types" ->
       """SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type""",
 
+    // GeoOps.geoPrefixCounts: geo-fenced per-nation rollup; the Spark
+    // side's prefix filter is rewritten by the GeohashPrefixPushdown
+    // rule (bbox conjuncts added), which this oracle confirms changes
+    // nothing about the result set.
+    "geo_prefix_counts" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey, ${latSql("c_custkey")} AS lat,
+         | ${lonSql("c_custkey")} AS lon FROM customer),
+         |g AS (SELECT c_custkey, c_nationkey, ${geohashCols("lat", "lon")} FROM c)
+         |SELECT n_name, COUNT(*) AS n_customers
+         |FROM g JOIN nation ON c_nationkey = n_nationkey
+         |WHERE g_gh LIKE 'dr5%'
+         |GROUP BY n_name""".stripMargin,
+
     "bigram_topk" ->
       s"""WITH t AS (SELECT CASE WHEN length(${norm("text")}) = 0 THEN []
          |  ELSE string_split(${norm("text")}, ' ') END AS toks FROM documents),

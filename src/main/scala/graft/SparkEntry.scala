@@ -339,6 +339,8 @@ object SparkEntry {
     "curated_corpus" -> ((s, d) => PipelineOps.curatedCorpus(documents(s, d))),
     "geo_neighbor_join" -> ((s, d) =>
       GeoOps.neighborJoin(customer(s, d), supplier(s, d), nation(s, d), region(s, d))),
+    "geo_prefix_counts" -> ((s, d) =>
+      GeoOps.geoPrefixCounts(customer(s, d), nation(s, d))),
     "heavy_hitter_types" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val hh = udaf(new graft.functions.HeavyHitters(16),

@@ -54,6 +54,54 @@ object GeohashEncode {
     }
     UTF8String.fromString(new String(out))
   }
+
+  /** Conservative lat/lon bounds of every point whose geohash starts
+    * with `prefix` — the inverse used by the bounding-box pushdown rule
+    * ([[graft.plans.GeohashPrefixPushdown]]).
+    *
+    * Per side: None when the prefix cell touches that edge of the grid
+    * ([[encode]] CLAMPS out-of-range and even NaN coordinates into edge
+    * cells, so an edge cell's members are unbounded on that side);
+    * otherwise the cell boundary widened by a 10⁻⁴° margin — encode's
+    * floor-scaling double error is ≤ 180·2^(latBits−52)° ≈ 4.3·10⁻⁵° at
+    * the maximum precision 12, so the widened box PROVABLY contains
+    * every point the exact predicate accepts (the rewrite is a superset
+    * filter, never a replacement). Returns None for prefixes no geohash
+    * can start with (illegal chars).
+    */
+  def prefixBounds(prefix: String)
+      : Option[(Option[Double], Option[Double], Option[Double], Option[Double])] = {
+    val idx = prefix.map(c => B32.indexOf(c))
+    if (idx.exists(_ < 0)) return None
+    val totalBits = 5 * prefix.length
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    var latCell = 0L
+    var lonCell = 0L
+    var i = 0
+    while (i < totalBits) {
+      val bit = (idx(i / 5) >> (4 - i % 5)) & 1
+      if ((i & 1) == 0) lonCell = (lonCell << 1) | bit
+      else latCell = (latCell << 1) | bit
+      i += 1
+    }
+    val margin = 1e-4
+    def side(cell: Long, bits: Int, span: Double, origin: Double)
+        : (Option[Double], Option[Double]) = {
+      if (bits == 0) (None, None)
+      else {
+        val width = span / (1L << bits).toDouble
+        val lo = if (cell == 0L) None
+          else Some(origin + cell * width - margin)
+        val hi = if (cell == (1L << bits) - 1) None
+          else Some(origin + (cell + 1) * width + margin)
+        (lo, hi)
+      }
+    }
+    val (latLo, latHi) = side(latCell, latBits, 180.0, -90.0)
+    val (lonLo, lonHi) = side(lonCell, lonBits, 360.0, -180.0)
+    Some((latLo, latHi, lonLo, lonHi))
+  }
 }
 
 case class GeohashExpr(left: Expression, right: Expression, precision: Int)

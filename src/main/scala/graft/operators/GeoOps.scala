@@ -36,4 +36,25 @@ object GeoOps {
       .filter(col("dist2") <= maxDist2)
       .select(col("c_custkey"), col("s_suppkey"), round(col("dist2"), 10).as("dist2"))
   }
+
+  /** Customers inside a geohash-prefix region, counted per nation — the
+    * geo-fenced rollup shape ("everyone in cell dr5"). The prefix filter
+    * is written against the COMPUTED geohash, which is exact but opaque
+    * to any scan; the [[graft.plans.GeohashPrefixPushdown]] optimizer
+    * rule derives the cell's lat/lon bounding box as extra conjuncts, so
+    * on physical coordinate columns the predicate reaches the parquet
+    * zone maps (here the coordinates are key-derived, so the rewrite is
+    * exercised semantically — the oracle confirms the rewritten plan
+    * returns the identical rows).
+    */
+  def geoPrefixCounts(customer: DataFrame, nation: DataFrame,
+      prefix: String = "dr5"): DataFrame =
+    CleanOps.withDerivedCoords(
+        customer.select(col("c_custkey"), col("c_nationkey")), "c_custkey")
+      .withColumn("gh", geohash(col("lat"), col("lon"), 7))
+      .filter(col("gh").startsWith(prefix))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
 }
