@@ -2520,6 +2520,31 @@ object Oracles {
          |$rows""".stripMargin
     },
 
+    // DedupOps.jaccardSimHistogram: 0.05 bins over [0.5, 1.0] of the
+    // exact pair similarities (j = 1.0 clamps into the top bin).
+    "jaccard_sim_histogram" ->
+      s"""WITH $jaccardPairsCte,
+         |b AS (SELECT LEAST(CAST(ROUND(jaccard * 1000000) AS BIGINT) // 50000 - 10, 9)
+         |   AS bin FROM jp)
+         |SELECT bin, ROUND(CAST(0.5 AS DOUBLE) + bin * CAST(0.05 AS DOUBLE), 2) AS bin_lo,
+         | ROUND(CAST(0.55 AS DOUBLE) + bin * CAST(0.05 AS DOUBLE), 2) AS bin_hi,
+         | COUNT(*) AS n_pairs
+         |FROM b GROUP BY bin""".stripMargin,
+
+    // TextOps.tokenizerFertility: tokens per 100 chars per language —
+    // the char→token budgeting constant; exact integer micro ratio.
+    "tokenizer_fertility" ->
+      s"""WITH d AS (
+         | SELECT lang, CAST(len(string_split(norm, ' ')) AS BIGINT) AS toks,
+         |  CAST(length(norm) AS BIGINT) AS chars
+         | FROM (SELECT lang, ${norm("text")} AS norm FROM documents)
+         | WHERE length(norm) > 0)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         | CAST(SUM(chars) AS BIGINT) AS n_chars,
+         | CAST((CAST(SUM(toks) AS HUGEINT) * 100000000) // SUM(chars) AS BIGINT)
+         |   AS tokens_per_100_chars_micro
+         |FROM d GROUP BY lang""".stripMargin,
+
     // DedupOps.dedupDegreeStats: degree census of the MinHash-LSH pair
     // graph (both endpoints of every pair, then a histogram).
     "dedup_degree_stats" ->
@@ -2551,6 +2576,50 @@ object Oracles {
          |SELECT doc_id, lang, COUNT(*) AS n_tokens,
          | CAST(SUM(CAST(w_micro AS HUGEINT)) // COUNT(*) AS BIGINT) AS dsir_avg_micro
          |FROM toks JOIN wts USING (cell) GROUP BY doc_id, lang""".stripMargin,
+
+    // SimilarityOps.pqAnn: product-quantization codes (8 subspaces × 16
+    // centroids, dyadic float-exact weights shared via pqWeight) +
+    // asymmetric-distance top-k. Sum order and rounding mirror the Spark
+    // reduceLeft exactly; argmin ties go to the smallest centroid index
+    // in both engines.
+    "embed_pq_ann" -> {
+      import graft.operators.SimilarityOps.{pqCentNorm2, PqCent, PqSub}
+      def wSql(m: Int, j: Int) =
+        s"(CAST((69069 * ((${m * PqCent + j}) * 64 + ${m * 8} + i - 1) + 12345) % 4096 AS DOUBLE) / 2048.0 - 1.0)"
+      def dotSub(tbl: String, m: Int, j: Int) =
+        s"list_reduce(list_transform(generate_series(1, 8), i -> $tbl.embedding[${m * 8} + i]::DOUBLE * ${wSql(m, j)}), (x, y) -> x + y)"
+      def qn(m: Int) =
+        s"list_reduce(list_transform(generate_series(1, 8), i -> q.embedding[${m * 8} + i]::DOUBLE * q.embedding[${m * 8} + i]::DOUBLE), (x, y) -> x + y)"
+      val scoreCols = (for (m <- 0 until PqSub; j <- 0 until PqCent) yield
+        s"(${pqCentNorm2(m, j)} - 2.0 * ${dotSub("embeddings", m, j)}) AS s${m}_$j")
+        .mkString(", ")
+      val minCols = (0 until PqSub).map(m =>
+        s"LEAST(${(0 until PqCent).map(j => s"s${m}_$j").mkString(", ")}) AS mn$m")
+        .mkString(", ")
+      val codeCols = (0 until PqSub).map { m =>
+        "CASE " + (0 until PqCent).map(j => s"WHEN s${m}_$j = mn$m THEN $j")
+          .mkString(" ") + s" END AS code$m"
+      }.mkString(", ")
+      val adc = (0 until PqSub).map { m =>
+        "(CASE c.code" + m + " " + (0 until PqCent).map(j =>
+          s"WHEN $j THEN (${qn(m)} - 2.0 * ${dotSub("q", m, j)} + ${pqCentNorm2(m, j)})")
+          .mkString(" ") + " END)"
+      }.reduceLeft((a, b) => s"($a + $b)")
+      s"""WITH scored AS (SELECT vec_id, embedding, $scoreCols FROM embeddings),
+         |mins AS (SELECT *, $minCols FROM scored),
+         |coded AS (SELECT vec_id, $codeCols FROM mins),
+         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |      WHERE vec_id < 20),
+         |sims AS (
+         | SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  ROUND($adc, 6) AS adc_dist2
+         | FROM coded c, q WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (
+         |  PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
+         | FROM sims)
+         |SELECT query_id, rank, neighbor_id, adc_dist2
+         |FROM ranked WHERE rank <= 3""".stripMargin
+    },
 
     "embed_cosine_topk" -> {
       def dotSql(a: String, b: String) =

@@ -284,6 +284,7 @@ object SparkEntry {
     "embed_norm_check" -> ((s, d) =>
       SimilarityOps.embedNormCheck(embeddings(s, d))),
     "embed_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(embeddings(s, d))),
+    "embed_pq_ann" -> ((s, d) => SimilarityOps.pqAnn(embeddings(s, d))),
     "embed_quantize" -> ((s, d) => SimilarityOps.embedQuantize(embeddings(s, d))),
     "embed_knn_label" -> ((s, d) =>
       SimilarityOps.knnLabel(embeddings(s, d), documents(s, d))),
@@ -326,7 +327,10 @@ object SparkEntry {
     "source_overlap" -> ((s, d) => DedupOps.sourceOverlap(documents(s, d))),
     "lsh_band_tuning" -> ((s, d) => DedupOps.lshBandTuning(documents(s, d))),
     "dedup_degree_stats" -> ((s, d) => DedupOps.dedupDegreeStats(documents(s, d))),
+    "jaccard_sim_histogram" -> ((s, d) =>
+      DedupOps.jaccardSimHistogram(documents(s, d))),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(documents(s, d))),
+    "tokenizer_fertility" -> ((s, d) => TextOps.tokenizerFertility(documents(s, d))),
     "type_token_ratio" -> ((s, d) => TextOps.typeTokenRatio(documents(s, d))),
     "stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(documents(s, d))),
     "dataset_split" -> ((s, d) => PipelineOps.datasetSplit(documents(s, d))),

@@ -691,6 +691,24 @@ object DedupOps {
     * almost entirely). Rides the memoized pair graph; two bounded
     * aggregations.
     */
+  /** Similarity histogram of the exact near-dup pairs: 0.05-wide bins
+    * over [τ, 1] — the shape that picks the production τ (a mass near τ
+    * means the cutoff is splitting a continuum; a spike at 1.0 means
+    * mostly exact-ish copies that [[dedupExact]] could handle alone).
+    * Rides the memoized pair graph; one bounded aggregation, exact
+    * integer binning.
+    */
+  def jaccardSimHistogram(documents: DataFrame, tau: Double = 0.5): DataFrame =
+    dedupNgramJaccard(documents, tau)
+      .select(expr("least(cast(round(jaccard * 1000000) as bigint) div 50000 - 10, 9)")
+        .as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"),
+        round(lit(0.5) + col("bin") * 0.05, 2).as("bin_lo"),
+        round(lit(0.55) + col("bin") * 0.05, 2).as("bin_hi"),
+        col("n_pairs"))
+
   def dedupDegreeStats(documents: DataFrame, minEst: Double = 0.5): DataFrame =
     dedupMinhashLsh(documents, minEst)
       .select(col("doc_a").as("doc_id"))

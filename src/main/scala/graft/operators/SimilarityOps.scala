@@ -518,4 +518,92 @@ object SimilarityOps {
         round(col("sd2").cast("double") / col("n_members") / 1e12, 6)
           .as("mean_sqdist"))
   }
+
+  // ------------------------------------------------------- product quant
+
+  /** PQ codebook geometry: 8 subspaces × 8 dims, 16 centroids each —
+    * a 64-dim float vector (256 B) compresses to 8 four-bit codes (4 B,
+    * byte-stored here). At 10¹¹ vectors that is the difference between
+    * an in-memory index and not having one.
+    */
+  val PqSub = 8
+  val PqCent = 16
+
+  /** Deterministic PQ centroid weight for (subspace m, centroid j,
+    * in-subspace dim i) — dyadic 12-bit rationals like
+    * [[centroidWeight]], float-exact, seed disjoint per (m, j, i).
+    */
+  def pqWeight(m: Int, j: Int, i: Int): Double =
+    ((69069L * ((m * PqCent + j) * Dim + m * 8 + i) + 12345L) % 4096L)
+      .toDouble / 2048.0 - 1.0
+
+  /** ‖c_{m,j}‖², left-fold, shared with the oracle as a literal. */
+  def pqCentNorm2(m: Int, j: Int): Double =
+    (0 until 8).map(i => pqWeight(m, j, i) * pqWeight(m, j, i))
+      .foldLeft(0.0)(_ + _)
+
+  /** Per-vector PQ codes: each 8-dim subvector maps to its nearest
+    * subspace centroid (argmin over 16 squared distances; ties to the
+    * smallest index, identical in the oracle). One codegen'd scan, no
+    * shuffle — encoding is embarrassingly parallel.
+    */
+  def withPqCodes(embeddings: DataFrame): DataFrame = {
+    val scoreCols = for (m <- 0 until PqSub; j <- 0 until PqCent) yield {
+      val sub = slice(col("embedding"), m * 8 + 1, 8)
+      val w = (0 until 8).map(i => pqWeight(m, j, i).toFloat)
+      (lit(pqCentNorm2(m, j)) - lit(2.0) *
+        graft.functions.DotProduct.dotF(sub, typedlit(w))).as(s"s${m}_$j")
+    }
+    val scored = embeddings.select(
+      col("vec_id") +: col("embedding") +: scoreCols: _*)
+    val codeCols = (0 until PqSub).map { m =>
+      val mn = least((0 until PqCent).map(j => col(s"s${m}_$j")): _*)
+      (0 until PqCent).foldRight(lit(-1): org.apache.spark.sql.Column) {
+        (j, rest) => when(col(s"s${m}_$j") === mn, lit(j)).otherwise(rest)
+      }.as(s"code$m")
+    }
+    scored.select(col("vec_id") +: col("embedding") +: codeCols: _*)
+  }
+
+  /** PQ asymmetric-distance ANN (Jégou et al. 2011): the corpus is
+    * scanned as CODES ONLY (the full vectors never leave the encoder),
+    * each query precomputes its 8×16 distance lookup table, and the
+    * approximate distance is eight table lookups + adds per candidate.
+    * Top-k per query on the ADC distance, ties to the smaller id.
+    *
+    * Scale: the ANN regime IVF/LSH can't reach — when even the pruned
+    * candidate lists are too big to read at full precision, the 4-byte
+    * codes are what the scan touches; here the whole corpus is scanned
+    * (the flat-PQ baseline; compose with [[withIvfCells]] for IVF-PQ).
+    * One broadcast of the query LUTs; per-query state is 128 doubles.
+    */
+  def pqAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val coded = withPqCodes(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = coded.select(
+      col("vec_id") +: (0 until PqSub).map(m => col(s"code$m")): _*)
+    val lutCols = (0 until PqSub).map { m =>
+      val sub = slice(col("embedding"), m * 8 + 1, 8)
+      array((0 until PqCent).map { j =>
+        val w = (0 until 8).map(i => pqWeight(m, j, i).toFloat)
+        graft.functions.DotProduct.dotF(sub, sub) -
+          lit(2.0) * graft.functions.DotProduct.dotF(sub, typedlit(w)) +
+          lit(pqCentNorm2(m, j))
+      }: _*).as(s"lut$m")
+    }
+    val queries = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +: lutCols: _*)
+    val adc = (0 until PqSub)
+      .map(m => element_at(col(s"lut$m"), col(s"code$m") + 1))
+      .reduceLeft(_ + _)
+    val sims = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adc, 6).as("adc_dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist2"), col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist2"))
+  }
 }

@@ -208,6 +208,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(out((16L, 2L)) >= out((8L, 4L)) && out((8L, 4L)) >= out((4L, 8L)))
   }
 
+  test("jaccardSimHistogram bins exact pairs; j = 1.0 clamps into the top bin") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "A", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "A", 43L),
+      (3L, "nothing like the others at all", "en", "B", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOps.jaccardSimHistogram(df).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(9L -> ((0.95, 1.0, 1L))))
+  }
+
   test("dedupDegreeStats: a triangle of duplicates is three degree-2 docs") {
     val df = Seq(
       (1L, "identical payload text for the cluster", "en", "A", 38L),

@@ -237,4 +237,46 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 3L)
     assert(out.head.getDouble(2) == 0.0)
   }
+
+  test("pqAnn matches a direct codebook replication (codes + ADC distances)") {
+    import SimilarityOps.{pqWeight, pqCentNorm2, PqSub, PqCent}
+    val vs = Seq(
+      0L -> Seq.tabulate(64)(i => ((i % 5) - 2).toFloat / 4f),
+      1L -> Seq.tabulate(64)(i => ((i % 9) - 4).toFloat / 8f),
+      2L -> Seq.tabulate(64)(i => ((i % 3) - 1).toFloat / 2f),
+      3L -> Seq.tabulate(64)(i => ((i % 5) - 2).toFloat / 4f)) // dup of 0
+    // replicate the full chain with the same left-fold double arithmetic
+    def dot8(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    def codes(v: Seq[Float]): Seq[Int] = (0 until PqSub).map { m =>
+      val sub = (0 until 8).map(i => v(m * 8 + i).toDouble)
+      val d = (0 until PqCent).map { j =>
+        val w = (0 until 8).map(i => pqWeight(m, j, i).toFloat.toDouble)
+        pqCentNorm2(m, j) - 2.0 * dot8(sub, w)
+      }
+      d.indexOf(d.min)
+    }
+    def adc(q: Seq[Float], c: Seq[Int]): Double =
+      (0 until PqSub).map { m =>
+        val sub = (0 until 8).map(i => q(m * 8 + i).toDouble)
+        val j = c(m)
+        val w = (0 until 8).map(i => pqWeight(m, j, i).toFloat.toDouble)
+        dot8(sub, sub) - 2.0 * dot8(sub, w) + pqCentNorm2(m, j)
+      }.reduceLeft(_ + _)
+    val expect = (for {
+      (q, qv) <- vs.take(4) if q < 2 // nQueries = 2
+      (n, nv) <- vs if n != q
+    } yield (q, n, math.rint(adc(qv, codes(nv)) * 1e6) / 1e6))
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(3).zipWithIndex
+          .map { case ((q, n, d), i) => (q, (i + 1).toLong, n, d) }
+      }.toSet
+    val got = SimilarityOps.pqAnn(vecs(vs: _*), nQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect)
+    // the duplicate vector shares vector 0's codes, so its ADC distance
+    // to query 0 equals query 0's own reconstruction error — rank 1
+    val top0 = got.filter(t => t._1 == 0L && t._2 == 1L)
+    assert(top0.head._3 == 3L)
+  }
 }

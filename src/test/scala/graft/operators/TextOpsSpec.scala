@@ -291,6 +291,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("tokenizerFertility: exact token-per-char micro ratios per language") {
+    val df = docs(
+      (1L, "a b c", "en"),      // 3 tokens / 5 chars
+      (2L, "aa bb", "en"),      // 2 tokens / 5 chars
+      (3L, "xyz", "fr"),        // 1 token  / 3 chars
+      (4L, "   ", "de"))        // blank: excluded
+    val out = TextOps.tokenizerFertility(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en: 5 tokens / 10 chars → 5·10⁸ div 10 = 50_000_000
+    assert(out == Map(
+      "en" -> ((2L, 5L, 10L, 50000000L)),
+      "fr" -> ((1L, 1L, 3L, 33333333L))))
+  }
+
   test("dsirWeights matches a direct hashed-cell replication") {
     val df = docs(
       (1L, "apple banana apple", "en"),
