@@ -2134,6 +2134,51 @@ object Oracles {
        | FROM embeddings""".stripMargin
   }
 
+  /** PQ codebook fragments (SimilarityOps.pqWeight mirror): the
+    * scored→mins→coded CTE chain assigning 8 subspace codes per vector
+    * of `src` (which must expose `embedding` plus the `carry` columns),
+    * shared by embed_pq_ann and embed_ivfpq_ann.
+    */
+  private def pqCodedCtes(src: String, carry: Seq[String]): String = {
+    import graft.operators.SimilarityOps.{pqCentNorm2, PqCent, PqSub}
+    val scoreCols = (for (m <- 0 until PqSub; j <- 0 until PqCent) yield
+      s"(${pqCentNorm2(m, j)} - 2.0 * ${pqDotSub(src, m, j)}) AS s${m}_$j")
+      .mkString(", ")
+    val minCols = (0 until PqSub).map(m =>
+      s"LEAST(${(0 until PqCent).map(j => s"s${m}_$j").mkString(", ")}) AS mn$m")
+      .mkString(", ")
+    val codeCols = (0 until PqSub).map { m =>
+      "CASE " + (0 until PqCent).map(j => s"WHEN s${m}_$j = mn$m THEN $j")
+        .mkString(" ") + s" END AS code$m"
+    }.mkString(", ")
+    val c = carry.mkString(", ")
+    s"""scored AS (SELECT $c, embedding, $scoreCols FROM $src),
+       |mins AS (SELECT *, $minCols FROM scored),
+       |coded AS (SELECT $c, $codeCols FROM mins)""".stripMargin
+  }
+
+  private def pqWSql(m: Int, j: Int): String = {
+    val c = m * graft.operators.SimilarityOps.PqCent + j
+    s"(CAST((69069 * (($c) * 64 + ${m * 8} + i - 1) + 12345) % 4096 AS DOUBLE) / 2048.0 - 1.0)"
+  }
+
+  private def pqDotSub(tbl: String, m: Int, j: Int): String =
+    s"list_reduce(list_transform(generate_series(1, 8), i -> $tbl.embedding[${m * 8} + i]::DOUBLE * ${pqWSql(m, j)}), (x, y) -> x + y)"
+
+  /** ADC distance between query row `q` and coded row `c` — left-fold
+    * sum over subspaces, matching the Spark reduceLeft order.
+    */
+  private lazy val pqAdcSql: String = {
+    import graft.operators.SimilarityOps.{pqCentNorm2, PqCent, PqSub}
+    def qn(m: Int) =
+      s"list_reduce(list_transform(generate_series(1, 8), i -> q.embedding[${m * 8} + i]::DOUBLE * q.embedding[${m * 8} + i]::DOUBLE), (x, y) -> x + y)"
+    (0 until PqSub).map { m =>
+      "(CASE c.code" + m + " " + (0 until PqCent).map(j =>
+        s"WHEN $j THEN (${qn(m)} - 2.0 * ${pqDotSub("q", m, j)} + ${pqCentNorm2(m, j)})")
+        .mkString(" ") + " END)"
+    }.reduceLeft((a, b) => s"($a + $b)")
+  }
+
   /** Cosine similarity between rows aliased `a` and `b` in DuckDB list
     * arithmetic, rounded to 6 places (the shared output convention).
     */
@@ -2581,45 +2626,40 @@ object Oracles {
     // centroids, dyadic float-exact weights shared via pqWeight) +
     // asymmetric-distance top-k. Sum order and rounding mirror the Spark
     // reduceLeft exactly; argmin ties go to the smallest centroid index
-    // in both engines.
-    "embed_pq_ann" -> {
-      import graft.operators.SimilarityOps.{pqCentNorm2, PqCent, PqSub}
-      def wSql(m: Int, j: Int) =
-        s"(CAST((69069 * ((${m * PqCent + j}) * 64 + ${m * 8} + i - 1) + 12345) % 4096 AS DOUBLE) / 2048.0 - 1.0)"
-      def dotSub(tbl: String, m: Int, j: Int) =
-        s"list_reduce(list_transform(generate_series(1, 8), i -> $tbl.embedding[${m * 8} + i]::DOUBLE * ${wSql(m, j)}), (x, y) -> x + y)"
-      def qn(m: Int) =
-        s"list_reduce(list_transform(generate_series(1, 8), i -> q.embedding[${m * 8} + i]::DOUBLE * q.embedding[${m * 8} + i]::DOUBLE), (x, y) -> x + y)"
-      val scoreCols = (for (m <- 0 until PqSub; j <- 0 until PqCent) yield
-        s"(${pqCentNorm2(m, j)} - 2.0 * ${dotSub("embeddings", m, j)}) AS s${m}_$j")
-        .mkString(", ")
-      val minCols = (0 until PqSub).map(m =>
-        s"LEAST(${(0 until PqCent).map(j => s"s${m}_$j").mkString(", ")}) AS mn$m")
-        .mkString(", ")
-      val codeCols = (0 until PqSub).map { m =>
-        "CASE " + (0 until PqCent).map(j => s"WHEN s${m}_$j = mn$m THEN $j")
-          .mkString(" ") + s" END AS code$m"
-      }.mkString(", ")
-      val adc = (0 until PqSub).map { m =>
-        "(CASE c.code" + m + " " + (0 until PqCent).map(j =>
-          s"WHEN $j THEN (${qn(m)} - 2.0 * ${dotSub("q", m, j)} + ${pqCentNorm2(m, j)})")
-          .mkString(" ") + " END)"
-      }.reduceLeft((a, b) => s"($a + $b)")
-      s"""WITH scored AS (SELECT vec_id, embedding, $scoreCols FROM embeddings),
-         |mins AS (SELECT *, $minCols FROM scored),
-         |coded AS (SELECT vec_id, $codeCols FROM mins),
+    // in both engines. Fragments shared with embed_ivfpq_ann.
+    "embed_pq_ann" ->
+      s"""WITH ${pqCodedCtes("embeddings", Seq("vec_id"))},
          |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
          |      WHERE vec_id < 20),
          |sims AS (
          | SELECT q.query_id, c.vec_id AS neighbor_id,
-         |  ROUND($adc, 6) AS adc_dist2
+         |  ROUND($pqAdcSql, 6) AS adc_dist2
          | FROM coded c, q WHERE c.vec_id <> q.query_id),
          |ranked AS (SELECT *, CAST(row_number() OVER (
          |  PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
          | FROM sims)
          |SELECT query_id, rank, neighbor_id, adc_dist2
-         |FROM ranked WHERE rank <= 3""".stripMargin
-    },
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // SimilarityOps.ivfPqAnn: IVF cells prune to the two probed lists,
+    // PQ codes rank within them — celled (the shared IVF CTE body) feeds
+    // the same PQ coding chain, probes join on the cell key.
+    "embed_ivfpq_ann" ->
+      s"""WITH celled AS ($ivfCelledSelect),
+         |${pqCodedCtes("celled", Seq("vec_id", "cell"))},
+         |q AS (SELECT vec_id AS query_id, embedding, cell FROM (
+         |  SELECT vec_id, embedding, cell FROM celled WHERE vec_id < 20
+         |  UNION ALL
+         |  SELECT vec_id, embedding, cell2 AS cell FROM celled WHERE vec_id < 20)),
+         |sims AS (
+         | SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  ROUND($pqAdcSql, 6) AS adc_dist2
+         | FROM coded c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (
+         |  PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
+         | FROM sims)
+         |SELECT query_id, rank, neighbor_id, adc_dist2
+         |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "embed_cosine_topk" -> {
       def dotSql(a: String, b: String) =

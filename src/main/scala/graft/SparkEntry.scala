@@ -285,6 +285,7 @@ object SparkEntry {
       SimilarityOps.embedNormCheck(embeddings(s, d))),
     "embed_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(embeddings(s, d))),
     "embed_pq_ann" -> ((s, d) => SimilarityOps.pqAnn(embeddings(s, d))),
+    "embed_ivfpq_ann" -> ((s, d) => SimilarityOps.ivfPqAnn(embeddings(s, d))),
     "embed_quantize" -> ((s, d) => SimilarityOps.embedQuantize(embeddings(s, d))),
     "embed_knn_label" -> ((s, d) =>
       SimilarityOps.knnLabel(embeddings(s, d), documents(s, d))),

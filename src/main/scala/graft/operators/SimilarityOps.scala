@@ -548,21 +548,23 @@ object SimilarityOps {
     * shuffle — encoding is embarrassingly parallel.
     */
   def withPqCodes(embeddings: DataFrame): DataFrame = {
+    val keep = embeddings.columns.toSeq
     val scoreCols = for (m <- 0 until PqSub; j <- 0 until PqCent) yield {
       val sub = slice(col("embedding"), m * 8 + 1, 8)
       val w = (0 until 8).map(i => pqWeight(m, j, i).toFloat)
       (lit(pqCentNorm2(m, j)) - lit(2.0) *
         graft.functions.DotProduct.dotF(sub, typedlit(w))).as(s"s${m}_$j")
     }
-    val scored = embeddings.select(
-      col("vec_id") +: col("embedding") +: scoreCols: _*)
+    val scored = embeddings.select(keep.map(col) ++ scoreCols: _*)
     val codeCols = (0 until PqSub).map { m =>
       val mn = least((0 until PqCent).map(j => col(s"s${m}_$j")): _*)
       (0 until PqCent).foldRight(lit(-1): org.apache.spark.sql.Column) {
         (j, rest) => when(col(s"s${m}_$j") === mn, lit(j)).otherwise(rest)
       }.as(s"code$m")
     }
-    scored.select(col("vec_id") +: col("embedding") +: codeCols: _*)
+    // input columns pass through so the encoder composes with the IVF
+    // cell assignment in ONE scan (ivfPqAnn)
+    scored.select(keep.map(col) ++ codeCols: _*)
   }
 
   /** PQ asymmetric-distance ANN (Jégou et al. 2011): the corpus is
@@ -577,6 +579,46 @@ object SimilarityOps {
     * (the flat-PQ baseline; compose with [[withIvfCells]] for IVF-PQ).
     * One broadcast of the query LUTs; per-query state is 128 doubles.
     */
+  /** IVF-PQ ANN — the production composition (FAISS's workhorse index):
+    * the IVF cell assignment prunes the candidate list to the query's
+    * two nearest cells, and within those cells candidates are ranked by
+    * the PQ asymmetric distance over 4-byte codes. Both index structures
+    * derive in ONE encoder scan ([[withIvfCells]] → [[withPqCodes]],
+    * codes pass cells through); the probe join is cell-keyed like
+    * [[ivfAnn]] but moves codes instead of 256-byte vectors — at 10¹¹
+    * vectors the candidate scan is 2/16 of the corpus at 1/64 the bytes.
+    */
+  def ivfPqAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val both = withPqCodes(withIvfCells(embeddings))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = both.select(col("cell") +: col("vec_id") +:
+      (0 until PqSub).map(m => col(s"code$m")): _*)
+    val lutCols = (0 until PqSub).map { m =>
+      val sub = slice(col("embedding"), m * 8 + 1, 8)
+      array((0 until PqCent).map { j =>
+        val w = (0 until 8).map(i => pqWeight(m, j, i).toFloat)
+        graft.functions.DotProduct.dotF(sub, sub) -
+          lit(2.0) * graft.functions.DotProduct.dotF(sub, typedlit(w)) +
+          lit(pqCentNorm2(m, j))
+      }: _*).as(s"lut$m")
+    }
+    val queries = both.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +:
+        explode(array(col("cell"), col("cell2"))).as("cell") +: lutCols: _*)
+    val adc = (0 until PqSub)
+      .map(m => element_at(col(s"lut$m"), col(s"code$m") + 1))
+      .reduceLeft(_ + _)
+    val sims = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adc, 6).as("adc_dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist2"), col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist2"))
+  }
+
   def pqAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
     val coded = withPqCodes(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -377,6 +377,7 @@ class PlanAuditSpec extends SparkSpec {
       "embed_knn_label" -> 1, // query sample: filter(vec_id < nQueries literal)
       "embed_lsh_ann" -> 1, // query sample: filter(vec_id < nQueries literal)
       "embed_outliers" -> 1, // per-(label, dim) stats: ~10 langs × 64 dims
+      "embed_ivfpq_ann" -> 1, // query LUT frame: filter(vec_id < nQueries literal)
       "embed_pq_ann" -> 1, // query LUT frame: filter(vec_id < nQueries literal)
       "embed_quantize" -> 1, // per-dim min/max: exactly 64 rows
       "fk_orphans" -> 2, // orphan/unref rollups per rel (7 literal edges)

@@ -279,4 +279,25 @@ class SimilarityOpsSpec extends SparkSpec {
     val top0 = got.filter(t => t._1 == 0L && t._2 == 1L)
     assert(top0.head._3 == 3L)
   }
+
+  test("ivfPqAnn ranks within probed cells by the same ADC distance as flat PQ") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivfpq = SimilarityOps.ivfPqAnn(emb, nQueries = 5).collect()
+    assert(ivfpq.groupBy(_.getLong(0)).values.forall(_.length == 3))
+    val celled = SimilarityOps.withIvfCells(emb).collect()
+    val probed = celled.map(r => r.getLong(0) ->
+      Set(r.getInt(2), r.getInt(3))).toMap
+    val homeCell = celled.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // every returned neighbor lives in one of the query's probed cells
+    ivfpq.foreach { r =>
+      assert(probed(r.getLong(0)).contains(homeCell(r.getLong(2))),
+        s"query ${r.getLong(0)} neighbor ${r.getLong(2)} outside probed cells")
+    }
+    // where flat PQ ranked the same pair, the ADC distances agree exactly
+    val flat = SimilarityOps.pqAnn(emb, nQueries = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val shared = ivfpq.flatMap(r =>
+      flat.get((r.getLong(0), r.getLong(2))).map(d => (r.getDouble(3), d)))
+    assert(shared.nonEmpty && shared.forall { case (a, b) => a == b })
+  }
 }
