@@ -2078,22 +2078,27 @@ object Oracles {
     // inverse-CDF micro thresholds on hash60(key:resample); per-resample
     // means as exact integer micro ratios; CI = rank-4 / rank-61 order
     // statistics of the 64 resample means.
-    "bootstrap_ci_order_value" -> {
-      val u = hash60Sql("CAST(o_orderkey AS VARCHAR) || ':' || CAST(r AS VARCHAR)")
+    "bootstrap_ci_order_value" ->
       s"""WITH y AS (SELECT o_orderkey,
          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
          | FROM orders),
          |pt AS (SELECT COUNT(*) AS n_orders,
          |  CAST((SUM(CAST(y AS HUGEINT)) * 1000000) // COUNT(*) AS BIGINT) AS mean_micro
          | FROM y),
-         |rs AS (SELECT o_orderkey, y, r
-         | FROM y CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS r)),
+         |hx AS (SELECT y,
+         |  ${hash32Sql("'bs:' || CAST(o_orderkey AS VARCHAR)")} AS x FROM y),
+         |us AS (SELECT y, ab.r,
+         |  (((ab.a * x + ab.b) % 2147483647) * 1000000) // 2147483647 AS u
+         | FROM hx CROSS JOIN (VALUES ${(0 until 64).map(r =>
+              s"(${r}, ${graft.functions.HashFns.minhashA(r)}, " +
+                s"${graft.functions.HashFns.minhashB(r)})").mkString(", ")})
+         |   AS ab(r, a, b)),
          |w AS (SELECT y, r,
          |  CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
          |       WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
          |       WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
          |       WHEN u < 999916 THEN 6 ELSE 7 END AS w
-         | FROM (SELECT y, r, $u % 1000000 AS u FROM rs)),
+         | FROM us),
          |means AS (SELECT r,
          |  CAST((SUM(CAST(w AS HUGEINT) * y) * 1000000)
          |    // NULLIF(CAST(SUM(w) AS BIGINT), 0) AS BIGINT) AS rm
@@ -2104,7 +2109,6 @@ object Oracles {
          |SELECT n_orders, CAST(64 AS BIGINT) AS n_resamples, mean_micro,
          | ci_lo_micro, ci_hi_micro
          |FROM pt, lo, hi""".stripMargin
-    }
   )
 
   private def norm(c: String) = normTextSql(c)

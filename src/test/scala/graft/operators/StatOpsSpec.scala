@@ -64,21 +64,26 @@ class StatOpsSpec extends SparkSpec {
     val orders = (1 to 30).map(i => (i.toLong, i * 10.0))
       .toDF("o_orderkey", "o_totalprice")
     val out = StatOps.bootstrapCiOrderValue(orders, resamples = 64).collect()(0)
-    // independent replication: md5-prefix hash → Poisson(1) inverse-CDF
-    // weight → per-resample exact integer micro mean → order statistics
-    def h60(s: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
-    }
+    // independent replication: one md5-prefix hash per key, then the
+    // universal-hash micro-uniform per resample → Poisson(1) inverse-CDF
+    // weights → per-resample exact integer micro means → order stats
+    import graft.functions.HashFns.{minhashA, minhashB, MinhashP}
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
     val thr = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
     def w(u: Long): Long = thr.indexWhere(u < _) match {
       case -1 => 7L
       case k => k.toLong
     }
+    def weight(key: Long, r: Int): Long = {
+      val x = h32(s"bs:$key")
+      w(((minhashA(r) * x + minhashB(r)) % MinhashP) * 1000000L / MinhashP)
+    }
     val ys = (1 to 30).map(i => (i.toLong, i * 1000L))
     val means = (0 until 64).map { r =>
-      val ws = ys.map { case (k, y) => (w(h60(s"$k:$r") % 1000000L), y) }
+      val ws = ys.map { case (k, y) => (weight(k, r), y) }
       val sw = ws.map(_._1).sum
       (ws.map { case (wi, y) => wi * y }.sum * 1000000L) / sw
     }.sorted
