@@ -417,6 +417,37 @@ object EventStreams {
         ()
       }
 
+  /** Continuous ANN-index maintenance: each micro-batch of vectors is
+    * encoded ONCE through the IVF cell assignment + PQ coder
+    * ([[graft.operators.SimilarityOps.withPqCodes]] over
+    * `withIvfCells`) and appended to the index store as slim
+    * (vec_id, cell, code0..7) rows — the full vectors never land in the
+    * index. This is how the embedding index keeps up with a crawling
+    * pipeline: per-batch work scales with the batch, probes
+    * ([[graft.operators.SimilarityOps.ivfPqAnn]]'s shape) read the
+    * store, and a replayed micro-batch is idempotent via the batchId
+    * marker.
+    */
+  def annIndexIngestStream(vectors: DataFrame,
+      indexPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = java.nio.file.Paths.get(s"$indexPath-commits", s"batch-$batchId")
+        if (!java.nio.file.Files.exists(marker)) {
+          val coded = graft.operators.SimilarityOps.withPqCodes(
+            graft.operators.SimilarityOps.withIvfCells(batch))
+          coded.select(col("vec_id") +: col("cell") +:
+              (0 until graft.operators.SimilarityOps.PqSub)
+                .map(m => col(s"code$m")): _*)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
+          java.nio.file.Files.createDirectories(marker.getParent)
+          java.nio.file.Files.createFile(marker)
+        }
+        ()
+      }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts_s: Long)
   case class SessionState(sessionCount: Long, eventCount: Long, lastTs: Long,
       sessionStart: Long, maxDuration: Long)

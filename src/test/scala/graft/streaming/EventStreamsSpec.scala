@@ -265,6 +265,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("dedup").count() == sampleEvents.size)
   }
 
+  test("annIndexIngestStream appends slim coded rows per batch, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/index"
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val streamDF = mem.toDF().toDF("vec_id", "embedding", "label")
+    val q = EventStreams.annIndexIngestStream(streamDF, store)
+      .option("checkpointLocation", store + "-ckpt").start()
+    def vec(seed: Int) = Seq.tabulate(64)(i => ((i + seed) % 7 - 3).toFloat / 4f)
+    mem.addData((1L, vec(1), 0), (2L, vec(2), 0))
+    q.processAllAvailable()
+    mem.addData((3L, vec(3), 0))
+    q.processAllAvailable(); q.stop()
+    val idx = spark.read.parquet(store)
+    assert(idx.count() == 3)
+    // slim rows only: id + cell + 8 codes, no embedding column
+    assert(idx.columns.toSeq ==
+      "vec_id" +: "cell" +: (0 until 8).map(m => s"code$m"))
+    // codes match a direct batch encoding of the same vectors
+    val batch = graft.operators.SimilarityOps.withPqCodes(
+      graft.operators.SimilarityOps.withIvfCells(
+        Seq((1L, vec(1), 0), (2L, vec(2), 0), (3L, vec(3), 0))
+          .toDF("vec_id", "embedding", "label")))
+      .select("vec_id", "cell", "code0", "code7").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    idx.select("vec_id", "cell", "code0", "code7").collect().foreach { r =>
+      assert(batch(r.getLong(0)) == ((r.getInt(1), r.getInt(2), r.getInt(3))))
+    }
+  }
+
   test("ingest audit observes batch accounting and counts watermark drops") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Option[Long], String, Double, String)]
