@@ -64,7 +64,10 @@ object Bench {
       val good = samples.collect { case (s, true) => s }.sorted
       val median =
         if (good.isEmpty) 0.0 else good(good.length / 2)
-      (name, median, good.nonEmpty)
+      // an intermittent failure is a failure: only all-iterations-green
+      // counts, or a query flaky under memory pressure would report a
+      // normal-looking median and vanish from the failed list
+      (name, median, good.length == samples.length)
     }
     // failed queries report null (never a normal-looking duration) and
     // are listed separately so a failure can't hide in the totals

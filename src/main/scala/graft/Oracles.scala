@@ -2103,7 +2103,8 @@ object Oracles {
          |  CAST((SUM(CAST(w AS HUGEINT) * y) * 1000000)
          |    // NULLIF(CAST(SUM(w) AS BIGINT), 0) AS BIGINT) AS rm
          | FROM w GROUP BY r),
-         |ranked AS (SELECT rm, row_number() OVER (ORDER BY rm, r) AS rk FROM means),
+         |ranked AS (SELECT rm, row_number() OVER (ORDER BY rm, r) AS rk
+         | FROM means WHERE rm IS NOT NULL),
          |lo AS (SELECT rm AS ci_lo_micro FROM ranked WHERE rk = 4),
          |hi AS (SELECT rm AS ci_hi_micro FROM ranked WHERE rk = 61)
          |SELECT n_orders, CAST(64 AS BIGINT) AS n_resamples, mean_micro,

@@ -59,15 +59,18 @@ object GeohashEncode {
     * with `prefix` — the inverse used by the bounding-box pushdown rule
     * ([[graft.plans.GeohashPrefixPushdown]]).
     *
-    * Per side: None when the prefix cell touches that edge of the grid
-    * ([[encode]] CLAMPS out-of-range and even NaN coordinates into edge
-    * cells, so an edge cell's members are unbounded on that side);
-    * otherwise the cell boundary widened by a 10⁻⁴° margin — encode's
-    * floor-scaling double error is ≤ 180·2^(latBits−52)° ≈ 4.3·10⁻⁵° at
-    * the maximum precision 12, so the widened box PROVABLY contains
-    * every point the exact predicate accepts (the rewrite is a superset
-    * filter, never a replacement). Returns None for prefixes no geohash
-    * can start with (illegal chars).
+    * Per side: the 0-cell derives NO bounds at all — [[encode]] CLAMPS
+    * below-range coordinates into it AND maps NaN there (NaN.toLong is
+    * 0), and NaN fails EVERY comparison, so even an upper-bound conjunct
+    * would drop NaN rows the exact predicate accepts. The top cell
+    * derives no upper bound (above-range clamping) but keeps its lower
+    * bound (NaN never reaches it). Interior cells get both boundaries
+    * widened by a 10⁻⁴° margin — encode's floor-scaling double error is
+    * ≤ 180·2^(latBits−52)° ≈ 4.3·10⁻⁵° at the maximum precision 12, so
+    * the widened box PROVABLY contains every point the exact predicate
+    * accepts (the rewrite is a superset filter, never a replacement).
+    * Returns None for prefixes no geohash can start with (illegal
+    * chars).
     */
   def prefixBounds(prefix: String)
       : Option[(Option[Double], Option[Double], Option[Double], Option[Double])] = {
@@ -88,11 +91,10 @@ object GeohashEncode {
     val margin = 1e-4
     def side(cell: Long, bits: Int, span: Double, origin: Double)
         : (Option[Double], Option[Double]) = {
-      if (bits == 0) (None, None)
+      if (bits == 0 || cell == 0L) (None, None) // 0-cell: clamped + NaN members
       else {
         val width = span / (1L << bits).toDouble
-        val lo = if (cell == 0L) None
-          else Some(origin + cell * width - margin)
+        val lo = Some(origin + cell * width - margin)
         val hi = if (cell == (1L << bits) - 1) None
           else Some(origin + (cell + 1) * width + margin)
         (lo, hi)

@@ -683,14 +683,6 @@ object DedupOps {
     }.reduce(_ unionByName _)
   }
 
-  /** Degree census of the near-dup pair graph: how many docs have 1, 2,
-    * …, k near-duplicates under the MinHash-LSH graph. The shape check
-    * run before cluster-collapse — a heavy tail here means boilerplate
-    * families that [[dedupClusters]]' connected components will fuse
-    * into giant clusters (and that survivor selection will discard
-    * almost entirely). Rides the memoized pair graph; two bounded
-    * aggregations.
-    */
   /** Similarity histogram of the exact near-dup pairs: 0.05-wide bins
     * over [τ, 1] — the shape that picks the production τ (a mass near τ
     * means the cutoff is splitting a continuum; a spike at 1.0 means
@@ -709,11 +701,19 @@ object DedupOps {
         round(lit(0.55) + col("bin") * 0.05, 2).as("bin_hi"),
         col("n_pairs"))
 
-  def dedupDegreeStats(documents: DataFrame, minEst: Double = 0.5): DataFrame =
-    dedupMinhashLsh(documents, minEst)
-      .select(col("doc_a").as("doc_id"))
-      .unionAll(dedupMinhashLsh(documents, minEst)
-        .select(col("doc_b").as("doc_id")))
+  /** Degree census of the near-dup pair graph: how many docs have 1, 2,
+    * …, k near-duplicates under the MinHash-LSH graph. The shape check
+    * run before cluster-collapse — a heavy tail here means boilerplate
+    * families that [[dedupClusters]]' connected components will fuse
+    * into giant clusters (and that survivor selection will discard
+    * almost entirely). Rides the memoized pair graph; two bounded
+    * aggregations.
+    */
+  def dedupDegreeStats(documents: DataFrame, minEst: Double = 0.5): DataFrame = {
+    val pairs = dedupMinhashLsh(documents, minEst)
+    pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+  }
 }

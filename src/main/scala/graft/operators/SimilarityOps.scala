@@ -567,18 +567,40 @@ object SimilarityOps {
     scored.select(keep.map(col) ++ codeCols: _*)
   }
 
-  /** PQ asymmetric-distance ANN (Jégou et al. 2011): the corpus is
-    * scanned as CODES ONLY (the full vectors never leave the encoder),
-    * each query precomputes its 8×16 distance lookup table, and the
-    * approximate distance is eight table lookups + adds per candidate.
-    * Top-k per query on the ADC distance, ties to the smaller id.
-    *
-    * Scale: the ANN regime IVF/LSH can't reach — when even the pruned
-    * candidate lists are too big to read at full precision, the 4-byte
-    * codes are what the scan touches; here the whole corpus is scanned
-    * (the flat-PQ baseline; compose with [[withIvfCells]] for IVF-PQ).
-    * One broadcast of the query LUTs; per-query state is 128 doubles.
+  /** Per-query ADC lookup tables: `lut_m[j]` = ‖q_m − c_{m,j}‖², one
+    * 16-double array per subspace, computed from the query's own
+    * subvectors. Shared by the flat and IVF-routed PQ probes.
     */
+  private def pqLutCols: Seq[org.apache.spark.sql.Column] =
+    (0 until PqSub).map { m =>
+      val sub = slice(col("embedding"), m * 8 + 1, 8)
+      array((0 until PqCent).map { j =>
+        val w = (0 until 8).map(i => pqWeight(m, j, i).toFloat)
+        graft.functions.DotProduct.dotF(sub, sub) -
+          lit(2.0) * graft.functions.DotProduct.dotF(sub, typedlit(w)) +
+          lit(pqCentNorm2(m, j))
+      }: _*).as(s"lut$m")
+    }
+
+  /** Top-k of `sims(query_id, neighbor_id, adc)` per query with the ADC
+    * distance = Σ_m lut_m[code_m] (fixed left-fold order, shared with
+    * the oracle) and ties to the smaller neighbor id.
+    */
+  private def pqTopK(candidates: DataFrame, k: Int): DataFrame = {
+    val adc = (0 until PqSub)
+      .map(m => element_at(col(s"lut$m"), col(s"code$m") + 1))
+      .reduceLeft(_ + _)
+    val sims = candidates
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adc, 6).as("adc_dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist2"), col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist2"))
+  }
+
   /** IVF-PQ ANN — the production composition (FAISS's workhorse index):
     * the IVF cell assignment prunes the candidate list to the query's
     * two nearest cells, and within those cells candidates are ranked by
@@ -593,59 +615,31 @@ object SimilarityOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = both.select(col("cell") +: col("vec_id") +:
       (0 until PqSub).map(m => col(s"code$m")): _*)
-    val lutCols = (0 until PqSub).map { m =>
-      val sub = slice(col("embedding"), m * 8 + 1, 8)
-      array((0 until PqCent).map { j =>
-        val w = (0 until 8).map(i => pqWeight(m, j, i).toFloat)
-        graft.functions.DotProduct.dotF(sub, sub) -
-          lit(2.0) * graft.functions.DotProduct.dotF(sub, typedlit(w)) +
-          lit(pqCentNorm2(m, j))
-      }: _*).as(s"lut$m")
-    }
     val queries = both.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id") +:
-        explode(array(col("cell"), col("cell2"))).as("cell") +: lutCols: _*)
-    val adc = (0 until PqSub)
-      .map(m => element_at(col(s"lut$m"), col(s"code$m") + 1))
-      .reduceLeft(_ + _)
-    val sims = corpus.join(broadcast(queries), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(adc, 6).as("adc_dist2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist2"), col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist2"))
+        explode(array(col("cell"), col("cell2"))).as("cell") +: pqLutCols: _*)
+    pqTopK(corpus.join(broadcast(queries), Seq("cell")), k)
   }
 
+  /** PQ asymmetric-distance ANN (Jégou et al. 2011): the corpus is
+    * scanned as CODES ONLY (the full vectors never leave the encoder),
+    * each query precomputes its 8×16 distance lookup table, and the
+    * approximate distance is eight table lookups + adds per candidate.
+    * Top-k per query on the ADC distance, ties to the smaller id.
+    *
+    * Scale: the ANN regime IVF/LSH can't reach — when even the pruned
+    * candidate lists are too big to read at full precision, the 4-byte
+    * codes are what the scan touches; here the whole corpus is scanned
+    * (the flat-PQ baseline; [[ivfPqAnn]] adds the cell routing).
+    * One broadcast of the query LUTs; per-query state is 128 doubles.
+    */
   def pqAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
     val coded = withPqCodes(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = coded.select(
       col("vec_id") +: (0 until PqSub).map(m => col(s"code$m")): _*)
-    val lutCols = (0 until PqSub).map { m =>
-      val sub = slice(col("embedding"), m * 8 + 1, 8)
-      array((0 until PqCent).map { j =>
-        val w = (0 until 8).map(i => pqWeight(m, j, i).toFloat)
-        graft.functions.DotProduct.dotF(sub, sub) -
-          lit(2.0) * graft.functions.DotProduct.dotF(sub, typedlit(w)) +
-          lit(pqCentNorm2(m, j))
-      }: _*).as(s"lut$m")
-    }
     val queries = coded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id") +: lutCols: _*)
-    val adc = (0 until PqSub)
-      .map(m => element_at(col(s"lut$m"), col(s"code$m") + 1))
-      .reduceLeft(_ + _)
-    val sims = corpus.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(adc, 6).as("adc_dist2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist2"), col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist2"))
+      .select(col("vec_id").as("query_id") +: pqLutCols: _*)
+    pqTopK(corpus.crossJoin(broadcast(queries)), k)
   }
 }

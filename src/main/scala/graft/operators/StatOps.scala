@@ -76,6 +76,9 @@ object StatOps {
       .agg(min(col("s")).as("slope_lo_micro"),
         max(col("s")).as("slope_hi_micro"))
     totals.crossJoin(broadcast(picks))
+      // <2 distinct days → no pairs, no median: zero rows, matching the
+      // oracle (whose empty rank-probe CTEs collapse the comma-join)
+      .filter(col("m") > 0)
       .select(col("n_days"), col("m").as("n_pairs"),
         col("slope_lo_micro"), col("slope_hi_micro"),
         round((col("slope_lo_micro") + col("slope_hi_micro")).cast("double")
@@ -168,6 +171,10 @@ object StatOps {
     val means = weighted.groupBy(col("r"))
       .agg(expr("cast((sum(cast(w as decimal(38,0)) * y) * 1000000) div " +
         "nullif(sum(cast(w as bigint)), 0) as bigint)").as("rm"))
+      // an all-zero-weight resample (possible only on near-empty input)
+      // has no mean; drop it in BOTH engines — Spark ranks NULLs first,
+      // DuckDB last, so letting it through breaks parity
+      .filter(col("rm").isNotNull)
     val loRank = math.max(1, math.ceil(0.05 * resamples).toInt)
     val hiRank = resamples + 1 - loRank
     val ranked = means

@@ -647,6 +647,26 @@ object TextOps {
       .select(col("rank"), col("doc_id"), col("score_micro"), col("n_terms_hit"))
   }
 
+  /** Tokenizer fertility per language: tokens per 100 characters — the
+    * budgeting constant that converts a byte/char corpus estimate into a
+    * token count per language (CJK-like scripts differ several-fold from
+    * alphabetic ones; training-mixture math that ignores this misassigns
+    * the budget). One scan, map-side-combined rollup to |langs| rows;
+    * exact integer micro ratio (DECIMAL(38,0) — token×10⁸ products cross
+    * 2⁶³ at corpus scale).
+    */
+  def tokenizerFertility(documents: DataFrame): DataFrame =
+    OpUtils.spread(documents)
+      .select(col("lang"), TextFns.tokens(col("text")).as("ts"),
+        length(TextFns.normText(col("text"))).cast("long").as("chars"))
+      .filter(col("chars") > 0)
+      .select(col("lang"), size(col("ts")).cast("long").as("toks"), col("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"), sum(col("chars")).as("n_chars"),
+        expr("cast((cast(sum(toks) as decimal(38,0)) * 100000000) div sum(chars) as bigint)")
+          .as("tokens_per_100_chars_micro"))
+
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rank raw documents by
     * how target-like their hashed-unigram distribution is. Each token
@@ -668,26 +688,6 @@ object TextOps {
     * map-side-combined rollup. Nothing shuffles at token grain except
     * the (cell)-keyed stats.
     */
-  /** Tokenizer fertility per language: tokens per 100 characters — the
-    * budgeting constant that converts a byte/char corpus estimate into a
-    * token count per language (CJK-like scripts differ several-fold from
-    * alphabetic ones; training-mixture math that ignores this misassigns
-    * the budget). One scan, map-side-combined rollup to |langs| rows;
-    * exact integer micro ratio (DECIMAL(38,0) — token×10⁸ products cross
-    * 2⁶³ at corpus scale).
-    */
-  def tokenizerFertility(documents: DataFrame): DataFrame =
-    OpUtils.spread(documents)
-      .select(col("lang"), TextFns.tokens(col("text")).as("ts"),
-        length(TextFns.normText(col("text"))).cast("long").as("chars"))
-      .filter(col("chars") > 0)
-      .select(col("lang"), size(col("ts")).cast("long").as("toks"), col("chars"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("toks")).as("n_tokens"), sum(col("chars")).as("n_chars"),
-        expr("cast((cast(sum(toks) as decimal(38,0)) * 100000000) div sum(chars) as bigint)")
-          .as("tokens_per_100_chars_micro"))
-
   def dsirWeights(documents: DataFrame, targetLang: String = "en",
       buckets: Int = 1024): DataFrame = {
     val toks = OpUtils.spread(documents)

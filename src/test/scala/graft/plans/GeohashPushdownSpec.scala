@@ -19,7 +19,8 @@ class GeohashPushdownSpec extends SparkSpec {
     } yield ((i * 40 + j).toLong, 40.0 + i * 0.05, -74.5 + j * 0.05)) ++
       Seq((9001L, -33.86, 151.21), // Sydney
         (9002L, -95.0, -190.0),    // out of range: clamps into the 0-cell
-        (9003L, 51.5, -0.12))      // London
+        (9003L, 51.5, -0.12),      // London
+        (9004L, Double.NaN, -74.0)) // NaN lat: encodes into lat-cell 0
     rows.toDF("id", "lat", "lon").write.parquet(s"$d/geo")
     d
   }
@@ -65,6 +66,17 @@ class GeohashPushdownSpec extends SparkSpec {
       .startsWith("00"))
     assert(q.collect().map(_.getLong(0)).toSet == expected("00"))
     assert(q.collect().map(_.getLong(0)).contains(9002L))
+  }
+
+  test("NaN coordinates survive the rewrite (0-cell derives no bounds at all)") {
+    // NaN lat encodes into lat-cell 0 but fails EVERY comparison — so
+    // the 0-cell must derive neither bound, or the rewrite would drop a
+    // row the exact predicate accepts
+    val nanHash = GeohashEncode.encode(Double.NaN, -74.0, 7).toString
+    val q = geo.filter(Geohash.geohash(col("lat"), col("lon"), 7)
+      .startsWith(nanHash.take(3)))
+    val ids = q.collect().map(_.getLong(0)).toSet
+    assert(ids == expected(nanHash.take(3)) && ids.contains(9004L))
   }
 
   test("boundary coordinates survive the margin (superset box, exact decider)") {
