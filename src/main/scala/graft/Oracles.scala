@@ -2565,8 +2565,13 @@ object Oracles {
            |   // NULLIF(COUNT(*), 0) AS BIGINT) AS expected_recall_micro
            |FROM jm""".stripMargin
       }.mkString("\nUNION ALL\n")
+      // jm MATERIALIZED: three UNION branches read it — without the
+      // keyword DuckDB inlines the whole quadratic jp chain into each
+      // branch (3× the work and 3× the spill; hit a temp-disk limit at
+      // sf0.1)
       s"""WITH $jaccardPairsCte,
-         |jm AS (SELECT CAST(ROUND(jaccard * 1000000) AS BIGINT) AS j FROM jp)
+         |jm AS MATERIALIZED (
+         | SELECT CAST(ROUND(jaccard * 1000000) AS BIGINT) AS j FROM jp)
          |$rows""".stripMargin
     },
 

@@ -417,6 +417,36 @@ object EventStreams {
         ()
       }
 
+  /** Streaming data-contract monitoring: every micro-batch is profiled
+    * against a PINNED baseline snapshot with the batch operators'
+    * [[graft.operators.AuditOps.statsDrift]] (row/null accounting,
+    * value-range envelope, expansion flag per column) and the per-batch
+    * drift report rows append to `reportPath` tagged with the batchId —
+    * the alerting feed a warehouse team tails to catch an upstream
+    * schema/unit change WITHIN the batch that shipped it, not at the
+    * next nightly audit. Baseline stats are re-derived per batch from
+    * the baseline path (baseline-sized, typically a sampled pin);
+    * replayed batches are idempotent via the marker.
+    */
+  def statsDriftStream(rows: DataFrame, baselinePath: String,
+      reportPath: String, cols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = java.nio.file.Paths.get(s"$reportPath-commits", s"batch-$batchId")
+        if (!java.nio.file.Files.exists(marker) && !batch.isEmpty) {
+          val baseline = batch.sparkSession.read.parquet(baselinePath)
+          graft.operators.AuditOps.statsDrift(baseline, batch, cols)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(reportPath)
+          java.nio.file.Files.createDirectories(marker.getParent)
+          java.nio.file.Files.createFile(marker)
+        }
+        ()
+      }
+
   /** Continuous ANN-index maintenance: each micro-batch of vectors is
     * encoded ONCE through the IVF cell assignment + PQ coder
     * ([[graft.operators.SimilarityOps.withPqCodes]] over

@@ -265,6 +265,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("dedup").count() == sampleEvents.size)
   }
 
+  test("statsDriftStream reports per-batch drift vs the pinned baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("a", "b")
+      .write.parquet(s"$dir/baseline")
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.statsDriftStream(mem.toDF().toDF("a", "b"),
+        s"$dir/baseline", s"$dir/report", Seq("a", "b"))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    mem.addData((4L, 15L), (5L, 25L)) // a expands above baseline max
+    q.processAllAvailable()
+    mem.addData((0L, 12L))            // a expands below baseline min
+    q.processAllAvailable(); q.stop()
+    val rep = spark.read.parquet(s"$dir/report")
+      .collect().map(r => (r.getLong(11), r.getString(0)) -> r).toMap
+    assert(rep.size == 4) // 2 batches × 2 columns
+    // batch 0: a ∈ [4,5] > baseline max 3 → expanded; b ∈ [15,25] inside
+    assert(rep((0L, "a")).getAs[Boolean]("range_expanded"))
+    assert(!rep((0L, "b")).getAs[Boolean]("range_expanded"))
+    assert(rep((0L, "a")).getAs[Long]("n_cur") == 2L &&
+      rep((0L, "a")).getAs[Long]("n_base") == 3L)
+    // batch 1: a = 0 < baseline min 1 → expanded
+    assert(rep((1L, "a")).getAs[Boolean]("range_expanded"))
+  }
+
   test("annIndexIngestStream appends slim coded rows per batch, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/index"
