@@ -2206,7 +2206,7 @@ object Oracles {
     */
   private val jaccardPairsCte: String =
     s"""$shingleCte,
-       |shd AS (SELECT DISTINCT doc_id, x FROM sh),
+       |shd AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
        |dfs AS (SELECT x, count(*) AS df FROM shd GROUP BY x),
        |kept AS (SELECT doc_id, x FROM (
@@ -2220,7 +2220,7 @@ object Oracles {
        |  FROM kept a JOIN kept b ON a.x = b.x AND a.doc_id < b.doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |  FROM shd a JOIN shd b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |jp AS (SELECT * FROM (
+       |jp AS MATERIALIZED (SELECT * FROM (
        |  SELECT c.doc_a, c.doc_b,
        |   ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
        |  FROM cands c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
@@ -2240,7 +2240,7 @@ object Oracles {
       .map(i => s"CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""$shingleCte,
-       |mh AS (SELECT doc_id, ${minhashAggSql("x").mkString(", ")}
+       |mh AS MATERIALIZED (SELECT doc_id, ${minhashAggSql("x").mkString(", ")}
        |  FROM sh GROUP BY doc_id),
        |bands AS ($bandsUnion),
        |keepk AS (SELECT band, key FROM (
@@ -2250,7 +2250,7 @@ object Oracles {
        |cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM capped a JOIN capped b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-       |lshp AS (SELECT * FROM (
+       |lshp AS MATERIALIZED (SELECT * FROM (
        |  SELECT doc_a, doc_b,
        |   ROUND(CAST(($estExpr) AS DOUBLE) / 32.0, 4) AS est_jaccard
        |  FROM cpairs JOIN mh ma ON ma.doc_id = doc_a JOIN mh mb ON mb.doc_id = doc_b)
@@ -2358,7 +2358,7 @@ object Oracles {
     // pair-list-sized full-outer join over them
     "lsh_recall_report" ->
       s"""WITH $minhashPairsCte,
-         |shd AS (SELECT DISTINCT doc_id, x FROM sh),
+         |shd AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM sh),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
          |dfs AS (SELECT x, count(*) AS df FROM shd GROUP BY x),
          |kept AS (SELECT doc_id, x FROM (
@@ -2398,7 +2398,7 @@ object Oracles {
     // verify on full distinct-shingle sets, integer threshold test
     "dedup_containment" ->
       s"""WITH $shingleCte,
-         |shd AS (SELECT DISTINCT doc_id, x FROM sh),
+         |shd AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM sh),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
          |dfs AS (SELECT x, count(*) AS df FROM shd GROUP BY x),
          |kept AS (SELECT shd.doc_id, shd.x, dfs.df, s.n
@@ -2432,7 +2432,7 @@ object Oracles {
         .map(i => s"CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""WITH $shingleCte,
-         |mh AS (SELECT doc_id, ${minhashAggSql("x").mkString(", ")}
+         |mh AS MATERIALIZED (SELECT doc_id, ${minhashAggSql("x").mkString(", ")}
          |  FROM sh GROUP BY doc_id),
          |inc AS (SELECT * FROM mh WHERE doc_id % 10 >= 8),
          |ex AS (SELECT * FROM mh WHERE doc_id % 10 < 8),
