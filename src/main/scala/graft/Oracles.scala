@@ -2600,6 +2600,24 @@ object Oracles {
          |   AS tokens_per_100_chars_micro
          |FROM d GROUP BY lang""".stripMargin,
 
+    // PipelineOps.splitLeakage: exact near-dup pairs crossing the
+    // train/val/test hash-split boundary — the eval-contamination gate.
+    "split_leakage" -> {
+      def sp(c: String) =
+        s"""CASE WHEN ${hash32Sql(
+             s"'${graft.operators.PipelineOps.SplitSalt}' || CAST($c AS VARCHAR)")} % 100 < 80
+           | THEN 'train'
+           | WHEN ${hash32Sql(
+             s"'${graft.operators.PipelineOps.SplitSalt}' || CAST($c AS VARCHAR)")} % 100 < 90
+           | THEN 'val' ELSE 'test' END""".stripMargin
+      s"""WITH $jaccardPairsCte,
+         |sp AS (SELECT doc_a, doc_b, jaccard,
+         |  ${sp("doc_a")} AS split_a, ${sp("doc_b")} AS split_b
+         | FROM jp)
+         |SELECT doc_a, doc_b, split_a, split_b, jaccard
+         |FROM sp WHERE split_a <> split_b""".stripMargin
+    },
+
     // DedupOps.dedupDegreeStats: degree census of the MinHash-LSH pair
     // graph (both endpoints of every pair, then a histogram).
     "dedup_degree_stats" ->

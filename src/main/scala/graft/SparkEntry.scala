@@ -330,6 +330,7 @@ object SparkEntry {
     "dedup_degree_stats" -> ((s, d) => DedupOps.dedupDegreeStats(documents(s, d))),
     "jaccard_sim_histogram" -> ((s, d) =>
       DedupOps.jaccardSimHistogram(documents(s, d))),
+    "split_leakage" -> ((s, d) => PipelineOps.splitLeakage(documents(s, d))),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(documents(s, d))),
     "tokenizer_fertility" -> ((s, d) => TextOps.tokenizerFertility(documents(s, d))),
     "type_token_ratio" -> ((s, d) => TextOps.typeTokenRatio(documents(s, d))),

@@ -82,11 +82,18 @@ object PipelineOps {
     * one map-side-combined grouped scan to ≤ |langs|·3 rows; the share
     * window runs over ≤ 3 rows per language.
     */
-  def datasetSplit(documents: DataFrame): DataFrame = {
+  /** The 80/10/10 hash split assignment as a pure function of the doc
+    * id — shared by [[datasetSplit]] and [[splitLeakage]] so the two can
+    * never disagree about where a document lives.
+    */
+  def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val bucket =
-      HashFns.hash32(concat(lit(SplitSalt), col("doc_id").cast("string"))) % 100
-    val split = when(bucket < 80, "train").when(bucket < 90, "val")
-      .otherwise("test")
+      HashFns.hash32(concat(lit(SplitSalt), docId.cast("string"))) % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  def datasetSplit(documents: DataFrame): DataFrame = {
+    val split = splitOf(col("doc_id"))
     documents
       .select(col("lang"), split.as("split"),
         size(TextFns.tokens(col("text"))).cast("long").as("n"))
@@ -95,6 +102,26 @@ object PipelineOps {
       .withColumn("doc_share_micro",
         expr("(n_docs * 1000000) div (sum(n_docs) over (partition by lang))"))
   }
+
+  /** Eval-split leakage audit: near-duplicate pairs that CROSS the
+    * train/val/test boundary of [[datasetSplit]]'s hash assignment —
+    * the contamination that silently inflates eval scores (a test doc
+    * whose near-copy sits in train survives every exact-dedup pass and
+    * every per-split check; only the pair graph × split assignment
+    * sees it). Returns each crossing pair with both splits and its
+    * exact Jaccard; an empty result is the release gate.
+    *
+    * Scale: rides the memoized exact-Jaccard pair graph; the split is a
+    * per-row hash of the id (no join), so the audit costs one pass over
+    * the BOUNDED pair list beyond the shared derivation.
+    */
+  def splitLeakage(documents: DataFrame): DataFrame =
+    DedupOps.dedupNgramJaccard(documents)
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
 
   /** Data-mixture report: per-language doc/token counts and each
     * language's share of all corpus tokens (window SUM OVER () — the

@@ -234,4 +234,31 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("splitLeakage flags exactly the near-dup pairs that cross the split") {
+    // six identical docs: every pair is a j=1.0 near-dup; the crossing
+    // set is fully determined by the hash split of the ids
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:v1:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex.take(8), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val ids = (1L to 40L).toSeq
+    val splits = ids.map(id => id -> splitOf(id)).toMap
+    // pick a guaranteed split mix: 4 train docs + 2 non-train
+    val chosen = ids.filter(id => splits(id) == "train").take(4) ++
+      ids.filter(id => splits(id) != "train").take(2)
+    assert(chosen.size == 6, s"ids 1..40 gave splits $splits")
+    val df = docs(chosen.map(id =>
+      (id, "the very same duplicated payload text", "en")): _*)
+    val out = PipelineOps.splitLeakage(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getDouble(4)))).toMap
+    val expect = (for {
+      a <- chosen; b <- chosen if a < b
+      if splits(a) != splits(b)
+    } yield (a, b) -> ((splits(a), splits(b), 1.0))).toMap
+    assert(out == expect)
+  }
 }
