@@ -2144,7 +2144,8 @@ object Oracles {
     * of `src` (which must expose `embedding` plus the `carry` columns),
     * shared by embed_pq_ann and embed_ivfpq_ann.
     */
-  private def pqCodedCtes(src: String, carry: Seq[String]): String = {
+  private def pqCodedCtes(src: String, carry: Seq[String],
+      sfx: String = ""): String = {
     import graft.operators.SimilarityOps.{pqCentNorm2, PqCent, PqSub}
     val scoreCols = (for (m <- 0 until PqSub; j <- 0 until PqCent) yield
       s"(${pqCentNorm2(m, j)} - 2.0 * ${pqDotSub(src, m, j)}) AS s${m}_$j")
@@ -2157,9 +2158,9 @@ object Oracles {
         .mkString(" ") + s" END AS code$m"
     }.mkString(", ")
     val c = carry.mkString(", ")
-    s"""scored AS (SELECT $c, embedding, $scoreCols FROM $src),
-       |mins AS (SELECT *, $minCols FROM scored),
-       |coded AS (SELECT $c, $codeCols FROM mins)""".stripMargin
+    s"""scored$sfx AS (SELECT $c, embedding, $scoreCols FROM $src),
+       |mins$sfx AS (SELECT *, $minCols FROM scored$sfx),
+       |coded$sfx AS MATERIALIZED (SELECT $c, $codeCols FROM mins$sfx)""".stripMargin
   }
 
   private def pqWSql(m: Int, j: Int): String = {
@@ -2688,6 +2689,61 @@ object Oracles {
          | FROM sims)
          |SELECT query_id, rank, neighbor_id, adc_dist2
          |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // SimilarityOps.pqRecallReport: per-query recall of flat-PQ and
+    // IVF-PQ against the exact full-precision squared-L2 top-k. The
+    // probe legs replay the embed_pq_ann / embed_ivfpq_ann chains
+    // (suffixed CTE names); the exact leg mirrors the brute-force shape.
+    "pq_recall_report" -> {
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |      WHERE vec_id < 20),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROUND(${dotSql("c", "c")} - 2.0 * ${dotSql("q", "c")}
+         |      + ${dotSql("q", "q")}, 6) AS d
+         |   FROM embeddings c, q WHERE c.vec_id <> q.query_id))
+         | WHERE rank <= 3),
+         |${pqCodedCtes("embeddings", Seq("vec_id"), "f")},
+         |pqf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROUND($pqAdcSql, 6) AS adc_dist2
+         |   FROM codedf c, q WHERE c.vec_id <> q.query_id))
+         | WHERE rank <= 3),
+         |celled AS ($ivfCelledSelect),
+         |${pqCodedCtes("celled", Seq("vec_id", "cell"), "r")},
+         |qr AS (SELECT vec_id AS query_id, embedding, cell FROM (
+         |  SELECT vec_id, embedding, cell FROM celled WHERE vec_id < 20
+         |  UNION ALL
+         |  SELECT vec_id, embedding, cell2 AS cell FROM celled WHERE vec_id < 20)),
+         |pqr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROUND($pqAdcSql, 6) AS adc_dist2
+         |   FROM codedr c JOIN qr q ON c.cell = q.cell AND c.vec_id <> q.query_id))
+         | WHERE rank <= 3)
+         |SELECT ex.query_id, COUNT(*) AS n_exact,
+         | CAST(SUM(CASE WHEN pqf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_hit_pq,
+         | CAST(SUM(CASE WHEN pqr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_hit_ivfpq,
+         | (CAST(SUM(CASE WHEN pqf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) * 1000000) // COUNT(*) AS recall_pq_micro,
+         | (CAST(SUM(CASE WHEN pqr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) * 1000000) // COUNT(*) AS recall_ivfpq_micro
+         |FROM ex
+         |LEFT JOIN pqf ON pqf.query_id = ex.query_id
+         | AND pqf.neighbor_id = ex.neighbor_id
+         |LEFT JOIN pqr ON pqr.query_id = ex.query_id
+         | AND pqr.neighbor_id = ex.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin
+    },
 
     "embed_cosine_topk" -> {
       def dotSql(a: String, b: String) =

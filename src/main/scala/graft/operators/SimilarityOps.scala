@@ -642,4 +642,47 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id") +: pqLutCols: _*)
     pqTopK(corpus.crossJoin(broadcast(queries)), k)
   }
+
+  /** PQ-index quality audit — per-query recall of the flat-PQ and
+    * IVF-PQ probes against the EXACT full-precision squared-L2 top-k
+    * (the metric PQ approximates), completing the honest-quantification
+    * set ([[annRecallReport]] does the same for LSH/IVF over cosine).
+    * The production question it answers: what does ranking on 4-byte
+    * codes cost in neighbors found, and how much more does the IVF
+    * routing drop on top.
+    *
+    * Scale: the exact leg is the brute-force baseline shape (broadcast
+    * queries × corpus, one pass); both probe legs are the audited
+    * indexes themselves.
+    */
+  def pqRecallReport(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val dist = graft.functions.DotProduct.dotF(col("embedding"), col("embedding")) -
+      lit(2.0) * graft.functions.DotProduct.dotF(col("q"), col("embedding")) +
+      graft.functions.DotProduct.dotF(col("q"), col("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col("neighbor_id"))
+    val exact = embeddings.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dist, 6).as("d"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val flat = pqAnn(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_pq"))
+    val routed = ivfPqAnn(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_ivfpq"))
+    exact
+      .join(flat, Seq("query_id", "neighbor_id"), "left")
+      .join(routed, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit_pq"), lit(0L))).as("n_hit_pq"),
+        sum(coalesce(col("hit_ivfpq"), lit(0L))).as("n_hit_ivfpq"))
+      .withColumn("recall_pq_micro", expr("(n_hit_pq * 1000000) div n_exact"))
+      .withColumn("recall_ivfpq_micro",
+        expr("(n_hit_ivfpq * 1000000) div n_exact"))
+  }
 }

@@ -379,6 +379,8 @@ class PlanAuditSpec extends SparkSpec {
       "embed_outliers" -> 1, // per-(label, dim) stats: ~10 langs × 64 dims
       "embed_ivfpq_ann" -> 1, // query LUT frame: filter(vec_id < nQueries literal)
       "embed_pq_ann" -> 1, // query LUT frame: filter(vec_id < nQueries literal)
+      "pq_recall_report" -> 3, // 3 literal-bounded query frames: exact leg +
+      // the two audited probes' own vec_id < nQueries LUT broadcasts
       "embed_quantize" -> 1, // per-dim min/max: exactly 64 rows
       "fk_orphans" -> 2, // orphan/unref rollups per rel (7 literal edges)
       "hourly_anomalies" -> 1, // per-event-type stats (5-value enum)

