@@ -698,16 +698,28 @@ object Oracles {
         | GROUP BY c_custkey)
         |GROUP BY n_orders""".stripMargin,
 
+    // quartiles on the per-segment DISTINCT-DOLLAR CDF desc (ties share
+    // a quartile), matching the scale-safe cdfBuckets decomposition
     "customer_spend_quartiles" ->
       """WITH s AS (
         | SELECT o_custkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
-        | FROM orders GROUP BY o_custkey)
-        |SELECT c_custkey, c_mktsegment,
-        | ROUND(CAST(spend AS DOUBLE), 2) AS spend,
-        | ntile(4) OVER (PARTITION BY c_mktsegment
-        |   ORDER BY spend DESC, c_custkey) AS spend_quartile
-        |FROM customer JOIN s ON c_custkey = o_custkey""".stripMargin,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY o_custkey),
+        |j AS (
+        | SELECT c_custkey, c_mktsegment, cents, cents // 100 AS dollars
+        | FROM customer JOIN s ON c_custkey = o_custkey),
+        |v AS (SELECT c_mktsegment, dollars, COUNT(*) AS n FROM j GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |  SUM(n) OVER (PARTITION BY c_mktsegment ORDER BY dollars DESC) AS cum,
+        |  SUM(n) OVER (PARTITION BY c_mktsegment) AS nd
+        | FROM v),
+        |b AS (SELECT c_mktsegment, dollars,
+        |  CAST(((cum - n) * 4) // nd + 1 AS INT) AS spend_quartile
+        | FROM c)
+        |SELECT c_custkey, j.c_mktsegment,
+        | round(cents / 100.0, 2) AS spend, spend_quartile
+        |FROM j JOIN b ON j.c_mktsegment = b.c_mktsegment
+        | AND j.dollars = b.dollars""".stripMargin,
 
     // sketch columns are tolerance-band booleans: the oracle asserts the
     // estimates landed in-band (TRUE); exact columns compare directly
@@ -973,12 +985,12 @@ object Oracles {
         | SELECT MIN(CASE WHEN cum >= (n * 33 + 99) // 100 THEN v END) AS t33,
         |        MIN(CASE WHEN cum >= (n * 66 + 99) // 100 THEN v END) AS t66
         | FROM (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n
-        |       FROM (SELECT cents AS v, COUNT(*) AS cnt FROM base GROUP BY 1))),
+        |       FROM (SELECT cents // 100 AS v, COUNT(*) AS cnt FROM base GROUP BY 1))),
         |scored AS (
         | SELECT b.*,
         |  CASE WHEN rec_days <= tr.t33 THEN 3 WHEN rec_days <= tr.t66 THEN 2 ELSE 1 END AS r,
         |  CASE WHEN freq <= tf.t33 THEN 1 WHEN freq <= tf.t66 THEN 2 ELSE 3 END AS f,
-        |  CASE WHEN cents <= tm.t33 THEN 1 WHEN cents <= tm.t66 THEN 2 ELSE 3 END AS m
+        |  CASE WHEN cents // 100 <= tm.t33 THEN 1 WHEN cents // 100 <= tm.t66 THEN 2 ELSE 3 END AS m
         | FROM base b, tr, tf, tm)
         |SELECT CASE
         |   WHEN r = 3 AND f = 3 AND m = 3 THEN 'champion'
@@ -993,20 +1005,24 @@ object Oracles {
         | round(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS total_spend
         |FROM scored GROUP BY 1""".stripMargin,
 
+    // deciles on the DISTINCT dollar-quantized spend CDF desc (the
+    // distinct table is price-domain-bounded; revenue stays exact cents)
     "spend_decile_lift" ->
       """WITH spend AS (
         | SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
         | FROM orders GROUP BY 1),
-        |v AS (SELECT cents, COUNT(*) AS cnt FROM spend GROUP BY 1),
+        |v AS (SELECT cents // 100 AS dollars, COUNT(*) AS cnt,
+        |        SUM(cents::HUGEINT) AS grp_cents
+        |      FROM spend GROUP BY 1),
         |c AS (
-        | SELECT cents, cnt,
-        |        SUM(cnt) OVER (ORDER BY cents DESC) AS cum,
+        | SELECT dollars, cnt, grp_cents,
+        |        SUM(cnt) OVER (ORDER BY dollars DESC) AS cum,
         |        SUM(cnt) OVER () AS n
         | FROM v),
         |d AS (
         | SELECT CAST(((cum - cnt) * 10) // n + 1 AS INT) AS decile,
         |        CAST(SUM(cnt) AS BIGINT) AS n_customers,
-        |        SUM(cents::HUGEINT * cnt) AS rev_cents
+        |        SUM(grp_cents) AS rev_cents
         | FROM c GROUP BY 1)
         |SELECT decile, n_customers,
         | round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS revenue,

@@ -507,25 +507,49 @@ object Analytics {
 
   /** ABC (Pareto-class) supplier segmentation: rank suppliers by exact
     * revenue, classify by CUMULATIVE share — A carries the first 80% of
-    * revenue, B to 95%, C the tail. The ranked window runs over the
-    * SUPPLIER-grain rollup (dim-bounded, never fact-sized); share
-    * thresholds compare exact integer products (cum·100 vs total·80) so
-    * no float boundary can flip a class between engines. Ties break on
-    * supplier key for a total order.
+    * revenue, B to 95%, C the tail. Share thresholds compare exact
+    * integer products (cum·100 vs total·80) so no float boundary can
+    * flip a class between engines. Ties break on supplier key for a
+    * total order.
+    *
+    * Scale: the supplier grain is SF-scaling (~10⁹ rows at 100 TB), so
+    * the cumulative sum must NOT be one global ordered window. It
+    * factors exactly through two bounded levels (the SkylineOps
+    * pattern): a per-revenue-bucket rollup carries the cross-bucket
+    * prefix via a window over BUCKET SUMMARIES only (bounded by the
+    * revenue RANGE, not the supplier count), and the within-bucket
+    * cumulative partitions by bucket, so it parallelizes. Bucket order
+    * is consistent with (revenue desc, suppkey) — higher buckets hold
+    * strictly higher revenues — so the decomposed cumulative equals the
+    * global one row-for-row.
     */
-  def supplierAbcClasses(lineitem: DataFrame): DataFrame = {
+  def supplierAbcClasses(lineitem: DataFrame,
+      bucketCents: Long = 10000000L): DataFrame = {
     val perSupp = lineitem
       .select(col("l_suppkey"),
         col("l_extendedprice").cast("decimal(18,2)").as("p"))
       .groupBy(col("l_suppkey"))
       .agg((sum(col("p")) * 100).cast("long").as("revenue_cents"))
-    val wCum = Window.orderBy(col("revenue_cents").desc, col("l_suppkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .withColumn("bucket", expr(s"revenue_cents div $bucketCents"))
+    // level 1: bucket summaries — prefix over strictly-HIGHER buckets
+    // plus the grand total, both windows over the bucket table only
+    val wPrior = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
+    val offsets = perSupp.groupBy(col("bucket"))
+      .agg(sum(col("revenue_cents")).as("b_sum"))
+      .withColumn("prior_cents", coalesce(sum(col("b_sum")).over(wPrior), lit(0L)))
+      .withColumn("total_cents", sum(col("b_sum")).over(wTot))
+      .select(col("bucket").as("b"), col("prior_cents"), col("total_cents"))
+    // level 2: within-bucket running sum, partitioned by bucket
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("revenue_cents").desc, col("l_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perSupp
-      .withColumn("cum_cents", sum(col("revenue_cents")).over(wCum))
-      .withColumn("total_cents", sum(col("revenue_cents")).over(wTot))
+      .withColumn("in_cum", sum(col("revenue_cents")).over(wIn))
+      .join(broadcast(offsets), col("bucket") === col("b"))
+      .withColumn("cum_cents", col("prior_cents") + col("in_cum"))
       .select(col("l_suppkey"),
         round(col("revenue_cents") / 100.0, 2).as("revenue"),
         when(col("cum_cents") * 100 <= col("total_cents") * 80, "A")
@@ -915,8 +939,12 @@ object Analytics {
     * own nearest-rank P33/P66 thresholds, computed on the DISTINCT-value
     * CDF (deterministic under ties; the only windows run over distinct
     * metric values, never the customer table, and thresholds broadcast
-    * back). Segment labels follow the standard RFM playbook; output is
-    * the |segments|-row rollup with exact integer sums.
+    * back). The monetary dimension quantizes to DOLLARS before the CDF
+    * so its distinct table is price-domain-bounded — an exact-cents CDF
+    * would be customer-sized at 100 TB (recency and frequency are
+    * calendar- and order-count-bounded already). Segment labels follow
+    * the standard RFM playbook; output is the |segments|-row rollup with
+    * exact integer sums.
     */
   def rfmSegments(orders: DataFrame): DataFrame = {
     val cust = orders
@@ -931,6 +959,7 @@ object Analytics {
     // scoring pass — persist, or the orders rollup runs four times
     val scored0 = cust.crossJoin(broadcast(maxD))
       .withColumn("rec_days", datediff(col("max_d"), col("last_d")).cast("long"))
+      .withColumn("dollars", expr("cents div 100"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // nearest-rank P33/P66 for ALL THREE dimensions in one melted pass:
     // t = MIN value whose cumulative count ≥ ceil(p·n), computed on the
@@ -940,7 +969,7 @@ object Analytics {
     val melted = scored0.select(explode(array(
       struct(lit("r").as("dim"), col("rec_days").as("v")),
       struct(lit("f").as("dim"), col("freq").as("v")),
-      struct(lit("m").as("dim"), col("cents").as("v")))).as("e"))
+      struct(lit("m").as("dim"), col("dollars").as("v")))).as("e"))
       .select(col("e.dim").as("dim"), col("e.v").as("v"))
     val wCum = Window.partitionBy(col("dim")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -958,7 +987,7 @@ object Analytics {
     val thresholdRow = perDim.agg(
       pick("r", "t33").as("rec_days_t33"), pick("r", "t66").as("rec_days_t66"),
       pick("f", "t33").as("freq_t33"), pick("f", "t66").as("freq_t66"),
-      pick("m", "t33").as("cents_t33"), pick("m", "t66").as("cents_t66"))
+      pick("m", "t33").as("dollars_t33"), pick("m", "t66").as("dollars_t66"))
     def score(metric: String, lowIsGood: Boolean): org.apache.spark.sql.Column = {
       val lo = col(s"${metric}_t33"); val hi = col(s"${metric}_t66")
       if (lowIsGood)
@@ -970,7 +999,7 @@ object Analytics {
       .crossJoin(broadcast(thresholdRow))
       .withColumn("r", score("rec_days", lowIsGood = true))
       .withColumn("f", score("freq", lowIsGood = false))
-      .withColumn("m", score("cents", lowIsGood = false))
+      .withColumn("m", score("dollars", lowIsGood = false))
       .withColumn("segment",
         when(col("r") === 3 && col("f") === 3 && col("m") === 3, "champion")
           .when(col("r") === 3 && col("f") >= 2, "loyal")
@@ -988,8 +1017,9 @@ object Analytics {
 
   /** Decile lift table over customer spend — the marketing-analytics
     * standard ("the top decile carries X× its share"). Deciles are
-    * assigned on the DISTINCT-spend CDF in DESCENDING order (ties share
-    * a decile — deterministic), shares and lift in exact integer micro
+    * assigned on the DISTINCT dollar-quantized spend CDF in DESCENDING
+    * order (ties share a decile — deterministic; the distinct table is
+    * price-domain-bounded), shares and lift in exact integer micro
     * units: lift = (decile revenue · total customers · 10⁶) div
     * (decile customers · total revenue).
     */
@@ -999,19 +1029,27 @@ object Analytics {
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
       .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
-    val w = Window.orderBy(col("cents").desc)
+      // deciles assign on DOLLAR-quantized spend: the distinct-value CDF
+      // is then bounded by the dollar price DOMAIN, not the customer
+      // count (an exact-cents CDF is customer-sized — the cdfBuckets doc
+      // warns callers to quantize continuous domains first). Revenue
+      // stays exact cents; only the decile boundary is dollar-grained.
+      .withColumn("dollars", expr("cents div 100"))
+    val w = Window.orderBy(col("dollars").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    spend.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    spend.groupBy(col("dollars"))
+      // cents·cnt and the micro products cross 2⁶³ at corpus scale —
+      // DECIMAL(38,0) throughout, BIGINT only at the final projection
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("cents").cast("decimal(38,0)")).as("grp_cents"))
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("n", sum(col("cnt")).over(all))
       .withColumn("decile", expr("((cum - cnt) * 10) div n + 1").cast("int"))
       .groupBy(col("decile"))
-      // cents·cnt and the micro products cross 2⁶³ at corpus scale —
-      // DECIMAL(38,0) throughout, BIGINT only at the final projection
       .agg(sum(col("cnt")).as("n_customers"),
-        sum(col("cents").cast("decimal(38,0)") * col("cnt")).as("rev_cents"))
+        sum(col("grp_cents")).as("rev_cents"))
       .withColumn("total_rev", sum(col("rev_cents")).over(all))
       .withColumn("total_cust", sum(col("n_customers")).over(all))
       .select(col("decile"), col("n_customers"),
@@ -1076,24 +1114,43 @@ object Analytics {
       .groupBy(col("n_orders"))
       .agg(count(lit(1)).as("n_customers"))
 
-  /** Lifetime-spend quartile per customer within their market segment —
-    * ntile over an exact-decimal total with a key tiebreak (deterministic
-    * total order). At 100 TB the per-segment partitions are the skew
-    * concern; the spend aggregation (the data-heavy shuffle) is map-side
-    * combined and the ranked pass sees one slim row per customer.
+  /** Lifetime-spend quartile per customer within their market segment.
+    * Quartiles are assigned on the per-segment DISTINCT-DOLLAR CDF in
+    * descending order (the cdfBuckets semantics: a tie group lands
+    * wholly in its first member's quartile), so the result is
+    * deterministic without any per-row total order.
+    *
+    * Scale: a segment-partitioned ntile over customer rows is ~5 tasks
+    * each sorting #customers/5 rows at 100 TB. Here the only windows
+    * run over the distinct (segment, dollars) table — bounded by the
+    * dollar price DOMAIN, never the customer count — and the quartile
+    * map broadcasts back onto the customer-grain rollup.
     */
   def customerSpendQuartiles(orders: DataFrame, customer: DataFrame): DataFrame = {
     val spend = orders
-      .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
       .groupBy(col("o_custkey"))
-      .agg(sum(col("p")).as("spend"))
-    customer
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("dollars", expr("cents div 100"))
+    val joined = customer
       .select(col("c_custkey"), col("c_mktsegment"))
       .join(spend, col("c_custkey") === col("o_custkey"))
+    val wCum = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("dollars").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeg = Window.partitionBy(col("c_mktsegment"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val buckets = joined.groupBy(col("c_mktsegment"), col("dollars"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("nd", sum(col("n")).over(wSeg))
+      .select(col("c_mktsegment"), col("dollars"),
+        expr("cast(((cum - n) * 4) div nd + 1 as int)").as("spend_quartile"))
+    joined.join(broadcast(buckets), Seq("c_mktsegment", "dollars"))
       .select(col("c_custkey"), col("c_mktsegment"),
-        round(col("spend").cast("double"), 2).as("spend"),
-        ntile(4).over(Window.partitionBy(col("c_mktsegment"))
-          .orderBy(col("spend").desc, col("c_custkey"))).as("spend_quartile"))
+        round(col("cents") / 100.0, 2).as("spend"), col("spend_quartile"))
   }
 
   /** Disjunctive-predicate promo revenue (TPC-H Q19 shape): revenue over
@@ -1696,8 +1753,12 @@ object Analytics {
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
-    perSupp
-      .withColumn("tot", sum(col("sq")).over(Window.partitionBy(col("n_name"))))
+    // per-nation totals as a map-side-combined rollup broadcast back —
+    // a window partitioned by the ~25-value nation key would funnel the
+    // whole supplier grain (~10⁹ rows at 100 TB) into ~25 tasks
+    val totals = perSupp.groupBy(col("n_name"))
+      .agg(sum(col("sq")).as("tot"))
+    perSupp.join(broadcast(totals), Seq("n_name"))
       .withColumn("share_micro", expr("(sq * 1000000) div tot"))
       .groupBy(col("n_name").as("nation"))
       .agg(count(lit(1)).as("n_suppliers"),

@@ -227,15 +227,20 @@ object PipelineOps {
     * frequency aggregation. The global (tf desc, tok) ranking then
     * decomposes WITHOUT any vocabulary-sized single-partition window:
     * within a tf-group every token has the same tf, so global rank =
-    * (tokens in higher-tf groups) + row_number within the group, and the
-    * running tf sum = (occurrences in higher-tf groups) + row_number×tf.
+    * (tokens in higher-tf groups) + rank within the group, and the
+    * running tf sum = (occurrences in higher-tf groups) + rank×tf.
     * The only unpartitioned window runs over the distinct-tf GROUP table
-    * (zipfian: ~O(√corpus) rows); the per-token window partitions by tf
-    * and parallelizes across groups — a 100M-type web vocabulary never
-    * sorts in one task.
+    * (zipfian: ~O(√corpus) rows). The within-group rank gets a second
+    * decomposition level of its own — a zipfian tf=1 group holds ~half
+    * the vocabulary, so ranking it in one partition would still sort
+    * ~50M rows in one task at web scale: tokens bucket by their 2-char
+    * prefix (bounded domain, order-refining), the per-token row_number
+    * partitions by (tf, prefix), and the cross-prefix rank offset rides
+    * a window over (tf, prefix) SUMMARIES partitioned by tf.
     */
   def vocabCoverage(documents: DataFrame): DataFrame = {
     val tf = TextOps.corpusTf(documents)
+      .withColumn("seg", substring(col("tok"), 1, 2))
     // distinct-tf group table: token count and occurrence mass per tf
     val groups = tf.groupBy(col("tf"))
       .agg(count(lit(1)).as("n_toks"))
@@ -246,9 +251,20 @@ object PipelineOps {
       coalesce(sum(col("n_toks")).over(wg), lit(0L)).as("rank_offset"),
       coalesce(sum(col("occ")).over(wg), lit(0L)).as("occ_offset"),
       sum(col("occ")).over(Window.partitionBy()).as("total_occ"))
-    val wt = Window.partitionBy(col("tf")).orderBy(col("tok"))
-    tf.join(offsets, Seq("tf"))
-      .withColumn("rn", row_number().over(wt).cast("long"))
+    // within-tf prefix-bucket offsets: tokens in strictly-earlier
+    // 2-char-prefix buckets of the same tf group ((tf, seg) summary
+    // grain — per-tf partitions bounded by the prefix domain)
+    val wSeg = Window.partitionBy(col("tf")).orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val segOffsets = tf.groupBy(col("tf"), col("seg"))
+      .agg(count(lit(1)).as("seg_toks"))
+      .withColumn("seg_rank_offset",
+        coalesce(sum(col("seg_toks")).over(wSeg), lit(0L)))
+      .select(col("tf"), col("seg"), col("seg_rank_offset"))
+    val wt = Window.partitionBy(col("tf"), col("seg")).orderBy(col("tok"))
+    tf.join(offsets, Seq("tf")).join(segOffsets, Seq("tf", "seg"))
+      .withColumn("rn",
+        (col("seg_rank_offset") + row_number().over(wt)).cast("long"))
       .select(col("tok"), col("tf"),
         (col("rank_offset") + col("rn")).as("rank"),
         round((col("occ_offset") + col("rn") * col("tf")).cast("double") *
@@ -311,20 +327,43 @@ object PipelineOps {
   /** Sequence packing: assign documents (in deterministic doc_id order,
     * stratified by (language, source)) to fixed-token-budget packs via a
     * running token total; a doc whose tokens straddle a boundary spills
-    * into the next pack (greedy contiguous packing). The window
-    * partitions by (lang, source) — ~100 strata here, (lang × source
-    * shard) in production — so parallelism scales with the stratum count
-    * rather than capping at the language count; pack ids are offset per
-    * stratum ("lang/source/N") so they stay globally unique without any
-    * cross-stratum coordination.
+    * into the next pack (greedy contiguous packing). Pack ids are offset
+    * per stratum ("lang/source/N") so they stay globally unique without
+    * any cross-stratum coordination.
+    *
+    * Scale: a per-stratum running sum caps parallelism at the stratum
+    * count (~100 here) — a monolingual 100 TB corpus would pack in one
+    * task. The running sum factors exactly through doc_id SEGMENTS of
+    * `segDocs` ids each: the within-segment window partitions by
+    * (lang, source, segment) — bounded rows per partition — and the
+    * cross-segment token offset rides a window over SEGMENT SUMMARIES
+    * only (a segDocs-fold smaller table; the pattern recurses if even
+    * that is too long). Identical output to the single-window form,
+    * since segment order refines doc_id order.
     */
-  def tokenPack(documents: DataFrame, budget: Int = PackBudget): DataFrame = {
-    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
+  def tokenPack(documents: DataFrame, budget: Int = PackBudget,
+      segDocs: Long = 1024L): DataFrame = {
+    val base = documents
       .select(col("doc_id"), col("lang"), col("source"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("seg", expr(s"doc_id div $segDocs"))
+    // level 1: per-segment token totals → running offset over strictly-
+    // earlier segments of the same stratum (segment-summary grain)
+    val wPrior = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("seg")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("source"), col("seg"))
+      .agg(sum(col("n_tokens")).as("seg_tokens"))
+      .withColumn("seg_offset",
+        coalesce(sum(col("seg_tokens")).over(wPrior), lit(0L)))
+      .select(col("lang"), col("source"), col("seg"), col("seg_offset"))
+    // level 2: within-segment running sum, partitioned by segment
+    val wIn = Window.partitionBy(col("lang"), col("source"), col("seg"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("in_cum", sum(col("n_tokens")).over(wIn))
+      .join(offsets, Seq("lang", "source", "seg"))
+      .withColumn("cum_tokens", col("seg_offset") + col("in_cum"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         concat_ws("/", col("lang"), col("source"),
           expr(s"(cum_tokens - n_tokens) div $budget")).as("pack_id"),

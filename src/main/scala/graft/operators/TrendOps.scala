@@ -362,32 +362,53 @@ object TrendOps {
     * bit-stable across engines and partitionings ((x·n−S)² crosses 2⁶³
     * while still inside any realistic corpus).
     *
-    * Scale: the cumulative window sorts each event type's history inside
-    * one partition — fine at dashboard-metric cardinalities, but the
-    * 100 TB path is the streaming family member
+    * Scale: a window partitioned only by event TYPE funnels each type's
+    * whole history into one task. The prefix statistics factor exactly
+    * through DAY segments (the two-level prefix-sum pattern): per-
+    * (type, day) totals carry the cross-day offset via a window over
+    * DAY SUMMARIES only (calendar-bounded), and the within-day running
+    * prefix partitions by (type, day), so it parallelizes with the
+    * calendar. Day order refines (ts, event_id) order, so the
+    * decomposed prefix equals the global one row-for-row; finer
+    * granularity (hour/minute) is the knob for hotter streams, and the
+    * truly unbounded path is the streaming family member
     * ([[graft.streaming.EventStreams.onlineAnomalyStream]]): verdicts
-    * from O(1) prefix state per key, no sort, no history retained. This
-    * batch form is the oracle-checkable mirror that pins the
-    * prior-history-only semantics (and the backfill you run over
-    * history once).
+    * from O(1) prefix state per key, no sort, no history retained.
     */
   def rollingAnomalyFlags(events: DataFrame, z: Int = 3,
       minPrior: Int = 30): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val dec0 = lit(0).cast("decimal(38,0)")
     val cents = events
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .select(col("event_id"), col("event_type"), col("ts"),
         floor(col("value") * lit(100.0)).cast("long").as("value_cents"))
-    val w = Window.partitionBy(col("event_type"))
+      .withColumn("day", to_date(col("ts")))
+    // level 1: per-(type, day) moment totals → offsets over strictly-
+    // earlier days (day-summary grain, calendar-bounded per type)
+    val wDays = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cents.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("d_n"),
+        sum(dec(col("value_cents"))).as("d_s"),
+        sum(dec(col("value_cents")) * dec(col("value_cents"))).as("d_q"))
+      .withColumn("o_n", coalesce(sum(col("d_n")).over(wDays), lit(0L)))
+      .withColumn("o_s", coalesce(sum(col("d_s")).over(wDays), dec0))
+      .withColumn("o_q", coalesce(sum(col("d_q")).over(wDays), dec0))
+      .select(col("event_type"), col("day"), col("o_n"), col("o_s"), col("o_q"))
+    // level 2: within-day running prefix, partitioned by (type, day)
+    val w = Window.partitionBy(col("event_type"), col("day"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     cents
-      .withColumn("n_prior", coalesce(count(col("value_cents")).over(w), lit(0L)))
-      .withColumn("s", coalesce(sum(dec(col("value_cents"))).over(w),
-        lit(0).cast("decimal(38,0)")))
-      .withColumn("q", coalesce(
-        sum(dec(col("value_cents")) * dec(col("value_cents"))).over(w),
-        lit(0).cast("decimal(38,0)")))
+      .withColumn("w_n", coalesce(count(col("value_cents")).over(w), lit(0L)))
+      .withColumn("w_s", coalesce(sum(dec(col("value_cents"))).over(w), dec0))
+      .withColumn("w_q", coalesce(
+        sum(dec(col("value_cents")) * dec(col("value_cents"))).over(w), dec0))
+      .join(offsets, Seq("event_type", "day"))
+      .withColumn("n_prior", col("o_n") + col("w_n"))
+      .withColumn("s", col("o_s") + col("w_s"))
+      .withColumn("q", col("o_q") + col("w_q"))
       .withColumn("dev", dec(col("value_cents")) * col("n_prior") - col("s"))
       .withColumn("is_anomaly", col("n_prior") >= minPrior &&
         col("dev") * col("dev") > lit(z * z) *

@@ -387,7 +387,12 @@ class PlanAuditSpec extends SparkSpec {
       "median_order_value" -> 3, // quantile-bracket probes per region (5-value dim)
       "price_qty_skyline" -> 1, // per-cell maxima of the fixed anti-corner grid
       "robust_price_stats" -> 3, // median/P5/P95 probes per o_orderpriority (5-value enum)
-      "rolling_distinct_users" -> 2) // distinct-day frames: calendar-bounded, not SF-bounded
+      "rolling_distinct_users" -> 2, // distinct-day frames: calendar-bounded, not SF-bounded
+      "customer_spend_quartiles" -> 1, // per-(segment, dollar) quartile map:
+      // bounded by segment enum × dollar price domain, never customers
+      "supplier_abc_classes" -> 1, // revenue-bucket offsets: bounded by the
+      // revenue RANGE div bucket width, never the supplier count
+      "nation_supplier_hhi" -> 1) // per-nation totals: 25-value nation domain
     def tables(p: LogicalPlan): Set[String] = p.collect {
       case r: LogicalRelation =>
         r.relation match {
@@ -419,6 +424,101 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(report.isEmpty, "forced broadcasts of SF-scaling sides:\n" +
       report.mkString("\n"))
+  }
+
+  test("SWEEP: no SF-scaling grain feeds an unpartitioned or enum-partitioned window") {
+    // The round-5 scale-defect class: a window whose partition count is
+    // FIXED (empty partitionSpec, or keys drawn only from fixed-domain
+    // enum columns) sorting an input whose grain SCALES with the data —
+    // one (or ~5) tasks doing corpus-sized work at 100×. Two offender
+    // shapes are detected on the analyzed plan:
+    //   (a) row-grain: a path from the window to a scaling-table scan
+    //       with no intervening Aggregate (raw fact/doc rows under a
+    //       fixed-partition window — token_pack's old shape);
+    //   (b) key-grain: the aggregates directly under the window group by
+    //       an entity KEY or raw cents (per-customer / per-supplier /
+    //       unquantized-money grain — supplier_abc_classes' and
+    //       spend_decile_lift's old shapes).
+    // The scale-safe rewrites put fixed-partition windows only over
+    // quantized-domain rollups (dollars, buckets, prefixes, calendar) —
+    // the cdfBuckets / two-level-prefix-sum patterns. Domain-bounded
+    // cases the rules can't prove are whitelisted with their argument.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+    val enumCols = Set("c_mktsegment", "l_returnflag", "l_linestatus",
+      "o_orderpriority", "o_orderstatus", "r_name", "n_name", "lang",
+      "source", "dim", "event_type", "label", "p_brand", "p_type",
+      "p_container", "segment")
+    val keyCols = Set("l_suppkey", "s_suppkey", "o_custkey", "c_custkey",
+      "l_orderkey", "o_orderkey", "l_partkey", "p_partkey", "doc_id",
+      "vec_id", "user_id", "session_id", "cents")
+    // query -> allowed offender-window count, each justified:
+    val whitelist: Map[String, Int] = Map(
+      // rank window input is pre-filtered to the approx-quantile bracket
+      // (a few-thousand-row middle slice at any SF) below the window
+      "median_order_value" -> 2,
+      // 1-row-per-resample means table (R = 64 literal) ranked for the
+      // CI probes; the aggregate below groups by the resample id
+      "bootstrap_ci_order_value" -> 2,
+      // rank ≤ topK per label compiles to WindowGroupLimit — partial
+      // top-k per map task below the exchange, never a full-group sort
+      // (the dedicated kmv/top-k plan tests assert the node)
+      "embed_outliers" -> 1,
+      // cap_rank ≤ cap per source compiles to WindowGroupLimit: each
+      // map task forwards ≤ cap rows, so the per-source partition sees
+      // #tasks·cap rows however hot the domain (plan-audited below)
+      "source_cap_sample" -> 1,
+      // cdfBuckets over PER-ORDER price cents: the distinct table is
+      // bounded by the price DOMAIN (a fixed cents range), unlike
+      // per-customer SUMMED cents which scale with the customer count
+      "equi_depth_histogram" -> 1,
+      // same per-order price-cents CDF, partitioned by the priority enum
+      "quantile_sketch_audit" -> 2)
+    def scansScaling(p: LogicalPlan): Boolean = p.collectFirst {
+      case r: LogicalRelation
+          if r.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            r.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(p =>
+                scaling(p.getName.stripSuffix(".parquet"))) => ()
+    }.isDefined
+    // (a) a path to a scaling scan crossing no grain-collapsing node
+    def rowGrainPath(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: Deduplicate => false
+      case _: GlobalLimit => false
+      case r: LogicalRelation => scansScaling(r)
+      case other => other.children.exists(rowGrainPath)
+    }
+    // (b) the aggregates nearest under the window group by an entity key
+    // (a Limit between window and aggregate bounds the grain already)
+    def keyGrainAgg(p: LogicalPlan): Boolean = {
+      def nearestAggs(q: LogicalPlan): Seq[Aggregate] = q match {
+        case a: Aggregate => Seq(a)
+        case _: GlobalLimit | _: LocalLimit => Seq.empty
+        case other => other.children.flatMap(nearestAggs)
+      }
+      nearestAggs(p).exists(a => scansScaling(a) &&
+        a.groupingExpressions.exists(_.references.exists(r =>
+          keyCols(r.name))))
+    }
+    val report = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val analyzed = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed
+      val offending = analyzed.collect {
+        case w: Window if (w.partitionSpec.isEmpty ||
+            w.partitionSpec.forall(_.references.forall(r => enumCols(r.name)))) &&
+            (rowGrainPath(w.child) || keyGrainAgg(w.child)) => w
+      }
+      val allowed = whitelist.getOrElse(q, 0)
+      if (offending.length > allowed)
+        Some(s"$q: ${offending.length} fixed-partition window(s) over scaling grain (allowed $allowed)")
+      else None
+    }
+    assert(report.isEmpty,
+      "SF-scaling grain under fixed-partition windows:\n" + report.mkString("\n"))
   }
 
   test("SWEEP: every nested-loop join builds a broadcast side") {

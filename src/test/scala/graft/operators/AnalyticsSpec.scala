@@ -19,6 +19,20 @@ class AnalyticsSpec extends SparkSpec {
   private val nation = Seq((1, "FRANCE", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
   private val region = Seq((0, "EUROPE")).toDF("r_regionkey", "r_name")
 
+  test("supplierAbcClasses two-level prefix-sum is bucket-width-invariant") {
+    // the bucketed decomposition must equal the global cumulative for
+    // ANY bucket width: one-supplier-per-bucket, mid, one-big-bucket
+    // (the degenerate naive form)
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    def classes(bucketCents: Long) =
+      Analytics.supplierAbcClasses(li, bucketCents).orderBy("l_suppkey")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    val one = classes(1000L)
+    assert(one == classes(10000000L))
+    assert(one == classes(Long.MaxValue))
+    assert(one.map(_._2).toSet == Set("A", "B", "C"))
+  }
+
   test("robustPriceStats: median/MAD shrug off the outlier the mean can't") {
     val o = (Seq((1L, 1.0, "A"), (2L, 2.0, "A"), (3L, 3.0, "A"),
       (4L, 4.0, "A"), (5L, 100.0, "A")) ++

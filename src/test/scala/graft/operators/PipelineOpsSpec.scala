@@ -139,6 +139,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("pack_offset") == 0L))
   }
 
+  test("tokenPack segment decomposition is segDocs-invariant on real data") {
+    // the two-level prefix-sum must equal the single-window form for ANY
+    // segment width: tiny segments (every doc its own segment), mid, and
+    // one-segment-per-stratum (degenerates to the naive window)
+    val dir = "/root/testdata/sf0.001"
+    val documents = graft.Tables.documents(spark, dir)
+    def packed(segDocs: Long) =
+      PipelineOps.tokenPack(documents, segDocs = segDocs)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("pack_id"), r.getAs[Long]("pack_offset"))).toSeq
+    val one = packed(1L)
+    assert(one == packed(7L))
+    assert(one == packed(1000000000L))
+  }
+
+  test("vocabCoverage prefix-bucket decomposition matches the dense rank contract") {
+    // ranks must be the contiguous 1..V sequence ordered by (tf desc,
+    // tok) even when tokens spread across many 2-char prefix buckets
+    val df = docs((1L, "ab ac ba bb ca ab ba ab", "en"))
+    val out = PipelineOps.vocabCoverage(df).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+    // ab(3) > ba(2) > ac, bb, ca (1 each, tok order)
+    assert(out.map(_.getAs[String]("tok")).toSeq ==
+      Seq("ab", "ba", "ac", "bb", "ca"))
+    assert(out.last.getAs[Double]("cum_coverage_pct") == 100.0)
+  }
+
   test("curatedCorpus is the intersection of survivors, quality gate, and sample") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)

@@ -185,4 +185,20 @@ class TrendOpsSpec extends SparkSpec {
     assert(out(31L) == ((31L, false)))   // post-spike normal value
     assert(out(32L) == ((0L, false)))    // fresh key
   }
+
+  test("rollingAnomalyFlags prefix statistics carry across day segments") {
+    // the two-level day decomposition must accumulate history over the
+    // day boundary exactly: 30 calm values on day 1, the spike on day 3
+    def t(d: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-0$d 00:${i / 60}%02d:${i % 60}%02d")
+    val rows = (0 until 30).map(i =>
+      (i.toLong, "CLICK", if (i % 2 == 0) 99.0 else 101.0, t(1, i))) ++
+      Seq((30L, "CLICK", 100.0, t(2, 0)),  // day 2: within band
+          (31L, "CLICK", 150.0, t(3, 0)))  // day 3: spike vs 31 priors
+    val events = rows.toDF("event_id", "event_type", "value", "ts")
+    val out = TrendOps.rollingAnomalyFlags(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(30L) == ((30L, false)))   // sees all 30 day-1 priors
+    assert(out(31L) == ((31L, true)))    // sees days 1+2 and flags
+  }
 }
