@@ -2761,6 +2761,69 @@ object Oracles {
          |GROUP BY ex.query_id""".stripMargin
     },
 
+    // SimilarityOps.pqRerankAnn (fixed codebook): ADC top-32 shortlist
+    // over the coded corpus, then exact squared-L2 re-rank to top-3 —
+    // fully replayable since the fixed codebook is a literal
+    "embed_pq_rerank" -> {
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH ${pqCodedCtes("embeddings", Seq("vec_id"), "r")},
+         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |      WHERE vec_id < 20),
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rank
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROUND($pqAdcSql, 6) AS adc_dist2
+         |   FROM codedr c, q WHERE c.vec_id <> q.query_id))
+         | WHERE rank <= 32),
+         |ex AS (SELECT sl.query_id, sl.neighbor_id,
+         |  ROUND(${dotSql("c", "c")} - 2.0 * ${dotSql("q", "c")}
+         |    + ${dotSql("q", "q")}, 6) AS l2_dist2
+         | FROM sl JOIN embeddings c ON c.vec_id = sl.neighbor_id
+         |  JOIN q ON q.query_id = sl.query_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, l2_dist2
+         |FROM (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY l2_dist2, neighbor_id) AS rank FROM ex)
+         |WHERE rank <= 3""".stripMargin
+    },
+
+    // SimilarityOps.pqTrainedRecall: the exact columns (counts + the
+    // FIXED-codebook recall) replay deterministically; the trained-
+    // codebook quality is tolerance-band booleans (k-means centroids
+    // are data-dependent floats no SQL oracle can re-derive)
+    "pq_trained_recall" -> {
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |      WHERE vec_id < 20),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROUND(${dotSql("c", "c")} - 2.0 * ${dotSql("q", "c")}
+         |      + ${dotSql("q", "q")}, 6) AS d
+         |   FROM embeddings c, q WHERE c.vec_id <> q.query_id))
+         | WHERE rank <= 3),
+         |${pqCodedCtes("embeddings", Seq("vec_id"), "t")},
+         |pqf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROUND($pqAdcSql, 6) AS adc_dist2
+         |   FROM codedt c, q WHERE c.vec_id <> q.query_id))
+         | WHERE rank <= 3)
+         |SELECT CAST(COUNT(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+         | COUNT(*) AS n_exact,
+         | CAST((CAST(SUM(CASE WHEN pqf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS recall_fixed_micro,
+         | TRUE AS trained_ge_floor,
+         | TRUE AS trained_ge_fixed
+         |FROM ex
+         |LEFT JOIN pqf ON pqf.query_id = ex.query_id
+         | AND pqf.neighbor_id = ex.neighbor_id""".stripMargin
+    },
+
     "embed_cosine_topk" -> {
       def dotSql(a: String, b: String) =
         s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"

@@ -287,6 +287,8 @@ object SparkEntry {
     "embed_pq_ann" -> ((s, d) => SimilarityOps.pqAnn(embeddings(s, d))),
     "embed_ivfpq_ann" -> ((s, d) => SimilarityOps.ivfPqAnn(embeddings(s, d))),
     "pq_recall_report" -> ((s, d) => SimilarityOps.pqRecallReport(embeddings(s, d))),
+    "pq_trained_recall" -> ((s, d) => SimilarityOps.pqTrainedRecall(embeddings(s, d))),
+    "embed_pq_rerank" -> ((s, d) => SimilarityOps.pqRerankAnn(embeddings(s, d))),
     "embed_quantize" -> ((s, d) => SimilarityOps.embedQuantize(embeddings(s, d))),
     "embed_knn_label" -> ((s, d) =>
       SimilarityOps.knnLabel(embeddings(s, d), documents(s, d))),
