@@ -2091,9 +2091,12 @@ object Oracles {
         |GROUP BY 1""".stripMargin,
 
     // StatOps.bootstrapCiOrderValue: Poisson(1) weights from the shared
-    // inverse-CDF micro thresholds on hash60(key:resample); per-resample
-    // means as exact integer micro ratios; CI = rank-4 / rank-61 order
-    // statistics of the 64 resample means.
+    // inverse-CDF micro thresholds on ONE hash32('bs:'||key) per row,
+    // expanded to per-resample uniforms via the (a_r, b_r) universal-
+    // hash family (matching the Spark side — never a hash per
+    // (key, resample) pair); per-resample means as exact integer micro
+    // ratios; CI = rank-4 / rank-61 order statistics of the 64 resample
+    // means.
     "bootstrap_ci_order_value" ->
       s"""WITH y AS (SELECT o_orderkey,
          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y

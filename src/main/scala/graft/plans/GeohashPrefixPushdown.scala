@@ -35,6 +35,10 @@ case class GeohashPrefixPushdown() extends Rule[LogicalPlan] with PredicateHelpe
     */
   private def implied(conjunct: Expression): Seq[Expression] = {
     def bounds(g: GeohashExpr, prefix: UTF8String): Seq[Expression] = {
+      // the derived range conjuncts RE-EVALUATE g.left/g.right; for a
+      // non-deterministic lat/lon expression the duplicate evaluations
+      // could disagree with the exact predicate and drop rows it accepts
+      if (!g.deterministic) return Nil
       val p = prefix.toString
       if (p.isEmpty || p.length > g.precision) return Nil
       GeohashEncode.prefixBounds(p) match {

@@ -161,7 +161,9 @@ object Readers {
         .filter(_.nonEmpty).map(_.split("\t", -1)).toList
       finally in.close()
     val byFile = rows.filter(_(1) == column)
-    require(byFile.nonEmpty, s"_stats carries no zone for column $column")
+    // an empty dataset commits an empty sidecar (and a column the writer
+    // never profiled has no zones): zero files selected — readSkipping
+    // then returns its documented empty frame instead of throwing
     val keep = byFile.filter { a =>
       a(2).isEmpty || a(3).isEmpty ||
         !(a(3).toLong < lo || a(2).toLong > hi)

@@ -324,6 +324,27 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
   }
 
+  /** Replay-idempotency batch markers live NEXT TO the output, on the
+    * OUTPUT path's own filesystem (hdfs:// and s3a:// included),
+    * resolved through the Hadoop FileSystem API the way Sinks resolves
+    * its snapshot manifests — a driver-local java.nio marker under a
+    * remote output path is invalid (or silently lands on local disk)
+    * and breaks replay idempotency.
+    */
+  private def markerPath(outPath: String, batchId: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$outPath-commits", s"batch-$batchId")
+
+  private def markerExists(batch: DataFrame,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration).exists(p)
+
+  private def writeMarker(batch: DataFrame,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
   /** Streaming incremental dimension maintenance — the reference's
     * Airflow load_dim_date / dim-upsert loop (nyc_hybrid_etl_pipeline.py:
     * 141-180) as a foreachBatch stream: each micro-batch anti-joins its
@@ -345,8 +366,8 @@ object EventStreams {
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = java.nio.file.Paths.get(s"$dimPath-commits", s"batch-$batchId")
-        if (!java.nio.file.Files.exists(marker)) {
+        val marker = markerPath(dimPath, batchId)
+        if (!markerExists(batch, marker)) {
           val spark = batch.sparkSession
           val incoming = batch.select(col("user_id")).distinct()
           val existing =
@@ -354,8 +375,7 @@ object EventStreams {
             catch { case _: Exception => spark.emptyDataFrame.withColumn("user_id", lit(0L)).limit(0) }
           incoming.join(existing, Seq("user_id"), "left_anti")
             .write.mode("append").parquet(dimPath)
-          java.nio.file.Files.createDirectories(marker.getParent)
-          java.nio.file.Files.createFile(marker)
+          writeMarker(batch, marker)
         }
         ()
       }
@@ -377,12 +397,11 @@ object EventStreams {
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = java.nio.file.Paths.get(s"$storePath-commits", s"batch-$batchId")
-        if (!java.nio.file.Files.exists(marker)) {
+        val marker = markerPath(storePath, batchId)
+        if (!markerExists(batch, marker)) {
           graft.sources.Sinks.mergeAggregate(batch.sparkSession, storePath,
             batch, Seq("event_type"), Seq("n_events", "value_cents"))
-          java.nio.file.Files.createDirectories(marker.getParent)
-          java.nio.file.Files.createFile(marker)
+          writeMarker(batch, marker)
         }
         ()
       }
@@ -406,13 +425,12 @@ object EventStreams {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = java.nio.file.Paths.get(s"$tablePath-commits", s"batch-$batchId")
-        if (!java.nio.file.Files.exists(marker)) {
+        val marker = markerPath(tablePath, batchId)
+        if (!markerExists(batch, marker)) {
           batch.write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(tablePath)
           graft.sources.Sinks.commitSnapshot(batch.sparkSession, tablePath)
-          java.nio.file.Files.createDirectories(marker.getParent)
-          java.nio.file.Files.createFile(marker)
+          writeMarker(batch, marker)
         }
         ()
       }
@@ -435,14 +453,13 @@ object EventStreams {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = java.nio.file.Paths.get(s"$reportPath-commits", s"batch-$batchId")
-        if (!java.nio.file.Files.exists(marker) && !batch.isEmpty) {
+        val marker = markerPath(reportPath, batchId)
+        if (!markerExists(batch, marker) && !batch.isEmpty) {
           val baseline = batch.sparkSession.read.parquet(baselinePath)
           graft.operators.AuditOps.statsDrift(baseline, batch, cols)
             .withColumn("batch_id", lit(batchId))
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(reportPath)
-          java.nio.file.Files.createDirectories(marker.getParent)
-          java.nio.file.Files.createFile(marker)
+          writeMarker(batch, marker)
         }
         ()
       }
@@ -464,16 +481,15 @@ object EventStreams {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = java.nio.file.Paths.get(s"$indexPath-commits", s"batch-$batchId")
-        if (!java.nio.file.Files.exists(marker)) {
+        val marker = markerPath(indexPath, batchId)
+        if (!markerExists(batch, marker)) {
           val coded = graft.operators.SimilarityOps.withPqCodes(
             graft.operators.SimilarityOps.withIvfCells(batch))
           coded.select(col("vec_id") +: col("cell") +:
               (0 until graft.operators.SimilarityOps.PqSub)
                 .map(m => col(s"code$m")): _*)
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
-          java.nio.file.Files.createDirectories(marker.getParent)
-          java.nio.file.Files.createFile(marker)
+          writeMarker(batch, marker)
         }
         ()
       }

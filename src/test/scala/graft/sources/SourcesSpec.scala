@@ -408,4 +408,16 @@ class SourcesSpec extends SparkSpec {
       Readers.readSkipping(spark, s"$dir/raw", "k", 0, 1)
     }
   }
+
+  test("readSkipping over an EMPTY stats-committed dataset returns the empty frame") {
+    // an empty dataset commits a row-less _stats sidecar; skipping reads
+    // must yield the documented limit(0) frame, not throw
+    val dir = tmp()
+    val empty = Seq.empty[(Long, String)].toDF("k", "payload")
+    Sinks.writeWithStats(empty, s"$dir/t", Seq("k"))
+    val (files, total) = Readers.statsPrunedFiles(spark, s"$dir/t", "k", 0, 10)
+    assert(files.isEmpty && total == 0)
+    val got = Readers.readSkipping(spark, s"$dir/t", "k", 0, 10)
+    assert(got.count() == 0 && got.columns.toSeq == Seq("k", "payload"))
+  }
 }
