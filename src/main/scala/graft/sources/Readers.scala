@@ -52,6 +52,37 @@ object Readers {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** JDBC warehouse read — the reference pulls its star tables back out
+    * of Redshift over a psycopg2 cursor on one machine
+    * (nyc_hybrid_etl_pipeline.py:1-60); Spark's JDBC source keeps the
+    * same SQL surface but pushes filters and column pruning INTO the
+    * database (`.filter`/`.select` compile into the generated query's
+    * WHERE/SELECT — PushedFilters shows in the plan), so the wire
+    * carries only what the query needs.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      props: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(props).load()
+
+  /** Range-partitioned parallel JDBC read: `numPartitions` concurrent
+    * connections each scan one `partitionColumn` stripe — the only way
+    * a JDBC extract scales past one cursor. Bounds only steer the
+    * stripe split (rows outside still arrive, in the edge stripes);
+    * pick them from the table's own MIN/MAX for even stripes.
+    */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, props: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .options(props).load()
+
   /** Raw media ingestion for the multimodal pipeline: each file becomes
     * one row (path, modificationTime, length, content BINARY) via
     * Spark's distributed binaryFile source — the bytes land directly in

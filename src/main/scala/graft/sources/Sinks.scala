@@ -434,6 +434,93 @@ object Sinks {
       throw new java.io.IOException(s"stats publish failed for $path")
     lines.length
   }
+
+  /** JDBC serving-warehouse load — the reference's Redshift load step
+    * (lambda_transform_airbnb.py / nyc_hybrid_etl_pipeline.py push star
+    * tables over one psycopg2 cursor). Spark's JDBC writer streams one
+    * batched INSERT pipeline PER PARTITION — writers parallelize with
+    * the data, `batchSize` rows per round trip.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.Append, batchSize: Int = 1000,
+      props: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .options(props).mode(mode).save()
+
+  /** Idempotent JDBC upsert keyed on `keyCols` — re-running the same
+    * load converges to the same table state, the property a serving-
+    * layer loader needs under retries (the portable analog of a
+    * warehouse MERGE). Each executor partition opens ONE connection and
+    * streams batched UPDATE-then-INSERT rounds: the batch's UPDATEs run
+    * first, rows whose update matched nothing are INSERTed, one commit
+    * per round. Nothing is ever collected to the driver, and the input
+    * is repartitioned BY KEY first so no two partitions can race on the
+    * same key. Input must carry one row per key (dedupe upstream).
+    */
+  def writeJdbcUpsert(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String], batchSize: Int = 500,
+      props: Map[String, String] = Map.empty): Unit = {
+    val cols = df.columns.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"key columns $keyCols must all be in ${cols.mkString(",")}")
+    val valCols = cols.filterNot(keyCols.contains)
+    // all-key tables probe existence via a no-op self-assignment
+    val setCols = if (valCols.isEmpty) Seq(keyCols.head) else valCols
+    val updateSql = s"UPDATE $table SET " +
+      setCols.map(c => s"$c = ?").mkString(", ") +
+      " WHERE " + keyCols.map(c => s"$c = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (" +
+      cols.map(_ => "?").mkString(", ") + ")"
+    val updOrder = setCols ++ keyCols
+    val sqlTypes: Map[String, Int] = {
+      import org.apache.spark.sql.types._
+      df.schema.fields.map(f => f.name -> (f.dataType match {
+        case LongType => java.sql.Types.BIGINT
+        case IntegerType => java.sql.Types.INTEGER
+        case ShortType => java.sql.Types.SMALLINT
+        case DoubleType => java.sql.Types.DOUBLE
+        case FloatType => java.sql.Types.REAL
+        case BooleanType => java.sql.Types.BOOLEAN
+        case DateType => java.sql.Types.DATE
+        case _: TimestampType => java.sql.Types.TIMESTAMP
+        case _: DecimalType => java.sql.Types.DECIMAL
+        case BinaryType => java.sql.Types.VARBINARY
+        case _ => java.sql.Types.VARCHAR
+      })).toMap
+    }
+    val jprops = new java.util.Properties()
+    props.foreach { case (k, v) => jprops.setProperty(k, v) }
+    df.repartition(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val conn = java.sql.DriverManager.getConnection(url, jprops)
+          try {
+            conn.setAutoCommit(false)
+            val upd = conn.prepareStatement(updateSql)
+            val ins = conn.prepareStatement(insertSql)
+            def bind(st: java.sql.PreparedStatement,
+                order: Seq[String], r: org.apache.spark.sql.Row): Unit =
+              order.zipWithIndex.foreach { case (c, i) =>
+                val v = r.getAs[Any](c)
+                if (v == null) st.setNull(i + 1, sqlTypes(c))
+                else st.setObject(i + 1, v)
+              }
+            rows.grouped(batchSize).foreach { group =>
+              group.foreach { r => bind(upd, updOrder, r); upd.addBatch() }
+              val counts = upd.executeBatch()
+              val misses = group.iterator.zip(counts.iterator)
+                .collect { case (r, 0) => r }.toSeq
+              misses.foreach { r => bind(ins, cols, r); ins.addBatch() }
+              if (misses.nonEmpty) ins.executeBatch()
+              conn.commit()
+            }
+            upd.close(); ins.close()
+          } finally conn.close()
+        }
+      }
+  }
 }
 
 /** Shared snapshot-manifest naming/listing for [[Sinks]] and
