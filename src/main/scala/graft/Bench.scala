@@ -67,19 +67,27 @@ object Bench {
       // an intermittent failure is a failure: only all-iterations-green
       // counts, or a query flaky under memory pressure would report a
       // normal-looking median and vanish from the failed list
-      (name, median, good.length == samples.length)
+      (name, median, good.length == samples.length,
+        if (good.isEmpty) (0.0, 0.0) else (good.head, good.last))
     }
     // failed queries report null (never a normal-looking duration) and
     // are listed separately so a failure can't hide in the totals
     def ms(v: Double): String = f"$v%.3f"
-    val all = results.map { case (k, v, ok) => (k, v, ok) } ++
+    val all = results.map { case (k, v, ok, _) => (k, v, ok) } ++
       memoAgg.map { case (k, v) => (k, v, true) }
     val fullJson = all.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) ms(v) else "null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // per-query [min, max] across the timed iterations: the box shows
+    // ~2× run-to-run variance, and a cross-round comparison that reads
+    // only the median keeps adjudicating phantom regressions — the
+    // spread says whether a delta is signal or one noisy sample
+    val spreadJson = results.map { case (k, _, _, (lo, hi)) =>
+      "\"" + k + "\":[" + ms(lo) + "," + ms(hi) + "]"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum +
+    val total = results.collect { case (_, v, true, _) => v }.sum +
       memoAgg.values.sum
     // The harness that reads this output keeps only the last ~2000 chars
     // of stdout, so the per-query map for 150+ queries cannot ride on the
@@ -88,7 +96,7 @@ object Bench {
     // queries (the ones worth cross-round comparison) and stays <1.5 KB.
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$fullJson,"failed":$failed,"sf":"$sfDir"}\n"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$fullJson,"spread":$spreadJson,"failed":$failed,"sf":"$sfDir"}\n"""
         .getBytes("UTF-8"))
     val top = all.filter(_._3).sortBy(-_._2).take(12)
       .map { case (k, v, _) => "\"" + k + "\":" + ms(v) }

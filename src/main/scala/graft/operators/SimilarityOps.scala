@@ -54,7 +54,7 @@ object SimilarityOps {
   }
 
   private val Planes = 16
-  private val Dim = 64
+  val Dim = 64
 
   /** Deterministic pseudo-random hyperplane weights, shared with the
     * oracle: w(p,i) = ((1103515245*(p*Dim+i) + 12345) mod 65536)/65536 - 0.5
@@ -76,7 +76,7 @@ object SimilarityOps {
     embeddings.withColumn("bucket", bucket)
   }
 
-  private val IvfCells = 16
+  val IvfCells = 16
 
   /** Deterministic pseudo-random IVF centroid weights in [-1, 1) —
     * dyadic rationals (12-bit numerators), float-exact, shared with the
@@ -747,6 +747,55 @@ object SimilarityOps {
       .withColumn("recall_pq_micro", expr("(n_hit_pq * 1000000) div n_exact"))
       .withColumn("recall_ivfpq_micro",
         expr("(n_hit_ivfpq * 1000000) div n_exact"))
+  }
+
+  // --------------------------------------------------- ANN index model
+
+  /** The trainable structure an ANN index is built against: IVF coarse
+    * centroids (cell routing) + PQ codebook (in-cell code ranking).
+    * Everything the index store persists besides the codes themselves.
+    */
+  case class AnnModel(centroids: Seq[Seq[Float]], codebook: PqCodebook)
+
+  /** The deterministic fixed model — what an index uses before any
+    * training has run (oracle-replicable, low recall).
+    */
+  lazy val FixedAnnModel: AnnModel = AnnModel(
+    (0 until IvfCells).map(k => (0 until Dim).map(i => centroidWeight(k, i).toFloat)),
+    FixedPqCodebook)
+
+  /** Train both halves of the index model on the current corpus —
+    * distributed Lloyd's for the IVF cells and per-subspace k-means for
+    * the PQ codebook; only centroid cells ever reach the driver.
+    */
+  def trainAnnModel(embeddings: DataFrame, ivfIters: Int = 4,
+      pqIters: Int = 2): AnnModel =
+    AnnModel(
+      trainIvfCentroids(embeddings, IvfCells, ivfIters).map(_.toSeq).toSeq,
+      trainPqCodebook(embeddings, pqIters))
+
+  /** Slim index rows (vec_id, cell, code0..7) for `embeddings` under
+    * `model` — ONE codegen'd encoder scan, 4 B of codes per vector; the
+    * full vectors never land in the index.
+    */
+  def encodeSlim(embeddings: DataFrame, model: AnnModel): DataFrame =
+    withPqCodes(withCells(embeddings, model.centroids), model.codebook)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until PqSub).map(m => col(s"code$m")): _*)
+
+  /** ADC search over a slim coded index built with `model`: queries
+    * (vec_id, embedding) route through the model's cells (nprobe=2) and
+    * precompute their LUTs from its codebook; candidates rank by the
+    * 8-lookup ADC distance. The corpus side touches CODES only — this
+    * is the probe the streamed/retrained index store serves.
+    */
+  def annCodesSearch(index: DataFrame, queries: DataFrame, model: AnnModel,
+      k: Int = 3): DataFrame = {
+    val q = withCells(queries, model.centroids)
+      .select(col("vec_id").as("query_id") +:
+        explode(array(col("cell"), col("cell2"))).as("cell") +:
+        pqLutCols(model.codebook): _*)
+    pqTopK(index.join(broadcast(q), Seq("cell")), k)
   }
 
   /** PQ shortlist + exact re-rank (the FAISS refine pattern,

@@ -339,6 +339,36 @@ object Sinks {
     publishVersion(fs, dir, next, names)
   }
 
+  /** Snapshot REPLACEMENT: write `df` as a fresh file generation and
+    * commit a manifest naming ONLY those files — the swap primitive a
+    * full-refresh materialization or index REBUILD needs
+    * ([[compactSnapshot]] is this specialized to re-writing the current
+    * head's own rows). Earlier snapshots stay readable bit-for-bit;
+    * superseded generations await [[vacuumSnapshots]]. Works on a
+    * fresh/uncommitted directory too (publishes version 1), and
+    * [[commitSnapshot]]'s union-of-history filter keeps post-swap
+    * appends from resurrecting the replaced files.
+    */
+  def replaceSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, numFiles: Int = 1): Int = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val next = Snapshots.versions(fs, dir).lastOption.getOrElse(0) + 1
+    val tmp = new org.apache.hadoop.fs.Path(dir, f".replace-v$next%05d")
+    df.repartition(numFiles).write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).iterator.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+    val names = parts.zipWithIndex.map { case (p, i) =>
+      val n = f"replace-v$next%05d-p$i%04d.parquet"
+      if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, n)))
+        throw new java.io.IOException(s"replacement rename failed for $p")
+      n
+    }
+    fs.delete(tmp, true)
+    publishVersion(fs, dir, next, names)
+  }
+
   /** Temp-write + atomic-rename publish of `_manifest-v<version>`. */
   private def publishVersion(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, version: Int,

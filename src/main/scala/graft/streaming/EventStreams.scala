@@ -475,24 +475,120 @@ object EventStreams {
     * store, and a replayed micro-batch is idempotent via the batchId
     * marker.
     */
-  def annIndexIngestStream(vectors: DataFrame,
-      indexPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def annIndexIngestStream(vectors: DataFrame, indexPath: String,
+      streamId: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = markerPath(indexPath, batchId)
+        // batchIds restart at 0 for a NEW query (fresh checkpoint) over
+        // the same store — a successor ingest stream must carry its own
+        // streamId or its replayed ids collide with the predecessor's
+        // markers and its batches silently skip
+        val marker = markerPath(
+          if (streamId.isEmpty) indexPath else s"$indexPath-$streamId", batchId)
         if (!markerExists(batch, marker)) {
-          val coded = graft.operators.SimilarityOps.withPqCodes(
-            graft.operators.SimilarityOps.withIvfCells(batch))
-          coded.select(col("vec_id") +: col("cell") +:
-              (0 until graft.operators.SimilarityOps.PqSub)
-                .map(m => col(s"code$m")): _*)
+          // encode against the CURRENT model: the fixed pseudo-random
+          // structures until the first retrain, the trained sidecar
+          // model after — so post-retrain batches land in the same
+          // geometry the head snapshot was rebuilt in
+          val model = readAnnModel(batch.sparkSession, indexPath)
+            .getOrElse(graft.operators.SimilarityOps.FixedAnnModel)
+          graft.operators.SimilarityOps.encodeSlim(batch, model)
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
+          // fold the new files into the snapshot head (union-of-history
+          // keeps retrain-superseded generations from resurrecting)
+          graft.sources.Sinks.commitSnapshot(batch.sparkSession, indexPath)
           writeMarker(batch, marker)
         }
         ()
       }
+
+  // --------------------------------------------- ANN index lifecycle
+
+  /** TSV encoding of an [[graft.operators.SimilarityOps.AnnModel]] —
+    * kind, three integer coordinates, one float weight per line; float
+    * round-trips are exact (shortest-repr toString / toFloat).
+    */
+  private def modelLines(
+      model: graft.operators.SimilarityOps.AnnModel): Seq[String] =
+    model.centroids.zipWithIndex.flatMap { case (c, k) =>
+      c.zipWithIndex.map { case (w, i) => s"ivf\t$k\t$i\t0\t$w" }
+    } ++
+      model.codebook.zipWithIndex.flatMap { case (sub, m) =>
+        sub.zipWithIndex.flatMap { case (cj, j) =>
+          cj.zipWithIndex.map { case (w, i) => s"pq\t$m\t$j\t$i\t$w" }
+        }
+      }
+
+  /** Latest `_model-v*` sidecar in the index directory, if any — the
+    * trained geometry probes and ingest batches must share. None until
+    * the first [[annIndexRetrain]] (callers fall back to the fixed
+    * model).
+    */
+  def readAnnModel(spark: SparkSession,
+      indexPath: String): Option[graft.operators.SimilarityOps.AnnModel] = {
+    val dir = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val latest = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.matches("_model-v\\d{5}") =>
+        n.stripPrefix("_model-v").toInt }
+      .toSeq.sorted.lastOption
+    latest.map { v =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, f"_model-v$v%05d"))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(_.split("\t", -1)).toList
+        finally in.close()
+      val ivf = Array.ofDim[Float](graft.operators.SimilarityOps.IvfCells,
+        graft.operators.SimilarityOps.Dim)
+      val pq = Array.ofDim[Float](graft.operators.SimilarityOps.PqSub,
+        graft.operators.SimilarityOps.PqCent, 8)
+      lines.foreach { a =>
+        if (a(0) == "ivf") ivf(a(1).toInt)(a(2).toInt) = a(4).toFloat
+        else pq(a(1).toInt)(a(2).toInt)(a(3).toInt) = a(4).toFloat
+      }
+      graft.operators.SimilarityOps.AnnModel(
+        ivf.map(_.toIndexedSeq).toIndexedSeq,
+        IndexedSeq.tabulate(graft.operators.SimilarityOps.PqSub,
+          graft.operators.SimilarityOps.PqCent, 8)((m, j, i) => pq(m)(j)(i)))
+    }
+  }
+
+  /** Retrain-and-swap maintenance for a streamed ANN index store — the
+    * hook that keeps [[annIndexIngestStream]]'s index from degrading as
+    * the corpus drifts away from the geometry it was encoded in:
+    * re-train both model halves on the CURRENT corpus, re-encode it,
+    * publish the model sidecar and then the rebuilt snapshot
+    * ([[graft.sources.Sinks.replaceSnapshot]] — earlier snapshots stay
+    * readable, stragglers invisible, post-swap ingest appends cleanly).
+    * Model-before-manifest ordering means a reader never pairs a new
+    * snapshot with a stale model; single concurrent retrainer assumed
+    * (the usual maintenance-job contract). Returns the new version.
+    */
+  def annIndexRetrain(corpus: DataFrame, indexPath: String): Int = {
+    val spark = corpus.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val model = graft.operators.SimilarityOps.trainAnnModel(corpus)
+    val next = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.matches("_manifest-v\\d{5}") =>
+        n.stripPrefix("_manifest-v").toInt }
+      .toSeq.sorted.lastOption.getOrElse(0) + 1
+    val tmp = new org.apache.hadoop.fs.Path(dir, f"._model-v$next%05d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((modelLines(model).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val sidecar = new org.apache.hadoop.fs.Path(dir, f"_model-v$next%05d")
+    if (!fs.rename(tmp, sidecar))
+      throw new java.io.IOException(s"model publish failed for $indexPath")
+    val got = graft.sources.Sinks.replaceSnapshot(spark, indexPath,
+      graft.operators.SimilarityOps.encodeSlim(corpus, model))
+    require(got == next, s"concurrent writer during retrain: $got != $next")
+    got
+  }
 
   case class SessionEvent(user_id: Long, event_id: Long, ts_s: Long)
   case class SessionState(sessionCount: Long, eventCount: Long, lastTs: Long,

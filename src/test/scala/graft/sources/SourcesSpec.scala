@@ -409,6 +409,29 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("replaceSnapshot swaps the head while history stays readable") {
+    val dir = tmp()
+    val path = s"$dir/t"
+    // works on a fresh directory: publishes v1
+    val v1 = Sinks.replaceSnapshot(spark, path, Seq((1L, "a")).toDF("k", "v"))
+    assert(v1 == 1)
+    assert(Readers.readSnapshot(spark, path).count() == 1)
+    // a full-refresh swap: head shows ONLY the replacement rows
+    val v2 = Sinks.replaceSnapshot(spark, path,
+      Seq((10L, "x"), (11L, "y")).toDF("k", "v"))
+    assert(v2 == 2)
+    assert(Readers.readSnapshot(spark, path).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+    // time travel across the swap
+    assert(Readers.readSnapshot(spark, path, Some(1)).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // append-then-commit after the swap must not resurrect v1's files
+    Seq((12L, "z")).toDF("k", "v").write.mode("append").parquet(path)
+    Sinks.commitSnapshot(spark, path)
+    assert(Readers.readSnapshot(spark, path).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L, 12L))
+  }
+
   test("readSkipping over an EMPTY stats-committed dataset returns the empty frame") {
     // an empty dataset commits a row-less _stats sidecar; skipping reads
     // must yield the documented limit(0) frame, not throw
