@@ -52,6 +52,37 @@ object Readers {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Document-DB raw-dump ingestion — the reference's Mongo extract
+    * (`mongo_to_s3.py:14-36`) lands a whole collection as ONE JSON
+    * array on the raw layer, ObjectId/datetime stringified through a
+    * driver-side cursor. The Spark-native read of that landing shape:
+    * multiLine JSON-array parse (distributed across dump files), Mongo
+    * Extended-JSON normalization (`{"$oid": …}` → the id string,
+    * `{"$date": …}` → timestamp), one level of nested-document
+    * flattening (`addr.city` → `addr_city` — document stores nest,
+    * warehouses don't), then optional [[conform]] to the expected
+    * contract columns.
+    */
+  def documentDump(spark: SparkSession, path: String,
+      expected: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val flat = raw.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case s: StructType if s.fieldNames.sameElements(Array("$oid")) =>
+          Seq(col(s"`${f.name}`.`$$oid`").as(f.name))
+        case s: StructType if s.fieldNames.sameElements(Array("$date")) =>
+          Seq(col(s"`${f.name}`.`$$date`").cast("timestamp").as(f.name))
+        case s: StructType =>
+          s.fieldNames.toSeq.map(n =>
+            col(s"`${f.name}`.`$n`").as(s"${f.name}_$n"))
+        case _ => Seq(col(s"`${f.name}`"))
+      }
+    }
+    val df = raw.select(flat: _*)
+    if (expected.isEmpty) df else conform(df, expected)
+  }
+
   /** JDBC warehouse read — the reference pulls its star tables back out
     * of Redshift over a psycopg2 cursor on one machine
     * (nyc_hybrid_etl_pipeline.py:1-60); Spark's JDBC source keeps the

@@ -900,25 +900,23 @@ object EventStreams {
         // error, or a dangling -retired directory from a crash between
         // the two swap renames must FAIL the batch loudly (the manual
         // repair documented above), never silently restart version
-        // history from an empty dimension.
-        val dimP = java.nio.file.Paths.get(dimPath).toAbsolutePath
+        // history from an empty dimension. All store paths resolve on
+        // the STORE's own filesystem (hdfs://s3a:// included), like the
+        // batch markers.
+        val fs = new org.apache.hadoop.fs.Path(dimPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dimP = fs.makeQualified(new org.apache.hadoop.fs.Path(dimPath))
         val dangling =
-          if (!java.nio.file.Files.isDirectory(dimP.getParent)) None
-          else {
-            val ls = java.nio.file.Files.list(dimP.getParent)
-            try {
-              import scala.jdk.CollectionConverters._
-              ls.iterator.asScala.find(_.getFileName.toString
-                .startsWith(dimP.getFileName.toString + "-retired-"))
-            } finally ls.close()
-          }
+          if (!fs.exists(dimP.getParent)) None
+          else fs.listStatus(dimP.getParent).iterator.map(_.getPath)
+            .find(_.getName.startsWith(dimP.getName + "-retired-"))
         dangling.foreach { d =>
           throw new IllegalStateException(
             s"SCD2 store swap was interrupted: found $d; " +
               s"restore it to $dimPath (or delete it if $dimPath is complete) before resuming")
         }
         val store =
-          if (java.nio.file.Files.exists(dimP))
+          if (fs.exists(dimP))
             spark.read.parquet(dimPath)
           else
             spark.createDataFrame(
@@ -950,19 +948,19 @@ object EventStreams {
             lit(true).as("is_current"))
         val next = closedHistory.unionByName(kept).unionByName(closed)
           .unionByName(opened).unionByName(fresh)
-        val staging = s"$dimPath-staging-$batchId"
-        next.write.mode("overwrite").parquet(staging)
-        val target = java.nio.file.Paths.get(dimPath)
-        val retired = java.nio.file.Paths.get(s"$dimPath-retired-$batchId")
-        if (java.nio.file.Files.exists(target))
-          java.nio.file.Files.move(target, retired)
-        java.nio.file.Files.move(java.nio.file.Paths.get(staging), target)
+        val staging = new org.apache.hadoop.fs.Path(s"$dimPath-staging-$batchId")
+        next.write.mode("overwrite").parquet(staging.toString)
+        val retired = new org.apache.hadoop.fs.Path(s"$dimPath-retired-$batchId")
+        if (fs.exists(dimP) && !fs.rename(dimP, retired))
+          throw new java.io.IOException(s"SCD2 swap: retire rename failed for $dimPath")
+        if (!fs.rename(staging, dimP))
+          throw new java.io.IOException(s"SCD2 swap: staging rename failed for $staging")
         // the retired-store delete must THROW on failure: swallowing it
         // would leave a dangling -retired dir that makes every later
         // batch fail the interrupted-swap check with a misleading
         // "restore the store" message while hiding the real cause
-        if (java.nio.file.Files.exists(retired))
-          org.apache.commons.io.FileUtils.forceDelete(retired.toFile)
+        if (fs.exists(retired) && !fs.delete(retired, true))
+          throw new java.io.IOException(s"SCD2 swap: retired delete failed for $retired")
         ()
       }
 }

@@ -379,6 +379,11 @@ class PlanAuditSpec extends SparkSpec {
       "embed_outliers" -> 1, // per-(label, dim) stats: ~10 langs × 64 dims
       "embed_ivfpq_ann" -> 1, // query LUT frame: filter(vec_id < nQueries literal)
       "embed_pq_ann" -> 1, // query LUT frame: filter(vec_id < nQueries literal)
+      "embed_pq_rerank" -> 2, // shortlist LUT frame + rerank query frame,
+      // both filter(vec_id < nQueries literal)
+      "pq_trained_recall" -> 4, // exact-leg queries + fixed-probe LUTs +
+      // trained shortlist LUTs + rerank queries, all vec_id < nQueries
+      // literal-bounded
       "pq_recall_report" -> 3, // 3 literal-bounded query frames: exact leg +
       // the two audited probes' own vec_id < nQueries LUT broadcasts
       "embed_quantize" -> 1, // per-dim min/max: exactly 64 rows

@@ -409,6 +409,34 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("documentDump normalizes a Mongo-style JSON-array collection dump") {
+    val dir = tmp()
+    val dump = s"""[
+      |{"_id": {"$$oid": "65f1a"}, "name": "alice",
+      | "addr": {"city": "nyc", "zip": "10001"},
+      | "created": {"$$date": "2024-01-02T03:04:05.000Z"}},
+      |{"_id": {"$$oid": "65f1b"}, "name": "bob",
+      | "addr": {"city": "sf", "zip": "94110"},
+      | "created": {"$$date": "2024-02-03T04:05:06.000Z"}}
+      |]""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/dump.json"), dump.getBytes("UTF-8"))
+    val df = Readers.documentDump(spark, s"$dir/dump.json")
+    // $oid → id string, $date → timestamp, nested doc flattened
+    assert(df.columns.sorted.toSeq ==
+      Seq("_id", "addr_city", "addr_zip", "created", "name"))
+    val rows = df.orderBy("_id").collect()
+    assert(rows.map(_.getAs[String]("_id")).toSeq == Seq("65f1a", "65f1b"))
+    assert(rows.map(_.getAs[String]("addr_city")).toSeq == Seq("nyc", "sf"))
+    assert(rows.head.getAs[java.sql.Timestamp]("created") != null)
+    // contract conform: missing expected columns appear as typed nulls
+    val conformed = Readers.documentDump(spark, s"$dir/dump.json",
+      Seq("_id", "name", "addr_city", "source_system"))
+    assert(conformed.columns.toSeq ==
+      Seq("_id", "name", "addr_city", "source_system"))
+    assert(conformed.collect().forall(_.isNullAt(3)))
+  }
+
   test("replaceSnapshot swaps the head while history stays readable") {
     val dir = tmp()
     val path = s"$dir/t"
