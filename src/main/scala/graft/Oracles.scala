@@ -1529,6 +1529,33 @@ object Oracles {
          |   AS natural_share_micro
          |FROM c""".stripMargin,
 
+    // PipelineOps.mixtureResample: the temperature mixture EXECUTED —
+    // per-language acceptance micro threshold (exact integer, HUGEINT
+    // internals) decided per doc by the shared salted md5 hash
+    "mixture_resample" ->
+      s"""WITH t AS (SELECT lang,
+         |  CAST(CASE WHEN length(${normTextSql("text")}) = 0 THEN 0
+         |       ELSE len(string_split(${normTextSql("text")}, ' ')) END AS BIGINT) AS n
+         | FROM documents),
+         |g AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+         |w AS (SELECT lang, n_tokens,
+         |  CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s1 FROM g),
+         |c AS (SELECT lang, n_tokens,
+         |  CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens THEN s1 + 1
+         |       WHEN s1 * s1 > n_tokens THEN s1 - 1
+         |       ELSE s1 END AS weight FROM w),
+         |a AS (SELECT lang,
+         |  CAST(LEAST(1000000,
+         |    (weight::HUGEINT * (SUM(n_tokens) OVER ()) * 1000000) //
+         |    (n_tokens::HUGEINT * (SUM(weight) OVER ()))) AS BIGINT)
+         |    AS accept_micro
+         | FROM c WHERE n_tokens > 0)
+         |SELECT doc_id, d.lang, source, accept_micro
+         |FROM documents d JOIN a ON d.lang = a.lang
+         |WHERE ${hash32Sql(
+             s"'${graft.operators.PipelineOps.MixSalt}' || CAST(doc_id AS VARCHAR)")}
+         |  % 1000000 < accept_micro""".stripMargin,
+
     "embed_outliers" ->
       """WITH clean AS (
         | SELECT vec_id, label, embedding FROM embeddings

@@ -248,6 +248,8 @@ object SparkEntry {
       Analytics.windowedConversion(events(s, d))),
     "mixture_temperature" -> ((s, d) =>
       PipelineOps.mixtureTemperature(documents(s, d))),
+    "mixture_resample" -> ((s, d) =>
+      PipelineOps.mixtureResample(documents(s, d))),
     "embed_dim_stats" -> ((s, d) =>
       SimilarityOps.embedDimStats(embeddings(s, d))),
     "embed_outliers" -> ((s, d) =>

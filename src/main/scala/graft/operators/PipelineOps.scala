@@ -280,8 +280,13 @@ object PipelineOps {
     * can never flip it in either engine), and every share is integer
     * micro-units over window totals that span ≤ |langs| rows.
     */
-  def mixtureTemperature(documents: DataFrame): DataFrame = {
-    val perLang = documents
+  /** Per-language token totals with the exact-integer-sqrt temperature
+    * weight (α = 0.5) — the shared core of [[mixtureTemperature]] (the
+    * report) and [[mixtureResample]] (the execution), so the two can
+    * never disagree about a weight.
+    */
+  private def langWeights(documents: DataFrame): DataFrame =
+    documents
       .select(col("lang"), size(TextFns.tokens(col("text"))).cast("long").as("n"))
       .groupBy(col("lang"))
       .agg(sum(col("n")).as("n_tokens"))
@@ -292,14 +297,56 @@ object PipelineOps {
         """case when (s1 + 1) * (s1 + 1) <= n_tokens then s1 + 1
           |     when s1 * s1 > n_tokens then s1 - 1
           |     else s1 end""".stripMargin))
+
+  def mixtureTemperature(documents: DataFrame): DataFrame = {
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    perLang
+    langWeights(documents)
       .withColumn("tot_w", sum(col("weight")).over(wAll))
       .withColumn("tot_t", sum(col("n_tokens")).over(wAll))
       .select(col("lang"), col("n_tokens"), col("weight"),
         expr("(weight * 1000000) div tot_w").as("share_micro"),
         expr("(n_tokens * 1000000) div tot_t").as("natural_share_micro"))
+  }
+
+  /** Salt for the mixture-resample acceptance hash — bump to re-draw
+    * (same contract as [[SampleSalt]]/[[SplitSalt]]).
+    */
+  val MixSalt = "mix:v1:"
+
+  /** EXECUTE the temperature mixture — the resampling step
+    * [[mixtureTemperature]] only reports: each language is
+    * deterministically down-sampled to its α=0.5 share, acceptance
+    * p_L = min(1, (w_L/Σw) / (t_L/Σt)) decided per document by the
+    * shared salted id hash. No RNG — any engine re-derives the same
+    * corpus, and a document's verdict never changes as other languages
+    * grow. Languages at/below their temperature share keep every doc
+    * (the no-duplication variant; upsampling low-resource languages is
+    * a repeat-factor at training time, not row duplication here).
+    * Exact integer arithmetic: the acceptance threshold is a micro-unit
+    * ratio in DECIMAL(38,0) (w·Σt·10⁶ crosses 2⁶³ at lake scale).
+    *
+    * Scale: one tokenize rollup to ≤|langs| rows broadcast back, then
+    * ONE codegen'd filter pass over the corpus — no shuffle of
+    * document rows at all.
+    */
+  def mixtureResample(documents: DataFrame): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val accept = langWeights(documents)
+      .filter(col("n_tokens") > 0)
+      .withColumn("tot_w", sum(col("weight")).over(wAll))
+      .withColumn("tot_t", sum(col("n_tokens")).over(wAll))
+      .select(col("lang"), expr(
+        """cast(least(1000000,
+          |  (cast(weight as decimal(38,0)) * tot_t * 1000000) div
+          |  (cast(n_tokens as decimal(38,0)) * tot_w)) as bigint)""".stripMargin)
+        .as("accept_micro"))
+    documents
+      .join(broadcast(accept), Seq("lang"))
+      .filter(HashFns.hash32(concat(lit(MixSalt), col("doc_id").cast("string")))
+        % 1000000 < col("accept_micro"))
+      .select(col("doc_id"), col("lang"), col("source"), col("accept_micro"))
   }
 
   /** End-to-end curation verdict — the composition a pipeline actually

@@ -181,6 +181,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinAt < probeAt, "probe must sit below (after in text) the join")
   }
 
+  test("two-level prefix-sum rewrites partition their row windows by segment") {
+    // the round-6 decompositions must stay decomposed: the row-grain
+    // window of each rewrite hash-partitions by its segment key (the
+    // summary window is the only unpartitioned one, over the bounded
+    // summary table)
+    Seq(
+      "supplier_abc_classes" -> "hashpartitioning(bucket",
+      "token_pack" -> "hashpartitioning(lang",
+      "rolling_anomaly_flags" -> "hashpartitioning(event_type",
+      "vocab_coverage" -> "hashpartitioning(tf").foreach { case (q, frag) =>
+      assert(plan(q).contains(frag),
+        s"$q row window must partition by its segment key ($frag)")
+    }
+    // rolling_anomaly_flags' within-day window must carry the day key
+    // (event_type alone would be the old 5-partition shape)
+    val raf = SparkEntry.queries("rolling_anomaly_flags")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val winLines = raf.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(l => l.contains("event_type") && l.contains("day")),
+      "within-day window must partition by (event_type, day):\n" +
+        winLines.mkString("\n"))
+  }
+
+  test("quantized-CDF rewrites keep their windows on the distinct-dollar grain") {
+    // customer_spend_quartiles: the only windows run over the
+    // (segment, dollars) aggregate — the per-customer rows reach a join,
+    // never a window
+    val csq = SparkEntry.queries("customer_spend_quartiles")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val winIdx = csq.indexOf("Window")
+    assert(winIdx >= 0)
+    assert(csq.substring(winIdx).contains("dollars"),
+      "quartile windows must consume the dollar-grain aggregate")
+    // spend_decile_lift: decile CDF groups by dollars, not raw cents
+    val sdl = SparkEntry.queries("spend_decile_lift")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(sdl.contains("dollars"), "decile CDF must be dollar-quantized")
+    // nation_supplier_hhi: no window at all — totals broadcast back
+    val hhi = plan("nation_supplier_hhi")
+    assert(!hhi.contains("Window"), "per-nation totals must be a join, not a window")
+    assert(hhi.contains("BroadcastHashJoin"))
+  }
+
   test("skyline's fact-side window partitions by bucket, not one partition") {
     val p = plan("price_qty_skyline")
     assert(p.contains("hashpartitioning(bucket"),
@@ -393,6 +436,7 @@ class PlanAuditSpec extends SparkSpec {
       "price_qty_skyline" -> 1, // per-cell maxima of the fixed anti-corner grid
       "robust_price_stats" -> 3, // median/P5/P95 probes per o_orderpriority (5-value enum)
       "rolling_distinct_users" -> 2, // distinct-day frames: calendar-bounded, not SF-bounded
+      "mixture_resample" -> 1, // per-lang acceptance thresholds: ≤|langs| rows
       "customer_spend_quartiles" -> 1, // per-(segment, dollar) quartile map:
       // bounded by segment enum × dollar price domain, never customers
       "supplier_abc_classes" -> 1, // revenue-bucket offsets: bounded by the

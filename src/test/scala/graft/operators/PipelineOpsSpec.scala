@@ -167,6 +167,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.last.getAs[Double]("cum_coverage_pct") == 100.0)
   }
 
+  test("mixtureResample keeps low-resource languages whole and down-samples the rest") {
+    // en: 10 docs × 10 tokens = 100; fr: 2 docs × 2 tokens = 4
+    // weights √: en 10, fr 2 → accept(en) = min(1, (10/12)/(100/104))
+    // = 866666 micro; accept(fr) = min(1, (2/12)/(4/104)) = 1.0
+    val rows = (1L to 10L).map(i => (i, "a b c d e f g h i j", "en")) ++
+      Seq((11L, "x y", "fr"), (12L, "u v", "fr"))
+    val df = docs(rows: _*)
+    val out = PipelineOps.mixtureResample(df).collect()
+    val byLang = out.groupBy(_.getString(1))
+    // fr is below its temperature share: every doc survives at micro 1e6
+    assert(byLang("fr").length == 2)
+    assert(byLang("fr").forall(_.getAs[Long]("accept_micro") == 1000000L))
+    // en down-samples under the exact threshold; fraction data-dependent
+    assert(byLang.get("en").forall(_.forall(
+      _.getAs[Long]("accept_micro") == 866666L)))
+    assert(byLang.getOrElse("en", Array.empty).length < 10)
+    // deterministic: the same corpus resamples to the same doc set
+    val again = PipelineOps.mixtureResample(df).collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet)
+  }
+
   test("curatedCorpus is the intersection of survivors, quality gate, and sample") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
