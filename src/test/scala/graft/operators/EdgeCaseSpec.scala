@@ -171,4 +171,49 @@ class EdgeCaseSpec extends SparkSpec {
     val bl = TrendOps.orderBacklogTimeline(oneDay, noShip).collect()
     assert(bl.length == 1 && bl(0).getLong(3) == 1L)
   }
+
+  test("round-6 rewrites and additions survive degenerate and empty inputs") {
+    import java.sql.Timestamp
+    // decomposed ABC on empty lineitem: empty, not a crash
+    val noLines = Seq.empty[(Long, Double)].toDF("l_suppkey", "l_extendedprice")
+    assert(Analytics.supplierAbcClasses(noLines).count() == 0)
+    // quartiles when EVERY customer ties on quantized dollars: one group,
+    // everyone lands in quartile 1 (ties never split)
+    val tied = Seq((1L, Timestamp.valueOf("2000-01-01 00:00:00"), 100.0),
+      (2L, Timestamp.valueOf("2000-01-02 00:00:00"), 100.4))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .withColumnRenamed("o_custkey", "o_custkey")
+    val cust = Seq((1L, "x", 1, 0.0, "SEG"), (2L, "y", 1, 0.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders2 = Seq((10L, 1L, "O", 100.0, Timestamp.valueOf("2000-01-01 00:00:00"), "p"),
+      (11L, 2L, "O", 100.4, Timestamp.valueOf("2000-01-02 00:00:00"), "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val qs = Analytics.customerSpendQuartiles(orders2, cust).collect()
+    assert(qs.length == 2 && qs.forall(_.getAs[Int]("spend_quartile") == 1))
+    // decile lift with one customer: one decile carrying 100%
+    val oneCust = Seq((10L, 1L, "O", 50.0,
+      Timestamp.valueOf("2000-01-01 00:00:00"), "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val lift = Analytics.spendDecileLift(oneCust).collect()
+    assert(lift.length == 1 && lift(0).getAs[Long]("rev_share_micro") == 1000000L)
+    // rolling anomalies with all-null timestamps: empty, not a crash
+    val nullTs = Seq((1L, "T", 1.0, null.asInstanceOf[Timestamp]))
+      .toDF("event_id", "event_type", "value", "ts")
+    assert(TrendOps.rollingAnomalyFlags(nullTs).count() == 0)
+    // mixture resample of an all-empty-text corpus: nothing survives
+    // (every language rolls up to zero tokens), no division blowup
+    val blank = Seq((1L, "", "en", "src", 0L), (2L, "  ", "fr", "src", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(PipelineOps.mixtureResample(blank).count() == 0)
+    // token_pack on empty documents: empty
+    assert(PipelineOps.tokenPack(blank.limit(0)).count() == 0)
+    // PQ rerank on a corpus smaller than the shortlist still ranks
+    val tiny = Seq.tabulate(4)(i =>
+      (i.toLong, Seq.tabulate(64)(d => ((d + i) % 5 - 2).toFloat / 3f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rr = SimilarityOps.pqRerankAnn(tiny, nQueries = 2, k = 3)
+    assert(rr.count() > 0)
+  }
 }
