@@ -393,9 +393,33 @@ object DedupOps {
     * here, shared with the embed_ivf_ann oracle; cross-cell near-dups
     * are missed by design (the documented recall trade-off).
     */
-  def dedupSemantic(embeddings: DataFrame, minCos: Double = 0.99): DataFrame = {
-    val celled = SimilarityOps.withIvfCells(embeddings)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+  def dedupSemantic(embeddings: DataFrame, minCos: Double = 0.99): DataFrame =
+    semanticVerdicts(
+      SimilarityOps.withIvfCells(embeddings)
+        .select(col("vec_id"), col("embedding"), col("cell")), minCos)
+
+  /** [[dedupSemantic]] over TRAINED IVF cells (Lloyd's k-means) — the
+    * SemDeDup paper's actual setting: cluster the corpus, then prune
+    * within clusters. Better-fitting cells co-locate near-duplicate
+    * pairs the fixed pseudo-random partition can split across cells.
+    * Spec-gated like [[SimilarityOps.ivfTrainedAnn]] (k-means centroids
+    * are data-dependent floats); the fixed-cell variant stays the
+    * oracle-graded one.
+    */
+  def dedupSemanticTrained(embeddings: DataFrame, minCos: Double = 0.99,
+      iters: Int = 4): DataFrame =
+    semanticVerdicts(
+      SimilarityOps.withCells(embeddings,
+        SimilarityOps.trainIvfCentroids(embeddings, iters = iters)
+          .map(_.toSeq).toSeq)
+        .select(col("vec_id"), col("embedding"), col("cell")), minCos)
+
+  /** Shared SemDeDup core: within each cell, a vector is removed iff a
+    * LOWER-id cellmate sits at cosine ≥ minCos (keep-first policy); the
+    * cell join bounds candidate pairs, the cell count is the scale knob.
+    */
+  private def semanticVerdicts(celledIn: DataFrame, minCos: Double): DataFrame = {
+    val celled = celledIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = celled.select(col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))

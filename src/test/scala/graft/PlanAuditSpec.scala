@@ -224,6 +224,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(hhi.contains("BroadcastHashJoin"))
   }
 
+  test("mixture_resample filters the corpus without ever shuffling doc rows") {
+    val p = plan("mixture_resample")
+    // the acceptance thresholds broadcast back; the corpus path is
+    // scan → broadcast join → codegen'd filter — a sort-merge or
+    // shuffled-hash join here would move every document by lang
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+    // the only hash exchange is the ≤|langs| token rollup
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 rollup exchange, got $hashExchanges")
+  }
+
   test("skyline's fact-side window partitions by bucket, not one partition") {
     val p = plan("price_qty_skyline")
     assert(p.contains("hashpartitioning(bucket"),

@@ -77,6 +77,44 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("dedupSemanticTrained keeps the verdict contract on trained cells") {
+    // identical pair must still collapse (k-means cannot split equal
+    // vectors), keep-first policy holds, and on real data every removal
+    // has a lower-id same-cell witness at >= minCos — the SemDeDup
+    // contract independent of which cells the training produced
+    val v = Seq.tabulate(64)(i => (i % 9).toFloat - 4f)
+    val w = Seq.tabulate(64)(i => (i % 3).toFloat + 1f)
+    val small = vecs(1L -> v, 2L -> v, 3L -> w)
+    val out = DedupOps.dedupSemanticTrained(small, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("is_removed")).toMap
+    assert(out(1L) == false && out(2L) == true)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val verdicts = DedupOps.dedupSemanticTrained(emb, minCos = 0.3, iters = 2)
+    assert(verdicts.count() == emb.count(), "one verdict per vector")
+    // removed ⇒ witness exists: re-derive pairs from the verdict frame
+    val cells = verdicts.select("vec_id", "cell")
+    val vecsDf = emb.select("vec_id", "embedding")
+    val joined = cells.as("x").join(cells.as("y"), "cell")
+      .filter(org.apache.spark.sql.functions.col("x.vec_id") <
+        org.apache.spark.sql.functions.col("y.vec_id"))
+      .select(org.apache.spark.sql.functions.col("x.vec_id").as("a"),
+        org.apache.spark.sql.functions.col("y.vec_id").as("b"))
+      .join(vecsDf.withColumnRenamed("vec_id", "a")
+        .withColumnRenamed("embedding", "ea"), "a")
+      .join(vecsDf.withColumnRenamed("vec_id", "b")
+        .withColumnRenamed("embedding", "eb"), "b")
+      .filter(org.apache.spark.sql.functions.round(
+        graft.functions.VectorFns.cosine(
+          org.apache.spark.sql.functions.col("ea"),
+          org.apache.spark.sql.functions.col("eb")), 6) >= 0.3)
+      .select("b").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val removed = verdicts.filter("is_removed")
+      .collect().map(_.getLong(0)).toSet
+    assert(removed == joined,
+      "removed set must be exactly the vectors with a lower-id same-cell witness")
+  }
+
   test("lshAnn buckets identical vectors together") {
     val v = Seq.tabulate(64)(i => (i % 5).toFloat - 2f)
     val df = vecs(0L -> v, 40L -> v)
