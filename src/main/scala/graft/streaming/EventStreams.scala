@@ -260,6 +260,28 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming form of
+    * [[graft.operators.PipelineOps.mixtureResample]]: admit each
+    * streamed document iff its salted id hash clears the language's
+    * PINNED acceptance threshold. The thresholds come from a committed
+    * weights table (derive it with `mixtureResample`'s batch core over
+    * a corpus snapshot and refresh on a retrain cadence — the pinned-
+    * baseline pattern of [[statsDriftStream]]): a stream cannot
+    * aggregate its own future, so live-deriving weights would make a
+    * document's verdict depend on arrival order. Stateless — one
+    * broadcast join + a codegen'd filter per micro-batch, verdicts
+    * identical to the batch operator under any micro-batch split.
+    */
+  def mixtureResampleStream(documents: DataFrame,
+      acceptByLang: DataFrame): DataFrame =
+    documents
+      .join(broadcast(acceptByLang.select(col("lang"), col("accept_micro"))),
+        Seq("lang"))
+      .filter(graft.functions.HashFns.hash32(
+        concat(lit(graft.operators.PipelineOps.MixSalt),
+          col("doc_id").cast("string"))) % 1000000 < col("accept_micro"))
+      .select(col("doc_id"), col("lang"), col("source"), col("accept_micro"))
+
   /** Ingest-quality observation riding any event stream: per-micro-batch
     * row / null-key accounting and the event-time envelope, attached via
     * the `observe` metrics API — the aggregates piggyback on the

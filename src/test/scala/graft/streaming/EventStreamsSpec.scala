@@ -647,4 +647,28 @@ class EventStreamsSpec extends SparkSpec {
       "e0>e1>e2>e3>e4" -> 1L // user 3, truncated at pathLen=5
     ))
   }
+
+  test("mixtureResampleStream matches the batch resample under micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val batchOut = graft.operators.PipelineOps.mixtureResample(docs)
+    val want = batchOut.select("doc_id").collect().map(_.getLong(0)).toSet
+    // pinned thresholds: the batch core's per-language acceptance table
+    val accept = batchOut.select("lang", "accept_micro").distinct()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getString(3), r.getLong(4)))
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val streamDF = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = EventStreams.mixtureResampleStream(streamDF, accept)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mixout").start()
+    val (a, b) = rows.partition(_._1 % 2 == 0)
+    mem.addData(a.toSeq); q.processAllAvailable()
+    mem.addData(b.toSeq); q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id FROM mixout").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == want, "stream verdicts must equal the batch operator's")
+    assert(got.nonEmpty && got.size < rows.length)
+  }
 }
