@@ -604,8 +604,11 @@ object SimilarityOps {
     val init = embeddings.orderBy(col("vec_id")).limit(PqCent)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toIndexedSeq)
+    require(init.nonEmpty, "cannot train a PQ codebook on an empty corpus")
+    // a corpus shorter than PqCent seeds cyclically (like
+    // trainIvfCentroids' graceful short init, the geometry stays full)
     var cb: PqCodebook = IndexedSeq.tabulate(PqSub, PqCent, 8)(
-      (m, j, i) => init(j)(m * 8 + i))
+      (m, j, i) => init(j % init.length)(m * 8 + i))
     for (_ <- 0 until iters) {
       val subStruct = array((0 until PqSub).map(m =>
         struct(lit(m).as("m"), col(s"code$m").as("j"),
@@ -719,20 +722,7 @@ object SimilarityOps {
     * indexes themselves.
     */
   def pqRecallReport(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val dist = graft.functions.DotProduct.dotF(col("embedding"), col("embedding")) -
-      lit(2.0) * graft.functions.DotProduct.dotF(col("q"), col("embedding")) +
-      graft.functions.DotProduct.dotF(col("q"), col("q"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d"), col("neighbor_id"))
-    val exact = embeddings.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dist, 6).as("d"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact = exactL2TopK(embeddings, nQueries, k)
     val flat = pqAnn(embeddings, nQueries, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_pq"))
     val routed = ivfPqAnn(embeddings, nQueries, k)
@@ -747,6 +737,34 @@ object SimilarityOps {
       .withColumn("recall_pq_micro", expr("(n_hit_pq * 1000000) div n_exact"))
       .withColumn("recall_ivfpq_micro",
         expr("(n_hit_ivfpq * 1000000) div n_exact"))
+  }
+
+  /** Exact squared-L2 distance of `embedding` against query column `q`
+    * — left-fold dot products in double, shared by every PQ probe and
+    * audit so the probes and the ground truth they are graded against
+    * can never diverge on fold order or rounding.
+    */
+  private def sqL2(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.DotProduct.dotF(col("embedding"), col("embedding")) -
+      lit(2.0) * graft.functions.DotProduct.dotF(q, col("embedding")) +
+      graft.functions.DotProduct.dotF(q, q)
+
+  /** Exact squared-L2 top-k (query_id, neighbor_id) pairs for the first
+    * `nQueries` vectors — the brute-force ground-truth leg of the PQ
+    * recall audits (one definition; the audits and specs all call it).
+    */
+  def exactL2TopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col("neighbor_id"))
+    embeddings.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(sqL2(col("q")), 6).as("d"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
   }
 
   // --------------------------------------------------- ANN index model
@@ -816,16 +834,14 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"))
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val dist = graft.functions.DotProduct.dotF(col("embedding"), col("embedding")) -
-      lit(2.0) * graft.functions.DotProduct.dotF(col("q"), col("embedding")) +
-      graft.functions.DotProduct.dotF(col("q"), col("q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("l2_dist2"), col("neighbor_id"))
     cand
       .join(embeddings.select(col("vec_id").as("neighbor_id"),
         col("embedding")), Seq("neighbor_id"))
       .join(broadcast(queries), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), round(dist, 6).as("l2_dist2"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(sqL2(col("q")), 6).as("l2_dist2"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("l2_dist2"))
@@ -844,20 +860,7 @@ object SimilarityOps {
     */
   def pqTrainedRecall(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
       floorMicro: Long = 500000L, iters: Int = 2): DataFrame = {
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val dist = graft.functions.DotProduct.dotF(col("embedding"), col("embedding")) -
-      lit(2.0) * graft.functions.DotProduct.dotF(col("q"), col("embedding")) +
-      graft.functions.DotProduct.dotF(col("q"), col("q"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d"), col("neighbor_id"))
-    val exact = embeddings.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dist, 6).as("d"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact = exactL2TopK(embeddings, nQueries, k)
     val fixed = pqAnn(embeddings, nQueries, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_fixed"))
     val trained = pqRerankAnn(embeddings, nQueries, k,

@@ -65,20 +65,44 @@ object Readers {
     */
   def documentDump(spark: SparkSession, path: String,
       expected: Seq[String] = Seq.empty): DataFrame = {
-    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types.{DataType, StructType}
     val raw = spark.read.option("multiLine", "true").json(path)
+    // Extended-JSON wrapper → scalar, applied at both nesting levels
+    def normalize(c: org.apache.spark.sql.Column, dt: DataType)
+        : Option[org.apache.spark.sql.Column] = dt match {
+      case s: StructType if s.fieldNames.sameElements(Array("$oid")) =>
+        Some(c.getField("$oid"))
+      case s: StructType if s.fieldNames.sameElements(Array("$date")) =>
+        Some(c.getField("$date").cast("timestamp"))
+      case _ => None
+    }
     val flat = raw.schema.fields.toSeq.flatMap { f =>
-      f.dataType match {
-        case s: StructType if s.fieldNames.sameElements(Array("$oid")) =>
-          Seq(col(s"`${f.name}`.`$$oid`").as(f.name))
-        case s: StructType if s.fieldNames.sameElements(Array("$date")) =>
-          Seq(col(s"`${f.name}`.`$$date`").cast("timestamp").as(f.name))
-        case s: StructType =>
-          s.fieldNames.toSeq.map(n =>
-            col(s"`${f.name}`.`$n`").as(s"${f.name}_$n"))
-        case _ => Seq(col(s"`${f.name}`"))
+      val base = col(s"`${f.name}`")
+      normalize(base, f.dataType).map(_.as(f.name)).map(Seq(_)).getOrElse(
+        f.dataType match {
+          case s: StructType =>
+            s.fields.toSeq.map { child =>
+              val c = base.getField(child.name)
+              normalize(c, child.dataType).getOrElse(c)
+                .as(s"${f.name}_${child.name}")
+            }
+          case _ => Seq(base)
+        })
+    }
+    // a flattened `a.b` colliding with an existing top-level `a_b` would
+    // produce two same-named columns — every later reference ambiguous;
+    // fail loudly with the offenders named
+    val outNames = raw.schema.fields.toSeq.flatMap { f =>
+      if (normalize(col(s"`${f.name}`"), f.dataType).isDefined) Seq(f.name)
+      else f.dataType match {
+        case s: StructType => s.fieldNames.toSeq.map(n => s"${f.name}_$n")
+        case _ => Seq(f.name)
       }
     }
+    val dupNames = outNames.groupBy(identity)
+      .collect { case (n, g) if g.length > 1 => n }
+    require(dupNames.isEmpty,
+      s"documentDump flattening collides on column name(s) ${dupNames.mkString(", ")} — rename in the source or project explicitly")
     val df = raw.select(flat: _*)
     if (expected.isEmpty) df else conform(df, expected)
   }
@@ -223,9 +247,13 @@ object Readers {
         .filter(_.nonEmpty).map(_.split("\t", -1)).toList
       finally in.close()
     val byFile = rows.filter(_(1) == column)
-    // an empty dataset commits an empty sidecar (and a column the writer
-    // never profiled has no zones): zero files selected — readSkipping
-    // then returns its documented empty frame instead of throwing
+    // an EMPTY dataset commits a row-less sidecar: zero files selected —
+    // readSkipping then returns its documented empty frame. But a column
+    // the writer never profiled on a NON-empty dataset is a caller
+    // contract error: silently selecting zero files would be silent
+    // total data loss, so that still throws.
+    require(rows.isEmpty || byFile.nonEmpty,
+      s"_stats carries no zone for column $column")
     val keep = byFile.filter { a =>
       a(2).isEmpty || a(3).isEmpty ||
         !(a(3).toLong < lo || a(2).toLong > hi)

@@ -350,11 +350,20 @@ object Sinks {
     * appends from resurrecting the replaced files.
     */
   def replaceSnapshot(spark: org.apache.spark.sql.SparkSession,
-      path: String, df: DataFrame, numFiles: Int = 1): Int = {
+      path: String, df: DataFrame, numFiles: Int = 1,
+      expectedVersion: Int = -1): Int = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     val next = Snapshots.versions(fs, dir).lastOption.getOrElse(0) + 1
+    // compare-and-swap contract: a replacement built against snapshot
+    // vN names ONLY its own rows, so publishing after someone else
+    // committed vN+1 would silently drop that commit from the head —
+    // callers that trained/derived against a specific base pass
+    // expectedVersion = N+1 and get a pre-publish abort instead
+    if (expectedVersion >= 0 && next != expectedVersion)
+      throw new java.io.IOException(
+        s"snapshot CAS failed for $path: expected to publish v$expectedVersion, head moved to v${next - 1}")
     val tmp = new org.apache.hadoop.fs.Path(dir, f".replace-v$next%05d")
     df.repartition(numFiles).write.mode("overwrite").parquet(tmp.toString)
     val parts = fs.listStatus(tmp).iterator.map(_.getPath)
@@ -366,6 +375,15 @@ object Sinks {
       n
     }
     fs.delete(tmp, true)
+    // re-check right before the manifest publish: the generation files
+    // are on disk but unreferenced, so an abort leaves only vacuumable
+    // garbage, never a wrong head
+    val nowNext = Snapshots.versions(fs, dir).lastOption.getOrElse(0) + 1
+    if (expectedVersion >= 0 && nowNext != expectedVersion) {
+      names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+      throw new java.io.IOException(
+        s"snapshot CAS failed for $path: expected to publish v$expectedVersion, head moved to v${nowNext - 1}")
+    }
     publishVersion(fs, dir, next, names)
   }
 
@@ -540,6 +558,14 @@ object Sinks {
             rows.grouped(batchSize).foreach { group =>
               group.foreach { r => bind(upd, updOrder, r); upd.addBatch() }
               val counts = upd.executeBatch()
+              // missed-UPDATE detection NEEDS per-element counts; a
+              // driver answering SUCCESS_NO_INFO (Oracle; MySQL with
+              // statement rewriting) would silently skip every INSERT —
+              // fail loudly instead of losing rows
+              if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO))
+                throw new java.sql.SQLFeatureNotSupportedException(
+                  "writeJdbcUpsert requires a JDBC driver that reports " +
+                    "per-element batch update counts (got SUCCESS_NO_INFO)")
               val misses = group.iterator.zip(counts.iterator)
                 .collect { case (r, 0) => r }.toSeq
               misses.foreach { r => bind(ins, cols, r); ins.addBatch() }

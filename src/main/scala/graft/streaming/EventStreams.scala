@@ -276,10 +276,19 @@ object EventStreams {
       acceptByLang: DataFrame): DataFrame =
     documents
       .join(broadcast(acceptByLang.select(col("lang"), col("accept_micro"))),
-        Seq("lang"))
-      .filter(graft.functions.HashFns.hash32(
-        concat(lit(graft.operators.PipelineOps.MixSalt),
-          col("doc_id").cast("string"))) % 1000000 < col("accept_micro"))
+        Seq("lang"), "left")
+      // a language absent from the pinned table (arrived since the last
+      // weights refresh) is rejected — but NEVER silently: the count
+      // rides StreamingQueryProgress.observedMetrics, so a stale table
+      // shows up as a rising unknown_lang_docs, not as quiet data loss
+      .observe("mixture_admission",
+        count(lit(1)).as("docs_seen"),
+        sum(when(col("accept_micro").isNull, 1L).otherwise(0L))
+          .as("unknown_lang_docs"))
+      .filter(col("accept_micro").isNotNull &&
+        graft.functions.HashFns.hash32(
+          concat(lit(graft.operators.PipelineOps.MixSalt),
+            col("doc_id").cast("string"))) % 1000000 < col("accept_micro"))
       .select(col("doc_id"), col("lang"), col("source"), col("accept_micro"))
 
   /** Ingest-quality observation riding any event stream: per-micro-batch
@@ -553,10 +562,19 @@ object EventStreams {
     val dir = new org.apache.hadoop.fs.Path(indexPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return None
-    val latest = fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .collect { case n if n.matches("_model-v\\d{5}") =>
-        n.stripPrefix("_model-v").toInt }
-      .toSeq.sorted.lastOption
+    def versionsOf(prefix: String): Seq[Int] =
+      fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .collect { case n if n.matches(prefix + "\\d{5}") =>
+          n.stripPrefix(prefix).toInt }
+        .toSeq.sorted
+    // pair the model with the COMMITTED head: the newest sidecar whose
+    // version ≤ the latest manifest. During a retrain's re-encode
+    // window the new sidecar exists but its manifest doesn't yet —
+    // pairing it with the old-geometry head codes would make every ADC
+    // distance garbage, so readers keep the previous model until the
+    // swap actually commits.
+    val head = versionsOf("_manifest-v").lastOption.getOrElse(0)
+    val latest = versionsOf("_model-v").filter(_ <= head).lastOption
     latest.map { v =>
       val in = fs.open(new org.apache.hadoop.fs.Path(dir, f"_model-v$v%05d"))
       val lines =
@@ -585,20 +603,37 @@ object EventStreams {
     * publish the model sidecar and then the rebuilt snapshot
     * ([[graft.sources.Sinks.replaceSnapshot]] — earlier snapshots stay
     * readable, stragglers invisible, post-swap ingest appends cleanly).
-    * Model-before-manifest ordering means a reader never pairs a new
-    * snapshot with a stale model; single concurrent retrainer assumed
-    * (the usual maintenance-job contract). Returns the new version.
+    * Model-before-manifest ordering plus [[readAnnModel]]'s
+    * version-pairing means readers never mix geometries in either
+    * direction.
+    *
+    * Concurrency contract: quiesce (or pause) the ingest stream for the
+    * swap — the replacement head names ONLY the re-encoded corpus, so a
+    * batch committed mid-retrain would carry rows the rebuilt snapshot
+    * lacks. Rather than silently dropping them, the swap ABORTS (before
+    * publishing anything) when it detects a commit newer than the
+    * version it trained against; a tiny check-to-publish window remains
+    * (a lock service closes it in production). Returns the new version.
     */
   def annIndexRetrain(corpus: DataFrame, indexPath: String): Int = {
     val spark = corpus.sparkSession
     val dir = new org.apache.hadoop.fs.Path(indexPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val model = graft.operators.SimilarityOps.trainAnnModel(corpus)
-    val next = fs.listStatus(dir).iterator.map(_.getPath.getName)
+    def headVersion: Int = fs.listStatus(dir).iterator.map(_.getPath.getName)
       .collect { case n if n.matches("_manifest-v\\d{5}") =>
         n.stripPrefix("_manifest-v").toInt }
-      .toSeq.sorted.lastOption.getOrElse(0) + 1
+      .toSeq.sorted.lastOption.getOrElse(0)
+    val base = headVersion
+    val model = graft.operators.SimilarityOps.trainAnnModel(corpus)
+    // abort BEFORE publishing if anything committed while training: its
+    // rows are not in `corpus`, and a post-publish failure would already
+    // have dropped them from the head
+    val seen = headVersion
+    require(seen == base,
+      s"ingest committed v$seen during retrain (trained against v$base); " +
+        "quiesce the ingest stream and re-run with a fresh corpus snapshot")
+    val next = base + 1
     val tmp = new org.apache.hadoop.fs.Path(dir, f"._model-v$next%05d.tmp")
     val out = fs.create(tmp, true)
     try out.write((modelLines(model).mkString("\n") + "\n").getBytes("UTF-8"))
@@ -606,10 +641,14 @@ object EventStreams {
     val sidecar = new org.apache.hadoop.fs.Path(dir, f"_model-v$next%05d")
     if (!fs.rename(tmp, sidecar))
       throw new java.io.IOException(s"model publish failed for $indexPath")
-    val got = graft.sources.Sinks.replaceSnapshot(spark, indexPath,
-      graft.operators.SimilarityOps.encodeSlim(corpus, model))
-    require(got == next, s"concurrent writer during retrain: $got != $next")
-    got
+    // replaceSnapshot's CAS (expectedVersion) guarantees the manifest
+    // publishes against the trained-on head or not at all; on abort the
+    // orphan sidecar is removed so readers never see a model with no
+    // matching manifest generation
+    try graft.sources.Sinks.replaceSnapshot(spark, indexPath,
+      graft.operators.SimilarityOps.encodeSlim(corpus, model),
+      expectedVersion = next)
+    catch { case e: Throwable => fs.delete(sidecar, false); throw e }
   }
 
   case class SessionEvent(user_id: Long, event_id: Long, ts_s: Long)

@@ -215,5 +215,10 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val rr = SimilarityOps.pqRerankAnn(tiny, nQueries = 2, k = 3)
     assert(rr.count() > 0)
+    // codebook training on a corpus shorter than PqCent seeds
+    // cyclically instead of crashing; geometry stays full
+    val cb = SimilarityOps.trainPqCodebook(tiny, iters = 1)
+    assert(cb.length == SimilarityOps.PqSub &&
+      cb.forall(_.length == SimilarityOps.PqCent))
   }
 }

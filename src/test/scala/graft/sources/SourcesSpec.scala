@@ -435,6 +435,23 @@ class SourcesSpec extends SparkSpec {
     assert(conformed.columns.toSeq ==
       Seq("_id", "name", "addr_city", "source_system"))
     assert(conformed.collect().forall(_.isNullAt(3)))
+    // Extended-JSON wrappers NESTED inside a subdocument also normalize
+    val nested = """[{"_id": {"$oid": "65f1c"},
+      | "meta": {"created": {"$date": "2024-03-04T05:06:07.000Z"}}}]"""
+      .stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/nested.json"), nested.getBytes("UTF-8"))
+    val ndf = Readers.documentDump(spark, s"$dir/nested.json")
+    assert(ndf.schema("meta_created").dataType.typeName == "timestamp")
+    assert(ndf.head.getAs[java.sql.Timestamp]("meta_created") != null)
+    // a flattened name colliding with a top-level column fails loudly
+    // instead of emitting two ambiguous same-named columns
+    val collide = """[{"addr_city": "x", "addr": {"city": "y"}}]"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/collide.json"), collide.getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      Readers.documentDump(spark, s"$dir/collide.json")
+    }
   }
 
   test("replaceSnapshot swaps the head while history stays readable") {
@@ -470,5 +487,12 @@ class SourcesSpec extends SparkSpec {
     assert(files.isEmpty && total == 0)
     val got = Readers.readSkipping(spark, s"$dir/t", "k", 0, 10)
     assert(got.count() == 0 && got.columns.toSeq == Seq("k", "payload"))
+    // but an UNPROFILED column on a NON-empty dataset still throws —
+    // silently selecting zero files would be silent total data loss
+    val full = Seq((1L, "a")).toDF("k", "payload")
+    Sinks.writeWithStats(full, s"$dir/t2", Seq("k"))
+    intercept[IllegalArgumentException] {
+      Readers.readSkipping(spark, s"$dir/t2", "payload", 0, 10)
+    }
   }
 }

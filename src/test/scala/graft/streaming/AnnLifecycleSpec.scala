@@ -19,25 +19,10 @@ class AnnLifecycleSpec extends SparkSpec {
   private val nQ = 10
   private val k = 3
 
-  /** Exact squared-L2 top-k pairs — the ground truth both probes are
-    * graded against (same arithmetic as the pq recall reports).
-    */
-  private def exactTopK(emb: DataFrame): Set[(Long, Long)] = {
-    val queries = emb.filter(col("vec_id") < nQ)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val dist = graft.functions.DotProduct.dotF(col("embedding"), col("embedding")) -
-      lit(2.0) * graft.functions.DotProduct.dotF(col("q"), col("embedding")) +
-      graft.functions.DotProduct.dotF(col("q"), col("q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
-    emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dist, 6).as("d"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  /** Exact squared-L2 top-k pairs — the shared ground-truth leg. */
+  private def exactTopK(emb: DataFrame): Set[(Long, Long)] =
+    SimilarityOps.exactL2TopK(emb, nQ, k)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-  }
 
   private def hits(searched: DataFrame, exact: Set[(Long, Long)]): Int =
     searched.select("query_id", "neighbor_id").collect()

@@ -665,10 +665,18 @@ class EventStreamsSpec extends SparkSpec {
       .queryName("mixout").start()
     val (a, b) = rows.partition(_._1 % 2 == 0)
     mem.addData(a.toSeq); q.processAllAvailable()
-    mem.addData(b.toSeq); q.processAllAvailable(); q.stop()
+    // a language the pinned table has never seen: rejected, but COUNTED
+    val unknown = (90001L, "hola mundo", "xx", "src9", 10L)
+    mem.addData(b.toSeq :+ unknown); q.processAllAvailable(); q.stop()
     val got = spark.sql("SELECT doc_id FROM mixout").collect()
       .map(_.getLong(0)).toSet
     assert(got == want, "stream verdicts must equal the batch operator's")
     assert(got.nonEmpty && got.size < rows.length)
+    assert(!got.contains(90001L), "unknown-lang docs must not be admitted")
+    val unknownCounts = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("mixture_admission")))
+      .map(_.getAs[Long]("unknown_lang_docs"))
+    assert(unknownCounts.sum == 1L,
+      s"the dropped unknown-lang doc must surface in observedMetrics: $unknownCounts")
   }
 }
