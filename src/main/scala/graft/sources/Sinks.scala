@@ -95,6 +95,35 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** True iff the parquet store exists, resolved on ITS filesystem. */
+  private def storeExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val t = new org.apache.hadoop.fs.Path(path)
+    t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t)
+  }
+
+  /** The staging two-rename swap shared by the parquet-store MERGE
+    * family, on the STORE's own filesystem (hdfs:// and s3a:// included
+    * — a driver-local java.nio move under a remote store path is
+    * invalid or silently rearranges local disk): retire the current
+    * dir, move staging in, delete the retired copy. Every step THROWS
+    * on failure; a crash between the renames leaves a -retired dir that
+    * demands manual repair (the SCD2 stream documents the same
+    * contract — a Delta/Iceberg MERGE is the transactional form).
+    */
+  private def swapStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, staging: String, token: Long): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = new org.apache.hadoop.fs.Path(s"$path-retired-$token")
+    if (fs.exists(target) && !fs.rename(target, retired))
+      throw new java.io.IOException(s"store swap: retire rename failed for $path")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), target))
+      throw new java.io.IOException(s"store swap: staging rename failed for $staging")
+    if (fs.exists(retired) && !fs.delete(retired, true))
+      throw new java.io.IOException(s"store swap: retired delete failed for $retired")
+  }
+
   /** Batch MERGE (upsert) into a parquet store by key: update rows
     * replace matching keys, new keys append, untouched rows carry
     * forward — the parquet-only MERGE INTO shape (a Delta/Iceberg MERGE
@@ -107,9 +136,8 @@ object Sinks {
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, path: String,
       updates: DataFrame, keyCol: String): Unit = {
     import org.apache.spark.sql.functions.col
-    val target = java.nio.file.Paths.get(path)
     val merged =
-      if (java.nio.file.Files.exists(target)) {
+      if (storeExists(spark, path)) {
         val current = spark.read.parquet(path)
         current.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(updates)
@@ -117,12 +145,7 @@ object Sinks {
     val token = System.nanoTime()
     val staging = s"$path-staging-$token"
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val retired = java.nio.file.Paths.get(s"$path-retired-$token")
-    if (java.nio.file.Files.exists(target))
-      java.nio.file.Files.move(target, retired)
-    java.nio.file.Files.move(java.nio.file.Paths.get(staging), target)
-    if (java.nio.file.Files.exists(retired))
-      org.apache.commons.io.FileUtils.forceDelete(retired.toFile)
+    swapStore(spark, path, staging, token)
   }
 
   /** Apply a classified CDC delta (the [[graft.operators.ChangeOps]]
@@ -149,9 +172,8 @@ object Sinks {
     require(badOps.isEmpty,
       s"unknown $opCol value: ${badOps.headOption.map(_.toString).getOrElse("")}")
     val payload = changes.filter(col(opCol) =!= "delete").drop(opCol)
-    val target = java.nio.file.Paths.get(path)
     val merged =
-      if (java.nio.file.Files.exists(target)) {
+      if (storeExists(spark, path)) {
         val current = spark.read.parquet(path)
         current.join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(payload)
@@ -159,12 +181,7 @@ object Sinks {
     val token = System.nanoTime()
     val staging = s"$path-staging-$token"
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val retired = java.nio.file.Paths.get(s"$path-retired-$token")
-    if (java.nio.file.Files.exists(target))
-      java.nio.file.Files.move(target, retired)
-    java.nio.file.Files.move(java.nio.file.Paths.get(staging), target)
-    if (java.nio.file.Files.exists(retired))
-      org.apache.commons.io.FileUtils.forceDelete(retired.toFile)
+    swapStore(spark, path, staging, token)
   }
 
   /** Incremental AGGREGATE maintenance — the materialized-view merge:
@@ -183,9 +200,8 @@ object Sinks {
     val pre = batch.groupBy(keyCols.map(col): _*)
       .agg(sumCols.map(c => sum(col(c)).as(c)).head,
         sumCols.map(c => sum(col(c)).as(c)).tail: _*)
-    val target = java.nio.file.Paths.get(path)
     val merged =
-      if (java.nio.file.Files.exists(target))
+      if (storeExists(spark, path))
         spark.read.parquet(path).unionByName(pre)
           .groupBy(keyCols.map(col): _*)
           .agg(sumCols.map(c => sum(col(c)).as(c)).head,
@@ -194,12 +210,7 @@ object Sinks {
     val token = System.nanoTime()
     val staging = s"$path-staging-$token"
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val retired = java.nio.file.Paths.get(s"$path-retired-$token")
-    if (java.nio.file.Files.exists(target))
-      java.nio.file.Files.move(target, retired)
-    java.nio.file.Files.move(java.nio.file.Paths.get(staging), target)
-    if (java.nio.file.Files.exists(retired))
-      org.apache.commons.io.FileUtils.forceDelete(retired.toFile)
+    swapStore(spark, path, staging, token)
   }
 
   /** Small-file compaction — the operational pass every long-running
