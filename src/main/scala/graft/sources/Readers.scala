@@ -65,45 +65,60 @@ object Readers {
     */
   def documentDump(spark: SparkSession, path: String,
       expected: Seq[String] = Seq.empty): DataFrame = {
-    import org.apache.spark.sql.types.{DataType, StructType}
+    import org.apache.spark.sql.types._
     val raw = spark.read.option("multiLine", "true").json(path)
-    // Extended-JSON wrapper → scalar, applied at both nesting levels
+    // Extended-JSON wrapper → scalar, applied at both nesting levels.
+    // $date arrives in three mongoexport shapes: relaxed ISO string
+    // (cast), legacy epoch-MILLIS number (timestamp_millis — a plain
+    // timestamp cast would read it as SECONDS, ~1000× in the future),
+    // and canonical {"$numberLong": "..."} (unwrap, then millis).
+    def dateCol(c: org.apache.spark.sql.Column,
+        dt: DataType): org.apache.spark.sql.Column = dt match {
+      case LongType | DoubleType =>
+        org.apache.spark.sql.functions.timestamp_millis(c.cast("long"))
+      case s: StructType if s.fieldNames.sameElements(Array("$numberLong")) =>
+        org.apache.spark.sql.functions.timestamp_millis(
+          c.getField("$numberLong").cast("long"))
+      case StringType =>
+        // a digit string is still epoch millis (mixed-shape dumps infer
+        // the column as STRING); ANSI cast evaluates branch-locally
+        org.apache.spark.sql.functions.when(c.rlike("^-?\\d+$"),
+          org.apache.spark.sql.functions.timestamp_millis(c.cast("long")))
+          .otherwise(c.cast("timestamp"))
+      case _ => c.cast("timestamp")
+    }
     def normalize(c: org.apache.spark.sql.Column, dt: DataType)
         : Option[org.apache.spark.sql.Column] = dt match {
       case s: StructType if s.fieldNames.sameElements(Array("$oid")) =>
         Some(c.getField("$oid"))
       case s: StructType if s.fieldNames.sameElements(Array("$date")) =>
-        Some(c.getField("$date").cast("timestamp"))
+        Some(dateCol(c.getField("$date"), s.fields(0).dataType))
       case _ => None
     }
-    val flat = raw.schema.fields.toSeq.flatMap { f =>
-      val base = col(s"`${f.name}`")
-      normalize(base, f.dataType).map(_.as(f.name)).map(Seq(_)).getOrElse(
-        f.dataType match {
-          case s: StructType =>
-            s.fields.toSeq.map { child =>
-              val c = base.getField(child.name)
-              normalize(c, child.dataType).getOrElse(c)
-                .as(s"${f.name}_${child.name}")
-            }
-          case _ => Seq(base)
-        })
-    }
+    // ONE derivation of (output name, column): the collision check and
+    // the projection read the same list, so they cannot desynchronize
+    val named: Seq[(String, org.apache.spark.sql.Column)] =
+      raw.schema.fields.toSeq.flatMap { f =>
+        val base = col(s"`${f.name}`")
+        normalize(base, f.dataType).map(f.name -> _).map(Seq(_)).getOrElse(
+          f.dataType match {
+            case s: StructType =>
+              s.fields.toSeq.map { child =>
+                val c = base.getField(child.name)
+                s"${f.name}_${child.name}" ->
+                  normalize(c, child.dataType).getOrElse(c)
+              }
+            case _ => Seq(f.name -> base)
+          })
+      }
     // a flattened `a.b` colliding with an existing top-level `a_b` would
     // produce two same-named columns — every later reference ambiguous;
     // fail loudly with the offenders named
-    val outNames = raw.schema.fields.toSeq.flatMap { f =>
-      if (normalize(col(s"`${f.name}`"), f.dataType).isDefined) Seq(f.name)
-      else f.dataType match {
-        case s: StructType => s.fieldNames.toSeq.map(n => s"${f.name}_$n")
-        case _ => Seq(f.name)
-      }
-    }
-    val dupNames = outNames.groupBy(identity)
+    val dupNames = named.map(_._1).groupBy(identity)
       .collect { case (n, g) if g.length > 1 => n }
     require(dupNames.isEmpty,
       s"documentDump flattening collides on column name(s) ${dupNames.mkString(", ")} — rename in the source or project explicitly")
-    val df = raw.select(flat: _*)
+    val df = raw.select(named.map { case (n, c) => c.as(n) }: _*)
     if (expected.isEmpty) df else conform(df, expected)
   }
 

@@ -39,8 +39,21 @@ object Sinks {
   def writeSorted(df: DataFrame, path: String, partitionCols: Seq[String],
       sortCol: String, filesPerPartition: Int = 1): Unit = {
     import org.apache.spark.sql.functions.col
-    df.repartition(filesPerPartition, partitionCols.map(col): _*)
-      .sortWithinPartitions((partitionCols :+ sortCol).map(col): _*)
+    // repartition(n, partitionCols) would funnel EVERY row of a
+    // partition key into one task (n only caps total parallelism — the
+    // single-writer bottleneck this file decries). Range-splitting on
+    // (partitionCols, sortCol) scales writers with the file budget AND
+    // keeps each output file on a narrow, non-overlapping sortCol range
+    // — exactly what the parquet zone maps want (a hash salt would
+    // parallelize but give every file the full value range). A range
+    // boundary can land inside a partition key, so a directory may hold
+    // one file more or fewer than the target — clustering, not an exact
+    // file census, is the contract.
+    val nKeys = df.select(partitionCols.map(col): _*).distinct().count()
+      .toInt.max(1)
+    val keys = (partitionCols :+ sortCol).map(col)
+    df.repartitionByRange(nKeys * filesPerPartition.max(1), keys: _*)
+      .sortWithinPartitions(keys: _*)
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
@@ -95,6 +108,20 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** The keyed-store MERGE family's precondition: one row per key in
+    * the incoming batch. Two rows for a key would both survive the
+    * anti-join and silently double the "keyed" store (dedupe or
+    * aggregate upstream — e.g. keep the latest event per key).
+    */
+  private def requireUniqueKeys(df: DataFrame, keyCols: Seq[String],
+      what: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$what carries ${"" }duplicate key ${dup.headOption.map(_.toString).getOrElse("")} — one row per key required")
+  }
+
   /** True iff the parquet store exists, resolved on ITS filesystem. */
   private def storeExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
@@ -136,6 +163,7 @@ object Sinks {
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, path: String,
       updates: DataFrame, keyCol: String): Unit = {
     import org.apache.spark.sql.functions.col
+    requireUniqueKeys(updates, Seq(keyCol), "mergeUpsert updates")
     val merged =
       if (storeExists(spark, path)) {
         val current = spark.read.parquet(path)
@@ -171,6 +199,7 @@ object Sinks {
       .limit(1).collect()
     require(badOps.isEmpty,
       s"unknown $opCol value: ${badOps.headOption.map(_.toString).getOrElse("")}")
+    requireUniqueKeys(changes, Seq(keyCol), "applyChanges delta")
     val payload = changes.filter(col(opCol) =!= "delete").drop(opCol)
     val merged =
       if (storeExists(spark, path)) {
@@ -251,8 +280,16 @@ object Sinks {
     */
   def writeWithManifest(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
-    df.write.mode(SaveMode.Overwrite).parquet(path)
-    publishManifest(spark, path)
+    // write + manifest into a STAGING dir, then the two-rename swap: the
+    // prior committed snapshot survives a crash at any point before the
+    // swap (Overwrite-in-place destroyed it before the new write was
+    // durable), and the swap moves data and manifest together
+    val token = System.nanoTime()
+    val staging = s"$path-staging-$token"
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    val n = publishManifest(spark, staging)
+    swapStore(spark, path, staging, token)
+    n
   }
 
   /** (Re)publish `_manifest` from the parquet files currently in `path`
@@ -274,11 +311,36 @@ object Sinks {
     try out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val manifest = new org.apache.hadoop.fs.Path(dir, "_manifest")
-    fs.delete(manifest, false)
-    if (!fs.rename(tmp, manifest))
-      throw new java.io.IOException(s"manifest publish failed for $path")
+    // overwrite-rename: delete-then-rename would leave a window where a
+    // committed dataset reads as uncommitted
+    overwriteRename(spark, fs.makeQualified(tmp), fs.makeQualified(manifest))
     names.size
   }
+
+  /** Delete leftover generation files of an UNPUBLISHED version — a
+    * prior compaction/replacement attempt that crashed after renaming
+    * some parts in. Safe because the version has no manifest: nothing
+    * references the files, and leaving them would both break the retry
+    * (rename onto an existing name fails) and bait commitSnapshot's
+    * history filter.
+    */
+  private def clearCrashedGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, prefix: String): Unit =
+    fs.listStatus(dir).iterator.map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .foreach { p =>
+        if (!fs.delete(p, false))
+          throw new java.io.IOException(s"crashed-generation cleanup failed for $p")
+      }
+
+  /** Atomic rename-with-overwrite through the FileContext API (the
+    * FileSystem one cannot replace an existing destination portably).
+    */
+  private def overwriteRename(spark: org.apache.spark.sql.SparkSession,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
   /** Commit the directory's current parquet files as an immutable
     * numbered snapshot (`_manifest-v00001`, `-v00002`, …) — the Iceberg
@@ -307,12 +369,23 @@ object Sinks {
     // would silently RESURRECT files a compaction superseded (they stay
     // on disk so older snapshots remain readable) — the union-of-history
     // filter makes append-after-compaction safe.
+    // generation files from a compaction/replacement that crashed before
+    // publishing its manifest look like "new appends" to the history
+    // filter — committing them would duplicate every head row, so any
+    // compact-/replace-named file whose version was never published is
+    // skipped (the retry cleans them up)
+    val published = versions.toSet
+    val genPat = "(?:compact|replace)-v(\\d{5,})-.*".r
+    def crashedGeneration(n: String): Boolean = n match {
+      case genPat(v) => !published.contains(v.toInt)
+      case _ => false
+    }
     val names = versions.lastOption match {
-      case None => physical
+      case None => physical.filterNot(crashedGeneration)
       case Some(latest) =>
         val seenEver = versions.flatMap(v => Snapshots.files(fs, dir, v)).toSet
         (Snapshots.files(fs, dir, latest) ++
-          physical.filterNot(seenEver)).sorted
+          physical.filterNot(seenEver).filterNot(crashedGeneration)).sorted
     }
     publishVersion(fs, dir, versions.lastOption.getOrElse(0) + 1, names)
   }
@@ -340,6 +413,7 @@ object Sinks {
       .write.mode("overwrite").parquet(tmp.toString)
     val parts = fs.listStatus(tmp).iterator.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+    clearCrashedGeneration(fs, dir, f"compact-v$next%05d-")
     val names = parts.zipWithIndex.map { case (p, i) =>
       val n = f"compact-v$next%05d-p$i%04d.parquet"
       if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, n)))
@@ -379,6 +453,7 @@ object Sinks {
     df.repartition(numFiles).write.mode("overwrite").parquet(tmp.toString)
     val parts = fs.listStatus(tmp).iterator.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+    clearCrashedGeneration(fs, dir, f"replace-v$next%05d-")
     val names = parts.zipWithIndex.map { case (p, i) =>
       val n = f"replace-v$next%05d-p$i%04d.parquet"
       if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, n)))
@@ -443,10 +518,18 @@ object Sinks {
     // unreachable, so a crash mid-vacuum leaves garbage, never a
     // readable snapshot with missing files
     dropped.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, f"_manifest-v$v%05d"), false)
+      val m = new org.apache.hadoop.fs.Path(dir, f"_manifest-v$v%05d")
+      if (fs.exists(m) && !fs.delete(m, false))
+        throw new java.io.IOException(s"vacuum: manifest delete failed for $m")
     }
-    deadFiles.foreach(n =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+    // a swallowed data-file delete would report success while leaving a
+    // file no manifest references — unreclaimable forever, and ready to
+    // be resurrected as a "new append" by a later commit
+    deadFiles.foreach { n =>
+      val f = new org.apache.hadoop.fs.Path(dir, n)
+      if (fs.exists(f) && !fs.delete(f, false))
+        throw new java.io.IOException(s"vacuum: data delete failed for $f")
+    }
     deadFiles.size
   }
 
@@ -488,9 +571,7 @@ object Sinks {
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val statsPath = new org.apache.hadoop.fs.Path(dir, "_stats")
-    fs.delete(statsPath, false)
-    if (!fs.rename(tmp, statsPath))
-      throw new java.io.IOException(s"stats publish failed for $path")
+    overwriteRename(spark, fs.makeQualified(tmp), fs.makeQualified(statsPath))
     lines.length
   }
 
@@ -551,9 +632,16 @@ object Sinks {
     }
     val jprops = new java.util.Properties()
     props.foreach { case (k, v) => jprops.setProperty(k, v) }
+    val driverClass = props.get("driver")
     df.repartition(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
+          // executors load --jars-shipped JDBC drivers through Spark's
+          // MutableURLClassLoader, which DriverManager's caller check
+          // rejects — register through Spark's DriverRegistry (the same
+          // wrapper its own JDBC source uses) when a driver is named
+          driverClass.foreach(
+            org.apache.spark.sql.execution.datasources.jdbc.DriverRegistry.register)
           val conn = java.sql.DriverManager.getConnection(url, jprops)
           try {
             conn.setAutoCommit(false)
@@ -600,7 +688,7 @@ private[sources] object Snapshots {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).iterator
       .map(_.getPath.getName)
-      .collect { case n if n.matches("_manifest-v\\d{5}") =>
+      .collect { case n if n.matches("_manifest-v\\d{5,}") =>
         n.stripPrefix("_manifest-v").toInt }
       .toSeq.sorted
 

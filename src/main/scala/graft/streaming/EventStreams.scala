@@ -564,7 +564,7 @@ object EventStreams {
     if (!fs.exists(dir)) return None
     def versionsOf(prefix: String): Seq[Int] =
       fs.listStatus(dir).iterator.map(_.getPath.getName)
-        .collect { case n if n.matches(prefix + "\\d{5}") =>
+        .collect { case n if n.matches(prefix + "\\d{5,}") =>
           n.stripPrefix(prefix).toInt }
         .toSeq.sorted
     // pair the model with the COMMITTED head: the newest sidecar whose
@@ -621,7 +621,7 @@ object EventStreams {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     def headVersion: Int = fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .collect { case n if n.matches("_manifest-v\\d{5}") =>
+      .collect { case n if n.matches("_manifest-v\\d{5,}") =>
         n.stripPrefix("_manifest-v").toInt }
       .toSeq.sorted.lastOption.getOrElse(0)
     val base = headVersion

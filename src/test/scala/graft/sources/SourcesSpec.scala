@@ -73,14 +73,32 @@ class SourcesSpec extends SparkSpec {
     val rng = new scala.util.Random(7)
     val df = (1 to 1000).map(i => (i.toLong, 20240100 + i % 2, rng.nextInt(100000)))
       .toDF("id", "date_key", "price")
-    Sinks.writeSorted(df, s"$dir/fact", Seq("date_key"), "price")
-    // one file per partition dir, rows sorted by price inside it — the
-    // clustering parquet row-group min/max stats need for range skipping
+    Sinks.writeSorted(df, s"$dir/fact", Seq("date_key"), "price",
+      filesPerPartition = 4)
+    // the zone contract: EVERY file is internally sorted on price and
+    // files within a partition dir cover NON-OVERLAPPING price ranges —
+    // what parquet row-group min/max skipping needs — while the range
+    // split gives ~filesPerPartition parallel writers per key (exact
+    // counts shift by ±1 where a range boundary lands inside a key)
     Seq(20240100, 20240101).foreach { dk =>
-      val prices = spark.read.parquet(s"$dir/fact/date_key=$dk")
-        .select("price").collect().map(_.getInt(0))
-      assert(prices.length == 500)
-      assert(prices.sameElements(prices.sorted), s"partition $dk must be sorted")
+      val files = new java.io.File(s"$dir/fact/date_key=$dk")
+        .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length >= 2 && files.length <= 6,
+        s"partition $dk: expected a multi-file range split, got ${files.length}")
+      val ranges = files.map { f =>
+        val prices = spark.read.parquet(f).select("price")
+          .collect().map(_.getInt(0))
+        assert(prices.sameElements(prices.sorted), s"$f must be sorted")
+        (prices.min, prices.max)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hiA), (loB, _)) =>
+          assert(hiA <= loB, s"partition $dk: file ranges must not overlap")
+        case _ => ()
+      }
+      val total = files.map(f =>
+        spark.read.parquet(f).count()).sum
+      assert(total == 500)
     }
   }
 
@@ -452,6 +470,71 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Readers.documentDump(spark, s"$dir/collide.json")
     }
+  }
+
+  test("a crashed compaction's orphan generation is never resurrected") {
+    val dir = tmp()
+    val path = s"$dir/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(path)
+    Sinks.commitSnapshot(spark, path) // v1
+    // simulate a compaction that crashed after renaming its parts in
+    // but before publishing _manifest-v00002
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/crashgen")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/crashgen"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), "compact-v00002-p0000.parquet"))
+    // an append + commit must NOT adopt the orphan (it would double
+    // every head row)
+    Seq((3L, "c")).toDF("k", "v").write.mode("append").parquet(path)
+    Sinks.commitSnapshot(spark, path) // v2
+    assert(Readers.readSnapshot(spark, path).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // and a compaction RETRY succeeds: the crashed leftovers of its
+    // target generation are cleaned up before the renames
+    val v3 = Sinks.compactSnapshot(spark, path)
+    assert(v3 == 3)
+    assert(Readers.readSnapshot(spark, path).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("the parquet MERGE family rejects duplicate-key batches loudly") {
+    val dir = tmp()
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Sinks.mergeUpsert(spark, s"$dir/u", dup, "k")
+    }
+    val dupDelta = Seq((1L, "x", "insert"), (1L, "y", "update"))
+      .toDF("k", "v", "change_type")
+    intercept[IllegalArgumentException] {
+      Sinks.applyChanges(spark, s"$dir/c", dupDelta, "k")
+    }
+  }
+
+  test("documentDump handles legacy epoch-millis and canonical $date shapes") {
+    val dir = tmp()
+    // one mongoexport mode per dump file (as real exports are)
+    val legacy =
+      """[{"_id": {"$oid": "65f1d"}, "created": {"$date": 1579000000000}}]"""
+    val canonical = """[{"_id": {"$oid": "65f1e"},
+      |  "created": {"$date": {"$numberLong": "1579000000000"}}}]""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/legacy.json"), legacy.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/canonical.json"),
+      canonical.getBytes("UTF-8"))
+    val ts = Seq("legacy", "canonical").map { mode =>
+      Readers.documentDump(spark, s"$dir/$mode.json")
+        .head.getAs[java.sql.Timestamp]("created")
+    }
+    // both shapes are epoch MILLIS: 2020-01-14, not year ~52000
+    assert(ts.forall(_ != null))
+    assert(ts.forall(_.toInstant.toString.startsWith("2020-01-14")),
+      s"epoch-millis must not be read as seconds: $ts")
+    assert(ts(0) == ts(1), "legacy and canonical shapes must agree")
   }
 
   test("replaceSnapshot swaps the head while history stays readable") {
