@@ -49,14 +49,25 @@ object Sinks {
     // boundary can land inside a partition key, so a directory may hold
     // one file more or fewer than the target — clustering, not an exact
     // file census, is the contract.
-    val nKeys = df.select(partitionCols.map(col): _*).distinct().count()
-      .toInt.max(1)
-    val keys = (partitionCols :+ sortCol).map(col)
-    df.repartitionByRange(nKeys * filesPerPartition.max(1), keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*)
-      .parquet(path)
+    // persist: the key census and the write would otherwise each
+    // recompute the full input lineage
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      // Long math + a writer-count ceiling: .toInt on the raw count
+      // silently wraps negative past 2^31 distinct keys, and a range
+      // split finer than ~64k writers stops buying layout anyway
+      val maxSplits = 1 << 16
+      val nKeys = cached.select(partitionCols.map(col): _*).distinct().count()
+        .max(1L)
+      val splits = math.min(nKeys * filesPerPartition.max(1).toLong,
+        maxSplits.toLong).toInt
+      val keys = (partitionCols :+ sortCol).map(col)
+      cached.repartitionByRange(splits, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    } finally { cached.unpersist(); () }
   }
 
   /** Z-order clustered layout: range-partition and locally sort on the
@@ -119,7 +130,7 @@ object Sinks {
     val dup = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
     require(dup.isEmpty,
-      s"$what carries ${"" }duplicate key ${dup.headOption.map(_.toString).getOrElse("")} — one row per key required")
+      s"$what carries duplicate key ${dup.headOption.map(_.toString).getOrElse("")} — one row per key required")
   }
 
   /** True iff the parquet store exists, resolved on ITS filesystem. */
@@ -371,21 +382,22 @@ object Sinks {
     // filter makes append-after-compaction safe.
     // generation files from a compaction/replacement that crashed before
     // publishing its manifest look like "new appends" to the history
-    // filter — committing them would duplicate every head row, so any
-    // compact-/replace-named file whose version was never published is
-    // skipped (the retry cleans them up)
-    val published = versions.toSet
-    val genPat = "(?:compact|replace)-v(\\d{5,})-.*".r
-    def crashedGeneration(n: String): Boolean = n match {
-      case genPat(v) => !published.contains(v.toInt)
-      case _ => false
-    }
+    // filter — committing them would duplicate every head row. A
+    // generation file only legitimately enters history through its OWN
+    // publishVersion, so a gen-named file absent from the manifest union
+    // is NEVER adopted as an append — checking "was its version ever
+    // published" instead would mis-adopt orphans once a later append
+    // commit reuses the crashed generation's version number.
+    // (vacuumSnapshots reclaims such orphans once their version falls
+    // behind the retention horizon.)
+    def isGenNamed(n: String): Boolean =
+      n.matches("(?:compact|replace)-v\\d{5,}-.*")
     val names = versions.lastOption match {
-      case None => physical.filterNot(crashedGeneration)
+      case None => physical.filterNot(isGenNamed)
       case Some(latest) =>
         val seenEver = versions.flatMap(v => Snapshots.files(fs, dir, v)).toSet
         (Snapshots.files(fs, dir, latest) ++
-          physical.filterNot(seenEver).filterNot(crashedGeneration)).sorted
+          physical.filterNot(seenEver).filterNot(isGenNamed)).sorted
     }
     publishVersion(fs, dir, versions.lastOption.getOrElse(0) + 1, names)
   }
@@ -514,6 +526,23 @@ object Sinks {
     val keptFiles = kept.flatMap(v => Snapshots.files(fs, dir, v)).toSet
     val deadFiles = dropped.flatMap(v => Snapshots.files(fs, dir, v))
       .toSet.diff(keptFiles)
+    // crashed-generation orphans: gen-named files NO manifest ever
+    // referenced (their own publish never happened — commitSnapshot
+    // refuses to adopt them, so nothing else cleans them). Only
+    // generations at-or-below the newest dropped version are touched: an
+    // in-flight compaction always targets a version above the current
+    // head, and if its version was meanwhile published by someone else
+    // its own manifest rename will fail loudly — so these files can
+    // never become referenced later.
+    val referencedEver = keptFiles ++
+      dropped.flatMap(v => Snapshots.files(fs, dir, v))
+    val genPat = "(?:compact|replace)-v(\\d{5,})-.*".r
+    val horizon = dropped.last
+    val orphanGens = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n match {
+        case genPat(v) => v.toInt <= horizon && !referencedEver.contains(n)
+        case _ => false
+      }).toSet
     // manifests first: once a version is unreadable its files are
     // unreachable, so a crash mid-vacuum leaves garbage, never a
     // readable snapshot with missing files
@@ -525,12 +554,12 @@ object Sinks {
     // a swallowed data-file delete would report success while leaving a
     // file no manifest references — unreclaimable forever, and ready to
     // be resurrected as a "new append" by a later commit
-    deadFiles.foreach { n =>
+    (deadFiles ++ orphanGens).foreach { n =>
       val f = new org.apache.hadoop.fs.Path(dir, n)
       if (fs.exists(f) && !fs.delete(f, false))
         throw new java.io.IOException(s"vacuum: data delete failed for $f")
     }
-    deadFiles.size
+    deadFiles.size + orphanGens.size
   }
 
   /** Zone-map-committed write: parquet files land, then a `_stats`
@@ -646,32 +675,44 @@ object Sinks {
           try {
             conn.setAutoCommit(false)
             val upd = conn.prepareStatement(updateSql)
-            val ins = conn.prepareStatement(insertSql)
-            def bind(st: java.sql.PreparedStatement,
-                order: Seq[String], r: org.apache.spark.sql.Row): Unit =
-              order.zipWithIndex.foreach { case (c, i) =>
-                val v = r.getAs[Any](c)
-                if (v == null) st.setNull(i + 1, sqlTypes(c))
-                else st.setObject(i + 1, v)
-              }
-            rows.grouped(batchSize).foreach { group =>
-              group.foreach { r => bind(upd, updOrder, r); upd.addBatch() }
-              val counts = upd.executeBatch()
-              // missed-UPDATE detection NEEDS per-element counts; a
-              // driver answering SUCCESS_NO_INFO (Oracle; MySQL with
-              // statement rewriting) would silently skip every INSERT —
-              // fail loudly instead of losing rows
-              if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO))
-                throw new java.sql.SQLFeatureNotSupportedException(
-                  "writeJdbcUpsert requires a JDBC driver that reports " +
-                    "per-element batch update counts (got SUCCESS_NO_INFO)")
-              val misses = group.iterator.zip(counts.iterator)
-                .collect { case (r, 0) => r }.toSeq
-              misses.foreach { r => bind(ins, cols, r); ins.addBatch() }
-              if (misses.nonEmpty) ins.executeBatch()
-              conn.commit()
-            }
-            upd.close(); ins.close()
+            try {
+              val ins = conn.prepareStatement(insertSql)
+              try {
+                def bind(st: java.sql.PreparedStatement,
+                    order: Seq[String], r: org.apache.spark.sql.Row): Unit =
+                  order.zipWithIndex.foreach { case (c, i) =>
+                    val v = r.getAs[Any](c)
+                    if (v == null) st.setNull(i + 1, sqlTypes(c))
+                    else st.setObject(i + 1, v)
+                  }
+                rows.grouped(batchSize).foreach { group =>
+                  group.foreach { r => bind(upd, updOrder, r); upd.addBatch() }
+                  val counts = upd.executeBatch()
+                  // missed-UPDATE detection NEEDS per-element counts; a
+                  // driver answering SUCCESS_NO_INFO (Oracle; MySQL with
+                  // statement rewriting) would silently skip every INSERT —
+                  // fail loudly instead of losing rows. Any other negative
+                  // count (EXECUTE_FAILED from a driver that reports
+                  // per-element failures without throwing) is an error,
+                  // not a successful update.
+                  counts.foreach {
+                    case java.sql.Statement.SUCCESS_NO_INFO =>
+                      throw new java.sql.SQLFeatureNotSupportedException(
+                        "writeJdbcUpsert requires a JDBC driver that reports " +
+                          "per-element batch update counts (got SUCCESS_NO_INFO)")
+                    case n if n < 0 =>
+                      throw new java.sql.SQLException(
+                        s"writeJdbcUpsert: batched UPDATE reported failure count $n")
+                    case _ => ()
+                  }
+                  val misses = group.iterator.zip(counts.iterator)
+                    .collect { case (r, 0) => r }.toSeq
+                  misses.foreach { r => bind(ins, cols, r); ins.addBatch() }
+                  if (misses.nonEmpty) ins.executeBatch()
+                  conn.commit()
+                }
+              } finally ins.close()
+            } finally upd.close()
           } finally conn.close()
         }
       }

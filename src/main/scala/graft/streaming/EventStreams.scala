@@ -507,17 +507,18 @@ object EventStreams {
     * marker.
     */
   def annIndexIngestStream(vectors: DataFrame, indexPath: String,
-      streamId: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      streamId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // batchIds restart at 0 for a NEW query (fresh checkpoint) over the
+    // same store — every ingest stream must carry its own streamId or a
+    // successor's replayed ids collide with the predecessor's markers
+    // and its first batches silently skip. Required, not defaulted: a
+    // shared default namespace IS that collision.
+    require(streamId.nonEmpty, "annIndexIngestStream needs a non-empty streamId")
     vectors
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batchIds restart at 0 for a NEW query (fresh checkpoint) over
-        // the same store — a successor ingest stream must carry its own
-        // streamId or its replayed ids collide with the predecessor's
-        // markers and its batches silently skip
-        val marker = markerPath(
-          if (streamId.isEmpty) indexPath else s"$indexPath-$streamId", batchId)
+        val marker = markerPath(s"$indexPath-$streamId", batchId)
         if (!markerExists(batch, marker)) {
           // encode against the CURRENT model: the fixed pseudo-random
           // structures until the first retrain, the trained sidecar
@@ -534,6 +535,7 @@ object EventStreams {
         }
         ()
       }
+  }
 
   // --------------------------------------------- ANN index lifecycle
 

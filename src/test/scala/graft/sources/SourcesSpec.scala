@@ -493,12 +493,29 @@ class SourcesSpec extends SparkSpec {
     Sinks.commitSnapshot(spark, path) // v2
     assert(Readers.readSnapshot(spark, path).collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // the orphan's version number (2) is now PUBLISHED — by the append
+    // commit, not by the crashed compaction. A further commit must STILL
+    // refuse to adopt the gen-named file: a version-was-published check
+    // would mis-adopt it right here and duplicate every head row.
+    Seq((4L, "d")).toDF("k", "v").write.mode("append").parquet(path)
+    Sinks.commitSnapshot(spark, path) // v3
+    assert(Readers.readSnapshot(spark, path).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
     // and a compaction RETRY succeeds: the crashed leftovers of its
     // target generation are cleaned up before the renames
-    val v3 = Sinks.compactSnapshot(spark, path)
-    assert(v3 == 3)
+    val v4 = Sinks.compactSnapshot(spark, path)
+    assert(v4 == 4)
     assert(Readers.readSnapshot(spark, path).collect()
-      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // vacuum reclaims the never-referenced orphan generation once its
+    // version falls behind the retention horizon — nothing else may
+    val orphan = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), "compact-v00002-p0000.parquet")
+    assert(fs.exists(orphan), "orphan survives until vacuum")
+    Sinks.vacuumSnapshots(spark, path, keepLast = 2)
+    assert(!fs.exists(orphan), "vacuum must reclaim the crashed generation")
+    assert(Readers.readSnapshot(spark, path).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
   test("the parquet MERGE family rejects duplicate-key batches loudly") {

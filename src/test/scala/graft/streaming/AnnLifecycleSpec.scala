@@ -41,7 +41,7 @@ class AnnLifecycleSpec extends SparkSpec {
     // two ingest batches build the v1/v2 snapshots under the FIXED model
     val mem = MemoryStream[(Long, Seq[Float], Int)]
     val q = EventStreams.annIndexIngestStream(
-        mem.toDF().toDF("vec_id", "embedding", "label"), store)
+        mem.toDF().toDF("vec_id", "embedding", "label"), store, "gen1")
       .option("checkpointLocation", store + "-ckpt").start()
     val (b1, b2) = rows.partition(_._1 < 250)
     mem.addData(b1.toSeq); q.processAllAvailable()

@@ -295,7 +295,7 @@ class EventStreamsSpec extends SparkSpec {
     val store = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/index"
     val mem = MemoryStream[(Long, Seq[Float], Int)]
     val streamDF = mem.toDF().toDF("vec_id", "embedding", "label")
-    val q = EventStreams.annIndexIngestStream(streamDF, store)
+    val q = EventStreams.annIndexIngestStream(streamDF, store, "s1")
       .option("checkpointLocation", store + "-ckpt").start()
     def vec(seed: Int) = Seq.tabulate(64)(i => ((i + seed) % 7 - 3).toFloat / 4f)
     mem.addData((1L, vec(1), 0), (2L, vec(2), 0))
