@@ -2374,6 +2374,18 @@ object Oracles {
        |FROM base""".stripMargin
   }
 
+  /** The quality gate's first-failing-rule CASE over [[qualityScoreSql]]
+    * columns — shared by quality_gate and quality_classifier_score (the
+    * classifier trains against the gate's verdicts; one rule text keeps
+    * label and gate in lockstep, mirroring TextOps.gateReason).
+    */
+  private val gateReasonSql: String =
+    """CASE WHEN n_tokens IS NULL OR n_tokens < 15 THEN 'too_short'
+      |      WHEN special_ratio > 0.05 THEN 'special_chars'
+      |      WHEN stop_ratio < 0.08 THEN 'low_stopword'
+      |      WHEN avg_word_len < 3.0 OR avg_word_len > 10.0 THEN 'word_length'
+      |      ELSE NULL END""".stripMargin
+
   /** Full stratified_sample query (also its own oracle entry). */
   private lazy val stratifiedSampleSql: String = {
     val rateCase = graft.operators.PipelineOps.SampleRatePct
@@ -3205,13 +3217,40 @@ object Oracles {
     "quality_gate" ->
       s"""WITH q AS ($qualityScoreSql)
          |SELECT doc_id, quality_score,
-         | CASE WHEN n_tokens IS NULL OR n_tokens < 15 THEN 'too_short'
-         |      WHEN special_ratio > 0.05 THEN 'special_chars'
-         |      WHEN stop_ratio < 0.08 THEN 'low_stopword'
-         |      WHEN avg_word_len < 3.0 OR avg_word_len > 10.0 THEN 'word_length'
-         |      ELSE NULL END AS reject_reason,
+         | $gateReasonSql AS reject_reason,
          | reject_reason IS NULL AS keep
          |FROM q""".stripMargin,
+
+    "quality_classifier_score" -> {
+      val wq = graft.operators.ClassifierOps.FixedWeightsMicro
+      val off = graft.operators.ClassifierOps.BucketOffset
+      val div = graft.operators.ClassifierOps.BucketDiv
+      s"""WITH q AS ($qualityScoreSql),
+         |f AS (SELECT
+         |  CAST(LEAST(COALESCE(n_tokens, 0), 500) * 20 AS BIGINT) AS f_len,
+         |  CAST(COALESCE(ROUND(special_ratio * 10000), 0) AS BIGINT) AS f_special,
+         |  CAST(COALESCE(ROUND(stop_ratio * 10000), 0) AS BIGINT) AS f_stop,
+         |  LEAST(COALESCE(CAST(ROUND(avg_word_len * 10000) AS BIGINT), 0),
+         |    200000) // 20 AS f_awl,
+         |  ($gateReasonSql) IS NULL AS y
+         | FROM q),
+         |s AS (SELECT (${wq(0)}::BIGINT * 10000 + ${wq(1)}::BIGINT * f_len
+         |  + ${wq(2)}::BIGINT * f_special + ${wq(3)}::BIGINT * f_stop
+         |  + ${wq(4)}::BIGINT * f_awl + $off) // $div AS s, y FROM f),
+         |g AS (SELECT s, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+         |  SUM(CASE WHEN y THEN 0 ELSE 1 END) AS nn FROM s GROUP BY s),
+         |c AS (SELECT np, nn, COALESCE(SUM(nn) OVER (ORDER BY s
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+         | FROM g),
+         |a AS (SELECT CAST((SUM(np * (2 * cumneg + nn)) * 1000000)
+         |  // (2 * SUM(np) * SUM(nn)) AS BIGINT) AS auc_fixed_micro FROM c),
+         |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         | FROM f)
+         |SELECT n_docs, n_keep, n_docs - n_keep AS n_drop, auc_fixed_micro,
+         | TRUE AS trained_auc_ge_floor, TRUE AS trained_ge_fixed
+         |FROM cnt, a""".stripMargin
+    },
 
     "mixture_cube" ->
       s"""WITH t AS (SELECT lang, source,

@@ -302,6 +302,8 @@ object SparkEntry {
     "lang_confusion" -> ((s, d) => TextOps.langConfusion(documents(s, d))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(documents(s, d))),
     "quality_gate" -> ((s, d) => TextOps.qualityGate(documents(s, d))),
+    "quality_classifier_score" -> ((s, d) =>
+      ClassifierOps.qualityClassifierScore(documents(s, d))),
     "mixture_cube" -> ((s, d) => PipelineOps.mixtureCube(documents(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCount(documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(documents(s, d))),

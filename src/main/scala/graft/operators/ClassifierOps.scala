@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality classification — the trained form of the
+  * reference's heuristic `data_quality_score` (airbnb_clean_data.py) and
+  * the capability a production curation pipeline (FineWeb-Edu-style
+  * classifier filtering) runs at corpus scale: score every document with
+  * a TRAINED model instead of hand-set rules.
+  *
+  * Spark-first shape, mirroring `trainIvfCentroids`' contract:
+  *
+  *  - **Features** are the existing [[TextOps.qualityScore]] columns,
+  *    integer-quantized onto a 0..10000 grid (exact in both engines —
+  *    the ratios are already 4-decimal-rounded doubles).
+  *  - **Training** is distributed IRLS (Newton) logistic regression with
+  *    an L2 ridge: each iteration is ONE map-side-combined aggregation of
+  *    integer-quantized gradient/Hessian cells — 5 + 15 + 1 values reach
+  *    the driver per pass, however large the corpus. The ridge matters:
+  *    the gate label is a deterministic function of the features, so the
+  *    unregularized MLE diverges on the separable data.
+  *  - **Determinism**: every per-row contribution is rounded to an
+  *    integer BEFORE the sum, so the aggregation is associative and the
+  *    trained weights are bit-identical across partitionings — the
+  *    property that lets the scoring leg be graded at all.
+  *  - **Scoring** is a single codegen'd long-arithmetic projection
+  *    (micro-quantized weights × integer features), zero shuffles.
+  *  - **Evaluation** (AUC vs the gate verdicts) runs on the distinct
+  *    quantized-logit CDF — the only global window orders a
+  *    grid-bounded score table, never corpus rows (the scale rule every
+  *    quantile operator here follows).
+  */
+object ClassifierOps {
+
+  /** Feature order: bias, length, special-char ratio, stopword ratio,
+    * average word length — all scaled to the 0..10000 integer grid.
+    */
+  val Dim = 5
+
+  /** Hand-set baseline weights in micro-logit units per [0,1] feature —
+    * the "plausible heuristic linear score" the trained model must beat.
+    * Shared verbatim with the DuckDB oracle, which replays the fixed
+    * leg's AUC exactly.
+    */
+  val FixedWeightsMicro: Array[Long] =
+    Array(-4000000L, 6000000L, -12000000L, 5000000L, 0L)
+
+  /** AUC floor (micro-units) the trained model must clear on real data —
+    * oracle-pinned TRUE (the trained weights are data-dependent floats no
+    * SQL oracle re-derives; the spec additionally pins determinism and
+    * the floor on synthesized data).
+    */
+  val AucFloorMicro = 900000L
+
+  /** Quantized-logit bucket width and the sign-safety offset: scores are
+    * shifted fully positive before the integer division (Spark `div` and
+    * DuckDB `//` disagree on negative numerators), then bucketed to a
+    * 1e-3-logit grid so the AUC CDF runs over a bounded score table.
+    */
+  val BucketDiv = 10000000L
+  val BucketOffset = 100000000000000L // 1e14 » any reachable |logit|
+
+  /** Integer-grid feature frame + gate label: (doc_id, y, f_len,
+    * f_special, f_stop, f_awl). One codegen'd scan; the label shares
+    * [[TextOps.gateReason]]'s single rule definition.
+    */
+  def features(documents: DataFrame): DataFrame =
+    TextOps.qualityScore(documents).select(
+      col("doc_id"),
+      TextOps.gateReason.isNull.as("y"),
+      (least(coalesce(col("n_tokens"), lit(0L)), lit(500L)) * 20).as("f_len"),
+      coalesce(round(col("special_ratio") * 10000, 0).cast("long"), lit(0L))
+        .as("f_special"),
+      coalesce(round(col("stop_ratio") * 10000, 0).cast("long"), lit(0L))
+        .as("f_stop"),
+      expr("least(coalesce(cast(round(avg_word_len * 10000, 0) as bigint), 0)," +
+        " 200000) div 20").as("f_awl"))
+
+  /** The five [0,1]-scaled feature expressions (bias first). */
+  private def xCols: Seq[Column] =
+    lit(1.0) +: Seq("f_len", "f_special", "f_stop", "f_awl")
+      .map(c => col(c) / lit(10000.0))
+
+  /** Distributed ridge-logistic IRLS training. Per iteration, ONE
+    * aggregation ships exactly 21 integer cells to the driver (5
+    * gradient, 15 upper-triangle Hessian, 1 count); the 5×5 solve is
+    * driver-side Gaussian elimination. Weights are deterministic:
+    * integer-quantized contributions make the sums associative, and the
+    * solve is fixed-order double arithmetic on those exact sums.
+    */
+  def trainQualityLr(feats: DataFrame, iters: Int = 8,
+      ridge: Double = 0.01): Array[Double] = {
+    val w = Array.fill(Dim)(0.0)
+    val xs = xCols
+    var n = 0L
+    for (_ <- 0 until iters) {
+      val z = xs.zip(w).map { case (x, wj) => x * lit(wj) }.reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val q = p * (lit(1.0) - p)
+      val r = col("y").cast("double") - p
+      val gradCells = xs.zipWithIndex.map { case (x, j) =>
+        sum(round(r * x * lit(1e6), 0).cast("long").cast("decimal(38,0)"))
+          .as(s"g$j")
+      }
+      val hessCells = for {
+        j <- 0 until Dim; k <- j until Dim
+      } yield sum(round(q * xs(j) * xs(k) * lit(1e6), 0).cast("long")
+        .cast("decimal(38,0)")).as(s"h${j}_$k")
+      val cells = gradCells ++ hessCells :+ count(lit(1)).as("n")
+      val row = feats.agg(cells.head, cells.tail: _*).head()
+      def cell(i: Int): Double =
+        Option(row.getDecimal(i)).map(_.doubleValue / 1e6).getOrElse(0.0)
+      n = row.getLong(row.length - 1)
+      val lambda = ridge * n.toDouble
+      val g = Array.tabulate(Dim)(j => cell(j) - lambda * w(j))
+      val h = Array.ofDim[Double](Dim, Dim)
+      var idx = Dim
+      for (j <- 0 until Dim; k <- j until Dim) {
+        h(j)(k) = cell(idx); h(k)(j) = cell(idx); idx += 1
+      }
+      for (j <- 0 until Dim) h(j)(j) += lambda
+      val delta = solve(h, g)
+      for (j <- 0 until Dim) w(j) += delta(j)
+    }
+    w
+  }
+
+  /** Deterministic 5×5 Gaussian elimination with partial pivoting. */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val n = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (c <- 0 until n) {
+      var piv = c
+      for (r <- c + 1 until n) if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+      val tmp = a(c); a(c) = a(piv); a(piv) = tmp
+      val tb = b(c); b(c) = b(piv); b(piv) = tb
+      require(a(c)(c) != 0.0, "singular normal matrix (ridge should prevent this)")
+      for (r <- c + 1 until n) {
+        val f = a(r)(c) / a(c)(c)
+        for (k <- c until n) a(r)(k) -= f * a(c)(k)
+        b(r) -= f * b(c)
+      }
+    }
+    val x = Array.fill(n)(0.0)
+    for (r <- n - 1 to 0 by -1) {
+      var s = b(r)
+      for (k <- r + 1 until n) s -= a(r)(k) * x(k)
+      x(r) = s / a(r)(r)
+    }
+    x
+  }
+
+  /** Bucketed integer logit under micro-quantized weights — pure long
+    * arithmetic (weights ≤ ~1e7 micro, features ≤ 1e4: terms ≤ 1e11,
+    * nowhere near overflow), sign-shifted before the `div`.
+    */
+  private[graft] def scoreBucket(wMicro: Array[Long]): Column =
+    expr(s"(${wMicro(0)}L * 10000 + ${wMicro(1)}L * f_len" +
+      s" + ${wMicro(2)}L * f_special + ${wMicro(3)}L * f_stop" +
+      s" + ${wMicro(4)}L * f_awl + ${BucketOffset}L) div ${BucketDiv}L")
+
+  /** Exact AUC (micro-units) of a bucketed score against the boolean
+    * label, via the rank-sum identity on the DISTINCT-score CDF:
+    * 2U = Σ_s npos(s)·(2·cum_neg_below(s) + nneg(s)) (ties counted half),
+    * AUC = U / (npos·nneg). All integer/decimal math — engine-stable —
+    * and the only window orders the grid-bounded distinct-score table.
+    * Returns one row: (auc column under `alias`).
+    */
+  private[graft] def aucMicro(scored: DataFrame, alias: String): DataFrame = {
+    val g = scored.groupBy(col("s"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("nn"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumneg", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .agg(
+        sum(expr("cast(np as decimal(38,0)) * (2 * cumneg + nn)")).as("numer2"),
+        sum(col("np")).as("npos"), sum(col("nn")).as("nneg"))
+      .select(expr("cast((numer2 * 1000000) div" +
+        " (2 * cast(npos as decimal(38,0)) * nneg) as bigint)").as(alias))
+  }
+
+  /** Oracle-graded summary: corpus/label accounting, the EXACT AUC of
+    * the pinned fixed-weight baseline (fully SQL-replayable), and the
+    * trained model's quality as oracle-pinned booleans (clears the
+    * [[AucFloorMicro]] floor, beats the fixed baseline). Training runs
+    * inside the call on a persisted slim feature frame — 21 integer
+    * cells per iteration reach the driver, nothing else.
+    */
+  def qualityClassifierScore(documents: DataFrame): DataFrame = {
+    val feats = features(documents)
+    val cached = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trained =
+      try trainQualityLr(cached)
+      finally { cached.unpersist(); () }
+    val trainedMicro = trained.map(v => math.round(v * 1e6))
+    val counts = feats.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("n_keep"))
+    val aucFixed = aucMicro(
+      feats.select(scoreBucket(FixedWeightsMicro).as("s"), col("y")),
+      "auc_fixed_micro")
+    val aucTrained = aucMicro(
+      feats.select(scoreBucket(trainedMicro).as("s"), col("y")),
+      "auc_trained_micro")
+    counts
+      .crossJoin(broadcast(aucFixed))
+      .crossJoin(broadcast(aucTrained))
+      .select(
+        col("n_docs"), col("n_keep"),
+        (col("n_docs") - col("n_keep")).as("n_drop"),
+        col("auc_fixed_micro"),
+        (col("auc_trained_micro") >= AucFloorMicro).as("trained_auc_ge_floor"),
+        (col("auc_trained_micro") >= col("auc_fixed_micro")).as("trained_ge_fixed"))
+  }
+}

@@ -88,20 +88,25 @@ object TextOps {
     * are then one grouped scan away). Built on the qualityScore columns;
     * pure column expressions, zero shuffles.
     */
-  def qualityGate(documents: DataFrame): DataFrame = {
-    val reason =
-      // isNull: a NULL text yields NULL counts, and a bare `< 15` CASE
-      // arm would skip every rule and let the doc through
-      when(col("n_tokens").isNull || col("n_tokens") < 15, "too_short")
-        .when(col("special_ratio") > 0.05, "special_chars")
-        .when(col("stop_ratio") < 0.08, "low_stopword")
-        .when(col("avg_word_len") < 3.0 || col("avg_word_len") > 10.0, "word_length")
-        .otherwise(lit(null).cast("string"))
+  def qualityGate(documents: DataFrame): DataFrame =
     qualityScore(documents)
-      .withColumn("reject_reason", reason)
+      .withColumn("reject_reason", gateReason)
       .withColumn("keep", col("reject_reason").isNull)
       .select("doc_id", "quality_score", "reject_reason", "keep")
-  }
+
+  /** The gate's first-failing-rule attribution over [[qualityScore]]'s
+    * feature columns — ONE definition shared with
+    * [[graft.operators.ClassifierOps]] (which trains against the gate's
+    * verdicts), so the label and the gate can never disagree.
+    */
+  private[operators] def gateReason: Column =
+    // isNull: a NULL text yields NULL counts, and a bare `< 15` CASE
+    // arm would skip every rule and let the doc through
+    when(col("n_tokens").isNull || col("n_tokens") < 15, "too_short")
+      .when(col("special_ratio") > 0.05, "special_chars")
+      .when(col("stop_ratio") < 0.08, "low_stopword")
+      .when(col("avg_word_len") < 3.0 || col("avg_word_len") > 10.0, "word_length")
+      .otherwise(lit(null).cast("string"))
 
   /** Whitespace + regex token counting (the BPE-ish pass is the alnum-run
     * regex — a proxy for subword segmentation cost estimation).
