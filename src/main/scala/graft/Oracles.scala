@@ -3400,7 +3400,47 @@ object Oracles {
         | CAST(COUNT(*) AS BIGINT) AS n_copies,
         | CAST(MAX(byte_len) * (COUNT(*) - 1) AS BIGINT) AS wasted_bytes
         |FROM m GROUP BY 1, 2
-        |HAVING COUNT(*) >= 2""".stripMargin
+        |HAVING COUNT(*) >= 2""".stripMargin,
+
+    // blockhash60 over the utf-8 payload, replayed byte-for-byte: the
+    // testdata text is pure ASCII (octet_length == length, asserted by
+    // the Spark side's encode), so ord(substr) IS the payload byte
+    "multimodal_near_dedup" ->
+      """WITH m AS MATERIALIZED (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  md5(text) AS checksum, text,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS len
+        | FROM documents
+        | WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+        |blk AS (
+        | SELECT doc_id, ((i - 1) * 60) // len AS b,
+        |  SUM(CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS s
+        | FROM (SELECT doc_id, len, text,
+        |    UNNEST(generate_series(1, len)) AS i FROM m)
+        | GROUP BY doc_id, ((i - 1) * 60) // len),
+        |tot AS (SELECT doc_id, SUM(s) AS total FROM blk GROUP BY doc_id),
+        |fp AS (
+        | SELECT blk.doc_id,
+        |  CAST(SUM(CASE WHEN s * 60 > total
+        |    THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp
+        | FROM blk JOIN tot ON blk.doc_id = tot.doc_id GROUP BY blk.doc_id),
+        |fm AS MATERIALIZED (
+        | SELECT m.doc_id, media_type, checksum, fp.fp
+        | FROM m JOIN fp ON m.doc_id = fp.doc_id),
+        |bands AS (
+        | SELECT doc_id, media_type, checksum, fp, band,
+        |  (fp >> (band * 15)) & 32767 AS key
+        | FROM fm, (VALUES (0), (1), (2), (3)) AS bb(band))
+        |SELECT * FROM (
+        | SELECT DISTINCT a.media_type, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+        |  a.checksum = b.checksum AS is_exact_dup
+        | FROM bands a JOIN bands b
+        |  ON a.media_type = b.media_type AND a.band = b.band
+        |   AND a.key = b.key AND a.doc_id < b.doc_id)
+        |WHERE hamming <= 3""".stripMargin
   )
 
   private val dExtras: Map[String, String] = Map(

@@ -304,6 +304,8 @@ object SparkEntry {
     "quality_gate" -> ((s, d) => TextOps.qualityGate(documents(s, d))),
     "quality_classifier_score" -> ((s, d) =>
       ClassifierOps.qualityClassifierScore(documents(s, d))),
+    "multimodal_near_dedup" -> ((s, d) =>
+      MultimodalOps.multimodalNearDedup(documents(s, d))),
     "mixture_cube" -> ((s, d) => PipelineOps.mixtureCube(documents(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCount(documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(documents(s, d))),

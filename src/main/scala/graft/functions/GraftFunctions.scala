@@ -44,6 +44,8 @@ object GraftFunctions {
       DistinctShinglesExpr(exprs(0), intLit(exprs, 1, 5, "graft_shingle_set", "k"))
     }
     expressionFn("graft_simhash")(exprs => SimhashExpr(exprs(0)))
+    // 60-bit perceptual blockhash of a BINARY payload (media near-dup)
+    expressionFn("graft_blockhash")(exprs => BlockHashExpr(exprs(0)))
     // rolling token-span hashes (array<string> tokens → array<long>)
     expressionFn("graft_span_hashes") { exprs =>
       SpanHashExpr(exprs(0),

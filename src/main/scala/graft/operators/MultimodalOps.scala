@@ -96,6 +96,55 @@ object MultimodalOps {
         (max(col("byte_len")) * (count(lit(1)) - 1)).as("wasted_bytes"))
       .filter(col("n_copies") >= 2)
 
+  private val FpBands = 4
+  private val FpBandBits = 15
+
+  /** Perceptual near-duplicate media detection — the piece
+    * [[multimodalDedup]]'s exact checksum misses: a re-encoded/resized
+    * copy hashes to different bytes but nearly the same perceptual
+    * fingerprint. Each payload gets a 60-bit blockhash
+    * ([[graft.functions.BlockHash]] — one codegen'd pass, division-free
+    * mean-threshold block mass; a real codec feeds decoded luma through
+    * the same expression via [[decodeWithCodec]]'s slot), and pairs
+    * within Hamming distance `maxHamming` surface through the same
+    * 4×15-bit band join as text SimHash (≤3 is exact by pigeonhole).
+    * Scale shape mirrors checksum-first dedup: the BINARY payload never
+    * shuffles — only (doc_id, fingerprint, checksum) reach the band
+    * join; candidates are banded, never all-pairs; the exact-dup flag
+    * rides along so downstream policy can split re-encodes from copies.
+    */
+  def multimodalNearDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fps = mediaRecords(documents)
+      .select(col("doc_id"), col("media_type"),
+        graft.functions.BlockHash.blockhash(col("payload")).as("fp"),
+        md5(col("payload")).as("checksum"))
+      .filter(col("fp").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fps.select(col("doc_id"), col("media_type"), col("fp"),
+      col("checksum"),
+      explode(array((0 until FpBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * FpBandBits)
+            .bitwiseAND(lit((1L << FpBandBits) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("media_type"), col("fp"), col("checksum"),
+        col("bk.band"), col("bk.key"))
+    val a = banded.select(col("media_type"), col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+      col("checksum").as("ck_a"))
+    val b = banded.select(col("media_type"), col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+      col("checksum").as("ck_b"))
+    a.join(b, Seq("media_type", "band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("media_type"), col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
+          .as("hamming"),
+        (col("ck_a") === col("ck_b")).as("is_exact_dup"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling over the decoded video rows: every `step`-th frame
     * index with its byte offset — one scan, explode keeps it columnar (a
     * real decoder would read the offsets per partition).

@@ -45,6 +45,36 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.map(_.getInt(1)).forall(_ % 5 == 0))
   }
 
+  test("blockhash60: empty → sentinel; local edit → small hamming; unrelated → large") {
+    import graft.functions.BlockHashUtil.blockhash60
+    assert(blockhash60(Array.emptyByteArray) == Long.MinValue)
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
+    val edited = base.clone(); edited(10) = 'X'.toByte
+    val near = java.lang.Long.bitCount(blockhash60(base) ^ blockhash60(edited))
+    assert(near <= 3, s"one-byte edit should perturb few blocks, got $near")
+    val other = ("completely different payload with other content entirely " * 8)
+      .getBytes("UTF-8")
+    val far = java.lang.Long.bitCount(blockhash60(base) ^ blockhash60(other))
+    assert(far > 10, s"unrelated payloads should differ widely, got $far")
+  }
+
+  test("multimodalNearDedup surfaces exact and near pairs with the exact flag split") {
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val rows = Seq(
+      (0L, base, "en", "web", 1L),                         // image
+      (3L, base, "en", "web", 1L),                         // image, exact dup of 0
+      (6L, base.updated(10, 'X'), "en", "web", 1L),        // image, near dup of 0
+      (1L, "completely different audio payload text here " * 8, "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = MultimodalOps.multimodalNearDedup(rows).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Boolean]("is_exact_dup"), r.getAs[Long]("hamming"))).toSet
+    assert(out.exists { case (a, b, ex, h) => a == 0L && b == 3L && ex && h == 0L })
+    assert(out.exists { case (a, b, ex, _) => a == 0L && b == 6L && !ex })
+    assert(out.exists { case (a, b, ex, _) => a == 3L && b == 6L && !ex })
+    assert(out.size == 3) // the audio row pairs with nothing
+  }
+
   test("multimodalDedup groups identical payloads and counts wasted bytes") {
     val withDup = Seq(
       (0L, "same bytes", "en", "web", 10L),
