@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * optimization layer, never a correctness dependency.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => graft.plans.GeohashPrefixPushdown())
+    // physical as-of join ([[graft.plans.AsOfJoinPlan]]); also ensured at
+    // first API use via GraftPlanBridge.ensureStrategy for sessions
+    // built without extensions
+    extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -3633,6 +3633,29 @@ object Oracles {
         |SELECT event_id, user_id, ts_s, value, last_signup_value
         |FROM w WHERE side = 1""".stripMargin,
 
+    // row-level as-of semantics (the physical operator carries the whole
+    // matched signup ROW): resolve the matched signup's event_id via the
+    // union-window, then join back by the globally-unique event_id to
+    // fetch its ts and value — value rides along even if NULL
+    "events_asof_physical" ->
+      """WITH base AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type, value FROM events),
+        |u AS (
+        | SELECT user_id, ts_s, 0 AS side, event_id, value FROM base
+        |  WHERE event_type = 'signup'
+        | UNION ALL
+        | SELECT user_id, ts_s, 1 AS side, event_id, value FROM base
+        |  WHERE event_type = 'purchase'),
+        |w AS (SELECT *, last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts_s, side, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sig_event
+        | FROM u)
+        |SELECT w.event_id, w.user_id, w.ts_s, w.value,
+        | s.event_id AS signup_event, s.ts_s AS signup_ts,
+        | s.value AS signup_value
+        |FROM w LEFT JOIN base s ON s.event_id = w.sig_event
+        |WHERE w.side = 1""".stripMargin,
+
     "events_asof_recent" ->
       """WITH base AS (SELECT user_id, event_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type, value FROM events),

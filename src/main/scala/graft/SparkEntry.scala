@@ -373,6 +373,8 @@ object SparkEntry {
       AsOfOps.purchaseWithLastSignup(events(s, d))),
     "events_asof_recent" -> ((s, d) =>
       AsOfOps.purchaseWithRecentSignup(events(s, d))),
+    "events_asof_physical" -> ((s, d) =>
+      AsOfOps.purchaseLastSignupPhysical(events(s, d))),
     "event_funnel" -> ((s, d) => AsOfOps.signupPurchaseFunnel(events(s, d))),
     "window_funnel" -> ((s, d) => AsOfOps.windowFunnel(events(s, d))),
     "funnel_progress" -> ((s, d) => AsOfOps.funnelProgress(events(s, d))),

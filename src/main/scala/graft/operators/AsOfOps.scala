@@ -121,6 +121,66 @@ object AsOfOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** [[asofJoin]] through the custom physical operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]): per
+    * left row, the right row with the greatest (tsCol, ordCol) at-or-
+    * before the left row's tsCol on the same key (optionally within
+    * `tolerance` tsCol units). Output = left columns + `asof_ts` (the
+    * matched right timestamp) + `asof_<c>` for each of `rightCols` —
+    * whole-ROW semantics: the matched row's values ride along even when
+    * null (the union-window form's ignore-nulls value carry would skip
+    * them).
+    *
+    * Scale: EnsureRequirements plans exactly one hash exchange per side
+    * on the key plus one per-partition sort each; the merge pass holds
+    * ONE candidate row — no window frame, so key skew costs time, never
+    * memory. tsCol/ordCol must cast to long.
+    */
+  def asofJoinPhysical(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, ordCol: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    val spark = left.sparkSession
+    GraftPlanBridge.ensureStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val l = left.withColumn("__l_ts", col(tsCol).cast("long"))
+    // fresh aliases give the right side fresh exprIds, so a self-join
+    // (both sides derived from one scan) has unambiguous node output
+    val r = right.select(
+      col(keyCol).as("__r_key") +:
+        col(tsCol).cast("long").as("__r_ts") +:
+        col(ordCol).cast("long").as("__r_ord") +:
+        rightCols.map(c => col(c).as(s"__rv_$c")): _*)
+    val lp = GraftPlanBridge.analyzed(l)
+    val rp = GraftPlanBridge.analyzed(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    val node = graft.plans.AsOfJoinPlan(lp, rp,
+      Seq(attr(lp, keyCol)), Seq(attr(rp, "__r_key")),
+      attr(lp, "__l_ts"), attr(rp, "__r_ts"), attr(rp, "__r_ord"), tolerance)
+    GraftPlanBridge.ofRows(spark, node)
+      .select(left.columns.map(col) ++
+        (col("__r_ts").as("asof_ts") +:
+          rightCols.map(c => col(s"__rv_$c").as(s"asof_$c"))): _*)
+  }
+
+  /** [[purchaseWithLastSignup]] re-planned through the physical as-of
+    * operator, with whole-row match output: each purchase carries its
+    * most recent at-or-before signup's event_id, timestamp, and value.
+    */
+  def purchaseLastSignupPhysical(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      col("ts").cast("long").as("ts_s"), col("event_type"), col("value"))
+    asofJoinPhysical(
+      base.filter(col("event_type") === "purchase"),
+      base.filter(col("event_type") === "signup"),
+      "user_id", "ts_s", "event_id", Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
+        col("asof_event_id").as("signup_event"),
+        col("asof_ts").as("signup_ts"),
+        col("asof_value").as("signup_value"))
+  }
+
   /** Last-touch purchase attribution — each purchase credits the most
     * recent click/view by the same user within `toleranceS` seconds;
     * older or absent touches fall back to 'organic'. The attribution
