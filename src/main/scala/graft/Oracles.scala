@@ -1867,6 +1867,60 @@ object Oracles {
         |FROM a1 GROUP BY cid""".stripMargin,
 
     // three unrolled BPE rounds over the ␟-wrapped symbol encoding —
+    // the encode side: re-derive the same 3 merges (CTE chain identical
+    // to bpe_learn_merges), then apply them to EVERY word of every doc
+    // as a chain of scalar-subquery replaces; COALESCE to chr(30) (never
+    // present) keeps a missing merge a no-op, mirroring the Spark fold
+    // over however many merges were actually learned
+    "bpe_encode" -> {
+      def pc(w: String) =
+        s"""SELECT ts[i] AS lhs, ts[i+1] AS rhs, SUM(n) AS c
+           | FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31)) AS ts, n
+           |       FROM $w) q,
+           |  unnest(generate_series(1, len(ts) - 1)) AS u(i)
+           | WHERE len(ts) >= 2 GROUP BY 1, 2""".stripMargin
+      def mrg(w: String, t: String) =
+        s"""SELECT replace(s, chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
+           |   chr(31) || lhs || rhs || chr(31)) AS s, n FROM $w, $t""".stripMargin
+      def pat(t: String) =
+        s"""COALESCE((SELECT chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31)
+           |  FROM $t), chr(30))""".stripMargin
+      def rep(t: String) =
+        s"COALESCE((SELECT chr(31) || lhs || rhs || chr(31) FROM $t), chr(30))"
+      s"""WITH w AS (
+         | SELECT unnest(string_split(${norm("text")}, ' ')) AS word
+         | FROM documents WHERE length(${norm("text")}) > 0),
+         |wc AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+         |w0 AS (SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s, n
+         |       FROM wc WHERE length(word) >= 2),
+         |pc0 AS (${pc("w0")}),
+         |t1 AS (SELECT lhs, rhs, c FROM pc0 ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w1 AS (${mrg("w0", "t1")}),
+         |pc1 AS (${pc("w1")}),
+         |t2 AS (SELECT lhs, rhs, c FROM pc1 ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w2 AS (${mrg("w1", "t2")}),
+         |pc2 AS (${pc("w2")}),
+         |t3 AS (SELECT lhs, rhs, c FROM pc2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |docw AS (
+         | SELECT doc_id, unnest(string_split(${norm("text")}, ' ')) AS word
+         | FROM documents WHERE length(${norm("text")}) > 0),
+         |enc AS (
+         | SELECT doc_id,
+         |  replace(replace(replace(
+         |    regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g'),
+         |    ${pat("t1")}, ${rep("t1")}),
+         |    ${pat("t2")}, ${rep("t2")}),
+         |    ${pat("t3")}, ${rep("t3")}) AS s
+         | FROM docw)
+         |SELECT doc_id,
+         | CAST(COUNT(*) AS BIGINT) AS n_words,
+         | CAST(SUM(len(string_split(trim(s, chr(31)), chr(31) || chr(31)))) AS BIGINT)
+         |   AS n_bpe_tokens,
+         | CAST((SUM(len(string_split(trim(s, chr(31)), chr(31) || chr(31)))) * 1000000)
+         |   // COUNT(*) AS BIGINT) AS fertility_micro
+         |FROM enc GROUP BY doc_id""".stripMargin
+    },
+
     // replace() is left-to-right non-overlapping in both engines, which
     // is exactly the BPE merge rule (see TextOps.bpeLearnMerges)
     "bpe_learn_merges" -> {
@@ -3185,6 +3239,41 @@ object Oracles {
          |FROM documents)""".stripMargin,
 
     "stratified_sample" -> stratifiedSampleSql,
+
+    "weighted_sample" ->
+      s"""WITH b AS (
+         | SELECT doc_id,
+         |  CAST(length(${norm("text")}) AS BIGINT) AS weight_chars,
+         |  ${hash32Sql(s"'${graft.operators.PipelineOps.WeightSalt}' || CAST(doc_id AS VARCHAR)")} AS h
+         | FROM documents WHERE length(${norm("text")}) > 0)
+         |SELECT doc_id, weight_chars,
+         | CAST((h * 1000000) // weight_chars AS BIGINT) AS priority_micro
+         |FROM b ORDER BY priority_micro, doc_id LIMIT 50""".stripMargin,
+
+    "collocation_pmi" ->
+      s"""WITH t AS (
+         | SELECT string_split(${norm("text")}, ' ') AS ts
+         | FROM documents WHERE length(${norm("text")}) > 0),
+         |pr AS (
+         | SELECT ts[i] AS lhs, ts[i + 1] AS rhs
+         | FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+         | WHERE len(ts) >= 2),
+         |pc AS (
+         | SELECT lhs, rhs, COUNT(*) AS n_ab FROM pr GROUP BY 1, 2
+         | HAVING COUNT(*) >= 3),
+         |uni AS (
+         | SELECT unnest(ts) AS tok FROM t),
+         |uc AS (SELECT tok, COUNT(*) AS tf FROM uni GROUP BY tok),
+         |tot AS (SELECT COUNT(*) AS n_total FROM pr)
+         |SELECT lhs, rhs, CAST(n_ab AS BIGINT) AS n_ab,
+         | CAST(a.tf AS BIGINT) AS n_a, CAST(b.tf AS BIGINT) AS n_b,
+         | CAST((CAST(n_ab AS HUGEINT) * n_total * 1000000)
+         |   // (CAST(a.tf AS HUGEINT) * b.tf) AS BIGINT) AS lift_micro
+         |FROM pc
+         | JOIN uc a ON a.tok = pc.lhs
+         | JOIN uc b ON b.tok = pc.rhs
+         | CROSS JOIN tot
+         |ORDER BY lift_micro DESC, lhs, rhs LIMIT 30""".stripMargin,
 
     "source_cap_sample" ->
       s"""SELECT doc_id, source, cap_rank FROM (

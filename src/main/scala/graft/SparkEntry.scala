@@ -319,6 +319,7 @@ object SparkEntry {
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(documents(s, d))),
     "bm25_search" -> ((s, d) => TextOps.bm25Search(documents(s, d))),
     "bpe_learn_merges" -> ((s, d) => TextOps.bpeLearnMerges(documents(s, d))),
+    "bpe_encode" -> ((s, d) => TextOps.bpeEncode(documents(s, d))),
     "doc_keyterms" -> ((s, d) => TextOps.docKeyterms(documents(s, d))),
     "tfidf_doc_pairs" -> ((s, d) => TextOps.tfidfDocPairs(documents(s, d))),
     "template_fingerprint" -> ((s, d) =>
@@ -344,6 +345,8 @@ object SparkEntry {
     "tokenizer_fertility" -> ((s, d) => TextOps.tokenizerFertility(documents(s, d))),
     "type_token_ratio" -> ((s, d) => TextOps.typeTokenRatio(documents(s, d))),
     "stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(documents(s, d))),
+    "weighted_sample" -> ((s, d) => PipelineOps.weightedSample(documents(s, d))),
+    "collocation_pmi" -> ((s, d) => TextOps.collocationPmi(documents(s, d))),
     "dataset_split" -> ((s, d) => PipelineOps.datasetSplit(documents(s, d))),
     "source_cap_sample" -> ((s, d) =>
       PipelineOps.sourceCapSample(documents(s, d))),

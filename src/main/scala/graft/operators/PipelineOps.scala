@@ -67,6 +67,39 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("cap_rank"))
   }
 
+  /** Salt for the weighted-priority draw — same versioned-redraw
+    * contract as [[SampleSalt]].
+    */
+  val WeightSalt = "wsamp:v1:"
+
+  /** Deterministic WEIGHTED sampling — the "sample documents
+    * proportional to length/quality" step of corpus curation, as a
+    * priority draw: each doc gets priority ⌊h·10⁶ / w⌋ (h = salted
+    * 32-bit hash, w = its character count), and the k smallest
+    * priorities win — an Efraimidis–Spirtakis-style weighted priority
+    * sample with a linear race in place of the exponential one (the
+    * ranking key is a monotone integer surrogate, so the draw is exact,
+    * reproducible, and engine-replayable with NO float math — same
+    * policy as the other samplers; heavier docs draw systematically
+    * smaller priorities, lighter docs still win occasionally).
+    *
+    * Scale: priority is a pure column expression; the global k-smallest
+    * is a bounded TakeOrdered (every partition forwards ≤ k rows), never
+    * a corpus-wide sort. Empty docs (w = 0) are excluded — they cannot
+    * race.
+    */
+  def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
+    val w = length(TextFns.normText(col("text"))).cast("long")
+    val h = HashFns.hash32(concat(lit(WeightSalt), col("doc_id").cast("string")))
+    documents
+      .select(col("doc_id"), w.as("weight_chars"), h.as("h"))
+      .filter(col("weight_chars") > 0)
+      .select(col("doc_id"), col("weight_chars"),
+        expr("(h * 1000000) div weight_chars").as("priority_micro"))
+      .orderBy(col("priority_micro"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Salt for the train/val/test assignment hash — bump to re-draw every
     * split deterministically (same contract as [[SampleSalt]]).
     */

@@ -586,6 +586,83 @@ object TextOps {
     merges.reduce(_.unionByName(_))
   }
 
+  /** Collocation mining by pointwise-mutual-information LIFT — which
+    * word pairs co-occur adjacently far more than their unigram
+    * frequencies predict (the phrase-detection pass behind
+    * word2phrase/Gensim Phrases, used to protect multi-word entities
+    * before tokenization). PMI's log is monotone in the lift ratio
+    * P(ab)/(P(a)P(b)) = C(ab)·N / (C(a)·C(b)), so ranking by the EXACT
+    * integer lift (micro-units, DECIMAL(38) intermediates — corpus-scale
+    * count products pass 2⁶³) orders pairs identically to PMI with no
+    * libm anywhere (the repo-wide oracle-parity policy).
+    *
+    * Scale: the corpus is touched twice through memoized rollups
+    * ([[corpusTf]] unigrams + the bigram explode), both map-side
+    * combined; the lift join runs on the VOCABULARY-sized tables, and
+    * the final top-k is a bounded TakeOrdered, never a global sort.
+    */
+  def collocationPmi(documents: DataFrame, minCount: Long = 3, k: Int = 30): DataFrame = {
+    val spread = OpUtils.spread(documents)
+    val pairs = spread
+      .select(TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(element_at(col("toks"), col("i")).as("lhs"),
+        element_at(col("toks"), col("i") + 1).as("rhs"))
+    val pairCounts = pairs.groupBy(col("lhs"), col("rhs"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = corpusTf(documents)
+    val total = pairs.agg(count(lit(1)).as("n_total"))
+    pairCounts
+      .crossJoin(broadcast(total))
+      .join(uni.select(col("tok").as("lhs"), col("tf").as("n_a")), Seq("lhs"))
+      .join(uni.select(col("tok").as("rhs"), col("tf").as("n_b")), Seq("rhs"))
+      .select(col("lhs"), col("rhs"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("""cast((cast(n_ab as decimal(38,0)) * n_total * 1000000)
+               | div (cast(n_a as decimal(38,0)) * n_b) as bigint)"""
+          .stripMargin.replaceAll("\n", " ")).as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("lhs"), col("rhs"))
+      .limit(k)
+  }
+
+  /** BPE ENCODING — the apply side of [[bpeLearnMerges]], completing the
+    * tokenizer loop (learn → encode): the learned merge table (tiny,
+    * bounded by `rounds`, so collecting it to the driver is the right
+    * move — it becomes literal patterns broadcast inside the plan, the
+    * same shape as shipping a tokenizer vocab to every executor) is
+    * applied to every word of every document with the same
+    * separator-wrapped `replace` recurrence the learner used, then each
+    * doc reports its BPE token count and fertility (BPE tokens per word,
+    * exact integer micro-units — the tokenizer-efficiency metric).
+    *
+    * Scale: one corpus scan; the merge chain is `rounds` nested
+    * codegen'd `replace` calls per word — no joins, no shuffles beyond
+    * the final per-doc rollup (map-side combined).
+    */
+  def bpeEncode(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    val sep = "\u001f"
+    // driver-side collect is bounded by `rounds` (3 rows), never by data
+    val merges = bpeLearnMerges(documents, rounds)
+      .orderBy(col("merge_rank"))
+      .select(col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val words = OpUtils.spread(documents)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+    val wrapped = regexp_replace(col("word"), "(.)", sep + "$1" + sep)
+    val encoded = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+      replace(c, lit(sep + l + sep + sep + r + sep), lit(sep + l + r + sep))
+    }
+    words
+      .select(col("doc_id"),
+        size(split(trim(encoded, sep), sep + sep)).cast("long").as("ntok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ntok")).as("n_bpe_tokens"),
+        expr("(sum(ntok) * 1000000) div count(1)").as("fertility_micro"))
+  }
+
   /** Fixed query-term set for [[bm25Search]] — shared with the oracle. */
   val Bm25Terms: Seq[String] = Seq("spark", "join", "window", "scan", "stream", "vector")
 

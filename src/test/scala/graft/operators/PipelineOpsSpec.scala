@@ -310,4 +310,20 @@ class PipelineOpsSpec extends SparkSpec {
     } yield (a, b) -> ((splits(a), splits(b), 1.0))).toMap
     assert(out == expect)
   }
+
+  test("weightedSample is deterministic, bounded, and exact-integer ranked") {
+    val df = (1L to 200L).map(i => (i, "x" * (1 + (i % 17)).toInt, "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = PipelineOps.weightedSample(df, k = 20).collect()
+    val b = PipelineOps.weightedSample(df, k = 20).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 20)
+    // priorities ascend and equal the hash-div-weight recurrence
+    val ps = a.map(_.getAs[Long]("priority_micro"))
+    assert(ps.toSeq == ps.sorted.toSeq)
+    a.foreach { r =>
+      assert(r.getAs[Long]("weight_chars") > 0)
+      assert(r.getAs[Long]("priority_micro") >= 0)
+    }
+  }
 }

@@ -344,4 +344,33 @@ class TextOpsSpec extends SparkSpec {
     // the en-only vocabulary scores above the doc carrying a raw-only token
     assert(out(3L)._3 > out(2L)._3)
   }
+
+  test("bpeEncode: learned merge collapses the merged pair everywhere, fertility exact") {
+    // "aa" dominates: rounds=1 learns (a,a); "aaaa" -> 2 tokens, "ab" -> 2
+    val df = docs(
+      (1L, "aaaa aaaa ab", "en"),
+      (2L, "aaaa", "en"))
+    val out = TextOps.bpeEncode(df, rounds = 1).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("fertility_micro"))).toMap
+    // doc 1: aaaa->aa,aa (2) + aaaa (2) + ab->a,b (2) = 6 tokens / 3 words
+    assert(out(1L) == ((3L, 6L, 2000000L)))
+    assert(out(2L) == ((1L, 2L, 2000000L)))
+  }
+
+  test("collocationPmi ranks the exclusive pair above the promiscuous one") {
+    // "new york" always adjacent and exclusive; "of the" frequent but its
+    // unigrams appear everywhere
+    val df = docs(
+      (1L, "new york of the city of the state", "en"),
+      (2L, "new york of the harbor of the coast", "en"),
+      (3L, "new york of the river of the bay", "en"))
+    val out = TextOps.collocationPmi(df, minCount = 3, k = 5).collect()
+    val top = out.head
+    assert(top.getAs[String]("lhs") == "new" && top.getAs[String]("rhs") == "york")
+    // lift(new york) = n_ab * N * 1e6 / (n_a * n_b) = 3 * 21 * 1e6 / (3*3)
+    assert(top.getAs[Long]("lift_micro") == 7000000L)
+    val ofThe = out.find(r => r.getAs[String]("lhs") == "of").get
+    assert(ofThe.getAs[Long]("lift_micro") < top.getAs[Long]("lift_micro"))
+  }
 }
