@@ -235,7 +235,8 @@ object Sinks {
     * [[mergeUpsert]], so readers never see a half-written store.
     */
   def mergeAggregate(spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, keyCols: Seq[String], sumCols: Seq[String]): Unit = {
+      batch: DataFrame, keyCols: Seq[String], sumCols: Seq[String],
+      commitTag: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.{col, sum}
     val pre = batch.groupBy(keyCols.map(col): _*)
       .agg(sumCols.map(c => sum(col(c)).as(c)).head,
@@ -250,7 +251,75 @@ object Sinks {
     val token = System.nanoTime()
     val staging = s"$path-staging-$token"
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    // the commit tag rides INSIDE the staged directory, so tag and data
+    // publish in the same swap — an ADDITIVE merge cannot be made
+    // idempotent by any marker written after the swap (a crash between
+    // the two re-applies the batch on replay and double-counts). The
+    // underscore prefix keeps parquet readers blind to it.
+    commitTag.foreach { tag =>
+      val p = new org.apache.hadoop.fs.Path(staging, s"_commit-$tag")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(p, true).close()
+    }
     swapStore(spark, path, staging, token)
+  }
+
+  /** The commit tag the store's last [[mergeAggregate]] swap carried, if
+    * any — each swap replaces the whole directory, so at most one
+    * `_commit-*` file exists and it names the last atomically-applied
+    * batch.
+    */
+  def storeCommitTag(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith("_commit-") =>
+        n.stripPrefix("_commit-") }
+  }
+
+  /** EXACTLY-ONCE append of one micro-batch into a snapshot directory:
+    * the batch's files carry a deterministic generation name
+    * (`ingest-<streamId>-b<batchId>-pNNNN.parquet`), so a replayed batch
+    * is recognizable however far the previous attempt got. Returns false
+    * (no-op) when the generation already appears in manifest history —
+    * the append COMMITTED even if the caller's own marker never landed;
+    * otherwise clears any uncommitted leftovers of this generation
+    * (crash mid-append), stages + renames the files in, and publishes
+    * one snapshot. This closes the replay window a random-part-name
+    * `mode(Append)` + [[commitSnapshot]] pair leaves open: a crash
+    * between the commit and the caller's marker would re-append the
+    * whole batch under fresh names and silently double every row.
+    */
+  def appendSnapshotOnce(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, streamId: String, batchId: Long): Boolean = {
+    require(streamId.nonEmpty && streamId.matches("[A-Za-z0-9_.=-]+"),
+      s"streamId must be a plain token, got '$streamId'")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val gen = f"ingest-$streamId-b$batchId%010d-"
+    val committed = Snapshots.versions(fs, dir)
+      .flatMap(v => Snapshots.files(fs, dir, v))
+      .exists(_.startsWith(gen))
+    if (committed) return false
+    clearCrashedGeneration(fs, dir, gen)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$gen")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).iterator.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+    // an empty batch has nothing to publish — don't burn a version on it
+    // (its replay is another harmless no-op)
+    if (parts.isEmpty) { fs.delete(tmp, true); return true }
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val n = f"$gen%sp$i%04d.parquet"
+      if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, n)))
+        throw new java.io.IOException(s"ingest rename failed for $p")
+    }
+    fs.delete(tmp, true)
+    commitSnapshot(spark, path)
+    true
   }
 
   /** Small-file compaction — the operational pass every long-running

@@ -401,11 +401,18 @@ object EventStreams {
         if (!markerExists(batch, marker)) {
           val spark = batch.sparkSession
           val incoming = batch.select(col("user_id")).distinct()
-          val existing =
-            try spark.read.parquet(dimPath).select("user_id")
-            catch { case _: Exception => spark.emptyDataFrame.withColumn("user_id", lit(0L)).limit(0) }
-          incoming.join(existing, Seq("user_id"), "left_anti")
-            .write.mode("append").parquet(dimPath)
+          // "no store yet" is an EXPLICIT existence check (the
+          // scd2UpsertStream contract): swallowing a read failure here
+          // would anti-join against nothing and re-append every key the
+          // batch carries — permanent duplicates from a transient error
+          val dimP = new org.apache.hadoop.fs.Path(dimPath)
+          val fs = dimP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val fresh =
+            if (fs.exists(dimP))
+              incoming.join(spark.read.parquet(dimPath).select("user_id"),
+                Seq("user_id"), "left_anti")
+            else incoming
+          fresh.write.mode("append").parquet(dimPath)
           writeMarker(batch, marker)
         }
         ()
@@ -415,9 +422,13 @@ object EventStreams {
     * partial sums fold into the persistent rollup store via
     * [[graft.sources.Sinks.mergeAggregate]] — the streaming form of the
     * dashboard table the reference re-aggregates on an Airflow schedule.
-    * Per-batch work is store+batch-sized (never the event history); the
-    * batchId marker makes replayed micro-batches idempotent, so the
-    * additive merge survives restarts without double counting.
+    * Per-batch work is store+batch-sized (never the event history).
+    * Replay idempotency: an ADDITIVE merge cannot rely on a marker
+    * written after the swap (a crash between the two would re-apply the
+    * batch on replay and double-count), so the batchId commits INSIDE
+    * the store swap itself ([[graft.sources.Sinks.mergeAggregate]]'s
+    * commitTag) — the store always names the last atomically-applied
+    * batch, and a replayed batch at-or-below it is skipped.
     */
   def aggMaintainStream(events: DataFrame,
       storePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -428,11 +439,13 @@ object EventStreams {
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = markerPath(storePath, batchId)
-        if (!markerExists(batch, marker)) {
+        val applied = graft.sources.Sinks
+          .storeCommitTag(batch.sparkSession, storePath)
+          .exists(_.toLong >= batchId)
+        if (!applied) {
           graft.sources.Sinks.mergeAggregate(batch.sparkSession, storePath,
-            batch, Seq("event_type"), Seq("n_events", "value_cents"))
-          writeMarker(batch, marker)
+            batch, Seq("event_type"), Seq("n_events", "value_cents"),
+            commitTag = Some(batchId.toString))
         }
         ()
       }
@@ -444,27 +457,28 @@ object EventStreams {
     * .readSnapshot]]) and downstream incrementals fold exactly the
     * per-batch delta ([[graft.sources.Readers.readChangesBetween]]) —
     * the streaming→lake handoff of a 100 TB ingest, with no mutable
-    * pointer anywhere. A replayed micro-batch (restart inside the
-    * append-then-commit window) is made idempotent by the batch marker:
-    * the files land again only if the batch never committed, and a
-    * half-appended uncommitted file set is invisible to every reader
-    * until its snapshot publishes.
+    * pointer anywhere. Replay idempotency comes from DETERMINISTIC
+    * generation naming ([[graft.sources.Sinks.appendSnapshotOnce]]):
+    * a replayed batch whose files already sit in manifest history is a
+    * no-op however far the previous attempt got (a marker-after-commit
+    * scheme leaves a window where the replay re-appends the whole batch
+    * under fresh random part names). `streamId` namespaces the
+    * generations: a successor query with a fresh checkpoint restarts
+    * batchIds at 0, and without its own id its first batches would
+    * collide with the predecessor's and silently skip.
     */
-  def snapshotIngestStream(events: DataFrame,
-      tablePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def snapshotIngestStream(events: DataFrame, tablePath: String,
+      streamId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty, "snapshotIngestStream needs a non-empty streamId")
     events
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = markerPath(tablePath, batchId)
-        if (!markerExists(batch, marker)) {
-          batch.write.mode(org.apache.spark.sql.SaveMode.Append)
-            .parquet(tablePath)
-          graft.sources.Sinks.commitSnapshot(batch.sparkSession, tablePath)
-          writeMarker(batch, marker)
-        }
+        graft.sources.Sinks.appendSnapshotOnce(batch.sparkSession, tablePath,
+          batch, streamId, batchId)
         ()
       }
+  }
 
   /** Streaming data-contract monitoring: every micro-batch is profiled
     * against a PINNED baseline snapshot with the batch operators'
@@ -474,26 +488,58 @@ object EventStreams {
     * the alerting feed a warehouse team tails to catch an upstream
     * schema/unit change WITHIN the batch that shipped it, not at the
     * next nightly audit. Baseline stats are re-derived per batch from
-    * the baseline path (baseline-sized, typically a sampled pin);
-    * replayed batches are idempotent via the marker.
+    * the baseline path (baseline-sized, typically a sampled pin).
+    * Replay idempotency: the report files carry a deterministic
+    * per-(streamId, batch) name and the marker is the commit point —
+    * a replay BELOW the marker first deletes any partial files of its
+    * own generation, so however far the previous attempt got (including
+    * the write-then-crash-before-marker window that used to duplicate
+    * report rows under fresh random part names), the redo lands exactly
+    * once. `streamId` namespaces both, so a successor query's restarted
+    * batchIds cannot collide with the predecessor's.
     */
   def statsDriftStream(rows: DataFrame, baselinePath: String,
-      reportPath: String, cols: Seq[String])
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      reportPath: String, cols: Seq[String], streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty, "statsDriftStream needs a non-empty streamId")
     rows
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = markerPath(reportPath, batchId)
+        val marker = markerPath(s"$reportPath-$streamId", batchId)
         if (!markerExists(batch, marker) && !batch.isEmpty) {
-          val baseline = batch.sparkSession.read.parquet(baselinePath)
+          val spark = batch.sparkSession
+          val dir = new org.apache.hadoop.fs.Path(reportPath)
+          val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val gen = f"drift-$streamId-b$batchId%010d-"
+          // clear a crashed previous attempt of THIS generation before
+          // re-writing (deterministic names make it recognizable)
+          if (fs.exists(dir))
+            fs.listStatus(dir).iterator.map(_.getPath)
+              .filter(_.getName.startsWith(gen))
+              .foreach { p =>
+                if (!fs.delete(p, false))
+                  throw new java.io.IOException(s"drift replay cleanup failed for $p")
+              }
+          val baseline = spark.read.parquet(baselinePath)
+          val tmp = new org.apache.hadoop.fs.Path(dir, s".$gen")
           graft.operators.AuditOps.statsDrift(baseline, batch, cols)
             .withColumn("batch_id", lit(batchId))
-            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(reportPath)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+          fs.mkdirs(dir)
+          val parts = fs.listStatus(tmp).iterator.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+          parts.zipWithIndex.foreach { case (p, i) =>
+            val n = f"$gen%sp$i%04d.parquet"
+            if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, n)))
+              throw new java.io.IOException(s"drift report rename failed for $p")
+          }
+          fs.delete(tmp, true)
           writeMarker(batch, marker)
         }
         ()
       }
+  }
 
   /** Continuous ANN-index maintenance: each micro-batch of vectors is
     * encoded ONCE through the IVF cell assignment + PQ coder
@@ -518,21 +564,19 @@ object EventStreams {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = markerPath(s"$indexPath-$streamId", batchId)
-        if (!markerExists(batch, marker)) {
-          // encode against the CURRENT model: the fixed pseudo-random
-          // structures until the first retrain, the trained sidecar
-          // model after — so post-retrain batches land in the same
-          // geometry the head snapshot was rebuilt in
-          val model = readAnnModel(batch.sparkSession, indexPath)
-            .getOrElse(graft.operators.SimilarityOps.FixedAnnModel)
-          graft.operators.SimilarityOps.encodeSlim(batch, model)
-            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
-          // fold the new files into the snapshot head (union-of-history
-          // keeps retrain-superseded generations from resurrecting)
-          graft.sources.Sinks.commitSnapshot(batch.sparkSession, indexPath)
-          writeMarker(batch, marker)
-        }
+        // encode against the CURRENT model: the fixed pseudo-random
+        // structures until the first retrain, the trained sidecar
+        // model after — so post-retrain batches land in the same
+        // geometry the head snapshot was rebuilt in
+        val model = readAnnModel(batch.sparkSession, indexPath)
+          .getOrElse(graft.operators.SimilarityOps.FixedAnnModel)
+        // deterministic generation naming makes the replayed batch a
+        // no-op however far the previous attempt got — a marker written
+        // after the commit left a window where replay re-appended and
+        // re-committed the same vectors under fresh part names
+        graft.sources.Sinks.appendSnapshotOnce(batch.sparkSession, indexPath,
+          graft.operators.SimilarityOps.encodeSlim(batch, model),
+          streamId, batchId)
         ()
       }
   }

@@ -595,4 +595,56 @@ class SourcesSpec extends SparkSpec {
       Readers.readSkipping(spark, s"$dir/t2", "payload", 0, 10)
     }
   }
+
+  test("appendSnapshotOnce: replay is a no-op at every crash point") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    val b0 = (1L to 10L).map(i => (i, s"r$i")).toDF("id", "text")
+    // first delivery commits
+    assert(Sinks.appendSnapshotOnce(spark, path, b0, "s1", 0L))
+    assert(Readers.readSnapshot(spark, path).count() == 10)
+    // replay after full commit (crash before the caller's marker):
+    // generation already in history -> no-op, nothing doubles
+    assert(!Sinks.appendSnapshotOnce(spark, path, b0, "s1", 0L))
+    assert(Readers.readSnapshot(spark, path).count() == 10)
+    // crash mid-append: uncommitted leftover files of the generation
+    // exist but no manifest names them -> replay clears and redoes
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(path,
+      "ingest-s1-b0000000001-p9999.parquet"), true).close()
+    val b1 = (11L to 15L).map(i => (i, s"r$i")).toDF("id", "text")
+    assert(Sinks.appendSnapshotOnce(spark, path, b1, "s1", 1L))
+    assert(Readers.readSnapshot(spark, path).count() == 15)
+    // the bogus leftover was cleared, not adopted
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path,
+      "ingest-s1-b0000000001-p9999.parquet")))
+    // a different stream's ids never collide
+    assert(Sinks.appendSnapshotOnce(spark, path, b0, "s2", 0L))
+    assert(Readers.readSnapshot(spark, path).count() == 25)
+    // empty batches publish nothing and stay replayable no-ops
+    val empty = b0.filter(org.apache.spark.sql.functions.col("id") < 0L)
+    assert(Sinks.appendSnapshotOnce(spark, path, empty, "s1", 2L))
+    assert(Readers.readSnapshot(spark, path).count() == 25)
+  }
+
+  test("mergeAggregate commitTag publishes atomically with the data") {
+    val dir = tmp()
+    val path = s"$dir/rollup"
+    val b = Seq(("a", 1L)).toDF("k", "n")
+    assert(Sinks.storeCommitTag(spark, path).isEmpty)
+    Sinks.mergeAggregate(spark, path, b, Seq("k"), Seq("n"),
+      commitTag = Some("0"))
+    assert(Sinks.storeCommitTag(spark, path).contains("0"))
+    // the tag file is invisible to parquet readers
+    assert(spark.read.parquet(path).count() == 1)
+    // next swap replaces the tag (at most one exists)
+    Sinks.mergeAggregate(spark, path, b, Seq("k"), Seq("n"),
+      commitTag = Some("1"))
+    assert(Sinks.storeCommitTag(spark, path).contains("1"))
+    val tags = new java.io.File(path).listFiles
+      .map(_.getName).filter(_.startsWith("_commit-")).toSeq
+    assert(tags == Seq("_commit-1"))
+    assert(spark.read.parquet(path).orderBy("k").head.getLong(1) == 2L)
+  }
 }

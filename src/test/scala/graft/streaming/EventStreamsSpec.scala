@@ -272,7 +272,7 @@ class EventStreamsSpec extends SparkSpec {
       .write.parquet(s"$dir/baseline")
     val mem = MemoryStream[(Long, Long)]
     val q = EventStreams.statsDriftStream(mem.toDF().toDF("a", "b"),
-        s"$dir/baseline", s"$dir/report", Seq("a", "b"))
+        s"$dir/baseline", s"$dir/report", Seq("a", "b"), "d1")
       .option("checkpointLocation", s"$dir/ckpt").start()
     mem.addData((4L, 15L), (5L, 25L)) // a expands above baseline max
     q.processAllAvailable()
@@ -369,7 +369,7 @@ class EventStreamsSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
     val streamDF = mem.toDF()
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val q = EventStreams.snapshotIngestStream(streamDF, table).start()
+    val q = EventStreams.snapshotIngestStream(streamDF, table, "s1").start()
     mem.addData(sampleEvents.take(3): _*)
     q.processAllAvailable()
     mem.addData(sampleEvents.drop(3): _*)
