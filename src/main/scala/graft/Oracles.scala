@@ -2920,6 +2920,42 @@ object Oracles {
          | AND pqf.neighbor_id = ex.neighbor_id""".stripMargin
     },
 
+    // MMR greedy unrolled k=5 steps as chained CTEs (the bpe_learn
+    // pattern): each step's argmax references only the bounded shortlist
+    // and the prior selections, so the recurrence is exact and both
+    // engines replay identical rounded doubles
+    "mmr_rerank" -> {
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      def cosSql(a: String, b: String) =
+        s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+      val k = 5
+      val steps = (2 to k).map { i =>
+        val prev = (1 until i).map(j => s"SELECT vec_id FROM sel$j")
+          .mkString(" UNION ALL ")
+        s"""p$i AS ($prev),
+           |c$i AS (
+           | SELECT c.vec_id, c.rel, MAX(${cosSql("c", "s")}) AS ms
+           | FROM cand c JOIN cand s ON s.vec_id IN (SELECT vec_id FROM p$i)
+           | WHERE c.vec_id NOT IN (SELECT vec_id FROM p$i)
+           | GROUP BY c.vec_id, c.rel),
+           |sel$i AS (SELECT vec_id, rel, rel - ms AS mmr_score FROM c$i
+           | ORDER BY mmr_score DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id, rel AS relevance, mmr_score FROM sel$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         | SELECT c.vec_id, c.embedding, ${cosSql("c", "q")} AS rel
+         | FROM embeddings c, q WHERE c.vec_id <> 0
+         | ORDER BY rel DESC, c.vec_id LIMIT 20),
+         |sel1 AS (SELECT vec_id, rel, rel AS mmr_score FROM cand
+         | ORDER BY rel DESC, vec_id LIMIT 1),
+         |$steps
+         |$out""".stripMargin
+    },
+
     "embed_cosine_topk" -> {
       def dotSql(a: String, b: String) =
         s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"

@@ -280,6 +280,7 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, d) => DedupOps.dedupSimhash(documents(s, d))),
     "embed_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(embeddings(s, d))),
+    "mmr_rerank" -> ((s, d) => SimilarityOps.mmrRerank(embeddings(s, d))),
     "embed_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(embeddings(s, d))),
     "ann_recall_report" -> ((s, d) =>
       SimilarityOps.annRecallReport(embeddings(s, d))),

@@ -53,6 +53,63 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance DIVERSIFIED retrieval (Carbonell &
+    * Goldstein '98, λ=½): greedily pick `k` results that balance
+    * relevance to the query against redundancy with what's already
+    * picked — mmr(c) = rel(c) − max over selected s of cos(c, s). The
+    * training-data use: retrieval-based curation that would otherwise
+    * return k near-copies of the same document.
+    *
+    * Scale shape: the CORPUS-side work is one distributed relevance
+    * shortlist (broadcast 1-row query, bounded TakeOrdered — never a
+    * global sort); the greedy loop then runs `k` bounded steps over the
+    * N-row shortlist (≤ k·N² cosines on 20 rows) — the
+    * rerank-a-shortlist architecture every production retrieval stack
+    * uses, so the iterative part never touches the corpus. All cosines
+    * round at 6dp the moment they're produced (the embed-family parity
+    * policy); ties break on vec_id.
+    */
+  def mmrRerank(embeddings: DataFrame, queryId: Long = 0L,
+      shortlistN: Int = 20, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val shortlist = embeddings
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(VectorFns.cosine(col("q_emb"), col("embedding")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(shortlistN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var selected = Vector.empty[(Long, Long, Double, Double)]
+    (1 to k).foreach { step =>
+      val selIds = selected.map(_._2)
+      val cands = shortlist.filter(!col("vec_id").isin(selIds: _*))
+      val scored =
+        if (selIds.isEmpty)
+          cands.select(col("vec_id"), col("rel"), col("rel").as("mmr_score"))
+        else {
+          val selEmb = shortlist.filter(col("vec_id").isin(selIds: _*))
+            .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
+          cands.crossJoin(broadcast(selEmb))
+            .select(col("vec_id"), col("rel"),
+              round(VectorFns.cosine(col("s_emb"), col("embedding")), 6).as("sim"))
+            .groupBy(col("vec_id"), col("rel"))
+            .agg(max(col("sim")).as("max_sim"))
+            .select(col("vec_id"), col("rel"),
+              (col("rel") - col("max_sim")).as("mmr_score"))
+        }
+      val pick = scored.orderBy(col("mmr_score").desc, col("vec_id"))
+        .limit(1).collect().head
+      selected :+= ((step.toLong, pick.getLong(0), pick.getDouble(1),
+        pick.getDouble(2)))
+    }
+    shortlist.unpersist()
+    import spark.implicits._
+    selected.toDF("step", "vec_id", "relevance", "mmr_score")
+  }
+
   private val Planes = 16
   val Dim = 64
 

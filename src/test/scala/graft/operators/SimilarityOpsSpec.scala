@@ -36,6 +36,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(1).getDouble(2) < 1.0)
   }
 
+  test("mmrRerank demotes the near-duplicate a pure relevance top-k would keep") {
+    def axis(i: Int, j: Int): Seq[Float] =
+      Seq.tabulate(64)(d => if (d == i || d == j) 0.7f else 0f)
+    val q = Seq.tabulate(64)(d => if (d == 0) 1f else 0f)
+    // 10 and 11 are IDENTICAL (rel .707 each, mutual sim 1.0); 12 is
+    // equally relevant but orthogonal to them; 13 is irrelevant but
+    // orthogonal to everything
+    val df = vecs(0L -> q, 10L -> axis(0, 1), 11L -> axis(0, 1),
+      12L -> axis(0, 2),
+      13L -> Seq.tabulate(64)(d => if (d == 3) 1f else 0f))
+    val out = SimilarityOps.mmrRerank(df, queryId = 0L, shortlistN = 4, k = 3)
+      .orderBy("step").collect()
+    assert(out.map(_.getAs[Long]("step")).toSeq == Seq(1L, 2L, 3L))
+    // step 1: relevance tie (10, 11, 12) → smallest id
+    assert(out(0).getAs[Long]("vec_id") == 10L)
+    // step 2: the duplicate 11 scores .707−1.0 < 0 — diversity picks 12
+    assert(out(1).getAs[Long]("vec_id") == 12L)
+    // step 3: even the irrelevant-but-novel 13 (mmr 0) beats the dup
+    assert(out(2).getAs[Long]("vec_id") == 13L)
+    // mmr_score of later steps is relevance minus redundancy — bounded
+    out.drop(1).foreach { r =>
+      assert(r.getAs[Double]("mmr_score") <= r.getAs[Double]("relevance"))
+    }
+  }
+
   test("planeWeight is deterministic and centered") {
     val ws = for (p <- 0 until 16; i <- 0 until 64) yield SimilarityOps.planeWeight(p, i)
     assert(ws.forall(w => w >= -0.5 && w < 0.5))
