@@ -595,4 +595,33 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"non-broadcast nested loops in: $offenders")
   }
+
+  test("round-7 top-k queries TakeOrder instead of global-sorting") {
+    Seq("collocation_pmi", "weighted_sample").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q top-k must be TakeOrdered, not a global sort:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("bpe_encode applies merges as literal replaces — no joins in the encode scan") {
+    val p = plan("bpe_encode")
+    // the merge chain is collected to literals (ship-the-vocab shape):
+    // the per-doc encode pass must not join the corpus against a merge
+    // table; the only joins allowed are inside the memoized learn phase,
+    // which runs before this plan is built
+    assert(p.contains("replace("), "encode must be a codegen'd replace chain")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("blockhash near-dedup bands out only slim columns, never the payload") {
+    val p = plan("multimodal_near_dedup")
+    assert(!p.contains("CartesianProduct"))
+    // the exchange under the band join must not carry the binary payload
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("payload")),
+      "the binary payload must never shuffle:\n" + exchanges.mkString("\n"))
+  }
 }
