@@ -2234,7 +2234,7 @@ object Oracles {
       .map(k => s"CASE WHEN s$k = m THEN ${Double.MaxValue} ELSE s$k END AS t$k").mkString(", ")
     val m2Expr = s"LEAST(${(0 until 16).map(k => s"t$k").mkString(", ")}) AS m2"
     val cell2Case = "CASE " + (0 until 16).map(k => s"WHEN t$k = m2 THEN $k").mkString(" ") + " END AS cell2"
-    s"""SELECT vec_id, embedding, $scoreCols, $mExpr, $cellCase, $maskedCols,
+    s"""SELECT vec_id, embedding, label, $scoreCols, $mExpr, $cellCase, $maskedCols,
        |  $m2Expr, $cell2Case
        | FROM embeddings""".stripMargin
   }
@@ -2619,6 +2619,41 @@ object Oracles {
          |GROUP BY doc_id""".stripMargin
     },
 
+    // DedupOps.dedupSubstrings: duplicated-window starts merge into
+    // maximal token runs (interval union via per-doc running max of the
+    // interval end over preceding rows), runs < minTokens drop, per-doc
+    // removal verdict by exact integer comparison.
+    "dedup_substrings" -> {
+      val span = graft.operators.DedupOps.SpanTokens
+      val minT = graft.operators.DedupOps.SubstringMinTokens
+      s"""WITH d AS (SELECT doc_id, string_split(${norm("text")}, ' ') AS ts
+         |  FROM documents WHERE length(${norm("text")}) > 0),
+         |g AS (SELECT doc_id, len(ts) AS doc_tokens, i,
+         |  ${hash32Sql(s"array_to_string(ts[i:i+${span - 1}], ' ')")} AS h
+         | FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-${span - 1})) AS i
+         |       FROM d WHERE len(ts) >= $span)),
+         |s AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY h),
+         |ds AS (SELECT doc_id, doc_tokens, i, i + ${span - 1} AS e
+         |  FROM g JOIN s USING (h) WHERE n_docs >= 2),
+         |brk AS (SELECT doc_id, doc_tokens, i, e,
+         |  CASE WHEN i > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |   THEN 1 ELSE 0 END AS b
+         |  FROM ds),
+         |isl AS (SELECT doc_id, doc_tokens, i, e,
+         |  SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS island FROM brk),
+         |islands AS (SELECT doc_id, doc_tokens, island,
+         |  MAX(e) - MIN(i) + 1 AS run_tokens
+         | FROM isl GROUP BY 1, 2, 3),
+         |q AS (SELECT * FROM islands WHERE run_tokens >= $minT)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+         | CAST(MAX(run_tokens) AS BIGINT) AS longest_run,
+         | CAST(SUM(run_tokens) AS BIGINT) AS dup_tokens,
+         | CAST(doc_tokens AS BIGINT) AS n_tokens,
+         | CAST(SUM(run_tokens) AS BIGINT) * 2 >= doc_tokens AS drop_doc
+         |FROM q GROUP BY doc_id, doc_tokens""".stripMargin
+    },
+
     "dedup_simhash" ->
       s"""WITH norm AS (SELECT doc_id, ${norm("text")} AS t FROM documents),
          |$simhashPairsCte
@@ -2796,6 +2831,29 @@ object Oracles {
          | SELECT q.query_id, c.vec_id AS neighbor_id,
          |  ROUND($pqAdcSql, 6) AS adc_dist2
          | FROM coded c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (
+         |  PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
+         | FROM sims)
+         |SELECT query_id, rank, neighbor_id, adc_dist2
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // SimilarityOps.filteredIvfPqAnn: the IVF-PQ chain with the query's
+    // own label added to the probe-join condition — candidates must
+    // share the query's metadata label BEFORE the ADC ranking sees
+    // them (pre-filtered search, not post-filtered top-k).
+    "embed_filtered_ann" ->
+      s"""WITH celled AS ($ivfCelledSelect),
+         |${pqCodedCtes("celled", Seq("vec_id", "cell", "label"))},
+         |q AS (SELECT vec_id AS query_id, embedding, label, cell FROM (
+         |  SELECT vec_id, embedding, label, cell FROM celled WHERE vec_id < 20
+         |  UNION ALL
+         |  SELECT vec_id, embedding, label, cell2 AS cell FROM celled
+         |  WHERE vec_id < 20)),
+         |sims AS (
+         | SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  ROUND($pqAdcSql, 6) AS adc_dist2
+         | FROM coded c JOIN q ON c.cell = q.cell AND c.label = q.label
+         |  AND c.vec_id <> q.query_id),
          |ranked AS (SELECT *, CAST(row_number() OVER (
          |  PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
          | FROM sims)

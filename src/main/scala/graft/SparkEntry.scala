@@ -289,6 +289,8 @@ object SparkEntry {
     "embed_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(embeddings(s, d))),
     "embed_pq_ann" -> ((s, d) => SimilarityOps.pqAnn(embeddings(s, d))),
     "embed_ivfpq_ann" -> ((s, d) => SimilarityOps.ivfPqAnn(embeddings(s, d))),
+    "embed_filtered_ann" -> ((s, d) =>
+      SimilarityOps.filteredIvfPqAnn(embeddings(s, d))),
     "pq_recall_report" -> ((s, d) => SimilarityOps.pqRecallReport(embeddings(s, d))),
     "pq_trained_recall" -> ((s, d) => SimilarityOps.pqTrainedRecall(embeddings(s, d))),
     "embed_pq_rerank" -> ((s, d) => SimilarityOps.pqRerankAnn(embeddings(s, d))),
@@ -334,6 +336,7 @@ object SparkEntry {
     "pii_redact" -> ((s, d) => TextOps.piiRedact(documents(s, d))),
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(documents(s, d))),
     "dedup_spans" -> ((s, d) => DedupOps.dedupSpans(documents(s, d))),
+    "dedup_substrings" -> ((s, d) => DedupOps.dedupSubstrings(documents(s, d))),
     "dedup_survivors" -> ((s, d) => DedupOps.dedupSurvivors(documents(s, d))),
     "dedup_method_overlap" -> ((s, d) => DedupOps.dedupMethodOverlap(documents(s, d))),
     "source_overlap" -> ((s, d) => DedupOps.sourceOverlap(documents(s, d))),

@@ -548,6 +548,63 @@ object DedupOps {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Minimum merged-run length (tokens) for a maximal shared substring
+    * to qualify for removal reporting in [[dedupSubstrings]].
+    */
+  val SubstringMinTokens = 16
+
+  /** Maximal shared-substring dedup (the removal form of Lee et al.
+    * 2022's ExactSubstr, re-expressed for Spark): every [[SpanTokens]]-
+    * token window whose hash occurs in ≥2 distinct documents marks its
+    * token interval `[i, i+span-1]` as duplicated; overlapping/adjacent
+    * intervals merge into MAXIMAL runs (interval union via a per-doc
+    * running-max-of-end prior to the row — the gaps-and-islands core the
+    * streak/backlog queries use); runs shorter than `minTokens` are
+    * dropped as noise. Per doc: the qualifying-run count, the longest
+    * run, the total duplicated-token mass, and the removal verdict
+    * (drop when ≥ half the doc is shared, exact integer comparison).
+    *
+    * Scale: window enumeration is row-local ([[graft.functions.SpanHash]],
+    * zero exchange); cross-doc counting is a map-side-combined agg on
+    * the 64-bit hash; the merge windows partition on doc_id — the
+    * SF-scaling grain, bounded per-partition by document length. No
+    * span text ever shuffles, only (hash, position) pairs.
+    */
+  def dedupSubstrings(documents: DataFrame, span: Int = SpanTokens,
+      minTokens: Int = SubstringMinTokens): DataFrame = {
+    val grams = spread(documents)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("doc_tokens"),
+        posexplode(graft.functions.SpanHash.spanHashes(
+          TextFns.tokens(col("text")), span)).as(Seq("pos", "h")))
+    val stats = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val dup = grams.join(stats, Seq("h"))
+      .filter(col("n_docs") >= 2)
+      .select(col("doc_id"), col("doc_tokens"),
+        (col("pos") + 1).cast("long").as("i"),
+        (col("pos") + span).cast("long").as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val prevMaxEnd = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val runs = dup
+      .withColumn("brk",
+        when(col("i") > coalesce(prevMaxEnd, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("doc_tokens"), col("island"))
+      .agg(min(col("i")).as("start_token"), max(col("e")).as("end_token"))
+      .withColumn("run_tokens", col("end_token") - col("start_token") + 1)
+      .filter(col("run_tokens") >= minTokens)
+    runs.groupBy(col("doc_id"), col("doc_tokens"))
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("run_tokens")).as("longest_run"),
+        sum(col("run_tokens")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_islands"), col("longest_run"),
+        col("dup_tokens"),
+        col("doc_tokens").as("n_tokens"),
+        (col("dup_tokens") * 2 >= col("doc_tokens")).as("drop_doc"))
+  }
+
   private val SimhashBits = 60
   private val SimhashBands = 4
   private val SimhashBandBits = 15

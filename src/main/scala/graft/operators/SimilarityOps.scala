@@ -184,8 +184,10 @@ object SimilarityOps {
 
   /** Assign each embedding to its nearest fixed pseudo-random IVF
     * centroid (the oracle-replicable variant — see [[centroidWeight]]).
+    * `keep` names extra input columns to carry through the assignment
+    * (e.g. a metadata label for filtered search).
     */
-  def withIvfCells(embeddings: DataFrame): DataFrame = {
+  def withIvfCells(embeddings: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val scores = (0 until IvfCells).map { k =>
       val w = (0 until Dim).map(i => centroidWeight(k, i).toFloat)
       (lit(centroidNorm2(k)) - lit(2.0) *
@@ -208,7 +210,8 @@ object SimilarityOps {
       .select(col("*") +: masked: _*)
       .withColumn("__m2", m2)
       .withColumn("cell2", cell2)
-      .select(col("vec_id"), col("embedding"), col("cell"), col("cell2"))
+      .select(Seq(col("vec_id"), col("embedding"), col("cell"),
+        col("cell2")) ++ keep.map(col): _*)
   }
 
   /** IVF-bucketed ANN: corpus partitioned by nearest centroid, queries
@@ -741,6 +744,32 @@ object SimilarityOps {
         explode(array(col("cell"), col("cell2"))).as("cell") +:
         pqLutCols(codebook): _*)
     pqTopK(corpus.join(broadcast(queries), Seq("cell")), k)
+  }
+
+  /** Metadata-filtered IVF-PQ ANN — "top-k neighbors WITH label = X":
+    * each query searches only corpus vectors sharing its own `label`.
+    * The label predicate joins INSIDE the cell-keyed probe (part of the
+    * broadcast-hash-join condition), so non-matching candidates are
+    * dropped before any ADC arithmetic or ranking — pre-filtering, not
+    * the recall-losing post-filter of an unfiltered top-k. At 10¹¹
+    * vectors the candidate scan is still 2/16 of the corpus at 4 bytes
+    * a row; the filter only shrinks it further.
+    */
+  def filteredIvfPqAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
+      codebook: PqCodebook = FixedPqCodebook): DataFrame = {
+    val both = withPqCodes(
+        withIvfCells(embeddings, keep = Seq("label")), codebook)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = both.select(col("cell") +: col("vec_id") +: col("label") +:
+      (0 until PqSub).map(m => col(s"code$m")): _*)
+    val queries = both.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +:
+        col("label").as("q_label") +:
+        explode(array(col("cell"), col("cell2"))).as("q_cell") +:
+        pqLutCols(codebook): _*)
+    val probed = corpus.join(broadcast(queries),
+      col("cell") === col("q_cell") && col("label") === col("q_label"))
+    pqTopK(probed, k)
   }
 
   /** PQ asymmetric-distance ANN (Jégou et al. 2011): the corpus is

@@ -44,8 +44,11 @@ object StatOps {
     * Scale: the O(days²) pair join runs on the CALENDAR-bounded daily
     * table (~2.5k rows → ~3M pairs at ANY SF), broadcast on one side —
     * the fact table itself is touched once by [[dailyCents]]. The median
-    * scan is a single-partition cumulative over the distinct-slope
-    * table, bounded by the pair count, never the corpus.
+    * CDF factors through two bounded levels (the SkylineOps pattern):
+    * slopes range-bucket into ≤1025 value buckets, the cross-bucket
+    * prefix rides a window over BUCKET SUMMARIES only, and the
+    * within-bucket cumulative partitions by bucket — no single-partition
+    * pass over the ~3M distinct slopes anywhere.
     */
   def theilSenTrend(orders: DataFrame): DataFrame = {
     val daily = dailyCents(orders)
@@ -60,13 +63,29 @@ object StatOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = slopes.agg(count(lit(1)).as("m"))
       .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
-    // distinct-value CDF (the cdfBuckets pattern): rank probes find the
-    // two central order statistics without a per-row global sort
-    val cum = slopes.groupBy(col("s")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(totals))
-      .withColumn("cum", sum(col("n")).over(
-        Window.orderBy(col("s"))
+    // distinct-value CDF (the cdfBuckets pattern) in two bounded levels:
+    // bucket = (s - lo) div width over the slope RANGE (truncating
+    // division on the non-negative shift is monotonic, so bucket order
+    // is value order); level 1 prefix-sums the ≤1025 bucket totals,
+    // level 2 cumulates within each bucket in parallel
+    val dv = slopes.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    val rng = dv.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val bucketed = dv.crossJoin(broadcast(rng))
+      .withColumn("bucket", expr(
+        "(s - lo) div greatest(cast(1 as bigint), (hi - lo) div 1024 + 1)"))
+    val bucketTotals = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("bn"))
+      .withColumn("prior", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket").as("bkt"), col("prior"))
+    val cum = bucketed
+      .withColumn("incum", sum(col("n")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("s"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(bucketTotals), col("bucket") === col("bkt"))
+      .crossJoin(broadcast(totals))
+      .withColumn("cum", col("prior") + col("incum"))
     // both rank probes in ONE pass over the CDF (the cum derivation — a
     // sorted cumulative — would otherwise run twice): the ≤2 matched
     // rows collapse to (min, max) = (lower, upper) central statistic

@@ -11,6 +11,32 @@ class DedupOpsSpec extends SparkSpec {
 
   private val base = "the quick brown fox jumps over the lazy dog again and again"
 
+  test("dedupSubstrings merges overlapping dup windows into one maximal run") {
+    // 20 shared tokens → 13 overlapping dup windows → ONE 20-token run;
+    // a second 10-token shared passage merges to a 10-token run that
+    // falls below SubstringMinTokens and is excluded from the verdict
+    val common20 = (1 to 20).map(i => s"c$i").mkString(" ")
+    val common10 = (1 to 10).map(i => s"d$i").mkString(" ")
+    def fill(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val df = docs(
+      1L -> s"${fill("a", 5)} $common20 ${fill("z", 5)} $common10",
+      2L -> s"${fill("b", 5)} $common10 ${fill("y", 5)} $common20")
+    val out = DedupOps.dedupSubstrings(df).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_islands") == 1L,
+        s"overlapping windows must merge to one run: $r")
+      assert(r.getAs[Long]("longest_run") == 20L)
+      assert(r.getAs[Long]("dup_tokens") == 20L)
+      assert(r.getAs[Long]("n_tokens") == 40L)
+      assert(r.getAs[Boolean]("drop_doc"), "20/40 shared must trip the verdict")
+    }
+    // docs with only sub-minTokens runs produce no verdict row
+    val small = docs(3L -> s"${fill("e", 6)} $common10",
+      4L -> s"${fill("f", 6)} $common10")
+    assert(DedupOps.dedupSubstrings(small).collect().isEmpty)
+  }
+
   test("dedupSpans flags cross-document repeated 8-token passages") {
     val df = docs(
       1L -> "a b c d e f g h x",

@@ -409,6 +409,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(cb1 != SimilarityOps.FixedPqCodebook, "training must move centroids")
   }
 
+  test("filteredIvfPqAnn equals the unfiltered probe over the label-restricted corpus") {
+    // cell assignment and PQ coding are per-row, so pre-filtering the
+    // probe by label must give EXACTLY the result of running the
+    // unfiltered IVF-PQ probe on the same-label subset of the corpus
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SimilarityOps.filteredIvfPqAnn(emb, nQueries = 20, k = 3).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(labels(r.getLong(2)) == labels(r.getLong(0)),
+        s"query ${r.getLong(0)} got a neighbor with a different label")
+    }
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSet
+    val expect = labels.values.toSeq.distinct.flatMap { l =>
+      SimilarityOps.ivfPqAnn(
+        emb.filter(org.apache.spark.sql.functions.col("label") === l),
+        nQueries = 20, k = 3).collect()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect,
+      s"filtered probe diverged: only-got=${(got -- expect).take(3)} " +
+        s"only-expected=${(expect -- got).take(3)}")
+  }
+
   test("pqRerankAnn re-ranks its own shortlist by exact L2") {
     // every reranked neighbor must come from the ADC shortlist, and the
     // per-query ranks must be 1..k ordered by the exact distance
