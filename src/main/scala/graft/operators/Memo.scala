@@ -36,6 +36,8 @@ import org.apache.spark.sql.DataFrame
 object Memo {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
   private val buildSeconds =
@@ -97,6 +99,65 @@ object Memo {
     }
   }
 
+  /** Driver-side TRAINED-MODEL reuse — same keying and build-seconds
+    * attribution as [[cachedMulti]], but the cached value is a plain
+    * Scala object (a PQ codebook, LR weights) rather than a DataFrame.
+    * The need: `trainPqCodebook` / `trainQualityLr` are the engine's two
+    * most expensive derivations, and without memoization every
+    * invocation (each bench iteration, each downstream consumer) re-runs
+    * their Lloyd's/IRLS scans over the corpus. Models here are bounded
+    * by construction (≤ a few KB of centroids/weights — the same
+    * dim-table-size contract the training loops already promise the
+    * driver), so caching them can never pin data-scale state. Embed
+    * parameters that change the result (iteration counts, ridge) in
+    * `name`; the input plans key the rest.
+    */
+  def cachedModel[T <: AnyRef](name: String, inputs: Seq[DataFrame])(build: => T): T = {
+    val k = inputs.map(i => key(name, i)).mkString("\u0000")
+    val hit = modelCache.get(k)
+    if (hit != null) return hit.asInstanceOf[T]
+    val lock = buildLocks.computeIfAbsent("model:" + k, _ => new Object)
+    lock.synchronized {
+      val again = modelCache.get(k)
+      if (again != null) again.asInstanceOf[T]
+      else {
+        val outerNested = nestedSeconds.get
+        nestedSeconds.set(0.0)
+        val t0 = System.nanoTime()
+        try {
+          val built = build
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          buildSeconds.merge(name, elapsed - nestedSeconds.get, (a, b) => a + b)
+          nestedSeconds.set(outerNested + elapsed)
+          modelCache.put(k, built)
+          built
+        } catch {
+          case e: Throwable =>
+            nestedSeconds.set(outerNested + (System.nanoTime() - t0) / 1e9)
+            throw e
+        }
+      }
+    }
+  }
+
+  private val managed =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame])
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for release at
+    * [[invalidate]] — for operator-INTERNAL caches whose results are
+    * returned lazily: the operator cannot unpersist before returning
+    * (the caller hasn't run an action yet) and the caller never sees the
+    * frame, so lifecycle belongs to the session, like memoized
+    * intermediates. Re-invoking with the same input plan does not
+    * double-store (Spark's CacheManager recognizes the identical plan);
+    * distinct inputs accumulate only until the next invalidate.
+    */
+  def managedPersist(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    managed.add(df)
+    df
+  }
+
   /** Seconds spent on memo-miss derivations since the last drain, keyed
     * by operator name (exclusive — nested sub-derivations report under
     * their own names). Lets a benchmark attribute each one-time
@@ -119,6 +180,11 @@ object Memo {
   def invalidate(): Unit = {
     cache.forEach((_, df) => releaseCheckpoint(df))
     cache.clear()
+    modelCache.clear()
+    managed.synchronized {
+      managed.forEach(df => df.unpersist(blocking = false))
+      managed.clear()
+    }
     buildLocks.clear()
   }
 

@@ -114,12 +114,16 @@ object MultimodalOps {
     * rides along so downstream policy can split re-encodes from copies.
     */
   def multimodalNearDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fps = mediaRecords(documents)
+    // the 4×(15-bit)-band scheme is exhaustive only up to Hamming
+    // distance FpBands−1 (pigeonhole: ≤3 flipped bits leave ≥1 of the 4
+    // bands untouched); a larger radius would silently drop pairs
+    require(maxHamming <= FpBands - 1,
+      s"band scheme is exact only up to Hamming ${FpBands - 1}")
+    val fps = Memo.managedPersist(mediaRecords(documents)
       .select(col("doc_id"), col("media_type"),
         graft.functions.BlockHash.blockhash(col("payload")).as("fp"),
         md5(col("payload")).as("checksum"))
-      .filter(col("fp").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("fp").isNotNull))
     val banded = fps.select(col("doc_id"), col("media_type"), col("fp"),
       col("checksum"),
       explode(array((0 until FpBands).map { b =>

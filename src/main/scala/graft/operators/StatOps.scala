@@ -51,24 +51,31 @@ object StatOps {
     * pass over the ~3M distinct slopes anywhere.
     */
   def theilSenTrend(orders: DataFrame): DataFrame = {
-    val daily = dailyCents(orders)
-    val a = daily.select(col("t").as("ta"), col("y").as("ya"))
-    val b = daily.select(col("t").as("tb"), col("y").as("yb"))
-    val slopes = a.join(broadcast(b), col("tb") > col("ta"))
-      .select(expr(
-        "CASE WHEN yb >= ya THEN " +
-          "cast((cast(yb - ya as decimal(38,0)) * 1000000) div (tb - ta) as bigint) " +
-          "ELSE -cast((cast(ya - yb as decimal(38,0)) * 1000000) div (tb - ta) as bigint) " +
-          "END").as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = slopes.agg(count(lit(1)).as("m"))
-      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+    // both intermediates are calendar-bounded at ANY SF (≤ ~2.5k daily
+    // rows; ≤ ~3M distinct slopes) and shared across the totals/range/
+    // bucket branches below, so they are Memo-checkpointed: the fact is
+    // scanned once per session per input, the O(days²) pair join runs
+    // once (not once per recurrence of the shared subtree in this plan),
+    // and every downstream broadcast builds from a checkpointed leaf
+    val daily = Memo.cached("theil_sen_daily", orders)(dailyCents)
     // distinct-value CDF (the cdfBuckets pattern) in two bounded levels:
     // bucket = (s - lo) div width over the slope RANGE (truncating
     // division on the non-negative shift is monotonic, so bucket order
     // is value order); level 1 prefix-sums the ≤1025 bucket totals,
     // level 2 cumulates within each bucket in parallel
-    val dv = slopes.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    val dv = Memo.cached("theil_sen_slope_counts", daily) { d =>
+      val a = d.select(col("t").as("ta"), col("y").as("ya"))
+      val b = d.select(col("t").as("tb"), col("y").as("yb"))
+      a.join(broadcast(b), col("tb") > col("ta"))
+        .select(expr(
+          "CASE WHEN yb >= ya THEN " +
+            "cast((cast(yb - ya as decimal(38,0)) * 1000000) div (tb - ta) as bigint) " +
+            "ELSE -cast((cast(ya - yb as decimal(38,0)) * 1000000) div (tb - ta) as bigint) " +
+            "END").as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("n"))
+    }
+    val totals = dv.agg(coalesce(sum(col("n")), lit(0L)).as("m"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
     val rng = dv.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
     val bucketed = dv.crossJoin(broadcast(rng))
       .withColumn("bucket", expr(

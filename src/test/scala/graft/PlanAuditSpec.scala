@@ -377,6 +377,7 @@ class PlanAuditSpec extends SparkSpec {
     // that can never survive a 100 TB input. Every deliberate cross join
     // in the library rides a broadcast (scalar stats, probe sets, day
     // ranges), which plans as BroadcastNestedLoopJoin instead.
+    graft.operators.Memo.invalidate() // order-invariant: see hint sweep
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       plan(q).contains("CartesianProduct")
     }
@@ -388,6 +389,7 @@ class PlanAuditSpec extends SparkSpec {
     // must compile to TakeOrderedAndProject / WindowGroupLimit instead.
     // Whitelist: sinks that DELIBERATELY range-partition files for
     // data-skipping layout would go here (none are in `queries`).
+    graft.operators.Memo.invalidate() // order-invariant: see hint sweep
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       plan(q).contains("rangepartitioning")
     }
@@ -409,46 +411,37 @@ class PlanAuditSpec extends SparkSpec {
     // Grouped aggregates over bounded DOMAINS (enum columns, fixed
     // grids) are bounded too but unprovable mechanically — each such
     // hint is whitelisted below with its cardinality argument.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // Order-invariance: a Memo hit replaces a derivation's subtree with
+    // a checkpointed LogicalRDD leaf, so whether a hint (and the tables
+    // under it) is visible in the analyzed plan depends on which suites
+    // ran first. Invalidate, then build plans in one fixed (sorted)
+    // order — the sweep sees the same plans in a full run, an isolated
+    // testOnly, and any suite ordering.
+    graft.operators.Memo.invalidate()
     val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
       "events", "documents", "embeddings")
-    // query -> allowed count of scaling-derived hints, each justified
-    // (grouped aggregates whose grouping DOMAIN is fixed by the schema
-    // or a literal, so the frame is bounded at every SF):
+    // query -> EXACT count of distinct scaling-derived hinted subtrees,
+    // each justified (grouped aggregates whose grouping DOMAIN is fixed
+    // by the schema or a literal, so the frame is bounded at every SF).
+    // Counts are DISTINCT canonicalized hint children — a shared bounded
+    // subtree recurring across plan branches is one decision, not N.
     val whitelist: Map[String, Int] = Map(
-      "ann_recall_report" -> 3, // 3× query-sample frames: filter(vec_id < nQueries literal)
       "approx_distincts" -> 2, // sketch + rank-check per l_returnflag (3-value enum)
-      "basket_affinity" -> 2, // type counts per p_type (fixed ~150-value domain)
+      "basket_affinity" -> 1, // type counts per p_type (fixed ~150-value domain)
       "bm25_search" -> 1, // df per term, ≤ |fixed query-term set| = 6 rows
       "bootstrap_ci_order_value" -> 2, // CI rank probes over R = 64 resample means
-      "theil_sen_trend" -> 5, // ONE calendar-bounded daily-frame hint; it counts
-      // 5× because the slopes subtree (which embeds it) recurs in the
-      // totals/lo/hi branches of the logical tree (plans copy shared subplans)
       "contamination_check" -> 1, // probe bigrams of ≤ nProbe literal benchmark docs
-      "contrastive_pairs" -> 2, // anchor set: filter(vec_id < nQueries literal), 2 joins
-      "embed_cosine_topk" -> 1, // query sample: filter(vec_id < nQueries literal)
-      "embed_ivf_ann" -> 1, // query sample: filter(vec_id < nQueries literal)
-      "embed_kmeans" -> 2, // k×64 centroid frame + query sample (both literal-bounded)
-      "embed_knn_label" -> 1, // query sample: filter(vec_id < nQueries literal)
-      "embed_lsh_ann" -> 1, // query sample: filter(vec_id < nQueries literal)
       "embed_outliers" -> 1, // per-(label, dim) stats: ~10 langs × 64 dims
-      "embed_ivfpq_ann" -> 1, // query LUT frame: filter(vec_id < nQueries literal)
-      "embed_pq_ann" -> 1, // query LUT frame: filter(vec_id < nQueries literal)
-      "embed_pq_rerank" -> 2, // shortlist LUT frame + rerank query frame,
-      // both filter(vec_id < nQueries literal)
-      "pq_trained_recall" -> 4, // exact-leg queries + fixed-probe LUTs +
-      // trained shortlist LUTs + rerank queries, all vec_id < nQueries
-      // literal-bounded
-      "pq_recall_report" -> 3, // 3 literal-bounded query frames: exact leg +
-      // the two audited probes' own vec_id < nQueries LUT broadcasts
       "embed_quantize" -> 1, // per-dim min/max: exactly 64 rows
       "fk_orphans" -> 2, // orphan/unref rollups per rel (7 literal edges)
       "hourly_anomalies" -> 1, // per-event-type stats (5-value enum)
-      "median_order_value" -> 3, // quantile-bracket probes per region (5-value dim)
+      "median_order_value" -> 2, // quantile-bracket probes per region (5-value dim)
       "price_qty_skyline" -> 1, // per-cell maxima of the fixed anti-corner grid
       "robust_price_stats" -> 3, // median/P5/P95 probes per o_orderpriority (5-value enum)
-      "rolling_distinct_users" -> 2, // distinct-day frames: calendar-bounded, not SF-bounded
+      "rolling_distinct_users" -> 1, // distinct-day frame: calendar-bounded, not SF-bounded
       "mixture_resample" -> 1, // per-lang acceptance thresholds: ≤|langs| rows
       "customer_spend_quartiles" -> 1, // per-(segment, dollar) quartile map:
       // bounded by segment enum × dollar price domain, never customers
@@ -463,8 +456,22 @@ class PlanAuditSpec extends SparkSpec {
           case _ => Set.empty[String]
         }
     }.flatten.toSet
+    // a dense-id comparison against a literal bounds the row count by
+    // the literal itself at every SF (vec_id is 0..N-1 dense, so
+    // `vec_id < k` is ≤ k rows; `vec_id = q` is ≤ 1) — the query-sample
+    // frames every ANN probe broadcasts. `foldable`, not `Literal`: the
+    // analyzer wraps int literals against a bigint column in a cast.
+    def literalIdBound(p: LogicalPlan): Boolean = p.collectFirst {
+      case f: Filter if f.condition.exists {
+        case LessThan(a: AttributeReference, r) if r.foldable => a.name == "vec_id"
+        case LessThanOrEqual(a: AttributeReference, r) if r.foldable => a.name == "vec_id"
+        case EqualTo(a: AttributeReference, r) if r.foldable => a.name == "vec_id"
+        case _ => false
+      } => ()
+    }.isDefined
     def bounded(p: LogicalPlan): Boolean =
       (tables(p) & scaling).isEmpty ||
+        literalIdBound(p) ||
         p.collectFirst {
           case a: Aggregate if a.groupingExpressions.isEmpty => ()
           case _: GlobalLimit => ()
@@ -477,11 +484,16 @@ class PlanAuditSpec extends SparkSpec {
         // exactly the non-broadcast regime this policy routes to
         case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) &&
             !bounded(h.child) =>
-          tables(h.child) & scaling
-      }
+          h.child.canonicalized
+      }.distinct
       val allowed = whitelist.getOrElse(q, 0)
-      if (offending.length > allowed)
-        Some(s"$q: ${offending.length} unbounded hint(s) (allowed $allowed) over ${offending.mkString(",")}")
+      // exact-count lock, both directions: more distinct unproven hints
+      // than justified fails; fewer means a stale whitelist entry that
+      // would mask the next regression — re-justify and re-lock instead
+      if (offending.length != allowed)
+        Some(s"$q: ${offending.length} distinct unbounded hint subtree(s)" +
+          s" (whitelisted $allowed) over " +
+          offending.map(c => (tables(c) & scaling).mkString("+")).mkString(","))
       else None
     }
     assert(report.isEmpty, "forced broadcasts of SF-scaling sides:\n" +
@@ -507,6 +519,7 @@ class PlanAuditSpec extends SparkSpec {
     // cases the rules can't prove are whitelisted with their argument.
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.LogicalRelation
+    graft.operators.Memo.invalidate() // order-invariant: see hint sweep
     val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
       "events", "documents", "embeddings")
     val enumCols = Set("c_mktsegment", "l_returnflag", "l_linestatus",
@@ -588,6 +601,7 @@ class PlanAuditSpec extends SparkSpec {
     // (scalar aggregates, day tables, probe sets). A BuildLeft/BuildRight
     // marker is always present; this guards against a future Spark
     // version or refactor degrading one to a shuffled nested loop.
+    graft.operators.Memo.invalidate() // order-invariant: see hint sweep
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       plan(q).linesIterator.exists(l =>
         l.contains("BroadcastNestedLoopJoin") &&
