@@ -108,6 +108,7 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     // capture schemas, not `this`, in the closure
     val lOut = left.output
     val rOut = right.output
+    val outAttrs = output // right side nullability already widened
     val lKeyExprs = leftKeys
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
@@ -120,6 +121,11 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
       val nullRight = InternalRow.fromSeq(Seq.fill(rOut.size)(null))
       val joined = new JoinedRow
+      // final projection to UnsafeRow, mirroring SortMergeJoinExec's
+      // resultProj: a parent that requires UnsafeRow (e.g. an Exchange
+      // directly above this node, with no intervening Project) would
+      // ClassCastException on a raw JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       // the retained candidate: the LAST consumed right row and its key.
       // Consumption order (key asc, time asc NULLS FIRST, ord asc) makes
@@ -154,7 +160,7 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
         }
         val matched = cand != null && keyOrd.compare(candKey, lk) == 0 &&
           tol.forall(t => !lNull && !candTimeNull && lts - candTime <= t)
-        joined(lRow, if (matched) cand else nullRight)
+        resultProj(joined(lRow, if (matched) cand else nullRight))
       }
     }
   }
