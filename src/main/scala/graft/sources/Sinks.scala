@@ -439,36 +439,55 @@ object Sinks {
       path: String): Int = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val physical = fs.listStatus(dir).iterator
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .toSeq.sorted
-    val versions = Snapshots.versions(fs, dir)
-    // next snapshot = the latest snapshot's file set plus files never
-    // named by ANY prior manifest. Listing the physical directory alone
-    // would silently RESURRECT files a compaction superseded (they stay
-    // on disk so older snapshots remain readable) — the union-of-history
-    // filter makes append-after-compaction safe.
-    // generation files from a compaction/replacement that crashed before
-    // publishing its manifest look like "new appends" to the history
-    // filter — committing them would duplicate every head row. A
-    // generation file only legitimately enters history through its OWN
-    // publishVersion, so a gen-named file absent from the manifest union
-    // is NEVER adopted as an append — checking "was its version ever
-    // published" instead would mis-adopt orphans once a later append
-    // commit reuses the crashed generation's version number.
-    // (vacuumSnapshots reclaims such orphans once their version falls
-    // behind the retention horizon.)
-    def isGenNamed(n: String): Boolean =
-      n.matches("(?:compact|replace)-v\\d{5,}-.*")
-    val names = versions.lastOption match {
-      case None => physical.filterNot(isGenNamed)
-      case Some(latest) =>
-        val seenEver = versions.flatMap(v => Snapshots.files(fs, dir, v)).toSet
-        (Snapshots.files(fs, dir, latest) ++
-          physical.filterNot(seenEver).filterNot(isGenNamed)).sorted
+    // CAS commit: claim the version number by create-fails-if-exists on
+    // the manifest name itself, then swap the content in. Two racing
+    // committers can no longer both publish v_N+1 with the loser's
+    // manifest silently overwritten (the old last-writer-wins): exactly
+    // one claim on a name succeeds; the loser recomputes from the fresh
+    // history — which now includes (or will include) the winner — and
+    // retries at the next number, so both appends survive in the head.
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val physical = fs.listStatus(dir).iterator
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted
+      val versions = Snapshots.versions(fs, dir)
+      // next snapshot = the latest snapshot's file set plus files never
+      // named by ANY prior manifest. Listing the physical directory alone
+      // would silently RESURRECT files a compaction superseded (they stay
+      // on disk so older snapshots remain readable) — the union-of-history
+      // filter makes append-after-compaction safe.
+      // generation files from a compaction/replacement that crashed before
+      // publishing its manifest look like "new appends" to the history
+      // filter — committing them would duplicate every head row. A
+      // generation file only legitimately enters history through its OWN
+      // publish, so a gen-named file absent from the manifest union
+      // is NEVER adopted as an append — checking "was its version ever
+      // published" instead would mis-adopt orphans once a later append
+      // commit reuses the crashed generation's version number.
+      // (vacuumSnapshots reclaims such orphans once their version falls
+      // behind the retention horizon.)
+      def isGenNamed(n: String): Boolean =
+        n.matches("(?:compact|replace)-v\\d{5,}-.*")
+      val names = versions.lastOption match {
+        case None => physical.filterNot(isGenNamed)
+        case Some(latest) =>
+          val seenEver = versions.flatMap(v => Snapshots.files(fs, dir, v)).toSet
+          (Snapshots.files(fs, dir, latest) ++
+            physical.filterNot(seenEver).filterNot(isGenNamed)).sorted
+      }
+      // allocate ABOVE every claim too: a crashed claimer's number is
+      // burned (a gap in the version sequence), never spun on or reused
+      val next = Snapshots.allocatedVersions(fs, dir).lastOption.getOrElse(0) + 1
+      if (claimVersion(fs, dir, next))
+        return publishClaimed(spark, fs, dir, next, names)
+      if (attempts >= 50)
+        throw new java.io.IOException(
+          s"snapshot version allocation contention on $dir after $attempts attempts")
     }
-    publishVersion(fs, dir, versions.lastOption.getOrElse(0) + 1, names)
+    -1 // unreachable
   }
 
   /** Compaction commit: rewrite the LATEST snapshot's rows as a fresh
@@ -486,7 +505,16 @@ object Sinks {
     val versions = Snapshots.versions(fs, dir)
     val latest = versions.lastOption.getOrElse(
       throw new java.io.FileNotFoundException(s"$path has no committed snapshot"))
-    val next = latest + 1
+    // claim the version BEFORE the rewrite (commitSnapshot's CAS
+    // discipline): a racing committer can no longer land on the same
+    // number and have one manifest silently clobber the other
+    var next = Snapshots.allocatedVersions(fs, dir).lastOption.getOrElse(0) + 1
+    var tries = 0
+    while (!claimVersion(fs, dir, next)) {
+      tries += 1
+      require(tries < 50, s"version allocation contention on $dir")
+      next = Snapshots.allocatedVersions(fs, dir).lastOption.getOrElse(next) + 1
+    }
     val cur = Snapshots.files(fs, dir, latest)
       .map(n => new org.apache.hadoop.fs.Path(dir, n).toString)
     val tmp = new org.apache.hadoop.fs.Path(dir, f".compact-v$next%05d")
@@ -502,7 +530,7 @@ object Sinks {
       n
     }
     fs.delete(tmp, true)
-    publishVersion(fs, dir, next, names)
+    publishClaimed(spark, fs, dir, next, names)
   }
 
   /** Snapshot REPLACEMENT: write `df` as a fresh file generation and
@@ -521,15 +549,20 @@ object Sinks {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val next = Snapshots.versions(fs, dir).lastOption.getOrElse(0) + 1
+    val next = Snapshots.allocatedVersions(fs, dir).lastOption.getOrElse(0) + 1
     // compare-and-swap contract: a replacement built against snapshot
     // vN names ONLY its own rows, so publishing after someone else
-    // committed vN+1 would silently drop that commit from the head —
-    // callers that trained/derived against a specific base pass
-    // expectedVersion = N+1 and get a pre-publish abort instead
+    // committed (or claimed) vN+1 would silently drop that commit from
+    // the head — callers that trained/derived against a specific base
+    // pass expectedVersion = N+1 and get a pre-publish abort instead
     if (expectedVersion >= 0 && next != expectedVersion)
       throw new java.io.IOException(
         s"snapshot CAS failed for $path: expected to publish v$expectedVersion, head moved to v${next - 1}")
+    // exclusive claim on the number — a racer now aborts its CAS (or
+    // allocates higher) instead of overwriting this manifest
+    if (!claimVersion(fs, dir, next))
+      throw new java.io.IOException(
+        s"snapshot CAS failed for $path: v$next was claimed concurrently")
     val tmp = new org.apache.hadoop.fs.Path(dir, f".replace-v$next%05d")
     df.repartition(numFiles).write.mode("overwrite").parquet(tmp.toString)
     val parts = fs.listStatus(tmp).iterator.map(_.getPath)
@@ -544,27 +577,52 @@ object Sinks {
     fs.delete(tmp, true)
     // re-check right before the manifest publish: the generation files
     // are on disk but unreferenced, so an abort leaves only vacuumable
-    // garbage, never a wrong head
-    val nowNext = Snapshots.versions(fs, dir).lastOption.getOrElse(0) + 1
-    if (expectedVersion >= 0 && nowNext != expectedVersion) {
+    // garbage (plus the released claim), never a wrong head
+    val nowTop = Snapshots.allocatedVersions(fs, dir).lastOption.getOrElse(0)
+    if (expectedVersion >= 0 && nowTop != expectedVersion) {
       names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"_manifest-v$next%05d"), false)
       throw new java.io.IOException(
-        s"snapshot CAS failed for $path: expected to publish v$expectedVersion, head moved to v${nowNext - 1}")
+        s"snapshot CAS failed for $path: expected to publish v$expectedVersion, a racer allocated v$nowTop")
     }
-    publishVersion(fs, dir, next, names)
+    publishClaimed(spark, fs, dir, next, names)
   }
 
-  /** Temp-write + atomic-rename publish of `_manifest-v<version>`. */
-  private def publishVersion(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, version: Int,
-      names: Seq[String]): Int = {
+  /** Exclusively claim `version` by creating its manifest name EMPTY
+    * with create-fails-if-exists — the atomic version-allocation
+    * primitive (O_CREAT|O_EXCL on a local FS; HDFS create is likewise
+    * exclusive without overwrite). A zero-length manifest reads as "not
+    * a snapshot" everywhere ([[Snapshots.versions]]/[[Snapshots.files]]),
+    * so the claim is invisible to readers until the content swap.
+    * Returns false when the name is already taken.
+    */
+  private def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, version: Int): Boolean = {
+    val manifest = new org.apache.hadoop.fs.Path(dir, f"_manifest-v$version%05d")
+    try { fs.create(manifest, false).close(); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("already exists") =>
+        false
+    }
+  }
+
+  /** Publish content onto a version's OWN claim: temp-write the file
+    * list, then atomically overwrite-rename onto the claimed (empty)
+    * manifest. Only the claim holder may call this — exclusivity came
+    * from [[claimVersion]], so the overwrite can never clobber another
+    * committer's manifest.
+    */
+  private def publishClaimed(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
+      version: Int, names: Seq[String]): Int = {
     val tmp = new org.apache.hadoop.fs.Path(dir, f"._manifest-v$version%05d.tmp")
     val out = fs.create(tmp, true)
     try out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val manifest = new org.apache.hadoop.fs.Path(dir, f"_manifest-v$version%05d")
-    if (!fs.rename(tmp, manifest))
-      throw new java.io.IOException(s"snapshot commit failed for $dir")
+    overwriteRename(spark, fs.makeQualified(tmp), fs.makeQualified(manifest))
     version
   }
 
@@ -620,6 +678,14 @@ object Sinks {
       if (fs.exists(m) && !fs.delete(m, false))
         throw new java.io.IOException(s"vacuum: manifest delete failed for $m")
     }
+    // zero-length allocation claims at-or-below the horizon: their
+    // committer is long dead (live commits always allocate above the
+    // head), so reclaim the burned number's marker file too
+    Snapshots.allocatedVersions(fs, dir).diff(Snapshots.versions(fs, dir))
+      .filter(_ <= horizon)
+      .foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, f"_manifest-v$v%05d"), false)
+      }
     // a swallowed data-file delete would report success while leaving a
     // file no manifest references — unreclaimable forever, and ready to
     // be resurrected as a "new append" by a later commit
@@ -786,14 +852,108 @@ object Sinks {
         }
       }
   }
+
+  private def jdbcConn(url: String,
+      props: Map[String, String]): java.sql.Connection = {
+    props.get("driver").foreach(
+      org.apache.spark.sql.execution.datasources.jdbc.DriverRegistry.register)
+    val jprops = new java.util.Properties()
+    props.foreach { case (k, v) => jprops.setProperty(k, v) }
+    java.sql.DriverManager.getConnection(url, jprops)
+  }
+
+  /** Create the `<table>_commits` marker table if absent. The marker
+    * lives in the SAME database as the data — a lake-side marker can
+    * never make a DB write exactly-once (restoring either store from
+    * backup desyncs the other); keeping both in one database keeps
+    * them on one recovery timeline. The (stream_id, batch_id) primary
+    * key makes a double-mark loud, never silent.
+    */
+  private def ensureJdbcCommitTable(conn: java.sql.Connection,
+      marker: String): Unit = {
+    val st = conn.createStatement()
+    try st.execute(s"CREATE TABLE $marker (stream_id VARCHAR(128) NOT NULL, " +
+      "batch_id BIGINT NOT NULL, PRIMARY KEY (stream_id, batch_id))")
+    catch {
+      // Derby X0Y32 / Postgres 42P07 / generic "already exists": the
+      // table is there, which is all this needs
+      case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" || e.getSQLState == "42P07" ||
+            (e.getMessage != null &&
+              e.getMessage.toLowerCase.contains("already exists")) => ()
+    }
+    finally st.close()
+  }
+
+  /** Highest batch id the `<table>_commits` marker table records for
+    * `streamId` (None before the stream's first marked batch). Creates
+    * the marker table on first contact.
+    */
+  def jdbcLastCommitted(url: String, table: String, streamId: String,
+      props: Map[String, String] = Map.empty): Option[Long] = {
+    val conn = jdbcConn(url, props)
+    try {
+      ensureJdbcCommitTable(conn, s"${table}_commits")
+      val ps = conn.prepareStatement(
+        s"SELECT MAX(batch_id) FROM ${table}_commits WHERE stream_id = ?")
+      try {
+        ps.setString(1, streamId)
+        val rs = ps.executeQuery()
+        try {
+          rs.next()
+          val v = rs.getLong(1)
+          if (rs.wasNull()) None else Some(v)
+        } finally rs.close()
+      } finally ps.close()
+    } finally conn.close()
+  }
+
+  /** Record `batchId` as applied for `streamId` in `<table>_commits` —
+    * one transaction in the data's own database ([[ensureJdbcCommitTable]]
+    * explains why the marker must live there).
+    */
+  def jdbcMarkCommitted(url: String, table: String, streamId: String,
+      batchId: Long, props: Map[String, String] = Map.empty): Unit = {
+    val conn = jdbcConn(url, props)
+    try {
+      ensureJdbcCommitTable(conn, s"${table}_commits")
+      conn.setAutoCommit(false)
+      val ps = conn.prepareStatement(
+        s"INSERT INTO ${table}_commits (stream_id, batch_id) VALUES (?, ?)")
+      try { ps.setString(1, streamId); ps.setLong(2, batchId); ps.executeUpdate() }
+      finally ps.close()
+      conn.commit()
+    } finally conn.close()
+  }
 }
 
 /** Shared snapshot-manifest naming/listing for [[Sinks]] and
   * [[Readers]].
   */
 private[sources] object Snapshots {
-  /** Ascending committed version numbers in `dir`. */
+  /** Ascending PUBLISHED version numbers in `dir`. A ZERO-LENGTH
+    * manifest is an allocation CLAIM (a committer exclusively created
+    * the name but has not yet swapped the content in — or crashed
+    * before doing so), not a snapshot: readers and history unions must
+    * skip it or a claim-then-crash would read as an empty table at that
+    * version.
+    */
   def versions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator
+      .collect {
+        case st if st.getPath.getName.matches("_manifest-v\\d{5,}") &&
+            st.getLen > 0 =>
+          st.getPath.getName.stripPrefix("_manifest-v").toInt
+      }
+      .toSeq.sorted
+
+  /** Ascending ALLOCATED version numbers — claims included. Version
+    * allocation starts above this, so a crashed claimer can never make
+    * a live committer spin on (or reuse) its number.
+    */
+  def allocatedVersions(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[Int] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).iterator
@@ -802,11 +962,13 @@ private[sources] object Snapshots {
         n.stripPrefix("_manifest-v").toInt }
       .toSeq.sorted
 
-  /** File names listed by one committed snapshot manifest. */
+  /** File names listed by one committed snapshot manifest (a bare
+    * claim reads as "no committed snapshot", like a missing manifest).
+    */
   def files(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, version: Int): Seq[String] = {
     val manifest = new org.apache.hadoop.fs.Path(dir, f"_manifest-v$version%05d")
-    if (!fs.exists(manifest))
+    if (!fs.exists(manifest) || fs.getFileStatus(manifest).getLen == 0)
       throw new java.io.FileNotFoundException(
         s"$dir has no committed snapshot v$version")
     val in = fs.open(manifest)

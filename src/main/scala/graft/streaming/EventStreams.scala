@@ -428,10 +428,19 @@ object EventStreams {
     * batch on replay and double-count), so the batchId commits INSIDE
     * the store swap itself ([[graft.sources.Sinks.mergeAggregate]]'s
     * commitTag) — the store always names the last atomically-applied
-    * batch, and a replayed batch at-or-below it is skipped.
+    * batch, and a replayed batch at-or-below it is skipped. The tag is
+    * NAMESPACED by `streamId` (`_commit-<streamId>-<batchId>`): a
+    * successor query with a fresh checkpoint restarts batchIds at 0, and
+    * comparing its batch 0 against a predecessor's bare numeric tag
+    * would silently skip every batch until it outran the old counter —
+    * the same collision class the other replay-guarded streams require
+    * an explicit streamId for. Only a tag whose streamId matches skips;
+    * a foreign or malformed tag (another caller's) never does.
     */
-  def aggMaintainStream(events: DataFrame,
-      storePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def aggMaintainStream(events: DataFrame, storePath: String,
+      streamId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty && streamId.matches("[A-Za-z0-9_.=-]+"),
+      s"aggMaintainStream needs a plain-token streamId, got '$streamId'")
     events
       .select(col("event_type"), lit(1L).as("n_events"),
         (col("value").cast("decimal(18,2)") * 100).cast("long")
@@ -441,14 +450,83 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val applied = graft.sources.Sinks
           .storeCommitTag(batch.sparkSession, storePath)
-          .exists(_.toLong >= batchId)
+          .exists { tag =>
+            // streamId may itself contain '-', so split at the LAST one;
+            // parse defensively — a non-numeric suffix is a foreign tag,
+            // not a crash
+            val cut = tag.lastIndexOf('-')
+            cut > 0 && tag.substring(0, cut) == streamId &&
+              scala.util.Try(tag.substring(cut + 1).toLong).toOption
+                .exists(_ >= batchId)
+          }
         if (!applied) {
           graft.sources.Sinks.mergeAggregate(batch.sparkSession, storePath,
             batch, Seq("event_type"), Seq("n_events", "value_cents"),
-            commitTag = Some(batchId.toString))
+            commitTag = Some(s"$streamId-$batchId"))
         }
         ()
       }
+  }
+
+  /** Streaming serving-layer load — the reference's Airflow→warehouse
+    * cadence (nyc_hybrid_etl_pipeline.py:1-60 psycopg2 upsert layer;
+    * lambda_transform_airbnb.py's Redshift loads) as a LIVE foreachBatch
+    * sink: each micro-batch keyed-upserts into the serving table via
+    * [[graft.sources.Sinks.writeJdbcUpsert]] (batched UPDATE-then-INSERT,
+    * partition-parallel, key-partitioned so no two tasks race a key),
+    * and the batch marker lands in the SAME DATABASE
+    * (`<table>_commits`), never beside the checkpoint — a lake-side
+    * marker cannot make a DB write exactly-once, because restoring
+    * either store from backup desyncs the other.
+    *
+    * Exactly-once FINAL STATE comes from the pair (idempotent upsert,
+    * DB-resident marker):
+    *  - a replayed batch at-or-below the marker is a no-op (skip);
+    *  - a crash anywhere between the first partition's commit and the
+    *    marker insert replays the batch, and re-upserting identical
+    *    rows converges to the same final state (upsert, not append —
+    *    the property the whole design leans on);
+    *  - the marker's primary key turns a double-mark into a loud error.
+    * Requires deterministic replays (the structured-streaming source
+    * contract) and one row per key per batch (dedupe upstream).
+    */
+  def jdbcUpsertStream(rows: DataFrame, url: String, table: String,
+      keyCols: Seq[String], streamId: String,
+      props: Map[String, String] = Map.empty,
+      outputMode: String = "update")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty && streamId.matches("[A-Za-z0-9_.=-]+"),
+      s"jdbcUpsertStream needs a plain-token streamId, got '$streamId'")
+    rows
+      .writeStream
+      // "update" for rollup maintenance; pass "append" when the source
+      // is an append-mode stateful stream (e.g. sessionFinalizeStream)
+      .outputMode(outputMode)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        jdbcUpsertBatch(batch, batchId, url, table, keyCols, streamId, props)
+        ()
+      }
+  }
+
+  /** One [[jdbcUpsertStream]] micro-batch: skip-if-marked, upsert, mark.
+    * Factored out (and package-visible) so the replay and crash-window
+    * semantics are directly testable. Returns true when the batch was
+    * applied, false when the marker skipped it.
+    */
+  private[graft] def jdbcUpsertBatch(batch: DataFrame, batchId: Long,
+      url: String, table: String, keyCols: Seq[String], streamId: String,
+      props: Map[String, String]): Boolean = {
+    val applied = graft.sources.Sinks
+      .jdbcLastCommitted(url, table, streamId, props)
+      .exists(_ >= batchId)
+    if (applied) false
+    else {
+      graft.sources.Sinks.writeJdbcUpsert(batch, url, table, keyCols,
+        props = props)
+      graft.sources.Sinks.jdbcMarkCommitted(url, table, streamId, batchId, props)
+      true
+    }
+  }
 
   /** Streaming lake ingestion over the snapshot commit protocol: each
     * micro-batch appends immutable parquet files, then publishes one

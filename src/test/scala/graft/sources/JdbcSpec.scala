@@ -103,4 +103,74 @@ class JdbcSpec extends SparkSpec {
     Sinks.writeJdbcUpsert(keys, url, "seen_t", Seq("k"))
     assert(Readers.jdbc(spark, url, "seen_t", props).count() == 2)
   }
+
+  test("jdbcUpsertStream: live serving load with in-database batch markers") {
+    exec("CREATE TABLE serve_t (k BIGINT PRIMARY KEY, v VARCHAR(30))")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.jdbcUpsertStream(
+      mem.toDF().toDF("k", "v"), url, "serve_t", Seq("k"), "serve1", props)
+      .start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((2L, "b2"), (3L, "c")) // update + insert in batch 1
+    q.processAllAvailable(); q.stop()
+    val got = Readers.jdbc(spark, url, "serve_t", props).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // both batch markers live in the database itself
+    assert(Sinks.jdbcLastCommitted(url, "serve_t", "serve1", props)
+      .contains(1L))
+  }
+
+  test("jdbcUpsertStream replay: marked batch skips, unmarked crash converges") {
+    exec("CREATE TABLE serve_r (k BIGINT PRIMARY KEY, v VARCHAR(30))")
+    import graft.streaming.EventStreams.jdbcUpsertBatch
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(jdbcUpsertBatch(b0, 0L, url, "serve_r", Seq("k"), "r1", props))
+    // replay of a MARKED batch is a no-op: feed different content so a
+    // wrongly-applied replay would be visible, not masked by idempotence
+    val poison = Seq((1L, "SHOULD_NOT_LAND")).toDF("k", "v")
+    assert(!jdbcUpsertBatch(poison, 0L, url, "serve_r", Seq("k"), "r1", props))
+    // crash window: batch 1's upsert landed but the marker never did
+    val b1 = Seq((2L, "b2"), (3L, "c")).toDF("k", "v")
+    Sinks.writeJdbcUpsert(b1, url, "serve_r", Seq("k"), props = props)
+    assert(Sinks.jdbcLastCommitted(url, "serve_r", "r1", props).contains(0L))
+    // the replayed batch re-applies (idempotent upsert) and marks
+    assert(jdbcUpsertBatch(b1, 1L, url, "serve_r", Seq("k"), "r1", props))
+    val got = Readers.jdbc(spark, url, "serve_r", props).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(Sinks.jdbcLastCommitted(url, "serve_r", "r1", props).contains(1L))
+    // marker namespacing: a successor stream starts from scratch
+    assert(Sinks.jdbcLastCommitted(url, "serve_r", "r2", props).isEmpty)
+  }
+
+  test("serving demo: finalized sessions stream end-to-end into the warehouse") {
+    // the reference's full loop — events → sessionization → warehouse
+    // serving table — as ONE live path: sessionFinalizeStream closes
+    // sessions, jdbcUpsertStream lands them exactly-once in Derby
+    exec("CREATE TABLE sessions_fact (user_id BIGINT NOT NULL, " +
+      "session_start BIGINT NOT NULL, session_end BIGINT, n_events BIGINT, " +
+      "duration_s BIGINT, PRIMARY KEY (user_id, session_start))")
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.SessionEv]
+    val closed = EventStreams.sessionFinalizeStream(spark, mem.toDS())
+    val q = EventStreams.jdbcUpsertStream(closed.toDF(), url, "sessions_fact",
+      Seq("user_id", "session_start"), "sess1", props, outputMode = "append")
+      .start()
+    def ev(id: Long, user: Long, minute: Long) = EventStreams.SessionEv(
+      user, id, new java.sql.Timestamp(1704067200000L + minute * 60000L))
+    mem.addData(ev(1, 7L, 0), ev(2, 7L, 10)) // one session, 10 min
+    q.processAllAvailable()
+    mem.addData(ev(3, 7L, 120)) // 110-min gap closes it inline
+    q.processAllAvailable(); q.stop()
+    val rows = Readers.jdbc(spark, url, "sessions_fact", props).collect()
+      .map(r => (r.getLong(0), r.getLong(2) - r.getLong(1), r.getLong(3)))
+    assert(rows.toSeq == Seq((7L, 600L, 2L)),
+      s"expected user 7's closed 10-minute 2-event session, got ${rows.toSeq}")
+  }
 }

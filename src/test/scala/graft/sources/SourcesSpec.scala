@@ -647,4 +647,60 @@ class SourcesSpec extends SparkSpec {
     assert(tags == Seq("_commit-1"))
     assert(spark.read.parquet(path).orderBy("k").head.getLong(1) == 2L)
   }
+
+  test("racing committers: both appends survive under distinct versions (CAS)") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 10L).map(i => (i, "base")).toDF("id", "src").write.parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 1)
+    // both racers' data files are on disk BEFORE either commits — the
+    // real shape: mode(Append) lands parts, then commitSnapshot publishes
+    Seq((100L, "a")).toDF("id", "src").write.mode("append").parquet(path)
+    Seq((200L, "b")).toDF("id", "src").write.mode("append").parquet(path)
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val fa = pool.submit(() => { go.await(); Sinks.commitSnapshot(spark, path) })
+    val fb = pool.submit(() => { go.await(); Sinks.commitSnapshot(spark, path) })
+    go.countDown()
+    val (va, vb) = (fa.get(), fb.get())
+    pool.shutdown()
+    // the claim is exclusive: the two commits can NEVER share a version
+    // (the old last-writer-wins silently overwrote the loser's manifest)
+    assert(va != vb, s"both committers published v$va")
+    // and the head contains BOTH appended rows — neither commit is lost
+    val head = Readers.readSnapshot(spark, path)
+    assert(head.count() == 12, head.collect().mkString(","))
+    assert(head.filter($"id" >= 100L).count() == 2)
+  }
+
+  test("a claimed-but-crashed version is skipped, unreadable, and vacuumable") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 5L).map(i => (i, "x")).toDF("id", "src").write.parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 1)
+    // simulate a committer that claimed v2 and died before the content
+    // swap: a zero-length manifest
+    new java.io.File(path, "_manifest-v00002").createNewFile()
+    // readers never resolve the claim as a snapshot
+    assert(Readers.readSnapshot(spark, path).count() == 5) // head is v1
+    intercept[java.io.FileNotFoundException] {
+      Readers.readSnapshot(spark, path, Some(2))
+    }
+    // the next commit allocates ABOVE the burned number, never spins on
+    // or reuses it
+    Seq((9L, "y")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 3)
+    assert(Readers.readSnapshot(spark, path).count() == 6)
+    // enough history that the claim falls below the vacuum horizon
+    // (published v1,v3,v4,v5; keepLast=2 drops v1,v3 → horizon 3 ≥ 2)
+    Seq((10L, "z")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 4)
+    Seq((11L, "w")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 5)
+    Sinks.vacuumSnapshots(spark, path, keepLast = 2)
+    assert(!new java.io.File(path, "_manifest-v00002").exists(),
+      "horizon-passed claim marker should be reclaimed")
+    assert(Readers.readSnapshot(spark, path).count() == 8)
+  }
 }

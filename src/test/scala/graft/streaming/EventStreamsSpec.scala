@@ -352,7 +352,7 @@ class EventStreamsSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
     val streamDF = mem.toDF()
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val q = EventStreams.aggMaintainStream(streamDF, store).start()
+    val q = EventStreams.aggMaintainStream(streamDF, store, "agg1").start()
     mem.addData(sampleEvents.take(3): _*)
     q.processAllAvailable()
     mem.addData(sampleEvents.drop(3): _*)
@@ -361,6 +361,33 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     // sampleEvents: clicks 10+20+5+5, one view 30 — folded across batches
     assert(got == Seq(("click", 4L, 4000L), ("view", 1L, 3000L)))
+  }
+
+  test("aggMaintainStream successor with a fresh checkpoint is not skipped by the predecessor's tag") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_agg2").toString + "/rollup"
+    // predecessor stream left the store tagged at its batch 5 — a bare
+    // numeric comparison would skip the successor's batches 0..5
+    import spark.implicits._
+    graft.sources.Sinks.mergeAggregate(spark, store,
+      Seq(("click", 1L, 100L)).toDF("event_type", "n_events", "value_cents"),
+      Seq("event_type"), Seq("n_events", "value_cents"),
+      commitTag = Some("old-stream-5"))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.aggMaintainStream(streamDF, store, "new-stream").start()
+    mem.addData(sampleEvents.take(3): _*) // successor batch 0
+    q.processAllAvailable(); q.stop()
+    val clicks = spark.read.parquet(store)
+      .filter($"event_type" === "click").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // 2 clicks (10+20 cents×100) from batch 0 folded ON TOP of the
+    // predecessor's row — not silently dropped
+    assert(clicks == Seq((3L, 3100L)), s"successor batch was skipped: $clicks")
+    // and the tag now names the successor's generation
+    assert(graft.sources.Sinks.storeCommitTag(spark, store)
+      .contains("new-stream-0"))
   }
 
   test("snapshotIngestStream commits one readable snapshot per batch") {
