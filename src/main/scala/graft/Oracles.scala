@@ -2654,6 +2654,43 @@ object Oracles {
          |FROM q GROUP BY doc_id, doc_tokens""".stripMargin
     },
 
+    // DedupOps.substringReport: the same maximal-run islands, each run
+    // reconstructed as its normalized token snippet; identical snippets
+    // group and the top-20 land by (n_docs, run_tokens, snippet).
+    "substring_report" -> {
+      val span = graft.operators.DedupOps.SpanTokens
+      val minT = graft.operators.DedupOps.SubstringMinTokens
+      s"""WITH d AS (SELECT doc_id, string_split(${norm("text")}, ' ') AS ts
+         |  FROM documents WHERE length(${norm("text")}) > 0),
+         |g AS (SELECT doc_id, i,
+         |  ${hash32Sql(s"array_to_string(ts[i:i+${span - 1}], ' ')")} AS h
+         | FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-${span - 1})) AS i
+         |       FROM d WHERE len(ts) >= $span)),
+         |s AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY h),
+         |ds AS (SELECT doc_id, i, i + ${span - 1} AS e
+         |  FROM g JOIN s USING (h) WHERE n_docs >= 2),
+         |brk AS (SELECT doc_id, i, e,
+         |  CASE WHEN i > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |   THEN 1 ELSE 0 END AS b
+         |  FROM ds),
+         |isl AS (SELECT doc_id, i, e,
+         |  SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS island FROM brk),
+         |runs AS (SELECT doc_id, island, MIN(i) AS si, MAX(e) AS se,
+         |  MAX(e) - MIN(i) + 1 AS run_tokens
+         | FROM isl GROUP BY 1, 2
+         | HAVING MAX(e) - MIN(i) + 1 >= $minT),
+         |snip AS (SELECT r.doc_id, r.run_tokens,
+         |  array_to_string(d.ts[r.si:r.se], ' ') AS snippet
+         | FROM runs r JOIN d USING (doc_id))
+         |SELECT snippet, CAST(MAX(run_tokens) AS BIGINT) AS run_tokens,
+         | CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         | CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         | MIN(doc_id) AS example_doc_id
+         |FROM snip GROUP BY snippet
+         |ORDER BY n_docs DESC, run_tokens DESC, snippet LIMIT 20""".stripMargin
+    },
+
     "dedup_simhash" ->
       s"""WITH norm AS (SELECT doc_id, ${norm("text")} AS t FROM documents),
          |$simhashPairsCte

@@ -337,6 +337,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(documents(s, d))),
     "dedup_spans" -> ((s, d) => DedupOps.dedupSpans(documents(s, d))),
     "dedup_substrings" -> ((s, d) => DedupOps.dedupSubstrings(documents(s, d))),
+    "substring_report" -> ((s, d) => DedupOps.substringReport(documents(s, d))),
     "dedup_survivors" -> ((s, d) => DedupOps.dedupSurvivors(documents(s, d))),
     "dedup_method_overlap" -> ((s, d) => DedupOps.dedupMethodOverlap(documents(s, d))),
     "source_overlap" -> ((s, d) => DedupOps.sourceOverlap(documents(s, d))),

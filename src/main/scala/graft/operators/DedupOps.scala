@@ -571,7 +571,24 @@ object DedupOps {
     * span text ever shuffles, only (hash, position) pairs.
     */
   def dedupSubstrings(documents: DataFrame, span: Int = SpanTokens,
-      minTokens: Int = SubstringMinTokens): DataFrame = {
+      minTokens: Int = SubstringMinTokens): DataFrame =
+    substringRuns(documents, span, minTokens)
+      .groupBy(col("doc_id"), col("doc_tokens"))
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("run_tokens")).as("longest_run"),
+        sum(col("run_tokens")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_islands"), col("longest_run"),
+        col("dup_tokens"),
+        col("doc_tokens").as("n_tokens"),
+        (col("dup_tokens") * 2 >= col("doc_tokens")).as("drop_doc"))
+
+  /** The maximal-run core shared by [[dedupSubstrings]] (verdict per
+    * doc) and [[substringReport]] (the substrings themselves): per doc,
+    * qualifying maximal duplicated token intervals
+    * (doc_id, doc_tokens, start_token, end_token, run_tokens).
+    */
+  private def substringRuns(documents: DataFrame, span: Int,
+      minTokens: Int): DataFrame = {
     val grams = spread(documents)
       .select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("doc_tokens"),
@@ -587,7 +604,7 @@ object DedupOps {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val prevMaxEnd = max(col("e"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val runs = dup
+    dup
       .withColumn("brk",
         when(col("i") > coalesce(prevMaxEnd, lit(-1L)) + 1, 1L).otherwise(0L))
       .withColumn("island", sum(col("brk")).over(w))
@@ -595,14 +612,40 @@ object DedupOps {
       .agg(min(col("i")).as("start_token"), max(col("e")).as("end_token"))
       .withColumn("run_tokens", col("end_token") - col("start_token") + 1)
       .filter(col("run_tokens") >= minTokens)
-    runs.groupBy(col("doc_id"), col("doc_tokens"))
-      .agg(count(lit(1)).as("n_islands"),
-        max(col("run_tokens")).as("longest_run"),
-        sum(col("run_tokens")).as("dup_tokens"))
-      .select(col("doc_id"), col("n_islands"), col("longest_run"),
-        col("dup_tokens"),
-        col("doc_tokens").as("n_tokens"),
-        (col("dup_tokens") * 2 >= col("doc_tokens")).as("drop_doc"))
+  }
+
+  /** Curator-facing substring-dedup REPORT — the "what exactly is
+    * duplicated" view [[dedupSubstrings]]'s per-doc verdicts summarize
+    * away: each qualifying maximal duplicated run is reconstructed as
+    * its normalized token snippet, identical snippets group, and the
+    * top-`topK` land by (docs carrying it, length) with a deterministic
+    * text tiebreak. The production use: before mass-dropping documents,
+    * a curator eyeballs WHICH boilerplate (licenses, navigation chrome,
+    * templated headers) is driving the verdicts.
+    *
+    * Scale: runs are per-doc bounded and join their own document's
+    * token array on the doc_id key (co-keyed, no broadcast of the
+    * corpus); only DUPLICATED runs' snippets enter the groupBy — a
+    * map-side-combined agg on strings of ≥ `minTokens` tokens whose
+    * volume is the duplicated mass, not the corpus — and the final
+    * ranking is a bounded TakeOrdered, never a global sort.
+    */
+  def substringReport(documents: DataFrame, span: Int = SpanTokens,
+      minTokens: Int = SubstringMinTokens, topK: Int = 20): DataFrame = {
+    val runs = substringRuns(documents, span, minTokens)
+    val toks = spread(documents)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+    runs.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("run_tokens"),
+        concat_ws(" ", slice(col("ts"), col("start_token").cast("int"),
+          col("run_tokens").cast("int"))).as("snippet"))
+      .groupBy(col("snippet"))
+      .agg(max(col("run_tokens")).as("run_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("example_doc_id"))
+      .orderBy(col("n_docs").desc, col("run_tokens").desc, col("snippet"))
+      .limit(topK)
   }
 
   private val SimhashBits = 60

@@ -37,6 +37,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.dedupSubstrings(small).collect().isEmpty)
   }
 
+  test("substringReport surfaces the duplicated text itself, grouped and ranked") {
+    val common20 = (1 to 20).map(i => s"c$i").mkString(" ")
+    val common16 = (1 to 16).map(i => s"d$i").mkString(" ")
+    def fill(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // the 20-token passage is shared by THREE docs, the 16-token one by
+    // two — the report must rank the wider-spread snippet first and
+    // reconstruct both texts exactly
+    val df = docs(
+      1L -> s"${fill("a", 5)} $common20 ${fill("z", 5)} $common16",
+      2L -> s"${fill("b", 5)} $common20",
+      3L -> s"$common20 ${fill("y", 5)} $common16")
+    val out = DedupOps.substringReport(df).collect()
+    assert(out.length == 2, out.mkString("\n"))
+    val first = out(0)
+    assert(first.getAs[String]("snippet") == common20)
+    assert(first.getAs[Long]("n_docs") == 3L)
+    assert(first.getAs[Long]("n_occurrences") == 3L)
+    assert(first.getAs[Long]("run_tokens") == 20L)
+    assert(first.getAs[Long]("example_doc_id") == 1L)
+    val second = out(1)
+    assert(second.getAs[String]("snippet") == common16)
+    assert(second.getAs[Long]("n_docs") == 2L)
+    // sub-minTokens shared passages never surface
+    val small = docs(5L -> s"${fill("e", 6)} ${(1 to 10).map(i => s"f$i").mkString(" ")}",
+      6L -> s"${fill("g", 6)} ${(1 to 10).map(i => s"f$i").mkString(" ")}")
+    assert(DedupOps.substringReport(small).collect().isEmpty)
+  }
+
   test("dedupSpans flags cross-document repeated 8-token passages") {
     val df = docs(
       1L -> "a b c d e f g h x",
