@@ -3728,6 +3728,97 @@ object Oracles {
          |GROUP BY corpus.doc_id, probe_id
          |HAVING COUNT(*) >= 3""".stripMargin,
 
+    // TextOps.decontaminatedCorpus: the corpus minus probe docs and
+    // every doc the contamination check flags.
+    "decontaminated_corpus" ->
+      s"""WITH t AS (SELECT doc_id, CASE WHEN length(${norm("text")}) = 0 THEN []
+         |  ELSE string_split(${norm("text")}, ' ') END AS toks FROM documents),
+         |bg AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+         | FROM t, unnest(CASE WHEN len(toks) >= 2
+         |   THEN generate_series(1, len(toks) - 1) ELSE [] END) AS u(i)),
+         |probe AS (SELECT doc_id AS probe_id, bigram FROM bg WHERE doc_id < 5),
+         |corpus AS (SELECT doc_id, bigram FROM bg WHERE doc_id >= 5),
+         |flagged AS (SELECT corpus.doc_id
+         | FROM corpus JOIN probe ON corpus.bigram = probe.bigram
+         | GROUP BY corpus.doc_id, probe_id HAVING COUNT(*) >= 3)
+         |SELECT doc_id, lang, source, n_chars FROM documents d
+         |WHERE doc_id >= 5
+         |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)""".stripMargin,
+
+    // SimilarityOps.ivfCellBalance: per-cell occupancy of the fixed IVF
+    // index — exact micro shares against the 1-row total.
+    "ivf_cell_balance" ->
+      s"""WITH celled AS ($ivfCelledSelect),
+         |counts AS (SELECT cell, COUNT(*) AS n_vecs FROM celled GROUP BY cell),
+         |tot AS (SELECT SUM(n_vecs) AS n_total FROM counts)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+         | CAST((n_vecs * 1000000) // n_total AS BIGINT) AS share_micro,
+         | CAST((n_vecs * 16 * 1000000) // n_total AS BIGINT) AS load_factor_micro,
+         | n_vecs * 16 >= 2 * n_total AS hot
+         |FROM counts, tot""".stripMargin,
+
+    // SimilarityOps.embedCentroidDrift: per-label centroid vs global
+    // centroid, exact integer squared distance between sign-branched
+    // truncated-micro means.
+    "embed_centroid_drift" ->
+      """WITH e AS (
+        | SELECT label, d.dim AS dim,
+        |  CAST(TRUNC(embedding[d.dim]::DOUBLE * 1000000) AS BIGINT) AS micro
+        | FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) d
+        | WHERE embedding IS NOT NULL AND NOT isnan(embedding[d.dim]::DOUBLE)),
+        |lab AS (SELECT label, dim,
+        |  CASE WHEN SUM(CAST(micro AS HUGEINT)) >= 0
+        |   THEN CAST(SUM(CAST(micro AS HUGEINT)) // COUNT(*) AS BIGINT)
+        |   ELSE -CAST((-SUM(CAST(micro AS HUGEINT))) // COUNT(*) AS BIGINT)
+        |  END AS ml
+        | FROM e GROUP BY label, dim),
+        |gmean AS (SELECT dim,
+        |  CASE WHEN SUM(CAST(micro AS HUGEINT)) >= 0
+        |   THEN CAST(SUM(CAST(micro AS HUGEINT)) // COUNT(*) AS BIGINT)
+        |   ELSE -CAST((-SUM(CAST(micro AS HUGEINT))) // COUNT(*) AS BIGINT)
+        |  END AS mg
+        | FROM e GROUP BY dim),
+        |nv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        | FROM embeddings WHERE embedding IS NOT NULL GROUP BY label)
+        |SELECT l.label, nv.n_vecs,
+        | CAST(SUM((ml - mg) * (ml - mg)) AS BIGINT) AS drift_micro2
+        |FROM lab l JOIN gmean g USING (dim) JOIN nv ON nv.label = l.label
+        |GROUP BY l.label, nv.n_vecs""".stripMargin,
+
+    // ClassifierOps.qualityCalibration: fixed-weight score deciles via
+    // the distinct-quantized-logit CDF, observed keep rate per decile.
+    "quality_calibration" -> {
+      val wq = graft.operators.ClassifierOps.FixedWeightsMicro
+      val off = graft.operators.ClassifierOps.BucketOffset
+      val div = graft.operators.ClassifierOps.BucketDiv
+      s"""WITH q AS ($qualityScoreSql),
+         |f AS (SELECT
+         |  CAST(LEAST(COALESCE(n_tokens, 0), 500) * 20 AS BIGINT) AS f_len,
+         |  CAST(COALESCE(ROUND(special_ratio * 10000), 0) AS BIGINT) AS f_special,
+         |  CAST(COALESCE(ROUND(stop_ratio * 10000), 0) AS BIGINT) AS f_stop,
+         |  LEAST(COALESCE(CAST(ROUND(avg_word_len * 10000) AS BIGINT), 0),
+         |    200000) // 20 AS f_awl,
+         |  ($gateReasonSql) IS NULL AS y
+         | FROM q),
+         |s AS (SELECT (${wq(0)}::BIGINT * 10000 + ${wq(1)}::BIGINT * f_len
+         |  + ${wq(2)}::BIGINT * f_special + ${wq(3)}::BIGINT * f_stop
+         |  + ${wq(4)}::BIGINT * f_awl + $off) // $div AS s, y FROM f),
+         |g AS (SELECT s, COUNT(*) AS n,
+         |  SUM(CASE WHEN y THEN 1 ELSE 0 END) AS npos FROM s GROUP BY s),
+         |c AS (SELECT s, n, npos, SUM(n) OVER (ORDER BY s
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g),
+         |t AS (SELECT SUM(n) AS total FROM g),
+         |d AS (SELECT ((cum - 1) * 10) // total + 1 AS decile, n, npos, s
+         | FROM c, t)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         | CAST(SUM(n) AS BIGINT) AS n_docs,
+         | CAST(SUM(npos) AS BIGINT) AS n_keep,
+         | CAST((SUM(npos) * 1000000) // SUM(n) AS BIGINT) AS keep_rate_micro,
+         | CAST(MIN(s) AS BIGINT) AS bucket_lo,
+         | CAST(MAX(s) AS BIGINT) AS bucket_hi
+         |FROM d GROUP BY decile""".stripMargin
+    },
+
     "rarity_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(${norm("text")}, ' ')) AS tok
          | FROM documents WHERE length(${norm("text")}) > 0),

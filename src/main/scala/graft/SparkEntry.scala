@@ -252,6 +252,10 @@ object SparkEntry {
       PipelineOps.mixtureResample(documents(s, d))),
     "embed_dim_stats" -> ((s, d) =>
       SimilarityOps.embedDimStats(embeddings(s, d))),
+    "ivf_cell_balance" -> ((s, d) =>
+      SimilarityOps.ivfCellBalance(embeddings(s, d))),
+    "embed_centroid_drift" -> ((s, d) =>
+      SimilarityOps.embedCentroidDrift(embeddings(s, d))),
     "embed_outliers" -> ((s, d) =>
       SimilarityOps.embedOutliers(embeddings(s, d))),
     "embed_kmeans" -> ((s, d) =>
@@ -307,6 +311,8 @@ object SparkEntry {
     "quality_gate" -> ((s, d) => TextOps.qualityGate(documents(s, d))),
     "quality_classifier_score" -> ((s, d) =>
       ClassifierOps.qualityClassifierScore(documents(s, d))),
+    "quality_calibration" -> ((s, d) =>
+      ClassifierOps.qualityCalibration(documents(s, d))),
     "multimodal_near_dedup" -> ((s, d) =>
       MultimodalOps.multimodalNearDedup(documents(s, d))),
     "mixture_cube" -> ((s, d) => PipelineOps.mixtureCube(documents(s, d))),
@@ -316,6 +322,7 @@ object SparkEntry {
       MultimodalOps.multimodalMeta(documents(s, d))),
     "bigram_topk" -> ((s, d) => TextOps.bigramTopK(documents(s, d))),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
+    "decontaminated_corpus" -> ((s, d) => TextOps.decontaminatedCorpus(documents(s, d))),
     "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
     "ngram_lm_score" -> ((s, d) => TextOps.ngramLmScore(documents(s, d))),
     "perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(documents(s, d))),

@@ -189,6 +189,38 @@ object ClassifierOps {
     * inside the call on a persisted slim feature frame — 21 integer
     * cells per iteration reach the driver, nothing else.
     */
+  /** Calibration curve of the pinned fixed-weight classifier: documents
+    * bucket into score DECILES via the distinct-quantized-logit CDF
+    * (the AUC machinery's grid — no corpus-grain window anywhere), and
+    * each decile reports its doc count, observed keep rate, and score
+    * range. A well-calibrated ranker's keep rate rises monotonically
+    * with the decile; a flat curve says the score threshold is
+    * arbitrary — the check an ML-ops pipeline runs before picking a
+    * filtering cutoff. Fully SQL-replayable (fixed weights).
+    */
+  def qualityCalibration(documents: DataFrame): DataFrame = {
+    val scored = features(documents)
+      .select(scoreBucket(FixedWeightsMicro).as("s"), col("y"))
+    val g = scored.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("npos"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // decile by the bucket's cumulative END position: every doc in one
+    // quantized-logit bucket shares a decile (ties never split), and
+    // the assignment is a pure integer function both engines replay
+    val cum = g.withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(g.agg(sum(col("n")).as("total"))))
+      .withColumn("decile", expr("((cum - 1) * 10) div total + 1"))
+    cum.groupBy(col("decile"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("npos")).as("n_keep"),
+        min(col("s")).as("bucket_lo"), max(col("s")).as("bucket_hi"))
+      .select(col("decile"), col("n_docs"), col("n_keep"),
+        expr("(n_keep * 1000000) div n_docs").as("keep_rate_micro"),
+        col("bucket_lo"), col("bucket_hi"))
+  }
+
   def qualityClassifierScore(documents: DataFrame): DataFrame = {
     val feats = features(documents)
     val cached = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -588,6 +588,15 @@ object DedupOps {
     * (doc_id, doc_tokens, start_token, end_token, run_tokens).
     */
   private def substringRuns(documents: DataFrame, span: Int,
+      minTokens: Int): DataFrame =
+    // Memo-shared like the LSH pair graph: the runs frame (slim
+    // intervals, bounded by the duplicated mass) feeds BOTH
+    // dedup_substrings and substring_report — one windows+islands
+    // derivation per session per input
+    Memo.cached(s"substring_runs:$span:$minTokens", documents)(
+      substringRunsImpl(_, span, minTokens))
+
+  private def substringRunsImpl(documents: DataFrame, span: Int,
       minTokens: Int): DataFrame = {
     val grams = spread(documents)
       .select(col("doc_id"),

@@ -231,6 +231,69 @@ object SimilarityOps {
         col("cell2")) ++ keep.map(col): _*)
   }
 
+  /** IVF index health audit — per-cell occupancy of the fixed index:
+    * inverted-list length, corpus share, and load factor vs the even
+    * 1/k share, plus the hot-cell flag (≥ 2× even share). The
+    * production question it answers: nprobe=2 probe cost is
+    * proportional to the PROBED cells' sizes, so a skewed inverted
+    * index quietly turns "2/16 of the corpus" into half of it — this
+    * is the report an index operator reads before and after
+    * retraining. One codegen'd encoder scan → k-row map-side-combined
+    * rollup; shares are exact integer micro units against a 1-row
+    * total broadcast back.
+    */
+  def ivfCellBalance(embeddings: DataFrame): DataFrame = {
+    val counts = withIvfCells(embeddings)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum(col("n_vecs")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div n_total").as("share_micro"),
+        expr(s"(n_vecs * $IvfCells * 1000000) div n_total")
+          .as("load_factor_micro"),
+        expr(s"n_vecs * $IvfCells >= 2 * n_total").as("hot"))
+  }
+
+  /** Embedding-space drift audit: each label's centroid vs the global
+    * corpus centroid, as the EXACT integer squared distance between
+    * truncated-micro means — the "did one source/language drift away
+    * from the corpus" check a vector-store operator alerts on (the
+    * embedDimStats profile reduced to one actionable number per label).
+    * Means are sign-branched integer divisions of exact micro sums, so
+    * both engines agree bit-for-bit; one posexplode scan, |labels|·64
+    * and 64-row rollups, 64-row broadcast back.
+    */
+  def embedCentroidDrift(embeddings: DataFrame): DataFrame = {
+    val per = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(!isnan(col("v")))
+      .select(col("label"), col("pos"),
+        expr("cast(cast(v as double) * 1000000 as bigint)").as("micro"))
+    // sign-branched truncating division: Spark `div` truncates toward
+    // zero, DuckDB `//` floors — they agree only on the non-negative
+    // magnitude (the repo-wide exact-division convention)
+    def meanMicro(sm: String, n: String) =
+      s"CASE WHEN $sm >= 0 THEN cast($sm div $n as bigint) " +
+        s"ELSE -cast((-$sm) div $n as bigint) END"
+    val lab = per.groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("micro").cast("decimal(38,0)")).as("sm"))
+      .select(col("label"), col("pos"), expr(meanMicro("sm", "n")).as("ml"))
+    val glob = per.groupBy(col("pos"))
+      .agg(count(lit(1)).as("gn"),
+        sum(col("micro").cast("decimal(38,0)")).as("gsm"))
+      .select(col("pos"), expr(meanMicro("gsm", "gn")).as("mg"))
+    val nv = embeddings.filter(col("embedding").isNotNull)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    lab.join(broadcast(glob), Seq("pos"))
+      .groupBy(col("label"))
+      .agg(sum(expr("(ml - mg) * (ml - mg)")).as("d2"))
+      .join(nv, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        col("d2").cast("long").as("drift_micro2"))
+  }
+
   /** IVF-bucketed ANN: corpus partitioned by nearest centroid, queries
     * probe their 2 nearest cells (nprobe=2), exact cosine re-ranking
     * within the probed lists. At a billion vectors the per-query work is

@@ -76,27 +76,32 @@ object StatOps {
     }
     val totals = dv.agg(coalesce(sum(col("n")), lit(0L)).as("m"))
       .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
-    val rng = dv.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
-    val bucketed = dv.crossJoin(broadcast(rng))
-      .withColumn("bucket", expr(
-        "(s - lo) div greatest(cast(1 as bigint), (hi - lo) div 1024 + 1)"))
-    val bucketTotals = bucketed.groupBy(col("bucket"))
-      .agg(sum(col("n")).as("bn"))
-      .withColumn("prior", coalesce(sum(col("bn")).over(
-        Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket").as("bkt"), col("prior"))
-    val cum = bucketed
-      .withColumn("incum", sum(col("n")).over(
-        Window.partitionBy(col("bucket")).orderBy(col("s"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(bucketTotals), col("bucket") === col("bkt"))
-      .crossJoin(broadcast(totals))
-      .withColumn("cum", col("prior") + col("incum"))
+    // the sorted cumulative itself is a pure function of dv and the
+    // third calendar-bounded shareable (≤ ~3M rows × 3 longs): per
+    // invocation only the rank probes run over the checkpointed CDF
+    val cdf = Memo.cached("theil_sen_cdf", dv) { d =>
+      val rng = d.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+      val bucketed = d.crossJoin(broadcast(rng))
+        .withColumn("bucket", expr(
+          "(s - lo) div greatest(cast(1 as bigint), (hi - lo) div 1024 + 1)"))
+      val bucketTotals = bucketed.groupBy(col("bucket"))
+        .agg(sum(col("n")).as("bn"))
+        .withColumn("prior", coalesce(sum(col("bn")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket").as("bkt"), col("prior"))
+      bucketed
+        .withColumn("incum", sum(col("n")).over(
+          Window.partitionBy(col("bucket")).orderBy(col("s"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(bucketTotals), col("bucket") === col("bkt"))
+        .select(col("s"), col("n"), (col("prior") + col("incum")).as("cum"))
+    }
     // both rank probes in ONE pass over the CDF (the cum derivation — a
     // sorted cumulative — would otherwise run twice): the ≤2 matched
     // rows collapse to (min, max) = (lower, upper) central statistic
-    val picks = cum
+    val picks = cdf
+      .crossJoin(broadcast(totals))
       .filter(expr("(cum - n < (m + 1) div 2 AND (m + 1) div 2 <= cum) OR " +
         "(cum - n < m div 2 + 1 AND m div 2 + 1 <= cum)"))
       .agg(min(col("s")).as("slope_lo_micro"),

@@ -166,6 +166,23 @@ object TextOps {
       .filter(col("n_shared_bigrams") >= minOverlap)
   }
 
+  /** The decontamination sweep EXECUTED: the corpus minus every doc
+    * [[contaminationCheck]] flags (≥ `minOverlap` shared bigrams with
+    * any probe doc) — what a pretraining pipeline materializes after
+    * the eval-benchmark overlap audit, mirroring `curated_corpus`'s
+    * verdict→materialization pattern. One anti-join against the
+    * (bounded) flagged-doc list; the probe stand-ins themselves are
+    * excluded too (they ARE the benchmark).
+    */
+  def decontaminatedCorpus(documents: DataFrame, nProbe: Int = 5,
+      minOverlap: Int = 3): DataFrame = {
+    val flagged = contaminationCheck(documents, nProbe, minOverlap)
+      .select(col("doc_id")).distinct()
+    documents.filter(col("doc_id") >= nProbe)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Per-document n-gram repetition report (the Gopher-style repetition
     * quality filter): duplicate-bigram fraction and top-bigram fraction
     * flag boilerplate and degenerate generations. One explode + two

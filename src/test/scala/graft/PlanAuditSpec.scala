@@ -434,6 +434,8 @@ class PlanAuditSpec extends SparkSpec {
       "bm25_search" -> 1, // df per term, ≤ |fixed query-term set| = 6 rows
       "bootstrap_ci_order_value" -> 2, // CI rank probes over R = 64 resample means
       "contamination_check" -> 1, // probe bigrams of ≤ nProbe literal benchmark docs
+      "decontaminated_corpus" -> 1, // the same probe-bigram frame (nProbe literal)
+      "embed_centroid_drift" -> 1, // per-dim global means: exactly 64 rows
       "embed_outliers" -> 1, // per-(label, dim) stats: ~10 langs × 64 dims
       "embed_quantize" -> 1, // per-dim min/max: exactly 64 rows
       "fk_orphans" -> 2, // orphan/unref rollups per rel (7 literal edges)

@@ -84,6 +84,35 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(fixed > 400000L && fixed <= 1000000L, s"fixed AUC $fixed")
   }
 
+  test("qualityCalibration partitions the corpus into consistent deciles") {
+    val out = ClassifierOps.qualityCalibration(corpus).collect()
+    val feats = ClassifierOps.features(corpus)
+    val nDocs = feats.count()
+    val nKeep = feats.filter(col("y")).count()
+    // every doc lands in exactly one decile; keeps are conserved
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(out.map(_.getAs[Long]("n_keep")).sum == nKeep)
+    out.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(d >= 1 && d <= 10, s"decile out of range: $r")
+      assert(r.getAs[Long]("keep_rate_micro") ==
+        r.getAs[Long]("n_keep") * 1000000L / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("bucket_lo") <= r.getAs[Long]("bucket_hi"))
+    }
+    // deciles' score ranges are disjoint and ordered
+    val sorted = out.sortBy(_.getAs[Long]("decile"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("bucket_hi") < b.getAs[Long]("bucket_lo"),
+          "decile score ranges must be disjoint and increasing")
+      case _ => ()
+    }
+    // the fixed ranker is informative on this corpus: the top decile's
+    // keep rate beats the bottom decile's
+    assert(sorted.last.getAs[Long]("keep_rate_micro") >
+      sorted.head.getAs[Long]("keep_rate_micro"))
+  }
+
   test("a degenerate single-class corpus still trains without diverging") {
     val allGood = docs((1L to 20L).map { i =>
       (i, ("the quick brown fox jumps over the lazy dog and runs " * 3).trim)

@@ -25,6 +25,44 @@ class SimilarityOpsSpec extends SparkSpec {
   private def vecs(rows: (Long, Seq[Float])*) =
     rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
 
+  test("ivfCellBalance accounts for every vector with exact micro shares") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = SimilarityOps.ivfCellBalance(emb).collect()
+    val total = emb.count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == total,
+      "every vector must land in exactly one cell")
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_vecs")
+      assert(r.getAs[Long]("share_micro") == n * 1000000L / total)
+      assert(r.getAs[Long]("load_factor_micro") == n * 16L * 1000000L / total)
+      assert(r.getAs[Boolean]("hot") == (n * 16 >= 2 * total))
+      assert(r.getAs[Long]("cell") >= 0 && r.getAs[Long]("cell") < 16)
+    }
+  }
+
+  test("embedCentroidDrift is zero for identical labels and positive for a shifted one") {
+    val near = Seq.tabulate(64)(_ => 0.5f)
+    val far = Seq.tabulate(64)(_ => -0.5f)
+    val df = Seq(
+      (0L, near, "a"), (1L, near, "a"),
+      (2L, near, "b"), (3L, near, "b"),
+      (4L, far, "c"), (5L, far, "c"))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.embedCentroidDrift(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // global mean sits between the clusters: a and b drift equally,
+    // c (the minority direction at 2/6 of the mass) drifts more
+    assert(out.keySet == Set("a", "b", "c"))
+    assert(out("a")._1 == 2L && out("c")._1 == 2L)
+    assert(out("a")._2 == out("b")._2, "identical labels must drift identically")
+    assert(out("c")._2 > out("a")._2, "the shifted label must drift further")
+    // one homogeneous label == the global centroid → zero drift
+    val same = Seq((0L, near, "x"), (1L, near, "x"))
+      .toDF("vec_id", "embedding", "label")
+    val zero = SimilarityOps.embedCentroidDrift(same).collect()
+    assert(zero.length == 1 && zero.head.getLong(2) == 0L)
+  }
+
   test("bruteCosineTopK ranks an identical vector first with sim 1.0") {
     val v = Seq.tabulate(64)(i => (i % 7).toFloat + 1f)
     val w = Seq.tabulate(64)(i => (63 - i % 11).toFloat + 1f)

@@ -91,6 +91,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out.head.getLong(2) == 4L)
   }
 
+  test("decontaminatedCorpus drops flagged docs and the probes themselves") {
+    val df = docs(
+      (0L, "alpha beta gamma delta epsilon zeta", "en"),   // probe
+      (10L, "alpha beta gamma delta epsilon other", "en"), // contaminated
+      (11L, "totally different words here now", "en"))     // clean
+    val kept = TextOps.decontaminatedCorpus(df, nProbe = 5, minOverlap = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L),
+      s"probe 0 and contaminated 10 must both be excluded, got $kept")
+    // schema mirrors the corpus materializations (survivors pattern)
+    val cols = TextOps.decontaminatedCorpus(df).columns.toSeq
+    assert(cols == Seq("doc_id", "lang", "source", "n_chars"))
+  }
+
   test("rarityScore ranks rare-token docs above common-token docs") {
     val df = docs(
       (1L, "common common common common", "en"),
