@@ -3745,6 +3745,34 @@ object Oracles {
          |WHERE doc_id >= 5
          |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)""".stripMargin,
 
+    // TextOps.gateReasonBreakdown: per-(source, gate outcome) doc/token
+    // accounting with exact in-source micro shares.
+    "gate_reason_breakdown" ->
+      s"""WITH q AS ($qualityScoreSql),
+         |r AS (SELECT doc_id, COALESCE(($gateReasonSql), 'pass') AS reason,
+         |  COALESCE(n_tokens, 0) AS n_toks FROM q),
+         |j AS (SELECT r.reason, r.n_toks, d.source
+         | FROM r JOIN documents d USING (doc_id)),
+         |g AS (SELECT source, reason, COUNT(*) AS n_docs,
+         |  SUM(n_toks) AS n_tokens FROM j GROUP BY 1, 2)
+         |SELECT source, reason, CAST(n_docs AS BIGINT) AS n_docs,
+         | CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST((n_docs * 1000000) //
+         |   SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_micro
+         |FROM g""".stripMargin,
+
+    // AuditOps.kAnonymityReport: quasi-identifier equivalence-class
+    // size histogram (log2 classes via exact length(bin(g))-1).
+    "k_anonymity_report" ->
+      """WITH grp AS (SELECT lang, source, n_chars // 256 AS cb,
+        |  COUNT(*) AS g FROM documents GROUP BY 1, 2, 3),
+        |cls AS (SELECT g, CAST(length(bin(g)) - 1 AS BIGINT) AS size_class
+        | FROM grp)
+        |SELECT size_class, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        | CAST(SUM(g) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT) AS n_risk_docs
+        |FROM cls GROUP BY size_class""".stripMargin,
+
     // SimilarityOps.ivfCellBalance: per-cell occupancy of the fixed IVF
     // index — exact micro shares against the 1-row total.
     "ivf_cell_balance" ->

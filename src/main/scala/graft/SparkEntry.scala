@@ -323,6 +323,8 @@ object SparkEntry {
     "bigram_topk" -> ((s, d) => TextOps.bigramTopK(documents(s, d))),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
     "decontaminated_corpus" -> ((s, d) => TextOps.decontaminatedCorpus(documents(s, d))),
+    "k_anonymity_report" -> ((s, d) => AuditOps.kAnonymityReport(documents(s, d))),
+    "gate_reason_breakdown" -> ((s, d) => TextOps.gateReasonBreakdown(documents(s, d))),
     "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
     "ngram_lm_score" -> ((s, d) => TextOps.ngramLmScore(documents(s, d))),
     "perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(documents(s, d))),

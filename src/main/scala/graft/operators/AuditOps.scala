@@ -387,4 +387,32 @@ object AuditOps {
               "shuffle_salted")
             .otherwise("shuffle_hash").as("recommended"))
     }.reduce(_ unionByName _)
+
+  /** k-anonymity audit of the corpus metadata — the release-governance
+    * check a training-data distribution runs: documents sharing one
+    * quasi-identifier combination (lang, source, n_chars bucketed to
+    * `charsBucket`) form an equivalence class, and classes smaller than
+    * `k` are re-identification risks (their members are near-unique
+    * under exactly the attributes a dataset card reveals). Output is
+    * the BOUNDED log2 class-size histogram: per size class, group and
+    * doc counts plus the at-risk doc mass (docs in classes < k) — the
+    * "12% of docs sit in groups smaller than 5" number, not a
+    * corpus-sized dump. Two map-side-combined aggregations; floor-log2
+    * is the exact integer `length(bin(g)) - 1` (no libm anywhere, the
+    * engine-parity rule).
+    */
+  def kAnonymityReport(documents: DataFrame, k: Int = 5,
+      charsBucket: Int = 256): DataFrame = {
+    require(k >= 2 && charsBucket >= 1)
+    val groups = documents
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div $charsBucket").as("chars_bucket"))
+      .agg(count(lit(1)).as("g"))
+    groups
+      .select(col("g"), (length(bin(col("g"))) - 1).cast("long").as("size_class"))
+      .groupBy(col("size_class"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("g")).as("n_docs"),
+        sum(when(col("g") < k, col("g")).otherwise(0L)).as("n_risk_docs"))
+  }
 }

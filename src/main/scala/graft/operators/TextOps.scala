@@ -166,6 +166,30 @@ object TextOps {
       .filter(col("n_shared_bigrams") >= minOverlap)
   }
 
+  /** Curation dashboard slice: per (source, gate outcome) doc counts,
+    * token mass, and in-source share — WHY each source's documents drop,
+    * not just how many ([[qualityGate]] gives the verdicts; this is the
+    * rollup a curator reads to decide whether a source needs a fix or a
+    * removal). One doc-grain co-keyed join to attach the source, one
+    * map-side-combined rollup; the share window runs over the bounded
+    * (source × reason) table.
+    */
+  def gateReasonBreakdown(documents: DataFrame): DataFrame = {
+    val scored = qualityScore(OpUtils.spread(documents))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_toks"),
+        coalesce(gateReason, lit("pass")).as("reason"))
+    scored
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("src_docs",
+        sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))))
+      .select(col("source"), col("reason"), col("n_docs"), col("n_tokens"),
+        expr("(n_docs * 1000000) div src_docs").as("share_micro"))
+  }
+
   /** The decontamination sweep EXECUTED: the corpus minus every doc
     * [[contaminationCheck]] flags (≥ `minOverlap` shared bigrams with
     * any probe doc) — what a pretraining pipeline materializes after

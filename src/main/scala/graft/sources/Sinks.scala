@@ -440,12 +440,14 @@ object Sinks {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // CAS commit: claim the version number by create-fails-if-exists on
-    // the manifest name itself, then swap the content in. Two racing
-    // committers can no longer both publish v_N+1 with the loser's
-    // manifest silently overwritten (the old last-writer-wins): exactly
-    // one claim on a name succeeds; the loser recomputes from the fresh
-    // history — which now includes (or will include) the winner — and
-    // retries at the next number, so both appends survive in the head.
+    // its `_claim-v*` marker, then publish the manifest by plain atomic
+    // rename (the destination cannot exist — only the claim holder may
+    // create it). Two racing committers can no longer both publish
+    // v_N+1 with the loser's manifest silently overwritten (the old
+    // last-writer-wins): exactly one claim on a number succeeds; the
+    // loser recomputes from the fresh history — which now includes (or
+    // will include) the winner — and retries at the next number, so
+    // both appends survive in the head.
     var attempts = 0
     while (true) {
       attempts += 1
@@ -581,38 +583,56 @@ object Sinks {
     val nowTop = Snapshots.allocatedVersions(fs, dir).lastOption.getOrElse(0)
     if (expectedVersion >= 0 && nowTop != expectedVersion) {
       names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
-      fs.delete(new org.apache.hadoop.fs.Path(dir, f"_manifest-v$next%05d"), false)
+      fs.delete(claimPath(dir, next), false) // release the claim on abort
       throw new java.io.IOException(
         s"snapshot CAS failed for $path: expected to publish v$expectedVersion, a racer allocated v$nowTop")
     }
     publishClaimed(spark, fs, dir, next, names)
   }
 
-  /** Exclusively claim `version` by creating its manifest name EMPTY
-    * with create-fails-if-exists — the atomic version-allocation
+  private def claimPath(dir: org.apache.hadoop.fs.Path, version: Int) =
+    new org.apache.hadoop.fs.Path(dir, f"_claim-v$version%05d")
+
+  /** Exclusively claim `version` by creating its `_claim-v<version>`
+    * marker with create-fails-if-exists — the atomic version-allocation
     * primitive (O_CREAT|O_EXCL on a local FS; HDFS create is likewise
-    * exclusive without overwrite). A zero-length manifest reads as "not
-    * a snapshot" everywhere ([[Snapshots.versions]]/[[Snapshots.files]]),
-    * so the claim is invisible to readers until the content swap.
-    * Returns false when the name is already taken.
+    * exclusive without overwrite). The claim is a SEPARATE name from
+    * the manifest, so the later publish renames onto a destination
+    * that never exists — plain atomic rename, no overwrite semantics
+    * anywhere in the commit path (ChecksumFs drops the OVERWRITE
+    * option on some rename routes). Claims are invisible to readers:
+    * only `_manifest-v*` names are snapshots. Returns false when the
+    * version is already taken.
     */
   private def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, version: Int): Boolean = {
-    val manifest = new org.apache.hadoop.fs.Path(dir, f"_manifest-v$version%05d")
-    try { fs.create(manifest, false).close(); true }
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case e: java.io.IOException
-          if e.getMessage != null && e.getMessage.contains("already exists") =>
-        false
+    val p = claimPath(dir, version)
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+          _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // LocalFileSystem.create(overwrite = false) is exists-THEN-create
+        // — two racers can both pass the check; java.io.createNewFile is
+        // the OS's actual O_CREAT|O_EXCL
+        new java.io.File(p.toUri.getPath).createNewFile()
+      case _ =>
+        // HDFS-class filesystems make non-overwrite create atomic on
+        // the namenode
+        try { fs.create(p, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if e.getMessage != null &&
+                e.getMessage.contains("already exists") =>
+            false
+        }
     }
   }
 
-  /** Publish content onto a version's OWN claim: temp-write the file
-    * list, then atomically overwrite-rename onto the claimed (empty)
-    * manifest. Only the claim holder may call this — exclusivity came
-    * from [[claimVersion]], so the overwrite can never clobber another
-    * committer's manifest.
+  /** Publish a CLAIMED version: temp-write the file list, atomically
+    * rename it to the manifest name (which cannot exist — exclusivity
+    * came from [[claimVersion]]), then drop the claim marker. A crash
+    * between rename and drop leaves a claim whose manifest exists —
+    * harmless (allocation reads both) and vacuumed later.
     */
   private def publishClaimed(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
@@ -622,7 +642,9 @@ object Sinks {
     try out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val manifest = new org.apache.hadoop.fs.Path(dir, f"_manifest-v$version%05d")
-    overwriteRename(spark, fs.makeQualified(tmp), fs.makeQualified(manifest))
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(s"snapshot commit failed for $manifest")
+    fs.delete(claimPath(dir, version), false)
     version
   }
 
@@ -678,13 +700,15 @@ object Sinks {
       if (fs.exists(m) && !fs.delete(m, false))
         throw new java.io.IOException(s"vacuum: manifest delete failed for $m")
     }
-    // zero-length allocation claims at-or-below the horizon: their
-    // committer is long dead (live commits always allocate above the
-    // head), so reclaim the burned number's marker file too
-    Snapshots.allocatedVersions(fs, dir).diff(Snapshots.versions(fs, dir))
-      .filter(_ <= horizon)
+    // stale allocation claims: at-or-below the horizon their committer
+    // is long dead (live commits always allocate above the head), and a
+    // claim whose manifest exists already served its purpose — reclaim
+    // both marker classes
+    val published = Snapshots.versions(fs, dir).toSet
+    Snapshots.allocatedVersions(fs, dir)
+      .filter(v => v <= horizon || published.contains(v))
       .foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(dir, f"_manifest-v$v%05d"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(dir, f"_claim-v$v%05d"), false)
       }
     // a swallowed data-file delete would report success while leaving a
     // file no manifest references — unreclaimable forever, and ready to
@@ -931,12 +955,10 @@ object Sinks {
   * [[Readers]].
   */
 private[sources] object Snapshots {
-  /** Ascending PUBLISHED version numbers in `dir`. A ZERO-LENGTH
-    * manifest is an allocation CLAIM (a committer exclusively created
-    * the name but has not yet swapped the content in — or crashed
-    * before doing so), not a snapshot: readers and history unions must
-    * skip it or a claim-then-crash would read as an empty table at that
-    * version.
+  /** Ascending PUBLISHED version numbers in `dir` — `_manifest-v*`
+    * names only; `_claim-v*` allocation markers are not snapshots.
+    * (The zero-length guard is belt-and-braces: a manifest is only
+    * ever created by an atomic rename of fully-written content.)
     */
   def versions(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[Int] =
@@ -949,21 +971,27 @@ private[sources] object Snapshots {
       }
       .toSeq.sorted
 
-  /** Ascending ALLOCATED version numbers — claims included. Version
-    * allocation starts above this, so a crashed claimer can never make
-    * a live committer spin on (or reuse) its number.
+  /** Ascending ALLOCATED version numbers — published manifests UNION
+    * outstanding claims. Version allocation starts above this, so a
+    * crashed claimer can never make a live committer spin on (or
+    * reuse) its number; the crashed number is simply a gap.
     */
   def allocatedVersions(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[Int] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).iterator
       .map(_.getPath.getName)
-      .collect { case n if n.matches("_manifest-v\\d{5,}") =>
-        n.stripPrefix("_manifest-v").toInt }
-      .toSeq.sorted
+      .collect {
+        case n if n.matches("_manifest-v\\d{5,}") =>
+          n.stripPrefix("_manifest-v").toInt
+        case n if n.matches("_claim-v\\d{5,}") =>
+          n.stripPrefix("_claim-v").toInt
+      }
+      .toSeq.distinct.sorted
 
-  /** File names listed by one committed snapshot manifest (a bare
-    * claim reads as "no committed snapshot", like a missing manifest).
+  /** File names listed by one committed snapshot manifest (an
+    * unfulfilled claim reads as "no committed snapshot", like a
+    * missing manifest).
     */
   def files(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, version: Int): Seq[String] = {

@@ -631,6 +631,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("substring_report TakeOrders its top-k and stays banded") {
+    val p = plan("substring_report")
+    assert(p.contains("TakeOrderedAndProject"),
+      "snippet ranking must never global-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("round-8 audit rollups are map-side-combined grouped scans") {
+    // ivf_cell_balance / k_anonymity_report / quality_calibration all
+    // collapse to bounded frames before any cross-frame meet: no
+    // row-level join may appear, and aggregation partial-combines
+    Seq("ivf_cell_balance", "k_anonymity_report", "quality_calibration")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+          s"$q must not join at row grain")
+        assert(p.contains("partial"), s"$q must partial-aggregate map-side")
+      }
+  }
+
   test("blockhash near-dedup bands out only slim columns, never the payload") {
     val p = plan("multimodal_near_dedup")
     assert(!p.contains("CartesianProduct"))

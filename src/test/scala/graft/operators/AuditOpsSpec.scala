@@ -195,4 +195,25 @@ class AuditOpsSpec extends SparkSpec {
     assert(out("uniform").getAs[Long]("skew_left_micro") == 1000000L)
     assert(out("uniform").getAs[String]("recommended") == "shuffle_hash")
   }
+
+  test("kAnonymityReport histograms equivalence classes and flags the at-risk mass") {
+    // quasi-identifier = (lang, source, n_chars div 256): three classes
+    // of sizes 1, 2, and 8 → size classes 0, 1, 3
+    def doc(id: Long, lang: String, source: String, chars: Long) =
+      (id, s"text $id", lang, source, chars)
+    val df = (
+      Seq(doc(1, "en", "web", 100)) ++                           // singleton
+      Seq(doc(2, "de", "web", 100), doc(3, "de", "web", 130)) ++ // size 2
+      (10L to 17L).map(i => doc(i, "en", "books", 600))          // size 8
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = AuditOps.kAnonymityReport(df, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      0L -> ((1L, 1L, 1L)),   // one singleton class, its doc at risk
+      1L -> ((1L, 2L, 2L)),   // one size-2 class, both docs at risk
+      3L -> ((1L, 8L, 0L))))  // the size-8 class clears k = 5
+    // doc accounting is lossless
+    assert(out.values.map(_._2).sum == df.count())
+  }
 }

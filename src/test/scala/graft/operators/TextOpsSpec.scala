@@ -91,6 +91,27 @@ class TextOpsSpec extends SparkSpec {
     assert(out.head.getLong(2) == 4L)
   }
 
+  test("gateReasonBreakdown attributes every doc to exactly one outcome per source") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "the small cat walks past the old house again today"
+    val df = Seq(
+      (1L, good, "en", "web", good.length.toLong),
+      (2L, "tiny", "en", "web", 4L),            // too_short
+      (3L, "tiny too", "en", "books", 8L),      // too_short
+      (4L, good, "en", "books", good.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.gateReasonBreakdown(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    assert(out.keySet == Set(("web", "pass"), ("web", "too_short"),
+      ("books", "pass"), ("books", "too_short")))
+    // each source splits 1/1 → 50% micro shares, and docs are conserved
+    out.values.foreach { case (n, share) =>
+      assert(n == 1L && share == 500000L)
+    }
+    assert(out.values.map(_._1).sum == df.count())
+  }
+
   test("decontaminatedCorpus drops flagged docs and the probes themselves") {
     val df = docs(
       (0L, "alpha beta gamma delta epsilon zeta", "en"),   // probe

@@ -680,8 +680,8 @@ class SourcesSpec extends SparkSpec {
     (1L to 5L).map(i => (i, "x")).toDF("id", "src").write.parquet(path)
     assert(Sinks.commitSnapshot(spark, path) == 1)
     // simulate a committer that claimed v2 and died before the content
-    // swap: a zero-length manifest
-    new java.io.File(path, "_manifest-v00002").createNewFile()
+    // swap: an orphan claim marker
+    new java.io.File(path, "_claim-v00002").createNewFile()
     // readers never resolve the claim as a snapshot
     assert(Readers.readSnapshot(spark, path).count() == 5) // head is v1
     intercept[java.io.FileNotFoundException] {
@@ -699,7 +699,7 @@ class SourcesSpec extends SparkSpec {
     Seq((11L, "w")).toDF("id", "src").write.mode("append").parquet(path)
     assert(Sinks.commitSnapshot(spark, path) == 5)
     Sinks.vacuumSnapshots(spark, path, keepLast = 2)
-    assert(!new java.io.File(path, "_manifest-v00002").exists(),
+    assert(!new java.io.File(path, "_claim-v00002").exists(),
       "horizon-passed claim marker should be reclaimed")
     assert(Readers.readSnapshot(spark, path).count() == 8)
   }
