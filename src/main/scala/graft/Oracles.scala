@@ -3664,6 +3664,275 @@ object Oracles {
   )
 
   private val dExtras: Map[String, String] = Map(
+    // TextOps.ngramNovelty: per-doc first-seen span-occurrence fraction
+    // (novelty in ingestion order) over the same span-hash stream the
+    // span dedups use.
+    "ngram_novelty" -> {
+      val span = graft.operators.DedupOps.SpanTokens
+      s"""WITH d AS (SELECT doc_id, string_split(${norm("text")}, ' ') AS ts
+         |  FROM documents WHERE length(${norm("text")}) > 0),
+         |g AS (SELECT doc_id,
+         |  ${hash32Sql(s"array_to_string(ts[i:i+${span - 1}], ' ')")} AS h
+         | FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-${span - 1})) AS i
+         |       FROM d WHERE len(ts) >= $span)),
+         |f AS (SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         | CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_first_seen,
+         | CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000
+         |   // COUNT(*) AS BIGINT) AS novelty_micro
+         |FROM g JOIN f USING (h)
+         |GROUP BY doc_id""".stripMargin
+    },
+
+    // TextOps.heapsLaw: vocabulary-growth curve over 20 equal-width
+    // doc_id buckets; first occurrence = min bucket per token.
+    "heaps_law" ->
+      s"""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |d AS (SELECT doc_id, (doc_id * 20) // (mx + 1) AS bucket,
+         |  ${norm("text")} AS nt FROM documents CROSS JOIN mx),
+         |t AS (SELECT bucket, unnest(string_split(nt, ' ')) AS tok
+         | FROM d WHERE length(nt) > 0),
+         |pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+         | FROM d GROUP BY bucket),
+         |tm AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         | FROM t GROUP BY bucket),
+         |vn AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS vocab_new
+         | FROM (SELECT tok, MIN(bucket) AS bucket FROM t GROUP BY tok)
+         | GROUP BY bucket),
+         |j AS (SELECT pb.bucket, n_docs, COALESCE(n_tokens, 0) AS n_tokens,
+         |  COALESCE(vocab_new, 0) AS vocab_new
+         | FROM pb LEFT JOIN tm ON pb.bucket = tm.bucket
+         |  LEFT JOIN vn ON pb.bucket = vn.bucket)
+         |SELECT bucket, n_docs, n_tokens, vocab_new,
+         | CAST(SUM(n_tokens) OVER (ORDER BY bucket
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   AS cum_tokens,
+         | CAST(SUM(vocab_new) OVER (ORDER BY bucket
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   AS cum_vocab
+         |FROM j""".stripMargin,
+
+    // MultimodalOps.multimodalDedupClusters: connected components over
+    // the blockhash band-pair graph (min-id representative), per-cluster
+    // byte accounting. The fingerprint chain mirrors
+    // multimodal_near_dedup's oracle; CC is the same recursive-reach
+    // shape as dedup_survivors'.
+    "multimodal_dedup_clusters" ->
+      """WITH RECURSIVE m AS MATERIALIZED (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  md5(text) AS checksum, text,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS len
+        | FROM documents
+        | WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+        |blk AS (
+        | SELECT doc_id, ((i - 1) * 60) // len AS b,
+        |  SUM(CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS s
+        | FROM (SELECT doc_id, len, text,
+        |    UNNEST(generate_series(1, len)) AS i FROM m)
+        | GROUP BY doc_id, ((i - 1) * 60) // len),
+        |tot AS (SELECT doc_id, SUM(s) AS total FROM blk GROUP BY doc_id),
+        |fp AS (
+        | SELECT blk.doc_id,
+        |  CAST(SUM(CASE WHEN s * 60 > total
+        |    THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp
+        | FROM blk JOIN tot ON blk.doc_id = tot.doc_id GROUP BY blk.doc_id),
+        |fm AS MATERIALIZED (
+        | SELECT m.doc_id, media_type, fp.fp
+        | FROM m JOIN fp ON m.doc_id = fp.doc_id),
+        |bands AS (
+        | SELECT doc_id, media_type, fp, band,
+        |  (fp >> (band * 15)) & 32767 AS key
+        | FROM fm, (VALUES (0), (1), (2), (3)) AS bb(band)),
+        |mmp AS MATERIALIZED (SELECT * FROM (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        | FROM bands a JOIN bands b
+        |  ON a.media_type = b.media_type AND a.band = b.band
+        |   AND a.key = b.key AND a.doc_id < b.doc_id)
+        |WHERE hamming <= 3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mmp
+        |          UNION SELECT doc_b, doc_a FROM mmp),
+        |reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+        |          UNION
+        |          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        |        FROM reach GROUP BY node)
+        |SELECT media_type, cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        | CAST(SUM(len) AS BIGINT) AS bytes_total,
+        | CAST(SUM(CASE WHEN lab.doc_id = cluster_id THEN 0 ELSE len END)
+        |   AS BIGINT) AS bytes_wasted
+        |FROM lab JOIN m ON lab.doc_id = m.doc_id
+        |GROUP BY media_type, cluster_id""".stripMargin,
+
+    // DedupOps.dedupCascade: first-stage removal attribution across
+    // exact → MinHash-LSH → SimHash (lower-id removal rule each stage).
+    "dedup_cascade" ->
+      s"""WITH $minhashPairsCte,
+         |$simhashPairsCte,
+         |exr AS (SELECT doc_id FROM (
+         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(t)) AS m
+         |  FROM norm) WHERE doc_id > m),
+         |mhr AS (SELECT DISTINCT doc_b AS doc_id FROM lshp),
+         |shr AS (SELECT DISTINCT doc_b AS doc_id FROM shp),
+         |cbase AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(t) = 0 THEN 0
+         |       ELSE len(string_split(t, ' ')) END AS BIGINT) AS ntok
+         | FROM norm),
+         |st AS (SELECT b.doc_id, b.ntok,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN '1_exact'
+         |       WHEN m.doc_id IS NOT NULL THEN '2_minhash_lsh'
+         |       WHEN s.doc_id IS NOT NULL THEN '3_simhash'
+         |       ELSE 'kept' END AS stage
+         | FROM cbase b
+         |  LEFT JOIN exr e ON b.doc_id = e.doc_id
+         |  LEFT JOIN mhr m ON b.doc_id = m.doc_id
+         |  LEFT JOIN shr s ON b.doc_id = s.doc_id),
+         |ctot AS (SELECT COUNT(*) AS n_total FROM cbase)
+         |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         | CAST(COUNT(*) * 1000000 // n_total AS BIGINT) AS doc_share_micro
+         |FROM st CROSS JOIN ctot
+         |GROUP BY stage, n_total""".stripMargin,
+
+    // PipelineOps.curriculumPhases: quality-ranked token-budget phases
+    // via the quantized-score CDF (tie groups land whole).
+    "curriculum_phases" ->
+      s"""WITH q AS ($qualityScoreSql),
+         |s AS (SELECT CAST(ROUND(quality_score * 10000) AS BIGINT) AS score_q,
+         |  n_tokens FROM q),
+         |bs AS (SELECT score_q, CAST(COUNT(*) AS BIGINT) AS nd,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS nt FROM s GROUP BY score_q),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS ttot FROM s),
+         |c AS (SELECT score_q, nd, nt,
+         |  CAST(COALESCE(SUM(nt) OVER (ORDER BY score_q DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before, ttot
+         | FROM bs CROSS JOIN tot)
+         |SELECT phase, CAST(SUM(nd) AS BIGINT) AS n_docs,
+         | CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         | CAST(MAX(score_q) AS BIGINT) AS max_score_q,
+         | CAST(MIN(score_q) AS BIGINT) AS min_score_q
+         |FROM (SELECT CAST(LEAST((cum_before * 3) // GREATEST(ttot, 1), 2)
+         |        AS BIGINT) AS phase, nd, nt, score_q FROM c)
+         |GROUP BY phase""".stripMargin,
+
+    // StatOps.rankCorrQualityLength: exact Kendall tau-b on the bounded
+    // (score bin x log2-length bin) contingency table.
+    "rank_corr_quality_len" ->
+      s"""WITH q AS ($qualityScoreSql),
+         |s AS (SELECT CAST(ROUND(quality_score * 10000) AS BIGINT) // 500 AS x,
+         |  CAST(length(bin(GREATEST(n_chars, 1))) - 1 AS BIGINT) AS y FROM q),
+         |cl AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY x, y),
+         |cd AS (SELECT
+         |  COALESCE(SUM(CASE WHEN b.x < a.x AND b.y < a.y
+         |    THEN a.n * b.n END), 0) AS c,
+         |  COALESCE(SUM(CASE WHEN b.x < a.x AND b.y > a.y
+         |    THEN a.n * b.n END), 0) AS d
+         | FROM cl a CROSS JOIN cl b),
+         |tx AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS tx2
+         | FROM (SELECT SUM(n) AS t FROM cl GROUP BY x)),
+         |ty AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS ty2
+         | FROM (SELECT SUM(n) AS t FROM cl GROUP BY y)),
+         |tt AS (SELECT SUM(n) AS nn FROM cl),
+         |nb AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n_x_bins,
+         |  CAST(COUNT(DISTINCT y) AS BIGINT) AS n_y_bins FROM cl)
+         |SELECT CAST(nn AS BIGINT) AS n_docs, n_x_bins, n_y_bins,
+         | ROUND(CASE WHEN nn * (nn - 1) = tx2 OR nn * (nn - 1) = ty2 THEN NULL
+         |   ELSE CAST(c - d AS DOUBLE) /
+         |     (sqrt(CAST(nn * (nn - 1) - tx2 AS DOUBLE) / 2.0)
+         |      * sqrt(CAST(nn * (nn - 1) - ty2 AS DOUBLE) / 2.0)) END, 6)
+         |   AS tau_b_r6
+         |FROM tt CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN nb""".stripMargin,
+
+    // SimilarityOps.embedClipBounds: exact per-dim p1/p99 via the
+    // milli-quantized value-domain CDF + strictly-outside mass.
+    "embed_clip_bounds" ->
+      """WITH v AS (
+        | SELECT d.dim AS dim,
+        |  CAST(TRUNC(embedding[d.dim]::DOUBLE * 1000) AS BIGINT) AS milli
+        | FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) d
+        | WHERE embedding IS NOT NULL AND NOT isnan(embedding[d.dim]::DOUBLE)),
+        |cl AS (SELECT dim, milli, CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM v GROUP BY dim, milli),
+        |np AS (SELECT dim, CAST(SUM(cnt) AS BIGINT) AS n_vals
+        | FROM cl GROUP BY dim),
+        |cm AS (SELECT dim, milli, cnt,
+        |  CAST(SUM(cnt) OVER (PARTITION BY dim ORDER BY milli
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM cl),
+        |r AS (SELECT cm.dim, milli, cnt, cum, n_vals
+        | FROM cm JOIN np ON cm.dim = np.dim),
+        |lo AS (SELECT dim, MIN(milli) AS lo_milli FROM r
+        | WHERE cum >= (n_vals + 99) // 100 GROUP BY dim),
+        |hi AS (SELECT dim, MIN(milli) AS hi_milli FROM r
+        | WHERE cum >= (n_vals * 99 + 99) // 100 GROUP BY dim),
+        |cp AS (SELECT cl.dim,
+        |  CAST(SUM(CASE WHEN milli < lo_milli THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN milli > hi_milli THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi
+        | FROM cl JOIN lo ON cl.dim = lo.dim JOIN hi ON cl.dim = hi.dim
+        | GROUP BY cl.dim)
+        |SELECT CAST(np.dim AS BIGINT) AS dim, n_vals, lo_milli, hi_milli,
+        | n_clip_lo, n_clip_hi
+        |FROM np JOIN lo ON np.dim = lo.dim JOIN hi ON np.dim = hi.dim
+        | JOIN cp ON np.dim = cp.dim""".stripMargin,
+
+    // AsOfOps.errorClickContext: per-error preceding-window click
+    // context (the oracle states the range join directly; Spark executes
+    // the banded equi rewrite of the same predicate).
+    "error_click_context" ->
+      """WITH base AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type, value
+        | FROM events),
+        |err AS (SELECT user_id, event_id, ts_s FROM base
+        | WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, ts_s AS c_ts,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS c_cents FROM base
+        | WHERE event_type = 'click'),
+        |m AS (SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        |  CAST(SUM(c_cents) AS BIGINT) AS cents
+        | FROM err e JOIN clk c ON e.user_id = c.user_id
+        |  AND c.c_ts >= e.ts_s - 600 AND c.c_ts < e.ts_s
+        | GROUP BY e.event_id)
+        |SELECT e.event_id, e.user_id, e.ts_s,
+        | COALESCE(n_clicks, 0) AS n_clicks,
+        | COALESCE(cents, 0) AS clicks_cents
+        |FROM err e LEFT JOIN m ON e.event_id = m.event_id""".stripMargin,
+
+    // TextOps.gateSoleReason: docs failing exactly one gate rule, by
+    // rule — the marginal (ablation) attribution next to quality_gate's
+    // first-failing one. Rule predicates are gateReasonSql's, evaluated
+    // independently with explicit NULL-to-false coalescing both engines
+    // share.
+    "gate_sole_reason" ->
+      s"""WITH q AS ($qualityScoreSql),
+         |f AS (SELECT
+         |  (n_tokens IS NULL OR n_tokens < 15) AS f_short,
+         |  COALESCE(special_ratio > 0.05, FALSE) AS f_special,
+         |  COALESCE(stop_ratio < 0.08, FALSE) AS f_stop,
+         |  COALESCE(avg_word_len < 3.0 OR avg_word_len > 10.0, FALSE) AS f_awl,
+         |  COALESCE(n_tokens, 0) AS ntok
+         | FROM q),
+         |ff AS (SELECT f_short, f_special, f_stop, f_awl, ntok,
+         |  CAST(f_short AS BIGINT) + CAST(f_special AS BIGINT)
+         |   + CAST(f_stop AS BIGINT) + CAST(f_awl AS BIGINT) AS n_fail
+         | FROM f),
+         |fl AS (SELECT * FROM ff WHERE n_fail >= 1),
+         |tot AS (SELECT COUNT(*) AS n_rejected FROM fl)
+         |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_sole_docs,
+         | CAST(SUM(ntok) AS BIGINT) AS n_sole_tokens,
+         | CAST(COUNT(*) * 1000000 // n_rejected AS BIGINT) AS sole_share_micro
+         |FROM (SELECT CASE WHEN f_short THEN 'too_short'
+         |        WHEN f_special THEN 'special_chars'
+         |        WHEN f_stop THEN 'low_stopword'
+         |        ELSE 'word_length' END AS reason, ntok
+         |      FROM fl WHERE n_fail = 1) CROSS JOIN tot
+         |GROUP BY reason, n_rejected""".stripMargin,
+
     "geo_neighbor_join" -> {
       s"""WITH cc AS (SELECT c_custkey, ${latSql("c_custkey")} AS c_lat,
          |  ${lonSql("c_custkey")} AS c_lon FROM customer),

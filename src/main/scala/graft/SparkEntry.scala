@@ -325,6 +325,17 @@ object SparkEntry {
     "decontaminated_corpus" -> ((s, d) => TextOps.decontaminatedCorpus(documents(s, d))),
     "k_anonymity_report" -> ((s, d) => AuditOps.kAnonymityReport(documents(s, d))),
     "gate_reason_breakdown" -> ((s, d) => TextOps.gateReasonBreakdown(documents(s, d))),
+    "gate_sole_reason" -> ((s, d) => TextOps.gateSoleReason(documents(s, d))),
+    "ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(documents(s, d))),
+    "heaps_law" -> ((s, d) => TextOps.heapsLaw(documents(s, d))),
+    "dedup_cascade" -> ((s, d) => DedupOps.dedupCascade(documents(s, d))),
+    "curriculum_phases" -> ((s, d) => PipelineOps.curriculumPhases(documents(s, d))),
+    "rank_corr_quality_len" -> ((s, d) =>
+      StatOps.rankCorrQualityLength(documents(s, d))),
+    "embed_clip_bounds" -> ((s, d) => SimilarityOps.embedClipBounds(embeddings(s, d))),
+    "error_click_context" -> ((s, d) => AsOfOps.errorClickContext(events(s, d))),
+    "multimodal_dedup_clusters" -> ((s, d) =>
+      MultimodalOps.multimodalDedupClusters(documents(s, d))),
     "rarity_score" -> ((s, d) => TextOps.rarityScore(documents(s, d))),
     "ngram_lm_score" -> ((s, d) => TextOps.ngramLmScore(documents(s, d))),
     "perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(documents(s, d))),

@@ -385,4 +385,40 @@ object AsOfOps {
       .groupBy(col("funnel_stage"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Batch interval join, time-banded — for every error event, the
+    * count and cents-value of the SAME user's clicks in the preceding
+    * `windowS`-second window (the "what led up to this failure" context
+    * query; the batch twin of the streaming interval join). The range
+    * predicate is r.ts ∈ [err.ts − windowS, err.ts).
+    *
+    * Scale: the classic banded-range-join rewrite — each side buckets
+    * time by the window length; an error's window spans at most two
+    * buckets, so the left side explodes ×2 and the join is pure EQUI on
+    * (user_id, bucket) with the range check as a post-filter. No
+    * per-user window sort, no cross product; skew is bounded by
+    * per-user-per-window activity, and the equi keys co-partition both
+    * sides at any SF.
+    */
+  def errorClickContext(events: DataFrame, windowS: Long = 600L): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      col("ts").cast("long").as("ts_s"), col("event_type"), col("value"))
+    val errors = base.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_s"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), expr(s"ts_s div $windowS").as("bucket"),
+        col("ts_s").as("c_ts"),
+        expr("cast(round(value * 100) as bigint)").as("c_cents"))
+    val probes = errors.select(col("user_id"), col("event_id"), col("ts_s"),
+      explode(array(expr(s"ts_s div $windowS"),
+        expr(s"ts_s div $windowS - 1"))).as("bucket"))
+    val matched = probes.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_ts") >= col("ts_s") - windowS && col("c_ts") < col("ts_s"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("c_cents")).as("clicks_cents"))
+    errors.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("clicks_cents"), lit(0L)).as("clicks_cents"))
+  }
 }

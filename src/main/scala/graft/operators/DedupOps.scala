@@ -456,8 +456,22 @@ object DedupOps {
     // session per input
     Memo.cached("clusters", documents)(dedupClustersImpl)
 
-  private def dedupClustersImpl(documents: DataFrame): DataFrame = {
-    val pairs = dedupMinhashLsh(documents).select(col("doc_a"), col("doc_b"))
+  private def dedupClustersImpl(documents: DataFrame): DataFrame =
+    ccLabels(dedupMinhashLsh(documents).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .withColumn("is_representative", col("doc_id") === col("cluster_id"))
+
+  /** Min-label connected components over an undirected pair list
+    * (doc_a, doc_b) via pointer doubling — the shared CC core behind
+    * [[dedupClusters]] and [[graft.operators.MultimodalOps
+    * .multimodalDedupClusters]]. Returns (node, cluster_id) for every
+    * node that appears in at least one pair; cluster_id is the
+    * component's minimum node id (its deterministic representative).
+    */
+  private[operators] def ccLabels(pairs: DataFrame): DataFrame = {
     // localCheckpoint (not persist): iterative plans otherwise re-derive
     // the whole lineage each round — the checkpoint pins round N's labels
     // as a leaf so round N+1's job is O(edges), not O(history). Eager, so
@@ -496,12 +510,7 @@ object DedupOps {
       rounds += 1
       if (dbg) println(s"[cc] round $rounds changed=$changed ${(System.nanoTime()-t0)/1e9}s")
     }
-    labels
-      .select(col("node").as("doc_id"), col("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster_id"))))
-      .withColumn("is_representative", col("doc_id") === col("cluster_id"))
+    labels.select(col("node"), col("cluster_id"))
   }
 
   /** The deduplicated corpus: drop every clustered doc except its
@@ -848,5 +857,52 @@ object DedupOps {
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Staged-cascade dedup attribution — the production pipeline shape
+    * (cheap exact hash first, MinHash-LSH second, SimHash third), with
+    * each document attributed to the FIRST stage that would remove it.
+    * "Removed" is the deterministic lower-id rule every detector here
+    * already uses: an exact copy of a lower doc_id, or the higher side
+    * of a near-dup pair. The per-stage doc/token mass and corpus share
+    * tell a curator what each successive (more expensive) stage actually
+    * buys on top of the previous one.
+    *
+    * Scale: the exact stage is one hash-grain groupBy; both pair graphs
+    * are the memoized session derivations (bounded pair lists); the
+    * attribution is three co-keyed left joins on doc_id and a map-side
+    * rollup to ≤4 rows. The corpus total is an ungrouped 1-row
+    * broadcast.
+    */
+  def dedupCascade(documents: DataFrame): DataFrame = {
+    val hashed = documents.select(col("doc_id"),
+      md5(TextFns.normText(col("text"))).as("ch"))
+    val exr = hashed
+      .join(hashed.groupBy(col("ch")).agg(min(col("doc_id")).as("m")), Seq("ch"))
+      .filter(col("doc_id") > col("m"))
+      .select(col("doc_id")).withColumn("s_exact", lit(true))
+    val mhr = dedupMinhashLsh(documents)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("s_minhash", lit(true))
+    val shr = dedupSimhash(documents)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("s_simhash", lit(true))
+    val base = documents.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    base
+      .join(exr, Seq("doc_id"), "left")
+      .join(mhr, Seq("doc_id"), "left")
+      .join(shr, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("s_exact"), "1_exact")
+          .when(col("s_minhash"), "2_minhash_lsh")
+          .when(col("s_simhash"), "3_simhash")
+          .otherwise("kept"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+        expr("n_docs * 1000000 div n_total").as("doc_share_micro"))
   }
 }

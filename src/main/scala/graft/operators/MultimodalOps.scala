@@ -149,6 +149,33 @@ object MultimodalOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-duplicate media CLUSTERS — [[multimodalNearDedup]]'s pair list
+    * collapsed into connected components (shared CC core:
+    * [[DedupOps.ccLabels]], min-id representative), with per-cluster
+    * byte accounting: member count, total bytes, and the bytes a
+    * pipeline reclaims by keeping only the representative. The media
+    * answer to [[DedupOps.dedupClusters]] — re-encode families become
+    * one row each instead of a pair soup.
+    *
+    * Scale: rides the banded pair graph (payloads never shuffle; the CC
+    * loop runs over the bounded pair list); byte lengths re-join
+    * co-keyed on doc_id; the rollup is map-side combined on cluster_id.
+    */
+  def multimodalDedupClusters(documents: DataFrame): DataFrame = {
+    val pairs = multimodalNearDedup(documents).select(col("doc_a"), col("doc_b"))
+    val labels = DedupOps.ccLabels(pairs)
+    val meta = mediaRecords(documents).select(col("doc_id"),
+      col("media_type"), length(col("payload")).cast("long").as("byte_len"))
+    labels.join(meta, labels("node") === meta("doc_id"))
+      .groupBy(col("cluster_id"), col("media_type"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("byte_len")).as("bytes_total"),
+        sum(when(col("doc_id") === col("cluster_id"), 0L)
+          .otherwise(col("byte_len"))).as("bytes_wasted"))
+      .select(col("media_type"), col("cluster_id"), col("n_members"),
+        col("bytes_total"), col("bytes_wasted"))
+  }
+
   /** Frame sampling over the decoded video rows: every `step`-th frame
     * index with its byte offset — one scan, explode keeps it columnar (a
     * real decoder would read the offsets per partition).

@@ -481,4 +481,38 @@ object PipelineOps {
         (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
           .as("alloc_tokens"))
   }
+
+  /** Curriculum phase assignment — quality-ordered training schedule:
+    * documents ranked by [[TextOps.qualityScore]] descending, cut into
+    * `phases` contiguous chunks of roughly equal TOKEN budget (the
+    * anneal-on-best-data-last recipe run in reverse: phase 0 is the
+    * highest-quality third). A score tie-group lands wholly in the phase
+    * of its first token, so assignment is deterministic without any
+    * per-document total order. Per phase: doc/token mass and the score
+    * range actually covered.
+    *
+    * Scale: the quantized-score CDF pattern — scores are 4-dp-rounded
+    * (≤ 10001 distinct values at any SF), so the only window runs over
+    * the bounded distinct-score table, never the corpus; the token total
+    * is an ungrouped 1-row broadcast.
+    */
+  def curriculumPhases(documents: DataFrame, phases: Int = 3): DataFrame = {
+    val scored = TextOps.qualityScore(documents).select(
+      expr("cast(round(quality_score * 10000) as bigint)").as("score_q"),
+      col("n_tokens"))
+    val byScore = scored.groupBy(col("score_q"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+    val tot = scored.agg(sum(col("n_tokens")).as("ttot"))
+    byScore.crossJoin(broadcast(tot))
+      .withColumn("cum_before", coalesce(sum(col("nt")).over(
+        Window.orderBy(col("score_q").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("phase",
+        least(expr(s"(cum_before * $phases) div greatest(ttot, 1)"),
+          lit(phases - 1L)))
+      .groupBy(col("phase"))
+      .agg(sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        max(col("score_q")).as("max_score_q"),
+        min(col("score_q")).as("min_score_q"))
+  }
 }

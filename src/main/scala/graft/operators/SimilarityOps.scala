@@ -1053,4 +1053,49 @@ object SimilarityOps {
           .as("trained_ge_floor"),
         (col("nt") >= col("nf")).as("trained_ge_fixed"))
   }
+
+  /** Per-dimension p1/p99 clipping bounds + outlier mass — the
+    * preprocessing audit run before quantizing or PQ-encoding an
+    * embedding column (a single wild dimension wrecks a shared scalar
+    * quantizer; clip bounds are what `embed_quantize`-style codecs
+    * should actually calibrate on). Exact quantiles via the
+    * quantized-domain CDF: values truncate to a milli grid (≤ ~2·10³
+    * distinct cells per dim for unit-normalized embeddings — bounded by
+    * the VALUE domain, not the corpus), per-(dim, milli) counts
+    * cumulative-sum within dim, and the p1/p99 ranks probe the bounded
+    * cell table. Reports, per dim: value count, both bounds, and the
+    * mass strictly outside them.
+    *
+    * Scale: one explode scan → map-side-combined (dim, milli) rollup;
+    * every window/join after that runs on the domain-bounded cell grid.
+    */
+  def embedClipBounds(embeddings: DataFrame): DataFrame = {
+    val vals = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(!isnan(col("v")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        expr("cast(cast(v as double) * 1000 as bigint)").as("milli"))
+    val cells = vals.groupBy(col("dim"), col("milli"))
+      .agg(count(lit(1)).as("cnt"))
+    val nPer = cells.groupBy(col("dim")).agg(sum(col("cnt")).as("n_vals"))
+    val w = Window.partitionBy(col("dim")).orderBy(col("milli"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells.withColumn("cum", sum(col("cnt")).over(w))
+      .join(nPer, Seq("dim"))
+    val lo = ranked.filter(col("cum") >= expr("(n_vals + 99) div 100"))
+      .groupBy(col("dim")).agg(min(col("milli")).as("lo_milli"))
+    val hi = ranked.filter(col("cum") >= expr("(n_vals * 99 + 99) div 100"))
+      .groupBy(col("dim")).agg(min(col("milli")).as("hi_milli"))
+    val bounds = lo.join(hi, Seq("dim"))
+    val clip = cells.join(bounds, Seq("dim"))
+      .groupBy(col("dim"))
+      .agg(sum(when(col("milli") < col("lo_milli"), col("cnt"))
+        .otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("milli") > col("hi_milli"), col("cnt"))
+          .otherwise(0L)).as("n_clip_hi"))
+    nPer.join(bounds, Seq("dim")).join(clip, Seq("dim"))
+      .select(col("dim"), col("n_vals"), col("lo_milli"), col("hi_milli"),
+        col("n_clip_lo"), col("n_clip_hi"))
+  }
 }

@@ -218,4 +218,61 @@ object StatOps {
       .select(col("n_orders"), lit(resamples).cast("long").as("n_resamples"),
         col("mean_micro"), col("ci_lo_micro"), col("ci_hi_micro"))
   }
+
+  /** Kendall τ-b rank correlation between document quality score and
+    * document length — "does my quality score just measure length?", the
+    * standard sanity check before gating on either. Computed EXACTLY on
+    * a domain-bounded contingency table: score quantized to 21 bins
+    * (4-dp score ÷ 500) × length in log2 bins (≤ 64), so
+    * concordant/discordant/tie masses are integer sums over ≤ 21×64
+    * cells — never a per-document pair enumeration (O(n²)) or a global
+    * rank sort. τ-b handles the heavy ties quantization creates.
+    *
+    * Scale: one map-side-combined rollup to the bounded cell table; the
+    * cell×cell comparison is a broadcast nested-loop over ≤ 1344 rows
+    * per side (whitelisted bounded-domain broadcast); everything else is
+    * ungrouped 1-row aggregates. Sums ride decimal(38,0) so pair counts
+    * (~n²/2) survive corpus sizes where they overflow a long.
+    */
+  def rankCorrQualityLength(documents: DataFrame): DataFrame = {
+    val scored = TextOps.qualityScore(documents).select(
+      expr("cast(round(quality_score * 10000) as bigint) div 500").as("x"),
+      expr("cast(length(bin(greatest(n_chars, 1))) - 1 as bigint)").as("y"))
+    val cells = scored.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    val c2 = cells.select(col("x").as("x2"), col("y").as("y2"),
+      col("n").as("n2"))
+    val prod = (col("n").cast("decimal(19,0)") * col("n2")).cast("decimal(38,0)")
+    val conc = cells.join(broadcast(c2),
+        col("x2") < col("x") && col("y2") < col("y"))
+      .agg(coalesce(sum(prod), lit(0).cast("decimal(38,0)")).as("c"))
+    val disc = cells.join(broadcast(c2),
+        col("x2") < col("x") && col("y2") > col("y"))
+      .agg(coalesce(sum(prod), lit(0).cast("decimal(38,0)")).as("d"))
+    def tiePairs(key: String, alias: String) = cells
+      .groupBy(col(key)).agg(sum(col("n")).as("t"))
+      .agg(coalesce(sum((col("t").cast("decimal(19,0)") * (col("t") - 1))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as(alias))
+    val nxBins = cells.select(col("x")).distinct()
+      .agg(count(lit(1)).as("n_x_bins"))
+    val nyBins = cells.select(col("y")).distinct()
+      .agg(count(lit(1)).as("n_y_bins"))
+    val totals = cells.agg(sum(col("n")).as("nn"))
+    // 2·n1, 2·n2, 2·n0 (keeping doubled values avoids the //2 until the
+    // final double math, where the factors cancel inside the sqrt)
+    totals
+      .crossJoin(broadcast(conc)).crossJoin(broadcast(disc))
+      .crossJoin(broadcast(tiePairs("x", "tx2")))
+      .crossJoin(broadcast(tiePairs("y", "ty2")))
+      .crossJoin(broadcast(nxBins)).crossJoin(broadcast(nyBins))
+      .select(col("nn").as("n_docs"), col("n_x_bins"), col("n_y_bins"),
+        expr("""round(
+          case when cast(nn as decimal(19,0)) * (nn - 1) = tx2
+                 or cast(nn as decimal(19,0)) * (nn - 1) = ty2 then null
+               else cast(c - d as double) /
+                 (sqrt(cast(cast(nn as decimal(19,0)) * (nn - 1) - tx2
+                    as double) / 2.0)
+                  * sqrt(cast(cast(nn as decimal(19,0)) * (nn - 1) - ty2
+                    as double) / 2.0))
+          end, 6)""").as("tau_b_r6"))
+  }
 }

@@ -837,4 +837,110 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr("cast(sw div n_tokens as bigint)").as("dsir_avg_micro"))
   }
+
+  /** Per-document n-gram novelty — the memorization/recency curation
+    * signal: how much of a document is text the corpus has NOT seen in
+    * any earlier document (by doc_id order, the ingestion order in this
+    * corpus). Every [[DedupOps.SpanTokens]]-token window hashes row-local
+    * ([[graft.functions.SpanHash]], zero exchange, same stream the span
+    * dedups ride); a window occurrence is FIRST-SEEN when its hash's
+    * global minimum doc_id is this document. Low novelty = boilerplate
+    * or near-copy of earlier data; high = genuinely new text.
+    *
+    * Scale: cross-doc first-occurrence is one map-side-combined min() on
+    * the 64-bit hash; the rejoin shuffles only (hash, doc_id) pairs; the
+    * per-doc rollup partitions on doc_id. No span text ever shuffles.
+    */
+  def ngramNovelty(documents: DataFrame,
+      span: Int = DedupOps.SpanTokens): DataFrame = {
+    val grams = OpUtils.spread(documents)
+      .select(col("doc_id"),
+        explode(graft.functions.SpanHash.spanHashes(
+          TextFns.tokens(col("text")), span)).as("h"))
+    val first = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_first_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_first_seen"),
+        expr("n_first_seen * 1000000 div n_grams").as("novelty_micro"))
+  }
+
+  /** Heaps-law vocabulary-growth curve: the corpus in ingestion order
+    * (doc_id) cut into `checkpoints` equal-width id buckets; per bucket,
+    * the document/token mass, the NEW vocabulary first seen there, and
+    * the cumulative token/vocab totals — the sub-linear vocab-vs-tokens
+    * curve that sizes tokenizer vocabularies and detects synthetic or
+    * template-heavy corpora (whose curves flatten early).
+    *
+    * Scale: first-occurrence per token is a map-side-combined min of the
+    * quantized bucket (bucket is monotone in doc_id, so min(bucket) =
+    * bucket(min doc)); every rollup lands on the `checkpoints`-bounded
+    * grain before the cumulative windows run — the two-level pattern, no
+    * corpus-grain window anywhere.
+    */
+  def heapsLaw(documents: DataFrame, checkpoints: Int = 20): DataFrame = {
+    val mx = documents.agg(max(col("doc_id")).as("mx"))
+    val docs = documents.crossJoin(broadcast(mx))
+      .select(col("doc_id"),
+        expr(s"(doc_id * $checkpoints) div (mx + 1)").as("bucket"),
+        col("text"))
+    val toks = OpUtils.spread(docs)
+      .select(col("bucket"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val perBucket = docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tokMass = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val vocabNew = toks.groupBy(col("tok"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("vocab_new"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .join(tokMass, Seq("bucket"), "left")
+      .join(vocabNew, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("vocab_new"), lit(0L)).as("vocab_new"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("vocab_new")).over(w))
+  }
+
+  /** Marginal gate attribution — which single rule does the rejecting:
+    * documents failing EXACTLY ONE of [[gateReason]]'s four rules, by
+    * rule, with their token mass and share of all rejected docs. The
+    * first-failing attribution in [[qualityGate]] over-credits early
+    * rules; this is the ablation view ("dropping only this rule would
+    * admit these docs") a curator needs before relaxing a threshold.
+    * Rule predicates are the gate's own, evaluated independently.
+    *
+    * Scale: pure column work per doc, one map-side-combined rollup to a
+    * ≤4-row frame; the rejected-total is an ungrouped (1-row) aggregate
+    * broadcast back.
+    */
+  def gateSoleReason(documents: DataFrame): DataFrame = {
+    val flagged = qualityScore(documents).select(
+      (col("n_tokens").isNull || col("n_tokens") < 15).as("f_short"),
+      coalesce(col("special_ratio") > 0.05, lit(false)).as("f_special"),
+      coalesce(col("stop_ratio") < 0.08, lit(false)).as("f_stop"),
+      coalesce(col("avg_word_len") < 3.0 || col("avg_word_len") > 10.0,
+        lit(false)).as("f_awl"),
+      coalesce(col("n_tokens"), lit(0L)).as("ntok"))
+      .withColumn("n_fail",
+        col("f_short").cast("long") + col("f_special").cast("long") +
+          col("f_stop").cast("long") + col("f_awl").cast("long"))
+      .filter(col("n_fail") >= 1)
+    val total = flagged.agg(count(lit(1)).as("n_rejected"))
+    flagged.filter(col("n_fail") === 1)
+      .withColumn("reason",
+        when(col("f_short"), "too_short")
+          .when(col("f_special"), "special_chars")
+          .when(col("f_stop"), "low_stopword")
+          .otherwise("word_length"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_sole_docs"), sum(col("ntok")).as("n_sole_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("reason"), col("n_sole_docs"), col("n_sole_tokens"),
+        expr("n_sole_docs * 1000000 div n_rejected").as("sole_share_micro"))
+  }
 }

@@ -445,6 +445,8 @@ class PlanAuditSpec extends SparkSpec {
       "robust_price_stats" -> 3, // median/P5/P95 probes per o_orderpriority (5-value enum)
       "rolling_distinct_users" -> 1, // distinct-day frame: calendar-bounded, not SF-bounded
       "mixture_resample" -> 1, // per-lang acceptance thresholds: ≤|langs| rows
+      "rank_corr_quality_len" -> 1, // contingency cells: ≤ 21 score bins ×
+      // 64 log2-length bins — bounded by both quantized DOMAINS, never docs
       "customer_spend_quartiles" -> 1, // per-(segment, dollar) quartile map:
       // bounded by segment enum × dollar price domain, never customers
       "supplier_abc_classes" -> 1, // revenue-bucket offsets: bounded by the

@@ -126,4 +126,19 @@ class AsOfOpsSpec extends SparkSpec {
       "view" -> ((1L, 50.0, 333333L)),
       "organic" -> ((2L, 50.0, 666666L))))
   }
+
+  test("errorClickContext honors the [ts-600, ts) same-user window") {
+    val evs = Seq(
+      ev(1, 350, 1, "click", 1.00),   // 350 < 1000-600 → outside
+      ev(2, 400, 1, "click", 1.25),   // boundary: ts-600 inclusive
+      ev(3, 999, 1, "click", 2.50),   // inside
+      ev(4, 1000, 1, "click", 9.99),  // error instant itself → excluded
+      ev(5, 990, 2, "click", 5.00),   // other user
+      ev(6, 1000, 1, "error", 0.0),
+      ev(7, 500, 3, "error", 0.0))    // no clicks at all
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AsOfOps.errorClickContext(evs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(6L -> ((2L, 375L)), 7L -> ((0L, 0L))))
+  }
 }

@@ -285,4 +285,18 @@ class DedupOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(2L -> 3L))
   }
+
+  test("dedupCascade attributes removals to the first matching stage") {
+    val df = docs(
+      1L -> "an exactly duplicated payload of shared words here",
+      2L -> "an exactly duplicated payload of shared words here", // copy of 1
+      3L -> "a completely different standalone document with other content")
+    val out = DedupOps.dedupCascade(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 2 removed at the exact stage (8 tokens); docs 1 and 3 kept
+    assert(out("1_exact") == ((1L, 8L, 333333L)))
+    assert(out("kept") == ((2L, 16L, 666666L)))
+    assert(out.keySet == Set("1_exact", "kept"))
+  }
 }

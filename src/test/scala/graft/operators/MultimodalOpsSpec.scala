@@ -90,4 +90,24 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_copies") == 3L)
     assert(r.getAs[Long]("wasted_bytes") == 20L) // 2 redundant × 10 bytes
   }
+
+  test("multimodalDedupClusters collapses a dup family to one byte-accounted row") {
+    // docs 3 and 6 are byte-identical images (doc_id % 3 == 0); the
+    // audio/video singletons never enter the pair graph
+    val df = Seq(
+      (1L, "unrelated audio payload content one", "en", "w", 35L),
+      (2L, "some other video payload content two", "en", "w", 36L),
+      (3L, "the shared duplicated media payload", "en", "w", 35L),
+      (6L, "the shared duplicated media payload", "en", "w", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = MultimodalOps.multimodalDedupClusters(df).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val len = "the shared duplicated media payload".getBytes("UTF-8").length
+    assert(r.getAs[String]("media_type") == "image")
+    assert(r.getAs[Long]("cluster_id") == 3L)
+    assert(r.getAs[Long]("n_members") == 2L)
+    assert(r.getAs[Long]("bytes_total") == 2L * len)
+    assert(r.getAs[Long]("bytes_wasted") == len.toLong)
+  }
 }

@@ -326,4 +326,19 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("priority_micro") >= 0)
     }
   }
+
+  test("curriculumPhases cuts by token budget in score-descending order") {
+    // doc 1: 50 tokens, stop-rich → score 0.8; doc 2: 25 tokens, no
+    // stops → score 0.4. total 75 tokens: doc 1 starts at cum 0 →
+    // phase 0; doc 2 starts at 50 → 50*3 div 75 = 2.
+    val df = docs(
+      (1L, Seq.fill(25)("the cat").mkString(" "), "en"),
+      (2L, (Seq.fill(6)("fox wolf bear lynx") :+ "elk").mkString(" "), "en"))
+    val out = PipelineOps.curriculumPhases(df).orderBy("phase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 50L, 8000L, 8000L),
+      (2L, 1L, 25L, 4000L, 4000L)))
+  }
 }

@@ -491,4 +491,17 @@ class SimilarityOpsSpec extends SparkSpec {
         sorted.map(_.getDouble(3)).sorted.toSeq)
     }
   }
+
+  test("embedClipBounds: exact p1/p99 ranks and strictly-outside mass") {
+    // 100 one-dim vectors at milli 0..99 (offset +0.5 keeps the float
+    // truncation away from integer boundaries): p1 rank = 1 → lo = 0,
+    // p99 rank = 99 → hi = 98, exactly one value (99) above.
+    val df = vecs((0L until 100L).map(i =>
+      i -> Seq((i + 0.5f) / 1000f)): _*)
+    val r = SimilarityOps.embedClipBounds(df).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4), r(0).getLong(5)) ==
+      ((1L, 100L, 0L, 98L, 0L, 1L)))
+  }
 }

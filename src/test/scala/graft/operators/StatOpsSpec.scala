@@ -94,4 +94,30 @@ class StatOpsSpec extends SparkSpec {
     assert(out.getAs[Long]("ci_hi_micro") == means(60))
     assert(out.getAs[Long]("ci_lo_micro") <= out.getAs[Long]("ci_hi_micro"))
   }
+
+  test("rankCorrQualityLength: a perfectly concordant pair scores τ-b = 1") {
+    // doc 1: 50 tokens stop-rich → score 0.8 → x = 16; 199 chars → y = 7.
+    // doc 2: 25 tokens no stops → score 0.4 → x = 8; 117 chars → y = 6.
+    // One untied concordant pair: C=1, D=0, no ties → τ-b exactly 1.
+    val df = Seq(
+      (1L, Seq.fill(25)("the cat").mkString(" "), "en", "s", 199L),
+      (2L, (Seq.fill(6)("fox wolf bear lynx") :+ "elk").mkString(" "),
+        "en", "s", 117L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = StatOps.rankCorrQualityLength(df).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_x_bins") == 2L)
+    assert(r.getAs[Long]("n_y_bins") == 2L)
+    assert(r.getAs[Double]("tau_b_r6") == 1.0)
+  }
+
+  test("rankCorrQualityLength: all-tied input yields NULL, not a crash") {
+    val df = Seq(
+      (1L, "same words here", "en", "s", 15L),
+      (2L, "same words here", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = StatOps.rankCorrQualityLength(df).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.isNullAt(r.fieldIndex("tau_b_r6")))
+  }
 }

@@ -408,4 +408,43 @@ class TextOpsSpec extends SparkSpec {
     val ofThe = out.find(r => r.getAs[String]("lhs") == "of").get
     assert(ofThe.getAs[Long]("lift_micro") < top.getAs[Long]("lift_micro"))
   }
+
+  test("ngramNovelty credits first-seen grams to the earliest doc") {
+    val df = docs(
+      (1L, "a b c d e", "en"),   // grams abc bcd cde — all first-seen
+      (2L, "a b c d x", "en"))   // abc bcd seen in doc 1; cdx novel
+    val out = TextOps.ngramNovelty(df, span = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 1000000L)))
+    assert(out(2L) == ((3L, 1L, 333333L)))
+  }
+
+  test("heapsLaw counts new vocabulary per checkpoint bucket") {
+    val df = docs(
+      (0L, "a b", "en"), (1L, "b c", "en"),
+      (2L, "c d", "en"), (3L, "", "en"))
+    // mx=3 → bucket = id*2 div 4: {0,1}→0, {2,3}→1
+    val out = TextOps.heapsLaw(df, checkpoints = 2).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 4L, 3L, 4L, 3L),   // docs 0,1: toks a b b c; new vocab a b c
+      (1L, 2L, 2L, 1L, 6L, 4L)))  // docs 2,3: toks c d; new vocab d
+  }
+
+  test("gateSoleReason isolates docs failing exactly one rule") {
+    val df = docs(
+      // 12 tokens (< 15) but healthy ratios → sole too_short
+      (1L, "the cat sat on the mat with the dog near the door", "en"),
+      // short AND special-heavy AND stopword-poor → multi-fail, no sole row
+      (2L, "zz!! qq", "en"),
+      // 17 tokens, stop-rich, awl 4.53 → passes, not rejected at all
+      (3L, "the elephant walked slowly of the jungle and the monkey " +
+        "jumped to the branches in the morning", "en"))
+    val out = TextOps.gateSoleReason(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // n_rejected = 2 (docs 1 and 2); only doc 1 is a sole failure
+    assert(out.toSeq == Seq(("too_short", 1L, 12L, 500000L)))
+  }
 }
