@@ -501,12 +501,26 @@ object Sinks {
     * half of the Iceberg/Delta maintenance pair (vacuum is the other).
     */
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
-      path: String, numFiles: Int = 1): Int = {
+      path: String, numFiles: Int = 1): Int =
+    compactSnapshotHooked(spark, path, numFiles, () => ())
+
+  /** [[compactSnapshot]] with a pre-publish seam so a spec can interleave
+    * a racing append deterministically inside the rewrite window.
+    */
+  private[graft] def compactSnapshotHooked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, numFiles: Int, beforePublish: () => Unit): Int = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = Snapshots.versions(fs, dir)
     val latest = versions.lastOption.getOrElse(
       throw new java.io.FileNotFoundException(s"$path has no committed snapshot"))
+    // snapshot the allocation state BEFORE claiming: any claim that
+    // appears below `next` AFTER this point is a racing committer whose
+    // manifest this compaction would not include (pre-existing lower
+    // claims are crashed leftovers — vacuum's job — and must not wedge
+    // compaction forever)
+    val preAllocated = Snapshots.allocatedVersions(fs, dir).toSet
     // claim the version BEFORE the rewrite (commitSnapshot's CAS
     // discipline): a racing committer can no longer land on the same
     // number and have one manifest silently clobber the other
@@ -532,6 +546,29 @@ object Sinks {
       n
     }
     fs.delete(tmp, true)
+    beforePublish()
+    // pre-publish re-check (replaceSnapshot's discipline): this manifest
+    // names ONLY the rewrite of `latest`'s rows, so publishing after a
+    // racer committed (published head moved) or claimed a number between
+    // `latest` and `next` (an in-flight append that will publish BELOW
+    // this compaction) would silently drop that append from the head.
+    // Abort instead: the generation files are unreferenced (vacuumable
+    // garbage), the claim is released, and the caller retries against
+    // the fresh head. Residual window: a committer that claimed below
+    // `next` before preAllocated was read and publishes after this check
+    // — indistinguishable from a crashed claim without liveness; run
+    // vacuumSnapshots to reclaim stale claims on a quiet table.
+    val headNow = Snapshots.versions(fs, dir).lastOption
+    val freshLowerClaims = Snapshots.allocatedVersions(fs, dir).toSet
+      .diff(preAllocated).filter(v => v > latest && v < next)
+    if (headNow != Some(latest) || freshLowerClaims.nonEmpty) {
+      names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+      fs.delete(claimPath(dir, next), false)
+      throw new java.io.IOException(
+        s"compaction CAS failed for $path: rewrote v$latest but " +
+          (if (headNow != Some(latest)) s"the head moved to v${headNow.getOrElse(0)}"
+           else s"a racer claimed ${freshLowerClaims.toSeq.sorted.map(v => s"v$v").mkString(",")} below v$next"))
+    }
     publishClaimed(spark, fs, dir, next, names)
   }
 
@@ -790,7 +827,13 @@ object Sinks {
   def writeJdbcUpsert(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], batchSize: Int = 500,
       props: Map[String, String] = Map.empty): Unit = {
+    requireSqlIdent(table, "table", qualified = true)
     val cols = df.columns.toSeq
+    // table and column names are interpolated into the statement text
+    // (JDBC cannot bind identifiers) — validate them the way streamId is
+    // regex-validated, so a name with spaces/quotes/reserved characters
+    // fails loudly instead of breaking or injecting
+    cols.foreach(requireSqlIdent(_, "column"))
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
       s"key columns $keyCols must all be in ${cols.mkString(",")}")
     val valCols = cols.filterNot(keyCols.contains)
@@ -877,6 +920,23 @@ object Sinks {
       }
   }
 
+  /** Identifiers (table/column names) cannot be bound as JDBC
+    * parameters — they end up interpolated into statement text, so they
+    * get the same regex discipline streamId does: plain SQL identifiers
+    * only (optionally one schema qualifier for tables). Anything else —
+    * spaces, quotes, semicolons, reserved punctuation — is rejected
+    * before any SQL is built.
+    */
+  private def requireSqlIdent(name: String, what: String,
+      qualified: Boolean = false): Unit = {
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    val pat = if (qualified) s"$ident(\\.$ident)?" else ident
+    require(name != null && name.matches(pat),
+      s"$what must be a plain SQL identifier" +
+        (if (qualified) " (optionally schema-qualified)" else "") +
+        s", got '$name'")
+  }
+
   private def jdbcConn(url: String,
       props: Map[String, String]): java.sql.Connection = {
     props.get("driver").foreach(
@@ -915,6 +975,7 @@ object Sinks {
     */
   def jdbcLastCommitted(url: String, table: String, streamId: String,
       props: Map[String, String] = Map.empty): Option[Long] = {
+    requireSqlIdent(table, "table", qualified = true)
     val conn = jdbcConn(url, props)
     try {
       ensureJdbcCommitTable(conn, s"${table}_commits")
@@ -938,6 +999,7 @@ object Sinks {
     */
   def jdbcMarkCommitted(url: String, table: String, streamId: String,
       batchId: Long, props: Map[String, String] = Map.empty): Unit = {
+    requireSqlIdent(table, "table", qualified = true)
     val conn = jdbcConn(url, props)
     try {
       ensureJdbcCommitTable(conn, s"${table}_commits")

@@ -455,9 +455,22 @@ object EventStreams {
             // parse defensively — a non-numeric suffix is a foreign tag,
             // not a crash
             val cut = tag.lastIndexOf('-')
-            cut > 0 && tag.substring(0, cut) == streamId &&
-              scala.util.Try(tag.substring(cut + 1).toLong).toOption
-                .exists(_ >= batchId)
+            val namespacedMatch =
+              cut > 0 && tag.substring(0, cut) == streamId &&
+                scala.util.Try(tag.substring(cut + 1).toLong).toOption
+                  .exists(_ >= batchId)
+            // migration: a pre-namespacing store tagged bare
+            // `batchId.toString`. Resuming that store with its ORIGINAL
+            // checkpoint replays the last applied batch — matching the
+            // legacy tag on EXACT equality suppresses exactly that
+            // double-apply (the failure the tag exists to prevent),
+            // while a fresh-checkpoint successor restarting at batch 0
+            // against a stale high legacy tag still applies (equality,
+            // never >=, so the old counter can't swallow new batches).
+            // The first applied batch rewrites the tag namespaced.
+            val legacyMatch =
+              scala.util.Try(tag.toLong).toOption.contains(batchId)
+            namespacedMatch || legacyMatch
           }
         if (!applied) {
           graft.sources.Sinks.mergeAggregate(batch.sparkSession, storePath,

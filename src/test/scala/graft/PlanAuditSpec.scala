@@ -436,6 +436,11 @@ class PlanAuditSpec extends SparkSpec {
       "contamination_check" -> 1, // probe bigrams of ≤ nProbe literal benchmark docs
       "decontaminated_corpus" -> 1, // the same probe-bigram frame (nProbe literal)
       "embed_centroid_drift" -> 1, // per-dim global means: exactly 64 rows
+      "embed_kmeans" -> 1, // iter-2 centroid table: grouped by (cid, dim)
+      // where cid ⊆ the k seed ids (min-struct of iter-1's k candidates)
+      // and dim = 64 — k·64 rows at any SF. (Iter-1's centroid broadcast
+      // is the vec_id < k seed frame, proven by the literal-id guard;
+      // this one's bound is by grouping DOMAIN, unprovable mechanically.)
       "embed_outliers" -> 1, // per-(label, dim) stats: ~10 langs × 64 dims
       "embed_quantize" -> 1, // per-dim min/max: exactly 64 rows
       "fk_orphans" -> 2, // orphan/unref rollups per rel (7 literal edges)
@@ -465,14 +470,25 @@ class PlanAuditSpec extends SparkSpec {
     // `vec_id < k` is ≤ k rows; `vec_id = q` is ≤ 1) — the query-sample
     // frames every ANN probe broadcasts. `foldable`, not `Literal`: the
     // analyzer wraps int literals against a bigint column in a cast.
-    def literalIdBound(p: LogicalPlan): Boolean = p.collectFirst {
-      case f: Filter if f.condition.exists {
-        case LessThan(a: AttributeReference, r) if r.foldable => a.name == "vec_id"
-        case LessThanOrEqual(a: AttributeReference, r) if r.foldable => a.name == "vec_id"
-        case EqualTo(a: AttributeReference, r) if r.foldable => a.name == "vec_id"
-        case _ => false
-      } => ()
-    }.isDefined
+    // The filter only bounds the subtree's OUTPUT when every scaling
+    // scan sits BELOW it: a hint that joined a vec_id-sampled frame back
+    // against a full scaling table above the filter would fan out
+    // unboundedly — so the guard walks down from the hint root and
+    // requires each branch that reaches a scaling leaf to pass through a
+    // literal-id filter first (a collectFirst anywhere in the subtree
+    // would bless exactly that shape).
+    def isIdFilter(f: Filter): Boolean = f.condition.exists {
+      case LessThan(a: AttributeReference, r) if r.foldable => a.name == "vec_id"
+      case LessThanOrEqual(a: AttributeReference, r) if r.foldable => a.name == "vec_id"
+      case EqualTo(a: AttributeReference, r) if r.foldable => a.name == "vec_id"
+      case _ => false
+    }
+    def literalIdBound(p: LogicalPlan): Boolean = p match {
+      case f: Filter if isIdFilter(f) => true
+      case leaf if leaf.children.isEmpty => (tables(leaf) & scaling).isEmpty
+      case other => other.children.forall(c =>
+        (tables(c) & scaling).isEmpty || literalIdBound(c))
+    }
     def bounded(p: LogicalPlan): Boolean =
       (tables(p) & scaling).isEmpty ||
         literalIdBound(p) ||

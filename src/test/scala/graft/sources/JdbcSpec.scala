@@ -104,6 +104,28 @@ class JdbcSpec extends SparkSpec {
     assert(Readers.jdbc(spark, url, "seen_t", props).count() == 2)
   }
 
+  test("identifier validation: non-identifier table/column names fail before any SQL is built") {
+    val df = Seq((1L, "x")).toDF("k", "v")
+    // identifiers are interpolated into statement text (JDBC can't bind
+    // them) — anything beyond a plain identifier is rejected loudly
+    intercept[IllegalArgumentException] {
+      Sinks.writeJdbcUpsert(df, url, "bad table; DROP TABLE t", Seq("k"), props = props)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.writeJdbcUpsert(df.withColumnRenamed("v", "v x"), url, "ok_t", Seq("k"), props = props)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.jdbcLastCommitted(url, "bad-table", "s1", props)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.jdbcMarkCommitted(url, "x\"y", "s1", 0L, props)
+    }
+    // one schema qualifier stays accepted (Derby's default schema)
+    exec("CREATE TABLE ident_ok (k BIGINT PRIMARY KEY, v VARCHAR(20))")
+    Sinks.writeJdbcUpsert(df, url, "APP.ident_ok", Seq("k"), props = props)
+    assert(Readers.jdbc(spark, url, "APP.ident_ok", props).count() == 1)
+  }
+
   test("jdbcUpsertStream: live serving load with in-database batch markers") {
     exec("CREATE TABLE serve_t (k BIGINT PRIMARY KEY, v VARCHAR(30))")
     implicit val sqlCtx = spark.sqlContext

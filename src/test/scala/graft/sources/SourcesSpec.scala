@@ -674,6 +674,47 @@ class SourcesSpec extends SparkSpec {
     assert(head.filter($"id" >= 100L).count() == 2)
   }
 
+  test("compaction aborts instead of dropping an append that commits inside its rewrite window") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 10L).map(i => (i, "base")).toDF("id", "src").write.parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 1)
+    // the racing append lands + commits between compaction's read of the
+    // head and its manifest publish — the lost-append window: compaction's
+    // manifest names ONLY the rewrite of v1's rows
+    val ex = intercept[java.io.IOException] {
+      Sinks.compactSnapshotHooked(spark, path, 1, () => {
+        Seq((100L, "late")).toDF("id", "src").write.mode("append").parquet(path)
+        Sinks.commitSnapshot(spark, path)
+        ()
+      })
+    }
+    assert(ex.getMessage.contains("compaction CAS failed"), ex.getMessage)
+    // the head is the append's commit — the appended row survived
+    val head = Readers.readSnapshot(spark, path)
+    assert(head.count() == 11, s"append lost: ${head.count()} rows")
+    assert(head.filter($"id" === 100L).count() == 1)
+    // the abort released its claim and left only unreferenced garbage:
+    // a retry compacts the NEW head (append included) and succeeds
+    Sinks.compactSnapshot(spark, path)
+    assert(Readers.readSnapshot(spark, path).count() == 11)
+  }
+
+  test("compaction is not wedged by a pre-existing crashed claim below its number") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 5L).map(i => (i, "x")).toDF("id", "src").write.parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 1)
+    // a committer claimed v2 and died long before this compaction began:
+    // burned number, not an in-flight append — compaction allocates
+    // above it and must still publish (only claims that appear AFTER the
+    // compaction starts read as racers)
+    new java.io.File(path, "_claim-v00002").createNewFile()
+    val v = Sinks.compactSnapshot(spark, path)
+    assert(v == 3, s"expected v3 above the burned claim, got v$v")
+    assert(Readers.readSnapshot(spark, path).count() == 5)
+  }
+
   test("a claimed-but-crashed version is skipped, unreadable, and vacuumable") {
     val dir = tmp()
     val path = s"$dir/table"

@@ -390,6 +390,54 @@ class EventStreamsSpec extends SparkSpec {
       .contains("new-stream-0"))
   }
 
+  test("aggMaintainStream migration: a legacy bare-numeric tag suppresses exactly its replayed batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // store 1: pre-namespacing writer tagged bare `0` and its checkpoint
+    // is resumed — structured streaming replays batch 0, and re-applying
+    // it would double-count (the exact failure the tag exists to prevent)
+    val store = java.nio.file.Files.createTempDirectory("graft_agg3").toString + "/rollup"
+    graft.sources.Sinks.mergeAggregate(spark, store,
+      Seq(("click", 2L, 3000L)).toDF("event_type", "n_events", "value_cents"),
+      Seq("event_type"), Seq("n_events", "value_cents"),
+      commitTag = Some("0")) // legacy format: batchId.toString
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.aggMaintainStream(streamDF, store, "up-stream").start()
+    mem.addData(sampleEvents.take(3): _*) // "replayed" batch 0 — must skip
+    q.processAllAvailable()
+    mem.addData(sampleEvents.drop(3): _*) // batch 1 — must apply
+    q.processAllAvailable(); q.stop()
+    val clicks = spark.read.parquet(store)
+      .filter($"event_type" === "click").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // batch 0's clicks (10+20) NOT re-applied on top of the legacy row;
+    // batch 1's clicks (5+5) folded in: 2+2 events, 3000+1000 cents
+    assert(clicks == Seq((4L, 4000L)), s"legacy replay double-counted: $clicks")
+    // and the store is migrated: the tag is namespaced going forward
+    assert(graft.sources.Sinks.storeCommitTag(spark, store)
+      .contains("up-stream-1"))
+
+    // store 2: a stale HIGH legacy tag never swallows a new stream's
+    // batch 0 (equality, not >=): the fresh-checkpoint successor applies
+    val store2 = java.nio.file.Files.createTempDirectory("graft_agg4").toString + "/rollup"
+    graft.sources.Sinks.mergeAggregate(spark, store2,
+      Seq(("click", 9L, 9999L)).toDF("event_type", "n_events", "value_cents"),
+      Seq("event_type"), Seq("n_events", "value_cents"),
+      commitTag = Some("7"))
+    val mem2 = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDF2 = mem2.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q2 = EventStreams.aggMaintainStream(streamDF2, store2, "suc-stream").start()
+    mem2.addData(sampleEvents.take(3): _*) // successor batch 0
+    q2.processAllAvailable(); q2.stop()
+    val clicks2 = spark.read.parquet(store2)
+      .filter($"event_type" === "click").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(clicks2 == Seq((11L, 12999L)), s"successor batch swallowed: $clicks2")
+  }
+
   test("snapshotIngestStream commits one readable snapshot per batch") {
     implicit val sqlCtx = spark.sqlContext
     val table = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/events"
