@@ -4668,6 +4668,258 @@ object Oracles {
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
   )
 
+  /** Round-9 additions: drift statistics, profiling audits, incremental
+    * view maintenance, entity resolution.
+    */
+  private val fRound9: Map[String, String] = Map(
+    // StatOps.ksOrderDrift: sup over the dollar-quantized CDFs via
+    // cross-multiplied integer counts; d_micro is integer division of
+    // positive exact integers (both engines truncate).
+    "ks_order_drift" ->
+      """WITH byd AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS usd,
+        |  CAST(SUM(CASE WHEN o_orderdate < '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN o_orderdate < '1998-01-01' THEN 0 ELSE 1 END) AS BIGINT) AS b
+        | FROM orders GROUP BY 1),
+        |cum AS (SELECT usd,
+        |  CAST(SUM(a) OVER (ORDER BY usd ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+        |  CAST(SUM(b) OVER (ORDER BY usd ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+        | FROM byd),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n_early,
+        |  CAST(SUM(b) AS BIGINT) AS n_late FROM byd),
+        |d AS (SELECT usd, n_early, n_late,
+        |  CAST(abs(CAST(n_late AS DECIMAL(19,0)) * ca
+        |    - CAST(n_early AS DECIMAL(19,0)) * cb) AS DECIMAL(38,0)) AS diff
+        | FROM cum, tot),
+        |mx AS (SELECT MAX(diff) AS dmax FROM d)
+        |SELECT n_early, n_late, MIN(usd) AS ks_at_usd,
+        | -- HUGEINT //: DECIMAL // rounds instead of flooring (see
+        | -- priority_mix_shift)
+        | CAST(CAST(dmax AS HUGEINT) * 1000000
+        |   // (CAST(n_early AS HUGEINT) * n_late) AS BIGINT) AS d_micro
+        |FROM d, mx WHERE diff = dmax
+        |GROUP BY n_early, n_late, dmax""".stripMargin,
+
+    // StatOps.priorityMixShift: observed vs floor(1000·rt·ct/n) expected
+    // cell counts over the priority × date-half contingency grid.
+    "priority_mix_shift" ->
+      """WITH cells AS (SELECT o_orderpriority AS priority,
+        |  CASE WHEN o_orderdate < '1998-01-01' THEN 'early' ELSE 'late' END AS half,
+        |  COUNT(*) AS obs FROM orders GROUP BY 1, 2),
+        |m AS (SELECT priority, half, obs,
+        |  CAST(SUM(obs) OVER (PARTITION BY priority) AS BIGINT) AS rt,
+        |  CAST(SUM(obs) OVER (PARTITION BY half) AS BIGINT) AS ct,
+        |  CAST(SUM(obs) OVER () AS BIGINT) AS n FROM cells),
+        |e AS (SELECT priority, half, obs,
+        |  -- HUGEINT //: true integer division. DECIMAL // in DuckDB
+        |  -- ROUNDS the decimal quotient (it is not a floor), which is
+        |  -- off by one against Spark's integral div half the time.
+        |  CAST((CAST(rt AS HUGEINT) * ct * 1000)
+        |    // CAST(n AS HUGEINT) AS BIGINT) AS exp_milli FROM m)
+        |SELECT priority, half, obs, exp_milli,
+        | obs * 1000 - exp_milli AS dev_milli FROM e""".stripMargin,
+
+    // TextOps.tokenRankOctaves: frequency-of-frequency rank spans split
+    // across their floor-log2 octaves (length(bin(x))-1, exact integer).
+    "token_rank_octaves" -> {
+      val t = normTextSql("text")
+      s"""WITH toks AS (SELECT unnest(string_split($t, ' ')) AS tok
+         |  FROM documents WHERE length($t) > 0),
+         |freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+         |fof AS (SELECT f, COUNT(*) AS m FROM freq GROUP BY f),
+         |spans AS (SELECT f, m,
+         |  CAST(SUM(m) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS rank_end FROM fof),
+         |sp2 AS (SELECT f, rank_end, rank_end - m + 1 AS rank_start FROM spans),
+         |oct AS (SELECT f, rank_start, rank_end,
+         |  unnest(generate_series(length(bin(rank_start)) - 1,
+         |    length(bin(rank_end)) - 1)) AS o FROM sp2),
+         |r AS (SELECT f, o,
+         |  GREATEST(rank_start, CAST(1 AS BIGINT) << o) AS lo,
+         |  LEAST(rank_end, (CAST(1 AS BIGINT) << (o + 1)) - 1) AS hi FROM oct)
+         |SELECT CAST(o AS BIGINT) AS rank_octave,
+         | CAST(SUM(hi - lo + 1) AS BIGINT) AS n_tokens,
+         | CAST(SUM((hi - lo + 1) * f) AS BIGINT) AS token_mass,
+         | CAST(MAX(f) AS BIGINT) AS max_freq, CAST(MIN(f) AS BIGINT) AS min_freq
+         |FROM r GROUP BY 1""".stripMargin
+    },
+
+    // TextOps.piiDetectReport: same dirty synthesis + shared patterns as
+    // pii_redact, rolled up per (source, pii_type).
+    "pii_detect_report" -> {
+      import graft.operators.TextOps.{PiiEmail, PiiPhone, PiiIp}
+      s"""WITH dirty AS (
+         | SELECT source,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact agent'
+         |        || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |       WHEN doc_id % 5 = 1 THEN text || ' call 555-'
+         |        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+         |       WHEN doc_id % 5 = 2 THEN text || ' server 10.'
+         |        || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         |        || CAST(doc_id % 200 + 1 AS VARCHAR) || ' logged'
+         |       ELSE text END AS text
+         | FROM documents),
+         |c AS (SELECT source,
+         |  len(regexp_extract_all(text, '$PiiEmail')) AS he,
+         |  len(regexp_extract_all(text, '$PiiPhone')) AS hp,
+         |  len(regexp_extract_all(text, '$PiiIp')) AS hi
+         | FROM dirty),
+         |g AS (SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN he > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_email,
+         |  CAST(SUM(he) AS BIGINT) AS s_email,
+         |  CAST(SUM(CASE WHEN hp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_phone,
+         |  CAST(SUM(hp) AS BIGINT) AS s_phone,
+         |  CAST(SUM(CASE WHEN hi > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_ip,
+         |  CAST(SUM(hi) AS BIGINT) AS s_ip
+         | FROM c GROUP BY source),
+         |u AS (
+         | SELECT source, n_docs, 'email' AS pii_type, d_email AS n_docs_hit,
+         |  s_email AS n_hits FROM g
+         | UNION ALL SELECT source, n_docs, 'phone', d_phone, s_phone FROM g
+         | UNION ALL SELECT source, n_docs, 'ipv4', d_ip, s_ip FROM g)
+         |SELECT source, n_docs, pii_type, n_docs_hit, n_hits,
+         | n_docs_hit * 1000000 // n_docs AS docs_hit_micro FROM u""".stripMargin
+    },
+
+    // TextOps.vocabSimpson: unbiased Simpson diversity, exact integers
+    // up to one HUGEINT integral division.
+    "vocab_simpson" -> {
+      val t = normTextSql("text")
+      s"""WITH toks AS (SELECT source, unnest(string_split($t, ' ')) AS tok
+         |  FROM documents WHERE length($t) > 0),
+         |f AS (SELECT source, tok, COUNT(*) AS f FROM toks GROUP BY 1, 2),
+         |g AS (SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  SUM(CAST(f AS HUGEINT) * (f - 1)) AS ff,
+         |  CAST(MAX(f) AS BIGINT) AS max_f FROM f GROUP BY source)
+         |SELECT source, n_tokens, n_types,
+         | CAST(CASE WHEN n_tokens >= 2 THEN (ff * 1000000)
+         |   // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) ELSE 0 END
+         |   AS BIGINT) AS simpson_micro,
+         | CAST(CAST(max_f AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+         |   AS top_share_micro
+         |FROM g""".stripMargin
+    },
+
+    // TextOps.docLengthMad: exact per-source median/MAD order statistics
+    // (smallest v with 2·cum ≥ n+1) over bounded value grids.
+    "doc_length_mad" ->
+      """WITH counts AS (SELECT source, n_chars AS v, COUNT(*) AS m
+        | FROM documents GROUP BY 1, 2),
+        |medc AS (SELECT source, v,
+        |  CAST(SUM(m) OVER (PARTITION BY source ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST(SUM(m) OVER (PARTITION BY source) AS BIGINT) AS n FROM counts),
+        |med AS (SELECT source, n, MIN(v) AS med FROM medc
+        | WHERE cum * 2 >= n + 1 GROUP BY source, n),
+        |devs AS (SELECT d.source, abs(d.n_chars - med.med) AS v, COUNT(*) AS m
+        | FROM documents d JOIN med ON d.source = med.source GROUP BY 1, 2),
+        |madc AS (SELECT source, v,
+        |  CAST(SUM(m) OVER (PARTITION BY source ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST(SUM(m) OVER (PARTITION BY source) AS BIGINT) AS n FROM devs),
+        |mad AS (SELECT source, MIN(v) AS mad FROM madc
+        | WHERE cum * 2 >= n + 1 GROUP BY source)
+        |SELECT d.source, med.n AS n_docs, med.med AS median_chars,
+        | mad.mad AS mad_chars,
+        | CAST(SUM(CASE WHEN abs(d.n_chars - med.med) > mad.mad * 3
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM documents d
+        |JOIN med ON d.source = med.source
+        |JOIN mad ON d.source = mad.source
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // AuditOps.erClusters: deletion-variant candidates blocked by nation,
+    // exact levenshtein <= 1 verify, min-label connected components.
+    "er_clusters" ->
+      """WITH RECURSIVE names AS (SELECT c_custkey AS id,
+        |  CAST(c_nationkey AS BIGINT) AS nat, c_name AS name FROM customer),
+        |ks AS (
+        | SELECT DISTINCT id, nat, name, name AS k FROM names
+        | UNION
+        | SELECT DISTINCT id, nat, name,
+        |  substr(name, 1, i - 1) || substr(name, i + 1) AS k
+        | FROM (SELECT id, nat, name,
+        |   unnest(generate_series(1, length(name))) AS i FROM names)),
+        |cand AS (SELECT a.id AS id_a, b.id AS id_b,
+        |  a.name AS na, b.name AS nb
+        | FROM ks a JOIN ks b ON a.nat = b.nat AND a.k = b.k AND a.id < b.id),
+        |pairs AS (SELECT DISTINCT id_a, id_b FROM cand
+        | WHERE levenshtein(na, nb) <= 1),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+        |          UNION
+        |          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |lab AS (SELECT node AS c_custkey, MIN(lbl) AS cluster_id
+        |        FROM reach GROUP BY node)
+        |SELECT c_custkey, cluster_id,
+        | COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        | c_custkey = cluster_id AS is_representative
+        |FROM lab""".stripMargin,
+
+    // AuditOps.fdAudit: fixed candidate determinant -> dependent set.
+    "fd_audit" -> {
+      def leg(tab: String, det: String, dep: String) =
+        s"""SELECT '$tab' AS tab, '$det' AS determinant, '$dep' AS dependent,
+           | CAST(COUNT(*) AS BIGINT) AS n_groups,
+           | CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_violating_groups,
+           | CAST(SUM(CASE WHEN ndep > 1 THEN nrows ELSE 0 END) AS BIGINT)
+           |   AS n_violating_rows
+           |FROM (SELECT CAST($det AS VARCHAR) AS d,
+           |   COUNT(DISTINCT $dep) AS ndep, COUNT(*) AS nrows
+           |  FROM $tab GROUP BY 1)""".stripMargin
+      s"""SELECT *, n_violating_groups = 0 AS holds FROM (
+         |${leg("customer", "c_name", "c_nationkey")}
+         |UNION ALL ${leg("part", "p_brand", "p_type")}
+         |UNION ALL ${leg("part", "p_type", "p_brand")}
+         |UNION ALL ${leg("orders", "o_custkey", "o_orderstatus")}
+         |UNION ALL ${leg("documents", "source", "lang")})""".stripMargin
+    },
+
+    // Analytics.groupingSetsProfile: explicit GROUPING SETS with the
+    // shared grouping_id bit convention (first column = MSB).
+    "grouping_sets_profile" ->
+      """WITH base AS (SELECT r_name AS region, c_mktsegment AS segment,
+        |  o_totalprice
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey)
+        |SELECT region, segment,
+        | CAST(GROUPING(region, segment) AS BIGINT) AS gid,
+        | COUNT(1) AS n_orders,
+        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS revenue
+        |FROM base
+        |GROUP BY GROUPING SETS ((region, segment), (region), (segment), ())""".stripMargin,
+
+    // ChangeOps.deltaJoinMaintenance: delta-join IVM accounting; the
+    // incremental_total row must equal full_recompute exactly.
+    "delta_join_maintenance" -> {
+      def leg(name: String, cond: String) =
+        s"""SELECT '$name' AS leg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           | CAST(COALESCE(SUM(p) * 1000000, 0) AS BIGINT) AS revenue_micro
+           |FROM o JOIN l ON o_orderkey = l_orderkey WHERE $cond""".stripMargin
+      s"""WITH o AS (SELECT o_orderkey, o_orderkey % 10 = 0 AS od FROM orders),
+         |l AS (SELECT l_orderkey,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1
+         |   - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS p,
+         |  l_orderkey % 7 = 0 AS ld FROM lineitem),
+         |legs AS (
+         |${leg("old_view", "NOT od AND NOT ld")}
+         |UNION ALL ${leg("delta_orders_join", "od AND NOT ld")}
+         |UNION ALL ${leg("delta_lineitem_join", "NOT od AND ld")}
+         |UNION ALL ${leg("delta_both_join", "od AND ld")})
+         |SELECT leg, n_rows, revenue_micro FROM legs
+         |UNION ALL
+         |SELECT 'incremental_total', CAST(SUM(n_rows) AS BIGINT),
+         | CAST(SUM(revenue_micro) AS BIGINT) FROM legs
+         |UNION ALL ${leg("full_recompute", "TRUE")}""".stripMargin
+    })
+
   val all: Map[String, String] =
-    aCleaning ++ bStarSchema ++ cAnalytics ++ dPipeline ++ dExtras ++ eStreaming
+    aCleaning ++ bStarSchema ++ cAnalytics ++ dPipeline ++ dExtras ++
+      eStreaming ++ fRound9
 }

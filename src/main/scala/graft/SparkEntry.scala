@@ -446,7 +446,21 @@ object SparkEntry {
             .as("total_revenue"),
           min(col("days_to_ship")).as("min_days"),
           max(col("days_to_ship")).as("max_days"))
-    })
+    }),
+    // F. round-9: drift statistics, profiling audits, IVM, ER
+    "ks_order_drift" -> ((s, d) => StatOps.ksOrderDrift(orders(s, d))),
+    "priority_mix_shift" -> ((s, d) => StatOps.priorityMixShift(orders(s, d))),
+    "token_rank_octaves" -> ((s, d) => TextOps.tokenRankOctaves(documents(s, d))),
+    "pii_detect_report" -> ((s, d) => TextOps.piiDetectReport(documents(s, d))),
+    "doc_length_mad" -> ((s, d) => TextOps.docLengthMad(documents(s, d))),
+    "vocab_simpson" -> ((s, d) => TextOps.vocabSimpson(documents(s, d))),
+    "er_clusters" -> ((s, d) => AuditOps.erClusters(customer(s, d))),
+    "fd_audit" -> ((s, d) => AuditOps.fdAudit(customer(s, d), part(s, d),
+      orders(s, d), documents(s, d))),
+    "grouping_sets_profile" -> ((s, d) => Analytics.groupingSetsProfile(
+      orders(s, d), customer(s, d), nation(s, d), region(s, d))),
+    "delta_join_maintenance" -> ((s, d) =>
+      ChangeOps.deltaJoinMaintenance(orders(s, d), lineitem(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.all

@@ -2013,4 +2013,35 @@ object Analytics {
         max(col("gap_days")).as("max_gap_days"),
         expr("(sum(gap_days) * 1000000) div count(1)").as("avg_gap_micro_days"))
   }
+
+  /** Explicit GROUPING SETS revenue profile — the one grouping surface
+    * [[revenueRollup]] (ROLLUP) and [[graft.operators.PipelineOps]]'
+    * CUBE don't cover: an arbitrary, non-hierarchical set list
+    * ((region, segment), (region), (segment), ()) with `grouping_id`
+    * disambiguating aggregated NULLs from data NULLs. Spark expands the
+    * sets in ONE Expand+Aggregate pass over the joined input (one fact
+    * scan, one shuffle on the expanded keys), exactly like its
+    * rollup/cube plans.
+    */
+  def groupingSetsProfile(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val base = orders
+      .join(customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("c_mktsegment").as("segment"),
+        col("o_totalprice"))
+    base.createOrReplaceTempView("graft_gsp_base")
+    base.sparkSession.sql(
+      """SELECT region, segment, CAST(grouping_id() AS BIGINT) AS gid,
+        | COUNT(1) AS n_orders,
+        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS revenue
+        |FROM graft_gsp_base
+        |GROUP BY GROUPING SETS ((region, segment), (region), (segment), ())
+        |""".stripMargin)
+  }
 }

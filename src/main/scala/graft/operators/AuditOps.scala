@@ -415,4 +415,89 @@ object AuditOps {
         sum(col("g")).as("n_docs"),
         sum(when(col("g") < k, col("g")).otherwise(0L)).as("n_risk_docs"))
   }
+
+  /** Entity-resolution clusters: connected components over the blocked
+    * fuzzy-match graph (edit distance ≤ 1 between customer names, WITHIN
+    * a nation — the classic ER blocking key that keeps candidate sets
+    * and components bounded by the block, so no transitive chain can
+    * span blocks). [[nameFuzzyPairs]] reports the candidate PAIRS; this
+    * resolves them into entities — cluster id (min custkey), size, and
+    * the surviving-representative flag, the same verdict shape as
+    * [[DedupOps.dedupClusters]], whose pointer-doubling CC core it
+    * reuses (O(log diameter) rounds, driver sees only changed counts).
+    *
+    * Candidates come from the deletion-variant trick: strings within
+    * edit distance 1 share a deletion variant, so the self-join runs on
+    * variant hashes (Σ block² over ~name-length-sized blocks), never on
+    * the customer table squared; exact levenshtein verifies each
+    * candidate.
+    */
+  def erClusters(customer: DataFrame): DataFrame =
+    // memoized like dedup_clusters: the CC loop (the iterative part)
+    // runs once per session per input
+    Memo.cached("er_clusters", customer)(erClustersImpl)
+
+  private def erClustersImpl(customer: DataFrame): DataFrame = {
+    val names = customer.select(col("c_custkey").cast("long").as("id"),
+      col("c_nationkey").cast("long").as("nat"), col("c_name").as("name"))
+    val keys = names.select(col("id"), col("nat"), col("name"), col("name").as("k"))
+      .unionByName(names
+        .select(col("id"), col("nat"), col("name"),
+          explode(expr("sequence(1, length(name))")).as("i"))
+        .select(col("id"), col("nat"), col("name"),
+          expr("concat(substring(name, 1, i - 1), " +
+            "substring(name, i + 1, length(name)))").as("k")))
+      .distinct()
+    val hashed = keys.select(col("nat"), xxhash64(col("k")).as("h"),
+      col("id"), col("name"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = hashed.select(col("nat"), col("h"),
+      col("id").as("id_a"), col("name").as("name_a"))
+    val right = hashed.select(col("nat"), col("h"),
+      col("id").as("id_b"), col("name").as("name_b"))
+    val pairs = left.join(right, Seq("nat", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b")).distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // ccLabels checkpoints eagerly, so the variant index is fully
+    // consumed by the time it returns — release it before the (memoized)
+    // result leaves the builder
+    val labels = DedupOps.ccLabels(pairs)
+    hashed.unpersist()
+    labels
+      .select(col("node").as("c_custkey"), col("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_representative", col("c_custkey") === col("cluster_id"))
+  }
+
+  /** Functional-dependency audit (data profiling's FD-discovery check,
+    * Metanome-style, over a fixed candidate set): for each candidate
+    * determinant → dependent pair, how many determinant groups exist,
+    * how many carry MORE than one dependent value (violations), and how
+    * many rows sit in violating groups. `holds` is the exact FD verdict.
+    *
+    * Scale: one map-side-combined rollup per candidate to the
+    * (determinant, dependent) grain, then a keyspace-grain re-rollup —
+    * the row-level tables are touched once each; nothing joins.
+    */
+  def fdAudit(customer: DataFrame, part: DataFrame, orders: DataFrame,
+      documents: DataFrame): DataFrame = {
+    def audit(df: DataFrame, tab: String, det: String, dep: String): DataFrame =
+      df.groupBy(col(det).cast("string").as("d"))
+        .agg(countDistinct(col(dep)).as("ndep"), count(lit(1)).as("rows"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+          sum(when(col("ndep") > 1, col("rows")).otherwise(0L)).as("n_violating_rows"))
+        .select(lit(tab).as("tab"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("n_groups"),
+          col("n_violating_groups"), col("n_violating_rows"))
+        .withColumn("holds", col("n_violating_groups") === 0L)
+    audit(customer, "customer", "c_name", "c_nationkey")
+      .unionByName(audit(part, "part", "p_brand", "p_type"))
+      .unionByName(audit(part, "part", "p_type", "p_brand"))
+      .unionByName(audit(orders, "orders", "o_custkey", "o_orderstatus"))
+      .unionByName(audit(documents, "documents", "source", "lang"))
+  }
 }

@@ -105,4 +105,50 @@ object ChangeOps {
         col("c_acctbal").cast("decimal(18,2)").cast("string"),
         col("c_mktsegment"))))
   }
+
+  /** Incremental view maintenance of a join view — the delta-join
+    * identity ΔV = ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL that keeps a materialized join
+    * current with delta-sized work instead of a full recompute (the
+    * standard IVM decomposition; deltas are simulated by deterministic
+    * key splits of the fact tables). Emits one accounting row per leg
+    * plus the incremental total and the full recompute: the two last
+    * rows carrying identical exact counts/cents IS the correctness
+    * evidence, visible in the output rather than asserted off-line.
+    *
+    * Scale: the base⋈base leg is the already-materialized view (billed
+    * once, not per refresh); each refresh pays only the three delta
+    * legs, whose delta side is broadcastable at any base size. Cents
+    * sum exactly (decimal → long), so leg totals add associatively to
+    * the full total, engine- and partitioning-independent.
+    */
+  def deltaJoinMaintenance(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey"), (col("o_orderkey") % 10 === 0).as("d"))
+    val l = lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(18,4)").as("p"),
+      (col("l_orderkey") % 7 === 0).as("d"))
+    def leg(name: String, oldO: Boolean, newO: Boolean,
+        oldL: Boolean, newL: Boolean): DataFrame = {
+      val os = o.filter(if (oldO && newO) lit(true)
+        else if (newO) col("d") else !col("d"))
+      val ls = l.filter(if (oldL && newL) lit(true)
+        else if (newL) col("d") else !col("d"))
+      os.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce((sum(col("p")) * 1000000).cast("long"), lit(0L))
+            .as("revenue_micro"))
+        .select(lit(name).as("leg"), col("n_rows"), col("revenue_micro"))
+    }
+    val legs = leg("old_view", true, false, true, false)
+      .unionByName(leg("delta_orders_join", false, true, true, false))
+      .unionByName(leg("delta_lineitem_join", true, false, false, true))
+      .unionByName(leg("delta_both_join", false, true, false, true))
+    val incTotal = legs.agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("revenue_micro")).as("revenue_micro"))
+      .select(lit("incremental_total").as("leg"), col("n_rows"),
+        col("revenue_micro"))
+    legs.unionByName(incTotal)
+      .unionByName(leg("full_recompute", true, true, true, true))
+  }
 }

@@ -275,4 +275,81 @@ object StatOps {
                     as double) / 2.0))
           end, 6)""").as("tau_b_r6"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift test between the order-value
+    * distributions of two date halves — the distribution-shift alarm a
+    * pipeline runs when a source's character changes (the nonparametric
+    * complement of [[graft.SparkEntry]]'s mean/stddev `stats_drift`).
+    * D = sup_v |F_early(v) − F_late(v)| over values quantized to whole
+    * dollars.
+    *
+    * Exactness: the sup is computed on cross-multiplied integer counts
+    * |n_late·cum_early − n_early·cum_late| (DECIMAL(38,0) — the product
+    * crosses 2⁶³ at lake scale), so no division happens until the final
+    * d_micro = ⌊10⁶·D⌋ integer division — engine- and merge-order-stable.
+    *
+    * Scale: one fact-sized map-side-combined rollup to the DOLLAR grain
+    * (the order-price domain is fixed by the schema, not by SF), one
+    * cumulative window over that bounded distinct-dollar table, one
+    * ungrouped-total broadcast. No corpus-grain window anywhere.
+    */
+  def ksOrderDrift(orders: DataFrame, cutoff: String = "1998-01-01"): DataFrame = {
+    val byDollar = orders
+      .select(floor(col("o_totalprice")).cast("long").as("usd"),
+        (col("o_orderdate") < lit(cutoff)).as("early"))
+      .groupBy(col("usd"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("early"), 0L).otherwise(1L)).as("b"))
+    val w = Window.orderBy(col("usd"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = byDollar.agg(sum(col("a")).as("n_early"), sum(col("b")).as("n_late"))
+    val diffs = byDollar
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("diff",
+        abs(col("n_late").cast("decimal(19,0)") * col("ca") -
+          col("n_early").cast("decimal(19,0)") * col("cb")).cast("decimal(38,0)"))
+    diffs
+      .withColumn("dmax", max(col("diff")).over(Window.partitionBy(lit(1))))
+      .filter(col("diff") === col("dmax"))
+      .groupBy(col("n_early"), col("n_late"), col("dmax"))
+      .agg(min(col("usd")).as("ks_at_usd"))
+      // integral div (not decimal /): both engines truncate, and the
+      // operands are positive exact integers, so floor == trunc == div
+      .select(col("n_early"), col("n_late"), col("ks_at_usd"),
+        expr("""cast((dmax * 1000000) div
+          (cast(n_early as decimal(19,0)) * n_late) as bigint)""")
+          .as("d_micro"))
+  }
+
+  /** Contingency mix-shift audit: observed vs expected cell counts for
+    * order priority × date half (the χ² input table, kept in exact
+    * integers instead of collapsing to one statistic — the per-cell
+    * deviations are what tell an operator WHICH priority drifted).
+    * expected·1000 = ⌊1000·row_total·col_total / n⌋ (integer division of
+    * exact integers); dev_milli = 1000·obs − exp_milli. Output is
+    * |priorities|×2 rows — bounded by the enum domain at any SF.
+    *
+    * Scale: one fact rollup to the 10-cell grid; the margins are windows
+    * over that bounded grid, never over rows.
+    */
+  def priorityMixShift(orders: DataFrame, cutoff: String = "1998-01-01"): DataFrame = {
+    val cells = orders
+      .select(col("o_orderpriority").as("priority"),
+        when(col("o_orderdate") < lit(cutoff), "early").otherwise("late").as("half"))
+      .groupBy(col("priority"), col("half"))
+      .agg(count(lit(1)).as("obs"))
+    val wRow = Window.partitionBy(col("priority"))
+    val wCol = Window.partitionBy(col("half"))
+    val wAll = Window.partitionBy(lit(1))
+    cells
+      .withColumn("rt", sum(col("obs")).over(wRow))
+      .withColumn("ct", sum(col("obs")).over(wCol))
+      .withColumn("n", sum(col("obs")).over(wAll))
+      .select(col("priority"), col("half"), col("obs"),
+        expr("""cast((cast(rt as decimal(19,0)) * ct * 1000) div
+          cast(n as decimal(38,0)) as bigint)""").as("exp_milli"))
+      .withColumn("dev_milli", col("obs") * 1000 - col("exp_milli"))
+  }
 }

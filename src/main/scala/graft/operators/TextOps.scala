@@ -943,4 +943,154 @@ object TextOps {
       .select(col("reason"), col("n_sole_docs"), col("n_sole_tokens"),
         expr("n_sole_docs * 1000000 div n_rejected").as("sole_share_micro"))
   }
+
+  /** Zipf rank-octave profile of the token frequency distribution: how
+    * many distinct tokens, and how much token MASS, sit at ranks
+    * [2ᵒ, 2ᵒ⁺¹) — the log-binned rank/frequency curve a corpus health
+    * check reads instead of eyeballing a Zipf plot (a healthy natural-
+    * language mix loses roughly a constant factor of mass per octave;
+    * boilerplate floods the low octaves, synthetic junk fattens the
+    * tail).
+    *
+    * Ranks are never materialized per token: the vocab rolls up to the
+    * FREQUENCY-OF-FREQUENCY table (f, m = #tokens with that f) — at most
+    * O(√(2N)) rows for N total tokens, since distinct frequencies with
+    * multiplicity sum to N — rank spans come from one cumulative window
+    * over that table ordered by (f desc), and each span splits across
+    * the ≤64 octaves it straddles by exploding its floor-log₂ range
+    * (length(bin(rank))−1, the exact integer log₂ shared with
+    * k_anonymity_report). Ties rank in one block (same f ⇒ adjacent
+    * ranks), so the result is total-order-free and engine-stable.
+    */
+  def tokenRankOctaves(documents: DataFrame): DataFrame = {
+    val freq = OpUtils.spread(documents)
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val fof = freq.groupBy(col("f")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = fof
+      .withColumn("rank_end", sum(col("m")).over(w))
+      .withColumn("rank_start", col("rank_end") - col("m") + 1)
+    spans
+      .withColumn("o", explode(expr(
+        "sequence(length(bin(rank_start)) - 1, length(bin(rank_end)) - 1)")))
+      .withColumn("lo", greatest(col("rank_start"),
+        expr("shiftleft(cast(1 as bigint), o)")))
+      .withColumn("hi", least(col("rank_end"),
+        expr("shiftleft(cast(1 as bigint), o + 1) - 1")))
+      .withColumn("cnt", col("hi") - col("lo") + 1)
+      .groupBy(col("o").cast("long").as("rank_octave"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("f")).as("token_mass"),
+        max(col("f")).as("max_freq"), min(col("f")).as("min_freq"))
+  }
+
+  /** Per-source PII exposure breakdown — the triage report over the same
+    * deterministic dirty-corpus synthesis and shared regex patterns as
+    * [[piiRedact]] (which scrubs; this AUDITS, per source and PII type,
+    * before/after a scrub is scheduled). One codegen'd scan, rollup to
+    * |sources|×3 rows, unpivoted via stack.
+    */
+  def piiDetectReport(documents: DataFrame): DataFrame = {
+    val dirty = documents.select(col("source"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact agent"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit(" server 10."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 200 + 1).cast("string"), lit(" logged")))
+        .otherwise(col("text")).as("text"))
+    val counted = dirty.select(col("source"),
+      regexp_count(col("text"), lit(PiiEmail)).cast("long").as("h_email"),
+      regexp_count(col("text"), lit(PiiPhone)).cast("long").as("h_phone"),
+      regexp_count(col("text"), lit(PiiIp)).cast("long").as("h_ip"))
+    counted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h_email") > 0, 1L).otherwise(0L)).as("d_email"),
+        sum(col("h_email")).as("s_email"),
+        sum(when(col("h_phone") > 0, 1L).otherwise(0L)).as("d_phone"),
+        sum(col("h_phone")).as("s_phone"),
+        sum(when(col("h_ip") > 0, 1L).otherwise(0L)).as("d_ip"),
+        sum(col("h_ip")).as("s_ip"))
+      .select(col("source"), col("n_docs"),
+        expr("""stack(3,
+          'email', d_email, s_email,
+          'phone', d_phone, s_phone,
+          'ipv4',  d_ip,    s_ip) AS (pii_type, n_docs_hit, n_hits)"""))
+      .withColumn("docs_hit_micro",
+        expr("n_docs_hit * 1000000 div n_docs"))
+  }
+
+  /** Per-source lexical diversity via the unbiased Simpson index
+    * λ = Σ f(f−1) / (N(N−1)) — the repeat-collision probability of two
+    * sampled tokens, the division-light entropy surrogate (entropy's log
+    * is a libm parity gamble; Simpson is exact integer arithmetic all
+    * the way to one integral division). High λ or a fat top-token share
+    * flags a template-flooded or synthetic source; healthy prose sits
+    * near the corpus baseline. Output: tokens, types, λ·10⁶ and the
+    * top-token share·10⁶ per source.
+    *
+    * Scale: ONE map-side-combined (source, token) rollup, then a
+    * source-grain re-rollup; Σf(f−1) runs in DECIMAL(38,0) (Σf² crosses
+    * 2⁶³ at corpus scale).
+    */
+  def vocabSimpson(documents: DataFrame): DataFrame =
+    OpUtils.spread(documents)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("f").cast("decimal(38,0)") * (col("f") - 1)).as("ff"),
+        max(col("f")).as("max_f"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("""cast(case when n_tokens >= 2 then (ff * 1000000) div
+          (cast(n_tokens as decimal(19,0)) * (n_tokens - 1)) else 0 end
+          as bigint)""").as("simpson_micro"),
+        expr("(max_f * 1000000) div n_tokens").as("top_share_micro"))
+
+  /** Robust per-source document-length profile: exact median and MAD
+    * (median absolute deviation) of n_chars, plus the count of length
+    * outliers beyond median ± 3·MAD — the curation screen that catches a
+    * source whose scraper started emitting truncated stubs or
+    * concatenated mega-pages (mean/stddev would let one mega-page mask a
+    * thousand stubs).
+    *
+    * Both medians are exact order statistics (smallest v with
+    * 2·cum ≥ n+1) computed on per-(source, value) COUNT tables — the
+    * length domain is bounded by the document schema, not by SF, so the
+    * cumulative windows ride bounded grids; rows are never sorted
+    * globally. No division anywhere.
+    */
+  def docLengthMad(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("m"))
+    def medianOf(grid: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("source"))
+      grid
+        .withColumn("cum", sum(col("m")).over(w))
+        .withColumn("n", sum(col("m")).over(wAll))
+        .filter(col("cum") * 2 >= col("n") + 1)
+        .groupBy(col("source"), col("n"))
+        .agg(min(col("v")).as("med"))
+    }
+    val med = medianOf(counts)
+    val devs = documents.join(med, Seq("source"))
+      .groupBy(col("source"), abs(col("n_chars") - col("med")).as("v"))
+      .agg(count(lit(1)).as("m"))
+    val mad = medianOf(devs).select(col("source"), col("med").as("mad"))
+    documents.join(med, Seq("source")).join(mad, Seq("source"))
+      .groupBy(col("source"), col("n").as("n_docs"),
+        col("med").as("median_chars"), col("mad").as("mad_chars"))
+      .agg(sum(when(abs(col("n_chars") - col("med")) > col("mad") * 3, 1L)
+        .otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -686,4 +686,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1995L, 100.0, -1L), (1996L, 150.0, 1500000L), (1998L, 30.0, -1L)))
   }
+
+  test("groupingSetsProfile: four explicit sets with the shared gid convention") {
+    val region = Seq((1, "AMERICA"), (2, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((1, "US", 1), (2, "DE", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((1L, 1, "BUILDING"), (2L, 2, "AUTO"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val orders = Seq((1L, 1L, 100.0), (2L, 1L, 50.0), (3L, 2L, 200.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val got = Analytics.groupingSetsProfile(orders, customer, nation, region)
+      .collect()
+      .map(r => ((Option(r.getString(0)).getOrElse("-"),
+        Option(r.getString(1)).getOrElse("-"), r.getLong(2)),
+        (r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size == 7)
+    // gid 0: both grouped; 1: segment aggregated; 2: region aggregated;
+    // 3: grand total — first grouping column is the MSB in BOTH engines
+    assert(got(("AMERICA", "BUILDING", 0L)) == ((2L, 150.0)))
+    assert(got(("EUROPE", "AUTO", 0L)) == ((1L, 200.0)))
+    assert(got(("AMERICA", "-", 1L)) == ((2L, 150.0)))
+    assert(got(("-", "AUTO", 2L)) == ((1L, 200.0)))
+    assert(got(("-", "-", 3L)) == ((3L, 350.0)))
+  }
 }

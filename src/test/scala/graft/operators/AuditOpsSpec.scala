@@ -216,4 +216,38 @@ class AuditOpsSpec extends SparkSpec {
     // doc accounting is lossless
     assert(out.values.map(_._2).sum == df.count())
   }
+
+  test("erClusters: nation-blocked dist-1 names resolve to one entity") {
+    // AB/AC/AD in nation 1 are pairwise dist 1 → one cluster rooted at
+    // the min custkey; the identical name in nation 2 must NOT join
+    // (blocking), and the dist-2 pair never becomes a candidate
+    val customer = Seq(
+      (1L, "AB", 1), (2L, "AC", 1), (3L, "AD", 1),
+      (4L, "AB", 2), (5L, "XY", 2), (6L, "ZW", 2))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val got = AuditOps.erClusters(customer).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false)))
+  }
+
+  test("fdAudit: exact hold/violation verdicts per candidate FD") {
+    val customer = Seq((1L, "n1", 1), (2L, "n2", 1))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val part = Seq((1L, "B1", "T1"), (2L, "B1", "T2"), (3L, "B2", "T3"))
+      .toDF("p_partkey", "p_brand", "p_type")
+    val orders = Seq((1L, 10L, "O"), (2L, 10L, "F"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val documents = Seq((1L, "s1", "en"), (2L, "s1", "en"))
+      .toDF("doc_id", "source", "lang")
+    val got = AuditOps.fdAudit(customer, part, orders, documents).collect()
+      .map(r => (r.getString(0) + "." + r.getString(1) + "->" + r.getString(2),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got("customer.c_name->c_nationkey") == ((2L, 0L, 0L, true)))
+    assert(got("part.p_brand->p_type") == ((2L, 1L, 2L, false)))
+    assert(got("part.p_type->p_brand") == ((3L, 0L, 0L, true)))
+    assert(got("orders.o_custkey->o_orderstatus") == ((1L, 1L, 2L, false)))
+    assert(got("documents.source->lang") == ((1L, 0L, 0L, true)))
+  }
 }

@@ -91,4 +91,23 @@ class ChangeOpsSpec extends SparkSpec {
     val d = dup.find(_._1 == "orders").get
     assert(d._2 == b._2 + 2 && d._3 == b._3 && d._4 != b._4)
   }
+
+  test("deltaJoinMaintenance: delta legs reconstruct the full join exactly") {
+    // orders 10,20 are ΔO (key % 10 = 0); lineitem key 7 is ΔL (% 7 = 0)
+    val orders = Seq(3L, 7L, 10L, 20L).map(k => (k, "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+    val lineitem = Seq(
+      (3L, 1, 10.0, 0.0), (7L, 1, 20.0, 0.0),
+      (10L, 1, 30.0, 0.0), (20L, 1, 40.0, 0.0))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    val got = ChangeOps.deltaJoinMaintenance(orders, lineitem).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("old_view") == ((1L, 10000000L)))          // key 3
+    assert(got("delta_orders_join") == ((2L, 70000000L))) // keys 10, 20
+    assert(got("delta_lineitem_join") == ((1L, 20000000L))) // key 7
+    assert(got("delta_both_join") == ((0L, 0L)))
+    // the IVM identity: the four legs sum to the full recompute
+    assert(got("incremental_total") == got("full_recompute"))
+    assert(got("full_recompute") == ((4L, 100000000L)))
+  }
 }

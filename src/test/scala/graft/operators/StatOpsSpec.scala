@@ -38,6 +38,46 @@ class StatOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("slope_hi_micro") == -333333L)
   }
 
+  test("ksOrderDrift: hand-computed sup over dollar-quantized CDFs") {
+    // early usd {10,20,30}, late usd {30,40}: diffs |n2·ca − n1·cb| over
+    // the grid are 2,4,3,0 → D at usd=20, d_micro = 4e6/(3·2)
+    val orders = Seq(
+      (1L, ts("1997-01-01"), 10.5), (2L, ts("1997-02-01"), 20.5),
+      (3L, ts("1997-03-01"), 30.5), (4L, ts("1999-01-01"), 30.2),
+      (5L, ts("1999-02-01"), 40.2))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = StatOps.ksOrderDrift(orders).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_early") == 3L)
+    assert(r(0).getAs[Long]("n_late") == 2L)
+    assert(r(0).getAs[Long]("ks_at_usd") == 20L)
+    assert(r(0).getAs[Long]("d_micro") == 666666L)
+  }
+
+  test("ksOrderDrift: identical halves have zero drift") {
+    val orders = (1 to 4).map { i =>
+      (i.toLong, ts(if (i <= 2) "1997-01-01" else "1999-01-01"), 25.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = StatOps.ksOrderDrift(orders).collect()(0)
+    assert(r.getAs[Long]("d_micro") == 0L)
+  }
+
+  test("priorityMixShift: exact floor(1000·rt·ct/n) expectations") {
+    // A: 3 early + 1 late, B: 1 early + 3 late (n=8, rt=4, ct=4):
+    // every cell expects 2000 milli; deviations ±1000
+    val rows = Seq.fill(3)(("A", "1997-06-01")) ++ Seq(("A", "1999-06-01")) ++
+      Seq(("B", "1997-06-01")) ++ Seq.fill(3)(("B", "1999-06-01"))
+    val orders = rows.zipWithIndex.map { case ((p, d), i) =>
+      (i.toLong, ts(d), p)
+    }.toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val got = StatOps.priorityMixShift(orders).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq == Seq(
+      ("A", "early", 3L, 2000L, 1000L), ("A", "late", 1L, 2000L, -1000L),
+      ("B", "early", 1L, 2000L, -1000L), ("B", "late", 3L, 2000L, 1000L)))
+  }
+
   test("revenueMotifs: ascending 8-day series yields the six staircase motifs") {
     // distinct ascending revenues over 8 consecutive days: the CDF
     // quartiles are days (1,2|3,4|5,6|7,8) → symbols 1,1,2,2,3,3,4,4 →

@@ -447,4 +447,65 @@ class TextOpsSpec extends SparkSpec {
     // n_rejected = 2 (docs 1 and 2); only doc 1 is a sole failure
     assert(out.toSeq == Seq(("too_short", 1L, 12L, 500000L)))
   }
+
+  test("tokenRankOctaves: hand-computed spans, including a straddling one") {
+    // freqs: x:2 (rank 1 → octave 0), y/z/w:1 (ranks 2-4, straddling
+    // octave 1 = ranks 2-3 and octave 2 = rank 4)
+    val df = docs((1L, "x x y z w", "en"))
+    val got = TextOps.tokenRankOctaves(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 1L, 2L, 2L, 2L),
+      (1L, 2L, 2L, 1L, 1L),
+      (2L, 1L, 1L, 1L, 1L)))
+    // mass conservation: octave masses sum to the corpus token count
+    assert(got.map(_._3).sum == 5L)
+  }
+
+  test("piiDetectReport: per-source hit/doc counts from the shared synthesis") {
+    // doc_id % 5 picks the injected PII kind: 0 → email, 1 → phone,
+    // 2 → ipv4, 3/4 → clean
+    val df = Seq(
+      (0L, "alpha words", "en", "s1", 11L),
+      (1L, "beta words", "en", "s1", 10L),
+      (2L, "gamma words", "en", "s2", 11L),
+      (3L, "delta words", "en", "s2", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.piiDetectReport(df).collect()
+      .map(r => ((r.getString(0), r.getString(2)),
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("s1", "email")) == ((2L, 1L, 1L, 500000L)))
+    assert(got(("s1", "phone")) == ((2L, 1L, 1L, 500000L)))
+    assert(got(("s1", "ipv4")) == ((2L, 0L, 0L, 0L)))
+    assert(got(("s2", "ipv4")) == ((2L, 1L, 1L, 500000L)))
+    assert(got(("s2", "email")) == ((2L, 0L, 0L, 0L)))
+  }
+
+  test("vocabSimpson: exact collision probability and top-token share") {
+    // s1: a a a b → λ = 3·2/(4·3) = 0.5, top share 3/4
+    // s2: x y z  → λ = 0 (all singletons), top share 1/3
+    val df = Seq(
+      (1L, "a a a", "en", "s1", 5L), (2L, "b", "en", "s1", 1L),
+      (3L, "x y z", "en", "s2", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.vocabSimpson(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got("s1") == ((4L, 2L, 500000L, 750000L)))
+    assert(got("s2") == ((3L, 3L, 0L, 333333L)))
+  }
+
+  test("docLengthMad: exact median, MAD, and the 3-MAD outlier count") {
+    // lengths 10,10,100,1000: median = smallest v with 2·cum ≥ 5 → 100;
+    // |dev| = 90,90,0,900 → MAD 90; only 900 > 3·90
+    val df = Seq(
+      (1L, "t", "en", "s", 10L), (2L, "t", "en", "s", 10L),
+      (3L, "t", "en", "s", 100L), (4L, "t", "en", "s", 1000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.docLengthMad(df).collect()
+    assert(r.length == 1)
+    assert((r(0).getString(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4)) == (("s", 4L, 100L, 90L, 1L)))
+  }
 }
