@@ -295,31 +295,45 @@ object StatOps {
     */
   def ksOrderDrift(orders: DataFrame, cutoff: String = "1998-01-01"): DataFrame = {
     val byDollar = orders
-      .select(floor(col("o_totalprice")).cast("long").as("usd"),
+      .select(floor(col("o_totalprice")).cast("long").as("v"),
         (col("o_orderdate") < lit(cutoff)).as("early"))
-      .groupBy(col("usd"))
+      .groupBy(col("v"))
       .agg(sum(when(col("early"), 1L).otherwise(0L)).as("a"),
         sum(when(col("early"), 0L).otherwise(1L)).as("b"))
-    val w = Window.orderBy(col("usd"))
+    ksFromCounts(byDollar)
+      .select(col("n_a").as("n_early"), col("n_b").as("n_late"),
+        col("ks_at_v").as("ks_at_usd"), col("d_micro"))
+  }
+
+  /** KS core over a pre-rolled-up (v, a, b) count grid: the sup of
+    * |n_b·cum_a − n_a·cum_b| (exact DECIMAL(38,0) cross-multiplied
+    * integers) with d_micro = ⌊10⁶·D/(n_a·n_b)⌋ and the smallest value
+    * achieving it. Shared by [[ksOrderDrift]] (date-half split of one
+    * table) and the streaming drift monitor
+    * [[graft.streaming.EventStreams.ksDriftStream]] (pinned baseline vs
+    * micro-batch). Callers quantize `v` to a schema-bounded domain so
+    * the cumulative window rides a bounded distinct-value grid.
+    */
+  private[graft] def ksFromCounts(byV: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = byDollar.agg(sum(col("a")).as("n_early"), sum(col("b")).as("n_late"))
-    val diffs = byDollar
+    val totals = byV.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+    byV
       .withColumn("ca", sum(col("a")).over(w))
       .withColumn("cb", sum(col("b")).over(w))
       .crossJoin(broadcast(totals))
       .withColumn("diff",
-        abs(col("n_late").cast("decimal(19,0)") * col("ca") -
-          col("n_early").cast("decimal(19,0)") * col("cb")).cast("decimal(38,0)"))
-    diffs
+        abs(col("n_b").cast("decimal(19,0)") * col("ca") -
+          col("n_a").cast("decimal(19,0)") * col("cb")).cast("decimal(38,0)"))
       .withColumn("dmax", max(col("diff")).over(Window.partitionBy(lit(1))))
       .filter(col("diff") === col("dmax"))
-      .groupBy(col("n_early"), col("n_late"), col("dmax"))
-      .agg(min(col("usd")).as("ks_at_usd"))
+      .groupBy(col("n_a"), col("n_b"), col("dmax"))
+      .agg(min(col("v")).as("ks_at_v"))
       // integral div (not decimal /): both engines truncate, and the
       // operands are positive exact integers, so floor == trunc == div
-      .select(col("n_early"), col("n_late"), col("ks_at_usd"),
+      .select(col("n_a"), col("n_b"), col("ks_at_v"),
         expr("""cast((dmax * 1000000) div
-          (cast(n_early as decimal(19,0)) * n_late) as bigint)""")
+          (cast(n_a as decimal(19,0)) * n_b) as bigint)""")
           .as("d_micro"))
   }
 

@@ -632,6 +632,69 @@ object EventStreams {
       }
   }
 
+  /** Streaming distribution-drift monitoring: each micro-batch's value
+    * distribution runs the exact two-sample Kolmogorov–Smirnov core
+    * ([[graft.operators.StatOps.ksFromCounts]] — the same statistic the
+    * batch operator `ks_order_drift` grades) against a PINNED baseline
+    * snapshot, and the one-row report (n_base, n_batch, ks location,
+    * d_micro) appends to `reportPath` tagged with the batchId — the
+    * distributional complement of [[statsDriftStream]]'s mean/null/range
+    * contract checks (a payment-amount unit change that preserves the
+    * mean moves D immediately). Values quantize to whole units so the
+    * CDF grid stays schema-bounded. Replay idempotency is the
+    * [[statsDriftStream]] discipline verbatim: deterministic
+    * per-(streamId, batch) report names, crashed-generation cleanup
+    * before rewrite, marker as the commit point.
+    */
+  def ksDriftStream(rows: DataFrame, baselinePath: String,
+      reportPath: String, valueCol: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty, "ksDriftStream needs a non-empty streamId")
+    rows
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = markerPath(s"$reportPath-$streamId", batchId)
+        if (!markerExists(batch, marker) && !batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dir = new org.apache.hadoop.fs.Path(reportPath)
+          val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val gen = f"ks-$streamId-b$batchId%010d-"
+          if (fs.exists(dir))
+            fs.listStatus(dir).iterator.map(_.getPath)
+              .filter(_.getName.startsWith(gen))
+              .foreach { p =>
+                if (!fs.delete(p, false))
+                  throw new java.io.IOException(s"ks replay cleanup failed for $p")
+              }
+          def quant(df: DataFrame, a: Long, b: Long) = df
+            .select(floor(col(valueCol)).cast("long").as("v"),
+              lit(a).as("ea"), lit(b).as("eb"))
+          val byV = quant(spark.read.parquet(baselinePath), 1L, 0L)
+            .unionByName(quant(batch, 0L, 1L))
+            .groupBy(col("v"))
+            .agg(sum(col("ea")).as("a"), sum(col("eb")).as("b"))
+          val tmp = new org.apache.hadoop.fs.Path(dir, s".$gen")
+          graft.operators.StatOps.ksFromCounts(byV)
+            .select(col("n_a").as("n_base"), col("n_b").as("n_batch"),
+              col("ks_at_v"), col("d_micro"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+          fs.mkdirs(dir)
+          val parts = fs.listStatus(tmp).iterator.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+          parts.zipWithIndex.foreach { case (p, i) =>
+            val n = f"$gen%sp$i%04d.parquet"
+            if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, n)))
+              throw new java.io.IOException(s"ks report rename failed for $p")
+          }
+          fs.delete(tmp, true)
+          writeMarker(batch, marker)
+        }
+        ()
+      }
+  }
+
   /** Continuous ANN-index maintenance: each micro-batch of vectors is
     * encoded ONCE through the IVF cell assignment + PQ coder
     * ([[graft.operators.SimilarityOps.withPqCodes]] over

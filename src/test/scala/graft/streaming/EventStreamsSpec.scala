@@ -290,6 +290,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(rep((1L, "a")).getAs[Boolean]("range_expanded"))
   }
 
+  test("ksDriftStream: exact per-batch KS vs the pinned baseline, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    // baseline values 10, 20, 30
+    Seq(10.0, 20.0, 30.0).toDF("value").write.parquet(s"$dir/baseline")
+    val mem = MemoryStream[Double]
+    val q = EventStreams.ksDriftStream(mem.toDF().toDF("value"),
+        s"$dir/baseline", s"$dir/report", "value", "k1")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // batch 0 identical to the baseline → D = 0
+    mem.addData(10.0, 20.0, 30.0)
+    q.processAllAvailable()
+    // batch 1 fully above the baseline → D = 1 (at the baseline max 30)
+    mem.addData(40.0, 50.0)
+    q.processAllAvailable(); q.stop()
+    val rep = spark.read.parquet(s"$dir/report").collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_base"), r.getAs[Long]("n_batch"),
+          r.getAs[Long]("ks_at_v"), r.getAs[Long]("d_micro")))).toMap
+    assert(rep.size == 2)
+    assert(rep(0L) == ((3L, 3L, 10L, 0L)))
+    assert(rep(1L) == ((3L, 2L, 30L, 1000000L)))
+    // replay: a fresh query over the same checkpoint re-delivers nothing
+    // new; the report is unchanged (markers gate the rewrite)
+    val q2 = EventStreams.ksDriftStream(mem.toDF().toDF("value"),
+        s"$dir/baseline", s"$dir/report", "value", "k1")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir/report").count() == 2)
+  }
+
   test("annIndexIngestStream appends slim coded rows per batch, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/index"
