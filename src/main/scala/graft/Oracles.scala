@@ -4672,6 +4672,34 @@ object Oracles {
     * view maintenance, entity resolution.
     */
   private val fRound9: Map[String, String] = Map(
+    // AsOfOps.conversionLatencyQuartiles: as-of latency per conversion,
+    // exact percentile_disc quartiles on the distinct-latency CDF.
+    "conversion_latency_quartiles" ->
+      """WITH base AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type FROM events),
+        |u AS (
+        | SELECT user_id, ts_s, 0 AS side, event_id FROM base
+        |  WHERE event_type = 'signup'
+        | UNION ALL
+        | SELECT user_id, ts_s, 1 AS side, event_id FROM base
+        |  WHERE event_type = 'purchase'),
+        |w AS (SELECT *, last_value(CASE WHEN side = 0 THEN ts_s END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts_s, side, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sig_ts
+        | FROM u),
+        |lat AS (SELECT ts_s - sig_ts AS lat_s FROM w
+        | WHERE side = 1 AND sig_ts IS NOT NULL),
+        |byv AS (SELECT lat_s, COUNT(*) AS m FROM lat GROUP BY 1),
+        |c AS (SELECT lat_s, CAST(SUM(m) OVER (ORDER BY lat_s
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+        |t AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM byv)
+        |SELECT n AS n_conversions,
+        | MIN(CASE WHEN cum * 4 >= n THEN lat_s END) AS p25_s,
+        | MIN(CASE WHEN cum * 4 >= 2 * n THEN lat_s END) AS p50_s,
+        | MIN(CASE WHEN cum * 4 >= 3 * n THEN lat_s END) AS p75_s,
+        | MAX(lat_s) AS max_s
+        |FROM c, t GROUP BY n""".stripMargin,
+
     // StatOps.ksOrderDrift: sup over the dollar-quantized CDFs via
     // cross-multiplied integer counts; d_micro is integer division of
     // positive exact integers (both engines truncate).
@@ -4698,6 +4726,34 @@ object Oracles {
         |   // (CAST(n_early AS HUGEINT) * n_late) AS BIGINT) AS d_micro
         |FROM d, mx WHERE diff = dmax
         |GROUP BY n_early, n_late, dmax""".stripMargin,
+
+    // CleanOps.jsonKeyProfile: key discovery via json_keys; values
+    // string-unwrapped through the computed path (scalar payloads only,
+    // matching Spark's map<string,string> parse).
+    "json_key_profile" ->
+      """WITH d AS (SELECT
+        |  CASE WHEN event_id % 4 = 0 THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+        |    || ', "device": "ios", "price": ' || CAST(event_id % 90 AS VARCHAR) || '.5}'
+        |   WHEN event_id % 4 = 1 THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+        |    || ', "device": "android"}'
+        |   WHEN event_id % 4 = 2 THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+        |    || ', "price": ' || CAST(event_id % 90 AS VARCHAR) || '.25}'
+        |   ELSE '{"k": ' || CAST(event_id % 100 AS VARCHAR) || '}' END AS j
+        | FROM events),
+        |kv AS (SELECT key, json_extract_string(j, '$.' || key) AS v
+        | FROM (SELECT j, unnest(json_keys(j)) AS key FROM d)),
+        |tot AS (SELECT COUNT(*) AS n_events FROM d),
+        |g AS (SELECT key, COUNT(*) AS n_present,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_values,
+        |  MIN(CASE WHEN regexp_full_match(v, '-?[0-9]+(\.[0-9]+)?')
+        |    THEN 1 ELSE 0 END) AS all_numeric
+        | FROM kv GROUP BY key)
+        |SELECT key, n_present,
+        | n_present * 1000000 // n_events AS present_share_micro,
+        | n_values,
+        | CASE WHEN all_numeric = 1 THEN 'number' ELSE 'string' END
+        |   AS inferred_type
+        |FROM g, tot""".stripMargin,
 
     // StatOps.priorityMixShift: observed vs floor(1000·rt·ct/n) expected
     // cell counts over the priority × date-half contingency grid.

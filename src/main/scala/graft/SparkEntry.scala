@@ -26,6 +26,7 @@ object SparkEntry {
     "parse_timestamps" -> ((s, d) => CleanOps.parseTimestamps(events(s, d))),
     "price_clean" -> ((s, d) => CleanOps.priceClean(orders(s, d))),
     "json_extract_props" -> ((s, d) => CleanOps.jsonExtractProps(events(s, d))),
+    "json_key_profile" -> ((s, d) => CleanOps.jsonKeyProfile(events(s, d))),
     "geohash_encode" -> ((s, d) => CleanOps.geohashEncode(customer(s, d))),
     "null_profile" -> ((s, d) => CleanOps.nullProfile(
       CleanOps.priceClean(orders(s, d)),
@@ -404,6 +405,8 @@ object SparkEntry {
     "events_asof_physical" -> ((s, d) =>
       AsOfOps.purchaseLastSignupPhysical(events(s, d))),
     "event_funnel" -> ((s, d) => AsOfOps.signupPurchaseFunnel(events(s, d))),
+    "conversion_latency_quartiles" -> ((s, d) =>
+      AsOfOps.conversionLatencyQuartiles(events(s, d))),
     "window_funnel" -> ((s, d) => AsOfOps.windowFunnel(events(s, d))),
     "funnel_progress" -> ((s, d) => AsOfOps.funnelProgress(events(s, d))),
     "linear_attribution" -> ((s, d) => AsOfOps.linearAttribution(events(s, d))),

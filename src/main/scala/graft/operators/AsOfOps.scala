@@ -421,4 +421,42 @@ object AsOfOps {
         coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
         coalesce(col("clicks_cents"), lit(0L)).as("clicks_cents"))
   }
+
+  /** Conversion-latency distribution: for every purchase with an
+    * at-or-before signup (the [[withAsof]] union-window core), the
+    * signup→purchase latency in whole seconds, summarized as EXACT
+    * quartile order statistics (percentile_disc semantics: smallest v
+    * with 4·cum ≥ k·n — pure integer comparisons, no interpolation
+    * division) plus the max. Funnel operators count conversions; this
+    * is the "how long does converting take" product metric next to
+    * them.
+    *
+    * Scale: one user-partitioned as-of pass (no global sort), then a
+    * rollup to the DISTINCT-latency grid — bounded by the clock span of
+    * the feed (seconds in the retention window), not by event volume —
+    * and one cumulative window over that grid.
+    */
+  def conversionLatencyQuartiles(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      col("ts").cast("long").as("ts_s"), col("event_type"), col("value"))
+    val lat = withAsof(
+      base.filter(col("event_type") === "purchase"),
+      base.filter(col("event_type") === "signup"),
+      "user_id", "ts_s", "event_id", "value")
+      .filter(col("__asof_ts").isNotNull)
+      .select((col("ts_s") - col("__asof_ts")).as("lat_s"))
+    val byV = lat.groupBy(col("lat_s")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("lat_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = byV.agg(sum(col("m")).as("n"))
+    byV
+      .withColumn("cum", sum(col("m")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n").as("n_conversions"))
+      .agg(
+        min(when(col("cum") * 4 >= col("n"), col("lat_s"))).as("p25_s"),
+        min(when(col("cum") * 4 >= col("n") * 2, col("lat_s"))).as("p50_s"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("lat_s"))).as("p75_s"),
+        max(col("lat_s")).as("max_s"))
+  }
 }

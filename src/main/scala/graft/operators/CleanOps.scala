@@ -114,6 +114,54 @@ object CleanOps {
         col("value"))
       .filter(col("k").isNotNull)
 
+  /** JSON SCHEMA-DISCOVERY profile — the semi-structured-ingest audit a
+    * lake team runs before writing an extraction job: which keys exist
+    * across the raw payloads, how often each is present, how many
+    * distinct values it takes, and whether every observed value parses
+    * as a number (the implied column type). Keys are DISCOVERED (map
+    * parse + explode), not enumerated — the whole point when the
+    * upstream schema drifts. Payload variety is synthesized
+    * deterministically from event_id (the pii_redact pattern: the
+    * testdata's props is single-key, and the oracle must rebuild the
+    * identical input).
+    *
+    * Scale: one parse + explode scan, map-side-combined rollup to the
+    * KEY grain (payload keyspace, not rows); the total is a 1-row
+    * broadcast. Type inference is an aggregate of a codegen'd regex,
+    * never a second pass.
+    */
+  def jsonKeyProfile(events: DataFrame): DataFrame = {
+    val id = col("event_id")
+    val jstr = when(id % 4 === 0,
+        concat(lit("""{"k": """), (id % 100).cast("string"),
+          lit(""", "device": "ios", "price": """),
+          (id % 90).cast("string"), lit(""".5}""")))
+      .when(id % 4 === 1,
+        concat(lit("""{"k": """), (id % 100).cast("string"),
+          lit(""", "device": "android"}""")))
+      .when(id % 4 === 2,
+        concat(lit("""{"k": """), (id % 100).cast("string"),
+          lit(""", "price": """), (id % 90).cast("string"), lit(""".25}""")))
+      .otherwise(concat(lit("""{"k": """), (id % 100).cast("string"), lit("}")))
+    val total = events.agg(count(lit(1)).as("n_events"))
+    events
+      .select(explode(from_json(jstr,
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("key", "v")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        countDistinct(col("v")).as("n_values"),
+        min(when(col("v").rlike("^-?[0-9]+(\\.[0-9]+)?$"), 1L).otherwise(0L))
+          .as("all_numeric"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_present"),
+        expr("(n_present * 1000000) div n_events").as("present_share_micro"),
+        col("n_values"),
+        when(col("all_numeric") === 1L, "number").otherwise("string")
+          .as("inferred_type"))
+  }
+
   /** Geohash enrichment on deterministically derived NYC-box coordinates
     * (testdata has no lat/lon; SURVEY §3). Uses the native codegen'd
     * GeohashExpr — the reference's Python UDF equivalent

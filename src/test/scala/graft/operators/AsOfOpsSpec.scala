@@ -141,4 +141,24 @@ class AsOfOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
     assert(out == Map(6L -> ((2L, 375L)), 7L -> ((0L, 0L))))
   }
+
+  test("conversionLatencyQuartiles: exact percentile_disc order statistics") {
+    // latencies: u1 purchases at 200 (signup 100 → 100 s) and 400
+    // (signup 300 → 100 s); plus three more users with 20, 40, 1000 s;
+    // one unconverted purchase (user 9, no signup) must not count.
+    // sorted latencies {20, 40, 100, 100, 1000}: p25 = 40 (4·cum ≥ n at
+    // cum 2... 4·1=4 < 5 → 20 out; 4·2=8 ≥ 5 → 40), p50 = 100, p75 = 100
+    val evs = Seq(
+      ev(1, 100, 1, "signup", 0.0), ev(2, 200, 1, "purchase", 1.0),
+      ev(3, 300, 1, "signup", 0.0), ev(4, 400, 1, "purchase", 1.0),
+      ev(5, 0, 2, "signup", 0.0), ev(6, 20, 2, "purchase", 1.0),
+      ev(7, 0, 3, "signup", 0.0), ev(8, 40, 3, "purchase", 1.0),
+      ev(9, 0, 4, "signup", 0.0), ev(10, 1000, 4, "purchase", 1.0),
+      ev(11, 50, 9, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = AsOfOps.conversionLatencyQuartiles(evs).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4)) == ((5L, 40L, 100L, 100L, 1000L)))
+  }
 }

@@ -89,4 +89,18 @@ class CleanOpsSpec extends SparkSpec {
     assert(out("s") == ((4L, 2L, 500000L)))
     assert(out("v") == ((4L, 2L, 500000L)))
   }
+
+  test("jsonKeyProfile discovers keys, presence shares, and implied types") {
+    // event_ids 0..3 hit each synthesis branch once: k in all 4 payloads,
+    // device in 2 (ios/android), price in 2 (numbers with decimals)
+    val events = (0L to 3L).map(i => (i, s"""{"k": $i}"""))
+      .toDF("event_id", "props")
+    val got = CleanOps.jsonKeyProfile(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(got.keySet == Set("k", "device", "price"))
+    assert(got("k") == ((4L, 1000000L, 4L, "number")))
+    assert(got("device") == ((2L, 500000L, 2L, "string")))
+    assert(got("price") == ((2L, 500000L, 2L, "number")))
+  }
 }
