@@ -4721,9 +4721,10 @@ object Oracles {
         |mx AS (SELECT MAX(diff) AS dmax FROM d)
         |SELECT n_early, n_late, MIN(usd) AS ks_at_usd,
         | -- HUGEINT //: DECIMAL // rounds instead of flooring (see
-        | -- priority_mix_shift)
-        | CAST(CAST(dmax AS HUGEINT) * 1000000
-        |   // (CAST(n_early AS HUGEINT) * n_late) AS BIGINT) AS d_micro
+        | -- priority_mix_shift). One-sided input -> D = 0 (no division).
+        | CAST(CASE WHEN n_early = 0 OR n_late = 0 THEN 0
+        |  ELSE CAST(dmax AS HUGEINT) * 1000000
+        |   // (CAST(n_early AS HUGEINT) * n_late) END AS BIGINT) AS d_micro
         |FROM d, mx WHERE diff = dmax
         |GROUP BY n_early, n_late, dmax""".stripMargin,
 

@@ -497,6 +497,10 @@ object DedupOps {
       // changed flag rides the SAME checkpoint job (vs a separate
       // join+count job per round — the fixed-overhead killer when the
       // graph is small); the convergence count is then a leaf-only scan.
+      // (A second jump per round was tried and reverted: on the measured
+      // graphs round count is limited by how far the component minimum
+      // has SPREAD through direct edges, not by pointer-chain depth —
+      // the extra self-join paid ~30% per round for zero fewer rounds.)
       val next = onehop
         .join(onehop.select(col("node").as("mid"), col("cluster_id").as("lbl2")),
           col("cluster_id") === col("mid"))

@@ -330,10 +330,13 @@ object StatOps {
       .groupBy(col("n_a"), col("n_b"), col("dmax"))
       .agg(min(col("v")).as("ks_at_v"))
       // integral div (not decimal /): both engines truncate, and the
-      // operands are positive exact integers, so floor == trunc == div
+      // operands are positive exact integers, so floor == trunc == div.
+      // A one-sided input (either sample empty) has no drift to measure
+      // and would divide by zero (an ERROR under ANSI) — report D = 0.
       .select(col("n_a"), col("n_b"), col("ks_at_v"),
-        expr("""cast((dmax * 1000000) div
-          (cast(n_a as decimal(19,0)) * n_b) as bigint)""")
+        expr("""cast(case when n_a = 0 or n_b = 0 then 0
+          else (dmax * 1000000) div
+            (cast(n_a as decimal(19,0)) * n_b) end as bigint)""")
           .as("d_micro"))
   }
 

@@ -221,4 +221,47 @@ class EdgeCaseSpec extends SparkSpec {
     assert(cb.length == SimilarityOps.PqSub &&
       cb.forall(_.length == SimilarityOps.PqCent))
   }
+
+  test("round-9 operators survive empty and degenerate inputs") {
+    import java.sql.Timestamp
+    val noOrders = Seq.empty[(Long, Timestamp, Double, String)]
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+    // empty history: no CDF rows → no KS row, no cells → no shift rows
+    assert(StatOps.ksOrderDrift(noOrders).count() == 0)
+    assert(StatOps.priorityMixShift(noOrders).count() == 0)
+    // one-sided history: every order before the cutoff → n_late = 0, the
+    // d_micro division must not run on the empty side (no diff can beat
+    // 0, so D = 0 over an empty opposite CDF)
+    val oneSided = Seq((1L, Timestamp.valueOf("1997-01-01 00:00:00"), 10.0, "1-URGENT"))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+    val ks = StatOps.ksOrderDrift(oneSided).collect()
+    assert(ks.length == 1 && ks(0).getAs[Long]("n_late") == 0L &&
+      ks(0).getAs[Long]("d_micro") == 0L)
+    // blank/empty corpora: octaves and diversity yield no rows, the MAD
+    // profile of a single doc is (median = len, MAD 0, outliers 0)
+    assert(TextOps.tokenRankOctaves(degenerate.limit(0)).count() == 0)
+    assert(TextOps.vocabSimpson(degenerate.limit(0)).count() == 0)
+    val solo = degenerate.filter($"doc_id" === 5L)
+    val mad = TextOps.docLengthMad(solo).collect()(0)
+    assert((mad.getLong(1), mad.getLong(2), mad.getLong(3), mad.getLong(4))
+      == ((1L, 41L, 0L, 0L)))
+    // ER with no fuzzy pair anywhere: empty cluster table, no crash
+    val distinctNames = Seq((1L, "Alice Johnson", 1), (2L, "Zebra Quartz", 1))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    assert(AuditOps.erClusters(distinctNames).count() == 0)
+    // IVM with an empty lineitem: all legs 0 rows / 0 revenue, and the
+    // incremental total still equals the full recompute
+    val orders1 = Seq((3L, "O")).toDF("o_orderkey", "o_orderstatus")
+    val noLines = Seq.empty[(Long, Int, Double, Double)]
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    val legs = ChangeOps.deltaJoinMaintenance(orders1, noLines).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(legs.values.forall(_ == ((0L, 0L))))
+    assert(legs("incremental_total") == legs("full_recompute"))
+    // no conversions: quartile summary is empty, not a null row
+    val noConv = Seq((1L, Timestamp.valueOf("2000-01-01 00:00:00"), 9L,
+      "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(AsOfOps.conversionLatencyQuartiles(noConv).count() == 0)
+  }
 }
