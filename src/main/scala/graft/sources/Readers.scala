@@ -222,6 +222,20 @@ object Readers {
     spark.read.parquet(files: _*)
   }
 
+  /** Time travel by NAME: read the snapshot a tag pins
+    * ([[graft.sources.Sinks.tagSnapshot]]) — the "read exactly what
+    * training run X read" reproducibility call. Vacuum retains tagged
+    * versions, so a live tag never dangles.
+    */
+  def readSnapshotTag(spark: SparkSession, path: String,
+      tag: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = Snapshots.tags(fs, dir).getOrElse(tag,
+      throw new java.io.FileNotFoundException(s"$path has no tag '$tag'"))
+    readSnapshot(spark, path, Some(v))
+  }
+
   /** Incremental (CDC-style) read: the rows ADDED between two committed
     * snapshots — exactly the files named by `toVersion` but not by
     * `fromVersion`. On an append-only lake this is the per-interval

@@ -627,6 +627,66 @@ object Sinks {
     publishClaimed(spark, fs, dir, next, names)
   }
 
+  /** Pin a committed snapshot version under a NAME (the Iceberg tag/ref
+    * concept): `_tag-<name>` holds the version number, readers resolve
+    * it via [[graft.sources.Readers.readSnapshotTag]], and
+    * [[vacuumSnapshots]] treats tagged versions as retained — the
+    * "audited-training-run inputs stay readable" guarantee a retention
+    * sweep must not break. Tags are IMMUTABLE: publication is
+    * temp-write + rename onto a name that must not exist, so two racers
+    * cannot silently disagree about what a tag means — retagging is an
+    * explicit [[deleteTag]] + re-create. Returns the pinned version
+    * (the head when `version` is not given).
+    */
+  def tagSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
+      tag: String, version: Int = -1): Int = {
+    require(tag.nonEmpty && tag.matches("[A-Za-z0-9._=-]+"),
+      s"tagSnapshot needs a plain-token tag name, got '$tag'")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val published = Snapshots.versions(fs, dir)
+    val v = if (version >= 0) version else published.lastOption.getOrElse(
+      throw new java.io.FileNotFoundException(s"$path has no committed snapshot"))
+    // only PUBLISHED versions are taggable: a tag on a claim (or a
+    // vacuumed number) would be a dangling ref from birth
+    if (!published.contains(v))
+      throw new java.io.FileNotFoundException(
+        s"$path has no committed snapshot v$v to tag")
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"._tag-$tag.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, s"_tag-$tag")
+    // plain rename: fails when the destination exists (immutability) —
+    // the same no-overwrite publish discipline as the manifests
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"tag '$tag' already exists on $path (tags are immutable; deleteTag first)")
+    }
+    v
+  }
+
+  /** Remove a tag (the version becomes vacuumable again once it also
+    * falls outside `keepLast`). Returns whether the tag existed.
+    */
+  def deleteTag(spark: org.apache.spark.sql.SparkSession, path: String,
+      tag: String): Boolean = {
+    require(tag.nonEmpty && tag.matches("[A-Za-z0-9._=-]+"),
+      s"deleteTag needs a plain-token tag name, got '$tag'")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, s"_tag-$tag"), false)
+  }
+
+  /** All tags on a snapshot directory: name → pinned version. */
+  def listTags(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Int] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.tags(fs, dir)
+  }
+
   private def claimPath(dir: org.apache.hadoop.fs.Path, version: Int) =
     new org.apache.hadoop.fs.Path(dir, f"_claim-v$version%05d")
 
@@ -708,7 +768,15 @@ object Sinks {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = Snapshots.versions(fs, dir)
     if (versions.size <= keepLast) return 0
-    val (dropped, kept) = versions.splitAt(versions.size - keepLast)
+    // tagged versions are RETAINED regardless of age: a tag is exactly
+    // the "this input set must stay readable" pin (audit trails,
+    // training-run provenance), and a retention sweep that broke it
+    // would be silent data loss behind a live ref
+    val tagged = Snapshots.tags(fs, dir).values.toSet
+    val (droppedByAge, keptByAge) = versions.splitAt(versions.size - keepLast)
+    val (protectedByTag, dropped) = droppedByAge.partition(tagged)
+    val kept = protectedByTag ++ keptByAge
+    if (dropped.isEmpty) return 0
     val keptFiles = kept.flatMap(v => Snapshots.files(fs, dir, v)).toSet
     val deadFiles = dropped.flatMap(v => Snapshots.files(fs, dir, v))
       .toSet.diff(keptFiles)
@@ -1050,6 +1118,28 @@ private[sources] object Snapshots {
           n.stripPrefix("_claim-v").toInt
       }
       .toSeq.distinct.sorted
+
+  /** Named snapshot tags in `dir`: tag name → pinned version (the
+    * Iceberg ref concept — `_tag-<name>` files whose content is the
+    * version number). Unparseable/empty tag files are ignored rather
+    * than failing every listing (a torn write cannot happen — tags
+    * publish by atomic rename — but a foreign file matching the
+    * pattern should not poison reads).
+    */
+  def tags(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Map[String, Int] =
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).iterator
+      .filter(st => st.getPath.getName.startsWith("_tag-") && st.getLen > 0)
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        scala.util.Try(content.toInt).toOption
+          .map(v => st.getPath.getName.stripPrefix("_tag-") -> v)
+      }
+      .toMap
 
   /** File names listed by one committed snapshot manifest (an
     * unfulfilled claim reads as "no committed snapshot", like a

@@ -674,6 +674,43 @@ class SourcesSpec extends SparkSpec {
     assert(head.filter($"id" >= 100L).count() == 2)
   }
 
+  test("snapshot tags: named time travel, immutability, and vacuum protection") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 5L).map(i => (i, "v1")).toDF("id", "src").write.parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 1)
+    // pin the audited input set by name
+    assert(Sinks.tagSnapshot(spark, path, "train-run-7") == 1)
+    // tags are immutable; a racing re-pin fails loudly
+    intercept[java.io.IOException] { Sinks.tagSnapshot(spark, path, "train-run-7") }
+    // only published versions are taggable
+    intercept[java.io.FileNotFoundException] {
+      Sinks.tagSnapshot(spark, path, "dangling", version = 9)
+    }
+    // bury v1 under three newer snapshots, then vacuum keepLast=2
+    Seq((100L, "v2")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 2)
+    Seq((200L, "v3")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 3)
+    Seq((300L, "v4")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 4)
+    Sinks.vacuumSnapshots(spark, path, keepLast = 2)
+    // v2 (untagged, aged out) is gone; v1 stays readable BY NAME
+    intercept[java.io.FileNotFoundException] {
+      Readers.readSnapshot(spark, path, Some(2))
+    }
+    assert(Readers.readSnapshotTag(spark, path, "train-run-7").count() == 5)
+    assert(Sinks.listTags(spark, path) == Map("train-run-7" -> 1))
+    // delete the tag: the version ages out on the next sweep
+    assert(Sinks.deleteTag(spark, path, "train-run-7"))
+    Sinks.vacuumSnapshots(spark, path, keepLast = 2)
+    intercept[java.io.FileNotFoundException] {
+      Readers.readSnapshot(spark, path, Some(1))
+    }
+    // the head is untouched throughout
+    assert(Readers.readSnapshot(spark, path).count() == 8)
+  }
+
   test("compaction aborts instead of dropping an append that commits inside its rewrite window") {
     val dir = tmp()
     val path = s"$dir/table"
