@@ -4672,6 +4672,20 @@ object Oracles {
     * view maintenance, entity resolution.
     */
   private val fRound9: Map[String, String] = Map(
+    // TrendOps.orderArrivalDispersion: Fano dispersion of daily order
+    // counts, cross-multiplied exact integers, one HUGEINT division.
+    "order_arrival_dispersion" ->
+      """WITH d AS (SELECT o_orderdate AS day, COUNT(*) AS c
+        | FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(c) AS BIGINT) AS s,
+        |  SUM(CAST(c AS HUGEINT) * c) AS q FROM d)
+        |SELECT n AS n_days, s AS n_orders,
+        | CAST((1000 * CAST(s AS HUGEINT)) // n AS BIGINT) AS mean_milli,
+        | CAST(((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 1000000)
+        |   // (CAST(s AS HUGEINT) * (n - 1)) AS BIGINT) AS fano_micro
+        |FROM g WHERE n >= 2 AND s >= 1""".stripMargin,
+
     // AsOfOps.conversionLatencyQuartiles: as-of latency per conversion,
     // exact percentile_disc quartiles on the distinct-latency CDF.
     "conversion_latency_quartiles" ->

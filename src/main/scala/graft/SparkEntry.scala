@@ -452,6 +452,8 @@ object SparkEntry {
     }),
     // F. round-9: drift statistics, profiling audits, IVM, ER
     "ks_order_drift" -> ((s, d) => StatOps.ksOrderDrift(orders(s, d))),
+    "order_arrival_dispersion" -> ((s, d) =>
+      TrendOps.orderArrivalDispersion(orders(s, d))),
     "priority_mix_shift" -> ((s, d) => StatOps.priorityMixShift(orders(s, d))),
     "token_rank_octaves" -> ((s, d) => TextOps.tokenRankOctaves(documents(s, d))),
     "pii_detect_report" -> ((s, d) => TextOps.piiDetectReport(documents(s, d))),

@@ -416,4 +416,30 @@ object TrendOps {
       .select(col("event_id"), col("event_type"), col("value_cents"),
         col("n_prior"), col("is_anomaly"))
   }
+
+  /** Order-arrival burstiness: the Fano dispersion index of the daily
+    * order count, F = var/mean — ≈10⁶ micro-units for a Poisson arrival
+    * process, ≫10⁶ for bursty/campaign-driven traffic, ≪10⁶ for
+    * throttled/quota'd feeds. The capacity-planning statistic behind
+    * "can the nightly load assume smooth arrivals". Exact integers end
+    * to end: F = (n·Σc² − S²) / (S·(n−1)) cross-multiplied in
+    * DECIMAL(38,0) (Σc² crosses 2⁶³ at lake-scale daily volumes) with
+    * one final integral division; the numerator is nonnegative by
+    * Cauchy–Schwarz, so truncation is floor in both engines.
+    *
+    * Scale: one fact-sized map-side-combined rollup to the calendar
+    * grain, then a 1-row fold. Degenerate histories (<2 days or zero
+    * orders) yield no row rather than a division error.
+    */
+  def orderArrivalDispersion(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderdate")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("q"))
+      .filter(col("n") >= 2 && col("s") >= 1)
+      .select(col("n").as("n_days"), col("s").as("n_orders"),
+        expr("(1000 * s) div n").as("mean_milli"),
+        expr("""cast(((cast(n as decimal(38,0)) * q
+            - cast(s as decimal(19,0)) * s) * 1000000)
+          div (cast(s as decimal(19,0)) * (n - 1)) as bigint)""")
+          .as("fano_micro"))
 }

@@ -236,6 +236,20 @@ object Readers {
     readSnapshot(spark, path, Some(v))
   }
 
+  /** [[readChangesBetween]] with tag endpoints: "everything ingested
+    * between training run A and training run B" without bookkeeping
+    * version numbers out of band.
+    */
+  def readChangesBetweenTags(spark: SparkSession, path: String,
+      fromTag: String, toTag: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tags = Snapshots.tags(fs, dir)
+    def resolve(t: String) = tags.getOrElse(t,
+      throw new java.io.FileNotFoundException(s"$path has no tag '$t'"))
+    readChangesBetween(spark, path, resolve(fromTag), resolve(toTag))
+  }
+
   /** Incremental (CDC-style) read: the rows ADDED between two committed
     * snapshots — exactly the files named by `toVersion` but not by
     * `fromVersion`. On an append-only lake this is the per-interval

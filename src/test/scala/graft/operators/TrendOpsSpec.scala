@@ -201,4 +201,24 @@ class TrendOpsSpec extends SparkSpec {
     assert(out(30L) == ((30L, false)))   // sees all 30 day-1 priors
     assert(out(31L) == ((31L, true)))    // sees days 1+2 and flags
   }
+
+  test("orderArrivalDispersion: exact Fano factor, degenerate guard") {
+    // daily counts {1, 3}: n=2, S=4, Q=10 → F = (2·10 − 16)/(4·1) = 1.0
+    val orders = Seq(
+      (1L, ts("2000-01-01")), (2L, ts("2000-01-02")),
+      (3L, ts("2000-01-02")), (4L, ts("2000-01-02")))
+      .toDF("o_orderkey", "o_orderdate")
+    val r = TrendOps.orderArrivalDispersion(orders).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3)) == ((2L, 4L, 2000L, 1000000L)))
+    // constant arrivals → zero variance → F = 0
+    val flat = Seq((1L, ts("2000-01-01")), (2L, ts("2000-01-02")))
+      .toDF("o_orderkey", "o_orderdate")
+    assert(TrendOps.orderArrivalDispersion(flat)
+      .collect()(0).getLong(3) == 0L)
+    // a single day (or empty) history yields no row, not a div-by-zero
+    assert(TrendOps.orderArrivalDispersion(flat.limit(1)).count() == 0)
+    assert(TrendOps.orderArrivalDispersion(flat.limit(0)).count() == 0)
+  }
 }

@@ -711,6 +711,25 @@ class SourcesSpec extends SparkSpec {
     assert(Readers.readSnapshot(spark, path).count() == 8)
   }
 
+  test("readChangesBetweenTags: tag-endpoint changelog") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 3L).map(i => (i, "a")).toDF("id", "src").write.parquet(path)
+    Sinks.commitSnapshot(spark, path)
+    Sinks.tagSnapshot(spark, path, "run-a")
+    Seq((10L, "b"), (11L, "b")).toDF("id", "src")
+      .write.mode("append").parquet(path)
+    Sinks.commitSnapshot(spark, path)
+    Sinks.tagSnapshot(spark, path, "run-b")
+    val delta = Readers.readChangesBetweenTags(spark, path, "run-a", "run-b")
+    assert(delta.count() == 2)
+    assert(delta.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 11L))
+    intercept[java.io.FileNotFoundException] {
+      Readers.readChangesBetweenTags(spark, path, "run-a", "missing")
+    }
+  }
+
   test("compaction aborts instead of dropping an append that commits inside its rewrite window") {
     val dir = tmp()
     val path = s"$dir/table"
