@@ -1556,6 +1556,39 @@ object Oracles {
              s"'${graft.operators.PipelineOps.MixSalt}' || CAST(doc_id AS VARCHAR)")}
          |  % 1000000 < accept_micro""".stripMargin,
 
+    // PipelineOps.mixtureUpsample: the repeat-factor leg — per-language
+    // temperature ratio (capped ×4) split into whole copies + a
+    // fractional copy decided by the SAME salted hash as the resample;
+    // copies materialize through a bounded generate_series join
+    "mixture_upsample" ->
+      s"""WITH t AS (SELECT lang,
+         |  CAST(CASE WHEN length(${normTextSql("text")}) = 0 THEN 0
+         |       ELSE len(string_split(${normTextSql("text")}, ' ')) END AS BIGINT) AS n
+         | FROM documents),
+         |g AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+         |w AS (SELECT lang, n_tokens,
+         |  CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s1 FROM g),
+         |c AS (SELECT lang, n_tokens,
+         |  CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens THEN s1 + 1
+         |       WHEN s1 * s1 > n_tokens THEN s1 - 1
+         |       ELSE s1 END AS weight FROM w),
+         |r AS (SELECT lang,
+         |  CAST(LEAST(4::HUGEINT * 1000000,
+         |    (weight::HUGEINT * (SUM(n_tokens) OVER ()) * 1000000) //
+         |    (n_tokens::HUGEINT * (SUM(weight) OVER ()))) AS BIGINT)
+         |    AS ratio_micro
+         | FROM c WHERE n_tokens > 0),
+         |nc AS (SELECT doc_id, d.lang, source,
+         |  ratio_micro // 1000000 +
+         |  CASE WHEN ${hash32Sql(
+             s"'${graft.operators.PipelineOps.MixSalt}' || CAST(doc_id AS VARCHAR)")}
+         |    % 1000000 < ratio_micro % 1000000 THEN 1 ELSE 0 END AS n_copies
+         | FROM documents d JOIN r ON d.lang = r.lang)
+         |SELECT doc_id, lang, source, CAST(s.copy AS BIGINT) AS copy_id,
+         | CAST(n_copies AS BIGINT) AS n_copies
+         |FROM nc JOIN (SELECT unnest(generate_series(1, 4)) AS copy) s
+         |  ON s.copy <= nc.n_copies""".stripMargin,
+
     "embed_outliers" ->
       """WITH clean AS (
         | SELECT vec_id, label, embedding FROM embeddings

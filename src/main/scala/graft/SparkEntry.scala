@@ -251,6 +251,8 @@ object SparkEntry {
       PipelineOps.mixtureTemperature(documents(s, d))),
     "mixture_resample" -> ((s, d) =>
       PipelineOps.mixtureResample(documents(s, d))),
+    "mixture_upsample" -> ((s, d) =>
+      PipelineOps.mixtureUpsample(documents(s, d))),
     "embed_dim_stats" -> ((s, d) =>
       SimilarityOps.embedDimStats(embeddings(s, d))),
     "ivf_cell_balance" -> ((s, d) =>

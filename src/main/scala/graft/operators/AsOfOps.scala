@@ -433,8 +433,14 @@ object AsOfOps {
     *
     * Scale: one user-partitioned as-of pass (no global sort), then a
     * rollup to the DISTINCT-latency grid — bounded by the clock span of
-    * the feed (seconds in the retention window), not by event volume —
-    * and one cumulative window over that grid.
+    * the feed (seconds in the retention window), not by event volume.
+    * The cumulative over that grid factors through TWO bounded window
+    * levels (the theil_sen_cdf / skyline pattern): latencies range-bucket
+    * into ≤1025 value buckets, the cross-bucket prefix rides a window
+    * over BUCKET SUMMARIES only, and the within-bucket cumulative
+    * partitions by bucket — a year-long feed at 1-second grain is ~3×10⁷
+    * grid rows, and an unpartitioned window there would be one straggler
+    * task at 100× even though the grid is data-size-independent.
     */
   def conversionLatencyQuartiles(events: DataFrame): DataFrame = {
     val base = events.select(col("user_id"), col("event_id"),
@@ -446,11 +452,28 @@ object AsOfOps {
       .filter(col("__asof_ts").isNotNull)
       .select((col("ts_s") - col("__asof_ts")).as("lat_s"))
     val byV = lat.groupBy(col("lat_s")).agg(count(lit(1)).as("m"))
-    val w = Window.orderBy(col("lat_s"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    // level 0: bucket the grid by latency RANGE — truncating division on
+    // the non-negative shift is monotonic, so bucket order is value order
+    val rng = byV.agg(min(col("lat_s")).as("lo"), max(col("lat_s")).as("hi"))
+    val bucketed = byV.crossJoin(broadcast(rng))
+      .withColumn("bucket", expr(
+        "(lat_s - lo) div greatest(cast(1 as bigint), (hi - lo) div 1024 + 1)"))
+    // level 1: prefix over the ≤1025 bucket totals only
+    val bucketTotals = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("m")).as("bn"))
+      .withColumn("prior", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket").as("bkt"), col("prior"))
+    // level 2: within-bucket cumulative, partitioned by bucket
+    val cdf = bucketed
+      .withColumn("incum", sum(col("m")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("lat_s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(bucketTotals), col("bucket") === col("bkt"))
+      .select(col("lat_s"), (col("prior") + col("incum")).as("cum"))
     val tot = byV.agg(sum(col("m")).as("n"))
-    byV
-      .withColumn("cum", sum(col("m")).over(w))
+    cdf
       .crossJoin(broadcast(tot))
       .groupBy(col("n").as("n_conversions"))
       .agg(

@@ -222,33 +222,60 @@ object AuditOps {
     * Σ(block²) of prefix blocking (measured 20× faster here). The exact
     * verify runs codegen'd `levenshtein` on candidates only.
     */
-  def nameFuzzyPairs(customer: DataFrame): DataFrame = {
-    val names = customer.select(col("c_custkey").cast("long").as("id"),
-      col("c_name").as("name"))
-    val keys = names.select(col("id"), col("name"), col("name").as("k"))
-      .unionByName(names
-        .select(col("id"), col("name"),
-          explode(expr("sequence(1, length(name))")).as("i"))
-        .select(col("id"), col("name"),
-          expr("concat(substring(name, 1, i - 1), " +
-            "substring(name, i + 1, length(name)))").as("k")))
-      // a run of identical chars yields the same deletion variant from
-      // every position in the run — dedupe, or buckets fan out quadratically
-      .distinct()
-    // join on the 64-bit key hash, not the string: half the shuffle bytes;
-    // a hash collision only adds a candidate the exact verify rejects.
-    // Persisted: both sides of the self-join read this, and without the
-    // pin each side re-pays the explode + distinct derivation.
-    val hashed = keys.select(xxhash64(col("k")).as("h"), col("id"), col("name"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val left = hashed.select(col("h"), col("id").as("id_a"), col("name").as("name_a"))
-    val right = hashed.select(col("h"), col("id").as("id_b"), col("name").as("name_b"))
-    left.join(right, Seq("h"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b")).distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 1)
-  }
+  def nameFuzzyPairs(customer: DataFrame): DataFrame =
+    fuzzyNamePairGraph(customer)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
+
+  /** The UNBLOCKED dist≤1 candidate-pair graph both [[nameFuzzyPairs]]
+    * and [[erClusters]] consume, derived once per session per input
+    * (Memo): the deletion-variant index, its hash self-join, and the
+    * exact levenshtein verify are the corpus-sized part of both
+    * operators — building it twice doubled the round-9 bench's single
+    * biggest line. Carries each endpoint's nation so the ER path can
+    * apply its blocking as a post-FILTER (same-nation pairs) instead of
+    * re-deriving the index with the block baked into the join key.
+    */
+  private def fuzzyNamePairGraph(customer: DataFrame): DataFrame =
+    Memo.cached("fuzzy_name_pairs", customer) { cust =>
+      val names = cust.select(col("c_custkey").cast("long").as("id"),
+        col("c_nationkey").cast("long").as("nat"), col("c_name").as("name"))
+      val keys = names.select(col("id"), col("nat"), col("name"),
+          col("name").as("k"))
+        .unionByName(names
+          .select(col("id"), col("nat"), col("name"),
+            explode(expr("sequence(1, length(name))")).as("i"))
+          .select(col("id"), col("nat"), col("name"),
+            expr("concat(substring(name, 1, i - 1), " +
+              "substring(name, i + 1, length(name)))").as("k")))
+        // a run of identical chars yields the same deletion variant from
+        // every position in the run — dedupe, or buckets fan out quadratically
+        .distinct()
+      // join on the 64-bit key hash, not the string: half the shuffle bytes;
+      // a hash collision only adds a candidate the exact verify rejects.
+      // Persisted: both sides of the self-join read this, and without the
+      // pin each side re-pays the explode + distinct derivation.
+      val hashed = keys.select(xxhash64(col("k")).as("h"), col("id"),
+          col("nat"), col("name"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val left = hashed.select(col("h"), col("id").as("id_a"),
+          col("nat").as("nat_a"), col("name").as("name_a"))
+        val right = hashed.select(col("h"), col("id").as("id_b"),
+          col("nat").as("nat_b"), col("name").as("name_b"))
+        left.join(right, Seq("h"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("nat_a"), col("nat_b"),
+            col("name_a"), col("name_b"))
+          .distinct()
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("dist") <= 1)
+          // consume the variant index HERE (eager) so the finally can
+          // release it on every path — success or a failed job; the Memo
+          // wrapper re-checkpoints the returned pair-sized frame (a few
+          // thousand rows), which is noise next to rebuilding the index
+          .localCheckpoint(true)
+      } finally hashed.unpersist()
+    }
 
   /** Join-cardinality estimation audit — the CBO primitive behind every
     * join-order decision: for each candidate equi-join, the classic
@@ -430,7 +457,10 @@ object AuditOps {
     * edit distance 1 share a deletion variant, so the self-join runs on
     * variant hashes (Σ block² over ~name-length-sized blocks), never on
     * the customer table squared; exact levenshtein verifies each
-    * candidate.
+    * candidate. The index + self-join + verify is [[fuzzyNamePairGraph]]
+    * — Memo-shared with [[nameFuzzyPairs]], with nation blocking applied
+    * as a post-filter on the verified pairs (an equivalent and strictly
+    * cheaper plan than baking the block into the join key twice).
     */
   def erClusters(customer: DataFrame): DataFrame =
     // memoized like dedup_clusters: the CC loop (the iterative part)
@@ -438,33 +468,15 @@ object AuditOps {
     Memo.cached("er_clusters", customer)(erClustersImpl)
 
   private def erClustersImpl(customer: DataFrame): DataFrame = {
-    val names = customer.select(col("c_custkey").cast("long").as("id"),
-      col("c_nationkey").cast("long").as("nat"), col("c_name").as("name"))
-    val keys = names.select(col("id"), col("nat"), col("name"), col("name").as("k"))
-      .unionByName(names
-        .select(col("id"), col("nat"), col("name"),
-          explode(expr("sequence(1, length(name))")).as("i"))
-        .select(col("id"), col("nat"), col("name"),
-          expr("concat(substring(name, 1, i - 1), " +
-            "substring(name, i + 1, length(name)))").as("k")))
-      .distinct()
-    val hashed = keys.select(col("nat"), xxhash64(col("k")).as("h"),
-      col("id"), col("name"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val left = hashed.select(col("nat"), col("h"),
-      col("id").as("id_a"), col("name").as("name_a"))
-    val right = hashed.select(col("nat"), col("h"),
-      col("id").as("id_b"), col("name").as("name_b"))
-    val pairs = left.join(right, Seq("nat", "h"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b")).distinct()
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+    // nation blocking as a post-filter over the Memo-shared unblocked
+    // pair graph: [[nameFuzzyPairs]]' verify already rejected everything
+    // beyond dist 1, so same-nation selection is exactly the blocked
+    // candidate set — the deletion-variant index builds once per session
+    // for BOTH operators instead of once each
+    val pairs = fuzzyNamePairGraph(customer)
+      .filter(col("nat_a") === col("nat_b"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    // ccLabels checkpoints eagerly, so the variant index is fully
-    // consumed by the time it returns — release it before the (memoized)
-    // result leaves the builder
     val labels = DedupOps.ccLabels(pairs)
-    hashed.unpersist()
     labels
       .select(col("node").as("c_custkey"), col("cluster_id"))
       .withColumn("cluster_size",

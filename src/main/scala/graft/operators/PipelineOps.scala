@@ -382,6 +382,51 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), col("source"), col("accept_micro"))
   }
 
+  /** UPSAMPLE leg of the temperature mixture — the repeat-factor side
+    * [[mixtureResample]] deliberately leaves to training time, made
+    * executable: every document materializes ⌈ratio⌉-or-⌊ratio⌋ copies
+    * where ratio_L = (w_L/Σw)/(t_L/Σt) is the language's temperature
+    * ratio, capped at `maxRepeat` (repeating data-constrained languages
+    * beyond a few epochs stops helping — the standard repeat cap). The
+    * fractional part resolves per document via the SAME salted hash
+    * draw as [[mixtureResample]]'s acceptance, so E[copies] = ratio
+    * exactly and, for languages AT/ABOVE their share (ratio ≤ 1), the
+    * set of documents with ≥1 copy is bit-for-bit the resample's kept
+    * set — the two legs are one consistent mixture, not two samplers.
+    * All thresholds are exact micro-unit integers (DECIMAL(38,0)
+    * internals); no RNG anywhere.
+    *
+    * Scale: ≤|langs| ratio rows broadcast back onto the corpus, one
+    * codegen'd sequence-explode pass; output size is Σ copies — the
+    * corpus times the mixture's own expansion factor, which is the
+    * point. No document row ever shuffles.
+    */
+  def mixtureUpsample(documents: DataFrame, maxRepeat: Int = 4): DataFrame = {
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ratio = langWeights(documents)
+      .filter(col("n_tokens") > 0)
+      .withColumn("tot_w", sum(col("weight")).over(wAll))
+      .withColumn("tot_t", sum(col("n_tokens")).over(wAll))
+      .select(col("lang"), expr(
+        s"""cast(least(${maxRepeat}L * 1000000,
+           |  (cast(weight as decimal(38,0)) * tot_t * 1000000) div
+           |  (cast(n_tokens as decimal(38,0)) * tot_w)) as bigint)""".stripMargin)
+        .as("ratio_micro"))
+    documents
+      .join(broadcast(ratio), Seq("lang"))
+      .withColumn("n_copies",
+        expr("ratio_micro div 1000000") +
+          when(HashFns.hash32(concat(lit(MixSalt), col("doc_id").cast("string")))
+            % 1000000 < expr("ratio_micro % 1000000"), 1L).otherwise(0L))
+      // sequence(1, 0) would step BACKWARD in Spark — guard the empty case
+      .withColumn("copy_id", explode(when(col("n_copies") >= 1L,
+        expr("sequence(1L, n_copies)")).otherwise(array())))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("copy_id").cast("long").as("copy_id"), col("n_copies"))
+  }
+
   /** End-to-end curation verdict — the composition a pipeline actually
     * materializes as its training corpus: near-duplicate SURVIVORS
     * (MinHash-LSH + connected components) ∩ QUALITY gate ∩ reproducible

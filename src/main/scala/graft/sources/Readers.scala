@@ -45,6 +45,76 @@ object Readers {
   def conform(df: DataFrame, expected: Seq[String]): DataFrame =
     ensureColumns(df, expected).select(expected.map(col): _*)
 
+  /** REST/HTTP JSON-array extract — the reference's actual ingestion
+    * front door (`/root/reference/src/311 /nyc_ingestion_dag.py:35-62`:
+    * a Socrata GET per year window, the whole array buffered through one
+    * requests.get on the scheduler box). Spark-native shape: the fetch
+    * runs ON EXECUTORS (one task per page), the body lands as a string
+    * column, and the array→rows normalization is `from_json` + `explode`
+    * — codegen'd Catalyst parsing, not driver-side json.loads.
+    *
+    * Pagination: `pageSize = None` issues ONE GET of `url` (the
+    * reference's `$limit=5000000` slurp, minus the driver bottleneck).
+    * With `pageSize = Some(n)` the fetch walks limit/offset pages in
+    * BLOCKS of `parallelPages` concurrent tasks and stops at the first
+    * block containing a short page — unknown-length feeds parallelize
+    * without a count endpoint, and per-task memory is one page, never
+    * the whole window. Empty-object page counting keys off parsed
+    * ROWS, so a trailing `[]` page terminates cleanly.
+    *
+    * Scale: a 100 TB backfill is many windows × many pages; every page
+    * is an independent task, so throughput scales with executors until
+    * the remote rate limit, which is the correct bottleneck to hit.
+    */
+  def httpFetchJson(spark: SparkSession, url: String, schema: StructType,
+      pageSize: Option[Int] = None, parallelPages: Int = 8,
+      headers: Map[String, String] = Map.empty,
+      limitParam: String = "$limit", offsetParam: String = "$offset",
+      connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 120000): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(pageSize.forall(_ > 0) && parallelPages > 0)
+    val sess = spark
+    import sess.implicits._
+    def fetchBodies(urls: Seq[String]): DataFrame =
+      spark.createDataset(urls).repartition(urls.size)
+        .map(u => HttpFetch.get(u, headers, connectTimeoutMs, readTimeoutMs))
+        .toDF("body")
+    def normalize(bodies: DataFrame): DataFrame = bodies
+      .select(explode(from_json(col("body"),
+        org.apache.spark.sql.types.ArrayType(schema))).as("r"))
+      .select(col("r.*"))
+    pageSize match {
+      case None => normalize(fetchBodies(Seq(url)))
+      case Some(n) =>
+        val sep = if (url.contains("?")) "&" else "?"
+        def pageUrl(offset: Long) =
+          s"$url$sep${enc(limitParam)}=$n&${enc(offsetParam)}=$offset"
+        var block = 0L
+        var done = false
+        val blocks = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        try {
+          while (!done) {
+            val offsets = (0 until parallelPages)
+              .map(i => (block * parallelPages + i) * n.toLong)
+            val pages = normalize(fetchBodies(offsets.map(pageUrl)))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val got = pages.count()
+            blocks += pages
+            // a block that parses fewer rows than it asked for contains
+            // the feed's end; a full block may too (exact multiple), but
+            // the next block then fetches all-empty pages once and stops
+            done = got < n.toLong * parallelPages
+            block += 1
+          }
+          val out = blocks.reduce(_ unionByName _).localCheckpoint(true)
+          out
+        } finally blocks.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
   /** ORC lake read — same columnar pushdown/pruning contract as parquet
     * (`spark.sql.orc.filterPushdown` is on by default in Spark 4), for
     * warehouses whose upstream (Hive-era jobs) lands ORC instead.

@@ -322,6 +322,103 @@ object Sinks {
     true
   }
 
+  /** [[appendSnapshotOnce]] keyed by a STRING window id instead of a
+    * numeric batch id — the idempotence unit of a partition backfill
+    * ("year=2019 is either fully committed or absent", the reference
+    * DAG's s3_exists skip — `nyc_ingestion_dag.py:25-41`). Generation
+    * names embed the window (`ingest-<streamId>-w<windowId>-pNNNN`), and
+    * BOTH the committed check and the crash cleanup match the full file
+    * name, never a prefix: '-' is legal in window ids, so window "2019"
+    * must not read window "2019-q1"'s committed files as its own.
+    */
+  def appendWindowOnce(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, streamId: String,
+      windowId: String): Boolean = {
+    require(streamId.nonEmpty && streamId.matches("[A-Za-z0-9_.=-]+"),
+      s"streamId must be a plain token, got '$streamId'")
+    require(windowId.nonEmpty && windowId.matches("[A-Za-z0-9_.=-]+"),
+      s"windowId must be a plain token, got '$windowId'")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val gen = s"ingest-$streamId-w$windowId-"
+    val genFile = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(gen) + "p\\d{4}\\.parquet")
+    val committed = Snapshots.versions(fs, dir)
+      .flatMap(v => Snapshots.files(fs, dir, v))
+      .exists(n => genFile.matcher(n).matches())
+    if (committed) return false
+    // crash-mid-append leftovers of THIS window only (full-name match)
+    fs.listStatus(dir).iterator.map(_.getPath)
+      .filter(p => genFile.matcher(p.getName).matches())
+      .foreach { p =>
+        if (!fs.delete(p, false))
+          throw new java.io.IOException(s"window replay cleanup failed for $p")
+      }
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$gen")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).iterator.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+    if (parts.isEmpty) { fs.delete(tmp, true); return true }
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val n = f"$gen%sp$i%04d.parquet"
+      if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, n)))
+        throw new java.io.IOException(s"window ingest rename failed for $p")
+    }
+    fs.delete(tmp, true)
+    commitSnapshot(spark, path)
+    true
+  }
+
+  /** Partition backfill/catchup over an HTTP JSON feed — the reference
+    * DAG's per-year loop (`nyc_ingestion_dag.py:25-41, 35-62`: for each
+    * year, skip if the raw object exists, else pull and land) as ONE
+    * idempotent operator: for every (windowId, url) whose window is not
+    * yet committed in the raw snapshot store, fetch via
+    * [[graft.sources.Readers.httpFetchJson]] (executor-side, paged),
+    * stamp the rows with the window id, and commit through
+    * [[appendWindowOnce]]. Returns the window ids actually fetched.
+    *
+    * Replay safety: committed windows are skipped BEFORE any fetch (the
+    * DAG's skip-if-exists, but keyed on the manifest protocol rather
+    * than a raw-object HEAD — a half-written crash can never read as
+    * present), and each window commits independently, so a crash mid-
+    * backfill durably keeps every completed window and a re-run fetches
+    * exactly the missing ones.
+    */
+  def backfillHttpWindows(spark: org.apache.spark.sql.SparkSession,
+      rawPath: String, streamId: String, windows: Seq[(String, String)],
+      schema: org.apache.spark.sql.types.StructType,
+      pageSize: Option[Int] = None, parallelPages: Int = 8,
+      headers: Map[String, String] = Map.empty,
+      windowCol: String = "window"): Seq[String] = {
+    import org.apache.spark.sql.functions.lit
+    require(streamId.nonEmpty && streamId.matches("[A-Za-z0-9_.=-]+"),
+      s"streamId must be a plain token, got '$streamId'")
+    windows.foreach { case (w, _) =>
+      require(w.nonEmpty && w.matches("[A-Za-z0-9_.=-]+"),
+        s"windowId must be a plain token, got '$w'") }
+    val dir = new org.apache.hadoop.fs.Path(rawPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen: Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else Snapshots.versions(fs, dir)
+        .flatMap(v => Snapshots.files(fs, dir, v)).toSet
+    val missing = windows.filterNot { case (w, _) =>
+      val genFile = java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(s"ingest-$streamId-w$w-") +
+          "p\\d{4}\\.parquet")
+      seen.exists(n => genFile.matcher(n).matches())
+    }
+    missing.map { case (w, url) =>
+      val rows = graft.sources.Readers
+        .httpFetchJson(spark, url, schema, pageSize, parallelPages, headers)
+        .withColumn(windowCol, lit(w))
+      appendWindowOnce(spark, rawPath, rows, streamId, w)
+      w
+    }
+  }
+
   /** Small-file compaction — the operational pass every long-running
     * 100 TB lake needs: streaming micro-batches and per-task writers
     * leave thousands of KB-sized files whose per-file open/footer cost
@@ -436,7 +533,17 @@ object Sinks {
     * update.
     */
   def commitSnapshot(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int = {
+      path: String): Int = commitSnapshotHooked(spark, path, () => ())
+
+  /** [[commitSnapshot]] with a seam between the version claim and the
+    * manifest publish, so a spec can interleave a full compaction inside
+    * exactly the window of the residual lost-append race (an append
+    * whose claim predates the compaction and whose publish postdates its
+    * pre-publish re-check).
+    */
+  private[graft] def commitSnapshotHooked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, beforePublish: () => Unit): Int = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // CAS commit: claim the version number by create-fails-if-exists on
@@ -480,11 +587,57 @@ object Sinks {
           (Snapshots.files(fs, dir, latest) ++
             physical.filterNot(seenEver).filterNot(isGenNamed)).sorted
       }
+      // this commit's OWN contribution — what the post-publish
+      // visibility check below must find in whatever head wins
+      val newFiles: Set[String] = versions.lastOption match {
+        case None => names.toSet
+        case Some(latest) => names.toSet -- Snapshots.files(fs, dir, latest)
+      }
       // allocate ABOVE every claim too: a crashed claimer's number is
       // burned (a gap in the version sequence), never spun on or reused
       val next = Snapshots.allocatedVersions(fs, dir).lastOption.getOrElse(0) + 1
-      if (claimVersion(fs, dir, next))
-        return publishClaimed(spark, fs, dir, next, names)
+      if (claimVersion(fs, dir, next)) {
+        beforePublish()
+        var v = publishClaimed(spark, fs, dir, next, names)
+        // Shadowed-append repair — the committer-side half of the
+        // compaction CAS. compactSnapshot re-checks for racing claims
+        // before publishing, but an append whose claim PREdates the
+        // compaction (so it reads as a crashed leftover) and whose
+        // publish POSTdates the re-check lands BELOW the compaction's
+        // head: its manifest exists, yet the head doesn't name its
+        // files — a silently lost append. The append is the only party
+        // that knows its own files, so it closes the window: after
+        // publishing, verify the CURRENT head contains this commit's
+        // new files, and if not, republish them ON TOP of that head at
+        // a fresh number. Every successful commitSnapshot therefore
+        // returns only once its rows are reachable from the head (the
+        // same guarantee an Iceberg fast-append retry provides). With a
+        // plain concurrent append the check passes immediately — a
+        // later appender adopts earlier physical files — so the repair
+        // costs one manifest read on the happy path.
+        var rounds = 0
+        while (true) {
+          val headNow = Snapshots.versions(fs, dir).lastOption.getOrElse(v)
+          if (headNow == v) return v
+          val headFiles = Snapshots.files(fs, dir, headNow).toSet
+          if (newFiles.subsetOf(headFiles)) return v
+          rounds += 1
+          if (rounds >= 50)
+            throw new java.io.IOException(
+              s"shadowed-append repair contention on $dir after $rounds rounds")
+          var n2 = Snapshots.allocatedVersions(fs, dir).lastOption.getOrElse(0) + 1
+          var t2 = 0
+          while (!claimVersion(fs, dir, n2)) {
+            t2 += 1
+            if (t2 >= 50)
+              throw new java.io.IOException(
+                s"snapshot version allocation contention on $dir during repair")
+            n2 = Snapshots.allocatedVersions(fs, dir).lastOption.getOrElse(n2) + 1
+          }
+          v = publishClaimed(spark, fs, dir, n2,
+            (headFiles ++ newFiles).toSeq.sorted)
+        }
+      }
       if (attempts >= 50)
         throw new java.io.IOException(
           s"snapshot version allocation contention on $dir after $attempts attempts")
@@ -554,10 +707,12 @@ object Sinks {
     // this compaction) would silently drop that append from the head.
     // Abort instead: the generation files are unreferenced (vacuumable
     // garbage), the claim is released, and the caller retries against
-    // the fresh head. Residual window: a committer that claimed below
+    // the fresh head. Residual window — a committer that claimed below
     // `next` before preAllocated was read and publishes after this check
-    // — indistinguishable from a crashed claim without liveness; run
-    // vacuumSnapshots to reclaim stale claims on a quiet table.
+    // (indistinguishable from a crashed claim without liveness) — is
+    // closed from the OTHER side: commitSnapshot's shadowed-append
+    // repair re-checks head visibility after its own publish and
+    // republishes its files on top of this compaction's head.
     val headNow = Snapshots.versions(fs, dir).lastOption
     val freshLowerClaims = Snapshots.allocatedVersions(fs, dir).toSet
       .diff(preAllocated).filter(v => v > latest && v < next)
@@ -639,7 +794,16 @@ object Sinks {
     * (the head when `version` is not given).
     */
   def tagSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
-      tag: String, version: Int = -1): Int = {
+      tag: String, version: Int = -1): Int =
+    tagSnapshotHooked(spark, path, tag, version, () => ())
+
+  /** [[tagSnapshot]] with a pre-publish seam so a spec can interleave a
+    * racing vacuum deterministically between the published-set read and
+    * the tag rename.
+    */
+  private[graft] def tagSnapshotHooked(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      tag: String, version: Int, beforePublish: () => Unit): Int = {
     require(tag.nonEmpty && tag.matches("[A-Za-z0-9._=-]+"),
       s"tagSnapshot needs a plain-token tag name, got '$tag'")
     val dir = new org.apache.hadoop.fs.Path(path)
@@ -656,6 +820,7 @@ object Sinks {
     val out = fs.create(tmp, true)
     try out.write(s"$v\n".getBytes("UTF-8"))
     finally out.close()
+    beforePublish()
     val dst = new org.apache.hadoop.fs.Path(dir, s"_tag-$tag")
     // plain rename: fails when the destination exists (immutability) —
     // the same no-overwrite publish discipline as the manifests
@@ -663,6 +828,21 @@ object Sinks {
       fs.delete(tmp, false)
       throw new java.io.IOException(
         s"tag '$tag' already exists on $path (tags are immutable; deleteTag first)")
+    }
+    // post-publish re-check against a concurrent vacuum: vacuum re-reads
+    // the tag set right before its destructive phase, so a tag published
+    // BEFORE that read is protected; a tag that lost the race (vacuum
+    // deleted v's manifest between our published-set read and the rename
+    // above) would dangle forever — retract it and fail loudly instead.
+    // The two re-checks run in opposite orders (vacuum: tags then
+    // manifest delete; here: tag publish then manifest check), so at
+    // least one side always observes the other: the tag survives only if
+    // the version does.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, f"_manifest-v$v%05d"))) {
+      fs.delete(dst, false)
+      throw new java.io.IOException(
+        s"tag '$tag' lost a race with vacuum on $path: v$v was reclaimed " +
+          "before the tag published (tag retracted)")
     }
     v
   }
@@ -762,7 +942,16 @@ object Sinks {
     * files are gone).
     */
   def vacuumSnapshots(spark: org.apache.spark.sql.SparkSession,
-      path: String, keepLast: Int = 2): Int = {
+      path: String, keepLast: Int = 2): Int =
+    vacuumSnapshotsHooked(spark, path, keepLast, () => ())
+
+  /** [[vacuumSnapshots]] with a seam between the manifest deletes and
+    * the late-tag re-read, so a spec can land a racing tag publication
+    * deterministically inside the restore window.
+    */
+  private[graft] def vacuumSnapshotsHooked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, keepLast: Int, afterManifestDelete: () => Unit): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -771,27 +960,43 @@ object Sinks {
     // tagged versions are RETAINED regardless of age: a tag is exactly
     // the "this input set must stay readable" pin (audit trails,
     // training-run provenance), and a retention sweep that broke it
-    // would be silent data loss behind a live ref
+    // would be silent data loss behind a live ref. The tag set is
+    // re-read immediately before the destructive phase below, so a tag
+    // created during the (possibly long) planning reads still protects
+    // its version.
     val tagged = Snapshots.tags(fs, dir).values.toSet
     val (droppedByAge, keptByAge) = versions.splitAt(versions.size - keepLast)
-    val (protectedByTag, dropped) = droppedByAge.partition(tagged)
-    val kept = protectedByTag ++ keptByAge
-    if (dropped.isEmpty) return 0
-    val keptFiles = kept.flatMap(v => Snapshots.files(fs, dir, v)).toSet
-    val deadFiles = dropped.flatMap(v => Snapshots.files(fs, dir, v))
-      .toSet.diff(keptFiles)
     // crashed-generation orphans: gen-named files NO manifest ever
     // referenced (their own publish never happened — commitSnapshot
     // refuses to adopt them, so nothing else cleans them). Only
-    // generations at-or-below the newest dropped version are touched: an
+    // generations at-or-below the retention horizon are touched: an
     // in-flight compaction always targets a version above the current
     // head, and if its version was meanwhile published by someone else
     // its own manifest rename will fail loudly — so these files can
-    // never become referenced later.
-    val referencedEver = keptFiles ++
-      dropped.flatMap(v => Snapshots.files(fs, dir, v))
+    // never become referenced later. The horizon is the newest AGED-OUT
+    // version (tag-protected or not): a tag pins a version's REFERENCED
+    // files, never a crashed generation's garbage — so the orphan and
+    // stale-claim sweeps must still run when every aged-out version
+    // happens to be tagged ("run vacuum to reclaim stale claims" would
+    // otherwise silently no-op on exactly such a table).
     val genPat = "(?:compact|replace)-v(\\d{5,})-.*".r
-    val horizon = dropped.last
+    val horizon = droppedByAge.last
+    // destructive phase starts here — re-check tags NOW so a tag that
+    // landed during planning is honored; the remaining window (a tag
+    // publishing between this read and the manifest delete) is closed
+    // from the other side by tagSnapshot's post-publish manifest
+    // re-check, which turns the race into a loud tag-side failure.
+    val taggedNow = tagged ++ Snapshots.tags(fs, dir).values.toSet
+    val (protectedByTag, dropped) = droppedByAge.partition(taggedNow)
+    // capture each dropped version's file list BEFORE deleting its
+    // manifest: a tag that races past the re-read above is detected
+    // after the manifest deletes (below) and the manifest is RESTORED
+    // from this capture — data files are still untouched at that point
+    val droppedManifests: Map[Int, Seq[String]] =
+      dropped.map(v => v -> Snapshots.files(fs, dir, v)).toMap
+    val referencedEver = (protectedByTag ++ keptByAge)
+      .flatMap(v => Snapshots.files(fs, dir, v)).toSet ++
+      droppedManifests.values.flatten
     val orphanGens = fs.listStatus(dir).iterator.map(_.getPath.getName)
       .filter(n => n match {
         case genPat(v) => v.toInt <= horizon && !referencedEver.contains(n)
@@ -805,6 +1010,31 @@ object Sinks {
       if (fs.exists(m) && !fs.delete(m, false))
         throw new java.io.IOException(s"vacuum: manifest delete failed for $m")
     }
+    afterManifestDelete()
+    // tag-race closure: re-read tags AFTER the manifest deletes. A tag
+    // published before this read but after the pre-delete read gets its
+    // version's manifest republished verbatim (files still on disk — the
+    // version is fully restored and moves to the kept set). A tag
+    // published after this read will itself observe the missing manifest
+    // in tagSnapshot's post-publish re-check and retract loudly. Between
+    // the two sides every interleaving ends with either (version kept,
+    // tag live) or (version vacuumed, tagSnapshot threw) — a live tag
+    // never dangles.
+    val lateTagged = Snapshots.tags(fs, dir).values.toSet
+    val (restored, droppedFinal) = dropped.partition(lateTagged)
+    restored.foreach { v =>
+      val tmp = new org.apache.hadoop.fs.Path(dir, f"._manifest-v$v%05d.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((droppedManifests(v).mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      val m = new org.apache.hadoop.fs.Path(dir, f"_manifest-v$v%05d")
+      if (!fs.rename(tmp, m))
+        throw new java.io.IOException(s"vacuum: tag-race manifest restore failed for $m")
+    }
+    val keptFiles = (protectedByTag ++ restored ++ keptByAge)
+      .flatMap(v => Snapshots.files(fs, dir, v)).toSet
+    val deadFiles = droppedFinal.flatMap(v => droppedManifests(v))
+      .toSet.diff(keptFiles)
     // stale allocation claims: at-or-below the horizon their committer
     // is long dead (live commits always allocate above the head), and a
     // claim whose manifest exists already served its purpose — reclaim

@@ -592,7 +592,12 @@ object EventStreams {
   def statsDriftStream(rows: DataFrame, baselinePath: String,
       reportPath: String, cols: Seq[String], streamId: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(streamId.nonEmpty, "statsDriftStream needs a non-empty streamId")
+    // plain-token guard (the aggMaintainStream discipline): streamId is
+    // interpolated into report names, the replay-cleanup pattern, and the
+    // marker directory path, so '/' or other path metacharacters would
+    // corrupt the layout
+    require(streamId.nonEmpty && streamId.matches("[A-Za-z0-9_.=-]+"),
+      "statsDriftStream needs a plain-token streamId")
     rows
       .writeStream
       .outputMode("append")
@@ -604,10 +609,16 @@ object EventStreams {
           val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val gen = f"drift-$streamId-b$batchId%010d-"
           // clear a crashed previous attempt of THIS generation before
-          // re-writing (deterministic names make it recognizable)
+          // re-writing (deterministic names make it recognizable). Match
+          // the FULL name, not a prefix: '-' is in the streamId alphabet,
+          // so a prefix test could adopt a sibling stream's generation
+          // (streamId "a" batch 1 vs streamId "a-b0000000001") and delete
+          // its committed reports during replay.
+          val genFile = java.util.regex.Pattern.compile(
+            java.util.regex.Pattern.quote(gen) + "p\\d{4}\\.parquet")
           if (fs.exists(dir))
             fs.listStatus(dir).iterator.map(_.getPath)
-              .filter(_.getName.startsWith(gen))
+              .filter(p => genFile.matcher(p.getName).matches())
               .foreach { p =>
                 if (!fs.delete(p, false))
                   throw new java.io.IOException(s"drift replay cleanup failed for $p")
@@ -649,7 +660,8 @@ object EventStreams {
   def ksDriftStream(rows: DataFrame, baselinePath: String,
       reportPath: String, valueCol: String, streamId: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(streamId.nonEmpty, "ksDriftStream needs a non-empty streamId")
+    require(streamId.nonEmpty && streamId.matches("[A-Za-z0-9_.=-]+"),
+      "ksDriftStream needs a plain-token streamId")
     rows
       .writeStream
       .outputMode("append")
@@ -660,9 +672,13 @@ object EventStreams {
           val dir = new org.apache.hadoop.fs.Path(reportPath)
           val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val gen = f"ks-$streamId-b$batchId%010d-"
+          // full-name match, not startsWith — see statsDriftStream: a
+          // hyphenated streamId can prefix-extend a sibling's generation
+          val genFile = java.util.regex.Pattern.compile(
+            java.util.regex.Pattern.quote(gen) + "p\\d{4}\\.parquet")
           if (fs.exists(dir))
             fs.listStatus(dir).iterator.map(_.getPath)
-              .filter(_.getName.startsWith(gen))
+              .filter(p => genFile.matcher(p.getName).matches())
               .foreach { p =>
                 if (!fs.delete(p, false))
                   throw new java.io.IOException(s"ks replay cleanup failed for $p")
@@ -757,8 +773,9 @@ object EventStreams {
     * the first [[annIndexRetrain]] (callers fall back to the fixed
     * model).
     */
-  def readAnnModel(spark: SparkSession,
-      indexPath: String): Option[graft.operators.SimilarityOps.AnnModel] = {
+  def readAnnModel(spark: SparkSession, indexPath: String,
+      atVersion: Option[Int] = None)
+      : Option[graft.operators.SimilarityOps.AnnModel] = {
     val dir = new org.apache.hadoop.fs.Path(indexPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return None
@@ -772,8 +789,10 @@ object EventStreams {
     // window the new sidecar exists but its manifest doesn't yet —
     // pairing it with the old-geometry head codes would make every ADC
     // distance garbage, so readers keep the previous model until the
-    // swap actually commits.
-    val head = versionsOf("_manifest-v").lastOption.getOrElse(0)
+    // swap actually commits. `atVersion` pins a HISTORICAL pairing (the
+    // newest sidecar at-or-below that snapshot) for time-traveled probes.
+    val head = atVersion.getOrElse(
+      versionsOf("_manifest-v").lastOption.getOrElse(0))
     val latest = versionsOf("_model-v").filter(_ <= head).lastOption
     latest.map { v =>
       val in = fs.open(new org.apache.hadoop.fs.Path(dir, f"_model-v$v%05d"))
@@ -849,6 +868,30 @@ object EventStreams {
       graft.operators.SimilarityOps.encodeSlim(corpus, model),
       expectedVersion = next)
     catch { case e: Throwable => fs.delete(sidecar, false); throw e }
+  }
+
+  /** SERVE leg of the streamed ANN lifecycle — the one-call probe that
+    * closes build→stream→retrain→serve: read the COMMITTED head of an
+    * [[annIndexIngestStream]] store (stragglers invisible), pair it with
+    * its model sidecar via [[readAnnModel]]'s version discipline (the
+    * fixed geometry until the first retrain), and run the same IVF-PQ
+    * ADC probe the batch operator `embed_ivfpq_ann` grades
+    * ([[graft.operators.SimilarityOps.annCodesSearch]]). A snapshot
+    * `version` pins a historical index state (paired with the newest
+    * sidecar at-or-below it), so a training run can re-issue yesterday's
+    * probes bit-for-bit.
+    *
+    * Scale: the store holds CODES (one long cell + M bytes per vector,
+    * never raw embeddings), queries broadcast, and the probe join moves
+    * only probed cells — the FAISS serving shape on a snapshot lake.
+    */
+  def annIndexSearch(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int,
+      version: Option[Int] = None): DataFrame = {
+    val codes = graft.sources.Readers.readSnapshot(spark, indexPath, version)
+    val model = readAnnModel(spark, indexPath, version)
+      .getOrElse(graft.operators.SimilarityOps.FixedAnnModel)
+    graft.operators.SimilarityOps.annCodesSearch(codes, queries, model, k)
   }
 
   case class SessionEvent(user_id: Long, event_id: Long, ts_s: Long)

@@ -217,6 +217,25 @@ class AuditOpsSpec extends SparkSpec {
     assert(out.values.map(_._2).sum == df.count())
   }
 
+  test("nameFuzzyPairs and erClusters share one deletion-variant pair-graph build") {
+    val customer = Seq(
+      (1L, "AB", 1), (2L, "AC", 1), (3L, "AD", 1),
+      (4L, "AB", 2), (5L, "XY", 2), (6L, "ZW", 2))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    graft.operators.Memo.invalidate()
+    AuditOps.nameFuzzyPairs(customer).count()
+    val first = graft.operators.Memo.drainBuildSeconds()
+    assert(first.contains("fuzzy_name_pairs"), first.keys.toSeq.sorted.mkString(","))
+    // the ER path must consume the SAME derivation — a second
+    // fuzzy_name_pairs build would mean the memo key missed
+    AuditOps.erClusters(customer).count()
+    val second = graft.operators.Memo.drainBuildSeconds()
+    assert(!second.contains("fuzzy_name_pairs"),
+      s"er_clusters rebuilt the pair graph: ${second.keys.toSeq.sorted.mkString(",")}")
+    assert(second.contains("er_clusters"))
+    graft.operators.Memo.invalidate()
+  }
+
   test("erClusters: nation-blocked dist-1 names resolve to one entity") {
     // AB/AC/AD in nation 1 are pairwise dist 1 → one cluster rooted at
     // the min custkey; the identical name in nation 2 must NOT join

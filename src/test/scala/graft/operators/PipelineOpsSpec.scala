@@ -188,6 +188,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.map(_.getLong(0)).toSet)
   }
 
+  test("mixtureUpsample materializes exact repeat factors consistent with the resample") {
+    // same fixture as the resample test: en ratio = 866666 micro (< 1),
+    // fr ratio = 4333333 micro, capped at the ×4 repeat cap → exactly 4
+    val rows = (1L to 10L).map(i => (i, "a b c d e f g h i j", "en")) ++
+      Seq((11L, "x y", "fr"), (12L, "u v", "fr"))
+    val df = docs(rows: _*)
+    val out = PipelineOps.mixtureUpsample(df).collect()
+    val byLang = out.groupBy(_.getString(1))
+    // fr hits the cap: every doc exactly 4 copies, copy_id 1..4
+    assert(byLang("fr").length == 8)
+    assert(byLang("fr").forall(_.getAs[Long]("n_copies") == 4L))
+    assert(byLang("fr").groupBy(_.getLong(0)).values.forall(
+      _.map(_.getAs[Long]("copy_id")).sorted.toSeq == Seq(1L, 2L, 3L, 4L)))
+    // languages at/above share: the ≥1-copy doc set IS the resample's
+    // kept set (same salted draw), every copy count ∈ {0, 1}
+    val enDocs = byLang.getOrElse("en", Array.empty)
+    assert(enDocs.forall(_.getAs[Long]("n_copies") == 1L))
+    val resampled = PipelineOps.mixtureResample(df).collect()
+      .filter(_.getString(1) == "en").map(_.getLong(0)).toSet
+    assert(enDocs.map(_.getLong(0)).toSet == resampled,
+      "upsample's fractional draw must match the resample's acceptance")
+    // per-doc copy accounting is exact everywhere
+    assert(out.groupBy(_.getLong(0)).values.forall(g =>
+      g.length == g.head.getAs[Long]("n_copies")))
+  }
+
   test("curatedCorpus is the intersection of survivors, quality gate, and sample") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)

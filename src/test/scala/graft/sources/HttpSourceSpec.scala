@@ -1,0 +1,124 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.types._
+
+/** Local-stub drive of the REST extract + partition backfill: a JDK
+  * HttpServer plays the Socrata endpoint (JSON array per GET, limit/
+  * offset pagination) so fetch, skip-if-committed, and crash-replay
+  * semantics are testable with zero egress.
+  */
+class HttpSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_http").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  /** Serve `total` rows as a JSON array; honors $limit/$offset. Returns
+    * (server, baseUrl, per-path hit counts).
+    */
+  private def stub(total: Int): (com.sun.net.httpserver.HttpServer, String,
+      ConcurrentHashMap[String, Integer]) = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new ConcurrentHashMap[String, Integer]()
+    srv.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val path = ex.getRequestURI.getPath
+      hits.merge(path, 1, (a, b) => a + b)
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      val limit = params.get("%24limit").orElse(params.get("$limit"))
+        .map(_.toInt).getOrElse(total)
+      val offset = params.get("%24offset").orElse(params.get("$offset"))
+        .map(_.toInt).getOrElse(0)
+      val rows = (offset until math.min(offset + limit, total))
+        .map(i => s"""{"id":$i,"name":"row$i"}""")
+      val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.start()
+    (srv, s"http://127.0.0.1:${srv.getAddress.getPort}", hits)
+  }
+
+  test("httpFetchJson: one-shot GET normalizes the JSON array into typed rows") {
+    val (srv, base, hits) = stub(total = 5)
+    try {
+      val df = Readers.httpFetchJson(spark, s"$base/feed", schema)
+      assert(df.schema.fieldNames.toSeq == Seq("id", "name"))
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(got.toSeq == (0 until 5).map(i => (i.toLong, s"row$i")))
+      assert(hits.get("/feed") == 1)
+    } finally srv.stop(0)
+  }
+
+  test("httpFetchJson: block-parallel limit/offset pagination reads the whole feed") {
+    val (srv, base, hits) = stub(total = 25)
+    try {
+      val df = Readers.httpFetchJson(spark, s"$base/feed", schema,
+        pageSize = Some(4), parallelPages = 2)
+      val ids = df.select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L until 25L), s"got ${ids.length} rows")
+      // 25 rows / 4 per page → pages 0..6 hold data; the block layout
+      // (2 pages per block) stops inside block 3 → exactly 8 page GETs
+      assert(hits.get("/feed") == 8, s"hits=${hits.get("/feed")}")
+    } finally srv.stop(0)
+  }
+
+  test("backfillHttpWindows: fetches only missing windows, replays as a no-op") {
+    val (srv, base, hits) = stub(total = 3)
+    try {
+      val raw = s"${tmp()}/raw"
+      // window w2020 was committed by an earlier (crashed-midway) run
+      Sinks.appendWindowOnce(spark, raw,
+        Seq((100L, "old", "w2020")).toDF("id", "name", "window"),
+        "pull311", "w2020")
+      val windows = Seq(
+        "w2019" -> s"$base/2019", "w2020" -> s"$base/2020",
+        "w2021" -> s"$base/2021")
+      val fetched = Sinks.backfillHttpWindows(spark, raw, "pull311",
+        windows, schema)
+      assert(fetched == Seq("w2019", "w2021"))
+      // the committed window was skipped BEFORE any fetch
+      assert(!hits.containsKey("/2020"))
+      assert(hits.get("/2019") == 1 && hits.get("/2021") == 1)
+      val head = Readers.readSnapshot(spark, raw)
+      assert(head.count() == 7) // 1 old + 3 + 3
+      assert(head.select("window").distinct().collect().map(_.getString(0))
+        .sorted.toSeq == Seq("w2019", "w2020", "w2021"))
+      // full replay: everything committed, zero fetches
+      val again = Sinks.backfillHttpWindows(spark, raw, "pull311",
+        windows, schema)
+      assert(again.isEmpty)
+      assert(hits.get("/2019") == 1 && hits.get("/2021") == 1)
+    } finally srv.stop(0)
+  }
+
+  test("window ids that prefix-extend each other never alias (2019 vs 2019-q1)") {
+    val (srv, base, hits) = stub(total = 2)
+    try {
+      val raw = s"${tmp()}/raw"
+      Sinks.appendWindowOnce(spark, raw,
+        Seq((1L, "q1", "2019-q1")).toDF("id", "name", "window"),
+        "s", "2019-q1")
+      // "2019" is NOT committed even though "2019-q1"'s files carry the
+      // prefix "ingest-s-w2019-"
+      val fetched = Sinks.backfillHttpWindows(spark, raw, "s",
+        Seq("2019" -> s"$base/y"), schema)
+      assert(fetched == Seq("2019"))
+      assert(hits.get("/y") == 1)
+      assert(Readers.readSnapshot(spark, raw).count() == 3)
+      // and the replay of the hyphenated window stays a no-op
+      assert(!Sinks.appendWindowOnce(spark, raw,
+        Seq((1L, "q1", "2019-q1")).toDF("id", "name", "window"),
+        "s", "2019-q1"))
+    } finally srv.stop(0)
+  }
+}

@@ -800,4 +800,114 @@ class SourcesSpec extends SparkSpec {
       "horizon-passed claim marker should be reclaimed")
     assert(Readers.readSnapshot(spark, path).count() == 8)
   }
+
+  test("an append that publishes after a compaction's CAS re-check self-repairs into the head") {
+    // the documented residual window of the compaction CAS: the append
+    // CLAIMS its version before the compaction snapshots the allocation
+    // state (so the claim reads as a crashed leftover) and PUBLISHES
+    // after the compaction's pre-publish re-check — deterministically
+    // interleaved via the commit-side seam
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 10L).map(i => (i, "base")).toDF("id", "src").write.parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 1)
+    Seq((100L, "late")).toDF("id", "src").write.mode("append").parquet(path)
+    val v = Sinks.commitSnapshotHooked(spark, path, () => {
+      // runs with the append's claim on v2 already taken: the full
+      // compaction sees it as pre-existing (ignored), claims v3,
+      // passes its re-check, and publishes head v3 = rewrite of v1 only
+      assert(Sinks.compactSnapshot(spark, path) == 3)
+    })
+    // the append detected its shadowed manifest (v2 below head v3 whose
+    // file set lacks the new file) and republished on top: the final
+    // head carries BOTH the compacted base and the appended row
+    assert(v == 4, s"expected the repair publish at v4, got v$v")
+    val head = Readers.readSnapshot(spark, path)
+    assert(head.count() == 11, s"append lost: ${head.count()} rows")
+    assert(head.filter($"id" === 100L).count() == 1)
+    // history stays intact: the compaction-only head remains readable
+    assert(Readers.readSnapshot(spark, path, Some(3)).count() == 10)
+  }
+
+  test("vacuum sweeps stale claims and orphan generations even when every aged-out version is tagged") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 5L).map(i => (i, "x")).toDF("id", "src").write.parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 1)
+    // a committer claimed v2 and crashed — burned, unpublished number
+    new java.io.File(path, "_claim-v00002").createNewFile()
+    Seq((9L, "y")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 3)
+    Seq((10L, "z")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 4)
+    Seq((11L, "w")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 5)
+    // a crashed compaction's generation file for the burned v2 — never
+    // referenced by any manifest
+    new java.io.File(path, "compact-v00002-p0000.parquet").createNewFile()
+    // tag BOTH aged-out versions (keepLast=2 drops v1, v3): the old
+    // early return would skip the claim/orphan sweep entirely here
+    Sinks.tagSnapshot(spark, path, "pin-1", version = 1)
+    Sinks.tagSnapshot(spark, path, "pin-3", version = 3)
+    val removed = Sinks.vacuumSnapshots(spark, path, keepLast = 2)
+    assert(removed == 1, s"expected the orphan generation reclaimed, got $removed")
+    assert(!new java.io.File(path, "compact-v00002-p0000.parquet").exists(),
+      "orphan generation must be reclaimed even on an all-tagged sweep")
+    assert(!new java.io.File(path, "_claim-v00002").exists(),
+      "stale claim must be reclaimed even on an all-tagged sweep")
+    // the tagged versions stayed fully readable
+    assert(Readers.readSnapshotTag(spark, path, "pin-1").count() == 5)
+    assert(Readers.readSnapshotTag(spark, path, "pin-3").count() == 6)
+    assert(Readers.readSnapshot(spark, path).count() == 8)
+  }
+
+  test("a tag landing inside vacuum's destructive window restores the version (no dangling tag)") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 5L).map(i => (i, "x")).toDF("id", "src").write.parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 1)
+    Seq((9L, "y")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 2)
+    Seq((10L, "z")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 3)
+    // the racing tagSnapshot read the published set while v1 was live,
+    // and its rename lands right after vacuum deleted v1's manifest —
+    // simulated by dropping the tag file in vacuum's post-delete seam
+    Sinks.vacuumSnapshotsHooked(spark, path, 2, () => {
+      val out = new java.io.FileOutputStream(new java.io.File(path, "_tag-raced"))
+      try out.write("1\n".getBytes("UTF-8")) finally out.close()
+    })
+    // vacuum must have restored v1's manifest and kept its files: the
+    // tag resolves and reads bit-for-bit
+    assert(Sinks.listTags(spark, path) == Map("raced" -> 1))
+    assert(Readers.readSnapshotTag(spark, path, "raced").count() == 5)
+    assert(Readers.readSnapshot(spark, path, Some(1)).count() == 5)
+    assert(Readers.readSnapshot(spark, path).count() == 7)
+  }
+
+  test("a tag that loses the race to vacuum retracts loudly instead of dangling") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 5L).map(i => (i, "x")).toDF("id", "src").write.parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 1)
+    Seq((9L, "y")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 2)
+    Seq((10L, "z")).toDF("id", "src").write.mode("append").parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 3)
+    // the tag read the published set while v1 was live, then an ENTIRE
+    // vacuum (including its late-tag re-read) ran before the tag's
+    // rename — the tag-side post-publish re-check must retract it
+    val ex = intercept[java.io.IOException] {
+      Sinks.tagSnapshotHooked(spark, path, "doomed", 1, () => {
+        Sinks.vacuumSnapshots(spark, path, keepLast = 2); ()
+      })
+    }
+    assert(ex.getMessage.contains("lost a race with vacuum"), ex.getMessage)
+    // no dangling ref: the tag is gone and the version is vacuumed
+    assert(Sinks.listTags(spark, path).isEmpty)
+    intercept[java.io.FileNotFoundException] {
+      Readers.readSnapshot(spark, path, Some(1))
+    }
+    assert(Readers.readSnapshot(spark, path).count() == 7)
+  }
 }

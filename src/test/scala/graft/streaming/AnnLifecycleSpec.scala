@@ -52,13 +52,15 @@ class AnnLifecycleSpec extends SparkSpec {
     assert(v2.count() == rows.length)
     assert(EventStreams.readAnnModel(spark, store).isEmpty,
       "no model sidecar before the first retrain")
-    val fixedHits = hits(SimilarityOps.annCodesSearch(
-      v2, queries, SimilarityOps.FixedAnnModel, k), exact)
+    // SERVE leg: the one-call probe over the committed store (fixed
+    // geometry — no sidecar yet)
+    val fixedHits = hits(
+      EventStreams.annIndexSearch(spark, store, queries, k), exact)
 
-    // the streamed index under the fixed model IS the fixed IVF-PQ probe:
-    // row-for-row equal to ivfPqAnn over the same corpus
-    val streamedPairs = SimilarityOps.annCodesSearch(
-        v2, queries, SimilarityOps.FixedAnnModel, k)
+    // the served stream index under the fixed model IS the fixed IVF-PQ
+    // probe: row-for-row equal to the graded embed_ivfpq_ann path over
+    // the same corpus — build→stream→serve answers match the batch ANN
+    val streamedPairs = EventStreams.annIndexSearch(spark, store, queries, k)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val directPairs = SimilarityOps.ivfPqAnn(emb, nQ, k)
       .select("query_id", "rank", "neighbor_id")
@@ -71,14 +73,22 @@ class AnnLifecycleSpec extends SparkSpec {
     assert(model.isDefined, "retrain must publish the model sidecar")
     val head = graft.sources.Readers.readSnapshot(spark, store)
     assert(head.count() == rows.length, "swap must not duplicate rows")
+    // serve now auto-pairs the TRAINED geometry with the rebuilt head
     val trainedHits = hits(
-      SimilarityOps.annCodesSearch(head, queries, model.get, k), exact)
+      EventStreams.annIndexSearch(spark, store, queries, k), exact)
     assert(trainedHits >= fixedHits,
       s"trained index must not lose recall ($trainedHits < $fixedHits)")
     assert(trainedHits > 0)
     // earlier snapshots stay readable (time travel across the swap)
     assert(graft.sources.Readers.readSnapshot(spark, store, Some(2))
       .count() == rows.length)
+    // and a PINNED serve replays yesterday's probes bit-for-bit: the
+    // pre-retrain snapshot pairs with the pre-retrain (fixed) geometry
+    val pinnedPairs = EventStreams
+      .annIndexSearch(spark, store, queries, k, version = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pinnedPairs == streamedPairs,
+      "version-pinned serve must reproduce the pre-retrain answers")
 
     // post-retrain ingest encodes in the NEW geometry and folds in
     val mem2 = MemoryStream[(Long, Seq[Float], Int)]
