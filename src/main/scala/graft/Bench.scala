@@ -11,7 +11,11 @@ object Bench {
       .getOrCreate()
     GraftSession.register(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // optional subset: `runMain graft.Bench q1 q2` re-times named
+    // queries only (regression adjudication) — the driver passes none
+    val only = args.toSet
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
     // Warmup pass on the target dir: pays JVM/JIT/codegen-compile AND
     // file-listing/footer caches once so the timed pass measures the
     // engine, not HotSpot or first-touch metadata IO.

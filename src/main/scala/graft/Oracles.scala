@@ -5023,7 +5023,165 @@ object Oracles {
          |UNION ALL ${leg("full_recompute", "TRUE")}""".stripMargin
     })
 
+  // ------------------------------------------------- round-10 operators
+  private val gRound10: Map[String, String] = Map(
+    // StatOps.mannWhitneyU: exact rank-sum with midrank ties, everything
+    // doubled so it stays integral; HUGEINT internals, guarded division
+    "mann_whitney_u" ->
+      """WITH v AS (SELECT
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents,
+        |  CASE WHEN l_discount > 0 THEN 1 ELSE 0 END AS grp
+        | FROM lineitem),
+        |byv AS (SELECT cents,
+        |  CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+        |  CAST(COUNT(*) AS BIGINT) AS c
+        | FROM v GROUP BY cents),
+        |cc AS (SELECT ca, cb, c,
+        |  CAST(SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum FROM byv),
+        |f AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |  CAST(SUM(cb) AS BIGINT) AS n_b,
+        |  SUM(CAST(ca AS HUGEINT) * (2 * (cum - c) + c + 1)) AS r2a
+        | FROM cc),
+        |u AS (SELECT n_a, n_b,
+        |  r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2a FROM f)
+        |SELECT n_a, n_b, CAST(u2a AS BIGINT) AS u2_a,
+        | CAST(CAST(n_a AS HUGEINT) * n_b * 2 - u2a AS BIGINT) AS u2_b,
+        | CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |  ELSE (u2a * 1000000) // (CAST(n_a AS HUGEINT) * n_b * 2)
+        |  END AS BIGINT) AS auc_micro
+        |FROM u""".stripMargin,
+
+    // StatOps.kendallTauDaily: pair census on the calendar-bounded daily
+    // table; sign comparisons only; sign-branched integer division
+    "kendall_tau_daily" ->
+      """WITH daily AS (SELECT
+        |  CAST(date_diff('day', DATE '1992-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS y,
+        |  CAST(COUNT(*) AS BIGINT) AS m
+        | FROM orders GROUP BY 1),
+        |p AS (SELECT
+        |  CASE WHEN (b.y > a.y AND b.m > a.m) OR (b.y < a.y AND b.m < a.m)
+        |    THEN 1 ELSE 0 END AS conc,
+        |  CASE WHEN (b.y > a.y AND b.m < a.m) OR (b.y < a.y AND b.m > a.m)
+        |    THEN 1 ELSE 0 END AS disc,
+        |  CASE WHEN b.y = a.y AND b.m <> a.m THEN 1 ELSE 0 END AS tie_y,
+        |  CASE WHEN b.m = a.m AND b.y <> a.y THEN 1 ELSE 0 END AS tie_m,
+        |  CASE WHEN b.y = a.y AND b.m = a.m THEN 1 ELSE 0 END AS tie_both
+        | FROM daily a JOIN daily b ON b.t > a.t),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(SUM(conc), 0) AS BIGINT) AS n_concordant,
+        |  CAST(COALESCE(SUM(disc), 0) AS BIGINT) AS n_discordant,
+        |  CAST(COALESCE(SUM(tie_y), 0) AS BIGINT) AS n_ties_revenue,
+        |  CAST(COALESCE(SUM(tie_m), 0) AS BIGINT) AS n_ties_count,
+        |  CAST(COALESCE(SUM(tie_both), 0) AS BIGINT) AS n_ties_both
+        | FROM p)
+        |SELECT *,
+        | CAST(CASE WHEN n_concordant >= n_discordant
+        |  THEN ((n_concordant - n_discordant)::HUGEINT * 1000000) // n_pairs
+        |  ELSE -(((n_discordant - n_concordant)::HUGEINT * 1000000) // n_pairs)
+        |  END AS BIGINT) AS tau_a_micro
+        |FROM s WHERE n_pairs > 0""".stripMargin,
+
+    // StatOps.runsTestDaily: runs around the exact lower median of daily
+    // revenue; expected runs in exact milli-units
+    "runs_test_daily" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS y
+        | FROM orders GROUP BY 1),
+        |byv AS (SELECT y, COUNT(*) AS c FROM daily GROUP BY y),
+        |cc AS (SELECT y,
+        |  CAST(SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum,
+        |  CAST(SUM(c) OVER () AS BIGINT) AS n FROM byv),
+        |med AS (SELECT MIN(y) AS med FROM cc WHERE cum * 2 >= n),
+        |signs AS (SELECT d,
+        |  CASE WHEN y > (SELECT med FROM med) THEN 1 ELSE 0 END AS s
+        | FROM daily),
+        |flips AS (SELECT s,
+        |  CASE WHEN lag(s) OVER (ORDER BY d) IS DISTINCT FROM s
+        |   THEN 1 ELSE 0 END AS new_run
+        | FROM signs)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        | CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_above,
+        | CAST(COUNT(*) - COALESCE(SUM(s), 0) AS BIGINT) AS n_below,
+        | CAST(COALESCE(SUM(new_run), 0) AS BIGINT) AS n_runs,
+        | CAST(1000 + (2000::HUGEINT * COALESCE(SUM(s), 0) *
+        |   (COUNT(*) - COALESCE(SUM(s), 0))) // COUNT(*) AS BIGINT)
+        |   AS expected_runs_milli
+        |FROM flips HAVING COUNT(*) > 0""".stripMargin,
+
+    // Analytics.giniCustomerConcentration: sorted-cumulative identity on
+    // the distinct customer-total grain; HUGEINT internals
+    "gini_customer_concentration" ->
+      """WITH pc AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS cents
+        | FROM orders GROUP BY 1),
+        |byv AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c
+        | FROM pc GROUP BY cents),
+        |cc AS (SELECT cents, c,
+        |  CAST(SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum FROM byv),
+        |f AS (SELECT CAST(SUM(c) AS BIGINT) AS n_customers,
+        |  SUM(CAST(cents AS HUGEINT) * c) AS tot,
+        |  SUM(CAST(cents AS HUGEINT) *
+        |    (2 * c * (cum - c) + c * (c + 1))) AS s2
+        | FROM cc)
+        |SELECT n_customers, CAST(tot AS BIGINT) AS total_cents,
+        | CAST(CASE WHEN tot = 0 THEN NULL ELSE
+        |  ((s2 - (n_customers + 1) * tot) * 1000000) //
+        |  (CAST(n_customers AS HUGEINT) * tot) END AS BIGINT) AS gini_micro
+        |FROM f WHERE n_customers > 0""".stripMargin,
+
+    // AuditOps.backfillPlan: month spine from the data's own bounds,
+    // anti-joined with the present months
+    "partition_backfill_plan" ->
+      """WITH bounds AS (SELECT
+        |  date_trunc('month', MIN(CAST(o_orderdate AS DATE))) AS lo,
+        |  date_trunc('month', MAX(CAST(o_orderdate AS DATE))) AS hi
+        | FROM orders),
+        |months AS (SELECT unnest(generate_series(lo, hi,
+        |  INTERVAL 1 MONTH)) AS m FROM bounds WHERE lo IS NOT NULL),
+        |spine AS (SELECT strftime(m, '%Y-%m') AS month FROM months),
+        |present AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |  AS month, CAST(COUNT(*) AS BIGINT) AS n_rows
+        | FROM orders GROUP BY 1)
+        |SELECT s.month, COALESCE(p.n_rows, 0) AS n_rows,
+        | p.n_rows IS NULL AS missing
+        |FROM spine s LEFT JOIN present p ON s.month = p.month""".stripMargin,
+
+    // TextOps.sourceTermLift: exact share-lift keyness, top-k per source
+    "source_term_lift" -> {
+      val t = normTextSql("text")
+      s"""WITH toks AS (SELECT source, unnest(string_split($t, ' ')) AS tok
+         |  FROM documents WHERE length($t) > 0),
+         |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
+         | FROM toks GROUP BY 1, 2),
+         |tt AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS tf FROM st GROUP BY 1),
+         |stot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS ns
+         | FROM st GROUP BY 1),
+         |n AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM st),
+         |lift AS (SELECT st.source, st.tok, st.a, tt.tf,
+         |  CAST((CAST(st.a AS HUGEINT) * n.n * 1000000) //
+         |    (CAST(tt.tf AS HUGEINT) * stot.ns) AS BIGINT) AS lift_micro
+         | FROM st JOIN tt ON st.tok = tt.tok
+         | JOIN stot ON st.source = stot.source
+         | CROSS JOIN n
+         | WHERE tt.tf >= 5),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |  ORDER BY lift_micro DESC, tok) AS BIGINT) AS rank FROM lift)
+         |SELECT source, tok, rank, a AS tf_source, tf AS tf_corpus,
+         | lift_micro
+         |FROM r WHERE rank <= 10""".stripMargin
+    })
+
   val all: Map[String, String] =
     aCleaning ++ bStarSchema ++ cAnalytics ++ dPipeline ++ dExtras ++
-      eStreaming ++ fRound9
+      eStreaming ++ fRound9 ++ gRound10
 }

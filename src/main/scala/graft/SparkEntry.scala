@@ -467,7 +467,15 @@ object SparkEntry {
     "grouping_sets_profile" -> ((s, d) => Analytics.groupingSetsProfile(
       orders(s, d), customer(s, d), nation(s, d), region(s, d))),
     "delta_join_maintenance" -> ((s, d) =>
-      ChangeOps.deltaJoinMaintenance(orders(s, d), lineitem(s, d)))
+      ChangeOps.deltaJoinMaintenance(orders(s, d), lineitem(s, d))),
+    // G. round-10: rank statistics, concentration, keyness, backfill
+    "mann_whitney_u" -> ((s, d) => StatOps.mannWhitneyU(lineitem(s, d))),
+    "kendall_tau_daily" -> ((s, d) => StatOps.kendallTauDaily(orders(s, d))),
+    "runs_test_daily" -> ((s, d) => StatOps.runsTestDaily(orders(s, d))),
+    "gini_customer_concentration" -> ((s, d) =>
+      Analytics.giniCustomerConcentration(orders(s, d))),
+    "partition_backfill_plan" -> ((s, d) => AuditOps.backfillPlan(orders(s, d))),
+    "source_term_lift" -> ((s, d) => TextOps.sourceTermLift(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.all

@@ -2044,4 +2044,42 @@ object Analytics {
         |GROUP BY GROUPING SETS ((region, segment), (region), (segment), ())
         |""".stripMargin)
   }
+
+  /** Exact Gini coefficient of customer revenue concentration — the
+    * one-number inequality summary next to [[supplierAbcClasses]]'
+    * banding and [[nationSupplierHhi]]'s per-market HHI: how far total
+    * spend is from evenly spread across buying customers. Computed from
+    * the sorted-cumulative identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx)
+    * factored through the DISTINCT-value table, where a tie group of
+    * count c after `cum−c` predecessors contributes
+    * v·(2·c·(cum−c) + c·(c+1)) to the doubled rank-weighted sum — all
+    * exact DECIMAL(38,0) integer arithmetic, no sorting of rows, no
+    * floats.
+    *
+    * Scale: one fact rollup to customer grain (map-side combined), one
+    * re-rollup to the distinct-total grain, the cumulative via
+    * [[OpUtils.twoLevelCum]]'s bounded windows, then a scalar fold.
+    */
+  def giniCustomerConcentration(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val byV = perCust.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+    OpUtils.twoLevelCum(byV, "cents", "c")
+      .agg(
+        coalesce(sum(col("c")), lit(0L)).as("n_customers"),
+        coalesce(sum(col("cents").cast("decimal(38,0)") * col("c")),
+          lit(0).cast("decimal(38,0)")).as("tot"),
+        coalesce(sum(col("cents").cast("decimal(38,0)") *
+          (lit(2L) * col("c") * (col("cum") - col("c")) +
+            col("c") * (col("c") + 1L))),
+          lit(0).cast("decimal(38,0)")).as("s2"))
+      .filter(col("n_customers") > 0)
+      .select(col("n_customers"), col("tot").cast("long").as("total_cents"),
+        expr("""cast(case when tot = 0 then null else
+          ((s2 - (n_customers + 1) * tot) * 1000000) div
+          (cast(n_customers as decimal(38,0)) * tot) end as bigint)""")
+          .as("gini_micro"))
+  }
 }

@@ -452,26 +452,8 @@ object AsOfOps {
       .filter(col("__asof_ts").isNotNull)
       .select((col("ts_s") - col("__asof_ts")).as("lat_s"))
     val byV = lat.groupBy(col("lat_s")).agg(count(lit(1)).as("m"))
-    // level 0: bucket the grid by latency RANGE — truncating division on
-    // the non-negative shift is monotonic, so bucket order is value order
-    val rng = byV.agg(min(col("lat_s")).as("lo"), max(col("lat_s")).as("hi"))
-    val bucketed = byV.crossJoin(broadcast(rng))
-      .withColumn("bucket", expr(
-        "(lat_s - lo) div greatest(cast(1 as bigint), (hi - lo) div 1024 + 1)"))
-    // level 1: prefix over the ≤1025 bucket totals only
-    val bucketTotals = bucketed.groupBy(col("bucket"))
-      .agg(sum(col("m")).as("bn"))
-      .withColumn("prior", coalesce(sum(col("bn")).over(
-        Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket").as("bkt"), col("prior"))
-    // level 2: within-bucket cumulative, partitioned by bucket
-    val cdf = bucketed
-      .withColumn("incum", sum(col("m")).over(
-        Window.partitionBy(col("bucket")).orderBy(col("lat_s"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(bucketTotals), col("bucket") === col("bkt"))
-      .select(col("lat_s"), (col("prior") + col("incum")).as("cum"))
+    val cdf = OpUtils.twoLevelCum(byV, "lat_s", "m")
+      .select(col("lat_s"), col("cum"))
     val tot = byV.agg(sum(col("m")).as("n"))
     cdf
       .crossJoin(broadcast(tot))

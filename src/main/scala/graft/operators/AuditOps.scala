@@ -484,6 +484,38 @@ object AuditOps {
       .withColumn("is_representative", col("c_custkey") === col("cluster_id"))
   }
 
+  /** Partition-backfill plan — the PURE-QUERY half of the reference
+    * DAG's catchup loop (`nyc_ingestion_dag.py:25-41`: "for each year,
+    * pull unless it already landed"), over the warehouse's own month
+    * grain: the complete month spine from first to last order date,
+    * each month's present row count, and the `missing` verdict that
+    * tells [[graft.sources.Sinks.backfillHttpWindows]] (the EFFECTFUL
+    * half) which windows to fetch. A feed that silently skipped March
+    * shows up here as `missing = true` — the gap check every
+    * partition-loaded table needs before anyone trusts a month-over-
+    * month trend on it.
+    *
+    * Scale: one map-side-combined rollup to month grain; the spine
+    * explodes from a 1-row min/max aggregate and is calendar-bounded
+    * (|months|), so the anti-join is spine-sized at any SF.
+    */
+  def backfillPlan(orders: DataFrame): DataFrame = {
+    val present = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"))
+    val spine = orders
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      .filter(col("lo").isNotNull)
+      .select(explode(expr(
+        "sequence(trunc(lo, 'MM'), trunc(hi, 'MM'), interval 1 month)"))
+        .as("m"))
+      .select(date_format(col("m"), "yyyy-MM").as("month"))
+    spine.join(present, Seq("month"), "left")
+      .select(col("month"), coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("n_rows").isNull.as("missing"))
+  }
+
   /** Functional-dependency audit (data profiling's FD-discovery check,
     * Metanome-style, over a fixed candidate set): for each candidate
     * determinant → dependent pair, how many determinant groups exist,

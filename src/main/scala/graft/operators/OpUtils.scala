@@ -25,6 +25,38 @@ private[graft] object OpUtils {
     * Shared by perplexity_buckets and order_value_deciles — one
     * definition of the quantile semantics, not two.
     */
+  /** Cumulative sum of `weightCol` in `valueCol` order over a
+    * DISTINCT-VALUE-grain table, in TWO bounded window levels (the
+    * theil_sen_cdf / skyline pattern): values range-bucket into ≤1025
+    * buckets — truncating division on the non-negative shift is
+    * monotonic, so bucket order is value order — the cross-bucket
+    * prefix rides a window over BUCKET SUMMARIES only, and the
+    * within-bucket cumulative partitions by bucket. No unpartitioned
+    * window ever sees the full grid, so a wide value domain degrades
+    * to parallel bucket work, never one straggler task. Returns the
+    * input columns plus `cum`. `valueCol` must be integral.
+    */
+  def twoLevelCum(df: DataFrame, valueCol: String, weightCol: String): DataFrame = {
+    val rng = df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    val bucketed = df.crossJoin(broadcast(rng))
+      .withColumn("__bucket", expr(
+        s"($valueCol - __lo) div " +
+          "greatest(cast(1 as bigint), (__hi - __lo) div 1024 + 1)"))
+    val bucketTotals = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col(weightCol)).as("__bn"))
+      .withColumn("__prior", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket").as("__bkt"), col("__prior"))
+    bucketed
+      .withColumn("__incum", sum(col(weightCol)).over(
+        Window.partitionBy(col("__bucket")).orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(bucketTotals), col("__bucket") === col("__bkt"))
+      .withColumn("cum", col("__prior") + col("__incum"))
+      .drop("__lo", "__hi", "__bucket", "__bkt", "__prior", "__incum")
+  }
+
   def cdfBuckets(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     val byV = df.groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
     val total = df.agg(count(lit(1)).as("nd"))

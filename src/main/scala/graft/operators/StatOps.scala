@@ -369,4 +369,144 @@ object StatOps {
           cast(n as decimal(38,0)) as bigint)""").as("exp_milli"))
       .withColumn("dev_milli", col("obs") * 1000 - col("exp_milli"))
   }
+
+  /** Exact Mann–Whitney U (Wilcoxon rank-sum) between discounted and
+    * full-price line items on extended price — the nonparametric "are
+    * the two price distributions shifted" test a median-diff eyeball
+    * can't defend. Ties take MIDRANKS; everything is doubled so the
+    * midrank `2·(cum−c)+c+1` stays integral: `u2_*` is 2·U and
+    * `auc_micro` = U_a/(n_a·n_b) in micro-units — the probability a
+    * random discounted line out-prices a random full-price one (the
+    * rank-sum effect size). DECIMAL(38,0) internals (rank sums cross
+    * 2⁶³ at lake row counts); outputs project to LONG under ANSI, so a
+    * pathological overflow errors loudly, never wraps.
+    *
+    * Scale: one fact rollup to the distinct-cents grain (bounded by the
+    * price DOMAIN), the cumulative via [[OpUtils.twoLevelCum]]'s bounded
+    * window levels, then a scalar fold — no row-level sort anywhere.
+    */
+  def mannWhitneyU(lineitem: DataFrame): DataFrame = {
+    val v = lineitem.select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"),
+      when(col("l_discount") > 0, 1L).otherwise(0L).as("grp"))
+    val byV = v.groupBy(col("cents")).agg(
+      sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val folded = OpUtils.twoLevelCum(byV, "cents", "c")
+      // doubled rank-sum of group A over the tie group at value v:
+      // ranks span (cum−c, cum], their doubled midrank is 2(cum−c)+c+1
+      .agg(
+        coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+        coalesce(sum(col("cb")), lit(0L)).as("n_b"),
+        coalesce(sum(col("ca").cast("decimal(38,0)") *
+          (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))),
+          lit(0).cast("decimal(38,0)")).as("r2a"))
+    folded
+      .withColumn("u2_a", expr(
+        "cast(r2a - cast(n_a as decimal(38,0)) * (n_a + 1) as decimal(38,0))"))
+      .select(col("n_a"), col("n_b"),
+        col("u2_a").cast("long").as("u2_a"),
+        expr("""cast(cast(n_a as decimal(38,0)) * n_b * 2 - u2_a
+          as bigint)""").as("u2_b"),
+        expr("""cast(case when n_a = 0 or n_b = 0 then null
+          else (u2_a * 1000000) div (cast(n_a as decimal(38,0)) * n_b * 2)
+          end as bigint)""").as("auc_micro"))
+  }
+
+  /** Exact Kendall rank correlation between daily revenue and daily
+    * order count — "do busier days make proportionally more money, and
+    * how consistently": concordant/discordant/tied pair censuses over
+    * the calendar-bounded daily table plus τ_a in micro-units
+    * (sign-branched integer division, so both engines floor toward
+    * zero identically).
+    *
+    * Scale: the O(days²) pair join runs on the ≤ ~2.5k-row daily rollup
+    * broadcast on one side — SF-independent by construction, the
+    * theil_sen shape; the fact table is touched once.
+    */
+  def kendallTauDaily(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").as("d"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("y"), count(lit(1)).as("m"))
+      .select(datediff(col("d"), to_date(lit("1992-01-01")))
+        .cast("long").as("t"), col("y"), col("m"))
+    val a = daily.select(col("t").as("ta"), col("y").as("ya"), col("m").as("ma"))
+    val b = daily.select(col("t").as("tb"), col("y").as("yb"), col("m").as("mb"))
+    // sign COMPARISONS, never the cross product of the two deltas —
+    // day-grain cents deltas times count deltas would overflow a long
+    // at lake-scale daily volumes
+    val pairs = a.join(broadcast(b), col("tb") > col("ta"))
+      .select(
+        when((col("yb") > col("ya") && col("mb") > col("ma")) ||
+          (col("yb") < col("ya") && col("mb") < col("ma")), 1L)
+          .otherwise(0L).as("conc"),
+        when((col("yb") > col("ya") && col("mb") < col("ma")) ||
+          (col("yb") < col("ya") && col("mb") > col("ma")), 1L)
+          .otherwise(0L).as("disc"),
+        when(col("yb") === col("ya") && col("mb") =!= col("ma"), 1L)
+          .otherwise(0L).as("tie_y"),
+        when(col("mb") === col("ma") && col("yb") =!= col("ya"), 1L)
+          .otherwise(0L).as("tie_m"),
+        when(col("yb") === col("ya") && col("mb") === col("ma"), 1L)
+          .otherwise(0L).as("tie_both"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(col("conc")), lit(0L)).as("n_concordant"),
+      coalesce(sum(col("disc")), lit(0L)).as("n_discordant"),
+      coalesce(sum(col("tie_y")), lit(0L)).as("n_ties_revenue"),
+      coalesce(sum(col("tie_m")), lit(0L)).as("n_ties_count"),
+      coalesce(sum(col("tie_both")), lit(0L)).as("n_ties_both"))
+      .filter(col("n_pairs") > 0)
+      .withColumn("tau_a_micro", expr(
+        """case when n_concordant >= n_discordant
+          |then ((n_concordant - n_discordant) * 1000000) div n_pairs
+          |else -(((n_discordant - n_concordant) * 1000000) div n_pairs)
+          |end""".stripMargin))
+  }
+
+  /** Wald–Wolfowitz runs test on daily revenue vs its median — "is the
+    * revenue series random around its level, or does it streak":
+    * above/at-or-below signs from the exact lower-median order
+    * statistic, the observed run count, and the exact expected run
+    * count 1 + 2·n₁·n₂/n in milli-units. Too FEW runs = persistent
+    * regimes (the streaks [[graft.operators.TrendOps]] models); too
+    * many = oscillation (e.g. alternating batch effects).
+    *
+    * Scale: everything after the one fact rollup lives on the
+    * calendar-bounded daily table (≤ ~2.5k rows at ANY SF) — the
+    * ordered-window pass over it is domain-bounded, the daily-ops
+    * contract.
+    */
+  def runsTestDaily(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").as("d"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("y"))
+    val byV = daily.groupBy(col("y")).agg(count(lit(1)).as("c"))
+    val tot = byV.agg(sum(col("c")).as("n"))
+    // lower median: smallest y with 2·cum ≥ n (percentile_disc 0.5)
+    val med = OpUtils.twoLevelCum(byV, "y", "c")
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min(col("y")).as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .select(col("d"), when(col("y") > col("med"), 1L).otherwise(0L).as("s"))
+    val flips = signs
+      .withColumn("prev", lag(col("s"), 1).over(Window.orderBy(col("d"))))
+      .select(
+        when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L).as("new_run"),
+        col("s"))
+    flips.agg(
+      count(lit(1)).as("n_days"),
+      coalesce(sum(col("s")), lit(0L)).as("n_above"),
+      (count(lit(1)) - coalesce(sum(col("s")), lit(0L))).as("n_below"),
+      coalesce(sum(col("new_run")), lit(0L)).as("n_runs"))
+      .filter(col("n_days") > 0)
+      .withColumn("expected_runs_milli",
+        expr("1000 + (2000 * n_above * n_below) div n_days"))
+  }
 }

@@ -450,6 +450,10 @@ class PlanAuditSpec extends SparkSpec {
       "robust_price_stats" -> 3, // median/P5/P95 probes per o_orderpriority (5-value enum)
       "rolling_distinct_users" -> 1, // distinct-day frame: calendar-bounded, not SF-bounded
       "mixture_resample" -> 1, // per-lang acceptance thresholds: ≤|langs| rows
+      "mixture_upsample" -> 1, // per-lang repeat ratios: the same ≤|langs| frame
+      "kendall_tau_daily" -> 1, // daily rollup pair side: calendar-bounded
+      // (≤ ~2.5k rows for the 7-year history at ANY SF — theil_sen's bound)
+      "source_term_lift" -> 1, // per-source token totals: source enum domain
       "rank_corr_quality_len" -> 1, // contingency cells: ≤ 21 score bins ×
       // 64 log2-length bins — bounded by both quantized DOMAINS, never docs
       "customer_spend_quartiles" -> 1, // per-(segment, dollar) quartile map:

@@ -709,4 +709,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("-", "AUTO", 2L)) == ((1L, 200.0)))
     assert(got(("-", "-", 3L)) == ((3L, 350.0)))
   }
+
+  test("giniCustomerConcentration: exact values for equal and skewed spend") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    def orders(rows: (Long, Long, Double)*) = rows
+      .map { case (k, c, p) => (k, c, "1995-01-01", p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    // perfectly equal spend → Gini 0
+    val eq = Analytics.giniCustomerConcentration(
+      orders((1L, 1L, 1.00), (2L, 2L, 1.00))).collect()(0)
+    assert(eq.getAs[Long]("n_customers") == 2L)
+    assert(eq.getAs[Long]("gini_micro") == 0L)
+    // totals 100 vs 300 cents → Gini exactly 0.25
+    val sk = Analytics.giniCustomerConcentration(
+      orders((1L, 1L, 1.00), (2L, 2L, 3.00))).collect()(0)
+    assert(sk.getAs[Long]("total_cents") == 400L)
+    assert(sk.getAs[Long]("gini_micro") == 250000L)
+  }
 }

@@ -251,6 +251,21 @@ class AuditOpsSpec extends SparkSpec {
       (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false)))
   }
 
+  test("backfillPlan: the month spine exposes the silently-skipped month") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val orders = Seq(
+      (1L, "1995-01-15", 1.0), (2L, "1995-01-20", 1.0),
+      (3L, "1995-03-02", 1.0)) // February never landed
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val got = AuditOps.backfillPlan(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      "1995-01" -> ((2L, false)),
+      "1995-02" -> ((0L, true)),
+      "1995-03" -> ((1L, false))))
+  }
+
   test("fdAudit: exact hold/violation verdicts per candidate FD") {
     val customer = Seq((1L, "n1", 1), (2L, "n2", 1))
       .toDF("c_custkey", "c_name", "c_nationkey")

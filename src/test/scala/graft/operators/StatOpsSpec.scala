@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.{col, to_date}
 
 class StatOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -159,5 +160,59 @@ class StatOpsSpec extends SparkSpec {
     val r = StatOps.rankCorrQualityLength(df).collect()(0)
     assert(r.getAs[Long]("n_docs") == 2L)
     assert(r.isNullAt(r.fieldIndex("tau_b_r6")))
+  }
+
+  test("mannWhitneyU: doubled midrank identity on a hand-checked sample") {
+    // A (discounted): 10.00, 20.00; B: 15.00 → ranks 1,3 vs 2
+    // 2R_A = 8 → 2U_A = 8 − 2·3 = 2, 2U_B = 2·2·1 − 2 = 2, AUC = 0.5
+    val li = Seq(
+      (1L, 10.00, 0.05), (2L, 20.00, 0.10), (3L, 15.00, 0.00))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val r = StatOps.mannWhitneyU(li).collect()(0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 1L)
+    assert(r.getAs[Long]("u2_a") == 2L && r.getAs[Long]("u2_b") == 2L)
+    assert(r.getAs[Long]("auc_micro") == 500000L)
+  }
+
+  test("mannWhitneyU: tie-heavy sample uses midranks exactly") {
+    // A: [10, 10], B: [10] → all tied at doubled midrank 2·2=4
+    // 2R_A = 8 → 2U_A = 8 − 6 = 2 = n_a·n_b → AUC exactly 0.5
+    val li = Seq(
+      (1L, 10.00, 0.05), (2L, 10.00, 0.10), (3L, 10.00, 0.00))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val r = StatOps.mannWhitneyU(li).collect()(0)
+    assert(r.getAs[Long]("u2_a") == 2L && r.getAs[Long]("auc_micro") == 500000L)
+  }
+
+  test("kendallTauDaily: concordant/discordant/tie census on three days") {
+    // day1: y=100 m=1; day2: y=200 m=2; day3: y=150 m=1
+    // (1,2) conc; (1,3) m-tie; (2,3) both fall → conc; τ_a = 2/3
+    val orders = Seq(
+      (1L, "1995-01-01", 1.00),
+      (2L, "1995-01-02", 1.00), (3L, "1995-01-02", 1.00),
+      (4L, "1995-01-03", 1.50))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val r = StatOps.kendallTauDaily(orders).collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("n_concordant") == 2L)
+    assert(r.getAs[Long]("n_discordant") == 0L)
+    assert(r.getAs[Long]("n_ties_count") == 1L)
+    assert(r.getAs[Long]("tau_a_micro") == 666666L)
+  }
+
+  test("runsTestDaily: alternating series counts the maximum run count") {
+    // daily y: 100, 300, 120, 400 → lower median 120; signs 0,1,0,1
+    // → 4 runs; expected = 1000 + (2000·2·2) div 4 = 3000 milli
+    val orders = Seq(
+      (1L, "1995-01-01", 1.00), (2L, "1995-01-02", 3.00),
+      (3L, "1995-01-03", 1.20), (4L, "1995-01-04", 4.00))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val r = StatOps.runsTestDaily(orders).collect()(0)
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Long]("n_above") == 2L && r.getAs[Long]("n_below") == 2L)
+    assert(r.getAs[Long]("n_runs") == 4L)
+    assert(r.getAs[Long]("expected_runs_milli") == 3000L)
   }
 }

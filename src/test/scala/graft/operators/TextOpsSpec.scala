@@ -508,4 +508,21 @@ class TextOpsSpec extends SparkSpec {
     assert((r(0).getString(0), r(0).getLong(1), r(0).getLong(2),
       r(0).getLong(3), r(0).getLong(4)) == (("s", 4L, 100L, 90L, 1L)))
   }
+
+  test("sourceTermLift ranks each source's over-represented vocabulary exactly") {
+    // s1: apple×2 banana; s2: banana×3 cherry → N=7, ns=3/4
+    // lift(s1,apple) = 2·7e6 div (2·3) = 2333333 (top of s1)
+    // lift(s2,cherry) = 1·7e6 div (1·4) = 1750000 (top of s2)
+    val df = Seq(
+      (1L, "apple apple banana", "en", "s1", 18L),
+      (2L, "banana banana banana cherry", "en", "s2", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.sourceTermLift(df, k = 2, minTf = 1).collect()
+      .map(r => ((r.getString(0), r.getLong(2)),
+        (r.getString(1), r.getAs[Long]("lift_micro")))).toMap
+    assert(out(("s1", 1L)) == (("apple", 2333333L)))
+    assert(out(("s1", 2L)) == (("banana", 583333L)))
+    assert(out(("s2", 1L)) == (("cherry", 1750000L)))
+    assert(out(("s2", 2L)) == (("banana", 1312500L)))
+  }
 }
