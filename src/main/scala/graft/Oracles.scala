@@ -5046,7 +5046,8 @@ object Oracles {
         |  SUM(CAST(ca AS HUGEINT) * (2 * (cum - c) + c + 1)) AS r2a
         | FROM cc),
         |u AS (SELECT n_a, n_b,
-        |  r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2a FROM f)
+        |  r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2a FROM f
+        | WHERE n_a + n_b > 0)
         |SELECT n_a, n_b, CAST(u2a AS BIGINT) AS u2_a,
         | CAST(CAST(n_a AS HUGEINT) * n_b * 2 - u2a AS BIGINT) AS u2_b,
         | CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL

@@ -404,6 +404,8 @@ object StatOps {
           (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))),
           lit(0).cast("decimal(38,0)")).as("r2a"))
     folded
+      // empty input → no verdict row (matching the oracle's WHERE guard)
+      .filter(col("n_a") + col("n_b") > 0)
       .withColumn("u2_a", expr(
         "cast(r2a - cast(n_a as decimal(38,0)) * (n_a + 1) as decimal(38,0))"))
       .select(col("n_a"), col("n_b"),

@@ -264,4 +264,40 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     assert(AsOfOps.conversionLatencyQuartiles(noConv).count() == 0)
   }
+
+  test("round-10 operators survive empty and one-sided inputs") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val noOrders = Seq.empty[(Long, Long, String, Double)]
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val noLines = Seq.empty[(Long, Double, Double)]
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val noDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // empty inputs: zero verdict rows everywhere, never a null row
+    assert(StatOps.mannWhitneyU(noLines).count() == 0)
+    assert(StatOps.kendallTauDaily(noOrders).count() == 0)
+    assert(StatOps.runsTestDaily(noOrders).count() == 0)
+    assert(Analytics.giniCustomerConcentration(noOrders).count() == 0)
+    assert(AuditOps.backfillPlan(noOrders).count() == 0)
+    assert(TextOps.sourceTermLift(noDocs).count() == 0)
+    assert(PipelineOps.mixtureUpsample(noDocs).count() == 0)
+    // one-sided rank sample (no discounted lines): U collapses to the
+    // defined degenerate values and AUC is NULL, not a division error
+    val oneSided = Seq((1L, 10.0, 0.0), (2L, 20.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val u = StatOps.mannWhitneyU(oneSided).collect()(0)
+    assert(u.getAs[Long]("n_a") == 0L && u.getAs[Long]("u2_a") == 0L)
+    assert(u.isNullAt(u.fieldIndex("auc_micro")))
+    // a single day: no pairs → kendall empty; one run of one sign
+    val oneDay = Seq((1L, "1995-01-01", 1.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    assert(StatOps.kendallTauDaily(oneDay).count() == 0)
+    val runs = StatOps.runsTestDaily(oneDay).collect()(0)
+    assert(runs.getAs[Long]("n_days") == 1L && runs.getAs[Long]("n_runs") == 1L)
+    // single-month orders: a one-row spine, nothing missing
+    val plan = AuditOps.backfillPlan(oneDay).collect()
+    assert(plan.length == 1 && !plan(0).getBoolean(2))
+  }
 }
