@@ -5157,6 +5157,31 @@ object Oracles {
         | p.n_rows IS NULL AS missing
         |FROM spine s LEFT JOIN present p ON s.month = p.month""".stripMargin,
 
+    // SimilarityOps.embedMarginAudit: top1/top2 cosine margin per query
+    // (embed-family 6dp parity policy; margin re-rounded on the grid)
+    "embed_margin_audit" -> {
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH pairs AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ROUND(${dotSql("q", "c")} / (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("c", "c")})), 6)
+         |   AS cosine_sim
+         | FROM embeddings q JOIN embeddings c
+         |  ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
+         |   AS rank FROM pairs),
+         |piv AS (SELECT query_id,
+         |  MIN(CASE WHEN rank = 1 THEN neighbor_id END) AS top1_id,
+         |  MIN(CASE WHEN rank = 1 THEN cosine_sim END) AS top1_sim,
+         |  MIN(CASE WHEN rank = 2 THEN cosine_sim END) AS top2_sim
+         | FROM ranked WHERE rank <= 2 GROUP BY query_id)
+         |SELECT query_id, top1_id, top1_sim, top2_sim,
+         | ROUND(top1_sim - top2_sim, 6) AS margin_r6,
+         | ROUND(top1_sim - top2_sim, 6) < 0.05 AS is_ambiguous
+         |FROM piv""".stripMargin
+    },
+
     // TextOps.sourceTermLift: exact share-lift keyness, top-k per source
     "source_term_lift" -> {
       val t = normTextSql("text")

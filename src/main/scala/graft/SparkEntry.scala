@@ -475,7 +475,9 @@ object SparkEntry {
     "gini_customer_concentration" -> ((s, d) =>
       Analytics.giniCustomerConcentration(orders(s, d))),
     "partition_backfill_plan" -> ((s, d) => AuditOps.backfillPlan(orders(s, d))),
-    "source_term_lift" -> ((s, d) => TextOps.sourceTermLift(documents(s, d)))
+    "source_term_lift" -> ((s, d) => TextOps.sourceTermLift(documents(s, d))),
+    "embed_margin_audit" -> ((s, d) =>
+      SimilarityOps.embedMarginAudit(embeddings(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.all

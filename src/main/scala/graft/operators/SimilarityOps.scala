@@ -53,6 +53,32 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Nearest-neighbor MARGIN audit — the serving-confidence profile of
+    * the exact top-k: per query, the best and second-best cosine and
+    * their margin, with the ambiguity flag (margin < 0.05) that tells a
+    * retrieval stack which answers deserve a rerank or an abstention.
+    * A healthy index shows wide margins; mass near zero means the
+    * corpus has near-duplicate clusters (see the dedup family) or the
+    * embedding space is collapsing. Cosines follow the embed-family
+    * parity policy (round 6dp at production); the margin is a
+    * difference of grid-rounded values re-rounded at 6dp, so both
+    * engines land on the same grid point.
+    *
+    * Scale: reuses [[bruteCosineTopK]]'s broadcast-queries shape — the
+    * corpus is scanned once, only the nQueries×2 ranked rows fold into
+    * the per-query pivot.
+    */
+  def embedMarginAudit(embeddings: DataFrame, nQueries: Int = 20): DataFrame =
+    bruteCosineTopK(embeddings, nQueries, 2)
+      .groupBy(col("query_id"))
+      .agg(
+        min(when(col("rank") === 1L, col("neighbor_id"))).as("top1_id"),
+        min(when(col("rank") === 1L, col("cosine_sim"))).as("top1_sim"),
+        min(when(col("rank") === 2L, col("cosine_sim"))).as("top2_sim"))
+      .withColumn("margin_r6",
+        round(col("top1_sim") - col("top2_sim"), 6))
+      .withColumn("is_ambiguous", col("margin_r6") < 0.05)
+
   /** Maximal-marginal-relevance DIVERSIFIED retrieval (Carbonell &
     * Goldstein '98, λ=½): greedily pick `k` results that balance
     * relevance to the query against redundancy with what's already

@@ -73,6 +73,11 @@ class PlanDigestSpec extends SparkSpec {
     // build jobs themselves run identically across suite orderings
     graft.operators.Memo.invalidate()
     val current = SparkEntry.queries.keys.toSeq.sorted.map { q =>
+      // drop CacheManager state before EVERY plan build: optimizedPlan
+      // substitutes InMemoryRelation for any fragment some earlier
+      // suite (or earlier query in this sweep) happened to persist, so
+      // digests would otherwise depend on suite ordering
+      spark.catalog.clearCache()
       q -> digest(SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan)
     }
     val rendered = current.map { case (q, d) => s"$q $d" }.mkString("", "\n", "\n")

@@ -74,6 +74,29 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(1).getDouble(2) < 1.0)
   }
 
+  test("embedMarginAudit: wide margin confident, duplicate corpus ambiguous") {
+    val v = Seq.tabulate(64)(i => (i % 7).toFloat + 1f)
+    val w = Seq.tabulate(64)(i => (63 - i % 11).toFloat + 1f)
+    // query 0: one identical neighbor (sim 1.0) and one far one → a
+    // wide, unambiguous margin
+    val confident = SimilarityOps.embedMarginAudit(
+      vecs(0L -> v, 30L -> v, 31L -> w), nQueries = 1).collect()(0)
+    assert(confident.getAs[Long]("top1_id") == 30L)
+    assert(confident.getAs[Double]("top1_sim") == 1.0)
+    assert(!confident.getAs[Boolean]("is_ambiguous"))
+    assert(confident.getAs[Double]("margin_r6") >= 0.05)
+    // duplicate corpus vectors: top1 == top2 → margin 0, ambiguous
+    val dup = SimilarityOps.embedMarginAudit(
+      vecs(0L -> v, 30L -> w, 31L -> w), nQueries = 1).collect()(0)
+    assert(dup.getAs[Double]("margin_r6") == 0.0)
+    assert(dup.getAs[Boolean]("is_ambiguous"))
+    // a single-neighbor corpus has no runner-up: margin NULL, flag NULL
+    val solo = SimilarityOps.embedMarginAudit(
+      vecs(0L -> v, 30L -> w), nQueries = 1).collect()(0)
+    assert(solo.isNullAt(solo.fieldIndex("margin_r6")))
+    assert(solo.isNullAt(solo.fieldIndex("is_ambiguous")))
+  }
+
   test("mmrRerank demotes the near-duplicate a pure relevance top-k would keep") {
     def axis(i: Int, j: Int): Seq[Float] =
       Seq.tabulate(64)(d => if (d == i || d == j) 0.7f else 0f)
