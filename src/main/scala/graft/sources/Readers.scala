@@ -84,7 +84,10 @@ object Readers {
         org.apache.spark.sql.types.ArrayType(schema))).as("r"))
       .select(col("r.*"))
     pageSize match {
-      case None => normalize(fetchBodies(Seq(url)))
+      // the body pins once (eager checkpoint): a consumer running
+      // several jobs over the result must not re-GET a feed that may
+      // have drifted between them (same discipline as httpFetchCsv)
+      case None => normalize(fetchBodies(Seq(url)).localCheckpoint(true))
       case Some(n) =>
         val sep = if (url.contains("?")) "&" else "?"
         def pageUrl(offset: Long) =
@@ -114,6 +117,36 @@ object Readers {
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** CSV-over-HTTP extract — the reference's OTHER ingestion front door
+    * (`nyc_ingestion_dag.py:66-100`: monthly Airbnb listings CSVs pulled
+    * with requests.get and pandas-combined on the scheduler box). The
+    * Spark shape: the executor fetches the body, splits it to a line
+    * Dataset, and Spark's own distributed CSV reader parses it — header
+    * handling, quoting, and schema enforcement come from the same code
+    * path as file-based CSV, not a hand parser. One URL is one fetch
+    * task; parallelism comes from fetching many windows concurrently
+    * via [[graft.sources.Sinks.backfillWindows]].
+    */
+  def httpFetchCsv(spark: SparkSession, url: String,
+      schema: Option[StructType] = None, header: Boolean = true,
+      headers: Map[String, String] = Map.empty,
+      connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 120000): DataFrame = {
+    val sess = spark
+    import sess.implicits._
+    // pin the fetched lines ONCE (eager checkpoint): the CSV reader's
+    // header probe and the scan are separate jobs, and schema inference
+    // adds another — an unpinned lineage would hit the remote endpoint
+    // per job, paying latency and risking a feed that drifted between
+    // reads
+    val lines = spark.createDataset(Seq(url))
+      .map(u => HttpFetch.get(u, headers, connectTimeoutMs, readTimeoutMs))
+      .flatMap(_.split("\r?\n"))
+      .filter(_.nonEmpty)
+      .localCheckpoint(true)
+    val base = spark.read.option("header", header.toString)
+    schema.fold(base.option("inferSchema", "true"))(base.schema).csv(lines)
+  }
 
   /** ORC lake read — same columnar pushdown/pruning contract as parquet
     * (`spark.sql.orc.filterPushdown` is on by default in Spark 4), for

@@ -391,6 +391,24 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType,
       pageSize: Option[Int] = None, parallelPages: Int = 8,
       headers: Map[String, String] = Map.empty,
+      windowCol: String = "window"): Seq[String] =
+    backfillWindows(spark, rawPath, streamId, windows,
+      (s, url) => graft.sources.Readers
+        .httpFetchJson(s, url, schema, pageSize, parallelPages, headers),
+      windowCol)
+
+  /** Source-agnostic partition backfill — the catchup composition with
+    * the FETCH as a parameter, so the same skip-if-committed /
+    * per-window-commit / replay-exactly-missing discipline serves every
+    * extract flavor: [[backfillHttpWindows]] plugs in the paged JSON
+    * fetch; the reference's monthly-CSV leg
+    * (`nyc_ingestion_dag.py:66-100`, the Airbnb listings pulls) is
+    * `backfillWindows(..., (s, url) => Readers.httpFetchCsv(s, url))`;
+    * a JDBC or file-drop window plugs in the same way.
+    */
+  def backfillWindows(spark: org.apache.spark.sql.SparkSession,
+      rawPath: String, streamId: String, windows: Seq[(String, String)],
+      fetch: (org.apache.spark.sql.SparkSession, String) => DataFrame,
       windowCol: String = "window"): Seq[String] = {
     import org.apache.spark.sql.functions.lit
     require(streamId.nonEmpty && streamId.matches("[A-Za-z0-9_.=-]+"),
@@ -410,10 +428,8 @@ object Sinks {
           "p\\d{4}\\.parquet")
       seen.exists(n => genFile.matcher(n).matches())
     }
-    missing.map { case (w, url) =>
-      val rows = graft.sources.Readers
-        .httpFetchJson(spark, url, schema, pageSize, parallelPages, headers)
-        .withColumn(windowCol, lit(w))
+    missing.map { case (w, source) =>
+      val rows = fetch(spark, source).withColumn(windowCol, lit(w))
       appendWindowOnce(spark, rawPath, rows, streamId, w)
       w
     }

@@ -101,6 +101,48 @@ class HttpSourceSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("httpFetchCsv + backfillWindows: the monthly-CSV catchup leg") {
+    // a CSV endpoint (the Airbnb-listings shape): header + rows
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new ConcurrentHashMap[String, Integer]()
+    srv.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val path = ex.getRequestURI.getPath
+      hits.merge(path, 1, (a, b) => a + b)
+      val month = path.stripPrefix("/listings-")
+      val body = (s"id,name\n1,alpha $month\n2,\"beta, quoted\"\n")
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val csvSchema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      // direct fetch: Spark's CSV reader semantics (header, quoting)
+      val one = Readers.httpFetchCsv(spark, s"$base/listings-jan",
+        Some(csvSchema)).collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(one.sorted.toSeq ==
+        Seq((1L, "alpha jan"), (2L, "beta, quoted")))
+      // the generic backfill with the CSV fetch plugged in
+      val raw = s"${tmp()}/raw"
+      val windows = Seq("jan" -> s"$base/listings-jan",
+        "feb" -> s"$base/listings-feb")
+      val fetched = Sinks.backfillWindows(spark, raw, "airbnb", windows,
+        (s, url) => Readers.httpFetchCsv(s, url, Some(csvSchema)))
+      assert(fetched == Seq("jan", "feb"))
+      val head = Readers.readSnapshot(spark, raw)
+      assert(head.count() == 4)
+      assert(head.filter(head("window") === "feb").count() == 2)
+      // replay: no fetches, no new rows
+      assert(Sinks.backfillWindows(spark, raw, "airbnb", windows,
+        (s, url) => Readers.httpFetchCsv(s, url, Some(csvSchema))).isEmpty)
+      assert(hits.get("/listings-jan") == 2 && hits.get("/listings-feb") == 1)
+    } finally srv.stop(0)
+  }
+
   test("window ids that prefix-extend each other never alias (2019 vs 2019-q1)") {
     val (srv, base, hits) = stub(total = 2)
     try {
