@@ -5157,6 +5157,28 @@ object Oracles {
         | p.n_rows IS NULL AS missing
         |FROM spine s LEFT JOIN present p ON s.month = p.month""".stripMargin,
 
+    // StatOps.hodgesLehmannDaily: median of Walsh averages over day
+    // pairs, carried as 2·avg cents so everything stays integral
+    "hodges_lehmann_daily" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS y
+        | FROM orders GROUP BY 1),
+        |byv AS (SELECT a.y + b.y AS s2, CAST(COUNT(*) AS BIGINT) AS c
+        | FROM daily a JOIN daily b ON b.d >= a.d GROUP BY 1),
+        |cc AS (SELECT s2, c,
+        |  CAST(SUM(c) OVER (ORDER BY s2 ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum FROM byv),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM byv),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |picks AS (SELECT MIN(s2) AS hl2_lo_cents, MAX(s2) AS hl2_hi_cents
+        | FROM cc, tot
+        | WHERE (cum - c < (m + 1) // 2 AND (m + 1) // 2 <= cum)
+        |    OR (cum - c < m // 2 + 1 AND m // 2 + 1 <= cum))
+        |SELECT n_days, m AS n_pairs, hl2_lo_cents, hl2_hi_cents,
+        | ((hl2_lo_cents + hl2_hi_cents) * 10) // 4 AS hl_milli_dollars
+        |FROM nd, tot, picks WHERE m > 0""".stripMargin,
+
     // SimilarityOps.embedMarginAudit: top1/top2 cosine margin per query
     // (embed-family 6dp parity policy; margin re-rounded on the grid)
     "embed_margin_audit" -> {

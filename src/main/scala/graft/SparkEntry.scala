@@ -477,7 +477,9 @@ object SparkEntry {
     "partition_backfill_plan" -> ((s, d) => AuditOps.backfillPlan(orders(s, d))),
     "source_term_lift" -> ((s, d) => TextOps.sourceTermLift(documents(s, d))),
     "embed_margin_audit" -> ((s, d) =>
-      SimilarityOps.embedMarginAudit(embeddings(s, d)))
+      SimilarityOps.embedMarginAudit(embeddings(s, d))),
+    "hodges_lehmann_daily" -> ((s, d) =>
+      StatOps.hodgesLehmannDaily(orders(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.all

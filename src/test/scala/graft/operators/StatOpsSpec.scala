@@ -201,6 +201,29 @@ class StatOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("tau_a_micro") == 666666L)
   }
 
+  test("hodgesLehmannDaily: median of Walsh averages, hand-checked") {
+    // daily cents 100, 200, 400 → Walsh 2·avg set {200,300,400,500,600,
+    // 800}; even m → central pair (400, 500) → HL = 225 cents
+    val orders = Seq(
+      (1L, "1995-01-01", 1.00), (2L, "1995-01-02", 2.00),
+      (3L, "1995-01-03", 4.00))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val r = StatOps.hodgesLehmannDaily(orders).collect()(0)
+    assert(r.getAs[Long]("n_days") == 3L && r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("hl2_lo_cents") == 400L)
+    assert(r.getAs[Long]("hl2_hi_cents") == 500L)
+    assert(r.getAs[Long]("hl_milli_dollars") == 2250L)
+    // one massive outlier day barely moves it (robustness): mean would
+    // jump to ~25 dollars, HL stays near the bulk
+    val out = StatOps.hodgesLehmannDaily(orders.unionByName(
+      Seq((4L, "1995-01-04", 93.00))
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("o_orderdate", to_date(col("o_orderdate"))))).collect()(0)
+    assert(out.getAs[Long]("hl_milli_dollars") <= 3500L,
+      s"HL must resist the outlier, got ${out.getAs[Long]("hl_milli_dollars")}")
+  }
+
   test("runsTestDaily: alternating series counts the maximum run count") {
     // daily y: 100, 300, 120, 400 → lower median 120; signs 0,1,0,1
     // → 4 runs; expected = 1000 + (2000·2·2) div 4 = 3000 milli
