@@ -488,14 +488,21 @@ object StatOps {
     */
   def hodgesLehmannDaily(orders: DataFrame): DataFrame = {
     val daily = Memo.cached("theil_sen_daily", orders)(dailyCents)
-    val a = daily.select(col("t").as("ta"), col("y").as("ya"))
-    val b = daily.select(col("t").as("tb"), col("y").as("yb"))
-    val byV = a.join(broadcast(b), col("tb") >= col("ta"))
-      .groupBy((col("ya") + col("yb")).as("s2"))
-      .agg(count(lit(1)).as("c"))
-    val tot = byV.agg(coalesce(sum(col("c")), lit(0L)).as("m"))
+    // the Walsh-sum CDF is calendar-bounded (≤ ~3M rows × 3 longs at
+    // ANY SF) and the O(days²) part of the query — Memo-checkpointed
+    // like theil_sen_cdf so a session pays the pair join once and each
+    // invocation runs only the rank probes
+    val cdf = Memo.cached("walsh_cdf", daily) { d =>
+      val a = d.select(col("t").as("ta"), col("y").as("ya"))
+      val b = d.select(col("t").as("tb"), col("y").as("yb"))
+      val byV = a.join(broadcast(b), col("tb") >= col("ta"))
+        .groupBy((col("ya") + col("yb")).as("s2"))
+        .agg(count(lit(1)).as("c"))
+      OpUtils.twoLevelCum(byV, "s2", "c")
+    }
+    val tot = cdf.agg(coalesce(sum(col("c")), lit(0L)).as("m"))
       .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
-    val picks = OpUtils.twoLevelCum(byV, "s2", "c")
+    val picks = cdf
       .crossJoin(broadcast(tot))
       .filter(expr("(cum - c < (m + 1) div 2 AND (m + 1) div 2 <= cum) OR " +
         "(cum - c < m div 2 + 1 AND m div 2 + 1 <= cum)"))

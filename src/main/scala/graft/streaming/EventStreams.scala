@@ -711,6 +711,76 @@ object EventStreams {
       }
   }
 
+  /** Streaming feed-gap monitoring — the LIVE third of the backfill
+    * family (`partition_backfill_plan` audits the lake after the fact,
+    * [[graft.sources.Sinks.backfillWindows]] repairs it; this catches
+    * the gap while the feed is still running): each micro-batch's event
+    * times bucket to `bucketSeconds` grain, and every EMPTY bucket
+    * strictly inside the batch's own time envelope appends one report
+    * row (batch_id, bucket_start_s) — an upstream that silently skipped
+    * an hour shows up in the batch that delivered the hours around it.
+    * Replay discipline is [[statsDriftStream]]'s verbatim: full-name
+    * generation cleanup, marker as the commit point.
+    *
+    * Scale: the spine explodes from a 1-row min/max aggregate and is
+    * clamped to `maxBuckets` (a corrupt epoch-0 timestamp must not
+    * materialize a 50-year spine); present-bucket detection is one
+    * map-side-combined rollup of the batch.
+    */
+  def gapMonitorStream(rows: DataFrame, reportPath: String, tsCol: String,
+      streamId: String, bucketSeconds: Long = 3600L, maxBuckets: Long = 100000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty && streamId.matches("[A-Za-z0-9_.=-]+"),
+      "gapMonitorStream needs a plain-token streamId")
+    require(bucketSeconds > 0 && maxBuckets > 0)
+    rows
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = markerPath(s"$reportPath-$streamId", batchId)
+        if (!markerExists(batch, marker) && !batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dir = new org.apache.hadoop.fs.Path(reportPath)
+          val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val gen = f"gap-$streamId-b$batchId%010d-"
+          val genFile = java.util.regex.Pattern.compile(
+            java.util.regex.Pattern.quote(gen) + "p\\d{4}\\.parquet")
+          if (fs.exists(dir))
+            fs.listStatus(dir).iterator.map(_.getPath)
+              .filter(p => genFile.matcher(p.getName).matches())
+              .foreach { p =>
+                if (!fs.delete(p, false))
+                  throw new java.io.IOException(s"gap replay cleanup failed for $p")
+              }
+          val buckets = batch
+            .select(expr(s"cast($tsCol as long) div $bucketSeconds").as("bkt"))
+          val present = buckets.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+          val spine = buckets
+            .agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
+            .select(col("lo"),
+              least(col("hi"), col("lo") + lit(maxBuckets)).as("hi"))
+            .select(explode(expr("sequence(lo, hi)")).as("bkt"))
+          val gaps = spine.join(present, Seq("bkt"), "left_anti")
+            .select((col("bkt") * bucketSeconds).as("bucket_start_s"))
+            .withColumn("batch_id", lit(batchId))
+          val tmp = new org.apache.hadoop.fs.Path(dir, s".$gen")
+          gaps.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(tmp.toString)
+          fs.mkdirs(dir)
+          val parts = fs.listStatus(tmp).iterator.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+          parts.zipWithIndex.foreach { case (p, i) =>
+            val n = f"$gen%sp$i%04d.parquet"
+            if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, n)))
+              throw new java.io.IOException(s"gap report rename failed for $p")
+          }
+          fs.delete(tmp, true)
+          writeMarker(batch, marker)
+        }
+        ()
+      }
+  }
+
   /** Continuous ANN-index maintenance: each micro-batch of vectors is
     * encoded ONCE through the IVF cell assignment + PQ coder
     * ([[graft.operators.SimilarityOps.withPqCodes]] over

@@ -321,6 +321,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/report").count() == 2)
   }
 
+  test("gapMonitorStream reports empty buckets inside each batch's envelope, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap").toString
+    val mem = MemoryStream[Long]
+    val q = EventStreams.gapMonitorStream(mem.toDF().toDF("ts_s"),
+        s"$dir/report", "ts_s", "g1", bucketSeconds = 3600L)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // batch 0: hours 0, 1, 2 all present → gapless, nothing reported
+    mem.addData(100L, 3700L, 7300L)
+    q.processAllAvailable()
+    // batch 1: hours 10, 11, 14 → the feed skipped hours 12 and 13
+    mem.addData(36500L, 40000L, 51000L)
+    q.processAllAvailable(); q.stop()
+    val rep = spark.read.parquet(s"$dir/report").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("bucket_start_s")))
+    assert(rep.toSet == Set((1L, 43200L), (1L, 46800L)), rep.mkString(","))
+    // replay over the same checkpoint: markers gate the rewrite
+    val q2 = EventStreams.gapMonitorStream(mem.toDF().toDF("ts_s"),
+        s"$dir/report", "ts_s", "g1", bucketSeconds = 3600L)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir/report").count() == 2)
+  }
+
   test("annIndexIngestStream appends slim coded rows per batch, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/index"
