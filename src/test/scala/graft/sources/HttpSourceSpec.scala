@@ -143,6 +143,33 @@ class HttpSourceSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("a crash mid-backfill keeps completed windows durable; the re-run fetches only the rest") {
+    val (srv, base, hits) = stub(total = 2)
+    try {
+      val raw = s"${tmp()}/raw"
+      val windows = Seq("w1" -> s"$base/w1", "w2" -> s"$base/w2",
+        "w3" -> s"$base/w3")
+      // the fetch DIES on w2 (network failure mid-loop): w1's commit
+      // must survive; w2/w3 must be absent
+      val boom = intercept[RuntimeException] {
+        Sinks.backfillWindows(spark, raw, "s", windows, (s, url) => {
+          if (url.endsWith("/w2")) throw new RuntimeException("net down")
+          Readers.httpFetchJson(s, url, schema)
+        })
+      }
+      assert(boom.getMessage == "net down")
+      assert(Readers.readSnapshot(spark, raw).count() == 2) // w1 only
+      assert(hits.get("/w1") == 1 && !hits.containsKey("/w3"))
+      // the re-run skips the durable w1 WITHOUT fetching it and
+      // completes exactly the missing windows
+      val resumed = Sinks.backfillWindows(spark, raw, "s", windows,
+        (s, url) => Readers.httpFetchJson(s, url, schema))
+      assert(resumed == Seq("w2", "w3"))
+      assert(hits.get("/w1") == 1)
+      assert(Readers.readSnapshot(spark, raw).count() == 6)
+    } finally srv.stop(0)
+  }
+
   test("window ids that prefix-extend each other never alias (2019 vs 2019-q1)") {
     val (srv, base, hits) = stub(total = 2)
     try {
