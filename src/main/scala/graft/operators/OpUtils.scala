@@ -57,6 +57,48 @@ private[graft] object OpUtils {
       .drop("__lo", "__hi", "__bucket", "__bkt", "__prior", "__incum")
   }
 
+  /** THE daily order-fact rollup, Memo-shared by the whole daily-ops
+    * family (Theil–Sen, Hodges–Lehmann, Kendall τ, runs test, ACF,
+    * dispersion, EWMA, Holt, CUSUM, streaks, gapfill, motifs, backlog
+    * opens): one fact-sized map-side-combined scan per session per
+    * input yields the CALENDAR-bounded table (d date, t day-index,
+    * y exact revenue cents, m order count) — ≤ ~2.5k rows for the
+    * 7-year history at ANY SF. Before this each member re-derived its
+    * own `groupBy(o_orderdate)`, i.e. one redundant full corpus scan
+    * per query per session at 100 TB. `o_orderdate` is date-valued
+    * (midnight timestamps), so the date grain equals the raw grain.
+    */
+  def dailyFact(orders: DataFrame): DataFrame =
+    Memo.cached("daily_fact", orders) { o =>
+      o.groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("y"),
+          count(lit(1)).as("m"))
+        .select(col("d"),
+          datediff(col("d"), to_date(lit("1992-01-01")))
+            .cast("long").as("t"),
+          col("y"), col("m"))
+    }
+
+  /** The O(days²) day-pair table (tb ≥ ta) over [[dailyFact]], built
+    * ONCE per session and shared by every pairwise daily statistic:
+    * the Theil–Sen slope CDF filters the diagonal (tb > ta), the
+    * Hodges–Lehmann Walsh CDF groups yᵢ+yⱼ, Kendall τ compares the
+    * (y, m) sign pattern. Calendar-bounded by construction (≤ ~3M
+    * pairs × 6 longs at ANY SF — checkpointable), broadcast on the
+    * build's right side so the pair join never shuffles.
+    */
+  def dayPairs(orders: DataFrame): DataFrame = {
+    val daily = dailyFact(orders)
+    Memo.cached("day_pairs", daily) { d =>
+      val a = d.select(col("t").as("ta"), col("y").as("ya"),
+        col("m").as("ma"))
+      val b = d.select(col("t").as("tb"), col("y").as("yb"),
+        col("m").as("mb"))
+      a.join(broadcast(b), col("tb") >= col("ta"))
+    }
+  }
+
   def cdfBuckets(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     val byV = df.groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
     val total = df.agg(count(lit(1)).as("nd"))

@@ -18,19 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object StatOps {
 
-  /** Daily revenue in exact cents keyed by day index t (days since
-    * 1992-01-01 — the fact table's epoch). ONE fact-sized map-side-
-    * combined rollup; everything downstream of it is calendar-bounded
-    * (≤ ~2.5k rows per 7-year history REGARDLESS of SF).
-    */
-  private def dailyCents(orders: DataFrame): DataFrame =
-    orders
-      .groupBy(col("o_orderdate").as("d"))
-      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
-        .cast("long").as("y"))
-      .select(datediff(col("d"), to_date(lit("1992-01-01")))
-        .cast("long").as("t"), col("y"))
-
   /** Theil–Sen robust trend of daily revenue: the MEDIAN of all pairwise
     * slopes (y_j−y_i)/(t_j−t_i), the classic 29%-breakdown-point slope
     * estimator (Sen 1968) — one revenue spike that would drag OLS barely
@@ -43,7 +30,7 @@ object StatOps {
     *
     * Scale: the O(days²) pair join runs on the CALENDAR-bounded daily
     * table (~2.5k rows → ~3M pairs at ANY SF), broadcast on one side —
-    * the fact table itself is touched once by [[dailyCents]]. The median
+    * the fact table itself is touched once by [[OpUtils.dailyFact]]. The median
     * CDF factors through two bounded levels (the SkylineOps pattern):
     * slopes range-bucket into ≤1025 value buckets, the cross-bucket
     * prefix rides a window over BUCKET SUMMARIES only, and the
@@ -51,22 +38,22 @@ object StatOps {
     * pass over the ~3M distinct slopes anywhere.
     */
   def theilSenTrend(orders: DataFrame): DataFrame = {
-    // both intermediates are calendar-bounded at ANY SF (≤ ~2.5k daily
-    // rows; ≤ ~3M distinct slopes) and shared across the totals/range/
-    // bucket branches below, so they are Memo-checkpointed: the fact is
-    // scanned once per session per input, the O(days²) pair join runs
-    // once (not once per recurrence of the shared subtree in this plan),
+    // every intermediate is calendar-bounded at ANY SF (≤ ~2.5k daily
+    // rows; ≤ ~3M pairs/distinct slopes) and shared across the whole
+    // daily-ops family, so each is Memo-checkpointed: the fact is
+    // scanned once per session per input ([[OpUtils.dailyFact]]), the
+    // O(days²) pair join runs once FOR ALL pairwise daily statistics
+    // ([[OpUtils.dayPairs]] — the Walsh CDF and Kendall τ share it),
     // and every downstream broadcast builds from a checkpointed leaf
-    val daily = Memo.cached("theil_sen_daily", orders)(dailyCents)
+    val daily = OpUtils.dailyFact(orders)
+    val pairs = OpUtils.dayPairs(orders)
     // distinct-value CDF (the cdfBuckets pattern) in two bounded levels:
     // bucket = (s - lo) div width over the slope RANGE (truncating
     // division on the non-negative shift is monotonic, so bucket order
     // is value order); level 1 prefix-sums the ≤1025 bucket totals,
     // level 2 cumulates within each bucket in parallel
-    val dv = Memo.cached("theil_sen_slope_counts", daily) { d =>
-      val a = d.select(col("t").as("ta"), col("y").as("ya"))
-      val b = d.select(col("t").as("tb"), col("y").as("yb"))
-      a.join(broadcast(b), col("tb") > col("ta"))
+    val dv = Memo.cached("theil_sen_slope_counts", pairs) { p =>
+      p.filter(col("tb") > col("ta"))
         .select(expr(
           "CASE WHEN yb >= ya THEN " +
             "cast((cast(yb - ya as decimal(38,0)) * 1000000) div (tb - ta) as bigint) " +
@@ -129,8 +116,9 @@ object StatOps {
     * index (no global sort, no window over rows).
     */
   def revenueMotifs(orders: DataFrame): DataFrame = {
-    val daily = dailyCents(orders)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the Memo-shared daily rollup is already a checkpointed leaf, so
+    // the old operator-local persist is gone with the redundant scan
+    val daily = OpUtils.dailyFact(orders).select(col("t"), col("y"))
     val buckets = OpUtils.cdfBuckets(daily.select(col("y")), "y", 4)
     val sym = daily.join(buckets.select(col("y"), col("bucket")), Seq("y"))
       .select(col("t"), col("bucket").as("q"))
@@ -424,23 +412,16 @@ object StatOps {
     * (sign-branched integer division, so both engines floor toward
     * zero identically).
     *
-    * Scale: the O(days²) pair join runs on the ≤ ~2.5k-row daily rollup
-    * broadcast on one side — SF-independent by construction, the
-    * theil_sen shape; the fact table is touched once.
+    * Scale: rides the Memo-shared [[OpUtils.dayPairs]] table (built
+    * once per session for the whole pairwise-daily family) — SF-
+    * independent by construction, the theil_sen shape; the fact table
+    * is touched once per session by [[OpUtils.dailyFact]].
     */
   def kendallTauDaily(orders: DataFrame): DataFrame = {
-    val daily = orders
-      .groupBy(col("o_orderdate").as("d"))
-      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
-        .cast("long").as("y"), count(lit(1)).as("m"))
-      .select(datediff(col("d"), to_date(lit("1992-01-01")))
-        .cast("long").as("t"), col("y"), col("m"))
-    val a = daily.select(col("t").as("ta"), col("y").as("ya"), col("m").as("ma"))
-    val b = daily.select(col("t").as("tb"), col("y").as("yb"), col("m").as("mb"))
     // sign COMPARISONS, never the cross product of the two deltas —
     // day-grain cents deltas times count deltas would overflow a long
     // at lake-scale daily volumes
-    val pairs = a.join(broadcast(b), col("tb") > col("ta"))
+    val pairs = OpUtils.dayPairs(orders).filter(col("tb") > col("ta"))
       .select(
         when((col("yb") > col("ya") && col("mb") > col("ma")) ||
           (col("yb") < col("ya") && col("mb") < col("ma")), 1L)
@@ -487,16 +468,14 @@ object StatOps {
     * is still touched once per session.
     */
   def hodgesLehmannDaily(orders: DataFrame): DataFrame = {
-    val daily = Memo.cached("theil_sen_daily", orders)(dailyCents)
+    val daily = OpUtils.dailyFact(orders)
     // the Walsh-sum CDF is calendar-bounded (≤ ~3M rows × 3 longs at
-    // ANY SF) and the O(days²) part of the query — Memo-checkpointed
-    // like theil_sen_cdf so a session pays the pair join once and each
-    // invocation runs only the rank probes
-    val cdf = Memo.cached("walsh_cdf", daily) { d =>
-      val a = d.select(col("t").as("ta"), col("y").as("ya"))
-      val b = d.select(col("t").as("tb"), col("y").as("yb"))
-      val byV = a.join(broadcast(b), col("tb") >= col("ta"))
-        .groupBy((col("ya") + col("yb")).as("s2"))
+    // ANY SF); the O(days²) pair join itself is the Memo-shared
+    // [[OpUtils.dayPairs]] (tb ≥ ta — the Walsh diagonal included), so
+    // this build is a grouped projection of the checkpointed pairs and
+    // each invocation runs only the rank probes
+    val cdf = Memo.cached("walsh_cdf", OpUtils.dayPairs(orders)) { p =>
+      val byV = p.groupBy((col("ya") + col("yb")).as("s2"))
         .agg(count(lit(1)).as("c"))
       OpUtils.twoLevelCum(byV, "s2", "c")
     }
@@ -533,10 +512,7 @@ object StatOps {
     * contract.
     */
   def runsTestDaily(orders: DataFrame): DataFrame = {
-    val daily = orders
-      .groupBy(col("o_orderdate").as("d"))
-      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
-        .cast("long").as("y"))
+    val daily = OpUtils.dailyFact(orders).select(col("d"), col("y"))
     val byV = daily.groupBy(col("y")).agg(count(lit(1)).as("c"))
     val tot = byV.agg(sum(col("c")).as("n"))
     // lower median: smallest y with 2·cum ≥ n (percentile_disc 0.5)

@@ -72,10 +72,7 @@ object TrendOps {
     * table, never the fact.
     */
   def acfDailyRevenue(orders: DataFrame, maxLag: Int = 7): DataFrame = {
-    val daily = orders
-      .groupBy(col("o_orderdate").cast("date").as("d"))
-      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
-        .cast("long").as("y"))
+    val daily = OpUtils.dailyFact(orders).select(col("d"), col("y"))
     val shifted = daily
       .select(col("d"), col("y"),
         explode(sequence(lit(1), lit(maxLag))).as("lag"))
@@ -112,9 +109,8 @@ object TrendOps {
     * count. Orders with no shipped lines never close (stay in backlog).
     */
   def orderBacklogTimeline(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val opens = orders
-      .select(to_date(col("o_orderdate")).as("d"))
-      .groupBy(col("d")).agg(count(lit(1)).as("n_opened"))
+    val opens = OpUtils.dailyFact(orders)
+      .select(col("d"), col("m").as("n_opened"))
     val closes = lineitem
       .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
       .groupBy(col("l_orderkey"))
@@ -143,14 +139,9 @@ object TrendOps {
     * combined before it.
     */
   def dailyGapfill(orders: DataFrame): DataFrame = {
-    val daily = orders
-      .select(to_date(col("o_orderdate")).as("d"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
-      .groupBy(col("d"))
-      .agg(count(lit(1)).as("n_orders"),
-        (sum(col("p")) * 100).cast("long").as("cents"))
-    val bounds = orders.agg(to_date(min(col("o_orderdate"))).as("d0"),
-      to_date(max(col("o_orderdate"))).as("d1"))
+    val daily = OpUtils.dailyFact(orders)
+      .select(col("d"), col("m").as("n_orders"), col("y").as("cents"))
+    val bounds = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     val spine = bounds
       .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
     spine.join(daily, Seq("d"), "left")
@@ -196,11 +187,8 @@ object TrendOps {
     * streak stats, and the top-k rank all run over CALENDAR-SPAN rows.
     */
   def revenueStreaks(orders: DataFrame, topK: Int = 10): DataFrame = {
-    val daily = orders
-      .select(to_date(col("o_orderdate")).as("d"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
-      .groupBy(col("d"))
-      .agg((sum(col("p")) * 100).cast("long").as("cents"))
+    val daily = OpUtils.dailyFact(orders)
+      .select(col("d"), col("y").as("cents"))
     val full = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val above = daily
@@ -240,11 +228,8 @@ object TrendOps {
     * regardless of fact size — same bound as [[dailyGapfill]].
     */
   def changepointCusum(orders: DataFrame, topK: Int = 10): DataFrame = {
-    val daily = orders
-      .select(to_date(col("o_orderdate")).as("d"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
-      .groupBy(col("d"))
-      .agg((sum(col("p")) * 100).cast("long").as("cents"))
+    val daily = OpUtils.dailyFact(orders)
+      .select(col("d"), col("y").as("cents"))
     val ordered = Window.orderBy(col("d"))
     val full = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
@@ -268,12 +253,8 @@ object TrendOps {
   }
 
   def ewmaDailyRevenue(orders: DataFrame): DataFrame = {
-    val daily = orders
-      .select(to_date(col("o_orderdate")).as("d"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
-      .groupBy(col("d"))
-      .agg(count(lit(1)).as("n_orders"),
-        (sum(col("p")) * 100).cast("long").as("cents"))
+    val daily = OpUtils.dailyFact(orders)
+      .select(col("d"), col("m").as("n_orders"), col("y").as("cents"))
     val w = Window.orderBy(col("d"))
     val lags = (0 until 8).map(k => (lag(col("cents"), k).over(w), 1L << (7 - k)))
     val num = lags.map { case (c, wt) => coalesce(c * wt, lit(0L)) }.reduce(_ + _)
@@ -330,11 +311,8 @@ object TrendOps {
     */
   def holtForecast(orders: DataFrame): DataFrame = {
     val (lw, bw, den) = holtWeights
-    val daily = orders
-      .select(to_date(col("o_orderdate")).as("d"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
-      .groupBy(col("d"))
-      .agg((sum(col("p")) * 100).cast("long").as("cents"))
+    val daily = OpUtils.dailyFact(orders)
+      .select(col("d"), col("y").as("cents"))
     val w = Window.orderBy(col("d"))
     val lagCols = (0 to 7).map(j => lag(col("cents"), 7 - j).over(w))
     val complete = lagCols.map(_.isNotNull).reduce(_ && _)
@@ -432,7 +410,7 @@ object TrendOps {
     * orders) yield no row rather than a division error.
     */
   def orderArrivalDispersion(orders: DataFrame): DataFrame =
-    orders.groupBy(col("o_orderdate")).agg(count(lit(1)).as("c"))
+    OpUtils.dailyFact(orders).select(col("m").as("c"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
         sum(col("c").cast("decimal(38,0)") * col("c")).as("q"))
       .filter(col("n") >= 2 && col("s") >= 1)

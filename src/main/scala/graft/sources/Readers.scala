@@ -62,6 +62,18 @@ object Readers {
     * the whole window. Empty-object page counting keys off parsed
     * ROWS, so a trailing `[]` page terminates cleanly.
     *
+    * Short-page termination is only sound when short really means
+    * end-of-feed, so two failure shapes abort LOUDLY instead of
+    * silently truncating the window: (a) a 200-status body that is
+    * non-blank but does not parse as a JSON array (a JSON error
+    * object, an HTML error page — `from_json` yields null, which would
+    * otherwise read as an empty page); (b) a short page FOLLOWED by a
+    * non-empty page in offset order — the signature of a server that
+    * caps the limit below `pageSize` (e.g. Socrata's 50k cap): the
+    * offset walk assumes full pages, so rows between the cap and the
+    * next offset were never fetched. The per-block page census is a
+    * ≤ `parallelPages`-row collect, bounded by construction.
+    *
     * Scale: a 100 TB backfill is many windows × many pages; every page
     * is an independent task, so throughput scales with executors until
     * the remote rate limit, which is the correct bottleneck to hit.
@@ -99,18 +111,61 @@ object Readers {
           while (!done) {
             val offsets = (0 until parallelPages)
               .map(i => (block * parallelPages + i) * n.toLong)
-            val pages = normalize(fetchBodies(offsets.map(pageUrl)))
+            val parsed = spark.createDataset(offsets.map(o => (o, pageUrl(o))))
+              .repartition(offsets.size)
+              .map { case (o, u) =>
+                (o, HttpFetch.get(u, headers, connectTimeoutMs, readTimeoutMs))
+              }
+              .toDF("off", "body")
+              .select(col("off"),
+                from_json(col("body"),
+                  org.apache.spark.sql.types.ArrayType(schema)).as("arr"),
+                // from_json wraps a bare JSON OBJECT as a 1-element array
+                // (so an error body would pass a null check and land as
+                // one garbage row) — a real array body starts with '['
+                (length(trim(col("body"))) > 0 &&
+                  (col("arr").isNull ||
+                    substring(ltrim(col("body")), 1, 1) =!= lit("[")))
+                  .as("bad"))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            val got = pages.count()
-            blocks += pages
+            blocks += parsed
+            // per-page census: ≤ parallelPages rows, bounded collect
+            val census = parsed
+              .select(col("off"),
+                when(col("arr").isNull, lit(0))
+                  .otherwise(size(col("arr"))).as("nrows"),
+                col("bad"))
+              .collect()
+              .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+              .sortBy(_._1)
+            census.find(_._3).foreach { case (off, _, _) =>
+              throw new java.io.IOException(
+                s"httpFetchJson: page at offset $off returned a non-blank " +
+                  "body that does not parse as a JSON array (error object / " +
+                  "HTML page?) — refusing to read it as end-of-feed")
+            }
+            val counts = census.map { case (off, nr, _) => (off, nr) }
+            // a short page followed by a NON-EMPTY page means the server
+            // capped the limit below pageSize: the offset walk skipped
+            // rows between the cap and the next offset
+            counts.zipWithIndex.find { case ((_, c), i) =>
+              c < n && counts.drop(i + 1).exists(_._2 > 0)
+            }.foreach { case ((off, c), _) => throw new java.io.IOException(
+              s"httpFetchJson: page at offset $off returned $c < $n rows " +
+                "but a later page was non-empty — the server caps " +
+                s"$limitParam below pageSize $n; lower pageSize to the " +
+                "server's effective cap")
+            }
+            val got = counts.map(_._2.toLong).sum
             // a block that parses fewer rows than it asked for contains
             // the feed's end; a full block may too (exact multiple), but
             // the next block then fetches all-empty pages once and stops
             done = got < n.toLong * parallelPages
             block += 1
           }
-          val out = blocks.reduce(_ unionByName _).localCheckpoint(true)
-          out
+          blocks.map(_.filter(col("arr").isNotNull)
+              .select(explode(col("arr")).as("r")).select(col("r.*")))
+            .reduce(_ unionByName _).localCheckpoint(true)
         } finally blocks.foreach(_.unpersist(blocking = false))
     }
   }

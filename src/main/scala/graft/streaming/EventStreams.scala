@@ -723,8 +723,13 @@ object EventStreams {
     * generation cleanup, marker as the commit point.
     *
     * Scale: the spine explodes from a 1-row min/max aggregate and is
-    * clamped to `maxBuckets` (a corrupt epoch-0 timestamp must not
-    * materialize a 50-year spine); present-bucket detection is one
+    * clamped to the `maxBuckets` MOST RECENT buckets — anchored at the
+    * batch maximum (`greatest(lo, hi − maxBuckets) .. hi`), not the
+    * minimum: a corrupt epoch-0 timestamp must neither materialize a
+    * 50-year spine NOR flood the report with bucket-0 false gaps while
+    * pushing the batch's real time envelope outside the inspected
+    * range (low-anchoring did exactly that — the monitor's own
+    * motivating case blinded it). Present-bucket detection is one
     * map-side-combined rollup of the batch.
     */
   def gapMonitorStream(rows: DataFrame, reportPath: String, tsCol: String,
@@ -757,8 +762,8 @@ object EventStreams {
           val present = buckets.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
           val spine = buckets
             .agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
-            .select(col("lo"),
-              least(col("hi"), col("lo") + lit(maxBuckets)).as("hi"))
+            .select(greatest(col("lo"), col("hi") - lit(maxBuckets)).as("lo"),
+              col("hi"))
             .select(explode(expr("sequence(lo, hi)")).as("bkt"))
           val gaps = spine.join(present, Seq("bkt"), "left_anti")
             .select((col("bkt") * bucketSeconds).as("bucket_start_s"))

@@ -451,8 +451,8 @@ class PlanAuditSpec extends SparkSpec {
       "rolling_distinct_users" -> 1, // distinct-day frame: calendar-bounded, not SF-bounded
       "mixture_resample" -> 1, // per-lang acceptance thresholds: ≤|langs| rows
       "mixture_upsample" -> 1, // per-lang repeat ratios: the same ≤|langs| frame
-      "kendall_tau_daily" -> 1, // daily rollup pair side: calendar-bounded
-      // (≤ ~2.5k rows for the 7-year history at ANY SF — theil_sen's bound)
+      // (kendall_tau_daily's pair side now rides the Memo-shared
+      // day_pairs leaf — no scaling-table hint left in its plan)
       "source_term_lift" -> 1, // per-source token totals: source enum domain
       "rank_corr_quality_len" -> 1, // contingency cells: ≤ 21 score bins ×
       // 64 log2-length bins — bounded by both quantized DOMAINS, never docs

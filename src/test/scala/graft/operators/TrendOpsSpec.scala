@@ -84,8 +84,9 @@ class TrendOpsSpec extends SparkSpec {
 
   test("orderBacklogTimeline sweeps opens and last-ship closes") {
     val orders = Seq(
-      (1L, ts("2000-01-01")), (2L, ts("2000-01-01")), (3L, ts("2000-01-02")))
-      .toDF("o_orderkey", "o_orderdate")
+      (1L, ts("2000-01-01"), 10.0), (2L, ts("2000-01-01"), 10.0),
+      (3L, ts("2000-01-02"), 10.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
     // order 1 ships over two days (closes on the LAST), order 2 never
     // ships (stays open), order 3 ships same-day
     val lineitem = Seq(
@@ -205,16 +206,16 @@ class TrendOpsSpec extends SparkSpec {
   test("orderArrivalDispersion: exact Fano factor, degenerate guard") {
     // daily counts {1, 3}: n=2, S=4, Q=10 → F = (2·10 − 16)/(4·1) = 1.0
     val orders = Seq(
-      (1L, ts("2000-01-01")), (2L, ts("2000-01-02")),
-      (3L, ts("2000-01-02")), (4L, ts("2000-01-02")))
-      .toDF("o_orderkey", "o_orderdate")
+      (1L, ts("2000-01-01"), 10.0), (2L, ts("2000-01-02"), 10.0),
+      (3L, ts("2000-01-02"), 10.0), (4L, ts("2000-01-02"), 10.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
     val r = TrendOps.orderArrivalDispersion(orders).collect()
     assert(r.length == 1)
     assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
       r(0).getLong(3)) == ((2L, 4L, 2000L, 1000000L)))
     // constant arrivals → zero variance → F = 0
-    val flat = Seq((1L, ts("2000-01-01")), (2L, ts("2000-01-02")))
-      .toDF("o_orderkey", "o_orderdate")
+    val flat = Seq((1L, ts("2000-01-01"), 10.0), (2L, ts("2000-01-02"), 10.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
     assert(TrendOps.orderArrivalDispersion(flat)
       .collect()(0).getLong(3) == 0L)
     // a single day (or empty) history yields no row, not a div-by-zero

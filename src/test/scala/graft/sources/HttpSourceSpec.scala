@@ -72,6 +72,57 @@ class HttpSourceSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("httpFetchJson: a server that caps the limit below pageSize fails loudly") {
+    // plays Socrata's 50k cap: honors $offset but never returns more
+    // than 2 rows per page however large the requested $limit — the
+    // offset walk would silently skip rows 2..3, 6..7, … if trusted
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      val offset = params.get("%24offset").orElse(params.get("$offset"))
+        .map(_.toInt).getOrElse(0)
+      val rows = (offset until math.min(offset + 2, 20))
+        .map(i => s"""{"id":$i,"name":"row$i"}""")
+      val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.start()
+    try {
+      val e = intercept[java.io.IOException] {
+        Readers.httpFetchJson(spark,
+          s"http://127.0.0.1:${srv.getAddress.getPort}/feed", schema,
+          pageSize = Some(4), parallelPages = 2).count()
+      }
+      assert(e.getMessage.contains("caps"), e.getMessage)
+    } finally srv.stop(0)
+  }
+
+  test("httpFetchJson: a 200-status non-array body fails loudly, never reads as end-of-feed") {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val body = """{"error":"quota exceeded"}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.start()
+    try {
+      val e = intercept[java.io.IOException] {
+        Readers.httpFetchJson(spark,
+          s"http://127.0.0.1:${srv.getAddress.getPort}/feed", schema,
+          pageSize = Some(4), parallelPages = 2).count()
+      }
+      assert(e.getMessage.contains("does not parse as a JSON array"),
+        e.getMessage)
+    } finally srv.stop(0)
+  }
+
   test("backfillHttpWindows: fetches only missing windows, replays as a no-op") {
     val (srv, base, hits) = stub(total = 3)
     try {

@@ -345,6 +345,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/report").count() == 2)
   }
 
+  test("gapMonitorStream clamp anchors at the batch max: corrupt epoch-0 can't flood or blind") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap0").toString
+    val mem = MemoryStream[Long]
+    val q = EventStreams.gapMonitorStream(mem.toDF().toDF("ts_s"),
+        s"$dir/report", "ts_s", "g0", bucketSeconds = 3600L, maxBuckets = 3L)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // one corrupt epoch-0 row plus real traffic at hours 1000 and 1001:
+    // the inspected window must be the 3 most recent buckets ending at
+    // the batch max (998..1001), NOT 0..3 — low-anchoring reported
+    // bucket-1..3 false gaps and missed the real envelope entirely
+    mem.addData(0L, 3600L * 1000, 3600L * 1001)
+    q.processAllAvailable(); q.stop()
+    val rep = spark.read.parquet(s"$dir/report").collect()
+      .map(_.getAs[Long]("bucket_start_s")).toSet
+    assert(rep == Set(3600L * 998, 3600L * 999), rep.mkString(","))
+  }
+
   test("annIndexIngestStream appends slim coded rows per batch, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/index"
