@@ -4075,6 +4075,18 @@ object Oracles {
         | CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT) AS n_risk_docs
         |FROM cls GROUP BY size_class""".stripMargin,
 
+    // AuditOps.lDiversityReport: sensitive-attribute diversity histogram
+    // per quasi-identifier class (homogeneity-attack gate).
+    "l_diversity_report" ->
+      """WITH grp AS (SELECT source, n_chars // 256 AS cb,
+        |  COUNT(*) AS g, COUNT(DISTINCT lang) AS ld
+        | FROM documents GROUP BY 1, 2)
+        |SELECT CAST(ld AS BIGINT) AS l_distinct,
+        | CAST(COUNT(*) AS BIGINT) AS n_groups,
+        | CAST(SUM(g) AS BIGINT) AS n_docs,
+        | ld < 3 AS is_risk
+        |FROM grp GROUP BY ld""".stripMargin,
+
     // SimilarityOps.ivfCellBalance: per-cell occupancy of the fixed IVF
     // index — exact micro shares against the 1-row total.
     "ivf_cell_balance" ->

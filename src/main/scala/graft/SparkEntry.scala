@@ -327,6 +327,7 @@ object SparkEntry {
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(documents(s, d))),
     "decontaminated_corpus" -> ((s, d) => TextOps.decontaminatedCorpus(documents(s, d))),
     "k_anonymity_report" -> ((s, d) => AuditOps.kAnonymityReport(documents(s, d))),
+    "l_diversity_report" -> ((s, d) => AuditOps.lDiversityReport(documents(s, d))),
     "gate_reason_breakdown" -> ((s, d) => TextOps.gateReasonBreakdown(documents(s, d))),
     "gate_sole_reason" -> ((s, d) => TextOps.gateSoleReason(documents(s, d))),
     "ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(documents(s, d))),

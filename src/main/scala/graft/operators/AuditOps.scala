@@ -443,6 +443,34 @@ object AuditOps {
         sum(when(col("g") < k, col("g")).otherwise(0L)).as("n_risk_docs"))
   }
 
+  /** l-diversity audit — the second standard release gate next to
+    * [[kAnonymityReport]]: k-anonymity bounds how SMALL a
+    * quasi-identifier equivalence class may be, but a large class whose
+    * members all share one SENSITIVE value still discloses it (the
+    * homogeneity attack — Machanavajjhala et al. 2007). Classes here
+    * are (source, n_chars bucketed to `charsBucket`); the sensitive
+    * attribute is `lang`; a class with fewer than `l` distinct
+    * sensitive values is flagged. Output is the BOUNDED diversity
+    * histogram (one row per distinct-lang count ≤ |langs|): group and
+    * doc counts plus the risk verdict — the "31% of docs sit in
+    * single-language classes" number, not a corpus-sized dump.
+    *
+    * Scale: two map-side-combined aggregations (class rollup with a
+    * distinct-count, then the ≤|langs|-row histogram) — the
+    * k_anonymity_report shape; no window, no join.
+    */
+  def lDiversityReport(documents: DataFrame, l: Int = 3,
+      charsBucket: Int = 256): DataFrame = {
+    require(l >= 2 && charsBucket >= 1)
+    val groups = documents
+      .groupBy(col("source"), expr(s"n_chars div $charsBucket").as("chars_bucket"))
+      .agg(count(lit(1)).as("g"), countDistinct(col("lang")).as("ld"))
+    groups
+      .groupBy(col("ld").as("l_distinct"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("g")).as("n_docs"))
+      .withColumn("is_risk", col("l_distinct") < l)
+  }
+
   /** Entity-resolution clusters: connected components over the blocked
     * fuzzy-match graph (edit distance ≤ 1 between customer names, WITHIN
     * a nation — the classic ER blocking key that keeps candidate sets

@@ -357,9 +357,24 @@ object Sinks {
       }
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$gen")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val parts = fs.listStatus(tmp).iterator.map(_.getPath)
+    def listParts() = fs.listStatus(tmp).iterator.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
-    if (parts.isEmpty) { fs.delete(tmp, true); return true }
+    var parts = listParts()
+    if (parts.isEmpty) {
+      // a legitimately-EMPTY window must still COMMIT: returning early
+      // here left no committed record, so backfillWindows re-fetched
+      // (and re-reported) the window on every replay — the documented
+      // skip-if-committed idempotence broke for empty feeds. Commit a
+      // zero-row sentinel part instead: repartition(1) guarantees one
+      // writer task → one empty parquet file carrying the schema, which
+      // the committed check matches like any other generation file.
+      df.limit(0).repartition(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      parts = listParts()
+      if (parts.isEmpty)
+        throw new java.io.IOException(
+          s"empty-window sentinel write produced no part under $tmp")
+    }
     parts.zipWithIndex.foreach { case (p, i) =>
       val n = f"$gen%sp$i%04d.parquet"
       if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, n)))
@@ -433,6 +448,40 @@ object Sinks {
       appendWindowOnce(spark, rawPath, rows, streamId, w)
       w
     }
+  }
+
+  /** Gap-driven repair — the closing edge of the detect → audit →
+    * repair triangle: [[graft.streaming.EventStreams.gapMonitorStream]]
+    * REPORTS the feed's empty buckets while the stream runs;
+    * [[backfillWindows]] repairs windows it is TOLD about; this
+    * composition reads the gap report and backfills EXACTLY the
+    * reported buckets — no operator hand-copies bucket lists between
+    * the two. Each gap bucket becomes window id `s<bucketStartSeconds>`
+    * and `source(bucketStart)` names where to refetch it (the feed's
+    * time-range query URL, a file drop, …); the window protocol then
+    * gives per-bucket exactly-once: already-repaired buckets are
+    * skipped BEFORE any fetch, a crash mid-repair keeps completed
+    * buckets durable, and re-running (or replaying the monitor — its
+    * report rewrite is generation-keyed) repairs nothing twice.
+    *
+    * Scale: the report is calendar-bounded by construction (the
+    * monitor's spine is clamped to `maxBuckets` most-recent buckets per
+    * batch), so the distinct-bucket collect is a bounded metadata read,
+    * never data-scale. Returns the repaired window ids.
+    */
+  def repairGaps(spark: org.apache.spark.sql.SparkSession,
+      reportPath: String, rawPath: String, streamId: String,
+      source: Long => String,
+      fetch: (org.apache.spark.sql.SparkSession, String) => DataFrame,
+      windowCol: String = "window"): Seq[String] = {
+    val reportDir = new org.apache.hadoop.fs.Path(reportPath)
+    val fs = reportDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(reportDir)) return Seq.empty
+    val buckets = spark.read.parquet(reportPath)
+      .select(org.apache.spark.sql.functions.col("bucket_start_s"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    backfillWindows(spark, rawPath, streamId,
+      buckets.toSeq.map(b => (s"s$b", source(b))), fetch, windowCol)
   }
 
   /** Small-file compaction — the operational pass every long-running
@@ -551,15 +600,18 @@ object Sinks {
   def commitSnapshot(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = commitSnapshotHooked(spark, path, () => ())
 
-  /** [[commitSnapshot]] with a seam between the version claim and the
-    * manifest publish, so a spec can interleave a full compaction inside
-    * exactly the window of the residual lost-append race (an append
-    * whose claim predates the compaction and whose publish postdates its
-    * pre-publish re-check).
+  /** [[commitSnapshot]] with seams around the manifest publish, so a
+    * spec can interleave a full compaction deterministically inside
+    * either race window: `beforePublish` (between the version claim and
+    * the publish — the residual lost-append race) and `afterPublish`
+    * (between the publish and the shadowed-append visibility check —
+    * the duplicate-repair race, where a compaction reads a head that
+    * already contains this append).
     */
   private[graft] def commitSnapshotHooked(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, beforePublish: () => Unit): Int = {
+      path: String, beforePublish: () => Unit,
+      afterPublish: () => Unit = () => ()): Int = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // CAS commit: claim the version number by create-fails-if-exists on
@@ -615,6 +667,7 @@ object Sinks {
       if (claimVersion(fs, dir, next)) {
         beforePublish()
         var v = publishClaimed(spark, fs, dir, next, names)
+        afterPublish()
         // Shadowed-append repair — the committer-side half of the
         // compaction CAS. compactSnapshot re-checks for racing claims
         // before publishing, but an append whose claim PREdates the
@@ -637,6 +690,17 @@ object Sinks {
           if (headNow == v) return v
           val headFiles = Snapshots.files(fs, dir, headNow).toSet
           if (newFiles.subsetOf(headFiles)) return v
+          // the head dropped this commit's file NAMES — but a compaction
+          // that rewrote a head CONTAINING them (its recorded base ≥ our
+          // version, or any version our rows had reached) carries the
+          // ROWS forward, and republishing the original part names on
+          // top would DUPLICATE every appended row. Walk the published
+          // chain tracking row reachability: literal names ⇒ present;
+          // an append unions the prior head ⇒ inherits; a rewrite
+          // inherits from its recorded base (base 0 = a replacement —
+          // carries nothing). Only when the head provably lost the rows
+          // does the repair republish.
+          if (rowsReachable(fs, dir, v, headNow, newFiles)) return v
           rounds += 1
           if (rounds >= 50)
             throw new java.io.IOException(
@@ -659,6 +723,39 @@ object Sinks {
           s"snapshot version allocation contention on $dir after $attempts attempts")
     }
     -1 // unreachable
+  }
+
+  /** Row-reachability walk for the shadowed-append repair: are the rows
+    * this commit published under `ownVersion` (as `ownFiles`) still
+    * reachable from `head`? Versions below ours cannot contain them;
+    * ours does; above it, a manifest naming the files literally does, a
+    * plain append inherits from the immediately-preceding published
+    * version (append manifests union the prior head), and a rewrite
+    * inherits from its RECORDED base ([[Snapshots.rewriteBases]] — a
+    * missing entry for version 0 / an unpublished base reads as not
+    * reachable). Cost: one version listing plus one manifest read per
+    * published version in (ownVersion, head] — driver-side metadata,
+    * bounded by history length, on a path only taken when the head has
+    * already dropped our names.
+    */
+  private def rowsReachable(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, ownVersion: Int, head: Int,
+      ownFiles: Set[String]): Boolean = {
+    val bases = Snapshots.rewriteBases(fs, dir)
+    val chain = Snapshots.versions(fs, dir).filter(_ <= head)
+    val present = scala.collection.mutable.Map[Int, Boolean]()
+    chain.foreach { w =>
+      present(w) =
+        if (w < ownVersion) false
+        else if (w == ownVersion) true
+        else if (ownFiles.subsetOf(Snapshots.files(fs, dir, w).toSet)) true
+        else bases.get(w) match {
+          case Some(b) => present.getOrElse(b, false)
+          case None =>
+            chain.filter(_ < w).lastOption.exists(present.getOrElse(_, false))
+        }
+    }
+    present.getOrElse(head, false)
   }
 
   /** Compaction commit: rewrite the LATEST snapshot's rows as a fresh
@@ -740,7 +837,26 @@ object Sinks {
           (if (headNow != Some(latest)) s"the head moved to v${headNow.getOrElse(0)}"
            else s"a racer claimed ${freshLowerClaims.toSeq.sorted.map(v => s"v$v").mkString(",")} below v$next"))
     }
+    // record WHICH head this generation rewrote before publishing: the
+    // shadowed-append repair needs it to tell a compaction that already
+    // incorporated an append's rows (base ≥ the append's version —
+    // republishing would DUPLICATE them) from one that rewrote an older
+    // head (rows genuinely lost — republish). A crash between marker and
+    // publish leaves a marker for an unpublished version: never
+    // consulted (the repair walks published versions only; the claim
+    // blocks number reuse) and reclaimed by vacuum with the claim.
+    recordRewriteBase(fs, dir, next, latest)
     publishClaimed(spark, fs, dir, next, names)
+  }
+
+  /** Publish the `_rewrite-vNNNNN-of-vMMMMM` provenance marker (see
+    * [[Snapshots.rewriteBases]]).
+    */
+  private def recordRewriteBase(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, version: Int, base: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir,
+      f"_rewrite-v$version%05d-of-v$base%05d")
+    fs.create(p, true).close()
   }
 
   /** Snapshot REPLACEMENT: write `df` as a fresh file generation and
@@ -795,6 +911,10 @@ object Sinks {
       throw new java.io.IOException(
         s"snapshot CAS failed for $path: expected to publish v$expectedVersion, a racer allocated v$nowTop")
     }
+    // base 0 = "carries nothing forward": a REPLACEMENT drops every
+    // prior row by design, so a shadowed append must still republish on
+    // top of it (unlike a compaction of a head that contained its rows)
+    recordRewriteBase(fs, dir, next, 0)
     publishClaimed(spark, fs, dir, next, names)
   }
 
@@ -1060,6 +1180,16 @@ object Sinks {
       .filter(v => v <= horizon || published.contains(v))
       .foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(dir, f"_claim-v$v%05d"), false)
+      }
+    // rewrite-provenance markers below the horizon: the repair walk only
+    // consults versions above a LIVE commit's own (always > horizon), so
+    // these served their purpose — reclaim them with the claims
+    val rewritePat = "_rewrite-v(\\d{5,})-of-v\\d{5,}".r
+    fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .foreach {
+        case n @ rewritePat(v) if v.toInt <= horizon =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, n), false)
+        case _ => ()
       }
     // a swallowed data-file delete would report success while leaving a
     // file no manifest references — unreclaimable forever, and ready to
@@ -1386,6 +1516,26 @@ private[sources] object Snapshots {
           .map(v => st.getPath.getName.stripPrefix("_tag-") -> v)
       }
       .toMap
+
+  /** Rewrite provenance: version → the base version whose ROWS that
+    * version's generation rewrote — the `_rewrite-vNNNNN-of-vMMMMM`
+    * markers [[Sinks.compactSnapshot]] (base = the head it compacted)
+    * and [[Sinks.replaceSnapshot]] (base = 0: a replacement carries
+    * NOTHING forward) record just before publishing. Consulted by the
+    * shadowed-append repair to decide whether a head that dropped this
+    * commit's file NAMES still carries its ROWS (compaction of a head
+    * that contained them) or genuinely lost them (compaction of an
+    * older base / a replacement). Versions with no marker are plain
+    * appends, which always union the prior head forward.
+    */
+  def rewriteBases(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Map[Int, Int] = {
+    val pat = "_rewrite-v(\\d{5,})-of-v(\\d{5,})".r
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case pat(v, b) => v.toInt -> b.toInt }
+      .toMap
+  }
 
   /** File names listed by one committed snapshot manifest (an
     * unfulfilled claim reads as "no committed snapshot", like a

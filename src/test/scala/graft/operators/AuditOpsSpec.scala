@@ -217,6 +217,31 @@ class AuditOpsSpec extends SparkSpec {
     assert(out.values.map(_._2).sum == df.count())
   }
 
+  test("lDiversityReport histograms sensitive-value diversity and flags homogeneous classes") {
+    // classes = (source, n_chars div 256); sensitive = lang.
+    // web/bucket0: langs {en, de} → diversity 2 over 3 docs (risk at l=3)
+    // books/bucket2: langs {en, de, fr} → diversity 3 over 3 docs (clear)
+    // web/bucket2: lang {en} ×2 → diversity 1 (the homogeneity attack)
+    def doc(id: Long, lang: String, source: String, chars: Long) =
+      (id, s"text $id", lang, source, chars)
+    val df = Seq(
+      doc(1, "en", "web", 100), doc(2, "de", "web", 120),
+      doc(3, "en", "web", 200),
+      doc(4, "en", "books", 600), doc(5, "de", "books", 610),
+      doc(6, "fr", "books", 620),
+      doc(7, "en", "web", 600), doc(8, "en", "web", 640))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = AuditOps.lDiversityReport(df, l = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((1L, 2L, true)),   // the single-language class
+      2L -> ((1L, 3L, true)),   // two languages, still < l = 3
+      3L -> ((1L, 3L, false)))) // diverse class clears the gate
+    // doc accounting is lossless
+    assert(out.values.map(_._2).sum == df.count())
+  }
+
   test("nameFuzzyPairs and erClusters share one deletion-variant pair-graph build") {
     val customer = Seq(
       (1L, "AB", 1), (2L, "AC", 1), (3L, "AD", 1),

@@ -152,6 +152,68 @@ class HttpSourceSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("repairGaps: the gap report drives the backfill of exactly the missing buckets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val (srv, base, hits) = stub(total = 2) // each bucket URL serves 2 rows
+    try {
+      // live monitor: hours 10, 11, 14 arrive → hours 12, 13 reported
+      val mem = MemoryStream[Long]
+      val q = graft.streaming.EventStreams.gapMonitorStream(
+        mem.toDF().toDF("ts_s"), s"$dir/report", "ts_s", "g1",
+        bucketSeconds = 3600L)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      mem.addData(36000L, 39600L, 50400L)
+      q.processAllAvailable(); q.stop()
+      // repair: fetch each REPORTED bucket from its own range URL and
+      // commit it as an exactly-once window
+      def run() = Sinks.repairGaps(spark, s"$dir/report", s"$dir/raw",
+        "feed", b => s"$base/bucket-$b",
+        (s, url) => Readers.httpFetchJson(s, url, schema))
+      val fetched = run()
+      assert(fetched == Seq("s43200", "s46800"), fetched.mkString(","))
+      assert(hits.get("/bucket-43200") == 1 && hits.get("/bucket-46800") == 1)
+      val raw = Readers.readSnapshot(spark, s"$dir/raw")
+      assert(raw.count() == 4)
+      assert(raw.select("window").distinct().collect().map(_.getString(0))
+        .sorted.toSeq == Seq("s43200", "s46800"))
+      // re-run: both buckets committed → zero fetches, zero reports
+      assert(run().isEmpty)
+      assert(hits.get("/bucket-43200") == 1 && hits.get("/bucket-46800") == 1)
+      // monitor replay (fresh query, same checkpoint): the report rewrite
+      // is generation-keyed, so the repair is STILL a no-op
+      val q2 = graft.streaming.EventStreams.gapMonitorStream(
+        mem.toDF().toDF("ts_s"), s"$dir/report", "ts_s", "g1",
+        bucketSeconds = 3600L)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      q2.processAllAvailable(); q2.stop()
+      assert(run().isEmpty)
+    } finally srv.stop(0)
+  }
+
+  test("an empty window commits a zero-row sentinel: replays never re-fetch it") {
+    val (srv, base, hits) = stub(total = 0)
+    try {
+      val raw = s"${tmp()}/raw"
+      val windows = Seq("w2022" -> s"$base/2022")
+      val first = Sinks.backfillHttpWindows(spark, raw, "pull311",
+        windows, schema)
+      assert(first == Seq("w2022"))
+      assert(hits.get("/2022") == 1)
+      // the head is readable, zero rows, schema intact (incl. window col)
+      val head = Readers.readSnapshot(spark, raw)
+      assert(head.count() == 0)
+      assert(head.columns.toSeq == Seq("id", "name", "window"))
+      // replay: the sentinel reads as committed — no re-fetch, no
+      // re-report (the old early return re-fetched empty feeds forever)
+      val again = Sinks.backfillHttpWindows(spark, raw, "pull311",
+        windows, schema)
+      assert(again.isEmpty)
+      assert(hits.get("/2022") == 1)
+    } finally srv.stop(0)
+  }
+
   test("httpFetchCsv + backfillWindows: the monthly-CSV catchup leg") {
     // a CSV endpoint (the Airbnb-listings shape): header + rows
     val srv = com.sun.net.httpserver.HttpServer.create(

@@ -829,6 +829,47 @@ class SourcesSpec extends SparkSpec {
     assert(Readers.readSnapshot(spark, path, Some(3)).count() == 10)
   }
 
+  test("a compaction that already absorbed an append's rows is not double-applied by the repair") {
+    // the OTHER side of the shadowed-append window: the append PUBLISHES
+    // v2, then stalls before its visibility check while a compaction
+    // reads head v2 (the appended row included), rewrites it as v3, and
+    // publishes. The repair used to see its part names missing from the
+    // head and republish them on top — duplicating every appended row;
+    // the compaction's recorded rewrite base (v2 ≥ the append's version)
+    // now tells it the rows are already in the head.
+    val dir = tmp()
+    val path = s"$dir/table"
+    (1L to 10L).map(i => (i, "base")).toDF("id", "src").write.parquet(path)
+    assert(Sinks.commitSnapshot(spark, path) == 1)
+    Seq((100L, "late")).toDF("id", "src").write.mode("append").parquet(path)
+    val v = Sinks.commitSnapshotHooked(spark, path, () => (),
+      afterPublish = () => {
+        assert(Sinks.compactSnapshot(spark, path) == 3)
+      })
+    assert(v == 2, s"expected no repair publish, got v$v")
+    val head = Readers.readSnapshot(spark, path)
+    assert(head.count() == 11, s"rows duplicated or lost: ${head.count()}")
+    assert(head.filter($"id" === 100L).count() == 1,
+      "appended row must appear exactly once in the head")
+    // and a REPLACEMENT in the same window still repairs (base 0 carries
+    // nothing): the replaced head plus the appended row
+    Seq((200L, "late2")).toDF("id", "src").write.mode("append").parquet(path)
+    val v2 = Sinks.commitSnapshotHooked(spark, path, () => (),
+      afterPublish = () => {
+        Sinks.replaceSnapshot(spark, path,
+          Seq((500L, "swap")).toDF("id", "src"))
+        ()
+      })
+    val head2 = Readers.readSnapshot(spark, path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(v2 == Snapshots.versions(hfs, hp).last,
+      s"repair must own the head, got v$v2")
+    assert(head2.count() == 2, s"expected swap + appended row: ${head2.count()}")
+    assert(head2.filter($"id" === 200L).count() == 1)
+    assert(head2.filter($"id" === 500L).count() == 1)
+  }
+
   test("vacuum sweeps stale claims and orphan generations even when every aged-out version is tagged") {
     val dir = tmp()
     val path = s"$dir/table"
