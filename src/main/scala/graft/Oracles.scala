@@ -2304,6 +2304,95 @@ object Oracles {
   private def pqDotSub(tbl: String, m: Int, j: Int): String =
     s"list_reduce(list_transform(generate_series(1, 8), i -> $tbl.embedding[${m * 8} + i]::DOUBLE * ${pqWSql(m, j)}), (x, y) -> x + y)"
 
+  /** Dot of `tbl`'s subspace-`m` slice against coarse-centroid `c`'s
+    * same slice — the ⟨x_m, C_c,m⟩ term of residual coding; dyadic
+    * weights via the centroidWeight closed form, left-fold like the
+    * Spark DotProduct.
+    */
+  private def centSubDotSql(tbl: String, c: Int, m: Int): String =
+    s"list_reduce(list_transform(generate_series(1, 8), i -> $tbl.embedding[${m * 8} + i]::DOUBLE * (CAST((69069 * (${c * 64 + m * 8} + i - 1) + 12345) % 4096 AS DOUBLE) / 2048.0 - 1.0)), (x, y) -> x + y)"
+
+  /** 16-branch cell CASE of the shifted-centroid norm literals
+    * ‖C_c[sub m] + cb_{m,j}‖² (SimilarityOps.residualShiftNorm2 —
+    * computed driver-side, inlined identically in both engines).
+    */
+  private def residualShiftCaseSql(cellRef: String, m: Int, j: Int): String =
+    "(CASE " + cellRef + " " + (0 until 16).map { c =>
+      s"WHEN $c THEN ${graft.operators.SimilarityOps.residualShiftNorm2(
+        graft.operators.SimilarityOps.FixedIvfCentroids,
+        graft.operators.SimilarityOps.FixedPqCodebook, c, m, j)}"
+    }.mkString(" ") + " END)"
+
+  /** RESIDUAL PQ coding chain (SimilarityOps.withResidualPqCodes mirror
+    * — IVFADC): `src` must expose `embedding` and `cell` (cell listed in
+    * `carry`); scores are (‖C+cb‖² − 2·⟨x_m, C_cell,m⟩ − 2·⟨x_m,
+    * cb_{m,j}⟩) with the cell-dependent terms as 16-branch CASEs, same
+    * association order as the Spark column expression.
+    */
+  private def pqResidualCodedCtes(src: String, carry: Seq[String],
+      sfx: String = ""): String = {
+    import graft.operators.SimilarityOps.{PqCent, PqSub}
+    val c = carry.mkString(", ")
+    val rd = s"resdots$sfx"
+    val dcCols = (0 until PqSub).map { m =>
+      "(CASE cell " + (0 until 16).map(cc =>
+        s"WHEN $cc THEN ${centSubDotSql(src, cc, m)}").mkString(" ") +
+        s" END) AS dc$m"
+    }.mkString(", ")
+    val scoreCols = (for (m <- 0 until PqSub; j <- 0 until PqCent) yield
+      s"(${residualShiftCaseSql("cell", m, j)} - 2.0 * dc$m - 2.0 * ${pqDotSub(rd, m, j)}) AS s${m}_$j")
+      .mkString(", ")
+    val minCols = (0 until PqSub).map(m =>
+      s"LEAST(${(0 until PqCent).map(j => s"s${m}_$j").mkString(", ")}) AS mn$m")
+      .mkString(", ")
+    val codeCols = (0 until PqSub).map { m =>
+      "CASE " + (0 until PqCent).map(j => s"WHEN s${m}_$j = mn$m THEN $j")
+        .mkString(" ") + s" END AS code$m"
+    }.mkString(", ")
+    s"""$rd AS (SELECT $c, embedding, $dcCols FROM $src),
+       |scored$sfx AS (SELECT $c, $scoreCols FROM $rd),
+       |mins$sfx AS (SELECT *, $minCols FROM scored$sfx),
+       |coded$sfx AS MATERIALIZED (SELECT $c, $codeCols FROM mins$sfx)""".stripMargin
+  }
+
+  /** Residual per-(query, probed cell) LUT columns (SimilarityOps.
+    * residualLutCols mirror): `src` exposes `embedding` and the PROBED
+    * `cell`; entry (m, j) = ⟨q_m,q_m⟩ − 2·dq_m − 2·⟨q_m, cb_{m,j}⟩ +
+    * ‖C+cb‖², same association order as the Spark columns. Emitted as a
+    * two-CTE chain ending in `qlut$sfx(…carry…, lut{m}_{j}…)`.
+    */
+  private def pqResidualLutCtes(src: String, carry: Seq[String],
+      sfx: String = ""): String = {
+    import graft.operators.SimilarityOps.{PqCent, PqSub}
+    val c = carry.mkString(", ")
+    val qd = s"qdots$sfx"
+    def qn(m: Int) =
+      s"list_reduce(list_transform(generate_series(1, 8), i -> $src.embedding[${m * 8} + i]::DOUBLE * $src.embedding[${m * 8} + i]::DOUBLE), (x, y) -> x + y)"
+    val dqCols = (0 until PqSub).map { m =>
+      "(CASE cell " + (0 until 16).map(cc =>
+        s"WHEN $cc THEN ${centSubDotSql(src, cc, m)}").mkString(" ") +
+        s" END) AS dq$m"
+    }.mkString(", ")
+    val qnCols = (0 until PqSub).map(m => s"${qn(m)} AS qn$m").mkString(", ")
+    val lutCols = (for (m <- 0 until PqSub; j <- 0 until PqCent) yield
+      s"(qn$m - 2.0 * dq$m - 2.0 * ${pqDotSub(qd, m, j)} + ${residualShiftCaseSql("cell", m, j)}) AS lut${m}_$j")
+      .mkString(", ")
+    s"""$qd AS (SELECT $c, embedding, $qnCols, $dqCols FROM $src),
+       |qlut$sfx AS (SELECT $c, $lutCols FROM $qd)""".stripMargin
+  }
+
+  /** Residual ADC distance: coded row `c` against LUT row `q` (a
+    * `qlut` row) — Σ_m lut_m[code_m], left-fold over subspaces like the
+    * Spark reduceLeft.
+    */
+  private lazy val pqResidualAdcSql: String = {
+    import graft.operators.SimilarityOps.{PqCent, PqSub}
+    (0 until PqSub).map { m =>
+      "(CASE c.code" + m + " " + (0 until PqCent).map(j =>
+        s"WHEN $j THEN q.lut${m}_$j").mkString(" ") + " END)"
+    }.reduceLeft((a, b) => s"($a + $b)")
+  }
+
   /** ADC distance between query row `q` and coded row `c` — left-fold
     * sum over subspaces, matching the Spark reduceLeft order.
     */
@@ -2888,19 +2977,21 @@ object Oracles {
          |FROM ranked WHERE rank <= 3""".stripMargin,
 
     // SimilarityOps.ivfPqAnn: IVF cells prune to the two probed lists,
-    // PQ codes rank within them — celled (the shared IVF CTE body) feeds
-    // the same PQ coding chain, probes join on the cell key.
+    // RESIDUAL PQ codes (IVFADC — each vector codes x − centroid(cell))
+    // rank within them; the celled CTE feeds the residual coding chain,
+    // queries carry per-probed-cell residual LUTs, probes join on cell.
     "embed_ivfpq_ann" ->
       s"""WITH celled AS ($ivfCelledSelect),
-         |${pqCodedCtes("celled", Seq("vec_id", "cell"))},
-         |q AS (SELECT vec_id AS query_id, embedding, cell FROM (
+         |${pqResidualCodedCtes("celled", Seq("vec_id", "cell"))},
+         |qsrc AS (SELECT vec_id AS query_id, embedding, cell FROM (
          |  SELECT vec_id, embedding, cell FROM celled WHERE vec_id < 20
          |  UNION ALL
          |  SELECT vec_id, embedding, cell2 AS cell FROM celled WHERE vec_id < 20)),
+         |${pqResidualLutCtes("qsrc", Seq("query_id", "cell"))},
          |sims AS (
          | SELECT q.query_id, c.vec_id AS neighbor_id,
-         |  ROUND($pqAdcSql, 6) AS adc_dist2
-         | FROM coded c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id),
+         |  ROUND($pqResidualAdcSql, 6) AS adc_dist2
+         | FROM coded c JOIN qlut q ON c.cell = q.cell AND c.vec_id <> q.query_id),
          |ranked AS (SELECT *, CAST(row_number() OVER (
          |  PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
          | FROM sims)
@@ -2913,16 +3004,17 @@ object Oracles {
     // them (pre-filtered search, not post-filtered top-k).
     "embed_filtered_ann" ->
       s"""WITH celled AS ($ivfCelledSelect),
-         |${pqCodedCtes("celled", Seq("vec_id", "cell", "label"))},
-         |q AS (SELECT vec_id AS query_id, embedding, label, cell FROM (
+         |${pqResidualCodedCtes("celled", Seq("vec_id", "cell", "label"))},
+         |qsrc AS (SELECT vec_id AS query_id, embedding, label, cell FROM (
          |  SELECT vec_id, embedding, label, cell FROM celled WHERE vec_id < 20
          |  UNION ALL
          |  SELECT vec_id, embedding, label, cell2 AS cell FROM celled
          |  WHERE vec_id < 20)),
+         |${pqResidualLutCtes("qsrc", Seq("query_id", "cell", "label"))},
          |sims AS (
          | SELECT q.query_id, c.vec_id AS neighbor_id,
-         |  ROUND($pqAdcSql, 6) AS adc_dist2
-         | FROM coded c JOIN q ON c.cell = q.cell AND c.label = q.label
+         |  ROUND($pqResidualAdcSql, 6) AS adc_dist2
+         | FROM coded c JOIN qlut q ON c.cell = q.cell AND c.label = q.label
          |  AND c.vec_id <> q.query_id),
          |ranked AS (SELECT *, CAST(row_number() OVER (
          |  PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
@@ -2956,17 +3048,18 @@ object Oracles {
          |   FROM codedf c, q WHERE c.vec_id <> q.query_id))
          | WHERE rank <= 3),
          |celled AS ($ivfCelledSelect),
-         |${pqCodedCtes("celled", Seq("vec_id", "cell"), "r")},
-         |qr AS (SELECT vec_id AS query_id, embedding, cell FROM (
+         |${pqResidualCodedCtes("celled", Seq("vec_id", "cell"), "r")},
+         |qsrcr AS (SELECT vec_id AS query_id, embedding, cell FROM (
          |  SELECT vec_id, embedding, cell FROM celled WHERE vec_id < 20
          |  UNION ALL
          |  SELECT vec_id, embedding, cell2 AS cell FROM celled WHERE vec_id < 20)),
+         |${pqResidualLutCtes("qsrcr", Seq("query_id", "cell"), "r")},
          |pqr AS (SELECT query_id, neighbor_id FROM (
          |  SELECT *, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
          |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
-         |    ROUND($pqAdcSql, 6) AS adc_dist2
-         |   FROM codedr c JOIN qr q ON c.cell = q.cell AND c.vec_id <> q.query_id))
+         |    ROUND($pqResidualAdcSql, 6) AS adc_dist2
+         |   FROM codedr c JOIN qlutr q ON c.cell = q.cell AND c.vec_id <> q.query_id))
          | WHERE rank <= 3)
          |SELECT ex.query_id, COUNT(*) AS n_exact,
          | CAST(SUM(CASE WHEN pqf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -3046,6 +3139,48 @@ object Oracles {
          |FROM ex
          |LEFT JOIN pqf ON pqf.query_id = ex.query_id
          | AND pqf.neighbor_id = ex.neighbor_id""".stripMargin
+    },
+
+    // SimilarityOps.ivfadcTrainedRecall: exact leg + the fixed RESIDUAL
+    // IVF-PQ leg replayed (the residual coded/LUT chains); the trained
+    // residual-IVFADC quality lands as tolerance-band booleans the gate
+    // forces to TRUE (the pq_trained_recall convention).
+    "ivfadc_trained_recall" -> {
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |      WHERE vec_id < 20),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROUND(${dotSql("c", "c")} - 2.0 * ${dotSql("q", "c")}
+         |      + ${dotSql("q", "q")}, 6) AS d
+         |   FROM embeddings c, q WHERE c.vec_id <> q.query_id))
+         | WHERE rank <= 3),
+         |celled AS ($ivfCelledSelect),
+         |${pqResidualCodedCtes("celled", Seq("vec_id", "cell"), "v")},
+         |qsrcv AS (SELECT vec_id AS query_id, embedding, cell FROM (
+         |  SELECT vec_id, embedding, cell FROM celled WHERE vec_id < 20
+         |  UNION ALL
+         |  SELECT vec_id, embedding, cell2 AS cell FROM celled WHERE vec_id < 20)),
+         |${pqResidualLutCtes("qsrcv", Seq("query_id", "cell"), "v")},
+         |pqv AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROUND($pqResidualAdcSql, 6) AS adc_dist2
+         |   FROM codedv c JOIN qlutv q ON c.cell = q.cell AND c.vec_id <> q.query_id))
+         | WHERE rank <= 3)
+         |SELECT CAST(COUNT(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+         | COUNT(*) AS n_exact,
+         | CAST((CAST(SUM(CASE WHEN pqv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS recall_fixed_micro,
+         | TRUE AS trained_ge_floor,
+         | TRUE AS trained_ge_fixed
+         |FROM ex
+         |LEFT JOIN pqv ON pqv.query_id = ex.query_id
+         | AND pqv.neighbor_id = ex.neighbor_id""".stripMargin
     },
 
     // MMR greedy unrolled k=5 steps as chained CTEs (the bpe_learn
@@ -5099,6 +5234,54 @@ object Oracles {
         |  ELSE -(((n_discordant - n_concordant)::HUGEINT * 1000000) // n_pairs)
         |  END AS BIGINT) AS tau_a_micro
         |FROM s WHERE n_pairs > 0""".stripMargin,
+
+    // StatOps.spearmanDaily: Pearson over doubled midranks of the daily
+    // (revenue, order-count) pair — exact integer rank sums, one final
+    // IEEE division/sqrt; zero-variance legs NULL in both engines.
+    "spearman_daily" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+        |  COUNT(*) AS m
+        | FROM orders GROUP BY 1),
+        |ry AS (SELECT y, 2 * (SUM(c) OVER (ORDER BY y) - c) + c + 1 AS x
+        | FROM (SELECT y, COUNT(*) AS c FROM daily GROUP BY y)),
+        |rm AS (SELECT m, 2 * (SUM(c) OVER (ORDER BY m) - c) + c + 1 AS z
+        | FROM (SELECT m, COUNT(*) AS c FROM daily GROUP BY m)),
+        |j AS (SELECT x, z FROM daily JOIN ry USING (y) JOIN rm USING (m)),
+        |a AS (SELECT COUNT(*)::DECIMAL(38,0) AS n,
+        |  SUM(x::DECIMAL(38,0)) AS sx, SUM(z::DECIMAL(38,0)) AS sz,
+        |  SUM(x::DECIMAL(38,0) * x) AS sxx, SUM(z::DECIMAL(38,0) * z) AS szz,
+        |  SUM(x::DECIMAL(38,0) * z) AS sxz
+        | FROM j),
+        |v AS (SELECT CAST(n AS BIGINT) AS n_days,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+        |  CAST(n * szz - sz * sz AS DOUBLE) AS vz,
+        |  CAST(n * sxz - sx * sz AS DOUBLE) AS cov
+        | FROM a WHERE n > 0)
+        |SELECT n_days,
+        | CASE WHEN vx > 0 AND vz > 0
+        |   THEN ROUND(cov / sqrt(vx * vz), 6) END AS rho_r6
+        |FROM v""".stripMargin,
+
+    // StatOps.priorityStatusCramersV: enum×enum contingency effect size;
+    // φ²·10⁶ as the SUM OF PER-CELL TRUNCATED micro contributions (the
+    // deterministic definition both engines replay) minus 10⁶.
+    "priority_status_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus AS s,
+        |  COUNT(*) AS obs FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT SUM(obs) AS n, COUNT(DISTINCT p) AS nr,
+        |  COUNT(DISTINCT s) AS nc FROM cells),
+        |m AS (SELECT obs, SUM(obs) OVER (PARTITION BY p) AS rt,
+        |  SUM(obs) OVER (PARTITION BY s) AS ct FROM cells),
+        |contrib AS (SELECT SUM((CAST(obs AS HUGEINT) * obs * 1000000)
+        |  // (CAST(rt AS HUGEINT) * ct)) AS sc FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_orders, CAST(nr AS BIGINT) AS n_priorities,
+        | CAST(nc AS BIGINT) AS n_statuses,
+        | CAST(sc - 1000000 AS BIGINT) AS phi2_micro,
+        | CASE WHEN LEAST(nr, nc) > 1 THEN
+        |   ROUND(sqrt(GREATEST(CAST(sc - 1000000 AS DOUBLE), 0.0) / 1000000.0
+        |     / CAST(LEAST(nr, nc) - 1 AS DOUBLE)), 6) END AS cramers_v_r6
+        |FROM tot, contrib WHERE n > 0""".stripMargin,
 
     // StatOps.runsTestDaily: runs around the exact lower median of daily
     // revenue; expected runs in exact milli-units

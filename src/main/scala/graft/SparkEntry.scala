@@ -300,6 +300,8 @@ object SparkEntry {
       SimilarityOps.filteredIvfPqAnn(embeddings(s, d))),
     "pq_recall_report" -> ((s, d) => SimilarityOps.pqRecallReport(embeddings(s, d))),
     "pq_trained_recall" -> ((s, d) => SimilarityOps.pqTrainedRecall(embeddings(s, d))),
+    "ivfadc_trained_recall" -> ((s, d) =>
+      SimilarityOps.ivfadcTrainedRecall(embeddings(s, d))),
     "embed_pq_rerank" -> ((s, d) => SimilarityOps.pqRerankAnn(embeddings(s, d))),
     "embed_quantize" -> ((s, d) => SimilarityOps.embedQuantize(embeddings(s, d))),
     "embed_knn_label" -> ((s, d) =>
@@ -473,6 +475,9 @@ object SparkEntry {
     "mann_whitney_u" -> ((s, d) => StatOps.mannWhitneyU(lineitem(s, d))),
     "kendall_tau_daily" -> ((s, d) => StatOps.kendallTauDaily(orders(s, d))),
     "runs_test_daily" -> ((s, d) => StatOps.runsTestDaily(orders(s, d))),
+    "spearman_daily" -> ((s, d) => StatOps.spearmanDaily(orders(s, d))),
+    "priority_status_cramers_v" -> ((s, d) =>
+      StatOps.priorityStatusCramersV(orders(s, d))),
     "gini_customer_concentration" -> ((s, d) =>
       Analytics.giniCustomerConcentration(orders(s, d))),
     "partition_backfill_plan" -> ((s, d) => AuditOps.backfillPlan(orders(s, d))),

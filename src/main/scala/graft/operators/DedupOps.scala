@@ -284,8 +284,22 @@ object DedupOps {
     * Exact verify on the full distinct-shingle arrays; ⌈τ·n⌉ in
     * integer micro-units shared with the oracle.
     */
-  def dedupContainment(documents: DataFrame, tauC: Double = 0.8,
-      dfCap: Int = 50): DataFrame = {
+  /** Candidate stage of [[dedupContainment]], exposed for stage-level
+    * profiling (the r10 verdict's "measure the split" ask — measured
+    * ~4.3 s candidates / ~7.6 s verify at sf0.1): the one-sided
+    * rarest-first prefix filter over df ≤ dfCap shingles → distinct
+    * (doc_small, doc_big) pairs. Memo-checkpointed (the jaccard_pairs
+    * treatment): the pair list is candidate-bounded, never
+    * corpus-sized, so a session re-running the query pays only the
+    * verify after the first build.
+    */
+  private[graft] def containmentCandidates(documents: DataFrame,
+      tauC: Double = 0.8, dfCap: Int = 50): DataFrame =
+    Memo.cached(s"containment_pairs:$tauC:$dfCap", documents)(
+      containmentCandidatesImpl(_, tauC, dfCap))
+
+  private def containmentCandidatesImpl(documents: DataFrame,
+      tauC: Double, dfCap: Int): DataFrame = {
     val tauMicro = math.round(tauC * 1e6)
     val docSets = docShingleSets(documents)
     val dfs = docSets.select(explode(col("xs")).as("x"))
@@ -302,15 +316,37 @@ object DedupOps {
       .filter(col("rnk") <=
         col("n") - expr(s"(n * $tauMicro + 999999) div 1000000") + 1)
       .select(col("doc_id").as("doc_small"), col("x"))
-    val cands = prefix
+    prefix
       .join(kept.select(col("x"), col("doc_id").as("doc_big")), Seq("x"))
       .filter(col("doc_small") =!= col("doc_big"))
+      // no trailing persist: the Memo wrapper eagerly checkpoints this
       .select("doc_small", "doc_big").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candDocs = cands.select(col("doc_small").as("doc_id"))
-      .union(cands.select(col("doc_big").as("doc_id"))).distinct()
+  }
+
+  def dedupContainment(documents: DataFrame, tauC: Double = 0.8,
+      dfCap: Int = 50): DataFrame = {
+    val tauMicro = math.round(tauC * 1e6)
+    val docSets = docShingleSets(documents)
+    val cands = containmentCandidates(documents, tauC, dfCap)
+    // cheap LENGTH prune before any array touches: inter ≤ min(n_s,
+    // n_b), so C(small→big) ≥ τ is impossible when n_b·10⁶ < τµ·n_s —
+    // the candidate join is directional (doc_big is ANY doc sharing a
+    // prefix shingle, including much smaller ones), and the verify's
+    // cost is the two array joins + intersects, so dropping impossible
+    // pairs on two longs first is the r10-profiled win (the verify
+    // stage dominated the candidate stage ~10 s vs ~4 s at sf0.1)
+    val sizes = docSets.select(col("doc_id"), size(col("xs")).cast("long").as("n"))
+    val pruned = cands
+      .join(sizes.select(col("doc_id").as("doc_small"), col("n").as("n_s")),
+        Seq("doc_small"))
+      .join(sizes.select(col("doc_id").as("doc_big"), col("n").as("n_b")),
+        Seq("doc_big"))
+      .filter(col("n_b") * 1000000 >= col("n_s") * tauMicro)
+      .select("doc_small", "doc_big")
+    val candDocs = pruned.select(col("doc_small").as("doc_id"))
+      .union(pruned.select(col("doc_big").as("doc_id"))).distinct()
     val dsC = docSets.join(candDocs, Seq("doc_id"), "left_semi")
-    cands
+    pruned
       .join(dsC.select(col("doc_id").as("doc_small"), col("xs").as("xs_s")),
         Seq("doc_small"))
       .join(dsC.select(col("doc_id").as("doc_big"), col("xs").as("xs_b")),

@@ -42,6 +42,11 @@ object Memo {
     new java.util.concurrent.ConcurrentHashMap[String, Object]
   private val buildSeconds =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]
+  // the last build's pre-checkpoint QueryExecution per memo name: the
+  // expensive plan shapes live in the DERIVATIONS, not the queries that
+  // consume their checkpointed leaves — PlanDigestSpec locks these too
+  private val builtPlans = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.execution.QueryExecution]
   private val nestedSeconds = new ThreadLocal[Double] {
     override def initialValue: Double = 0.0
   }
@@ -81,7 +86,9 @@ object Memo {
         nestedSeconds.set(0.0)
         val t0 = System.nanoTime()
         try {
-          val built = build.localCheckpoint(eager = true)
+          val raw = build
+          builtPlans.put(name, raw.queryExecution)
+          val built = raw.localCheckpoint(eager = true)
           val elapsed = (System.nanoTime() - t0) / 1e9
           buildSeconds.merge(name, elapsed - nestedSeconds.get, (a, b) => a + b)
           nestedSeconds.set(outerNested + elapsed)
@@ -158,6 +165,18 @@ object Memo {
     df
   }
 
+  /** The pre-checkpoint QueryExecution of each memo derivation built
+    * since the last [[invalidate]], keyed by memo name — the plan-audit
+    * surface for the builds themselves (their checkpointed leaves hide
+    * these shapes from every consumer query's plan).
+    */
+  def builtQueryExecutions: Map[String, org.apache.spark.sql.execution.QueryExecution] = {
+    val snap = scala.collection.mutable.Map[
+      String, org.apache.spark.sql.execution.QueryExecution]()
+    builtPlans.forEach((k, v) => snap(k) = v)
+    snap.toMap
+  }
+
   /** Seconds spent on memo-miss derivations since the last drain, keyed
     * by operator name (exclusive — nested sub-derivations report under
     * their own names). Lets a benchmark attribute each one-time
@@ -181,6 +200,7 @@ object Memo {
     cache.forEach((_, df) => releaseCheckpoint(df))
     cache.clear()
     modelCache.clear()
+    builtPlans.clear()
     managed.synchronized {
       managed.forEach(df => df.unpersist(blocking = false))
       managed.clear()

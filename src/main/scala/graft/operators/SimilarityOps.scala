@@ -795,6 +795,115 @@ object SimilarityOps {
     cb
   }
 
+  // ------------------------------------------- residual (IVFADC) coding
+
+  /** The 8-dim slice of coarse centroid `c` for subspace `m`. */
+  private def centSub(centroids: Seq[Seq[Float]], c: Int, m: Int): IndexedSeq[Float] =
+    (0 until 8).map(i => centroids(c)(m * 8 + i)).toIndexedSeq
+
+  /** ‖C_c[sub m] + cb_{m,j}‖² in double, left-fold — the shifted-centroid
+    * norm constant of residual coding (see [[withResidualPqCodes]]);
+    * computed driver-side and inlined as a literal in BOTH engines.
+    */
+  def residualShiftNorm2(centroids: Seq[Seq[Float]], codebook: PqCodebook,
+      c: Int, m: Int, j: Int): Double =
+    (0 until 8).map { i =>
+      val t = centroids(c)(m * 8 + i).toDouble + codebook(m)(j)(i).toDouble
+      t * t
+    }.foldLeft(0.0)(_ + _)
+
+  /** One 16-branch CASE over the `cellCol` cell id — the per-row
+    * selector residual coding uses for cell-dependent terms (only the
+    * matching branch evaluates at runtime, so the per-row cost is one
+    * branch however many cells the index has).
+    */
+  private def caseOverCells(nCells: Int, cellCol: org.apache.spark.sql.Column,
+      branch: Int => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until nCells).foldRight(lit(Double.MaxValue): org.apache.spark.sql.Column) {
+      (c, rest) => when(cellCol === c, branch(c)).otherwise(rest)
+    }
+
+  /** RESIDUAL PQ codes (IVFADC proper — Jégou et al. 2011 §IV): each
+    * vector codes x − C(cell) rather than x, so the 16 subspace
+    * centroids only need to cover the WITHIN-cell spread instead of the
+    * whole space — the standard fix for the raw-vector encoding's low
+    * recall. Expressed without materializing the residual: with the
+    * shifted centroid t_{c,m,j} = C_c[sub m] + cb_{m,j},
+    * argmin_j ‖(x−C)_m − cb_{m,j}‖² = argmin_j (‖t‖² − 2·⟨x_m, C_c,m⟩
+    * − 2·⟨x_m, cb_{m,j}⟩) — the ‖x_m‖² term is constant in j. Every
+    * constant (‖t‖², the centroid slices, the codebook) is a
+    * driver-side literal, and both dot products are the codegen'd
+    * float-array left-fold — so the fixed-geometry path stays
+    * bit-replayable in the SQL oracle (dyadic centroids + dyadic
+    * codebook make every t float-exact). One scan, no shuffle; the
+    * per-row cost over raw coding is 8 extra dots (the matching CASE
+    * branch per subspace).
+    *
+    * `celled` must expose `embedding` and `cell`; input columns pass
+    * through like [[withPqCodes]].
+    */
+  def withResidualPqCodes(celled: DataFrame, centroids: Seq[Seq[Float]],
+      codebook: PqCodebook = FixedPqCodebook): DataFrame = {
+    val keep = celled.columns.toSeq
+    val nc = centroids.size
+    val dCols = (0 until PqSub).map { m =>
+      val sub = slice(col("embedding"), m * 8 + 1, 8)
+      caseOverCells(nc, col("cell"), c =>
+        graft.functions.DotProduct.dotF(sub, typedlit(centSub(centroids, c, m))))
+        .as(s"dc$m")
+    }
+    val based = celled.select(keep.map(col) ++ dCols: _*)
+    val scoreCols = for (m <- 0 until PqSub; j <- 0 until PqCent) yield {
+      val sub = slice(col("embedding"), m * 8 + 1, 8)
+      val w = caseOverCells(nc, col("cell"),
+        c => lit(residualShiftNorm2(centroids, codebook, c, m, j)))
+      (w - lit(2.0) * col(s"dc$m") - lit(2.0) *
+        graft.functions.DotProduct.dotF(sub, typedlit(codebook(m)(j))))
+        .as(s"s${m}_$j")
+    }
+    val scored = based.select(keep.map(col) ++ scoreCols: _*)
+    val codeCols = (0 until PqSub).map { m =>
+      val mn = least((0 until PqCent).map(j => col(s"s${m}_$j")): _*)
+      (0 until PqCent).foldRight(lit(-1): org.apache.spark.sql.Column) {
+        (j, rest) => when(col(s"s${m}_$j") === mn, lit(j)).otherwise(rest)
+      }.as(s"code$m")
+    }
+    scored.select(keep.map(col) ++ codeCols: _*)
+  }
+
+  /** Per-(query, probed cell) RESIDUAL ADC lookup tables: `lut_m[j]` =
+    * ‖(q − C_cell)_m − cb_{m,j}‖², decomposed like the encoder
+    * (⟨q_m,q_m⟩ − 2·⟨q_m, C_cell,m⟩ − 2·⟨q_m, cb_{m,j}⟩ + ‖t‖²). Input
+    * rows must expose `embedding` and the PROBED `cell` (post-explode),
+    * so each probe leg gets the LUT of the cell it scans — residual
+    * estimates stay comparable across a query's probed cells because
+    * they all approximate ‖q − x‖².
+    */
+  private def residualLutCols(centroids: Seq[Seq[Float]],
+      codebook: PqCodebook): Seq[org.apache.spark.sql.Column] = {
+    val nc = centroids.size
+    (0 until PqSub).map { m =>
+      val sub = slice(col("embedding"), m * 8 + 1, 8)
+      val dq = caseOverCells(nc, col("cell"), c =>
+        graft.functions.DotProduct.dotF(sub, typedlit(centSub(centroids, c, m))))
+      array((0 until PqCent).map { j =>
+        val w = caseOverCells(nc, col("cell"),
+          c => lit(residualShiftNorm2(centroids, codebook, c, m, j)))
+        graft.functions.DotProduct.dotF(sub, sub) -
+          lit(2.0) * dq -
+          lit(2.0) * graft.functions.DotProduct.dotF(sub,
+            typedlit(codebook(m)(j))) +
+          w
+      }: _*).as(s"lut$m")
+    }
+  }
+
+  /** Fixed coarse centroids as float rows (= [[FixedAnnModel]].centroids;
+    * dyadic, float-exact — the oracle-replayable geometry).
+    */
+  lazy val FixedIvfCentroids: Seq[Seq[Float]] =
+    (0 until IvfCells).map(k => (0 until Dim).map(i => centroidWeight(k, i).toFloat))
+
   /** Per-query ADC lookup tables: `lut_m[j]` = ‖q_m − c_{m,j}‖², one
     * 16-double array per subspace, computed from the query's own
     * subvectors. Shared by the flat and IVF-routed PQ probes.
@@ -830,25 +939,34 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist2"))
   }
 
-  /** IVF-PQ ANN — the production composition (FAISS's workhorse index):
-    * the IVF cell assignment prunes the candidate list to the query's
-    * two nearest cells, and within those cells candidates are ranked by
-    * the PQ asymmetric distance over 4-byte codes. Both index structures
-    * derive in ONE encoder scan ([[withIvfCells]] → [[withPqCodes]],
-    * codes pass cells through); the probe join is cell-keyed like
-    * [[ivfAnn]] but moves codes instead of 256-byte vectors — at 10¹¹
-    * vectors the candidate scan is 2/16 of the corpus at 1/64 the bytes.
+  /** IVF-PQ ANN — the production composition (FAISS's IVFADC): the IVF
+    * cell assignment prunes the candidate list to the query's two
+    * nearest cells, and within those cells candidates are ranked by the
+    * PQ asymmetric distance over 4-byte RESIDUAL codes — each vector
+    * quantizes x − centroid(cell), not x ([[withResidualPqCodes]]), so
+    * the codebook spends its 16 centroids per subspace on the
+    * within-cell spread (Jégou 2011 §IV; raw-vector coding is why the
+    * untrained recall used to sit near the floor). Both index
+    * structures derive in ONE encoder scan ([[withIvfCells]] →
+    * [[withResidualPqCodes]], codes pass cells through); the probe join
+    * is cell-keyed like [[ivfAnn]] but moves codes instead of 256-byte
+    * vectors — at 10¹¹ vectors the candidate scan is 2/16 of the corpus
+    * at 1/64 the bytes.
     */
   def ivfPqAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
       codebook: PqCodebook = FixedPqCodebook): DataFrame = {
-    val both = withPqCodes(withIvfCells(embeddings), codebook)
+    val both = withResidualPqCodes(withIvfCells(embeddings),
+        FixedIvfCentroids, codebook)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = both.select(col("cell") +: col("vec_id") +:
       (0 until PqSub).map(m => col(s"code$m")): _*)
+    // residual LUTs are per PROBED cell, so the cell explode happens
+    // BELOW the LUT projection (each probe leg sees its own cell's LUT)
     val queries = both.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id") +:
-        explode(array(col("cell"), col("cell2"))).as("cell") +:
-        pqLutCols(codebook): _*)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        explode(array(col("cell"), col("cell2"))).as("cell"))
+      .select(col("query_id") +: col("cell") +:
+        residualLutCols(FixedIvfCentroids, codebook): _*)
     pqTopK(corpus.join(broadcast(queries), Seq("cell")), k)
   }
 
@@ -866,15 +984,17 @@ object SimilarityOps {
     // managed persist: the encoder scan feeds both the corpus and query
     // sides but the result is returned lazily, so release rides the
     // session lifecycle (Memo.invalidate) instead of leaking
-    val both = Memo.managedPersist(withPqCodes(
-      withIvfCells(embeddings, keep = Seq("label")), codebook))
+    val both = Memo.managedPersist(withResidualPqCodes(
+      withIvfCells(embeddings, keep = Seq("label")), FixedIvfCentroids,
+      codebook))
     val corpus = both.select(col("cell") +: col("vec_id") +: col("label") +:
       (0 until PqSub).map(m => col(s"code$m")): _*)
     val queries = both.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id") +:
-        col("label").as("q_label") +:
-        explode(array(col("cell"), col("cell2"))).as("q_cell") +:
-        pqLutCols(codebook): _*)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        col("label").as("q_label"),
+        explode(array(col("cell"), col("cell2"))).as("cell"))
+      .select(col("query_id") +: col("q_label") +: col("cell").as("q_cell") +:
+        (residualLutCols(FixedIvfCentroids, codebook)): _*)
     val probed = corpus.join(broadcast(queries),
       col("cell") === col("q_cell") && col("label") === col("q_label"))
     pqTopK(probed, k)
@@ -976,22 +1096,46 @@ object SimilarityOps {
     (0 until IvfCells).map(k => (0 until Dim).map(i => centroidWeight(k, i).toFloat)),
     FixedPqCodebook)
 
+  /** The corpus as RESIDUAL vectors x − C(cell) under `centroids` —
+    * what an IVFADC codebook must train on (training on raw vectors
+    * quantizes the wrong distribution: the codes store residuals).
+    * Per-row zip_with against the assigned cell's centroid literal;
+    * float subtraction, one scan, no shuffle.
+    */
+  private def residualVectors(embeddings: DataFrame,
+      centroids: Seq[Seq[Float]]): DataFrame = {
+    val nc = centroids.size
+    val centArr = (0 until nc).foldRight(
+      lit(null).cast("array<float>"): org.apache.spark.sql.Column) {
+      (c, rest) => when(col("cell") === c,
+        typedlit(centroids(c).toIndexedSeq)).otherwise(rest)
+    }
+    withCells(embeddings, centroids)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), centArr, (x, c) => x - c).as("embedding"))
+  }
+
   /** Train both halves of the index model on the current corpus —
-    * distributed Lloyd's for the IVF cells and per-subspace k-means for
-    * the PQ codebook; only centroid cells ever reach the driver.
+    * distributed Lloyd's for the IVF cells, then per-subspace k-means
+    * for the PQ codebook over the RESIDUALS x − C(cell) those centroids
+    * induce (IVFADC trains on what it codes); only centroid cells ever
+    * reach the driver.
     */
   def trainAnnModel(embeddings: DataFrame, ivfIters: Int = 4,
-      pqIters: Int = 2): AnnModel =
-    AnnModel(
-      trainIvfCentroids(embeddings, IvfCells, ivfIters).map(_.toSeq).toSeq,
-      trainPqCodebook(embeddings, pqIters))
+      pqIters: Int = 2): AnnModel = {
+    val centroids =
+      trainIvfCentroids(embeddings, IvfCells, ivfIters).map(_.toSeq).toSeq
+    AnnModel(centroids,
+      trainPqCodebook(residualVectors(embeddings, centroids), pqIters))
+  }
 
   /** Slim index rows (vec_id, cell, code0..7) for `embeddings` under
     * `model` — ONE codegen'd encoder scan, 4 B of codes per vector; the
     * full vectors never land in the index.
     */
   def encodeSlim(embeddings: DataFrame, model: AnnModel): DataFrame =
-    withPqCodes(withCells(embeddings, model.centroids), model.codebook)
+    withResidualPqCodes(withCells(embeddings, model.centroids),
+        model.centroids, model.codebook)
       .select(col("vec_id") +: col("cell") +:
         (0 until PqSub).map(m => col(s"code$m")): _*)
 
@@ -1004,9 +1148,10 @@ object SimilarityOps {
   def annCodesSearch(index: DataFrame, queries: DataFrame, model: AnnModel,
       k: Int = 3): DataFrame = {
     val q = withCells(queries, model.centroids)
-      .select(col("vec_id").as("query_id") +:
-        explode(array(col("cell"), col("cell2"))).as("cell") +:
-        pqLutCols(model.codebook): _*)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        explode(array(col("cell"), col("cell2"))).as("cell"))
+      .select(col("query_id") +: col("cell") +:
+        residualLutCols(model.centroids, model.codebook): _*)
     pqTopK(index.join(broadcast(q), Seq("cell")), k)
   }
 
@@ -1066,6 +1211,47 @@ object SimilarityOps {
       Seq(embeddings))(trainPqCodebook(embeddings, iters))
     val trained = pqRerankAnn(embeddings, nQueries, k, codebook = trainedCb)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_trained"))
+    exact
+      .join(fixed, Seq("query_id", "neighbor_id"), "left")
+      .join(trained, Seq("query_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit_fixed"), lit(0L))).as("nf"),
+        sum(coalesce(col("hit_trained"), lit(0L))).as("nt"))
+      .select(col("n_queries"), col("n_exact"),
+        expr("(nf * 1000000) div n_exact").as("recall_fixed_micro"),
+        expr(s"(nt * 1000000) div n_exact >= $floorMicro")
+          .as("trained_ge_floor"),
+        (col("nt") >= col("nf")).as("trained_ge_fixed"))
+  }
+
+  /** Recall audit of TRAINED residual IVF-PQ (IVFADC proper — the
+    * quality gate residual encoding + residual-trained codebooks exist
+    * to pass): one summary row comparing the trained index probe
+    * ([[encodeSlim]] + [[annCodesSearch]] under [[trainAnnModel]]'s
+    * residual-trained geometry) and the fixed pseudo-random residual
+    * baseline ([[ivfPqAnn]]) against the exact squared-L2 top-k. The
+    * exact columns are deterministic and oracle-replayable; the trained
+    * quality lands as tolerance-band booleans (the pq_trained_recall
+    * convention — k-means geometry is data-dependent floats no SQL
+    * oracle can re-derive): the trained index must reach `floorMicro`
+    * recall AND beat the fixed baseline.
+    */
+  def ivfadcTrainedRecall(embeddings: DataFrame, nQueries: Int = 20,
+      k: Int = 3, floorMicro: Long = 100000L, ivfIters: Int = 4,
+      pqIters: Int = 2): DataFrame = {
+    val exact = exactL2TopK(embeddings, nQueries, k)
+    val fixed = ivfPqAnn(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_fixed"))
+    // Memo-shared like the PQ codebook: the whole trained-index family
+    // (this audit, the lifecycle retrain) pays Lloyd's once per session
+    val model = Memo.cachedModel(s"ann_model:ivf=$ivfIters,pq=$pqIters",
+      Seq(embeddings))(trainAnnModel(embeddings, ivfIters, pqIters))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+    val trained =
+      annCodesSearch(encodeSlim(embeddings, model), queries, model, k)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_trained"))
     exact
       .join(fixed, Seq("query_id", "neighbor_id"), "left")
       .join(trained, Seq("query_id", "neighbor_id"), "left")

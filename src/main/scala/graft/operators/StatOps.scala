@@ -498,6 +498,97 @@ object StatOps {
           .as("hl_milli_dollars"))
   }
 
+  /** Exact Spearman rank correlation between daily revenue and daily
+    * order count — the monotone-association complement of
+    * [[kendallTauDaily]] (same question, different estimator; Spearman
+    * weighs rank DISTANCE where Kendall counts inversions). Ties take
+    * MIDRANKS via the distinct-value CDF; everything is doubled so
+    * midranks stay integral (2·midrank = 2·(cum − c) + c + 1, the
+    * Mann–Whitney convention), and ρ is Pearson over the doubled
+    * midranks from EXACT DECIMAL(38,0) sums — the doubling cancels, and
+    * only the final IEEE division/sqrt runs in double, identically in
+    * both engines. Zero-variance legs (a constant series) yield NULL,
+    * never NaN (the engine-parity rule).
+    *
+    * Scale: rides the Memo-shared [[OpUtils.dailyFact]] rollup; ranks
+    * come from two [[OpUtils.twoLevelCum]] passes over the
+    * calendar-bounded distinct-value tables — the fact is touched once
+    * per session, no corpus-grain sort anywhere.
+    */
+  def spearmanDaily(orders: DataFrame): DataFrame = {
+    val daily = OpUtils.dailyFact(orders).select(col("t"), col("y"), col("m"))
+    def midranks(valueCol: String): DataFrame = {
+      val byV = daily.groupBy(col(valueCol)).agg(count(lit(1)).as("c"))
+      OpUtils.twoLevelCum(byV, valueCol, "c")
+        .select(col(valueCol),
+          (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
+            .as(s"r2_$valueCol"))
+    }
+    val ranked = daily
+      .join(midranks("y"), Seq("y"))
+      .join(midranks("m"), Seq("m"))
+      .select(col("r2_y").as("x"), col("r2_m").as("z"))
+    ranked.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("z").cast("decimal(38,0)")).as("sz"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      sum(col("z").cast("decimal(38,0)") * col("z")).as("szz"),
+      sum(col("x").cast("decimal(38,0)") * col("z")).as("sxz"))
+      .filter(col("n") > 0)
+      .select(col("n").cast("long").as("n_days"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double").as("vx"),
+        (col("n") * col("szz") - col("sz") * col("sz")).cast("double").as("vz"),
+        (col("n") * col("sxz") - col("sx") * col("sz")).cast("double").as("cov"))
+      .select(col("n_days"),
+        when(col("vx") > 0 && col("vz") > 0,
+          round(col("cov") / sqrt(col("vx") * col("vz")), 6)).as("rho_r6"))
+  }
+
+  /** Cramér's V association between order priority and order status —
+    * "does priority drive fulfillment status, and how strongly": the
+    * normalized-χ² effect size over the bounded enum×enum contingency
+    * grid (the single-number summary of [[priorityMixShift]]'s per-cell
+    * deviations). Exactness: φ² = χ²/n = Σ obs²/(r_t·c_t) − 1 is
+    * computed as per-cell truncated micro contributions
+    * ⌊10⁶·obs²/(r_t·c_t)⌋ summed over the ≤ |priorities|×|statuses|
+    * grid — a DETERMINISTIC definition both engines replay exactly
+    * (obs²·10⁶ stays inside DECIMAL(38,0) at any SF, unlike the naive
+    * (obs·n − r·c)² form whose square crosses 10³⁸ at lake row counts).
+    * V = √(φ²/min(r−1, c−1)) is one IEEE sqrt from the exact integer.
+    *
+    * Scale: one fact-sized map-side-combined rollup to the enum grid;
+    * margins are windows over that bounded grid, never over rows.
+    */
+  def priorityStatusCramersV(orders: DataFrame): DataFrame = {
+    val cells = orders
+      .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("s"))
+      .agg(count(lit(1)).as("obs"))
+    val wRow = Window.partitionBy(col("p"))
+    val wCol = Window.partitionBy(col("s"))
+    val wAll = Window.partitionBy(lit(1))
+    cells
+      .withColumn("rt", sum(col("obs")).over(wRow))
+      .withColumn("ct", sum(col("obs")).over(wCol))
+      .withColumn("n", sum(col("obs")).over(wAll))
+      .withColumn("nr", size(collect_set(col("p")).over(wAll)).cast("long"))
+      .withColumn("nc", size(collect_set(col("s")).over(wAll)).cast("long"))
+      .withColumn("contrib_micro", expr(
+        """(cast(obs as decimal(38,0)) * obs * 1000000)
+          | div (cast(rt as decimal(19,0)) * ct)""".stripMargin))
+      .groupBy(col("n"), col("nr").as("n_priorities"), col("nc").as("n_statuses"))
+      .agg((sum(col("contrib_micro")) - lit(1000000L)).cast("long")
+        .as("phi2_micro"))
+      .filter(col("n") > 0)
+      .select(col("n").as("n_orders"), col("n_priorities"), col("n_statuses"),
+        col("phi2_micro"),
+        when(least(col("n_priorities"), col("n_statuses")) > 1,
+          round(sqrt(greatest(col("phi2_micro").cast("double"), lit(0.0)) /
+            lit(1e6) /
+            (least(col("n_priorities"), col("n_statuses")) - 1).cast("double")),
+            6)).as("cramers_v_r6"))
+  }
+
   /** Wald–Wolfowitz runs test on daily revenue vs its median — "is the
     * revenue series random around its level, or does it streak":
     * above/at-or-below signs from the exact lower-median order

@@ -72,7 +72,7 @@ class PlanDigestSpec extends SparkSpec {
     // AND miss alike — but invalidate + fixed order anyway so the memo
     // build jobs themselves run identically across suite orderings
     graft.operators.Memo.invalidate()
-    val current = SparkEntry.queries.keys.toSeq.sorted.map { q =>
+    val queryDigests = SparkEntry.queries.keys.toSeq.sorted.map { q =>
       // drop CacheManager state before EVERY plan build: optimizedPlan
       // substitutes InMemoryRelation for any fragment some earlier
       // suite (or earlier query in this sweep) happened to persist, so
@@ -80,6 +80,14 @@ class PlanDigestSpec extends SparkSpec {
       spark.catalog.clearCache()
       q -> digest(SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan)
     }
+    // the memo DERIVATIONS' plans are where the expensive shapes live
+    // (their checkpointed leaves hide them from every consumer's plan) —
+    // lock them too, under `memo:` keys. Building the queries above
+    // triggered every build once, in the same sorted order each run.
+    val memoDigests = graft.operators.Memo.builtQueryExecutions.toSeq
+      .sortBy(_._1)
+      .map { case (name, qe) => s"memo:$name" -> digest(qe.optimizedPlan) }
+    val current = queryDigests ++ memoDigests
     val rendered = current.map { case (q, d) => s"$q $d" }.mkString("", "\n", "\n")
     if (!java.nio.file.Files.exists(lockFile)) {
       // bootstrap: write the lock once; committing it arms the check

@@ -404,7 +404,9 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(top0.head._3 == 3L)
   }
 
-  test("ivfPqAnn ranks within probed cells by the same ADC distance as flat PQ") {
+  test("ivfPqAnn probes within cells and ranks by the residual (IVFADC) ADC distance") {
+    import SimilarityOps.{pqWeight, PqSub, PqCent, FixedIvfCentroids,
+      FixedPqCodebook, residualShiftNorm2}
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ivfpq = SimilarityOps.ivfPqAnn(emb, nQueries = 5).collect()
     assert(ivfpq.groupBy(_.getLong(0)).values.forall(_.length == 3))
@@ -412,17 +414,49 @@ class SimilarityOpsSpec extends SparkSpec {
     val probed = celled.map(r => r.getLong(0) ->
       Set(r.getInt(2), r.getInt(3))).toMap
     val homeCell = celled.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val vecOf = celled.map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq).toMap
     // every returned neighbor lives in one of the query's probed cells
     ivfpq.foreach { r =>
       assert(probed(r.getLong(0)).contains(homeCell(r.getLong(2))),
         s"query ${r.getLong(0)} neighbor ${r.getLong(2)} outside probed cells")
     }
-    // where flat PQ ranked the same pair, the ADC distances agree exactly
-    val flat = SimilarityOps.pqAnn(emb, nQueries = 5).collect()
-      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    val shared = ivfpq.flatMap(r =>
-      flat.get((r.getLong(0), r.getLong(2))).map(d => (r.getDouble(3), d)))
-    assert(shared.nonEmpty && shared.forall { case (a, b) => a == b })
+    // driver-side recompute of the residual chain: neighbor codes are
+    // the argmin over shifted centroids C(home cell) + cb; the query's
+    // LUT is the residual ADC w.r.t. the SAME cell — the returned
+    // distance must equal this to the rounded 6 places, pair for pair
+    def dot8(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    def sub8(v: IndexedSeq[Float], m: Int) =
+      (0 until 8).map(i => v(m * 8 + i).toDouble)
+    def centSub(c: Int, m: Int) =
+      (0 until 8).map(i => FixedIvfCentroids(c)(m * 8 + i).toDouble)
+    def cbSub(m: Int, j: Int) =
+      (0 until 8).map(i => pqWeight(m, j, i).toFloat.toDouble)
+    def residualCodes(v: IndexedSeq[Float], cell: Int): Seq[Int] =
+      (0 until PqSub).map { m =>
+        val s = sub8(v, m)
+        val d = (0 until PqCent).map { j =>
+          residualShiftNorm2(FixedIvfCentroids, FixedPqCodebook, cell, m, j) -
+            2.0 * dot8(s, centSub(cell, m)) - 2.0 * dot8(s, cbSub(m, j))
+        }
+        d.indexOf(d.min)
+      }
+    def residualAdc(q: IndexedSeq[Float], cell: Int, codes: Seq[Int]): Double =
+      (0 until PqSub).map { m =>
+        val s = sub8(q, m)
+        val j = codes(m)
+        dot8(s, s) - 2.0 * dot8(s, centSub(cell, m)) -
+          2.0 * dot8(s, cbSub(m, j)) +
+          residualShiftNorm2(FixedIvfCentroids, FixedPqCodebook, cell, m, j)
+      }.reduceLeft(_ + _)
+    ivfpq.foreach { r =>
+      val (q, n, got) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val cell = homeCell(n)
+      val want = math.rint(
+        residualAdc(vecOf(q), cell, residualCodes(vecOf(n), cell)) * 1e6) / 1e6
+      assert(got == want, s"pair ($q, $n): got $got, recomputed $want")
+    }
   }
 
   test("pqRecallReport recounts the probes' hits against exact L2 exactly") {

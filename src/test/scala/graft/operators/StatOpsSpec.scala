@@ -238,4 +238,53 @@ class StatOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_runs") == 4L)
     assert(r.getAs[Long]("expected_runs_milli") == 3000L)
   }
+
+  test("spearmanDaily: monotone ±1, ties midranked, constant leg → NULL") {
+    // revenue strictly increases with order count → ρ = 1 exactly
+    def day(i: Int, orders: Int) = (0 until orders).map(j =>
+      ((i * 100 + j).toLong, f"1995-01-${i}%02d", 10.0 * i))
+    val up = (1 to 5).flatMap(i => day(i, i))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val r1 = StatOps.spearmanDaily(up).collect()(0)
+    assert(r1.getAs[Long]("n_days") == 5L)
+    assert(r1.getAs[Double]("rho_r6") == 1.0)
+    // revenue decreases as count increases → ρ = −1
+    val down = (1 to 5).flatMap { i =>
+      (0 until i).map(j =>
+        ((i * 100 + j).toLong, f"1995-01-${i}%02d", 10.0 * (6 - i) / i))
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    assert(StatOps.spearmanDaily(down).collect()(0)
+      .getAs[Double]("rho_r6") == -1.0)
+    // constant order count per day → zero variance → NULL, never NaN
+    val const = (1 to 4).map(i => (i.toLong, f"1995-01-${i}%02d", 10.0 * i))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val r3 = StatOps.spearmanDaily(const).collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("rho_r6")))
+  }
+
+  test("priorityStatusCramersV: perfect association 1, independence 0") {
+    def rows(p: String, s: String, n: Int, base: Long) =
+      (0 until n).map(j => (base + j, p, s))
+    // each priority maps to its own status → V = 1 (φ² = min(r,c) − 1)
+    val perfect = (rows("1-URGENT", "F", 5, 0L) ++ rows("2-HIGH", "O", 5, 100L))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r1 = StatOps.priorityStatusCramersV(perfect).collect()(0)
+    assert(r1.getAs[Long]("phi2_micro") == 1000000L)
+    assert(r1.getAs[Double]("cramers_v_r6") == 1.0)
+    // balanced independent grid → φ² = 0, V = 0
+    val indep = (rows("1-URGENT", "F", 3, 0L) ++ rows("1-URGENT", "O", 3, 100L)
+      ++ rows("2-HIGH", "F", 3, 200L) ++ rows("2-HIGH", "O", 3, 300L))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r2 = StatOps.priorityStatusCramersV(indep).collect()(0)
+    assert(r2.getAs[Long]("phi2_micro") == 0L)
+    assert(r2.getAs[Double]("cramers_v_r6") == 0.0)
+    // a single status column (min(r,c) = 1) → V undefined (NULL)
+    val degen = (rows("1-URGENT", "F", 2, 0L) ++ rows("2-HIGH", "F", 2, 100L))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r3 = StatOps.priorityStatusCramersV(degen).collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("cramers_v_r6")))
+  }
 }

@@ -120,4 +120,55 @@ class AnnLifecycleSpec extends SparkSpec {
     assert(graft.sources.Readers.readSnapshot(spark, store)
       .count() == rows.length + 5, "uncommitted files must stay invisible")
   }
+
+  test("index maintenance: compaction keeps probes bit-identical, vacuum reclaims superseded generations") {
+    // streaming cadence = the small-file problem by construction: each
+    // micro-batch appends its own generation files, so the serving scan
+    // pays per-file open/footer costs proportional to ingest HISTORY.
+    // The maintenance pair fixes it: compactSnapshot rewrites the head
+    // as one generation (answers must not move — same codes, same
+    // model pairing), vacuumSnapshots then reclaims the superseded
+    // ingest generations the head no longer references.
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_annmx")
+      .toString + "/index"
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding", "label")
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val q = EventStreams.annIndexIngestStream(
+        mem.toDF().toDF("vec_id", "embedding", "label"), store, "m1")
+      .option("checkpointLocation", store + "-ckpt").start()
+    rows.grouped(math.max(1, rows.length / 5 + 1)).foreach { g =>
+      mem.addData(g.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).toSeq
+    assert(dataFiles().count(_.startsWith("ingest-")) >= 5,
+      "micro-batch ingest must have fragmented the store")
+    val queries = emb.filter(col("vec_id") < nQ).select("vec_id", "embedding")
+    def probe() = EventStreams.annIndexSearch(spark, store, queries, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val before = probe()
+    assert(before.nonEmpty)
+    // OPTIMIZE: one generation, identical answers
+    val vC = graft.sources.Sinks.compactSnapshot(spark, store)
+    assert(dataFiles().exists(_.startsWith(f"compact-v$vC%05d-")))
+    assert(probe() == before, "compaction must not change probe answers")
+    // VACUUM: superseded ingest generations reclaimed; the head (and
+    // its answers) survive bit-for-bit
+    graft.sources.Sinks.vacuumSnapshots(spark, store, keepLast = 1)
+    val remaining = dataFiles()
+    assert(!remaining.exists(_.startsWith("ingest-")),
+      s"superseded ingest generations must be reclaimed: $remaining")
+    assert(remaining.exists(_.startsWith(f"compact-v$vC%05d-")))
+    assert(probe() == before, "vacuum must not change probe answers")
+  }
 }

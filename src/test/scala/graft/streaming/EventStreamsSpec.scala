@@ -380,11 +380,12 @@ class EventStreamsSpec extends SparkSpec {
     // slim rows only: id + cell + 8 codes, no embedding column
     assert(idx.columns.toSeq ==
       "vec_id" +: "cell" +: (0 until 8).map(m => s"code$m"))
-    // codes match a direct batch encoding of the same vectors
-    val batch = graft.operators.SimilarityOps.withPqCodes(
-      graft.operators.SimilarityOps.withIvfCells(
+    // codes match a direct batch encoding of the same vectors (the
+    // residual encodeSlim path under the fixed model)
+    val batch = graft.operators.SimilarityOps.encodeSlim(
         Seq((1L, vec(1), 0), (2L, vec(2), 0), (3L, vec(3), 0))
-          .toDF("vec_id", "embedding", "label")))
+          .toDF("vec_id", "embedding", "label"),
+        graft.operators.SimilarityOps.FixedAnnModel)
       .select("vec_id", "cell", "code0", "code7").collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
     idx.select("vec_id", "cell", "code0", "code7").collect().foreach { r =>
