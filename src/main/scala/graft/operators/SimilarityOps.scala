@@ -812,16 +812,21 @@ object SimilarityOps {
       t * t
     }.foldLeft(0.0)(_ + _)
 
-  /** One 16-branch CASE over the `cellCol` cell id — the per-row
-    * selector residual coding uses for cell-dependent terms (only the
-    * matching branch evaluates at runtime, so the per-row cost is one
-    * branch however many cells the index has).
+  /** Cell-indexed LITERAL lookups for residual coding's cell-dependent
+    * terms. A 16-branch when-chain here exploded the plan (128 score
+    * columns × 16 branches broke whole-stage codegen and ran the scan
+    * ~6× slower); `element_at` over a literal array is one O(1) lookup
+    * per row and keeps the expression tree raw-coding-sized.
     */
-  private def caseOverCells(nCells: Int, cellCol: org.apache.spark.sql.Column,
-      branch: Int => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until nCells).foldRight(lit(Double.MaxValue): org.apache.spark.sql.Column) {
-      (c, rest) => when(cellCol === c, branch(c)).otherwise(rest)
-    }
+  private def centSubByCell(centroids: Seq[Seq[Float]],
+      m: Int): org.apache.spark.sql.Column =
+    element_at(typedlit(centroids.indices.map(c =>
+      centSub(centroids, c, m))), col("cell") + 1)
+
+  private def shiftNormByCell(centroids: Seq[Seq[Float]], codebook: PqCodebook,
+      m: Int, j: Int): org.apache.spark.sql.Column =
+    element_at(typedlit(centroids.indices.map(c =>
+      residualShiftNorm2(centroids, codebook, c, m, j))), col("cell") + 1)
 
   /** RESIDUAL PQ codes (IVFADC proper — Jégou et al. 2011 §IV): each
     * vector codes x − C(cell) rather than x, so the 16 subspace
@@ -845,19 +850,16 @@ object SimilarityOps {
   def withResidualPqCodes(celled: DataFrame, centroids: Seq[Seq[Float]],
       codebook: PqCodebook = FixedPqCodebook): DataFrame = {
     val keep = celled.columns.toSeq
-    val nc = centroids.size
     val dCols = (0 until PqSub).map { m =>
       val sub = slice(col("embedding"), m * 8 + 1, 8)
-      caseOverCells(nc, col("cell"), c =>
-        graft.functions.DotProduct.dotF(sub, typedlit(centSub(centroids, c, m))))
+      graft.functions.DotProduct.dotF(sub, centSubByCell(centroids, m))
         .as(s"dc$m")
     }
     val based = celled.select(keep.map(col) ++ dCols: _*)
     val scoreCols = for (m <- 0 until PqSub; j <- 0 until PqCent) yield {
       val sub = slice(col("embedding"), m * 8 + 1, 8)
-      val w = caseOverCells(nc, col("cell"),
-        c => lit(residualShiftNorm2(centroids, codebook, c, m, j)))
-      (w - lit(2.0) * col(s"dc$m") - lit(2.0) *
+      (shiftNormByCell(centroids, codebook, m, j) -
+        lit(2.0) * col(s"dc$m") - lit(2.0) *
         graft.functions.DotProduct.dotF(sub, typedlit(codebook(m)(j))))
         .as(s"s${m}_$j")
     }
@@ -880,23 +882,18 @@ object SimilarityOps {
     * they all approximate ‖q − x‖².
     */
   private def residualLutCols(centroids: Seq[Seq[Float]],
-      codebook: PqCodebook): Seq[org.apache.spark.sql.Column] = {
-    val nc = centroids.size
+      codebook: PqCodebook): Seq[org.apache.spark.sql.Column] =
     (0 until PqSub).map { m =>
       val sub = slice(col("embedding"), m * 8 + 1, 8)
-      val dq = caseOverCells(nc, col("cell"), c =>
-        graft.functions.DotProduct.dotF(sub, typedlit(centSub(centroids, c, m))))
+      val dq = graft.functions.DotProduct.dotF(sub, centSubByCell(centroids, m))
       array((0 until PqCent).map { j =>
-        val w = caseOverCells(nc, col("cell"),
-          c => lit(residualShiftNorm2(centroids, codebook, c, m, j)))
         graft.functions.DotProduct.dotF(sub, sub) -
           lit(2.0) * dq -
           lit(2.0) * graft.functions.DotProduct.dotF(sub,
             typedlit(codebook(m)(j))) +
-          w
+          shiftNormByCell(centroids, codebook, m, j)
       }: _*).as(s"lut$m")
     }
-  }
 
   /** Fixed coarse centroids as float rows (= [[FixedAnnModel]].centroids;
     * dyadic, float-exact — the oracle-replayable geometry).
