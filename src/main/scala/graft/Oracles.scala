@@ -5424,7 +5424,440 @@ object Oracles {
          |FROM r WHERE rank <= 10""".stripMargin
     })
 
+  private val hRound11: Map[String, String] = Map(
+    // TrendOps.ccfOrdersRevenue: lead-lag Pearson between daily order
+    // count and daily revenue; exact integer sufficient sums, one final
+    // IEEE division/sqrt; zero-variance legs NULL in both engines.
+    "ccf_orders_revenue" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+        |  CAST(COUNT(*) AS BIGINT) AS m
+        | FROM orders GROUP BY 1),
+        |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-7, 8)),
+        |p AS (
+        | SELECT l.lag, a.m AS x, b.y AS y2
+        | FROM daily a CROSS JOIN lags l
+        | JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)),
+        |s AS (
+        | SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+        |  CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y2) AS HUGEINT) AS sy,
+        |  CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |  CAST(SUM(CAST(y2 AS HUGEINT) * y2) AS HUGEINT) AS syy,
+        |  CAST(SUM(CAST(x AS HUGEINT) * y2) AS HUGEINT) AS sxy
+        | FROM p GROUP BY lag)
+        |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+        | CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0
+        |       AND CAST(n*syy - sy*sy AS DOUBLE) > 0
+        |  THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |   sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+        |        CAST(n*syy - sy*sy AS DOUBLE)), 4) END AS ccf
+        |FROM s""".stripMargin,
+
+    // StatOps.levenePriorityDispersion: Brown-Forsythe W across order
+    // priorities from truncated-micro group moments of |usd - median|;
+    // the final W is one double expression over exact integers.
+    "levene_priority_dispersion" ->
+      """WITH cdf AS (SELECT o_orderpriority AS grp,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS usd, COUNT(*) AS n
+        | FROM orders GROUP BY 1, 2),
+        |c2 AS (SELECT grp, usd, n,
+        |  SUM(n) OVER (PARTITION BY grp ORDER BY usd
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(n) OVER (PARTITION BY grp) AS total FROM cdf),
+        |med AS (SELECT grp, MIN(CASE WHEN cum * 2 >= total THEN usd END)
+        |  AS med FROM c2 GROUP BY grp),
+        |g AS (SELECT c2.grp, MAX(med) AS median_usd,
+        |  CAST(SUM(n) AS HUGEINT) AS ng,
+        |  SUM(CAST(abs(usd - med) AS HUGEINT) * n) AS sg,
+        |  SUM(CAST(abs(usd - med) AS HUGEINT) * abs(usd - med) * n) AS qg
+        | FROM c2 JOIN med USING (grp) GROUP BY c2.grp),
+        |t AS (SELECT *, (sg * 1000000) // ng AS m_micro,
+        |  (qg * 1000000) // ng AS msq_micro,
+        |  SUM(sg) OVER () AS st, SUM(ng) OVER () AS nt,
+        |  CAST(COUNT(*) OVER () AS HUGEINT) AS k FROM g),
+        |u AS (SELECT *,
+        |  msq_micro - (m_micro * m_micro) // 1000000 AS var_micro,
+        |  (st * 1000000) // nt AS gm_micro FROM t),
+        |v AS (SELECT *,
+        |  SUM(ng * (m_micro - gm_micro) * (m_micro - gm_micro)) OVER ()
+        |    AS a_tot,
+        |  SUM(ng * var_micro) OVER () AS b_tot FROM u)
+        |SELECT grp AS o_orderpriority, CAST(ng AS BIGINT) AS n_orders,
+        | median_usd, CAST(m_micro AS BIGINT) AS mean_absdev_micro,
+        | CASE WHEN k > 1 AND b_tot > 0 THEN
+        |  ROUND(CAST(nt - k AS DOUBLE) * CAST(a_tot AS DOUBLE) /
+        |   (CAST(k - 1 AS DOUBLE) * CAST(b_tot AS DOUBLE) * 1e6), 6)
+        |  END AS bf_w_r6
+        |FROM v""".stripMargin,
+
+    // StatOps.jackknifeNationRevenue: leave-one-nation-out replicates of
+    // the global mean order value, micro-truncated; SE from exact
+    // integer squared deviations.
+    "jackknife_nation_revenue" ->
+      """WITH bn AS (SELECT n_name AS nation, CAST(COUNT(*) AS HUGEINT) AS ng,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT)
+        |    AS sg
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+        |t AS (SELECT *, SUM(ng) OVER () AS nt, SUM(sg) OVER () AS st
+        | FROM bn),
+        |f AS (SELECT * FROM t WHERE nt > ng),
+        |l AS (SELECT *, CAST(COUNT(*) OVER () AS HUGEINT) AS gcnt,
+        |  ((st - sg) * 1000000) // (nt - ng) AS loo_micro FROM f),
+        |r AS (SELECT *, (SUM(loo_micro) OVER ()) // gcnt AS rep_mean_micro
+        | FROM l),
+        |d AS (SELECT *, CAST(loo_micro - rep_mean_micro AS HUGEINT)
+        |   * (loo_micro - rep_mean_micro) AS dev2 FROM r),
+        |e AS (SELECT *, SUM(dev2) OVER () AS sdev2 FROM d)
+        |SELECT nation, CAST(ng AS BIGINT) AS n_orders,
+        | CAST(loo_micro AS BIGINT) AS loo_mean_microcents,
+        | CASE WHEN gcnt > 1 THEN
+        |  ROUND(sqrt(CAST(gcnt - 1 AS DOUBLE) * CAST(sdev2 AS DOUBLE) /
+        |   CAST(gcnt AS DOUBLE)) / 1e6, 6) END AS jk_se_cents_r6
+        |FROM e""".stripMargin,
+
+    // SurvivalOps.nelsonAalenConversion: right-censored cumulative
+    // hazard over the bounded duration-hour grid; truncated nano terms,
+    // exact integer prefix sum.
+    "nelson_aalen_conversion" ->
+      """WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) + 1209600
+        |  AS cut_s FROM events),
+        |su AS (SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS s_s
+        | FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |elig AS (SELECT su.user_id, s_s, cut_s FROM su, b
+        | WHERE s_s <= cut_s),
+        |pu AS (SELECT e.user_id,
+        |  MIN(CASE WHEN CAST(floor(epoch(ev.ts)) AS BIGINT) >= e.s_s
+        |        AND CAST(floor(epoch(ev.ts)) AS BIGINT) <= e.cut_s
+        |       THEN CAST(floor(epoch(ev.ts)) AS BIGINT) END) AS p_s
+        | FROM elig e LEFT JOIN events ev ON ev.user_id = e.user_id
+        |  AND ev.event_type = 'purchase'
+        | GROUP BY 1),
+        |durs AS (SELECT CASE WHEN p_s IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        |  (COALESCE(p_s, cut_s) - s_s) // 3600 AS h
+        | FROM elig LEFT JOIN pu USING (user_id)),
+        |byh AS (SELECT h, CAST(SUM(ev) AS BIGINT) AS d,
+        |  CAST(COUNT(*) AS BIGINT) AS w FROM durs GROUP BY 1),
+        |g AS (SELECT h, d, w - d AS c,
+        |  SUM(w) OVER () - COALESCE(SUM(w) OVER (ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        | FROM byh),
+        |hz AS (SELECT *, (d * 1000000000) // n_risk AS hazard_nano FROM g),
+        |cum AS (SELECT *, SUM(hazard_nano) OVER (ORDER BY h
+        |  ROWS UNBOUNDED PRECEDING) AS ch FROM hz)
+        |SELECT h AS dur_h, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+        | c AS n_censored, CAST(hazard_nano AS BIGINT) AS hazard_nano,
+        | CAST(ch AS BIGINT) AS cum_hazard_nano
+        |FROM cum WHERE d > 0""".stripMargin,
+
+    // SurvivalOps.kaplanMeierConversion: the same grid folded through
+    // the integer recurrence S <- floor(S*(n-d)/n) from 10^12 — the
+    // oracle unrolls it as a recursive CTE over the indexed grid.
+    "kaplan_meier_conversion" ->
+      """WITH RECURSIVE b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT)
+        |  + 1209600 AS cut_s FROM events),
+        |su AS (SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS s_s
+        | FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |elig AS (SELECT su.user_id, s_s, cut_s FROM su, b
+        | WHERE s_s <= cut_s),
+        |pu AS (SELECT e.user_id,
+        |  MIN(CASE WHEN CAST(floor(epoch(ev.ts)) AS BIGINT) >= e.s_s
+        |        AND CAST(floor(epoch(ev.ts)) AS BIGINT) <= e.cut_s
+        |       THEN CAST(floor(epoch(ev.ts)) AS BIGINT) END) AS p_s
+        | FROM elig e LEFT JOIN events ev ON ev.user_id = e.user_id
+        |  AND ev.event_type = 'purchase'
+        | GROUP BY 1),
+        |durs AS (SELECT CASE WHEN p_s IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        |  (COALESCE(p_s, cut_s) - s_s) // 3600 AS h
+        | FROM elig LEFT JOIN pu USING (user_id)),
+        |byh AS (SELECT h, CAST(SUM(ev) AS BIGINT) AS d,
+        |  CAST(COUNT(*) AS BIGINT) AS w FROM durs GROUP BY 1),
+        |g AS (SELECT h, d, w - d AS c,
+        |  SUM(w) OVER () - COALESCE(SUM(w) OVER (ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk,
+        |  CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS idx
+        | FROM byh),
+        |km(i, surv) AS (
+        | SELECT CAST(0 AS BIGINT), CAST(1000000000000 AS HUGEINT)
+        | UNION ALL
+        | SELECT g.idx, CASE WHEN g.d > 0
+        |   THEN (km.surv * (g.n_risk - g.d)) // g.n_risk ELSE km.surv END
+        | FROM km JOIN g ON g.idx = km.i + 1)
+        |SELECT g.h AS dur_h, CAST(g.n_risk AS BIGINT) AS n_risk,
+        | g.d AS n_events, g.c AS n_censored,
+        | CAST(km.surv AS BIGINT) AS km_surv_e12
+        |FROM km JOIN g ON g.idx = km.i
+        |WHERE g.d > 0""".stripMargin,
+
+    // GraphOps.nationHopDistance: BFS over the top-96 strongest trade
+    // lanes (rank-sparsified, ties by name); recursion bounded at 6
+    // hops, deduped frontier, min hop count per pair.
+    "nation_hop_distance" ->
+      """WITH RECURSIVE ls AS (SELECT DISTINCT l_orderkey, n_name AS src
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey),
+        |os AS (SELECT o_orderkey, n_name AS dst FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey),
+        |pairs AS (SELECT src, dst, COUNT(*) AS cnt
+        | FROM ls JOIN os ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |backbone AS (SELECT src, dst FROM pairs WHERE src <> dst
+        | ORDER BY cnt DESC, src, dst LIMIT 96),
+        |r(s, v, d) AS (
+        | SELECT n_name, n_name, CAST(0 AS BIGINT) FROM nation
+        | UNION
+        | SELECT r.s, t.dst, r.d + 1 FROM r JOIN backbone t ON t.src = r.v
+        | WHERE r.d < 6)
+        |SELECT s AS src_nation, v AS dst_nation, MIN(d) AS hops
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // StatOps.welchWeekendRevenue: unequal-variance t between weekend
+    // and weekday daily revenue; exact pivoted moments, v1/v0 shared
+    // double columns, fixed expression tree.
+    "welch_weekend_revenue" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS y
+        | FROM orders GROUP BY 1),
+        |g AS (SELECT CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS we,
+        |  CAST(COUNT(*) AS HUGEINT) AS n, SUM(CAST(y AS HUGEINT)) AS s,
+        |  SUM(CAST(y AS HUGEINT) * y) AS q FROM daily GROUP BY 1),
+        |p AS (SELECT
+        |  COALESCE(SUM(CASE WHEN we = 1 THEN n END), 0) AS n1,
+        |  SUM(CASE WHEN we = 1 THEN s END) AS s1,
+        |  SUM(CASE WHEN we = 1 THEN q END) AS q1,
+        |  COALESCE(SUM(CASE WHEN we = 0 THEN n END), 0) AS n0,
+        |  SUM(CASE WHEN we = 0 THEN s END) AS s0,
+        |  SUM(CASE WHEN we = 0 THEN q END) AS q0
+        | FROM g),
+        |a AS (SELECT *, n1 * q1 - s1 * s1 AS a1, n0 * q0 - s0 * s0 AS a0
+        | FROM p WHERE n1 + n0 > 0),
+        |v AS (SELECT *,
+        |  CAST(a1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |    * CAST(n1 - 1 AS DOUBLE)) AS v1,
+        |  CAST(a0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+        |    * CAST(n0 - 1 AS DOUBLE)) AS v0
+        | FROM a)
+        |SELECT CAST(n1 AS BIGINT) AS n_weekend,
+        | CAST(n0 AS BIGINT) AS n_weekday,
+        | CASE WHEN n1 > 0 AND n0 > 0 THEN CAST((s1 * 1000000) // n1
+        |   - (s0 * 1000000) // n0 AS BIGINT) END AS mean_diff_microcents,
+        | CASE WHEN n1 > 1 AND n0 > 1 AND v1 + v0 > 0 THEN
+        |  ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / sqrt(v1 + v0), 4)
+        |  END AS welch_t_r4,
+        | CASE WHEN n1 > 1 AND n0 > 1 AND (v1 > 0 OR v0 > 0) THEN
+        |  ROUND((v1 + v0) * (v1 + v0) / (v1 * v1 / CAST(n1 - 1 AS DOUBLE)
+        |    + v0 * v0 / CAST(n0 - 1 AS DOUBLE)), 2) END AS welch_df_r2
+        |FROM v""".stripMargin,
+
+    // StatOps.kruskalWeekdayRevenue: rank one-way ANOVA across weekdays
+    // over doubled midranks; H a single fixed 7-term double expression.
+    "kruskal_weekday_revenue" -> {
+      val pivots = (1 to 7).map(i =>
+        s"|  COALESCE(SUM(CASE WHEN dow = $i THEN n END), 0) AS n$i,\n" +
+          s"|  COALESCE(SUM(CASE WHEN dow = $i THEN sr END), 0) AS r$i")
+        .mkString(",\n")
+      val terms = (1 to 7).map(i =>
+        s"CASE WHEN n$i > 0 THEN CAST(r$i AS DOUBLE) * CAST(r$i AS DOUBLE)" +
+          s" / CAST(n$i AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")
+        .mkString("\n|  + ")
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |    AS y
+         | FROM orders GROUP BY 1),
+         |dd AS (SELECT CAST(isodow(d) AS BIGINT) AS dow, y FROM daily),
+         |byv AS (SELECT y, COUNT(*) AS c FROM dd GROUP BY y),
+         |rr AS (SELECT y,
+         |  2 * (SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - c)
+         |    + c + 1 AS r2
+         | FROM byv),
+         |g AS (SELECT dow, CAST(COUNT(*) AS HUGEINT) AS n,
+         |  SUM(CAST(r2 AS HUGEINT)) AS sr
+         | FROM dd JOIN rr USING (y) GROUP BY dow),
+         |ties AS (SELECT COALESCE(SUM(CAST(c AS HUGEINT) * c * c - c),
+         |  0) AS tsum FROM byv),
+         |p AS (SELECT
+         $pivots
+         | FROM g),
+         |t AS (SELECT *, n1 + n2 + n3 + n4 + n5 + n6 + n7 AS n FROM p
+         | WHERE n1 + n2 + n3 + n4 + n5 + n6 + n7 >= 2),
+         |hh AS (SELECT *, CAST(3.0 AS DOUBLE) * (
+         |  $terms
+         | ) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+         | - CAST(3.0 AS DOUBLE) * CAST(n + 1 AS DOUBLE) AS h,
+         | CAST(1.0 AS DOUBLE) - CAST(tsum AS DOUBLE)
+         |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |     - CAST(n AS DOUBLE)) AS corr
+         | FROM t, ties)
+         |SELECT CAST(n AS BIGINT) AS n_days, ROUND(h, 6) AS h_r6,
+         | CASE WHEN corr > 0 THEN ROUND(h / corr, 6) END AS h_tie_corr_r6
+         |FROM hh""".stripMargin
+    },
+
+    // SurvivalOps.logrankConversionAb: two-sample log-rank between the
+    // md5-parity A/B arms over the censored conversion grid; truncated
+    // micro expectation/variance terms, Z one double expression.
+    "ab_conversion_logrank" ->
+      """WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) + 1209600
+        |  AS cut_s FROM events),
+        |su AS (SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS s_s
+        | FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |elig AS (SELECT su.user_id, s_s, cut_s FROM su, b
+        | WHERE s_s <= cut_s),
+        |pu AS (SELECT e.user_id,
+        |  MIN(CASE WHEN CAST(floor(epoch(ev.ts)) AS BIGINT) >= e.s_s
+        |        AND CAST(floor(epoch(ev.ts)) AS BIGINT) <= e.cut_s
+        |       THEN CAST(floor(epoch(ev.ts)) AS BIGINT) END) AS p_s
+        | FROM elig e LEFT JOIN events ev ON ev.user_id = e.user_id
+        |  AND ev.event_type = 'purchase'
+        | GROUP BY 1),
+        |durs AS (SELECT
+        |  ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |    ::BIGINT % 2 AS arm,
+        |  CASE WHEN p_s IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        |  (COALESCE(p_s, cut_s) - s_s) // 3600 AS h
+        | FROM elig LEFT JOIN pu USING (user_id)),
+        |byh AS (SELECT h,
+        |  CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN ev END), 0) AS BIGINT)
+        |    AS d1,
+        |  CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS w1,
+        |  CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN ev END), 0) AS BIGINT)
+        |    AS d0,
+        |  CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS w0
+        | FROM durs GROUP BY 1),
+        |risk AS (SELECT *,
+        |  SUM(w1) OVER () AS nt1, SUM(w0) OVER () AS nt0,
+        |  SUM(w1) OVER () - COALESCE(SUM(w1) OVER (ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        |  SUM(w0) OVER () - COALESCE(SUM(w0) OVER (ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0
+        | FROM byh),
+        |terms AS (SELECT *, d1 + d0 AS dt, n1 + n0 AS n,
+        |  (CAST(d1 + d0 AS HUGEINT) * n1 * 1000000) // (n1 + n0) AS e1,
+        |  (CAST(n1 AS HUGEINT) * 1000000) // (n1 + n0) AS fa,
+        |  (CAST(n0 AS HUGEINT) * 1000000) // (n1 + n0) AS fb,
+        |  CASE WHEN n1 + n0 > 1 THEN
+        |    (CAST(n1 + n0 - d1 - d0 AS HUGEINT) * 1000000) // (n1 + n0 - 1)
+        |   ELSE 0 END AS fc
+        | FROM risk WHERE d1 + d0 > 0),
+        |vt AS (SELECT *,
+        |  (CAST((CAST(dt AS HUGEINT) * fa * fb) // 1000000 AS HUGEINT)
+        |    * fc) // 1000000 AS v
+        | FROM terms),
+        |agg AS (SELECT MAX(nt0) AS n_users_a, MAX(nt1) AS n_users_b,
+        |  COALESCE(SUM(d0), 0) AS conv_a, COALESCE(SUM(d1), 0) AS conv_b,
+        |  COALESCE(SUM(CAST(e1 AS HUGEINT)), 0) AS e1_micro,
+        |  COALESCE(SUM(CAST(v AS HUGEINT)), 0) AS v_micro
+        | FROM vt)
+        |SELECT CAST(n_users_a AS BIGINT) AS n_users_a,
+        | CAST(n_users_b AS BIGINT) AS n_users_b,
+        | CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+        | CAST(e1_micro AS BIGINT) AS expected_b_micro,
+        | CAST(v_micro AS BIGINT) AS variance_micro,
+        | CASE WHEN v_micro > 0 THEN
+        |  ROUND((CAST(conv_b AS DOUBLE) * 1000000.0
+        |    - CAST(e1_micro AS DOUBLE))
+        |    / sqrt(CAST(v_micro AS DOUBLE) * 1000000.0), 4)
+        |  END AS logrank_z_r4
+        |FROM agg WHERE n_users_a IS NOT NULL""".stripMargin,
+
+    // AsOfOps.positionAttribution: U-shaped 40/20/40 credit over the
+    // linear_attribution window; first/last by fixed-width sortable key,
+    // middle-pool remainder to the first touch's type.
+    "position_attribution" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents
+        | FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |c AS (
+        | SELECT *, COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w
+        |    AS nv,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS nc,
+        |  MIN(CASE WHEN event_type IN ('view', 'click') THEN
+        |    lpad(CAST(ts_s AS VARCHAR), 16, '0')
+        |    || lpad(CAST(event_id AS VARCHAR), 16, '0') || event_type END)
+        |    OVER w AS fk,
+        |  MAX(CASE WHEN event_type IN ('view', 'click') THEN
+        |    lpad(CAST(ts_s AS VARCHAR), 16, '0')
+        |    || lpad(CAST(event_id AS VARCHAR), 16, '0') || event_type END)
+        |    OVER w AS lk
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |   RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)),
+        |p AS (
+        | SELECT cents, nv, nc, nv + nc AS n,
+        |  substr(fk, 33, 16) AS ft, substr(lk, 33, 16) AS lt,
+        |  (cents * 2) // 5 AS f40, (cents * 2) // 5 AS l40,
+        |  cents - (cents * 2) // 5 - (cents * 2) // 5 AS pool
+        | FROM c WHERE event_type = 'purchase'),
+        |q AS (SELECT *,
+        |  CASE WHEN n >= 3 THEN pool // (n - 2) END AS base,
+        |  CASE WHEN n >= 3 THEN pool % (n - 2) END AS rem,
+        |  nv - (CASE WHEN ft = 'view' THEN 1 ELSE 0 END)
+        |     - (CASE WHEN lt = 'view' THEN 1 ELSE 0 END) AS nmv,
+        |  nc - (CASE WHEN ft = 'click' THEN 1 ELSE 0 END)
+        |     - (CASE WHEN lt = 'click' THEN 1 ELSE 0 END) AS nmc
+        | FROM p),
+        |cr AS (SELECT *,
+        |  CASE WHEN n = 0 THEN 0
+        |   WHEN n = 1 THEN CASE WHEN ft = 'view' THEN cents ELSE 0 END
+        |   WHEN n = 2 THEN (CASE WHEN ft = 'view' THEN cents // 2
+        |     + cents % 2 ELSE 0 END)
+        |    + (CASE WHEN lt = 'view' THEN cents // 2 ELSE 0 END)
+        |   ELSE (CASE WHEN ft = 'view' THEN f40 + rem ELSE 0 END)
+        |    + (CASE WHEN lt = 'view' THEN l40 ELSE 0 END)
+        |    + nmv * base END AS cv,
+        |  CASE WHEN n = 0 THEN 0
+        |   WHEN n = 1 THEN CASE WHEN ft = 'click' THEN cents ELSE 0 END
+        |   WHEN n = 2 THEN (CASE WHEN ft = 'click' THEN cents // 2
+        |     + cents % 2 ELSE 0 END)
+        |    + (CASE WHEN lt = 'click' THEN cents // 2 ELSE 0 END)
+        |   ELSE (CASE WHEN ft = 'click' THEN f40 + rem ELSE 0 END)
+        |    + (CASE WHEN lt = 'click' THEN l40 ELSE 0 END)
+        |    + nmc * base END AS cc
+        | FROM q),
+        |x AS (
+        | SELECT 'view' AS touch_type, cv AS credit_cents FROM cr
+        | UNION ALL SELECT 'click', cc FROM cr
+        | UNION ALL SELECT 'organic',
+        |  CASE WHEN n = 0 THEN cents ELSE 0 END FROM cr)
+        |SELECT touch_type,
+        | CAST(COUNT(CASE WHEN credit_cents > 0 THEN 1 END) AS BIGINT)
+        |   AS n_credited_purchases,
+        | ROUND(SUM(credit_cents) / 100.0, 2) AS credit
+        |FROM x GROUP BY 1""".stripMargin,
+
+    // Analytics.amsF2UserActivity: CountSketch-bucketed AMS F2 estimate
+    // (k=1024 signed buckets x 3 reps, md5 bucket/sign hashes) vs the
+    // exact second moment; signed permille error with the sign-branch.
+    "ams_f2_user_activity" ->
+      """WITH freq AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |reps AS (SELECT CAST(range AS BIGINT) AS r FROM range(0, 3)),
+        |cells AS (SELECT r,
+        |  ('0x' || substr(md5('b' || CAST(r AS VARCHAR) || ':' ||
+        |    CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS b,
+        |  CASE WHEN ('0x' || substr(md5('s' || CAST(r AS VARCHAR) || ':' ||
+        |    CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+        |   THEN 1 ELSE -1 END AS sgn, f
+        | FROM freq CROSS JOIN reps),
+        |xb AS (SELECT r, b, SUM(CAST(sgn AS HUGEINT) * f) AS x
+        | FROM cells GROUP BY 1, 2),
+        |est AS (SELECT r, SUM(x * x) AS est FROM xb GROUP BY r),
+        |m AS (SELECT est AS med FROM (SELECT est, row_number()
+        |  OVER (ORDER BY est, r) AS rk FROM est) WHERE rk = 2),
+        |exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  SUM(CAST(f AS HUGEINT) * f) AS f2 FROM freq)
+        |SELECT n_users, CAST(f2 AS BIGINT) AS f2_exact,
+        | CAST(med AS BIGINT) AS ams_median_est,
+        | CAST(CASE WHEN med >= f2 THEN ((med - f2) * 1000) // f2
+        |  ELSE -(((f2 - med) * 1000) // f2) END AS BIGINT) AS err_permille
+        |FROM exact, m
+        |WHERE n_users > 0""".stripMargin)
+
   val all: Map[String, String] =
     aCleaning ++ bStarSchema ++ cAnalytics ++ dPipeline ++ dExtras ++
-      eStreaming ++ fRound9 ++ gRound10
+      eStreaming ++ fRound9 ++ gRound10 ++ hRound11
 }

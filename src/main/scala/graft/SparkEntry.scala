@@ -485,7 +485,27 @@ object SparkEntry {
     "embed_margin_audit" -> ((s, d) =>
       SimilarityOps.embedMarginAudit(embeddings(s, d))),
     "hodges_lehmann_daily" -> ((s, d) =>
-      StatOps.hodgesLehmannDaily(orders(s, d)))
+      StatOps.hodgesLehmannDaily(orders(s, d))),
+    // H. round-11: survival analysis, dispersion/stability tests,
+    // lead-lag, graph distances, moment sketches
+    "ccf_orders_revenue" -> ((s, d) => TrendOps.ccfOrdersRevenue(orders(s, d))),
+    "levene_priority_dispersion" -> ((s, d) =>
+      StatOps.levenePriorityDispersion(orders(s, d))),
+    "jackknife_nation_revenue" -> ((s, d) =>
+      StatOps.jackknifeNationRevenue(orders(s, d), customer(s, d), nation(s, d))),
+    "nelson_aalen_conversion" -> ((s, d) =>
+      SurvivalOps.nelsonAalenConversion(events(s, d))),
+    "kaplan_meier_conversion" -> ((s, d) =>
+      SurvivalOps.kaplanMeierConversion(events(s, d))),
+    "nation_hop_distance" -> ((s, d) => GraphOps.nationHopDistance(
+      lineitem(s, d), orders(s, d), customer(s, d), supplier(s, d), nation(s, d))),
+    "ams_f2_user_activity" -> ((s, d) => Analytics.amsF2UserActivity(events(s, d))),
+    "welch_weekend_revenue" -> ((s, d) => StatOps.welchWeekendRevenue(orders(s, d))),
+    "kruskal_weekday_revenue" -> ((s, d) =>
+      StatOps.kruskalWeekdayRevenue(orders(s, d))),
+    "ab_conversion_logrank" -> ((s, d) =>
+      SurvivalOps.logrankConversionAb(events(s, d))),
+    "position_attribution" -> ((s, d) => AsOfOps.positionAttribution(events(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.all

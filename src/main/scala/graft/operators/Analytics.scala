@@ -681,17 +681,13 @@ object Analytics {
     */
   def robustPriceStats(orders: DataFrame): DataFrame = {
     val grpW = Window.partitionBy(col("grp"))
-    // ONE derivation of the per-group CDF feeds every probe (persisted:
-    // the value rollup + two windows would otherwise re-run per probe),
-    // and the three order-statistic probes fold into a single
-    // conditional-min pass instead of three filter+agg scans
-    val cdf = orders
-      .select(col("o_orderpriority").as("grp"),
-        floor(col("o_totalprice")).cast("long").as("usd"))
-      .groupBy(col("grp"), col("usd")).agg(count(lit(1)).as("n"))
-      .withColumn("cum", sum(col("n")).over(grpW.orderBy(col("usd"))))
-      .withColumn("total", sum(col("n")).over(grpW))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE derivation of the per-group CDF feeds every probe — and the
+    // derivation itself is Memo-shared with the Brown–Forsythe test
+    // (OpUtils.priorityUsdCdf), so a session running both pays the
+    // fact-sized rollup once; the three order-statistic probes fold
+    // into a single conditional-min pass instead of three filter+agg
+    // scans
+    val cdf = OpUtils.priorityUsdCdf(orders)
     val probes = cdf.groupBy(col("grp")).agg(
       min(when(col("cum") * 2 >= col("total"), col("usd"))).as("median_usd"),
       min(when(col("cum") * 20 >= col("total"), col("usd"))).as("p5_usd"),
@@ -2081,5 +2077,65 @@ object Analytics {
           ((s2 - (n_customers + 1) * tot) * 1000000) div
           (cast(n_customers as decimal(38,0)) * tot) end as bigint)""")
           .as("gini_micro"))
+  }
+
+  /** Bucketed-AMS (CountSketch / Thorup–Zhang) estimate of the SECOND
+    * frequency moment F₂ = Σ f_u² of per-user event counts — the
+    * self-join-size / repeat-rate statistic that HLL (distinct) and CMS
+    * (point frequency) cannot answer: F₂ IS the expected output size of
+    * a self-equi-join on user_id, what a skew-aware join planner needs.
+    * Each of `reps` independent sketches hashes users into k signed
+    * buckets (bucket and ±1 sign from the oracle-parity md5 hashes) and
+    * estimates F₂ as Σ_b X_b² — unbiased with relative error ~√(2/k)
+    * (≈4% at k=1024), versus √2 for the classic single tug-of-war sum,
+    * so a small rep count suffices; the reported estimate is the MEDIAN
+    * of the reps (central order statistic, kept integral) next to the
+    * exact F₂ and a signed permille error with the Theil–Sen
+    * sign-branch (floor-vs-truncate conventions differ on negatives).
+    * When distinct users ≤ k the sketch collapses to exact (the KMV
+    * small-side note).
+    *
+    * Scale: one fact-sized map-side-combined rollup to the user grain;
+    * the ×reps explode runs on the user-grain table, re-aggregating to
+    * ≤ reps·k sketch cells; X_b = Σ±f stays inside DECIMAL(38,0) (|X| ≤
+    * total event count) and Σ X² ≤ 10³⁸ holds to beyond 10¹⁸ events.
+    * The exact leg is the test-scale audit, same contract as
+    * kmv/hll/cms.
+    */
+  def amsF2UserActivity(events: DataFrame, k: Int = 1024,
+      reps: Int = 3): DataFrame = {
+    import graft.functions.HashFns
+    val freq = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("f"))
+    val ests = freq
+      .select(col("user_id"), col("f"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .select(col("r"), col("f"),
+        pmod(HashFns.hash32(concat(lit("b"), col("r").cast("string"),
+          lit(":"), col("user_id").cast("string"))), lit(k)).as("b"),
+        when(pmod(HashFns.hash32(concat(lit("s"), col("r").cast("string"),
+          lit(":"), col("user_id").cast("string"))), lit(2)) === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("r"), col("b"))
+      .agg(sum(col("sgn").cast("decimal(38,0)") * col("f")).as("x"))
+      .groupBy(col("r"))
+      .agg(sum(col("x") * col("x")).as("est"))
+    // median over the ≤reps-row estimate table (lower of two central)
+    val med = ests
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("est"), col("r"))))
+      .filter(col("rk") === lit((reps + 1) / 2))
+      .select(col("est").as("med"))
+    val exact = freq.agg(count(lit(1)).as("n_users"),
+      sum(col("f").cast("decimal(38,0)") * col("f")).as("f2"))
+    exact.crossJoin(broadcast(med))
+      .filter(col("n_users") > 0)
+      .select(col("n_users"),
+        col("f2").cast("long").as("f2_exact"),
+        col("med").cast("long").as("ams_median_est"),
+        expr("""cast(case when med >= f2
+          then ((med - f2) * 1000) div f2
+          else -(((f2 - med) * 1000) div f2) end as bigint)""")
+          .as("err_permille"))
   }
 }

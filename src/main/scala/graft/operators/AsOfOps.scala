@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -354,6 +354,82 @@ object AsOfOps {
       .withColumn("cc", col("cc0") +
         when(col("n") > 0 && col("rv") < col("rc"), col("leftover")).otherwise(0L))
     p.select(explode(array(
+        struct(lit("view").as("touch_type"), col("cv").as("credit_cents")),
+        struct(lit("click").as("touch_type"), col("cc").as("credit_cents")),
+        struct(lit("organic").as("touch_type"),
+          when(col("n") === 0, col("cents")).otherwise(0L).as("credit_cents"))))
+        .as("t"))
+      .select(col("t.touch_type"), col("t.credit_cents"))
+      .groupBy(col("touch_type"))
+      .agg(count(when(col("credit_cents") > 0, 1)).as("n_credited_purchases"),
+        round(sum(col("credit_cents")) / 100.0, 2).as("credit"))
+  }
+
+  /** POSITION-BASED (U-shaped 40/20/40) attribution over the same
+    * purchase-window touches as [[linearAttribution]] — the standard
+    * alternative weighting: the introducing touch and the closing touch
+    * each take 40% of the purchase value, the middle touches split the
+    * remaining 20%. Degenerate windows follow the convention: a single
+    * touch takes 100%, two touches split 50/50, no touches → organic.
+    *
+    * Exactness: integer-cent arithmetic throughout — 40% = (cents·2)
+    * div 5, the middle pool divides by (n−2) with the REMAINDER
+    * assigned to the first touch's type (a deterministic rule both
+    * engines replay; value conservation is exact by construction).
+    * First/last touches are identified by the min/max of a fixed-width
+    * sortable string key (zero-padded seconds ‖ event id ‖ type), so
+    * same-second ties break on event id identically in both engines.
+    *
+    * Scale: same as linear — per-user range windows over the event
+    * stream (one shuffle on user_id), then a 3-row rollup.
+    */
+  def positionAttribution(events: DataFrame, windowS: Long = 21600): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-windowS, Window.currentRow)
+    val key = concat(lpad(col("ts_s").cast("string"), 16, "0"),
+      lpad(col("event_id").cast("string"), 16, "0"), col("event_type"))
+    val isTouch = col("event_type").isin("view", "click")
+    val counted = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("ts_s"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("nv",
+        count(when(col("event_type") === "view", 1)).over(w))
+      .withColumn("nc",
+        count(when(col("event_type") === "click", 1)).over(w))
+      .withColumn("fk", min(when(isTouch, key)).over(w))
+      .withColumn("lk", max(when(isTouch, key)).over(w))
+    val p = counted.filter(col("event_type") === "purchase")
+      .withColumn("n", col("nv") + col("nc"))
+      .withColumn("ft", substring(col("fk"), 33, 16))
+      .withColumn("lt", substring(col("lk"), 33, 16))
+      .withColumn("f40", expr("(cents * 2) div 5"))
+      .withColumn("l40", expr("(cents * 2) div 5"))
+      .withColumn("pool", col("cents") - col("f40") - col("l40"))
+      .withColumn("base", when(col("n") >= 3, expr("pool div (n - 2)")))
+      .withColumn("rem", when(col("n") >= 3, expr("pool % (n - 2)")))
+    def creditOf(t: String, nMid: Column): Column =
+      when(col("n") === 0, 0L)
+        .when(col("n") === 1,
+          when(col("ft") === t, col("cents")).otherwise(0L))
+        .when(col("n") === 2,
+          when(col("ft") === t, expr("cents div 2 + cents % 2")).otherwise(0L) +
+            when(col("lt") === t, expr("cents div 2")).otherwise(0L))
+        .otherwise(
+          when(col("ft") === t, col("f40") + col("rem")).otherwise(0L) +
+            when(col("lt") === t, col("l40")).otherwise(0L) +
+            nMid * col("base"))
+    val credited = p
+      .withColumn("nmv", col("nv") -
+        when(col("ft") === "view", 1L).otherwise(0L) -
+        when(col("lt") === "view", 1L).otherwise(0L))
+      .withColumn("nmc", col("nc") -
+        when(col("ft") === "click", 1L).otherwise(0L) -
+        when(col("lt") === "click", 1L).otherwise(0L))
+      .withColumn("cv", creditOf("view", col("nmv")))
+      .withColumn("cc", creditOf("click", col("nmc")))
+    credited.select(explode(array(
         struct(lit("view").as("touch_type"), col("cv").as("credit_cents")),
         struct(lit("click").as("touch_type"), col("cc").as("credit_cents")),
         struct(lit("organic").as("touch_type"),

@@ -23,37 +23,45 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Distinct (src_nation, dst_nation) trade edges: supplier's nation →
-    * ordering customer's nation, with the supplier-side projection
-    * reduced to (orderkey, src) BEFORE the fact-fact join. Memoized
-    * (key = every input's plan): PageRank and the triangle count both
-    * consume this ≤|nations|²-row list, and the fact-fact join behind it
-    * is by far their dominant cost — one session derives it once.
+  /** WEIGHTED (src_nation, dst_nation, cnt) trade edges — cnt = number
+    * of orders where a supplier in src ships to a customer in dst, with
+    * the supplier-side projection reduced to distinct (orderkey, src)
+    * BEFORE the fact-fact join. Memoized (key = every input's plan):
+    * this ≤|nations|²-row table is the ONE fact-derived input of the
+    * whole graph family (PageRank, triangles, communities, hop
+    * distances), and the fact-fact join behind it is by far their
+    * dominant cost — one session derives it once.
+    */
+  private[operators] def tradeEdgeWeights(lineitem: DataFrame,
+      orders: DataFrame, customer: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame =
+    Memo.cachedMulti("trade_edge_weights",
+      Seq(lineitem, orders, customer, supplier, nation)) {
+      val n = broadcast(nation.select(col("n_nationkey"), col("n_name")))
+      val lineSide = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_orderkey"), col("n_name").as("src"))
+        .distinct()
+      val orderSide = orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey"), col("n_name").as("dst"))
+      lineSide.join(orderSide, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    }
+
+  /** Distinct trade edges — a free projection of the memoized
+    * [[tradeEdgeWeights]], so the unweighted consumers (PageRank,
+    * triangles, communities) and the weighted ones (hop distances)
+    * share one fact pass.
     */
   private def tradeEdges(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
-    Memo.cachedMulti("trade_edges",
-      Seq(lineitem, orders, customer, supplier, nation)) {
-      tradeEdgesImpl(lineitem, orders, customer, supplier, nation)
-    }
-
-  private def tradeEdgesImpl(lineitem: DataFrame, orders: DataFrame,
-      customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
-    val n = broadcast(nation.select(col("n_nationkey"), col("n_name")))
-    val lineSide = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(supplier.select("s_suppkey", "s_nationkey"),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(n, col("s_nationkey") === col("n_nationkey"))
-      .select(col("l_orderkey"), col("n_name").as("src"))
-      .distinct()
-    val orderSide = orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(customer.select("c_custkey", "c_nationkey"),
-        col("o_custkey") === col("c_custkey"))
-      .join(n, col("c_nationkey") === col("n_nationkey"))
-      .select(col("o_orderkey"), col("n_name").as("dst"))
-    lineSide.join(orderSide, col("l_orderkey") === col("o_orderkey"))
-      .select(col("src"), col("dst")).distinct()
-  }
+    tradeEdgeWeights(lineitem, orders, customer, supplier, nation)
+      .select(col("src"), col("dst"))
 
   /** Five-iteration integer PageRank of nations in the trade graph.
     * Dangling mass is dropped (the standard simplified variant) — the
@@ -162,5 +170,48 @@ object GraphOps {
         .select(col("nation"),
           coalesce(col("next_community"), col("nation")).as("community"))
     }
+  }
+
+  /** All-pairs shortest HOP distance over the BACKBONE trade graph —
+    * "how many strong-trade-lane hops separate any two markets": the
+    * complete TPC-H trade graph is uninformative (every nation pair
+    * trades), so the graph is first sparsified to its topK strongest
+    * directed lanes (by order count, ties broken by name — a
+    * deterministic edge set at any SF, and scale-stable because the
+    * threshold is a rank, not an absolute count), then BFS runs
+    * `maxHops` synchronous frontier rounds. Unreached pairs are absent
+    * from the output — reachability within maxHops is part of the
+    * answer.
+    *
+    * Scale: the fact is touched once via the Memo-shared
+    * [[tradeEdgeWeights]] derivation; the topK rank is a window over
+    * the ≤|nations|² edge table, and each BFS round is a join of two
+    * nation-bounded tables (≤|nations|² reach rows × topK edges) — the
+    * statically-unrolled PageRank loop shape.
+    */
+  def nationHopDistance(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      topK: Int = 96, maxHops: Int = 6): DataFrame = {
+    val backbone = tradeEdgeWeights(lineitem, orders, customer, supplier,
+        nation)
+      .filter(col("src") =!= col("dst"))
+      // bounded window: ≤|nations|² rows by construction
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("cnt").desc, col("src"), col("dst"))))
+      .filter(col("rk") <= topK)
+      // edge-distinct names keep the iterated frontier join unambiguous
+      .select(col("src").as("e_src"), col("dst").as("e_dst"))
+      .localCheckpoint(true)
+    val r0 = nation.select(col("n_name").as("s"), col("n_name").as("v"),
+      lit(0L).as("hops"))
+    val reach = (1 to maxHops).foldLeft(r0) { (r, _) =>
+      val step = r
+        .join(backbone, col("v") === col("e_src"))
+        .select(col("s"), col("e_dst").as("v"), (col("hops") + 1L).as("hops"))
+      r.unionByName(step)
+        .groupBy(col("s"), col("v")).agg(min(col("hops")).as("hops"))
+    }
+    reach.select(col("s").as("src_nation"), col("v").as("dst_nation"),
+      col("hops"))
   }
 }

@@ -99,6 +99,24 @@ private[graft] object OpUtils {
     }
   }
 
+  /** The per-priority dollar-grain CDF of order value — (grp, usd, n,
+    * cum, total) — Memo-shared by every order-statistic consumer
+    * (robust_price_stats' median/MAD/winsor probes, the Brown–Forsythe
+    * dispersion test): ONE fact-sized rollup to the (priority, usd)
+    * grain per session, not one per query. Bounded by the price DOMAIN
+    * (≤ |priorities| × price-range rows at any SF), so the per-group
+    * windows and the checkpoint stay dim-sized.
+    */
+  def priorityUsdCdf(orders: DataFrame): DataFrame =
+    Memo.cached("priority_usd_cdf", orders) { o =>
+      val grpW = Window.partitionBy(col("grp"))
+      o.select(col("o_orderpriority").as("grp"),
+          floor(col("o_totalprice")).cast("long").as("usd"))
+        .groupBy(col("grp"), col("usd")).agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(grpW.orderBy(col("usd"))))
+        .withColumn("total", sum(col("n")).over(grpW))
+    }
+
   def cdfBuckets(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     val byV = df.groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
     val total = df.agg(count(lit(1)).as("nd"))

@@ -628,4 +628,219 @@ object StatOps {
       .withColumn("expected_runs_milli",
         expr("1000 + (2000 * n_above * n_below) div n_days"))
   }
+
+  /** Brown–Forsythe test of dispersion homogeneity across order
+    * priorities — "do the priority classes differ in order-value
+    * SPREAD, not just location": the robust Levene variant whose
+    * centers are per-group MEDIANS (Brown & Forsythe 1974), so one
+    * heavy-tailed class cannot fake a variance difference. W =
+    * ((N−k)/(k−1)) · Σ n_g(z̄_g−z̄)² / Σ_g Σ(z−z̄_g)² over the absolute
+    * deviations z = |usd − median_g|.
+    *
+    * Exactness: z is INTEGER dollars around the exact lower median; the
+    * per-group moments (n, Σz, Σz²) are exact decimals; the group means
+    * are truncated to micro-dollars (⌊Σz·10⁶/n⌋ — a deterministic
+    * definition both engines replay, the Cramér's-V contribution
+    * pattern), so between/within sums are exact integers whose products
+    * stay inside DECIMAL(38,0) at lake counts (n_g·(Δmicro)² ≤ 10¹¹ ·
+    * (6·10¹¹)² ≈ 10³⁵); the final W is one double expression over those
+    * integers, identical association order in both engines.
+    *
+    * Scale: the fact contributes exactly one pass (the Memo-shared
+    * [[OpUtils.priorityUsdCdf]] dollar-grain rollup, also feeding
+    * robust_price_stats); the deviation re-grain and moment aggs run on
+    * the DOMAIN-bounded CDF, and the cross-group windows see ≤
+    * |priorities| rows.
+    */
+  def levenePriorityDispersion(orders: DataFrame): DataFrame = {
+    val cdf = OpUtils.priorityUsdCdf(orders)
+    val med = cdf.groupBy(col("grp")).agg(
+      min(when(col("cum") * 2 >= col("total"), col("usd"))).as("med"))
+    val g = cdf.join(broadcast(med), Seq("grp"))
+      .select(col("grp"), col("med"),
+        abs(col("usd") - col("med")).as("z"), col("n"))
+      .groupBy(col("grp"))
+      .agg(max(col("med")).as("median_usd"),
+        sum(col("n")).as("ng"),
+        sum(col("z").cast("decimal(38,0)") * col("n")).as("sg"),
+        sum(col("z").cast("decimal(38,0)") * col("z") * col("n")).as("qg"))
+    val wAll = Window.partitionBy(lit(1)) // ≤ |priorities| rows
+    g.withColumn("nt", sum(col("ng")).over(wAll))
+      .withColumn("st", sum(col("sg")).over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("m_micro", expr("(sg * 1000000) div ng"))
+      .withColumn("msq_micro", expr("(qg * 1000000) div ng"))
+      .withColumn("var_micro", expr(
+        "msq_micro - (cast(m_micro as decimal(38,0)) * m_micro) div 1000000"))
+      .withColumn("gm_micro", expr("(st * 1000000) div nt"))
+      .withColumn("a_g", expr(
+        """cast(ng as decimal(38,0)) * (m_micro - gm_micro)
+          | * (m_micro - gm_micro)""".stripMargin))
+      .withColumn("b_g", expr("cast(ng as decimal(38,0)) * var_micro"))
+      .withColumn("a_tot", sum(col("a_g")).over(wAll))
+      .withColumn("b_tot", sum(col("b_g")).over(wAll))
+      .select(col("grp").as("o_orderpriority"),
+        col("ng").cast("long").as("n_orders"),
+        col("median_usd"),
+        col("m_micro").cast("long").as("mean_absdev_micro"),
+        when(col("k") > 1 && col("b_tot") > 0,
+          round((col("nt") - col("k")).cast("double") *
+            col("a_tot").cast("double") /
+            ((col("k") - lit(1L)).cast("double") *
+              col("b_tot").cast("double") * lit(1e6)), 6)).as("bf_w_r6"))
+  }
+
+  /** Welch's unequal-variance t-test between WEEKEND and WEEKDAY daily
+    * revenue — "is the weekend level genuinely different, given both
+    * groups' own noise": the two-sample location test that does not
+    * assume equal variances (the correct default; Student's t is the
+    * special case). Exactness: per-group sufficient statistics (n, Σy,
+    * Σy²) are exact DECIMAL(38,0) over the Memo-shared daily fact,
+    * pivoted to ONE row so the final t/df computation is a single FIXED
+    * double expression tree (identical association order in both
+    * engines — the ccf/ACF contract); v₁/v₀ are materialized once as
+    * double columns and reused, so t and df read the same values.
+    *
+    * Scale: the fact contributes one Memo-shared rollup; everything
+    * after is a 2-row grouped agg and a 1-row projection.
+    */
+  def welchWeekendRevenue(orders: DataFrame): DataFrame = {
+    val daily = OpUtils.dailyFact(orders)
+      .select(when(weekday(col("d")) + 1 >= 6, 1).otherwise(0).as("we"),
+        col("y"))
+    val g = daily.groupBy(col("we"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("decimal(38,0)").as("s"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("q"))
+    g.agg(
+      coalesce(sum(when(col("we") === 1, col("n"))), lit(0L)).as("n1"),
+      sum(when(col("we") === 1, col("s"))).as("s1"),
+      sum(when(col("we") === 1, col("q"))).as("q1"),
+      coalesce(sum(when(col("we") === 0, col("n"))), lit(0L)).as("n0"),
+      sum(when(col("we") === 0, col("s"))).as("s0"),
+      sum(when(col("we") === 0, col("q"))).as("q0"))
+      .filter(col("n1") + col("n0") > 0)
+      .withColumn("a1", expr("n1 * q1 - s1 * s1"))
+      .withColumn("a0", expr("n0 * q0 - s0 * s0"))
+      .withColumn("v1", expr("""cast(a1 as double) / (cast(n1 as double)
+        | * cast(n1 as double) * cast(n1 - 1 as double))""".stripMargin))
+      .withColumn("v0", expr("""cast(a0 as double) / (cast(n0 as double)
+        | * cast(n0 as double) * cast(n0 - 1 as double))""".stripMargin))
+      .select(col("n1").as("n_weekend"), col("n0").as("n_weekday"),
+        // exact truncated-micro means, not a rounded double — a cents
+        // mean can land exactly on a representable .5 boundary (the
+        // hodges_lehmann lesson)
+        when(col("n1") > 0 && col("n0") > 0, expr(
+          "(s1 * 1000000) div n1 - (s0 * 1000000) div n0").cast("long"))
+          .as("mean_diff_microcents"),
+        when(col("n1") > 1 && col("n0") > 1 && expr("v1 + v0 > 0"), expr(
+          """round((cast(s1 as double) / cast(n1 as double)
+            | - cast(s0 as double) / cast(n0 as double))
+            | / sqrt(v1 + v0), 4)""".stripMargin)).as("welch_t_r4"),
+        when(col("n1") > 1 && col("n0") > 1 &&
+            expr("v1 > 0 or v0 > 0"), expr(
+          """round((v1 + v0) * (v1 + v0)
+            | / (v1 * v1 / cast(n1 - 1 as double)
+            |    + v0 * v0 / cast(n0 - 1 as double)), 2)""".stripMargin))
+          .as("welch_df_r2"))
+  }
+
+  /** Kruskal–Wallis rank test of daily revenue across the 7 weekdays —
+    * the nonparametric one-way ANOVA: does ANY weekday's revenue
+    * distribution sit apart, without assuming normality (the k-group
+    * extension of Mann–Whitney, on the same midrank machinery). H =
+    * 3/(N(N+1))·Σ R2²_g/n_g − 3(N+1) over DOUBLED midranks (keeps rank
+    * sums integral), with the standard tie correction 1 − Σ(t³−t)/
+    * (N³−N). Exactness: doubled midranks via the shared two-level CDF,
+    * per-group rank sums exact DECIMAL(38,0), pivoted to ONE row so H
+    * is a single fixed double expression (7 terms in weekday order);
+    * the all-tied degenerate (correction 0) yields NULL.
+    *
+    * Scale: one Memo-shared daily rollup; ranks ride bounded two-level
+    * windows over the distinct-revenue grain; the pivot sees ≤7 rows.
+    */
+  def kruskalWeekdayRevenue(orders: DataFrame): DataFrame = {
+    val daily = OpUtils.dailyFact(orders)
+      .select((weekday(col("d")) + 1).cast("long").as("dow"), col("y"))
+    val byV = daily.groupBy(col("y")).agg(count(lit(1)).as("c"))
+    val r2 = OpUtils.twoLevelCum(byV, "y", "c")
+      .select(col("y"),
+        (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L)).as("r2"))
+    val g = daily.join(r2, Seq("y"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("r2").cast("decimal(38,0)")).as("sr"))
+    val ties = byV.agg(coalesce(
+      sum(col("c").cast("decimal(38,0)") * col("c") * col("c") - col("c")),
+      lit(0).cast("decimal(38,0)")).as("tsum"))
+    val pivotCols = (1 to 7).flatMap(i => Seq(
+      coalesce(sum(when(col("dow") === i, col("n"))), lit(0L)).as(s"n$i"),
+      coalesce(sum(when(col("dow") === i, col("sr"))),
+        lit(0).cast("decimal(38,0)")).as(s"r$i")))
+    val terms = (1 to 7).map(i =>
+      s"case when n$i > 0 then cast(r$i as double) * cast(r$i as double)" +
+        s" / cast(n$i as double) else 0.0d end").mkString(" + ")
+    g.agg(pivotCols.head, pivotCols.tail: _*)
+      .withColumn("n", expr("n1 + n2 + n3 + n4 + n5 + n6 + n7"))
+      .filter(col("n") >= 2)
+      .crossJoin(broadcast(ties))
+      .withColumn("h", expr(
+        s"""3.0d * ($terms) / (cast(n as double) * cast(n + 1 as double))
+           | - 3.0d * cast(n + 1 as double)""".stripMargin))
+      .withColumn("corr", expr(
+        """1.0d - cast(tsum as double)
+          | / (cast(n as double) * cast(n as double) * cast(n as double)
+          |    - cast(n as double))""".stripMargin))
+      .select(col("n").as("n_days"), round(col("h"), 6).as("h_r6"),
+        when(col("corr") > 0, round(expr("h / corr"), 6))
+          .as("h_tie_corr_r6"))
+  }
+
+  /** Leave-one-NATION-out jackknife of the global mean order value —
+    * "how much does any single market drive the headline number": the
+    * delete-a-group jackknife (one replicate per nation, each the mean
+    * with that nation's orders removed) with the classic SE estimate
+    * √((G−1)/G · Σ(θ̂₍g₎ − θ̄)²). A replicate far from the grand mean
+    * names the nation whose removal moves the metric most — the
+    * sensitivity audit next to [[bootstrapCiOrderValue]]'s resampling
+    * CI.
+    *
+    * Exactness: per-nation (n, Σcents) are exact; each replicate mean
+    * is truncated to micro-cents (⌊(S−S_g)·10⁶/(N−n_g)⌋), the replicate
+    * average to micro-cents again, and the squared deviations are exact
+    * DECIMAL(38,0) products; the final SE is one double sqrt/division
+    * over those integers.
+    *
+    * Scale: one fact-sized grouped agg to the nation grain (broadcast
+    * dim joins); everything after lives on ≤ |nations| rows.
+    */
+  def jackknifeNationRevenue(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val byNation = orders
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("ng"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("decimal(38,0)").as("sg"))
+    val wAll = Window.partitionBy(lit(1)) // ≤ |nations| rows
+    byNation
+      .withColumn("nt", sum(col("ng")).over(wAll))
+      .withColumn("st", sum(col("sg")).over(wAll))
+      .filter(col("nt") > col("ng")) // degenerate single-populated-nation
+      .withColumn("gcnt", count(lit(1)).over(wAll)) // = replicate count
+      .withColumn("loo_micro", expr("((st - sg) * 1000000) div (nt - ng)"))
+      .withColumn("rep_mean_micro",
+        expr("(sum(loo_micro) over (partition by 1)) div gcnt"))
+      .withColumn("dev2", expr(
+        """cast(loo_micro - rep_mean_micro as decimal(38,0))
+          | * (loo_micro - rep_mean_micro)""".stripMargin))
+      .withColumn("sdev2", sum(col("dev2")).over(wAll))
+      .select(col("nation"), col("ng").cast("long").as("n_orders"),
+        col("loo_micro").cast("long").as("loo_mean_microcents"),
+        when(col("gcnt") > 1,
+          round(sqrt((col("gcnt") - lit(1L)).cast("double") *
+            col("sdev2").cast("double") / col("gcnt").cast("double")) /
+            lit(1e6), 6)).as("jk_se_cents_r6"))
+  }
 }

@@ -420,4 +420,45 @@ object TrendOps {
             - cast(s as decimal(19,0)) * s) * 1000000)
           div (cast(s as decimal(19,0)) * (n - 1)) as bigint)""")
           .as("fano_micro"))
+
+  /** Cross-correlogram between daily ORDER COUNT and daily REVENUE —
+    * the lead–lag diagnostic [[acfDailyRevenue]] cannot answer: does
+    * order volume lead revenue (inventory pipeline), lag it
+    * (replenishment), or move contemporaneously? For each lag k in
+    * [−maxLag, maxLag], Pearson r between (m_d, y_{d+k}) over the days
+    * where both sides exist; k > 0 means order count LEADS revenue by
+    * k days. Exactness follows the ACF contract verbatim: the six
+    * sufficient sums are exact integers in DECIMAL(38,0) (cents²
+    * products cross 2⁶³ long before 100 TB), the final r is one IEEE
+    * division/sqrt from those integers, and zero-variance legs yield
+    * NULL — the engine-independent verdict — never NaN.
+    *
+    * Scale: the fact contributes exactly one pass (the Memo-shared
+    * [[OpUtils.dailyFact]] rollup); the ×(2·maxLag+1) explode, the
+    * shifted-date self-join, and the per-lag agg all run on the
+    * CALENDAR-bounded daily table, never the fact.
+    */
+  def ccfOrdersRevenue(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = OpUtils.dailyFact(orders).select(col("d"), col("y"), col("m"))
+    val shifted = daily
+      .select(col("d"), col("m").as("x"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .withColumn("d2", date_add(col("d"), col("lag")))
+    shifted
+      .join(daily.select(col("d").as("d2"), col("y").as("y2")), Seq("d2"))
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y2")).cast("decimal(38,0)").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y2").cast("decimal(38,0)") * col("y2")).as("syy"),
+        sum(col("x").cast("decimal(38,0)") * col("y2")).as("sxy"))
+      .select(col("lag"), col("n").cast("long").as("n_pairs"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double").as("vx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double").as("vy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double").as("cov"))
+      .select(col("lag"), col("n_pairs"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("cov") / sqrt(col("vx") * col("vy")), 4)).as("ccf"))
+  }
 }

@@ -447,7 +447,11 @@ class PlanAuditSpec extends SparkSpec {
       "hourly_anomalies" -> 1, // per-event-type stats (5-value enum)
       "median_order_value" -> 2, // quantile-bracket probes per region (5-value dim)
       "price_qty_skyline" -> 1, // per-cell maxima of the fixed anti-corner grid
-      "robust_price_stats" -> 3, // median/P5/P95 probes per o_orderpriority (5-value enum)
+      // (robust_price_stats' median/P5/P95 probes now ride the
+      // Memo-shared priority_usd_cdf leaf — no scaling-table hint left)
+      "ams_f2_user_activity" -> 1, // the rep-median estimate: exactly 1 row
+      // (rank probe over the ≤reps-row sketch-estimate table; the bound
+      // is by the reps literal and bucket-count k, not the event count)
       "rolling_distinct_users" -> 1, // distinct-day frame: calendar-bounded, not SF-bounded
       "mixture_resample" -> 1, // per-lang acceptance thresholds: ≤|langs| rows
       "mixture_upsample" -> 1, // per-lang repeat ratios: the same ≤|langs| frame

@@ -727,4 +727,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(sk.getAs[Long]("total_cents") == 400L)
     assert(sk.getAs[Long]("gini_micro") == 250000L)
   }
+
+  test("amsF2UserActivity: collision-free small side collapses to exact F2") {
+    // two users with 3 and 4 events: F2 = 9 + 16 = 25; with k=1024
+    // buckets the md5 bucket hashes never collide for this pair in any
+    // rep (deterministic), so every sketch estimate is exactly F2 and
+    // the median error is 0
+    val ev = (Seq.fill(3)(1L) ++ Seq.fill(4)(2L)).zipWithIndex
+      .map { case (u, i) => (i.toLong, u, "click") }
+      .toDF("event_id", "user_id", "event_type")
+    val r = Analytics.amsF2UserActivity(ev).collect()(0)
+    assert(r.getAs[Long]("n_users") == 2L)
+    assert(r.getAs[Long]("f2_exact") == 25L)
+    assert(r.getAs[Long]("ams_median_est") == 25L)
+    assert(r.getAs[Long]("err_permille") == 0L)
+    // null user_ids are excluded, not hashed into a bucket
+    val withNull = ev.unionByName(Seq((99L, Option.empty[Long], "click"))
+      .toDF("event_id", "user_id", "event_type"))
+    assert(Analytics.amsF2UserActivity(withNull)
+      .collect()(0).getAs[Long]("f2_exact") == 25L)
+  }
 }

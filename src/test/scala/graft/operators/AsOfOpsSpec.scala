@@ -39,6 +39,33 @@ class AsOfOpsSpec extends SparkSpec {
     assert(out.values.map(_._2).sum == 7.0)
   }
 
+  test("position attribution: U-shaped 40/20/40 with degenerate window sizes") {
+    val evs = Seq(
+      // u1: view-click-view before a 10.00 purchase → first/last views
+      // take 400c each, the middle click takes the 200c pool
+      ev(1, 1000, 1, "view", 0.0), ev(2, 2000, 1, "click", 0.0),
+      ev(3, 3000, 1, "view", 0.0), ev(4, 4000, 1, "purchase", 10.0),
+      // u2: two touches split 50/50 (first gets any odd cent)
+      ev(5, 1000, 2, "view", 0.0), ev(6, 2000, 2, "click", 0.0),
+      ev(7, 3000, 2, "purchase", 10.0),
+      // u3: single touch takes 100%
+      ev(8, 1000, 3, "click", 0.0), ev(9, 2000, 3, "purchase", 8.0),
+      // u4: no touches → organic
+      ev(10, 1000, 4, "purchase", 5.0),
+      // u5: same-second touches break the tie on event id → view is
+      // first, click is last → 50/50
+      ev(11, 1000, 5, "view", 0.0), ev(12, 1000, 5, "click", 0.0),
+      ev(13, 1200, 5, "purchase", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AsOfOps.positionAttribution(evs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      "view" -> ((3L, 18.0)), "click" -> ((4L, 20.0)),
+      "organic" -> ((1L, 5.0))))
+    // conservation: every purchase's value is fully credited
+    assert(out.values.map(_._2).sum == 43.0)
+  }
+
   test("window funnel: ordered chain within the window, greedy anchor, boundaries") {
     def fe(id: Long, user: Long, t: Long, typ: String) = ev(id, t, user, typ, 0.0)
     val funnelEvents = Seq(

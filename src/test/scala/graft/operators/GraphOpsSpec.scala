@@ -80,4 +80,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map("A" -> "A", "B" -> "A", "C" -> "A",
       "D" -> "E", "E" -> "D"))
   }
+
+  test("nationHopDistance: rank-sparsified backbone, multi-hop and unreachable") {
+    val nation3 = Seq((0, "A"), (1, "B"), (2, "C")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 0), (11L, 1)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 1), (21L, 2)).toDF("c_custkey", "c_nationkey")
+    // lane weights: A→B 3 orders, B→C 2, A→C 1; topK=2 keeps A→B and
+    // B→C only, so C is 2 hops from A via the backbone, and nothing
+    // reaches back toward A
+    val orders = Seq((30L, 20L), (31L, 20L), (32L, 20L), (33L, 21L),
+      (34L, 21L), (35L, 21L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((30L, 10L), (31L, 10L), (32L, 10L), (33L, 11L),
+      (34L, 11L), (35L, 10L)).toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.nationHopDistance(lineitem, orders, customer,
+      supplier, nation3, topK = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("A", "A") -> 0L, ("B", "B") -> 0L, ("C", "C") -> 0L,
+      ("A", "B") -> 1L, ("B", "C") -> 1L, ("A", "C") -> 2L))
+  }
 }

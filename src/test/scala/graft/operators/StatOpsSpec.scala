@@ -287,4 +287,112 @@ class StatOpsSpec extends SparkSpec {
     val r3 = StatOps.priorityStatusCramersV(degen).collect()(0)
     assert(r3.isNullAt(r3.fieldIndex("cramers_v_r6")))
   }
+
+  test("levenePriorityDispersion: spread difference detected, equal spread → W = 0") {
+    def orders(rows: Seq[(String, Double)]) = rows.zipWithIndex.map {
+      case ((p, usd), i) => (i.toLong, p, usd)
+    }.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    // URGENT has zero spread, LOW spreads ±5 around the same median
+    val mixed = orders(Seq(("1-URGENT", 10.0), ("1-URGENT", 10.0),
+      ("1-URGENT", 10.0), ("5-LOW", 5.0), ("5-LOW", 10.0), ("5-LOW", 15.0)))
+    val out = StatOps.levenePriorityDispersion(mixed).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("1-URGENT").getLong(2) == 10L) // exact lower medians
+    assert(out("5-LOW").getLong(2) == 10L)
+    assert(out("1-URGENT").getLong(3) == 0L) // zero mean |dev|
+    assert(out("5-LOW").getLong(3) == 3333333L) // ⌊10/3·10⁶⌋
+    assert(out.values.map(_.getDouble(4)).toSet.size == 1) // shared W
+    assert(out("5-LOW").getDouble(4) > 1.0) // dispersion differs
+    // identical spreads at shifted locations → between-group term 0
+    val equal = orders(Seq(("1-URGENT", 5.0), ("1-URGENT", 10.0),
+      ("1-URGENT", 15.0), ("5-LOW", 105.0), ("5-LOW", 110.0),
+      ("5-LOW", 115.0)))
+    assert(StatOps.levenePriorityDispersion(equal).collect()
+      .forall(_.getDouble(4) == 0.0))
+    // one group → k = 1 → W undefined (NULL)
+    val one = orders(Seq(("1-URGENT", 5.0), ("1-URGENT", 9.0)))
+    val r1 = StatOps.levenePriorityDispersion(one).collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("bf_w_r6")))
+  }
+
+  test("jackknifeNationRevenue: exact LOO replicates and hand-checked SE") {
+    val nation = Seq((0, "A"), (1, "B")).toDF("n_nationkey", "n_name")
+    val customer = Seq((10L, 0), (11L, 1)).toDF("c_custkey", "c_nationkey")
+    // one $10 order in A, one $20 in B: drop A → mean 2000 cents
+    // (loo 2·10⁹ µcents), drop B → 10⁹; SE = √(½·(5e8²+5e8²))/10⁶ = 500
+    val orders = Seq((1L, 10L, 10.0), (2L, 11L, 20.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = StatOps.jackknifeNationRevenue(orders, customer, nation)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(2) == 2000000000L)
+    assert(out("B").getLong(2) == 1000000000L)
+    assert(out("A").getDouble(3) == 500.0)
+    // identical markets → replicates coincide → SE exactly 0
+    val same = Seq((1L, 10L, 10.0), (2L, 11L, 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    assert(StatOps.jackknifeNationRevenue(same, customer, nation)
+      .collect().forall(_.getDouble(3) == 0.0))
+    // a single populated nation → no defined replicate → empty output
+    val solo = Seq((1L, 10L, 10.0)).toDF("o_orderkey", "o_custkey",
+      "o_totalprice")
+    assert(StatOps.jackknifeNationRevenue(solo, customer, nation)
+      .count() == 0)
+  }
+
+  test("welchWeekendRevenue: hand-checked t and df, degenerate guards") {
+    // 2024-01-01..05 weekdays at $100/day; Sat 01-06 $100, Sun 01-07 $200
+    // weekend: n=2, mean 15000c, a1=1e8 → v1=2.5e7; weekday a0=0, v0=0
+    // t = 5000/√(2.5e7) = 1.0; df = v1²/(v1²/1) = 1.0
+    val orders = Seq(
+      (1L, ts("2024-01-01"), 100.0), (2L, ts("2024-01-02"), 100.0),
+      (3L, ts("2024-01-03"), 100.0), (4L, ts("2024-01-06"), 100.0),
+      (5L, ts("2024-01-07"), 200.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = StatOps.welchWeekendRevenue(orders).collect()(0)
+    assert(r.getAs[Long]("n_weekend") == 2L)
+    assert(r.getAs[Long]("n_weekday") == 3L)
+    assert(r.getAs[Long]("mean_diff_microcents") == 5000000000L)
+    assert(r.getAs[Double]("welch_t_r4") == 1.0)
+    assert(r.getAs[Double]("welch_df_r2") == 1.0)
+    // no weekend days at all → diff and t undefined, never a div error
+    val wd = orders.filter(col("o_orderkey") <= 3)
+    val r2 = StatOps.welchWeekendRevenue(wd).collect()(0)
+    assert(r2.getAs[Long]("n_weekend") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("welch_t_r4")))
+    // both groups constant → zero pooled variance → NULL t
+    val const = Seq(
+      (1L, ts("2024-01-01"), 100.0), (2L, ts("2024-01-02"), 100.0),
+      (3L, ts("2024-01-06"), 100.0), (4L, ts("2024-01-07"), 100.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r3 = StatOps.welchWeekendRevenue(const).collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("welch_t_r4")))
+  }
+
+  test("kruskalWeekdayRevenue: exact H for separated groups, tie guard") {
+    // Mondays {100,200}, Tuesdays {300,400}: doubled ranks 2,4 / 6,8
+    // H = 3·(36/2 + 196/2)/(4·5) − 3·5 = 2.4 (the 2×2 max separation)
+    val sep = Seq(
+      (1L, ts("2024-01-01"), 100.0), (2L, ts("2024-01-08"), 200.0),
+      (3L, ts("2024-01-02"), 300.0), (4L, ts("2024-01-09"), 400.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = StatOps.kruskalWeekdayRevenue(sep).collect()(0)
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Double]("h_r6") == 2.4)
+    assert(r.getAs[Double]("h_tie_corr_r6") == 2.4)
+    // a single weekday group → H = 0 exactly
+    val one = Seq(
+      (1L, ts("2024-01-01"), 100.0), (2L, ts("2024-01-08"), 200.0),
+      (3L, ts("2024-01-15"), 300.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(StatOps.kruskalWeekdayRevenue(one).collect()(0)
+      .getAs[Double]("h_r6") == 0.0)
+    // every day ties → correction hits 0 → corrected H undefined
+    val tied = Seq(
+      (1L, ts("2024-01-01"), 100.0), (2L, ts("2024-01-02"), 100.0),
+      (3L, ts("2024-01-03"), 100.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val rt = StatOps.kruskalWeekdayRevenue(tied).collect()(0)
+    assert(rt.getAs[Double]("h_r6") == 0.0)
+    assert(rt.isNullAt(rt.fieldIndex("h_tie_corr_r6")))
+  }
 }

@@ -222,4 +222,28 @@ class TrendOpsSpec extends SparkSpec {
     assert(TrendOps.orderArrivalDispersion(flat.limit(1)).count() == 0)
     assert(TrendOps.orderArrivalDispersion(flat.limit(0)).count() == 0)
   }
+
+  test("ccfOrdersRevenue: perfect linear co-movement, lag coverage, NULL guard") {
+    // day i carries i orders of $10 each: m = i and y = 1000·i cents are
+    // both linear in the day index, so every lag with ≥2 pairs has r = 1
+    val orders = (1 to 5).flatMap(i => (0 until i).map(j =>
+      ((i * 100 + j).toLong, ts(f"2000-01-0$i%d"), 10.0)))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = TrendOps.ccfOrdersRevenue(orders).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // 5 days → pairs exist only for |lag| ≤ 4 (9 rows of the 15 lags)
+    assert(out.keySet == (-4L to 4L).toSet)
+    assert(out(0L).getLong(1) == 5L && out(0L).getDouble(2) == 1.0)
+    assert(out(3L).getLong(1) == 2L && out(3L).getDouble(2) == 1.0)
+    // |lag| = 4 leaves a single pair → zero variance → NULL, never NaN
+    assert(out(4L).isNullAt(2) && out(-4L).isNullAt(2))
+    // anti-monotone: revenue falls as order count rises → r = −1 at lag 0
+    val down = (1 to 5).flatMap { i =>
+      (0 until i).map(j =>
+        ((i * 100 + j).toLong, ts(f"2000-01-0$i%d"), 10.0 * (6 - i) / i))
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val d0 = TrendOps.ccfOrdersRevenue(down).collect()
+      .find(_.getLong(0) == 0L).get
+    assert(d0.getDouble(2) == -1.0)
+  }
 }
