@@ -5829,6 +5829,61 @@ object Oracles {
         | ROUND(SUM(credit_cents) / 100.0, 2) AS credit
         |FROM x GROUP BY 1""".stripMargin,
 
+    // ExperimentOps.abCupedReadout: CUPED variance-reduced A/B readout
+    // over md5-parity arms; exact pooled/arm moments, raw effect in
+    // truncated micro, theta/effect/rho^2/SRM fixed double expressions.
+    "ab_cuped_readout" ->
+      """WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) + 1296000
+        |  AS split_s FROM events),
+        |u AS (SELECT user_id,
+        |  ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |    ::BIGINT % 2 AS arm,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |    AND CAST(floor(epoch(ts)) AS BIGINT) < split_s
+        |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+        |    AS HUGEINT) AS x,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |    AND CAST(floor(epoch(ts)) AS BIGINT) >= split_s
+        |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+        |    AS HUGEINT) AS y
+        | FROM events, b WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |pool AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+        |  SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+        |  SUM(y * y) AS syy FROM u),
+        |arms AS (SELECT
+        |  COALESCE(SUM(CASE WHEN arm = 0 THEN 1 END), 0)::HUGEINT AS n0,
+        |  COALESCE(SUM(CASE WHEN arm = 0 THEN x END), 0)::HUGEINT AS sx0,
+        |  COALESCE(SUM(CASE WHEN arm = 0 THEN y END), 0)::HUGEINT AS sy0,
+        |  COALESCE(SUM(CASE WHEN arm = 1 THEN 1 END), 0)::HUGEINT AS n1,
+        |  COALESCE(SUM(CASE WHEN arm = 1 THEN x END), 0)::HUGEINT AS sx1,
+        |  COALESCE(SUM(CASE WHEN arm = 1 THEN y END), 0)::HUGEINT AS sy1
+        | FROM u),
+        |m AS (SELECT *, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+        |  n * sxy - sx * sy AS cxy FROM pool, arms WHERE n > 0),
+        |d AS (SELECT *,
+        |  CASE WHEN vx > 0 THEN CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE)
+        |   END AS theta FROM m)
+        |SELECT CAST(n0 AS BIGINT) AS n_users_a,
+        | CAST(n1 AS BIGINT) AS n_users_b,
+        | CASE WHEN n0 + n1 > 0 THEN
+        |  ROUND((CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE))
+        |   / sqrt(CAST(n1 + n0 AS DOUBLE)), 4) END AS srm_z_r4,
+        | ROUND(theta, 6) AS theta_r6,
+        | CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |   CAST((sy1 * 1000000) // n1 - (sy0 * 1000000) // n0 AS BIGINT)
+        |  END AS effect_raw_microcents,
+        | CASE WHEN n1 > 0 AND n0 > 0 AND theta IS NOT NULL THEN
+        |  ROUND((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |   - theta * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 4)
+        |  END AS effect_cuped_cents_r4,
+        | CASE WHEN vx > 0 AND vy > 0 THEN
+        |  ROUND(CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE)
+        |    / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
+        |  END AS var_reduction_r6
+        |FROM d""".stripMargin,
+
     // Analytics.amsF2UserActivity: CountSketch-bucketed AMS F2 estimate
     // (k=1024 signed buckets x 3 reps, md5 bucket/sign hashes) vs the
     // exact second moment; signed permille error with the sign-branch.

@@ -505,7 +505,8 @@ object SparkEntry {
       StatOps.kruskalWeekdayRevenue(orders(s, d))),
     "ab_conversion_logrank" -> ((s, d) =>
       SurvivalOps.logrankConversionAb(events(s, d))),
-    "position_attribution" -> ((s, d) => AsOfOps.positionAttribution(events(s, d)))
+    "position_attribution" -> ((s, d) => AsOfOps.positionAttribution(events(s, d))),
+    "ab_cuped_readout" -> ((s, d) => ExperimentOps.abCupedReadout(events(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.all
