@@ -5829,6 +5829,54 @@ object Oracles {
         | ROUND(SUM(credit_cents) / 100.0, 2) AS credit
         |FROM x GROUP BY 1""".stripMargin,
 
+    // TrendOps.weekdayRevenueEnvelope: exact type-1 P10/P50/P90 of
+    // daily revenue per weekday from the shared per-dow CDF.
+    "weekday_revenue_envelope" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS y
+        | FROM orders GROUP BY 1),
+        |dd AS (SELECT CAST(isodow(d) AS BIGINT) AS dow, y FROM daily),
+        |byv AS (SELECT dow, y, COUNT(*) AS c FROM dd GROUP BY 1, 2),
+        |cdf AS (SELECT dow, y, c,
+        |  SUM(c) OVER (PARTITION BY dow ORDER BY y
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(c) OVER (PARTITION BY dow) AS total FROM byv)
+        |SELECT dow, CAST(MAX(total) AS BIGINT) AS n_days,
+        | MIN(CASE WHEN cum * 10 >= total THEN y END) AS p10_cents,
+        | MIN(CASE WHEN cum * 2 >= total THEN y END) AS p50_cents,
+        | MIN(CASE WHEN cum * 10 >= total * 9 THEN y END) AS p90_cents
+        |FROM cdf GROUP BY dow""".stripMargin,
+
+    // TrendOps.weekdayOutlierDays: days beyond k=3 weekday-MADs from
+    // their weekday median; integer-cent comparisons throughout.
+    "weekday_outlier_days" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS y
+        | FROM orders GROUP BY 1),
+        |dd AS (SELECT d, CAST(isodow(d) AS BIGINT) AS dow, y FROM daily),
+        |byv AS (SELECT dow, y, COUNT(*) AS c FROM dd GROUP BY 1, 2),
+        |cdf AS (SELECT dow, y, c,
+        |  SUM(c) OVER (PARTITION BY dow ORDER BY y
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(c) OVER (PARTITION BY dow) AS total FROM byv),
+        |med AS (SELECT dow, MIN(CASE WHEN cum * 2 >= total THEN y END)
+        |  AS med FROM cdf GROUP BY dow),
+        |dev AS (SELECT d, dd.dow, y, med, abs(y - med) AS dev
+        | FROM dd JOIN med USING (dow)),
+        |devv AS (SELECT dow, dev AS v, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+        |dcdf AS (SELECT dow, v, c,
+        |  SUM(c) OVER (PARTITION BY dow ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(c) OVER (PARTITION BY dow) AS total FROM devv),
+        |mad AS (SELECT dow, MIN(CASE WHEN cum * 2 >= total THEN v END)
+        |  AS mad FROM dcdf GROUP BY dow)
+        |SELECT d, dev.dow, y AS revenue_cents, med AS dow_median_cents,
+        | mad AS dow_mad_cents, dev AS abs_dev_cents
+        |FROM dev JOIN mad USING (dow)
+        |WHERE dev > mad * 3 AND dev > 0""".stripMargin,
+
     // ExperimentOps.abCupedReadout: CUPED variance-reduced A/B readout
     // over md5-parity arms; exact pooled/arm moments, raw effect in
     // truncated micro, theta/effect/rho^2/SRM fixed double expressions.

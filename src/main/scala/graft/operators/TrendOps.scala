@@ -421,6 +421,71 @@ object TrendOps {
           div (cast(s as decimal(19,0)) * (n - 1)) as bigint)""")
           .as("fano_micro"))
 
+  /** The per-weekday distinct-revenue CDF over [[OpUtils.dailyFact]] —
+    * (dow, y, c, cum, total), Memo-shared by the weekday envelope and
+    * the weekday outlier scan (both need the same per-dow order
+    * statistics). Calendar-bounded: ≤ one row per distinct (weekday,
+    * daily-revenue) pair at any SF.
+    */
+  private def dowRevenueCdf(orders: DataFrame): DataFrame =
+    Memo.cached("dow_revenue_cdf", orders) { o =>
+      val dowW = Window.partitionBy(col("dow"))
+      OpUtils.dailyFact(o)
+        .select((weekday(col("d")) + 1).cast("long").as("dow"), col("y"))
+        .groupBy(col("dow"), col("y")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(dowW.orderBy(col("y"))))
+        .withColumn("total", sum(col("c")).over(dowW))
+    }
+
+  /** Weekday revenue ENVELOPE: exact P10/P50/P90 of daily revenue per
+    * weekday — the seasonal band a monitoring dashboard draws before
+    * any anomaly rule fires (and the distributional companion to the
+    * Kruskal–Wallis verdict that the weekdays differ). Type-1
+    * (lower) quantiles via integer rank probes on the shared per-dow
+    * CDF — division-free, engine-stable, one conditional-min pass.
+    */
+  def weekdayRevenueEnvelope(orders: DataFrame): DataFrame =
+    dowRevenueCdf(orders).groupBy(col("dow"))
+      .agg(max(col("total")).as("n_days"),
+        min(when(col("cum") * 10 >= col("total"), col("y"))).as("p10_cents"),
+        min(when(col("cum") * 2 >= col("total"), col("y"))).as("p50_cents"),
+        min(when(col("cum") * 10 >= col("total") * 9, col("y")))
+          .as("p90_cents"))
+
+  /** Weekday-seasonal OUTLIER days: days whose revenue sits more than
+    * k×MAD from THEIR WEEKDAY's median — the robust anomaly scan that
+    * a raw global z-score gets wrong twice (weekends would all flag,
+    * and real spikes would inflate the sd that judges them). All
+    * integer-cent comparisons (dev > k·mad, never a ratio); a
+    * zero-MAD weekday (over half its days identical) flags any
+    * nonzero deviation, the documented degenerate convention.
+    *
+    * Scale: one Memo-shared daily rollup + the shared per-dow CDF;
+    * the MAD re-grain and the flag scan run on the calendar-bounded
+    * daily table.
+    */
+  def weekdayOutlierDays(orders: DataFrame, k: Int = 3): DataFrame = {
+    val daily = OpUtils.dailyFact(orders)
+      .select(col("d"), (weekday(col("d")) + 1).cast("long").as("dow"),
+        col("y"))
+    val med = dowRevenueCdf(orders).groupBy(col("dow"))
+      .agg(min(when(col("cum") * 2 >= col("total"), col("y"))).as("med"))
+    val dev = daily.join(broadcast(med), Seq("dow"))
+      .select(col("d"), col("dow"), col("y"), col("med"),
+        abs(col("y") - col("med")).as("dev"))
+    val dowW = Window.partitionBy(col("dow"))
+    val mad = dev.groupBy(col("dow"), col("dev")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(dowW.orderBy(col("dev"))))
+      .withColumn("total", sum(col("c")).over(dowW))
+      .groupBy(col("dow"))
+      .agg(min(when(col("cum") * 2 >= col("total"), col("dev"))).as("mad"))
+    dev.join(broadcast(mad), Seq("dow"))
+      .filter(col("dev") > col("mad") * k && col("dev") > 0)
+      .select(col("d"), col("dow"), col("y").as("revenue_cents"),
+        col("med").as("dow_median_cents"), col("mad").as("dow_mad_cents"),
+        col("dev").as("abs_dev_cents"))
+  }
+
   /** Cross-correlogram between daily ORDER COUNT and daily REVENUE —
     * the lead–lag diagnostic [[acfDailyRevenue]] cannot answer: does
     * order volume lead revenue (inventory pipeline), lag it

@@ -246,4 +246,28 @@ class TrendOpsSpec extends SparkSpec {
       .find(_.getLong(0) == 0L).get
     assert(d0.getDouble(2) == -1.0)
   }
+
+  test("weekdayRevenueEnvelope and weekdayOutlierDays: exact per-dow order stats") {
+    // Mondays (dow 1): $1 ×4 days + one $10 spike; Tuesdays: $1/$2/$3
+    val orders = (Seq("01", "08", "15", "22").map(d => (s"2024-01-$d", 1.0))
+      ++ Seq(("2024-01-29", 10.0),
+        ("2024-01-02", 1.0), ("2024-01-09", 2.0), ("2024-01-16", 3.0)))
+      .zipWithIndex.map { case ((d, v), i) => (i.toLong, ts(d), v) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val env = TrendOps.weekdayRevenueEnvelope(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // Monday: n=5, P10=P50=100c, P90 catches the spike
+    assert(env(1L) == ((5L, 100L, 100L, 1000L)))
+    // Tuesday: type-1 quantiles of {100,200,300}
+    assert(env(2L) == ((3L, 100L, 200L, 300L)))
+    val out = TrendOps.weekdayOutlierDays(orders).collect()
+    // Monday MAD = 0 (majority identical) → the spike still flags via
+    // the dev > 0 degenerate rule; Tuesday MAD = 100 → nothing beyond 3×
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getDate(0).toString == "2024-01-29")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((1L, 1000L, 100L, 0L, 900L)))
+  }
 }
