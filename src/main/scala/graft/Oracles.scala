@@ -5877,6 +5877,39 @@ object Oracles {
         |FROM dev JOIN mad USING (dow)
         |WHERE dev > mad * 3 AND dev > 0""".stripMargin,
 
+    // TrendOps.medianPolishWeekday: two-sweep Tukey median polish of
+    // the week x weekday grid; exact lower-median order statistics,
+    // topK residual cells with deterministic tie-break.
+    "median_polish_weekday" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS BIGINT) AS t,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS y
+        | FROM orders GROUP BY 1, 2),
+        |g0 AS (SELECT d, t // 7 AS w, CAST(isodow(d) AS BIGINT) AS dow,
+        |  y AS res, y FROM daily),
+        |r1 AS (SELECT w, (list(res ORDER BY res))
+        |  [CAST((COUNT(*) + 1) // 2 AS INT)] AS dr1 FROM g0 GROUP BY w),
+        |g1 AS (SELECT d, g0.w, dow, res - dr1 AS res, y, dr1
+        | FROM g0 JOIN r1 USING (w)),
+        |c1 AS (SELECT dow, (list(res ORDER BY res))
+        |  [CAST((COUNT(*) + 1) // 2 AS INT)] AS dc1 FROM g1 GROUP BY dow),
+        |g2 AS (SELECT d, w, g1.dow, res - dc1 AS res, y, dr1, dc1
+        | FROM g1 JOIN c1 USING (dow)),
+        |r2 AS (SELECT w, (list(res ORDER BY res))
+        |  [CAST((COUNT(*) + 1) // 2 AS INT)] AS dr2 FROM g2 GROUP BY w),
+        |g3 AS (SELECT d, g2.w, dow, res - dr2 AS res, y, dr1, dc1, dr2
+        | FROM g2 JOIN r2 USING (w)),
+        |c2 AS (SELECT dow, (list(res ORDER BY res))
+        |  [CAST((COUNT(*) + 1) // 2 AS INT)] AS dc2 FROM g3 GROUP BY dow),
+        |g4 AS (SELECT d, w, g3.dow, res - dc2 AS res, y, dr1, dc1, dr2,
+        |  dc2 FROM g3 JOIN c2 USING (dow))
+        |SELECT d, w, dow, y AS revenue_cents,
+        | dr1 + dr2 AS week_effect_cents, dc1 + dc2 AS dow_effect_cents,
+        | res AS residual_cents
+        |FROM g4 ORDER BY abs(res) DESC, w, dow LIMIT 20""".stripMargin,
+
     // ExperimentOps.abCupedReadout: CUPED variance-reduced A/B readout
     // over md5-parity arms; exact pooled/arm moments, raw effect in
     // truncated micro, theta/effect/rho^2/SRM fixed double expressions.

@@ -509,7 +509,8 @@ object SparkEntry {
     "ab_cuped_readout" -> ((s, d) => ExperimentOps.abCupedReadout(events(s, d))),
     "weekday_revenue_envelope" -> ((s, d) =>
       TrendOps.weekdayRevenueEnvelope(orders(s, d))),
-    "weekday_outlier_days" -> ((s, d) => TrendOps.weekdayOutlierDays(orders(s, d)))
+    "weekday_outlier_days" -> ((s, d) => TrendOps.weekdayOutlierDays(orders(s, d))),
+    "median_polish_weekday" -> ((s, d) => TrendOps.medianPolishWeekday(orders(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.all

@@ -486,6 +486,51 @@ object TrendOps {
         col("dev").as("abs_dev_cents"))
   }
 
+  /** Tukey MEDIAN POLISH of the week × weekday revenue grid (two fixed
+    * sweeps): the robust two-way decomposition y = week_effect +
+    * weekday_effect + residual, where every effect is a MEDIAN — so one
+    * anomalous day perturbs only its own residual, never the seasonal
+    * effects that judge it (the additive-decomposition complement of
+    * [[weekdayOutlierDays]]' marginal rule). Reports the topK cells by
+    * |residual| — the days that remain anomalous AFTER both seasonal
+    * effects are removed.
+    *
+    * Exactness: the variant is pinned — exactly two (row sweep, column
+    * sweep) passes, lower medians, no grand-effect folding — and every
+    * median is an exact order statistic of integer cents
+    * (element_at(sort_array(...), (n+1) div 2), arrays bounded by 7 for
+    * rows and the calendar week count for columns), so residuals are
+    * exact integers and the topK selection (ties → (w, dow) asc) is
+    * deterministic in both engines.
+    *
+    * Scale: one Memo-shared daily rollup; the four sweep aggs and
+    * effect joins run on the calendar-bounded grid (≤ ~2.6k cells at
+    * any SF), each effect table broadcast.
+    */
+  def medianPolishWeekday(orders: DataFrame, topK: Int = 20): DataFrame = {
+    val lowerMed = expr(
+      "element_at(sort_array(collect_list(res)), " +
+        "cast((count(res) + 1) div 2 as int))")
+    def sweep(df: DataFrame, key: String, out: String): DataFrame = {
+      val m = df.groupBy(col(key)).agg(lowerMed.as(out))
+      df.join(broadcast(m), Seq(key))
+        .withColumn("res", col("res") - col(out))
+    }
+    val g0 = OpUtils.dailyFact(orders)
+      .select(col("d"), expr("t div 7").as("w"),
+        (weekday(col("d")) + 1).cast("long").as("dow"), col("y").as("res"),
+        col("y"))
+    val g4 = Seq(("w", "dr1"), ("dow", "dc1"), ("w", "dr2"), ("dow", "dc2"))
+      .foldLeft(g0) { case (df, (key, out)) => sweep(df, key, out) }
+    g4.select(col("d"), col("w"), col("dow"),
+        col("y").as("revenue_cents"),
+        (col("dr1") + col("dr2")).as("week_effect_cents"),
+        (col("dc1") + col("dc2")).as("dow_effect_cents"),
+        col("res").as("residual_cents"))
+      .orderBy(abs(col("residual_cents")).desc, col("w"), col("dow"))
+      .limit(topK)
+  }
+
   /** Cross-correlogram between daily ORDER COUNT and daily REVENUE —
     * the lead–lag diagnostic [[acfDailyRevenue]] cannot answer: does
     * order volume lead revenue (inventory pipeline), lag it

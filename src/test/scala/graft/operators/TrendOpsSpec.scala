@@ -270,4 +270,32 @@ class TrendOpsSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
       r.getLong(5)) == ((1L, 1000L, 100L, 0L, 900L)))
   }
+
+  test("medianPolishWeekday: hand-unrolled two sweeps isolate the anomaly cell") {
+    // 2×2 grid (two weeks × Mon/Tue): $1 $2 / $3 $10.
+    // sweep1 rows (lower medians 100, 300) → {0,100},{0,700}; cols
+    // (Mon 0, Tue lower-med(100,700)=100) → Tue {0,600}; sweep2 all-0
+    // medians change nothing. Decomposition: re={100,300}, ce={0,100},
+    // the only nonzero residual is 600 at (w2, Tue).
+    val orders = Seq(
+      (1L, ts("2024-01-01"), 1.0), (2L, ts("2024-01-02"), 2.0),
+      (3L, ts("2024-01-08"), 3.0), (4L, ts("2024-01-09"), 10.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = TrendOps.medianPolishWeekday(orders).collect()
+    assert(out.length == 4)
+    // first row is the anomaly cell (largest |residual|)
+    val top = out(0)
+    assert(top.getDate(0).toString == "2024-01-09")
+    assert(top.getAs[Long]("residual_cents") == 600L)
+    assert(top.getAs[Long]("week_effect_cents") == 300L)
+    assert(top.getAs[Long]("dow_effect_cents") == 100L)
+    // additive identity holds on every cell: y = week + dow + residual
+    out.foreach { c =>
+      assert(c.getAs[Long]("revenue_cents") ==
+        c.getAs[Long]("week_effect_cents") +
+          c.getAs[Long]("dow_effect_cents") +
+          c.getAs[Long]("residual_cents"))
+    }
+    assert(out.count(_.getAs[Long]("residual_cents") != 0L) == 1)
+  }
 }
