@@ -25,6 +25,35 @@ object OracleSql {
 
   def normTextSql(c: String): String = s"trim(regexp_replace($c, '\\s+', ' ', 'g'))"
 
+  /** Unrolled Durbin–Levinson recursion for PACF(1..maxLag) from ACF
+    * columns r1..r<maxLag>: returns (columnName, sqlExpr) steps, each
+    * expression referencing only earlier columns. The SAME strings feed
+    * Spark's `expr` and the DuckDB oracle (valid in both dialects:
+    * doubles, CASE WHEN, arithmetic), so the double expression TREES —
+    * and therefore the IEEE results — cannot drift apart.
+    * φ_kk = (r_k − Σ_{j<k} φ_{k−1,j}·r_{k−j}) / E_{k−1},
+    * φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j}, E_k = E_{k−1}·(1 − φ_kk²);
+    * a non-positive prediction error (degenerate/perfectly-predictable
+    * series) yields NULL from that order on.
+    */
+  def levinsonSteps(maxLag: Int): Seq[(String, String)] = {
+    val steps = Seq.newBuilder[(String, String)]
+    steps += ("p_1_1" -> "r1")
+    steps += ("e_1" -> "CAST(1.0 AS DOUBLE) - p_1_1 * p_1_1")
+    for (k <- 2 to maxLag) {
+      val acc = (1 until k).map(j => s"p_${k - 1}_$j * r${k - j}")
+        .mkString(" + ")
+      steps += (s"p_${k}_$k" ->
+        s"CASE WHEN e_${k - 1} > 0 THEN (r$k - ($acc)) / e_${k - 1} END")
+      for (j <- 1 until k)
+        steps += (s"p_${k}_$j" ->
+          s"p_${k - 1}_$j - p_${k}_$k * p_${k - 1}_${k - j}")
+      steps += (s"e_$k" ->
+        s"e_${k - 1} * (CAST(1.0 AS DOUBLE) - p_${k}_$k * p_${k}_$k)")
+    }
+    steps.result()
+  }
+
   /** Geohash precision-7: closed-form floor scaling + morton interleave
     * (lon first), base32. Emitted as a SELECT-list fragment chain using
     * DuckDB lateral column aliases; `latExpr`/`lonExpr` are SQL doubles.

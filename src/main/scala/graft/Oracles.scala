@@ -5910,6 +5910,57 @@ object Oracles {
         | res AS residual_cents
         |FROM g4 ORDER BY abs(res) DESC, w, dow LIMIT 20""".stripMargin,
 
+    // TrendOps.pacfDailyRevenue: partial autocorrelation via the
+    // unrolled Durbin-Levinson recursion — the phi/e expression strings
+    // come from the SAME generator (OracleSql.levinsonSteps) Spark
+    // executes, so the double trees are identical by construction.
+    "pacf_daily_revenue" -> {
+      val maxLag = 7
+      val pivs = (1 to maxLag).map(k =>
+        s"|  SUM(CASE WHEN lag = $k THEN n END) AS n$k,\n" +
+          s"|  SUM(CASE WHEN lag = $k THEN sx END) AS hx$k,\n" +
+          s"|  SUM(CASE WHEN lag = $k THEN sy END) AS hy$k,\n" +
+          s"|  SUM(CASE WHEN lag = $k THEN sxy END) AS xy$k").mkString(",\n")
+      val rChain = (1 to maxLag).map { k =>
+        s"|ra$k AS (SELECT *, nn * nn * xy$k - nn * s * (hx$k + hy$k)" +
+          s" + n$k * s * s AS a$k FROM ${if (k == 1) "one" else s"rb${k - 1}"}),\n" +
+          s"|rb$k AS (SELECT *, case when a0 > 0 and n$k is not null\n" +
+          s"| then cast(a$k as double) / cast(a0 as double) end AS r$k" +
+          s" FROM ra$k)"
+      }.mkString(",\n")
+      val levNames = graft.OracleSql.levinsonSteps(maxLag)
+      val levChain = levNames.zipWithIndex.map { case ((name, sql), i) =>
+        val prev = if (i == 0) s"rb$maxLag" else s"lv${i - 1}"
+        s"|lv$i AS (SELECT *, $sql AS $name FROM $prev)"
+      }.mkString(",\n")
+      val last = s"lv${levNames.length - 1}"
+      val out = (1 to maxLag).map(k =>
+        s"|SELECT CAST($k AS BIGINT) AS lag, ROUND(p_${k}_$k, 6) AS pacf_r6" +
+          s" FROM $last").mkString("\n|UNION ALL\n")
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |    AS y
+         | FROM orders GROUP BY 1),
+         |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, ${maxLag + 1})),
+         |pr AS (SELECT l.lag, a.y AS x, b.y AS y2
+         | FROM daily a CROSS JOIN lags l
+         | JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)),
+         |ag AS (SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         |  CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y2) AS HUGEINT) AS sy,
+         |  CAST(SUM(CAST(x AS HUGEINT) * y2) AS HUGEINT) AS sxy
+         | FROM pr GROUP BY lag),
+         |piv AS (SELECT
+         $pivs
+         | FROM ag),
+         |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+         |  CAST(SUM(y) AS HUGEINT) AS s,
+         |  SUM(CAST(y AS HUGEINT) * y) AS q FROM daily),
+         |one AS (SELECT *, nn * nn * q - nn * s * s AS a0 FROM piv, tot),
+         $rChain,
+         $levChain
+         $out""".stripMargin
+    },
+
     // ExperimentOps.abCupedReadout: CUPED variance-reduced A/B readout
     // over md5-parity arms; exact pooled/arm moments, raw effect in
     // truncated micro, theta/effect/rho^2/SRM fixed double expressions.

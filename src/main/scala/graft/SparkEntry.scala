@@ -510,7 +510,8 @@ object SparkEntry {
     "weekday_revenue_envelope" -> ((s, d) =>
       TrendOps.weekdayRevenueEnvelope(orders(s, d))),
     "weekday_outlier_days" -> ((s, d) => TrendOps.weekdayOutlierDays(orders(s, d))),
-    "median_polish_weekday" -> ((s, d) => TrendOps.medianPolishWeekday(orders(s, d)))
+    "median_polish_weekday" -> ((s, d) => TrendOps.medianPolishWeekday(orders(s, d))),
+    "pacf_daily_revenue" -> ((s, d) => TrendOps.pacfDailyRevenue(orders(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.all

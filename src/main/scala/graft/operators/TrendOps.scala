@@ -99,6 +99,65 @@ object TrendOps {
           round(col("cov") / sqrt(col("vx") * col("vy")), 4)).as("acf"))
   }
 
+  /** PARTIAL autocorrelation function (lags 1..maxLag) of daily revenue
+    * — the AR-order diagnostic [[acfDailyRevenue]] cannot give: PACF(k)
+    * is the correlation at lag k AFTER the intermediate lags are
+    * regressed out, so an AR(p) series cuts off after lag p where the
+    * raw ACF merely decays. Classic Box–Jenkins model identification.
+    *
+    * Exactness: the autocovariance ratios ρ_k = A_k/A_0 come from exact
+    * DECIMAL(38,0) numerators (the ȳ-centered products expanded through
+    * ×N² so no rational mean ever materializes: A_k = N²Σxy −
+    * N·S·(Σhead+Σtail) + n_k·S², calendar-bounded N keeps everything
+    * inside 38 digits); the Durbin–Levinson recursion is UNROLLED from
+    * [[graft.OracleSql.levinsonSteps]] — the SAME expression strings
+    * feed Spark's expr and the DuckDB oracle, so the IEEE double trees
+    * cannot drift. A non-positive prediction error (degenerate series)
+    * yields NULL from that order on; a zero-variance series yields NULL
+    * everywhere.
+    *
+    * Scale: one Memo-shared daily rollup; the pair join and per-lag agg
+    * run on the calendar-bounded daily table; the recursion is a 1-row
+    * projection.
+    */
+  def pacfDailyRevenue(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = OpUtils.dailyFact(orders).select(col("d"), col("y"))
+    val tot = daily.agg(count(lit(1)).cast("decimal(38,0)").as("nn"),
+      sum(col("y")).cast("decimal(38,0)").as("s"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("q"))
+    val pairs = daily
+      .select(col("d"), col("y"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("d2", date_add(col("d"), col("lag")))
+      .join(daily.select(col("d").as("d2"), col("y").as("y2")), Seq("d2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("y")).cast("decimal(38,0)").as("sx"),
+        sum(col("y2")).cast("decimal(38,0)").as("sy"),
+        sum(col("y").cast("decimal(38,0)") * col("y2")).as("sxy"))
+    val pivots = (1 to maxLag).flatMap(k => Seq(
+      sum(when(col("lag") === k, col("n"))).as(s"n$k"),
+      sum(when(col("lag") === k, col("sx"))).as(s"hx$k"),
+      sum(when(col("lag") === k, col("sy"))).as(s"hy$k"),
+      sum(when(col("lag") === k, col("sxy"))).as(s"xy$k")))
+    val one = pairs.agg(pivots.head, pivots.tail: _*)
+      .crossJoin(broadcast(tot))
+      .withColumn("a0", expr("nn * nn * q - nn * s * s"))
+    val withR = (1 to maxLag).foldLeft(one) { (df, k) =>
+      df.withColumn(s"a$k",
+          expr(s"nn * nn * xy$k - nn * s * (hx$k + hy$k) + n$k * s * s"))
+        .withColumn(s"r$k", expr(
+          s"""case when a0 > 0 and n$k is not null
+             | then cast(a$k as double) / cast(a0 as double) end"""
+            .stripMargin))
+    }
+    val withPhi = graft.OracleSql.levinsonSteps(maxLag)
+      .foldLeft(withR) { case (df, (name, sql)) => df.withColumn(name, expr(sql)) }
+    withPhi.selectExpr(s"stack($maxLag, " +
+      (1 to maxLag).map(k => s"cast($k as bigint), round(p_${k}_$k, 6)")
+        .mkString(", ") + ") as (lag, pacf_r6)")
+  }
+
   /** Open-order backlog timeline — interval-overlap counting: how many
     * orders were open (placed, not yet fully shipped) on each day. The
     * classic sweep-line reformulation keeps it distributed: +1 events at

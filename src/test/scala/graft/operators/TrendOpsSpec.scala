@@ -271,6 +271,31 @@ class TrendOpsSpec extends SparkSpec {
       r.getLong(5)) == ((1L, 1000L, 100L, 0L, 900L)))
   }
 
+  test("pacfDailyRevenue: hand-unrolled Levinson on an alternating series") {
+    // y = 100,200,100,200 cents over 4 consecutive days:
+    // ρ1 = −3/4, ρ2 = 1/2, ρ3 = −1/4 (exact A_k/A_0 fractions);
+    // φ11 = −0.75; φ22 = (ρ2−ρ1²)/(1−ρ1²) = −1/7; φ21 = −6/7;
+    // φ33 = (ρ3 − (φ21ρ2 + φ22ρ1)) / E2 = (1/14)/(3/7) = 1/6;
+    // lags 4..7 have no pairs → NULL
+    val orders = Seq(
+      (1L, ts("2024-01-01"), 1.0), (2L, ts("2024-01-02"), 2.0),
+      (3L, ts("2024-01-03"), 1.0), (4L, ts("2024-01-04"), 2.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = TrendOps.pacfDailyRevenue(orders).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(out.keySet == (1L to 7L).toSet)
+    assert(out(1L).contains(-0.75))
+    assert(out(2L).contains(-0.142857))
+    assert(out(3L).contains(0.166667))
+    assert((4L to 7L).forall(out(_).isEmpty))
+    // constant series → zero variance → NULL at every order
+    val const = (1 to 5).map(i => (i.toLong, ts(f"2024-01-0$i%d"), 3.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(TrendOps.pacfDailyRevenue(const).collect()
+      .forall(_.isNullAt(1)))
+  }
+
   test("medianPolishWeekday: hand-unrolled two sweeps isolate the anomaly cell") {
     // 2×2 grid (two weeks × Mon/Tue): $1 $2 / $3 $10.
     // sweep1 rows (lower medians 100, 300) → {0,100},{0,700}; cols
