@@ -5910,6 +5910,34 @@ object Oracles {
         | res AS residual_cents
         |FROM g4 ORDER BY abs(res) DESC, w, dow LIMIT 20""".stripMargin,
 
+    // TrendOps.changepointSingleSplit: exact one-level binary
+    // segmentation; per-candidate gain the same fixed double expression
+    // in both engines, ties to the earliest date.
+    "changepoint_single_split" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS y
+        | FROM orders GROUP BY 1),
+        |c AS (SELECT d, SUM(CAST(y AS HUGEINT)) OVER (ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS sl,
+        |  CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS nl
+        | FROM daily),
+        |t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |  SUM(CAST(y AS HUGEINT)) AS s FROM daily),
+        |g AS (SELECT d, nl, n - nl AS nr, sl, s - sl AS sr,
+        |  CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+        |  + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+        |    / CAST(n - nl AS DOUBLE)
+        |  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS gain
+        | FROM c, t WHERE nl < n)
+        |SELECT d AS split_after, CAST(nl AS BIGINT) AS n_left,
+        | CAST(nr AS BIGINT) AS n_right,
+        | CAST((sl * 1000000) // nl AS BIGINT) AS mean_left_micro,
+        | CAST((sr * 1000000) // nr AS BIGINT) AS mean_right_micro,
+        | ROUND(gain / 1e4, 2) AS gain_usd2_r2
+        |FROM g ORDER BY gain DESC, d LIMIT 1""".stripMargin,
+
     // TrendOps.pacfDailyRevenue: partial autocorrelation via the
     // unrolled Durbin-Levinson recursion — the phi/e expression strings
     // come from the SAME generator (OracleSql.levinsonSteps) Spark

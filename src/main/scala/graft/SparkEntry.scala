@@ -511,7 +511,9 @@ object SparkEntry {
       TrendOps.weekdayRevenueEnvelope(orders(s, d))),
     "weekday_outlier_days" -> ((s, d) => TrendOps.weekdayOutlierDays(orders(s, d))),
     "median_polish_weekday" -> ((s, d) => TrendOps.medianPolishWeekday(orders(s, d))),
-    "pacf_daily_revenue" -> ((s, d) => TrendOps.pacfDailyRevenue(orders(s, d)))
+    "pacf_daily_revenue" -> ((s, d) => TrendOps.pacfDailyRevenue(orders(s, d))),
+    "changepoint_single_split" -> ((s, d) =>
+      TrendOps.changepointSingleSplit(orders(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.all

@@ -99,6 +99,51 @@ object TrendOps {
           round(col("cov") / sqrt(col("vx") * col("vy")), 4)).as("acf"))
   }
 
+  /** Single-split CHANGEPOINT scan of daily revenue — exact binary
+    * segmentation, one level: the split date maximizing the
+    * between-segment sum of squares S²_L/n_L + S²_R/n_R − S²/N (the
+    * classic least-squares changepoint statistic, scanned over EVERY
+    * candidate day — the exact complement of [[changepointCusum]]'s
+    * streaming-style detector). Reports the best split with both
+    * segment means.
+    *
+    * Exactness: prefix sums are exact decimals over the calendar-
+    * bounded daily table; each candidate's gain is the same fixed
+    * double expression in both engines (identical inputs → identical
+    * doubles → identical argmax), with ties broken by earliest date;
+    * segment means are truncated integer micro-cents.
+    *
+    * Scale: one Memo-shared daily rollup; the scan is a window + a
+    * top-1 over ≤ ~2.6k candidate rows at any SF.
+    */
+  def changepointSingleSplit(orders: DataFrame): DataFrame = {
+    val daily = OpUtils.dailyFact(orders).select(col("d"), col("y"))
+    val tot = daily.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("y")).cast("decimal(38,0)").as("s"))
+    val dW = Window.orderBy(col("d")) // calendar-bounded input
+    daily
+      .withColumn("sl", sum(col("y").cast("decimal(38,0)")).over(
+        dW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nl", row_number().over(dW).cast("decimal(38,0)"))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n"))
+      .withColumn("sr", expr("s - sl"))
+      .withColumn("nr", expr("n - nl"))
+      .withColumn("gain", expr(
+        """cast(sl as double) * cast(sl as double) / cast(nl as double)
+          | + cast(sr as double) * cast(sr as double) / cast(nr as double)
+          | - cast(s as double) * cast(s as double) / cast(n as double)"""
+          .stripMargin))
+      .orderBy(col("gain").desc, col("d"))
+      .limit(1)
+      .select(col("d").as("split_after"),
+        col("nl").cast("long").as("n_left"),
+        col("nr").cast("long").as("n_right"),
+        expr("(sl * 1000000) div nl").cast("long").as("mean_left_micro"),
+        expr("(sr * 1000000) div nr").cast("long").as("mean_right_micro"),
+        round(col("gain") / lit(1e4), 2).as("gain_usd2_r2"))
+  }
+
   /** PARTIAL autocorrelation function (lags 1..maxLag) of daily revenue
     * — the AR-order diagnostic [[acfDailyRevenue]] cannot give: PACF(k)
     * is the correlation at lag k AFTER the intermediate lags are

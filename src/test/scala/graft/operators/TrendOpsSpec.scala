@@ -271,6 +271,29 @@ class TrendOpsSpec extends SparkSpec {
       r.getLong(5)) == ((1L, 1000L, 100L, 0L, 900L)))
   }
 
+  test("changepointSingleSplit: exact argmax with earliest-date tie-break") {
+    // level shift after day 3: {100,100,100 | 200,200} →
+    // gain = 300²/3 + 400²/2 − 700²/5 = 12000 cents² = 1.2 usd²
+    val shift = Seq(
+      (1L, ts("2024-01-01"), 1.0), (2L, ts("2024-01-02"), 1.0),
+      (3L, ts("2024-01-03"), 1.0), (4L, ts("2024-01-04"), 2.0),
+      (5L, ts("2024-01-05"), 2.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = TrendOps.changepointSingleSplit(shift).collect()(0)
+    assert(r.getDate(0).toString == "2024-01-03")
+    assert((r.getLong(1), r.getLong(2)) == ((3L, 2L)))
+    assert(r.getLong(3) == 100000000L && r.getLong(4) == 200000000L)
+    assert(r.getAs[Double]("gain_usd2_r2") == 1.2)
+    // constant series → every split gains 0 → earliest date wins
+    val const = (1 to 4).map(i => (i.toLong, ts(f"2024-01-0$i%d"), 5.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val rc = TrendOps.changepointSingleSplit(const).collect()(0)
+    assert(rc.getDate(0).toString == "2024-01-01")
+    assert(rc.getAs[Double]("gain_usd2_r2") == 0.0)
+    // a single day has no valid split → empty result, not an error
+    assert(TrendOps.changepointSingleSplit(const.limit(0)).count() == 0)
+  }
+
   test("pacfDailyRevenue: hand-unrolled Levinson on an alternating series") {
     // y = 100,200,100,200 cents over 4 consecutive days:
     // ρ1 = −3/4, ρ2 = 1/2, ρ3 = −1/4 (exact A_k/A_0 fractions);
