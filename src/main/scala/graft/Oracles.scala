@@ -2998,6 +2998,65 @@ object Oracles {
          |SELECT query_id, rank, neighbor_id, adc_dist2
          |FROM ranked WHERE rank <= 3""".stripMargin,
 
+    // SimilarityOps.hybridSearchRrf: reciprocal-rank fusion of the
+    // BM25 lexical shortlist (fixed term set, top-20) and the IVF-PQ
+    // residual-coded vector shortlist (per query, top-20); RRF score =
+    // Σ_legs 10⁹ // (60 + rank), exact integer nano-units, ties on
+    // doc_id, fused top-10 per query.
+    "hybrid_search_rrf" ->
+      s"""WITH celled AS ($ivfCelledSelect),
+         |${pqResidualCodedCtes("celled", Seq("vec_id", "cell"))},
+         |qsrc AS (SELECT vec_id AS query_id, embedding, cell FROM (
+         |  SELECT vec_id, embedding, cell FROM celled WHERE vec_id < 20
+         |  UNION ALL
+         |  SELECT vec_id, embedding, cell2 AS cell FROM celled WHERE vec_id < 20)),
+         |${pqResidualLutCtes("qsrc", Seq("query_id", "cell"))},
+         |sims AS (
+         | SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  ROUND($pqResidualAdcSql, 6) AS adc_dist2
+         | FROM coded c JOIN qlut q ON c.cell = q.cell AND c.vec_id <> q.query_id),
+         |vec AS (SELECT query_id, neighbor_id AS doc_id,
+         |  CAST(vrank AS BIGINT) AS vec_rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS vrank
+         |  FROM sims) WHERE vrank <= 20),
+         |ldocs AS (
+         | SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS ts
+         | FROM documents WHERE length(${normTextSql("text")}) > 0),
+         |ldd AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM ldocs),
+         |lstats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM ldd),
+         |ltf AS (
+         | SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+         | FROM (SELECT doc_id, dl, unnest(ts) AS t FROM ldd)
+         | WHERE t IN (${graft.operators.TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         | GROUP BY 1, 2),
+         |ldfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ltf GROUP BY 1),
+         |lsc AS (
+         | SELECT doc_id,
+         |  CAST(SUM(CAST(
+         |    (CAST(2 * (n_docs - df) + 1 AS HUGEINT) * (44 * tf) * sum_dl
+         |      * 1000000) //
+         |    (CAST(2 * df + 1 AS HUGEINT) *
+         |      ((20 * tf) * sum_dl + 6 * sum_dl + 18 * dl * n_docs))
+         |   AS BIGINT)) AS BIGINT) AS score_micro
+         | FROM ltf JOIN ldfc USING (term), lstats GROUP BY doc_id),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
+         | FROM lsc ORDER BY score_micro DESC, doc_id LIMIT 20),
+         |spine AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 20),
+         |lexq AS (SELECT s.query_id, l.doc_id, l.lex_rank FROM spine s, lex l),
+         |fused AS (SELECT query_id, doc_id,
+         |  CAST(COALESCE(1000000000 // (60 + lex_rank), 0)
+         |   + COALESCE(1000000000 // (60 + vec_rank), 0) AS BIGINT)
+         |    AS rrf_score_nano,
+         |  lex_rank, vec_rank
+         | FROM vec FULL JOIN lexq USING (query_id, doc_id))
+         |SELECT query_id, rank, doc_id, rrf_score_nano, lex_rank, vec_rank
+         |FROM (SELECT *, CAST(row_number() OVER (
+         |   PARTITION BY query_id ORDER BY rrf_score_nano DESC, doc_id)
+         |    AS BIGINT) AS rank FROM fused)
+         |WHERE rank <= 10""".stripMargin,
+
     // SimilarityOps.filteredIvfPqAnn: the IVF-PQ chain with the query's
     // own label added to the probe-join condition — candidates must
     // share the query's metadata label BEFORE the ADC ranking sees
@@ -5778,17 +5837,17 @@ object Oracles {
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS nc,
         |  MIN(CASE WHEN event_type IN ('view', 'click') THEN
         |    lpad(CAST(ts_s AS VARCHAR), 16, '0')
-        |    || lpad(CAST(event_id AS VARCHAR), 16, '0') || event_type END)
+        |    || lpad(CAST(event_id AS VARCHAR), 20, '0') || event_type END)
         |    OVER w AS fk,
         |  MAX(CASE WHEN event_type IN ('view', 'click') THEN
         |    lpad(CAST(ts_s AS VARCHAR), 16, '0')
-        |    || lpad(CAST(event_id AS VARCHAR), 16, '0') || event_type END)
+        |    || lpad(CAST(event_id AS VARCHAR), 20, '0') || event_type END)
         |    OVER w AS lk
         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
         |   RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)),
         |p AS (
         | SELECT cents, nv, nc, nv + nc AS n,
-        |  substr(fk, 33, 16) AS ft, substr(lk, 33, 16) AS lt,
+        |  substr(fk, 37, 16) AS ft, substr(lk, 37, 16) AS lt,
         |  (cents * 2) // 5 AS f40, (cents * 2) // 5 AS l40,
         |  cents - (cents * 2) // 5 - (cents * 2) // 5 AS pool
         | FROM c WHERE event_type = 'purchase'),

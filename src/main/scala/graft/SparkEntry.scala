@@ -303,6 +303,8 @@ object SparkEntry {
     "ivfadc_trained_recall" -> ((s, d) =>
       SimilarityOps.ivfadcTrainedRecall(embeddings(s, d))),
     "embed_pq_rerank" -> ((s, d) => SimilarityOps.pqRerankAnn(embeddings(s, d))),
+    "hybrid_search_rrf" -> ((s, d) =>
+      SimilarityOps.hybridSearchRrf(documents(s, d), embeddings(s, d))),
     "embed_quantize" -> ((s, d) => SimilarityOps.embedQuantize(embeddings(s, d))),
     "embed_knn_label" -> ((s, d) =>
       SimilarityOps.knnLabel(embeddings(s, d), documents(s, d))),

@@ -386,8 +386,11 @@ object AsOfOps {
   def positionAttribution(events: DataFrame, windowS: Long = 21600): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
       .rangeBetween(-windowS, Window.currentRow)
+    // event_id pads to 20 — the full non-negative int64 digit range —
+    // because lpad TRUNCATES longer inputs in both engines, which would
+    // corrupt first/last ordering and collide keys past 16 digits
     val key = concat(lpad(col("ts_s").cast("string"), 16, "0"),
-      lpad(col("event_id").cast("string"), 16, "0"), col("event_type"))
+      lpad(col("event_id").cast("string"), 20, "0"), col("event_type"))
     val isTouch = col("event_type").isin("view", "click")
     val counted = events
       .filter(col("event_type").isin("view", "click", "purchase"))
@@ -402,8 +405,8 @@ object AsOfOps {
       .withColumn("lk", max(when(isTouch, key)).over(w))
     val p = counted.filter(col("event_type") === "purchase")
       .withColumn("n", col("nv") + col("nc"))
-      .withColumn("ft", substring(col("fk"), 33, 16))
-      .withColumn("lt", substring(col("lk"), 33, 16))
+      .withColumn("ft", substring(col("fk"), 37, 16))
+      .withColumn("lt", substring(col("lk"), 37, 16))
       .withColumn("f40", expr("(cents * 2) div 5"))
       .withColumn("l40", expr("(cents * 2) div 5"))
       .withColumn("pool", col("cents") - col("f40") - col("l40"))

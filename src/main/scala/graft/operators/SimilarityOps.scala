@@ -1183,6 +1183,56 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("l2_dist2"))
   }
 
+  /** Hybrid lexical+vector retrieval via reciprocal-rank fusion — the
+    * standard production RAG composition (Cormack/Clarke/Büttcher 2009;
+    * what Elasticsearch/Vespa/Weaviate ship as "hybrid search"): for
+    * each query, fuse the BM25 lexical shortlist and the IVF-PQ vector
+    * shortlist by RRF score Σ_legs ⌊10⁹/(rrfK + rank_leg)⌋, a leg a doc
+    * is absent from contributing 0. Both legs already exist
+    * ([[graft.operators.TextOps.bm25Search]]'s exact integer odds-ratio
+    * scorer; [[ivfPqAnn]]'s residual-coded IVFADC probe); this operator
+    * is the composition. Ranks — not raw scores — are what fuse, so the
+    * incommensurable score scales (BM25 micro-units vs ADC distances)
+    * never meet, and the whole fusion is exact integer nano-units both
+    * engines replay bit-for-bit. Ties break on doc_id; the lexical leg
+    * is the repo's fixed conjunctive term set (the one BM25 query
+    * convention — per-query text would need a query-text corpus the
+    * data model doesn't carry), the vector leg is per-query.
+    *
+    * Scale: both legs are the already-audited shortlist shapes (BM25's
+    * TakeOrdered top-N; the cell-pruned coded probe). The fusion
+    * itself touches ≤ nQueries·2·shortlist rows: the lexical list
+    * broadcast-crosses the nQueries-row query spine (both bounded by
+    * LITERALS, not the corpus — the deliberate-small-crossJoin
+    * convention), the full-outer merge is per-(query, doc), and the
+    * final top-k is a bounded per-query window.
+    */
+  def hybridSearchRrf(documents: DataFrame, embeddings: DataFrame,
+      nQueries: Int = 20, shortlist: Int = 20, rrfK: Int = 60,
+      topK: Int = 10): DataFrame = {
+    val lex = graft.operators.TextOps.bm25Search(documents, topN = shortlist)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val vec = ivfPqAnn(embeddings, nQueries, shortlist)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    // the query spine comes from the embeddings filter, not the vector
+    // leg's output, so a query whose probe finds nothing still gets its
+    // lexical results instead of vanishing from the report
+    val spine = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"))
+    val lexPerQ = spine.crossJoin(broadcast(lex))
+    val fused = vec.join(lexPerQ, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score_nano",
+        coalesce(expr(s"1000000000 div ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($rrfK + vec_rank)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score_nano").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score_nano"), col("lex_rank"), col("vec_rank"))
+  }
+
   /** Recall audit of the TRAINED-codebook PQ index (the quality gate
     * [[trainPqCodebook]] exists to pass): one summary row comparing the
     * trained shortlist+re-rank probe ([[pqRerankAnn]]) and the fixed

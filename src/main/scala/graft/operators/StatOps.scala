@@ -30,76 +30,24 @@ object StatOps {
     *
     * Scale: the O(days²) pair join runs on the CALENDAR-bounded daily
     * table (~2.5k rows → ~3M pairs at ANY SF), broadcast on one side —
-    * the fact table itself is touched once by [[OpUtils.dailyFact]]. The median
-    * CDF factors through two bounded levels (the SkylineOps pattern):
-    * slopes range-bucket into ≤1025 value buckets, the cross-bucket
-    * prefix rides a window over BUCKET SUMMARIES only, and the
-    * within-bucket cumulative partitions by bucket — no single-partition
-    * pass over the ~3M distinct slopes anywhere.
+    * the fact table itself is touched once by [[OpUtils.dailyFact]],
+    * and the median bracket comes from the Memo-shared
+    * [[OpUtils.pairMedians]] (ONE bucketed-window pass builds this
+    * median AND the Hodges–Lehmann one; no per-query CDF scan, no
+    * corpus-sized checkpoint, no single-partition pass over the ~3M
+    * distinct slopes anywhere).
     */
   def theilSenTrend(orders: DataFrame): DataFrame = {
-    // every intermediate is calendar-bounded at ANY SF (≤ ~2.5k daily
-    // rows; ≤ ~3M pairs/distinct slopes) and shared across the whole
-    // daily-ops family, so each is Memo-checkpointed: the fact is
-    // scanned once per session per input ([[OpUtils.dailyFact]]), the
-    // O(days²) pair join runs once FOR ALL pairwise daily statistics
-    // ([[OpUtils.dayPairs]] — the Walsh CDF and Kendall τ share it),
-    // and every downstream broadcast builds from a checkpointed leaf
     val daily = OpUtils.dailyFact(orders)
-    val pairs = OpUtils.dayPairs(orders)
-    // distinct-value CDF (the cdfBuckets pattern) in two bounded levels:
-    // bucket = (s - lo) div width over the slope RANGE (truncating
-    // division on the non-negative shift is monotonic, so bucket order
-    // is value order); level 1 prefix-sums the ≤1025 bucket totals,
-    // level 2 cumulates within each bucket in parallel
-    val dv = Memo.cached("theil_sen_slope_counts", pairs) { p =>
-      p.filter(col("tb") > col("ta"))
-        .select(expr(
-          "CASE WHEN yb >= ya THEN " +
-            "cast((cast(yb - ya as decimal(38,0)) * 1000000) div (tb - ta) as bigint) " +
-            "ELSE -cast((cast(ya - yb as decimal(38,0)) * 1000000) div (tb - ta) as bigint) " +
-            "END").as("s"))
-        .groupBy(col("s")).agg(count(lit(1)).as("n"))
-    }
-    val totals = dv.agg(coalesce(sum(col("n")), lit(0L)).as("m"))
-      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
-    // the sorted cumulative itself is a pure function of dv and the
-    // third calendar-bounded shareable (≤ ~3M rows × 3 longs): per
-    // invocation only the rank probes run over the checkpointed CDF
-    val cdf = Memo.cached("theil_sen_cdf", dv) { d =>
-      val rng = d.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
-      val bucketed = d.crossJoin(broadcast(rng))
-        .withColumn("bucket", expr(
-          "(s - lo) div greatest(cast(1 as bigint), (hi - lo) div 1024 + 1)"))
-      val bucketTotals = bucketed.groupBy(col("bucket"))
-        .agg(sum(col("n")).as("bn"))
-        .withColumn("prior", coalesce(sum(col("bn")).over(
-          Window.orderBy(col("bucket"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bucket").as("bkt"), col("prior"))
-      bucketed
-        .withColumn("incum", sum(col("n")).over(
-          Window.partitionBy(col("bucket")).orderBy(col("s"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .join(broadcast(bucketTotals), col("bucket") === col("bkt"))
-        .select(col("s"), col("n"), (col("prior") + col("incum")).as("cum"))
-    }
-    // both rank probes in ONE pass over the CDF (the cum derivation — a
-    // sorted cumulative — would otherwise run twice): the ≤2 matched
-    // rows collapse to (min, max) = (lower, upper) central statistic
-    val picks = cdf
-      .crossJoin(broadcast(totals))
-      .filter(expr("(cum - n < (m + 1) div 2 AND (m + 1) div 2 <= cum) OR " +
-        "(cum - n < m div 2 + 1 AND m div 2 + 1 <= cum)"))
-      .agg(min(col("s")).as("slope_lo_micro"),
-        max(col("s")).as("slope_hi_micro"))
-    totals.crossJoin(broadcast(picks))
-      // <2 distinct days → no pairs, no median: zero rows, matching the
-      // oracle (whose empty rank-probe CTEs collapse the comma-join)
-      .filter(col("m") > 0)
+    // kind 1 = the slope median bracket; zero pairs (<2 distinct days)
+    // emit no row, so the crossJoin yields zero rows, matching the
+    // oracle (whose empty rank-probe CTEs collapse the comma-join)
+    val med = OpUtils.pairMedians(orders).filter(col("kind") === 1L)
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(med)) // 1-row × ≤1-row scalar plumbing
       .select(col("n_days"), col("m").as("n_pairs"),
-        col("slope_lo_micro"), col("slope_hi_micro"),
-        round((col("slope_lo_micro") + col("slope_hi_micro")).cast("double")
+        col("lo").as("slope_lo_micro"), col("hi").as("slope_hi_micro"),
+        round((col("lo") + col("hi")).cast("double")
           / 2.0 / 1e6, 4).as("sen_slope_cents_per_day"))
   }
 
@@ -462,40 +410,27 @@ object StatOps {
     *
     * Scale: the O(days²) Walsh-pair join runs on the Memo-shared
     * calendar-bounded daily table (≤ ~2.5k rows → ≤ ~3M pairs at ANY
-    * SF) broadcast on one side; the median CDF rides
-    * [[OpUtils.twoLevelCum]]'s bounded windows — the theil_sen shape
+    * SF) broadcast on one side; the median bracket is the kind=0 row
+    * of the Memo-shared [[OpUtils.pairMedians]] — the theil_sen shape
     * end to end, sharing its memoized daily rollup so the fact table
     * is still touched once per session.
     */
   def hodgesLehmannDaily(orders: DataFrame): DataFrame = {
     val daily = OpUtils.dailyFact(orders)
-    // the Walsh-sum CDF is calendar-bounded (≤ ~3M rows × 3 longs at
-    // ANY SF); the O(days²) pair join itself is the Memo-shared
-    // [[OpUtils.dayPairs]] (tb ≥ ta — the Walsh diagonal included), so
-    // this build is a grouped projection of the checkpointed pairs and
-    // each invocation runs only the rank probes
-    val cdf = Memo.cached("walsh_cdf", OpUtils.dayPairs(orders)) { p =>
-      val byV = p.groupBy((col("ya") + col("yb")).as("s2"))
-        .agg(count(lit(1)).as("c"))
-      OpUtils.twoLevelCum(byV, "s2", "c")
-    }
-    val tot = cdf.agg(coalesce(sum(col("c")), lit(0L)).as("m"))
-      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
-    val picks = cdf
-      .crossJoin(broadcast(tot))
-      .filter(expr("(cum - c < (m + 1) div 2 AND (m + 1) div 2 <= cum) OR " +
-        "(cum - c < m div 2 + 1 AND m div 2 + 1 <= cum)"))
-      .agg(min(col("s2")).as("hl2_lo_cents"), max(col("s2")).as("hl2_hi_cents"))
-    tot.crossJoin(broadcast(picks))
-      .filter(col("m") > 0)
+    // kind 0 = the Walsh-sum median bracket of the Memo-shared
+    // [[OpUtils.pairMedians]] (tb ≥ ta — the Walsh diagonal included),
+    // built in the same pass as the Theil–Sen slope median; zero pairs
+    // emit no row, so the crossJoin yields zero rows like the oracle
+    val med = OpUtils.pairMedians(orders).filter(col("kind") === 0L)
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(med)) // 1-row × ≤1-row scalar plumbing
       // display column stays EXACT: HL = (lo+hi)/4 cents, reported as
       // truncating integer milli-dollars — a rounded double here hit a
       // real .5-at-2dp boundary (…, .035) where the engines' double
       // rounding disagreed
       .select(col("n_days"), col("m").as("n_pairs"),
-        col("hl2_lo_cents"), col("hl2_hi_cents"),
-        expr("((hl2_lo_cents + hl2_hi_cents) * 10) div 4")
-          .as("hl_milli_dollars"))
+        col("lo").as("hl2_lo_cents"), col("hi").as("hl2_hi_cents"),
+        expr("((lo + hi) * 10) div 4").as("hl_milli_dollars"))
   }
 
   /** Exact Spearman rank correlation between daily revenue and daily

@@ -83,8 +83,9 @@ object SurvivalOps {
     val byH = conversionArmGrid(events, horizonDays)
       .groupBy(col("h"))
       .agg(sum(col("d")).as("d"), sum(col("w")).as("w"))
-    // grid ≤ horizonDays·24+1 rows by construction: both windows are
-    // bounded (PlanAuditSpec whitelist: survival grid)
+    // grid ≤ horizonDays·24+1 rows by construction: both unpartitioned
+    // windows sit above a bounded grouped aggregate, which is what the
+    // plan-audit sweep's aggregate-below-window rule accepts
     byH
       .withColumn("n_total", sum(col("w")).over(Window.partitionBy(lit(1))))
       .withColumn("cum_prev", coalesce(sum(col("w")).over(
@@ -140,10 +141,17 @@ object SurvivalOps {
       .filter(col("dt") > 0)
       .withColumn("e1", expr(
         "(cast(dt as decimal(38,0)) * n1 * 1000000) div n"))
-      .withColumn("fa", expr("(n1 * 1000000) div n"))
-      .withColumn("fb", expr("(n0 * 1000000) div n"))
+      // fa/fb/fc enter the ×10⁶ multiply as decimal(38,0), matching the
+      // e1/v terms — a long multiply here wraps past ~9.2e12 at-risk
+      // users and silently diverges from the oracle's HUGEINT
+      .withColumn("fa", expr(
+        "(cast(n1 as decimal(38,0)) * 1000000) div n"))
+      .withColumn("fb", expr(
+        "(cast(n0 as decimal(38,0)) * 1000000) div n"))
       .withColumn("fc", expr(
-        "case when n > 1 then ((n - dt) * 1000000) div (n - 1) else 0 end"))
+        """case when n > 1
+          | then (cast(n - dt as decimal(38,0)) * 1000000) div (n - 1)
+          | else 0 end""".stripMargin))
       .withColumn("v", expr(
         // the div-results re-enter as decimal: a long×long product here
         // (d·10⁶ × 10⁶) crosses 2⁶³ at lake event counts

@@ -195,7 +195,11 @@ object Readers {
     // per job, paying latency and risking a feed that drifted between
     // reads
     val lines = spark.createDataset(Seq(url))
-      .map(u => HttpFetch.get(u, headers, connectTimeoutMs, readTimeoutMs))
+      // content-appropriate Accept: a Socrata-style endpoint picks its
+      // serialization off this header, and asking a CSV path for JSON
+      // can 406 or hand back the wrong format
+      .map(u => HttpFetch.get(u, headers, connectTimeoutMs, readTimeoutMs,
+        accept = "text/csv, text/plain;q=0.9, */*;q=0.1"))
       .flatMap(_.split("\r?\n"))
       .filter(_.nonEmpty)
       .localCheckpoint(true)

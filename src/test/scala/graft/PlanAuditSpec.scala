@@ -432,6 +432,9 @@ class PlanAuditSpec extends SparkSpec {
       "approx_distincts" -> 2, // sketch + rank-check per l_returnflag (3-value enum)
       "basket_affinity" -> 1, // type counts per p_type (fixed ~150-value domain)
       "bm25_search" -> 1, // df per term, ≤ |fixed query-term set| = 6 rows
+      "hybrid_search_rrf" -> 1, // the bm25 leg's same per-term df frame
+      // (≤ 6 rows) — the lexical shortlist itself is limit-bounded and
+      // the vector leg's query frames are literal-id bound
       "bootstrap_ci_order_value" -> 2, // CI rank probes over R = 64 resample means
       "contamination_check" -> 1, // probe bigrams of ≤ nProbe literal benchmark docs
       "decontaminated_corpus" -> 1, // the same probe-bigram frame (nProbe literal)

@@ -283,6 +283,155 @@ class HttpSourceSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  private def gz(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(s.getBytes("UTF-8")); g.close()
+    bos.toByteArray
+  }
+
+  /** CSV endpoint that serves `/x.csv.gz` paths as gzip WITHOUT a
+    * Content-Encoding header (the static-bucket shape — the
+    * reference's `listings.csv.gz` pull), `/enc/…` paths as gzip WITH
+    * the header on a plain name, and everything else as plain text.
+    * Records the Accept header each path was asked with.
+    */
+  private def csvStub(): (com.sun.net.httpserver.HttpServer, String,
+      ConcurrentHashMap[String, String]) = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val accepts = new ConcurrentHashMap[String, String]()
+    srv.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val path = ex.getRequestURI.getPath
+      accepts.put(path, ex.getRequestHeaders.getFirst("Accept"))
+      val month = path.split("/").last.split("\\.").head
+      val csv = s"id,name\n1,alpha $month\n2,beta $month\n"
+      val body =
+        if (path.endsWith(".gz")) gz(csv)
+        else if (path.startsWith("/enc/")) {
+          ex.getResponseHeaders.add("Content-Encoding", "gzip"); gz(csv)
+        } else csv.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.start()
+    (srv, s"http://127.0.0.1:${srv.getAddress.getPort}", accepts)
+  }
+
+  test("httpFetchCsv: .gz URL without Content-Encoding decompresses transparently") {
+    val (srv, base, accepts) = csvStub()
+    try {
+      val csvSchema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      // the reference's day-one feed shape: listings.csv.gz, raw gzip
+      // bytes, no Content-Encoding header
+      val rows = Readers.httpFetchCsv(spark, s"$base/listings-jan.csv.gz",
+        Some(csvSchema)).collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.sorted.toSeq ==
+        Seq((1L, "alpha listings-jan"), (2L, "beta listings-jan")))
+      // and the CSV path asks for CSV, not JSON
+      assert(accepts.get("/listings-jan.csv.gz").startsWith("text/csv"),
+        accepts.get("/listings-jan.csv.gz"))
+    } finally srv.stop(0)
+  }
+
+  test("httpFetch: Content-Encoding gzip on a plain-named URL decompresses; JSON path too") {
+    val (srv, base, _) = csvStub()
+    try {
+      val csvSchema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      val rows = Readers.httpFetchCsv(spark, s"$base/enc/listings-feb",
+        Some(csvSchema)).collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.sorted.toSeq ==
+        Seq((1L, "alpha listings-feb"), (2L, "beta listings-feb")))
+      // JSON leg: header-declared gzip on a JSON array body
+      val jsrv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      jsrv.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+        val body = gz("""[{"id":7,"name":"zipped"}]""")
+        ex.getResponseHeaders.add("Content-Encoding", "gzip")
+        ex.sendResponseHeaders(200, body.length)
+        val os = ex.getResponseBody
+        try os.write(body) finally os.close()
+      })
+      jsrv.start()
+      try {
+        val got = Readers.httpFetchJson(spark,
+          s"http://127.0.0.1:${jsrv.getAddress.getPort}/feed", schema)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        assert(got.toSeq == Seq((7L, "zipped")))
+      } finally jsrv.stop(0)
+    } finally srv.stop(0)
+  }
+
+  test("httpFetch: a declared-gzip body that is not gzip fails loudly") {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val body = "id,name\n1,plain\n".getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Encoding", "gzip")
+      ex.sendResponseHeaders(200, body.length)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.start()
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        Readers.httpFetchCsv(spark,
+          s"http://127.0.0.1:${srv.getAddress.getPort}/x").count()
+      }
+      assert(e.getCause != null || e.getMessage.contains("magic"),
+        e.getMessage)
+    } finally srv.stop(0)
+  }
+
+  test("a .gz-named URL whose body is actually plain text passes through untouched") {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      // a misnamed artifact: .gz path, plain CSV bytes, no header
+      val body = "id,name\n9,misnamed\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.start()
+    try {
+      val csvSchema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      val rows = Readers.httpFetchCsv(spark,
+        s"http://127.0.0.1:${srv.getAddress.getPort}/data.csv.gz",
+        Some(csvSchema)).collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((9L, "misnamed")))
+    } finally srv.stop(0)
+  }
+
+  test("backfillWindows over mixed gz/plain monthly windows lands both shapes") {
+    val (srv, base, _) = csvStub()
+    try {
+      val csvSchema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      val raw = s"${tmp()}/raw"
+      // the reference DAG's real feed list mixes compressed and plain
+      // monthly artifacts; one backfill must land both
+      val windows = Seq(
+        "jan" -> s"$base/listings-jan.csv.gz",
+        "feb" -> s"$base/listings-feb")
+      val fetched = Sinks.backfillWindows(spark, raw, "airbnb", windows,
+        (s, url) => Readers.httpFetchCsv(s, url, Some(csvSchema)))
+      assert(fetched == Seq("jan", "feb"))
+      val head = Readers.readSnapshot(spark, raw)
+      assert(head.count() == 4)
+      val names = head.select("name").collect().map(_.getString(0)).sorted
+      assert(names.toSeq == Seq("alpha listings-feb", "alpha listings-jan",
+        "beta listings-feb", "beta listings-jan"))
+      // replay: both windows committed → no-op
+      assert(Sinks.backfillWindows(spark, raw, "airbnb", windows,
+        (s, url) => Readers.httpFetchCsv(s, url, Some(csvSchema))).isEmpty)
+    } finally srv.stop(0)
+  }
+
   test("window ids that prefix-extend each other never alias (2019 vs 2019-q1)") {
     val (srv, base, hits) = stub(total = 2)
     try {
