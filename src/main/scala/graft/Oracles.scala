@@ -6131,7 +6131,98 @@ object Oracles {
         |FROM exact, m
         |WHERE n_users > 0""".stripMargin)
 
+  /** Shared staged CTE chain of the 4-step sequential pattern (signup →
+    * view → click(value ≥ 10) → purchase, window 259200 s): anchor
+    * propagation a1→a3 over RANGE frames, first-matching-step tie rank,
+    * achieved level read highest-first — ends in CTE `a`(user_id, ts_s,
+    * rk, ach). Mirror of PatternOps.staged on signupFunnelSteps.
+    */
+  private val seqPatternStagedSql: String =
+    """WITH e AS (
+      | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |  event_type, value
+      | FROM events
+      | WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  AND (event_type IN ('signup', 'view', 'purchase')
+      |       OR (event_type = 'click' AND value >= 10.0))),
+      |r AS (SELECT *,
+      |  CASE WHEN event_type = 'signup' THEN 0
+      |       WHEN event_type = 'view' THEN 1
+      |       WHEN event_type = 'click' AND value >= 10.0 THEN 2
+      |       ELSE 3 END AS rk FROM e),
+      |s1 AS (SELECT *,
+      |  MAX(CASE WHEN event_type = 'signup' THEN ts_s END) OVER w AS a1
+      | FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+      |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s2 AS (SELECT *,
+      |  MAX(CASE WHEN event_type = 'view' THEN a1 END) OVER w AS a2
+      | FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+      |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s3 AS (SELECT *,
+      |  MAX(CASE WHEN event_type = 'click' AND value >= 10.0 THEN a2 END)
+      |    OVER w AS a3
+      | FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+      |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |a AS (SELECT user_id, ts_s, rk,
+      |  CASE WHEN event_type = 'purchase' AND a3 >= ts_s - 259200 THEN 4
+      |       WHEN event_type = 'click' AND value >= 10.0
+      |         AND a2 >= ts_s - 259200 THEN 3
+      |       WHEN event_type = 'view' AND a1 >= ts_s - 259200 THEN 2
+      |       WHEN event_type = 'signup' THEN 1 ELSE 0 END AS ach
+      | FROM s3)""".stripMargin
+
+  private val iRound12: Map[String, String] = Map(
+    // AuditOps.dpReleaseCounts: geometric-mechanism (discrete Laplace)
+    // DP release of the (lang, source) composition table. The CASE
+    // ladder is generated from the SAME driver-computed micro-CDF
+    // thresholds the Spark plan inlines, so the noise replays exactly;
+    // noisy counts below the stability threshold are withheld.
+    "dp_release_counts" -> {
+      val ladder = graft.operators.AuditOps.DpGeomCdfMicro
+        .map { case (z, t) => s"WHEN u < $t THEN ($z)" }
+        .mkString("CASE ", " ", s" ELSE ${graft.operators.AuditOps.DpNoiseClampZ} END")
+      s"""WITH grp AS (
+         | SELECT lang, source, COUNT(*) AS g FROM documents GROUP BY 1, 2),
+         |h AS (SELECT lang, source, g,
+         |  (${hash32Sql("'dp:' || lang || ':' || source")} * 1000000)
+         |    // 4294967296 AS u
+         | FROM grp),
+         |z AS (SELECT lang, source, g, $ladder AS z FROM h)
+         |SELECT lang, source, CAST(g + z AS BIGINT) AS released_count,
+         | CAST(1000000 AS BIGINT) AS epsilon_micro
+         |FROM z WHERE g + z >= 5""".stripMargin
+    },
+
+    // PatternOps.seqPatternMatch: 4-step signup→view→click(≥10)→purchase
+    // pattern compiled to running-maxima RANGE windows; the CTE chain is
+    // the same anchor propagation (a_k = latest signup ts backing a
+    // validated length-k prefix), ach reads checks highest-first.
+    "seq_pattern_match" ->
+      s"""$seqPatternStagedSql,
+         |pu AS (SELECT user_id, CAST(MAX(ach) AS BIGINT) AS pattern_level
+         |  FROM a GROUP BY 1)
+         |SELECT pattern_level, CAST(COUNT(*) AS BIGINT) AS n_users,
+         | CAST((COUNT(*) * 1000000) // SUM(COUNT(*)) OVER () AS BIGINT)
+         |   AS user_share_micro
+         |FROM pu GROUP BY 1""".stripMargin,
+
+    // PatternOps.seqPatternProgress: per-event emissions whenever the
+    // user's deepest validated prefix grows — running best over the
+    // (ts, first-matching-step) ROWS order on the same staged frame.
+    "seq_pattern_progress" ->
+      s"""$seqPatternStagedSql,
+         |b AS (SELECT user_id, ts_s,
+         |  MAX(ach) OVER wc AS best,
+         |  COALESCE(MAX(ach) OVER wp, 0) AS prev_best
+         | FROM a WINDOW
+         |  wc AS (PARTITION BY user_id ORDER BY ts_s, rk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wp AS (PARTITION BY user_id ORDER BY ts_s, rk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, ts_s, CAST(best AS BIGINT) AS pattern_level
+         |FROM b WHERE best > prev_best""".stripMargin)
+
   val all: Map[String, String] =
     aCleaning ++ bStarSchema ++ cAnalytics ++ dPipeline ++ dExtras ++
-      eStreaming ++ fRound9 ++ gRound10 ++ hRound11
+      eStreaming ++ fRound9 ++ gRound10 ++ hRound11 ++ iRound12
 }

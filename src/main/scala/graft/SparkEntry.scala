@@ -332,6 +332,7 @@ object SparkEntry {
     "decontaminated_corpus" -> ((s, d) => TextOps.decontaminatedCorpus(documents(s, d))),
     "k_anonymity_report" -> ((s, d) => AuditOps.kAnonymityReport(documents(s, d))),
     "l_diversity_report" -> ((s, d) => AuditOps.lDiversityReport(documents(s, d))),
+    "dp_release_counts" -> ((s, d) => AuditOps.dpReleaseCounts(documents(s, d))),
     "gate_reason_breakdown" -> ((s, d) => TextOps.gateReasonBreakdown(documents(s, d))),
     "gate_sole_reason" -> ((s, d) => TextOps.gateSoleReason(documents(s, d))),
     "ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(documents(s, d))),
@@ -416,6 +417,9 @@ object SparkEntry {
       AsOfOps.conversionLatencyQuartiles(events(s, d))),
     "window_funnel" -> ((s, d) => AsOfOps.windowFunnel(events(s, d))),
     "funnel_progress" -> ((s, d) => AsOfOps.funnelProgress(events(s, d))),
+    "seq_pattern_match" -> ((s, d) => PatternOps.seqPatternMatch(events(s, d))),
+    "seq_pattern_progress" -> ((s, d) =>
+      PatternOps.seqPatternProgress(events(s, d))),
     "linear_attribution" -> ((s, d) => AsOfOps.linearAttribution(events(s, d))),
     "purchase_attribution" -> ((s, d) =>
       AsOfOps.purchaseAttribution(events(s, d))),

@@ -572,4 +572,77 @@ object AuditOps {
       .unionByName(audit(orders, "orders", "o_custkey", "o_orderstatus"))
       .unionByName(audit(documents, "documents", "source", "lang"))
   }
+
+  /** ε for the DP release in micro units (ε = 1), carried on every
+    * released row as the privacy-accounting column.
+    */
+  val DpEpsilonMicro: Long = 1000000L
+
+  /** Noise clamp: z outside ±20 collapses to the endpoint. The clipped
+    * tail mass is 2·α²¹/(1+α) < 1.2·10⁻⁹ at ε = 1 — below the 10⁻⁶
+    * resolution of the micro-threshold table, so the clamp never
+    * actually fires; it just bounds the CASE ladder.
+    */
+  val DpNoiseClampZ: Int = 20
+
+  /** ⌊10⁶·P(Z ≤ z)⌋ thresholds of the DISCRETE Laplace (two-sided
+    * geometric) distribution at ε = 1 — P(Z = z) ∝ α^|z| with
+    * α = e^(−ε), the geometric mechanism of Ghosh–Roughgarden–
+    * Sundararajan 2009 (the standard integer-count DP mechanism; its
+    * closed-form CDF is α^(−z)/(1+α) below zero and 1 − α^(z+1)/(1+α)
+    * at/above). Computed ONCE on the driver and inlined as integer
+    * literals into BOTH the Spark plan and the generated oracle SQL, so
+    * engine parity is by construction — the [[graft.operators.StatOps]]
+    * PoissonCdfMicro discipline.
+    */
+  val DpGeomCdfMicro: Seq[(Int, Long)] = {
+    val alpha = math.exp(-1.0)
+    (-DpNoiseClampZ until DpNoiseClampZ).map { z =>
+      val cdf =
+        if (z < 0) math.pow(alpha, -z) / (1.0 + alpha)
+        else 1.0 - math.pow(alpha, z + 1) / (1.0 + alpha)
+      z -> math.floor(1e6 * cdf).toLong
+    }
+  }
+
+  /** Differentially-private release of the per-(lang, source) document
+    * counts — the third leg of the release-governance trio next to
+    * [[kAnonymityReport]] and [[lDiversityReport]]: where those AUDIT
+    * re-identification risk, this one actually RELEASES the dataset-card
+    * composition table under ε-DP. Each class count gets integer noise
+    * from the geometric mechanism (discrete Laplace — see
+    * [[DpGeomCdfMicro]]); classes whose NOISY count falls below
+    * `releaseThreshold` are withheld entirely (the stability-histogram
+    * release: thresholding on the noised value is what lets the class
+    * DOMAIN stay private too). Every released row carries
+    * `epsilon_micro`; classes are disjoint, so parallel composition
+    * prices the whole table at ε = 1, not ε·classes.
+    *
+    * Noise is a pure function of the salted class key (inverse-CDF on
+    * the md5-prefix uniform, the `bootstrap_ci` idiom) — no RNG state,
+    * so the release is reproducible and the DuckDB oracle replays it
+    * bit-for-bit. Determinism costs nothing here: DP needs the noise
+    * unpredictable to the ADVERSARY, and the salt plays the key role.
+    *
+    * Scale: one map-side-combined rollup to the bounded class table
+    * (langs × sources), then per-row integer arithmetic. No window, no
+    * join, nothing driver-side.
+    */
+  def dpReleaseCounts(documents: DataFrame,
+      releaseThreshold: Long = 5): DataFrame = {
+    require(releaseThreshold >= 1)
+    val noise = DpGeomCdfMicro.foldRight(lit(DpNoiseClampZ): Column) {
+      case ((z, t), e) => when(col("u") < t, z).otherwise(e)
+    }
+    documents
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("g"))
+      .withColumn("x", graft.functions.HashFns.hash32(
+        concat(lit("dp:"), col("lang"), lit(":"), col("source"))))
+      .withColumn("u", expr("(x * 1000000) div 4294967296"))
+      .withColumn("z", noise)
+      .filter(col("g") + col("z") >= releaseThreshold)
+      .select(col("lang"), col("source"),
+        (col("g") + col("z")).cast("long").as("released_count"),
+        lit(DpEpsilonMicro).as("epsilon_micro"))
+  }
 }

@@ -1229,6 +1229,97 @@ object EventStreams {
       }
   }
 
+  case class PatternEvent(user_id: Long, ts_s: Long, event_type: String,
+    value: Double)
+  /** anchors(k) = latest step-1 ts backing a validated length-(k+1)
+    * chain prefix (Long.MinValue = none yet); best = deepest emitted
+    * level. N−1 longs per user regardless of history length.
+    */
+  case class PatternMatchState(anchors: Seq[Long], best: Long)
+  case class PatternProgress(user_id: Long, ts_s: Long, pattern_level: Long)
+
+  /** The [[funnelStream]] step functions generalized — the streaming
+    * twin of [[graft.operators.PatternOps.signupFunnelSteps]], shared
+    * with the stream≡batch mirror spec.
+    */
+  def signupFunnelStreamSteps: Seq[PatternEvent => Boolean] = Seq(
+    _.event_type == "signup",
+    _.event_type == "view",
+    e => e.event_type == "click" && e.value >= 10.0,
+    _.event_type == "purchase")
+
+  /** Streaming N-step sequential pattern matcher — the live form of
+    * [[graft.operators.PatternOps.patternProgress]] (MATCH_RECOGNIZE
+    * shape), generalizing [[funnelStream]] to arbitrary per-step
+    * predicates. Emits (user, ts, level) whenever a user's deepest
+    * validated chain prefix grows.
+    *
+    * Exactly the batch RANGE-frame semantics, reproduced set-wise: the
+    * micro-batch sorts by (ts, first-matching-step) and processes one
+    * TIMESTAMP GROUP at a time — anchors update per step in ascending
+    * step order against the group-final previous anchor (so equal-ts
+    * rows see each other, and one event may serve two adjacent steps
+    * when predicates overlap, both exactly as the batch mirror's
+    * sequential RANGE projections), then every group member reads its
+    * achieved level against the group-final anchors. Within an
+    * equal-(ts, rk) tie set all members compute the same level, so
+    * exactly one emission survives — stream output ≡ batch output
+    * row-for-row across any micro-batch split of an in-order feed
+    * (spec'd).
+    *
+    * Scale: state is N−1 longs + one level per user — never a history
+    * buffer; the naive MATCH_RECOGNIZE state (buffered partial matches)
+    * grows with match multiplicity and is why most engines restrict
+    * streaming pattern queries.
+    */
+  def patternStream(spark: SparkSession, events: Dataset[PatternEvent],
+      steps: Seq[PatternEvent => Boolean],
+      windowS: Long): Dataset[PatternProgress] = {
+    import spark.implicits._
+    val n = steps.size
+    require(n >= 2, "a pattern needs at least two steps")
+    events
+      .filter(e => steps.exists(_(e)))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternMatchState, PatternProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, batch, state: GroupState[PatternMatchState]) =>
+          val s = state.getOption.getOrElse(
+            PatternMatchState(Seq.fill(n - 1)(Long.MinValue), 0L))
+          val anchors = s.anchors.toArray
+          var best = s.best
+          val out = scala.collection.mutable.ArrayBuffer.empty[PatternProgress]
+          val sorted = batch.toSeq
+            .map(e => (e, steps.indexWhere(_(e))))
+            .sortBy { case (e, rk) => (e.ts_s, rk) }
+          var i = 0
+          while (i < sorted.length) {
+            val t = sorted(i)._1.ts_s
+            var j = i
+            while (j < sorted.length && sorted(j)._1.ts_s == t) j += 1
+            val grp = sorted.slice(i, j)
+            if (grp.exists { case (e, _) => steps.head(e) })
+              anchors(0) = math.max(anchors(0), t)
+            for (k <- 1 until n - 1)
+              if (anchors(k - 1) != Long.MinValue &&
+                  grp.exists { case (e, _) => steps(k)(e) })
+                anchors(k) = math.max(anchors(k), anchors(k - 1))
+            for ((e, _) <- grp) { // grp is rk-sorted: batch ROWS order
+              var ach = 0L
+              for (k <- 0 until n)
+                if (steps(k)(e) && (k == 0 ||
+                    (anchors(k - 1) != Long.MinValue &&
+                      anchors(k - 1) >= t - windowS)))
+                  ach = (k + 1).toLong
+              if (ach > best) { best = ach; out += PatternProgress(user, t, ach) }
+            }
+            i = j
+          }
+          state.update(PatternMatchState(anchors.toSeq, best))
+          out.iterator
+      }
+  }
+
   /** Windowed streaming heavy hitters — the live form of
     * `heavy_hitter_types`: per tumbling hour, the dominant event types by
     * a mergeable Misra–Gries sketch. The streaming state per window is

@@ -43,6 +43,52 @@ class AuditOpsSpec extends SparkSpec {
       Seq(3L, 4L, 2L, 2L, 6L, 7L, -142857L))
   }
 
+  test("DpGeomCdfMicro is a monotone micro-CDF with the closed-form median") {
+    val ts = AuditOps.DpGeomCdfMicro
+    assert(ts.map(_._1) == (-20 until 20))
+    assert(ts.forall { case (_, t) => t >= 0L && t < 1000000L })
+    assert(ts.map(_._2) == ts.map(_._2).sorted)
+    // P(Z ≤ −1) = α/(1+α), P(Z ≤ 0) = 1/(1+α) at α = e⁻¹
+    assert(ts.toMap.apply(-1) == 268941L)
+    assert(ts.toMap.apply(0) == 731058L)
+    // tail mass beyond the clamp is below micro resolution
+    assert(ts.head._2 == 0L && ts.last._2 == 999999L)
+  }
+
+  test("dpReleaseCounts releases noisy class counts deterministically") {
+    val docs = (
+      (1 to 40).map(i => (i.toLong, "t", "en", "srcA", 10L)) ++
+      (41 to 70).map(i => (i.toLong, "t", "de", "srcB", 10L)) ++
+      Seq((71L, "t", "fr", "srcC", 10L))) // singleton class: must be withheld
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = AuditOps.dpReleaseCounts(docs)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // singleton class: true 1, noise bounded by ±20 but threshold-5
+    // release requires noisy ≥ 5 — withheld here (its hash draws z = 0)
+    assert(!rows.contains(("fr", "srcC")))
+    // released classes: noise within the clamp, ε accounted on each row
+    for (((_, _), (rel, eps)) <- rows) {
+      assert(eps == AuditOps.DpEpsilonMicro)
+      assert(rel >= 5L)
+    }
+    assert(math.abs(rows(("en", "srcA"))._1 - 40L) <= 20L)
+    assert(math.abs(rows(("de", "srcB"))._1 - 30L) <= 20L)
+    // pure function of the data: replay is bit-identical
+    val replay = AuditOps.dpReleaseCounts(docs).collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(replay == rows)
+  }
+
+  test("dpReleaseCounts noise is not identically zero across classes") {
+    val docs = (0 until 30).flatMap(c =>
+      (1 to 30).map(i => ((c * 100 + i).toLong, "t", s"l$c", s"s$c", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rel = AuditOps.dpReleaseCounts(docs).collect().map(_.getLong(2))
+    assert(rel.exists(_ != 30L)) // some class must draw nonzero noise
+    assert(rel.forall(r => math.abs(r - 30L) <= 20L))
+  }
+
   private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
 
   test("fkOrphans counts orphaned child rows and unreferenced parents") {

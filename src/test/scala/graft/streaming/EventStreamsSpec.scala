@@ -195,6 +195,76 @@ class EventStreamsSpec extends SparkSpec {
       s"batch mirror $mirrored != stream emissions $streamed")
   }
 
+  test("patternStream mirrors the batch patternProgress across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.PatternEvent
+    // the graded 4-step signup→view→click(≥10)→purchase instance, with
+    // equal-ts ties, a low-value click that matches no step, a chain
+    // that must complete across the split, and a greedy re-anchor
+    val history = Seq(
+      PatternEvent(1, 0, "signup", 0.0), PatternEvent(1, 10, "view", 0.0),
+      PatternEvent(1, 20, "click", 50.0),
+      PatternEvent(2, 0, "signup", 0.0), PatternEvent(2, 0, "view", 0.0),
+      PatternEvent(2, 0, "click", 99.0), PatternEvent(2, 0, "purchase", 0.0),
+      PatternEvent(3, 0, "view", 0.0),   // never anchors
+      PatternEvent(4, 0, "signup", 0.0), PatternEvent(4, 10, "view", 0.0),
+      PatternEvent(4, 20, "click", 1.0)) // below the value gate
+    val tail = Seq(
+      PatternEvent(1, 30, "purchase", 0.0),  // completes u1 across the split
+      PatternEvent(4, 30, "purchase", 0.0),  // u4 has no validated click
+      PatternEvent(5, 1000, "signup", 0.0), PatternEvent(5, 1010, "view", 0.0),
+      PatternEvent(5, 2000, "signup", 0.0), PatternEvent(5, 2010, "view", 0.0),
+      PatternEvent(5, 2020, "click", 50.0),
+      PatternEvent(5, 2030, "purchase", 0.0)) // re-anchored chain completes
+    val mem = MemoryStream[PatternEvent]
+    val q = EventStreams.patternStream(spark, mem.toDS(),
+        EventStreams.signupFunnelStreamSteps, windowS = 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("patmirror").start()
+    mem.addData(history: _*); q.processAllAvailable()
+    mem.addData(tail: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("patmirror").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val batchDf = (history ++ tail)
+      .map(e => (e.user_id, new Timestamp(e.ts_s * 1000), e.event_type, e.value))
+      .toDF("user_id", "ts", "event_type", "value")
+    val mirrored = graft.operators.PatternOps.patternProgress(batchDf,
+        graft.operators.PatternOps.signupFunnelSteps, windowS = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(mirrored == streamed,
+      s"batch mirror $mirrored != stream emissions $streamed")
+    // the cross-split chain actually completed
+    assert(streamed.contains((1L, 30L, 4L)))
+    assert(streamed.contains((5L, 2030L, 4L)))
+  }
+
+  test("patternStream chains overlapping predicates within one event like the batch RANGE frames") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.PatternEvent
+    // steps: 'a', then value ≥ 5 (the SAME 'a' event qualifies), then 'b'
+    val steps: Seq[PatternEvent => Boolean] = Seq(
+      _.event_type == "a", _.value >= 5.0, _.event_type == "b")
+    val colSteps = Seq(col("event_type") === "a", col("value") >= 5.0,
+      col("event_type") === "b")
+    val evs = Seq(PatternEvent(1, 0, "a", 7.0), PatternEvent(1, 10, "b", 0.0))
+    val mem = MemoryStream[PatternEvent]
+    val q = EventStreams.patternStream(spark, mem.toDS(), steps, windowS = 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("patoverlap").start()
+    evs.foreach { e => mem.addData(e); q.processAllAvailable() } // 1 event/batch
+    q.stop()
+    val streamed = spark.table("patoverlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val batchDf = evs
+      .map(e => (e.user_id, new Timestamp(e.ts_s * 1000), e.event_type, e.value))
+      .toDF("user_id", "ts", "event_type", "value")
+    val mirrored = graft.operators.PatternOps.patternProgress(batchDf,
+        colSteps, windowS = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(mirrored == streamed)
+    assert(streamed.contains((1L, 10L, 3L)))
+  }
+
   test("debounceBatch drops same-type repeats inside the gap, lag-based") {
     val df = Seq(
       (1L, ts(0), 1L, "click", 0.0, "{}"),
