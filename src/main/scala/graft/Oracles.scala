@@ -6171,6 +6171,82 @@ object Oracles {
       |       WHEN event_type = 'signup' THEN 1 ELSE 0 END AS ach
       | FROM s3)""".stripMargin
 
+  /** Shared DuckDB chain of the unigram-LM trainer (UnigramLmOps): word
+    * rollup → candidate substring counts → fixed vocab → init
+    * likelihoods → two Viterbi-EM rounds. The whole DP (42 lookup
+    * pivots, 12 unrolled b/backpointer levels, backpointer walk) is
+    * generated from the SAME SQL snippets the Spark plan compiles, so
+    * the IEEE double recurrence is bit-identical by construction. Ends
+    * with CTEs vocab0, cf1/cf2 (per-round vocab counts), p2 (final
+    * likelihoods), and rb2_<MaxWordLen> (the round-2 segmentation frame
+    * the encoder reads).
+    */
+  private val unigramChainSql: String = {
+    import graft.operators.UnigramLmOps._
+    val pivotCols = slots.map { case (j, l) =>
+      s"MAX(CASE WHEN j = $j AND l = $l THEN p_nano END) AS p_${j}_$l"
+    }.mkString(", ")
+    def mStep(r: Int, src: String, cCol: String): String =
+      s"p$r AS (SELECT piece, CAST(greatest(1, (CAST($cCol AS HUGEINT) " +
+        s"* 1000000000) // NULLIF((SELECT SUM($cCol) FROM $src), 0)) " +
+        s"AS BIGINT) AS p_nano FROM $src)"
+    def round(r: Int): String = {
+      val dp = (1 to MaxWordLen).map { j =>
+        s"d${r}_$j AS (SELECT *, ${bSql(j)} AS b_$j FROM " +
+          s"${if (j == 1) s"piv$r" else s"e${r}_${j - 1}"}),\n" +
+        s"e${r}_$j AS (SELECT *, ${bpSql(j)} AS bp_$j FROM d${r}_$j)"
+      }.mkString(",\n")
+      val rec = (1 to MaxWordLen).map { t =>
+        s"ra${r}_$t AS (SELECT *, ${lenSql(t)} AS len_$t FROM " +
+          s"${if (t == 1) s"r${r}_0" else s"rb${r}_${t - 1}"}),\n" +
+        s"rb${r}_$t AS (SELECT *, ${pieceColSql(t)} AS piece_$t, " +
+          s"${posSql(t)} AS pos_$t FROM ra${r}_$t)"
+      }.mkString(",\n")
+      s"""look$r AS (SELECT s.w, s.n, s.j, s.l, p.p_nano
+         | FROM subjl s LEFT JOIN p${r - 1} p
+         |   ON p.piece = substring(s.w, CAST(s.j - s.l + 1 AS INT),
+         |     CAST(s.l AS INT))),
+         |piv$r AS (SELECT w, n, $pivotCols FROM look$r GROUP BY w, n),
+         |$dp,
+         |r${r}_0 AS (SELECT *, CAST(length(w) AS INT) AS pos_0
+         | FROM e${r}_$MaxWordLen),
+         |$rec,
+         |pc$r AS (SELECT n, unnest([${(1 to MaxWordLen)
+            .map(t => s"piece_$t").mkString(", ")}]) AS piece
+         | FROM rb${r}_$MaxWordLen),
+         |cc$r AS (SELECT piece, SUM(n) AS c FROM pc$r
+         | WHERE piece IS NOT NULL GROUP BY 1),
+         |cf$r AS (SELECT v.piece, COALESCE(cc.c, 0) AS c
+         | FROM (SELECT piece FROM vocab0) v
+         | LEFT JOIN cc$r cc USING (piece)),
+         |${mStep(r, s"cf$r", "c")}""".stripMargin
+    }
+    s"""WITH words AS (
+       | SELECT w, COUNT(*) AS n FROM (
+       |  SELECT unnest(CASE WHEN length(norm) = 0 THEN []
+       |    ELSE string_split(norm, ' ') END) AS w
+       |  FROM (SELECT ${normTextSql("text")} AS norm FROM documents))
+       | WHERE length(w) BETWEEN 1 AND $MaxWordLen GROUP BY w),
+       |subj AS (SELECT w, n,
+       |  unnest(generate_series(1, CAST(length(w) AS BIGINT))) AS j
+       | FROM words),
+       |subjl AS (SELECT w, n, j,
+       |  unnest(generate_series(1, least($MaxPieceLen, j))) AS l
+       | FROM subj),
+       |sub AS (SELECT substring(w, CAST(j - l + 1 AS INT),
+       |   CAST(l AS INT)) AS piece, SUM(n) AS c0
+       | FROM subjl GROUP BY 1),
+       |vocab0 AS (
+       | SELECT piece, c0 FROM sub WHERE length(piece) = 1
+       | UNION ALL
+       | SELECT piece, c0 FROM (SELECT piece, c0 FROM sub
+       |  WHERE length(piece) >= 2 ORDER BY c0 DESC, piece
+       |  LIMIT $VocabMulti)),
+       |${mStep(0, "vocab0", "c0")},
+       |${round(1)},
+       |${round(2)}""".stripMargin
+  }
+
   private val iRound12: Map[String, String] = Map(
     // AuditOps.dpReleaseCounts: geometric-mechanism (discrete Laplace)
     // DP release of the (lang, source) composition table. The CASE
@@ -6191,6 +6267,43 @@ object Oracles {
          |SELECT lang, source, CAST(g + z AS BIGINT) AS released_count,
          | CAST(1000000 AS BIGINT) AS epsilon_micro
          |FROM z WHERE g + z >= 5""".stripMargin
+    },
+
+    // UnigramLmOps.unigramLmVocab: SentencePiece-style unigram-LM
+    // trainer, 2 unrolled Viterbi-EM rounds over the fixed candidate
+    // vocab (shared chain: see unigramChainSql).
+    "unigram_lm_vocab" ->
+      s"""$unigramChainSql
+         |SELECT v.piece, CAST(length(v.piece) AS BIGINT) AS piece_len,
+         | CAST(v.c0 AS BIGINT) AS init_count,
+         | CAST(f1.c AS BIGINT) AS em1_count,
+         | CAST(f2.c AS BIGINT) AS em2_count, p2.p_nano AS p_nano
+         |FROM vocab0 v
+         |JOIN cf1 f1 USING (piece) JOIN cf2 f2 USING (piece)
+         |JOIN p2 USING (piece)""".stripMargin,
+
+    // UnigramLmOps.unigramEncode: apply the round-2 trained model to
+    // every document — per-word piece counts from the same segmentation
+    // frame, per-doc fertility in exact integer micro-units.
+    "unigram_encode" -> {
+      import graft.operators.UnigramLmOps._
+      val nPieces = (1 to MaxWordLen)
+        .map(t => s"CASE WHEN piece_$t IS NOT NULL THEN 1 ELSE 0 END")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      s"""$unigramChainSql,
+         |wp AS (SELECT w, $nPieces AS n_pieces FROM rb2_$MaxWordLen),
+         |dw AS (SELECT doc_id,
+         |  unnest(CASE WHEN length(norm) = 0 THEN []
+         |    ELSE string_split(norm, ' ') END) AS w
+         | FROM (SELECT doc_id, ${normTextSql("text")} AS norm
+         |   FROM documents)),
+         |dwf AS (SELECT doc_id, w FROM dw
+         | WHERE length(w) BETWEEN 1 AND $MaxWordLen)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         | CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+         | CAST((SUM(n_pieces) * 1000000) // COUNT(*) AS BIGINT)
+         |   AS fertility_micro
+         |FROM dwf JOIN wp USING (w) GROUP BY doc_id""".stripMargin
     },
 
     // PatternOps.seqPatternMatch: 4-step signup→view→click(≥10)→purchase

@@ -350,6 +350,10 @@ object SparkEntry {
     "perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(documents(s, d))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(documents(s, d))),
     "bm25_search" -> ((s, d) => TextOps.bm25Search(documents(s, d))),
+    "unigram_lm_vocab" -> ((s, d) =>
+      UnigramLmOps.unigramLmVocab(documents(s, d))),
+    "unigram_encode" -> ((s, d) =>
+      UnigramLmOps.unigramEncode(documents(s, d))),
     "bpe_learn_merges" -> ((s, d) => TextOps.bpeLearnMerges(documents(s, d))),
     "bpe_encode" -> ((s, d) => TextOps.bpeEncode(documents(s, d))),
     "doc_keyterms" -> ((s, d) => TextOps.docKeyterms(documents(s, d))),
