@@ -6306,6 +6306,43 @@ object Oracles {
          |FROM dwf JOIN wp USING (w) GROUP BY doc_id""".stripMargin
     },
 
+    // TrendOps.revenueDiscords: exact matrix-profile discord scan of
+    // daily revenue — 7-day window pivot, calendar-bounded pair scan
+    // with the |i−j| ≥ 7 trivial-match guard, min-SSD profile, top-5 by
+    // exact HUGEINT SSD, exact-isqrt L2 readout.
+    "revenue_discords" -> {
+      val ys = (0 until 7).map(k =>
+        s"MAX(CASE WHEN k = $k THEN y END) AS y_$k").mkString(", ")
+      val ssd = (0 until 7).map(k =>
+        s"CAST(a.y_$k - b.y_$k AS HUGEINT) * (a.y_$k - b.y_$k)")
+        .mkString(" + ")
+      s"""WITH daily AS (
+         | SELECT CAST(o_orderdate AS DATE) AS d,
+         |  CAST(date_diff('day', DATE '1992-01-01',
+         |    CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+         | FROM orders GROUP BY 1, 2),
+         |ke AS (SELECT t - ks.k AS i, ks.k, y, d FROM daily,
+         |  (SELECT unnest(generate_series(0, 6)) AS k) ks),
+         |win AS (SELECT i, MAX(CASE WHEN k = 0 THEN d END) AS d_start, $ys
+         | FROM ke GROUP BY i HAVING COUNT(*) = 7),
+         |pairs AS (SELECT a.i AS ia, b.i AS ib, ($ssd) AS ssd
+         | FROM win a JOIN win b ON b.i >= a.i + 7),
+         |mp AS (SELECT i, MIN(ssd) AS mp FROM (
+         |  SELECT ia AS i, ssd FROM pairs
+         |  UNION ALL SELECT ib AS i, ssd FROM pairs)
+         | GROUP BY i),
+         |top AS (SELECT w.i, w.d_start, mp.mp FROM win w JOIN mp USING (i)
+         | ORDER BY mp.mp DESC, w.i LIMIT 5),
+         |s AS (SELECT i, d_start, mp,
+         |  CAST(floor(sqrt(CAST(mp AS DOUBLE))) AS BIGINT) AS s1 FROM top)
+         |SELECT i AS t_start, d_start,
+         | CAST(CASE WHEN CAST(s1 + 1 AS HUGEINT) * (s1 + 1) <= mp THEN s1 + 1
+         |  WHEN CAST(s1 AS HUGEINT) * s1 > mp THEN s1 - 1
+         |  ELSE s1 END AS BIGINT) AS l2_dist_cents
+         |FROM s""".stripMargin
+    },
+
     // PatternOps.seqPatternMatch: 4-step signup→view→click(≥10)→purchase
     // pattern compiled to running-maxima RANGE windows; the CTE chain is
     // the same anchor propagation (a_k = latest signup ts backing a

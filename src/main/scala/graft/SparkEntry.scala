@@ -421,6 +421,7 @@ object SparkEntry {
       AsOfOps.conversionLatencyQuartiles(events(s, d))),
     "window_funnel" -> ((s, d) => AsOfOps.windowFunnel(events(s, d))),
     "funnel_progress" -> ((s, d) => AsOfOps.funnelProgress(events(s, d))),
+    "revenue_discords" -> ((s, d) => TrendOps.revenueDiscords(orders(s, d))),
     "seq_pattern_match" -> ((s, d) => PatternOps.seqPatternMatch(events(s, d))),
     "seq_pattern_progress" -> ((s, d) =>
       PatternOps.seqPatternProgress(events(s, d))),

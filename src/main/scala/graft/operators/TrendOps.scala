@@ -675,4 +675,69 @@ object TrendOps {
         when(col("vx") > 0 && col("vy") > 0,
           round(col("cov") / sqrt(col("vx") * col("vy")), 4)).as("ccf"))
   }
+
+  /** Matrix-profile DISCORD scan of daily revenue (Keogh's matrix
+    * profile, the exact-integer edition): for every complete `m`-day
+    * window, the profile value is the minimum sum-of-squared-differences
+    * to ANY other non-overlapping complete window; the top-`topK`
+    * windows by that minimum are the discords — the week-shapes least
+    * like any other week in the history, the complement of
+    * [[graft.operators.StatOps.revenueMotifs]]' "most repeated shapes".
+    *
+    * Exactness: SSDs are DECIMAL(38,0) sums of squared cent differences
+    * (a squared daily-revenue difference passes 2⁶³ at lake scale);
+    * ranking and the non-overlap exclusion (|i−j| ≥ m, the standard
+    * trivial-match guard) happen on those exact integers with ties by
+    * window start. The reported L2 distance is the EXACT integer square
+    * root of the profile SSD (the mixture_temperature floor-sqrt ±1
+    * correction with decimal-checked squares, so libm rounding can
+    * never flip it).
+    *
+    * Scale: windows pivot from ONE k-explode of the Memo-shared daily
+    * fact (no ORDER-BY window functions); the pair scan is a broadcast
+    * nested-loop over the CALENDAR-bounded window table (≤ days²/2
+    * pairs at ANY SF — the day-pair-table shape); the profile min is a
+    * map-side-combined rollup of the pair endpoints.
+    */
+  def revenueDiscords(orders: DataFrame, m: Int = 7,
+      topK: Int = 5): DataFrame = {
+    require(m >= 2 && topK >= 1)
+    val daily = OpUtils.dailyFact(orders).select(col("t"), col("d"), col("y"))
+    val win = daily
+      .select(col("t"), col("d"), col("y"),
+        explode(sequence(lit(0), lit(m - 1))).as("k"))
+      .select((col("t") - col("k")).as("i"), col("k"), col("y"), col("d"))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("nk"),
+        max(when(col("k") === 0, col("d"))).as("d_start") +:
+          (0 until m).map(k =>
+            max(when(col("k") === k, col("y"))).as(s"y_$k")): _*)
+      .filter(col("nk") === m)
+    val a = win.select(col("i").as("ia") +:
+      (0 until m).map(k => col(s"y_$k").as(s"ya_$k")): _*)
+    val b = win.select(col("i").as("ib") +:
+      (0 until m).map(k => col(s"y_$k").as(s"yb_$k")): _*)
+    val ssd = (0 until m)
+      .map(k => s"cast(ya_$k - yb_$k as decimal(38,0)) * (ya_$k - yb_$k)")
+      .mkString(" + ")
+    val pairs = a.join(broadcast(b), col("ib") >= col("ia") + m)
+      .withColumn("ssd", expr(ssd))
+    val mp = pairs
+      .select(explode(array(
+        struct(col("ia").as("i"), col("ssd")),
+        struct(col("ib").as("i"), col("ssd")))).as("e"))
+      .select(col("e.i").as("i"), col("e.ssd").as("ssd"))
+      .groupBy(col("i")).agg(min(col("ssd")).as("mp"))
+    win.select(col("i"), col("d_start"))
+      .join(mp, Seq("i"))
+      .orderBy(col("mp").desc, col("i"))
+      .limit(topK)
+      .withColumn("s1", expr("cast(floor(sqrt(cast(mp as double))) as bigint)"))
+      .select(col("i").as("t_start"), col("d_start"),
+        expr("""cast(case
+          | when cast(s1 + 1 as decimal(38,0)) * (s1 + 1) <= mp then s1 + 1
+          | when cast(s1 as decimal(38,0)) * s1 > mp then s1 - 1
+          | else s1 end as bigint)""".stripMargin.replaceAll("\n", " "))
+          .as("l2_dist_cents"))
+  }
 }

@@ -346,4 +346,36 @@ class TrendOpsSpec extends SparkSpec {
     }
     assert(out.count(_.getAs[Long]("residual_cents") != 0L) == 1)
   }
+
+  test("revenueDiscords finds the anomalous week, exact vs brute force") {
+    // 40 consecutive days of flat $100 revenue except days 15..21 at
+    // $500 — the fully-anomalous window is the top discord
+    val rev = (0 until 40).map(t => t ->
+      (if (t >= 15 && t <= 21) 50000L else 10000L)).toMap
+    val d0 = java.time.LocalDate.parse("1995-01-01")
+    val orders = rev.toSeq.map { case (t, cents) =>
+      (t.toLong, 1L, Timestamp.valueOf(d0.plusDays(t).atStartOfDay()),
+        cents / 100.0)
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    // brute force on the same integers
+    def ssd(i: Int, j: Int): BigInt = (0 until 7)
+      .map(k => BigInt(rev(i + k) - rev(j + k)).pow(2)).sum
+    val starts = 0 to 33
+    val mp = starts.map(i => i ->
+      starts.filter(j => math.abs(j - i) >= 7).map(j => ssd(i, j)).min).toMap
+    val expectTop = starts.sortBy(i => (-mp(i), i)).take(5)
+    def isqrt(x: BigInt): Long = {
+      var s = BigInt(math.sqrt(x.toDouble).toLong)
+      while ((s + 1) * (s + 1) <= x) s += 1
+      while (s * s > x) s -= 1
+      s.toLong
+    }
+    val out = TrendOps.revenueDiscords(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.map(_._1).toSeq == expectTop.map(_.toLong + 1096L),
+      s"top starts ${out.map(_._1).toSeq} (t is days since 1992-01-01)")
+    assert(out.map(_._2).toSeq == expectTop.map(i => isqrt(mp(i))))
+    // the fully-anomalous window leads
+    assert(out.head._1 == 15L + 1096L)
+  }
 }
