@@ -728,16 +728,19 @@ object TrendOps {
         struct(col("ib").as("i"), col("ssd")))).as("e"))
       .select(col("e.i").as("i"), col("e.ssd").as("ssd"))
       .groupBy(col("i")).agg(min(col("ssd")).as("mp"))
+    // the isqrt projects BEFORE the sort so orderBy+limit compiles to
+    // TakeOrderedAndProject (a post-limit multi-reference projection
+    // blocks the pattern and degrades to a range-partitioned sort —
+    // caught by the global-sort plan sweep); ≤ days rows pay the sqrt
     win.select(col("i"), col("d_start"))
       .join(mp, Seq("i"))
+      .withColumn("s1", expr("cast(floor(sqrt(cast(mp as double))) as bigint)"))
+      .withColumn("l2_dist_cents", expr("""cast(case
+        | when cast(s1 + 1 as decimal(38,0)) * (s1 + 1) <= mp then s1 + 1
+        | when cast(s1 as decimal(38,0)) * s1 > mp then s1 - 1
+        | else s1 end as bigint)""".stripMargin.replaceAll("\n", " ")))
       .orderBy(col("mp").desc, col("i"))
       .limit(topK)
-      .withColumn("s1", expr("cast(floor(sqrt(cast(mp as double))) as bigint)"))
-      .select(col("i").as("t_start"), col("d_start"),
-        expr("""cast(case
-          | when cast(s1 + 1 as decimal(38,0)) * (s1 + 1) <= mp then s1 + 1
-          | when cast(s1 as decimal(38,0)) * s1 > mp then s1 - 1
-          | else s1 end as bigint)""".stripMargin.replaceAll("\n", " "))
-          .as("l2_dist_cents"))
+      .select(col("i").as("t_start"), col("d_start"), col("l2_dist_cents"))
   }
 }
