@@ -6306,6 +6306,37 @@ object Oracles {
          |FROM dwf JOIN wp USING (w) GROUP BY doc_id""".stripMargin
     },
 
+    // ExperimentOps.abWilsonBounds: per-arm Wilson 95% score interval
+    // with z = 49/25 exact — one sqrt, exact-isqrt corrected, all other
+    // terms HUGEINT rationals; conversion = user ever purchased.
+    "ab_wilson_bounds" ->
+      """WITH pu AS (SELECT user_id,
+        |  ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |    ::BIGINT % 2 AS arm,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |ar AS (SELECT arm, COUNT(*) AS n, SUM(conv) AS c FROM pu GROUP BY 1),
+        |t AS (SELECT arm, n, c,
+        |  (2500::HUGEINT * c * (n - c) + 2401::HUGEINT * n) * n AS an
+        | FROM ar),
+        |t2 AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(an AS DOUBLE))) AS BIGINT) AS s1 FROM t),
+        |t3 AS (SELECT *,
+        |  CASE WHEN CAST(s1 + 1 AS HUGEINT) * (s1 + 1) <= an THEN s1 + 1
+        |   WHEN CAST(s1 AS HUGEINT) * s1 > an THEN s1 - 1
+        |   ELSE s1 END AS s,
+        |  1250::HUGEINT * n * c + 2401::HUGEINT * n AS num,
+        |  1250::HUGEINT * n * n + 4802::HUGEINT * n AS den
+        | FROM t2)
+        |SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n_users,
+        | CAST(c AS BIGINT) AS n_converted,
+        | CAST((c * 1000000) // n AS BIGINT) AS p_micro,
+        | CAST(((num - 49::HUGEINT * s) * 1000000) // den AS BIGINT)
+        |   AS wilson_lo_micro,
+        | CAST(((num + 49::HUGEINT * s) * 1000000) // den AS BIGINT)
+        |   AS wilson_hi_micro
+        |FROM t3""".stripMargin,
+
     // TrendOps.revenueDiscords: exact matrix-profile discord scan of
     // daily revenue — 7-day window pivot, calendar-bounded pair scan
     // with the |i−j| ≥ 7 trivial-match guard, min-SSD profile, top-5 by

@@ -518,6 +518,7 @@ object SparkEntry {
       SurvivalOps.logrankConversionAb(events(s, d))),
     "position_attribution" -> ((s, d) => AsOfOps.positionAttribution(events(s, d))),
     "ab_cuped_readout" -> ((s, d) => ExperimentOps.abCupedReadout(events(s, d))),
+    "ab_wilson_bounds" -> ((s, d) => ExperimentOps.abWilsonBounds(events(s, d))),
     "weekday_revenue_envelope" -> ((s, d) =>
       TrendOps.weekdayRevenueEnvelope(orders(s, d))),
     "weekday_outlier_days" -> ((s, d) => TrendOps.weekdayOutlierDays(orders(s, d))),

@@ -95,4 +95,52 @@ object ExperimentOps {
             | / (cast(vx as double) * cast(vy as double)), 6)""".stripMargin))
           .as("var_reduction_r6"))
   }
+
+  /** Wilson 95% score interval for each arm's conversion rate — the
+    * per-arm readout next to [[abCupedReadout]]'s effect estimate and
+    * [[SurvivalOps.logrankConversionAb]]'s rate test: the interval that
+    * stays honest at small n and extreme p̂ where the Wald ±z√(p̂q̂/n)
+    * collapses (Wilson 1927; Brown–Cai–DasGupta 2001's recommendation).
+    *
+    * EXACT integer edition: with z = 1.96 = 49/25 (z² = 2401/625
+    * rational), both bounds reduce to
+    *   (1250·n·c + 2401·n ± 49·√(A·n)) / (1250·n² + 4802·n),
+    *   A = 2500·c·(n−c) + 2401·n
+    * — all DECIMAL(38,0) except the single √, which is the exact
+    * integer floor-sqrt (±1 correction with decimal-checked squares).
+    * Floor-isqrt keeps both bounds inside [0, 10⁶] micro by
+    * construction (at c = 0, A·n = 2401n² is a perfect square and the
+    * lower bound is exactly 0). Conversion = the user ever purchased.
+    *
+    * Scale: one map-side-combined rollup to the user grain (the one
+    * fact shuffle), then a 2-row fold. Nothing driver-side.
+    */
+  def abWilsonBounds(events: DataFrame): DataFrame = {
+    val perUser = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"),
+        pmod(graft.functions.HashFns.hash32(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2))
+          .cast("long").as("arm"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+    perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .withColumn("an", expr(
+        "(cast(2500 as decimal(38,0)) * c * (n - c) + cast(2401 as decimal(38,0)) * n) * n"))
+      .withColumn("s1", expr("cast(floor(sqrt(cast(an as double))) as bigint)"))
+      .withColumn("s", expr("""case
+        | when cast(s1 + 1 as decimal(38,0)) * (s1 + 1) <= an then s1 + 1
+        | when cast(s1 as decimal(38,0)) * s1 > an then s1 - 1
+        | else s1 end""".stripMargin.replaceAll("\n", " ")))
+      .withColumn("num", expr(
+        "cast(1250 as decimal(38,0)) * n * c + cast(2401 as decimal(38,0)) * n"))
+      .withColumn("den", expr(
+        "cast(1250 as decimal(38,0)) * n * n + cast(4802 as decimal(38,0)) * n"))
+      .select(col("arm"), col("n").as("n_users"), col("c").as("n_converted"),
+        expr("cast((c * 1000000) div n as bigint)").as("p_micro"),
+        expr("cast(((num - cast(49 as decimal(38,0)) * s) * 1000000) div den as bigint)")
+          .as("wilson_lo_micro"),
+        expr("cast(((num + cast(49 as decimal(38,0)) * s) * 1000000) div den as bigint)")
+          .as("wilson_hi_micro"))
+  }
 }

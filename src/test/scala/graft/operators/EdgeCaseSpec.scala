@@ -300,4 +300,45 @@ class EdgeCaseSpec extends SparkSpec {
     val plan = AuditOps.backfillPlan(oneDay).collect()
     assert(plan.length == 1 && !plan(0).getBoolean(2))
   }
+
+  test("round-12 operators survive degenerate and empty inputs") {
+    import org.apache.spark.sql.functions._
+    val noDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // empty corpus: empty vocab / empty release, never a crash or null row
+    assert(UnigramLmOps.unigramLmVocab(noDocs).count() == 0)
+    assert(UnigramLmOps.unigramEncode(noDocs).count() == 0)
+    assert(AuditOps.dpReleaseCounts(noDocs).count() == 0)
+    // null/blank texts: the encoder skips them, the trainer ignores them
+    assert(UnigramLmOps.unigramEncode(degenerate).collect()
+      .map(_.getLong(0)).toSet == Set(4L, 5L))
+    // a null quasi-identifier class still releases deterministically
+    // (null-salted hash → null uniform → the CASE ladder's clamp arm)
+    val nullLang = (1 to 30).map(i => (i.toLong, "t",
+      null.asInstanceOf[String], "srcX", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rel = AuditOps.dpReleaseCounts(nullLang).collect()
+    assert(rel.length == 1 && rel(0).isNullAt(0) &&
+      rel(0).getLong(2) == 30L + AuditOps.DpNoiseClampZ)
+    // patterns: empty events → empty histograms/emissions
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("user_id", "ts", "event_type", "value")
+    assert(PatternOps.seqPatternMatch(noEvents).count() == 0)
+    assert(PatternOps.seqPatternProgress(noEvents).count() == 0)
+    // a user who never anchors reports level 0, not absence
+    val noAnchor = Seq((1L, java.sql.Timestamp.valueOf("1995-01-01 00:00:00"),
+      "purchase", 0.0)).toDF("user_id", "ts", "event_type", "value")
+    val lvl = PatternOps.seqPatternMatch(noAnchor).collect()
+    assert(lvl.length == 1 && lvl(0).getLong(0) == 0L)
+    // discords: fewer than 2 non-overlapping windows → no profile rows
+    val shortHist = (0 until 10).map { t =>
+      (t.toLong, 1L, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.parse("1995-01-01").plusDays(t).atStartOfDay()),
+        100.0)
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    assert(TrendOps.revenueDiscords(shortHist).count() == 0)
+    val noOrders2 = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    assert(TrendOps.revenueDiscords(noOrders2).count() == 0)
+  }
 }

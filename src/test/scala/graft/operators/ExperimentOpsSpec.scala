@@ -49,4 +49,58 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(r3.isNullAt(r3.fieldIndex("theta_r6")))
     assert(r3.isNullAt(r3.fieldIndex("effect_cuped_cents_r4")))
   }
+
+  /** BigInt mirror of the exact Wilson formula (z = 49/25). */
+  private def wilson(n: Long, c: Long): (Long, Long) = {
+    def isqrt(x: BigInt): BigInt = {
+      var s = BigInt(math.sqrt(x.toDouble).toLong)
+      while ((s + 1) * (s + 1) <= x) s += 1
+      while (s * s > x) s -= 1
+      s
+    }
+    val an = (BigInt(2500) * c * (n - c) + BigInt(2401) * n) * n
+    val s = isqrt(an)
+    val num = BigInt(1250) * n * c + BigInt(2401) * n
+    val den = BigInt(1250) * n * n + BigInt(4802) * n
+    (((num - 49 * s) * 1000000 / den).toLong,
+      ((num + 49 * s) * 1000000 / den).toLong)
+  }
+
+  test("abWilsonBounds: exact-integer Wilson intervals per arm") {
+    import org.apache.spark.sql.functions.lit
+    // 60 users, one event each; users 1..12 purchase, the rest view
+    val evs = (1 to 60).map { u =>
+      (u.toLong, new Timestamp(1704067200000L + u * 1000L), u.toLong,
+        if (u <= 12) "purchase" else "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = ExperimentOps.abWilsonBounds(evs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L))
+    for ((_, (n, c, p, lo, hi)) <- out) {
+      assert(p == c * 1000000L / n)
+      val (elo, ehi) = wilson(n, c)
+      assert((lo, hi) == (elo, ehi))
+      // Wilson containment: p̂ strictly inside, bounds inside [0, 1]
+      assert(lo <= p && p <= hi && lo >= 0L && hi <= 1000000L)
+      // sanity vs the textbook double formula; the floor-isqrt shifts a
+      // bound by at most 49/den (one integer step of s), plus 1 for the
+      // two independent floors
+      val (nn, cc) = (n.toDouble, c.toDouble)
+      val z2 = 3.8416
+      val ctr = (cc + z2 / 2) / (nn + z2)
+      val rad = 1.96 * math.sqrt(cc * (nn - cc) / nn + z2 / 4) / (nn + z2)
+      val slack = 49.0 * 1e6 / (1250.0 * nn * nn + 4802.0 * nn) + 2
+      assert(math.abs(lo - 1e6 * (ctr - rad)) <= slack)
+      assert(math.abs(hi - 1e6 * (ctr + rad)) <= slack)
+    }
+    // boundary exactness: all-convert → hi = 10⁶ exactly; none → lo = 0
+    val all = evs.withColumn("event_type", lit("purchase"))
+    assert(ExperimentOps.abWilsonBounds(all).collect()
+      .forall(r => r.getLong(5) == 1000000L))
+    val none = evs.withColumn("event_type", lit("view"))
+    assert(ExperimentOps.abWilsonBounds(none).collect()
+      .forall(r => r.getLong(4) == 0L))
+  }
 }
