@@ -1732,6 +1732,52 @@ object Oracles {
         |SELECT nation, CAST(r AS BIGINT) AS rank_micro FROM it5"""
     }.stripMargin,
 
+    // GraphOps.nationTradeHits: 3 sum-normalized HITS rounds over the
+    // same edge CTEs — a_k from h_{k-1} in-sums, h_k from a_k out-sums,
+    // each L1-normalized to 10⁶ with the identical integer div.
+    "nation_trade_hits" -> {
+      // every chained CTE is AS MATERIALIZED and totals are their own
+      // CTEs — a double-referenced round CTE (normalizer total + join)
+      // otherwise re-inlines the whole upstream chain exponentially
+      // (measured: sf0.001 never finishes without it)
+      def aStep(k: Int): String =
+        s"""ar$k AS MATERIALIZED (SELECT e.dst, SUM(p.h) AS raw
+           | FROM e0 e JOIN h${k - 1} p ON e.src = p.nation GROUP BY e.dst),
+           |at$k AS (SELECT SUM(raw) AS tot FROM ar$k),
+           |a$k AS MATERIALIZED (SELECT n.nation,
+           |  CAST((COALESCE(c.raw, 0) * 1000000)
+           |    // NULLIF(t.tot, 0) AS BIGINT) AS a
+           | FROM nodes n LEFT JOIN ar$k c ON n.nation = c.dst
+           | CROSS JOIN at$k t)"""
+      def hStep(k: Int): String =
+        s"""hr$k AS MATERIALIZED (SELECT e.src, SUM(p.a) AS raw
+           | FROM e0 e JOIN a$k p ON e.dst = p.nation GROUP BY e.src),
+           |ht$k AS (SELECT SUM(raw) AS tot FROM hr$k),
+           |h$k AS MATERIALIZED (SELECT n.nation,
+           |  CAST((COALESCE(c.raw, 0) * 1000000)
+           |    // NULLIF(t.tot, 0) AS BIGINT) AS h
+           | FROM nodes n LEFT JOIN hr$k c ON n.nation = c.src
+           | CROSS JOIN ht$k t)"""
+      """WITH ls AS (
+        | SELECT DISTINCT l_orderkey, n_name AS src
+        | FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |os AS (
+        | SELECT o_orderkey, n_name AS dst
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |e0 AS MATERIALIZED (
+        | SELECT DISTINCT src, dst FROM ls JOIN os ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT n_name AS nation FROM nation),
+        |h0 AS (SELECT nation, 1000000 AS h FROM nodes),""" +
+        (1 to 3).map(k => aStep(k) + ",\n" + hStep(k)).mkString(",\n") + """
+        |SELECT h3.nation, CAST(h3.h AS BIGINT) AS hub_micro,
+        | CAST(a3.a AS BIGINT) AS auth_micro
+        |FROM h3 JOIN a3 ON h3.nation = a3.nation"""
+    }.stripMargin,
+
     // bloom_segment_revenue routes through BloomOps.bloomPrunedJoin —
     // the bloom is physical-only, so the oracle is the PLAIN join
     "bloom_segment_revenue" ->

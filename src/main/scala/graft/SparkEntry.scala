@@ -234,6 +234,9 @@ object SparkEntry {
     "nation_trade_pagerank" -> ((s, d) =>
       GraphOps.nationTradePagerank(lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d), nation(s, d))),
+    "nation_trade_hits" -> ((s, d) =>
+      GraphOps.nationTradeHits(lineitem(s, d), orders(s, d),
+        customer(s, d), supplier(s, d), nation(s, d))),
     "trade_triangles" -> ((s, d) =>
       GraphOps.nationTradeTriangles(lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d), nation(s, d))),

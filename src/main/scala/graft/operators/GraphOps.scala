@@ -100,6 +100,56 @@ object GraphOps {
     ranks.select(col("nation"), col("r").as("rank_micro"))
   }
 
+  /** Three-iteration sum-normalized HITS (Kleinberg 1999) over the
+    * trade graph — hubs = nations whose SUPPLIERS feed the important
+    * consumers, authorities = nations whose CUSTOMERS absorb the
+    * important producers; the directional complement of
+    * [[nationTradePagerank]]'s single centrality. Classic update order:
+    * a ← Σ h(in-neighbors) then h ← Σ a(out-neighbors), each
+    * SUM-normalized to 10⁶ total per round (the L1 variant — exact in
+    * integer micro-units, unlike the L2 norm's sqrt; normalization
+    * choice doesn't change the ranking, only the scale, and is part of
+    * the documented contract the oracle mirrors).
+    *
+    * Scale: one fact pass (the Memo-shared edge list); iterations are
+    * dim-bounded joins over ≤ |nations|² pinned rows. Integer div
+    * truncation each round is the same recurrence in both engines.
+    */
+  def nationTradeHits(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    val nodes = nation.select(col("n_name").as("nation"))
+    val edges = tradeEdges(lineitem, orders, customer, supplier, nation)
+      .localCheckpoint(true)
+    def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      nodes.join(raw, col("nation") === col(key), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("nation"), expr(
+          "cast((coalesce(raw, 0L) * 1000000) div nullif(tot, 0) as bigint)")
+          .as(out))
+    }
+    var h = nodes.select(col("nation"), lit(1000000L).as("h"))
+    var a = nodes.select(col("nation"), lit(1000000L).as("a"))
+    for (_ <- 1 to iterations) {
+      // pin each round's 25-row score frame: `raw` feeds both the
+      // normalizer total and the join, so an unpinned chain doubles the
+      // logical plan per half-round (2⁶ leaf copies by round 3 —
+      // analysis time, not data, is what blows up)
+      a = normalize(edges
+        .join(h.withColumnRenamed("nation", "hn"), col("src") === col("hn"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("raw")), "dst", "a")
+        .localCheckpoint(true)
+      h = normalize(edges
+        .join(a.withColumnRenamed("nation", "an"), col("dst") === col("an"))
+        .groupBy(col("src")).agg(sum(col("a")).as("raw")), "src", "h")
+        .localCheckpoint(true)
+    }
+    h.join(a, Seq("nation"))
+      .select(col("nation"), col("h").as("hub_micro"),
+        col("a").as("auth_micro"))
+  }
+
   /** Directed-triangle (3-cycle) participation per nation — the
     * circular-trade motif count (A supplies B supplies C supplies A),
     * the graph-clustering complement to PageRank's centrality.

@@ -44,6 +44,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(ranks == Map("A" -> 75000L, "B" -> 138750L))
   }
 
+  test("nationTradeHits matches the integer L1-HITS recurrence, hubs vs authorities") {
+    val nation4 = Seq((0, "A"), (1, "B"), (2, "C"), (3, "D"))
+      .toDF("n_nationkey", "n_name")
+    // edges A→C, B→C, B→D: B is the wider hub, C the stronger authority
+    val supplier = Seq((10L, 0), (11L, 1)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((22L, 2), (23L, 3)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((30L, 22L), (31L, 22L), (32L, 23L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((30L, 10L), (31L, 11L), (32L, 11L))
+      .toDF("l_orderkey", "l_suppkey")
+    // plain-Scala mirror of the sum-normalized integer recurrence
+    val nodes = Seq("A", "B", "C", "D")
+    val edges = Seq(("A", "C"), ("B", "C"), ("B", "D"))
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = nodes.map(_ -> 1000000L).toMap
+    def norm(raw: Map[String, Long]): Map[String, Long] = {
+      val tot = raw.values.sum
+      nodes.map(n => n ->
+        (if (tot == 0) 0L else raw.getOrElse(n, 0L) * 1000000L / tot)).toMap
+    }
+    for (_ <- 1 to 3) {
+      a = norm(edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => h(e._1)).sum })
+      h = norm(edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => a(e._2)).sum })
+    }
+    val out = GraphOps.nationTradeHits(lineitem, orders, customer,
+      supplier, nation4).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == nodes.map(n => n -> (h(n), a(n))).toMap)
+    // structure: B out-hubs A; C out-authorities D; sources/sinks zero
+    assert(out("B")._1 > out("A")._1 && out("C")._2 > out("D")._2)
+    assert(out("C")._1 == 0L && out("D")._1 == 0L) // no out-edges → no hub
+    assert(out("A")._2 == 0L && out("B")._2 == 0L) // no in-edges → no auth
+  }
+
   test("nationTradeTriangles counts each 3-cycle once per participant") {
     val nation3 = Seq((0, "A"), (1, "B"), (2, "C"), (3, "D"))
       .toDF("n_nationkey", "n_name")
