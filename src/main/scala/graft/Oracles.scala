@@ -6367,13 +6367,14 @@ object Oracles {
         | FROM ar),
         |t2 AS (SELECT *,
         |  CAST(floor(sqrt(CAST(an AS DOUBLE))) AS BIGINT) AS s1 FROM t),
+        |t2b AS (SELECT *, (s1 + (an // s1)) // 2 AS s2 FROM t2),
         |t3 AS (SELECT *,
-        |  CASE WHEN CAST(s1 + 1 AS HUGEINT) * (s1 + 1) <= an THEN s1 + 1
-        |   WHEN CAST(s1 AS HUGEINT) * s1 > an THEN s1 - 1
-        |   ELSE s1 END AS s,
+        |  CASE WHEN CAST(s2 + 1 AS HUGEINT) * (s2 + 1) <= an THEN s2 + 1
+        |   WHEN CAST(s2 AS HUGEINT) * s2 > an THEN s2 - 1
+        |   ELSE s2 END AS s,
         |  1250::HUGEINT * n * c + 2401::HUGEINT * n AS num,
         |  1250::HUGEINT * n * n + 4802::HUGEINT * n AS den
-        | FROM t2)
+        | FROM t2b)
         |SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n_users,
         | CAST(c AS BIGINT) AS n_converted,
         | CAST((c * 1000000) // n AS BIGINT) AS p_micro,
@@ -6412,12 +6413,14 @@ object Oracles {
          |top AS (SELECT w.i, w.d_start, mp.mp FROM win w JOIN mp USING (i)
          | ORDER BY mp.mp DESC, w.i LIMIT 5),
          |s AS (SELECT i, d_start, mp,
-         |  CAST(floor(sqrt(CAST(mp AS DOUBLE))) AS BIGINT) AS s1 FROM top)
+         |  CAST(floor(sqrt(CAST(mp AS DOUBLE))) AS BIGINT) AS s1 FROM top),
+         |s2 AS (SELECT *, CASE WHEN s1 <= 0 THEN s1
+         |  ELSE (s1 + (mp // s1)) // 2 END AS s2 FROM s)
          |SELECT i AS t_start, d_start,
-         | CAST(CASE WHEN CAST(s1 + 1 AS HUGEINT) * (s1 + 1) <= mp THEN s1 + 1
-         |  WHEN CAST(s1 AS HUGEINT) * s1 > mp THEN s1 - 1
-         |  ELSE s1 END AS BIGINT) AS l2_dist_cents
-         |FROM s""".stripMargin
+         | CAST(CASE WHEN CAST(s2 + 1 AS HUGEINT) * (s2 + 1) <= mp THEN s2 + 1
+         |  WHEN CAST(s2 AS HUGEINT) * s2 > mp THEN s2 - 1
+         |  ELSE s2 END AS BIGINT) AS l2_dist_cents
+         |FROM s2""".stripMargin
     },
 
     // PatternOps.seqPatternMatch: 4-step signup→view→click(≥10)→purchase

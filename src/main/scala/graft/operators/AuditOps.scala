@@ -593,14 +593,18 @@ object AuditOps {
     * at/above). Computed ONCE on the driver and inlined as integer
     * literals into BOTH the Spark plan and the generated oracle SQL, so
     * engine parity is by construction — the [[graft.operators.StatOps]]
-    * PoissonCdfMicro discipline.
+    * PoissonCdfMicro discipline. Uses `StrictMath` (not
+    * `java.lang.Math`, which permits platform-dependent 1-ulp error) so
+    * the 40 threshold literals — and therefore the whole release — are
+    * bit-identical across JVMs and architectures, not just within one
+    * run.
     */
   val DpGeomCdfMicro: Seq[(Int, Long)] = {
-    val alpha = math.exp(-1.0)
+    val alpha = StrictMath.exp(-1.0)
     (-DpNoiseClampZ until DpNoiseClampZ).map { z =>
       val cdf =
-        if (z < 0) math.pow(alpha, -z) / (1.0 + alpha)
-        else 1.0 - math.pow(alpha, z + 1) / (1.0 + alpha)
+        if (z < 0) StrictMath.pow(alpha, -z) / (1.0 + alpha)
+        else 1.0 - StrictMath.pow(alpha, z + 1) / (1.0 + alpha)
       z -> math.floor(1e6 * cdf).toLong
     }
   }
@@ -620,16 +624,32 @@ object AuditOps {
     *
     * Noise is a pure function of the salted class key (inverse-CDF on
     * the md5-prefix uniform, the `bootstrap_ci` idiom) — no RNG state,
-    * so the release is reproducible and the DuckDB oracle replays it
-    * bit-for-bit. Determinism costs nothing here: DP needs the noise
-    * unpredictable to the ADVERSARY, and the salt plays the key role.
+    * so with the same `secretSalt` the release is reproducible and the
+    * DuckDB oracle replays it bit-for-bit.
+    *
+    * '''Threat model — read before claiming privacy.''' The privacy of
+    * the geometric mechanism rests entirely on the noise being
+    * unpredictable to the adversary. Here the noise is
+    * hash(secretSalt ‖ class-label), so it is exactly as secret as
+    * `secretSalt`: with the DEFAULT salt ("dp:", a compile-time
+    * constant visible in this source file) anyone can recompute every
+    * z and recover the exact count `g = released_count − z` — the
+    * default path is a reproducible geometric-mechanism DEMO for the
+    * cross-engine oracle gate and offers NO privacy guarantee against
+    * anyone who can read this code. For a real release, pass a
+    * `secretSalt` drawn fresh from a CSPRNG, treat it like a key (never
+    * log or commit it), and accept that replay is then possible only
+    * for holders of the salt. The `epsilon_micro` accounting column
+    * states the mechanism's ε = 1 (parallel composition over disjoint
+    * classes); it is meaningful only under a secret salt.
     *
     * Scale: one map-side-combined rollup to the bounded class table
     * (langs × sources), then per-row integer arithmetic. No window, no
     * join, nothing driver-side.
     */
   def dpReleaseCounts(documents: DataFrame,
-      releaseThreshold: Long = 5): DataFrame = {
+      releaseThreshold: Long = 5,
+      secretSalt: String = "dp:"): DataFrame = {
     require(releaseThreshold >= 1)
     val noise = DpGeomCdfMicro.foldRight(lit(DpNoiseClampZ): Column) {
       case ((z, t), e) => when(col("u") < t, z).otherwise(e)
@@ -637,7 +657,7 @@ object AuditOps {
     documents
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("g"))
       .withColumn("x", graft.functions.HashFns.hash32(
-        concat(lit("dp:"), col("lang"), lit(":"), col("source"))))
+        concat(lit(secretSalt), col("lang"), lit(":"), col("source"))))
       .withColumn("u", expr("(x * 1000000) div 4294967296"))
       .withColumn("z", noise)
       .filter(col("g") + col("z") >= releaseThreshold)

@@ -107,7 +107,15 @@ object ExperimentOps {
     *   (1250·n·c + 2401·n ± 49·√(A·n)) / (1250·n² + 4802·n),
     *   A = 2500·c·(n−c) + 2401·n
     * — all DECIMAL(38,0) except the single √, which is the exact
-    * integer floor-sqrt (±1 correction with decimal-checked squares).
+    * integer floor-sqrt: a double seed, ONE integer Newton step
+    * s₂ = (s₁ + ⌊an/s₁⌋) div 2, then the ±1 correction with
+    * decimal-checked squares. The Newton step matters once √an exceeds
+    * 2⁵³ (an ≳ 8·10³¹ — arms of a few billion users at 100 TB): there
+    * the double seed can be off by more than 1 (up to ~√an·2⁻⁵² for
+    * an < 10³⁸), but one Newton step from a seed with error e leaves
+    * error ≤ ⌈e²/(2√an)⌉ ≤ 1, always from above (AM–GM), which the
+    * checked ladder removes — exact for every an a DECIMAL(38,0)/
+    * HUGEINT can hold whose root fits in BIGINT (an ≤ ~8.5·10³⁷).
     * Floor-isqrt keeps both bounds inside [0, 10⁶] micro by
     * construction (at c = 0, A·n = 2401n² is a perfect square and the
     * lower bound is exactly 0). Conversion = the user ever purchased.
@@ -128,10 +136,11 @@ object ExperimentOps {
       .withColumn("an", expr(
         "(cast(2500 as decimal(38,0)) * c * (n - c) + cast(2401 as decimal(38,0)) * n) * n"))
       .withColumn("s1", expr("cast(floor(sqrt(cast(an as double))) as bigint)"))
+      .withColumn("s2", expr("(s1 + (an div s1)) div 2"))
       .withColumn("s", expr("""case
-        | when cast(s1 + 1 as decimal(38,0)) * (s1 + 1) <= an then s1 + 1
-        | when cast(s1 as decimal(38,0)) * s1 > an then s1 - 1
-        | else s1 end""".stripMargin.replaceAll("\n", " ")))
+        | when cast(s2 + 1 as decimal(38,0)) * (s2 + 1) <= an then s2 + 1
+        | when cast(s2 as decimal(38,0)) * s2 > an then s2 - 1
+        | else s2 end""".stripMargin.replaceAll("\n", " ")))
       .withColumn("num", expr(
         "cast(1250 as decimal(38,0)) * n * c + cast(2401 as decimal(38,0)) * n"))
       .withColumn("den", expr(

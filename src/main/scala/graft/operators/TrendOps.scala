@@ -689,9 +689,10 @@ object TrendOps {
     * ranking and the non-overlap exclusion (|i−j| ≥ m, the standard
     * trivial-match guard) happen on those exact integers with ties by
     * window start. The reported L2 distance is the EXACT integer square
-    * root of the profile SSD (the mixture_temperature floor-sqrt ±1
-    * correction with decimal-checked squares, so libm rounding can
-    * never flip it).
+    * root of the profile SSD (double seed → one integer Newton step →
+    * ±1 correction with decimal-checked squares — the abWilsonBounds
+    * discipline, exact even past √ssd > 2⁵³ where the bare double
+    * seed drifts by more than 1).
     *
     * Scale: windows pivot from ONE k-explode of the Memo-shared daily
     * fact (no ORDER-BY window functions); the pair scan is a broadcast
@@ -735,10 +736,15 @@ object TrendOps {
     win.select(col("i"), col("d_start"))
       .join(mp, Seq("i"))
       .withColumn("s1", expr("cast(floor(sqrt(cast(mp as double))) as bigint)"))
+      // one integer Newton step before the ladder (the abWilsonBounds
+      // fix): the double seed alone drifts >1 once √mp passes 2⁵³;
+      // mp = 0 (identical windows) must skip the step — division guard
+      .withColumn("s2",
+        expr("case when s1 <= 0 then s1 else (s1 + (mp div s1)) div 2 end"))
       .withColumn("l2_dist_cents", expr("""cast(case
-        | when cast(s1 + 1 as decimal(38,0)) * (s1 + 1) <= mp then s1 + 1
-        | when cast(s1 as decimal(38,0)) * s1 > mp then s1 - 1
-        | else s1 end as bigint)""".stripMargin.replaceAll("\n", " ")))
+        | when cast(s2 + 1 as decimal(38,0)) * (s2 + 1) <= mp then s2 + 1
+        | when cast(s2 as decimal(38,0)) * s2 > mp then s2 - 1
+        | else s2 end as bigint)""".stripMargin.replaceAll("\n", " ")))
       .orderBy(col("mp").desc, col("i"))
       .limit(topK)
       .select(col("i").as("t_start"), col("d_start"), col("l2_dist_cents"))

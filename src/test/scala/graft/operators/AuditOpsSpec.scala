@@ -80,6 +80,26 @@ class AuditOpsSpec extends SparkSpec {
     assert(replay == rows)
   }
 
+  test("dpReleaseCounts: a secret salt changes the noise; default path unchanged") {
+    val docs = (0 until 30).flatMap(c =>
+      (1 to 30).map(i => ((c * 100 + i).toLong, "t", s"l$c", s"s$c", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def release(salt: String) =
+      AuditOps.dpReleaseCounts(docs, secretSalt = salt).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pub = release("dp:")                 // the public oracle default
+    val sec = release("k3y-from-a-csprng:")  // a stand-in secret salt
+    // same salt → same release (explicit arg ≡ default arg)
+    assert(pub == AuditOps.dpReleaseCounts(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+    // a different salt must redraw the noise on at least one class —
+    // the adversary who knows only the public default cannot replay it
+    val common = pub.keySet.intersect(sec.keySet)
+    assert(common.nonEmpty && common.exists(k => pub(k) != sec(k)))
+    // both releases still honor clamp and threshold
+    assert(sec.values.forall(r => r >= 5L && math.abs(r - 30L) <= 20L))
+  }
+
   test("dpReleaseCounts noise is not identically zero across classes") {
     val docs = (0 until 30).flatMap(c =>
       (1 to 30).map(i => ((c * 100 + i).toLong, "t", s"l$c", s"s$c", 10L)))

@@ -28,6 +28,27 @@ os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 con.execute(f"CREATE TABLE copies AS SELECT unnest(range({K})) AS i")
 
+# The per-copy shift is only collision-free if every shifted key space
+# fits under OFFSET. That holds for the driver's sf0.1 (max key ~600k)
+# but NOT for arbitrary sources (o_orderkey passes 10M around sf~1.7) —
+# silent collisions would corrupt the FK selectivity this bench is meant
+# to hold constant, so fail loudly before writing anything.
+SHIFTED_KEYS = {
+    "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"], "embeddings": ["vec_id"],
+}
+for table, keys in SHIFTED_KEYS.items():
+    maxes = ", ".join(f"max({k})" for k in keys)
+    row = con.execute(f"SELECT {maxes} FROM '{SRC}/{table}.parquet'").fetchone()
+    for key, mx in zip(keys, row):
+        assert mx is not None and mx < OFFSET, (
+            f"{table}.{key} max={mx} >= OFFSET={OFFSET}: per-copy key "
+            f"shift would collide across copies — raise OFFSET")
+
 def rep(table, select):
     con.execute(
         f"COPY (SELECT {select} FROM '{SRC}/{table}.parquet', copies) "
