@@ -1,7 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** JVM pids alive on this box that are neither this process nor one of
+    * its ancestors (sbt launching us is fine; a concurrent Spark suite is
+    * not). Round 12 committed a snapshot measured ~14% hot because another
+    * JVM shared the 32 cores — the numbers looked like four real
+    * regressions. Every run now measures this up front; the result is
+    * stamped into both JSON outputs as `contended_jvms` so a hot snapshot
+    * can never masquerade as clean, and SPARK_GRAFT_BENCH_STRICT=1 refuses
+    * to run at all under contention (exit 2).
+    */
+  private def foreignJvms(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val self = ProcessHandle.current()
+    val ancestors = Iterator.iterate(Option(self))(_.flatMap(h =>
+      Option(h.parent().orElse(null)))).takeWhile(_.isDefined)
+      .flatten.map(_.pid()).toSet
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter(h => !ancestors.contains(h.pid()))
+      .filter(_.info().command().map[Boolean](c =>
+        c.endsWith("/java") || c == "java").orElse(false))
+      .map(_.pid()).toSeq.sorted
+  }
+
   def main(args: Array[String]): Unit = {
+    val contended = foreignJvms()
+    if (contended.nonEmpty) {
+      System.err.println(s"[bench] WARNING: ${contended.length} foreign " +
+        s"JVM(s) alive (pids ${contended.mkString(",")}) — timings will " +
+        "run HOT and are not comparable to a clean snapshot")
+      if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")) {
+        System.err.println("[bench] SPARK_GRAFT_BENCH_STRICT=1: refusing " +
+          "to run under contention")
+        sys.exit(2)
+      }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(SparkSession.builder()
@@ -98,14 +131,15 @@ object Bench {
     // summary line. Full per-query timings go to BENCH_FULL.json; the
     // printed line carries the headline total plus the top slowest
     // queries (the ones worth cross-round comparison) and stays <1.5 KB.
+    val cj = s""""contended_jvms":${contended.length}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$fullJson,"spread":$spreadJson,"failed":$failed,"sf":"$sfDir"}\n"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},$cj,"queries":$fullJson,"spread":$spreadJson,"failed":$failed,"sf":"$sfDir"}\n"""
         .getBytes("UTF-8"))
     val top = all.filter(_._3).sortBy(-_._2).take(12)
       .map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$top,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},$cj,"queries":$top,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

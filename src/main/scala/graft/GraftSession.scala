@@ -51,4 +51,45 @@ object GraftSession {
     */
   def register(spark: SparkSession): Unit =
     functions.GraftFunctions.registerAll(spark)
+
+  /** Base-table names in the lake layout [[Tables]] reads. */
+  val TableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Make the whole operator surface SQL-callable — the reference's
+    * notebook UX (the Analysis notebooks run plain SQL against catalog
+    * tables). Registers every base table as a temp view under its own
+    * name and every graded operator as a temp view `graft_<name>`, so
+    * after one call a user writes nothing but SQL:
+    *
+    * {{{
+    * GraftSession.registerViews(spark, "/data/lake")
+    * spark.sql("SELECT * FROM graft_agg_region_pct")
+    * spark.sql("SELECT * FROM graft_dedup_minhash_lsh WHERE cnt > 1")
+    * }}}
+    *
+    * Views are LAZY logical plans: registration builds each operator's
+    * DataFrame (plan-only, no jobs run) and leaves optimization to
+    * Catalyst at query time — filters a user writes OVER a graft view
+    * participate in pushdown/pruning like any subquery, so the SQL
+    * surface costs nothing over the Scala API. Operators composed over
+    * other operators re-derive through the session [[operators.Memo]]
+    * exactly as the API path does.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    register(spark)
+    // via the typed accessors, not raw table(): events needs the
+    // nanos/NTZ timestamp repair to read identically to the API path
+    val base: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("region" -> Tables.region, "nation" -> Tables.nation,
+        "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+        "part" -> Tables.part, "orders" -> Tables.orders,
+        "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+        "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
+    TableNames.foreach(n => base(n)(spark, dir).createOrReplaceTempView(n))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, dir).createOrReplaceTempView(s"graft_$name")
+    }
+  }
 }
