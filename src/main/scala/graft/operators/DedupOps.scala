@@ -517,17 +517,41 @@ object DedupOps {
       .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster_id", col("node")).localCheckpoint(true)
+    // AQE stays ON here — it converts every loop join to a runtime
+    // broadcast; with it off the checkpointed (stats-less) label frames
+    // plan as sort-merge joins and each round ran ~9× slower. The
+    // residual per-round cost is AQE's sequential query-stage
+    // materialization (~60-80 ms per exchange), which the multi-hop
+    // batching below amortizes.
+    ccLoop(edges, labels)
+  }
+
+  private def ccLoop(edges: DataFrame, labels0: DataFrame): DataFrame = {
+    var labels = labels0
     var changed = 1L
     var rounds = 0
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (changed > 0 && rounds < 32) {
       val t0 = System.nanoTime()
-      val prop = edges.join(labels, edges("src") === labels("node"))
-        .select(edges("dst").as("node"), labels("cluster_id"))
-      // no persist: the self-join reads the identical subplan twice and
-      // Spark's ReusedExchange dedups it inside the one checkpoint job
-      val onehop = labels.select(col("node"), col("cluster_id")).union(prop)
-        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+      // several edge-hops per checkpointed round: each round's wall time
+      // is dominated by the FIXED job overhead (~0.3 s), not the ~10⁴-row
+      // cluster work, and min-spread through a long-diameter chain
+      // advances one direct hop per propagation (the pointer jump can't
+      // shortcut past where the minimum has physically reached — the
+      // er_clusters name-chain graph measured 26 one-hop rounds). Four
+      // hops inside the SAME job cut rounds ~4× for pennies of extra
+      // per-job work (8 hops was tried and reverted: the pointer-jump
+      // self-join duplicates the whole hop chain and past ~4 hops
+      // exchange reuse stops saving it — rounds went 0.6 s → 8 s).
+      val onehop = (1 to 4).foldLeft(
+          labels.select(col("node"), col("cluster_id"))) { (cur, _) =>
+        val prop = edges.join(cur, edges("src") === cur("node"))
+          .select(edges("dst").as("node"), cur("cluster_id"))
+        // no persist: the self-join reads the identical subplan twice and
+        // Spark's ReusedExchange dedups it inside the one checkpoint job
+        cur.union(prop)
+          .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+      }
       // pointer doubling: a label is always a node of the same component,
       // so jump straight to that node's (smaller-or-equal) label. The
       // changed flag rides the SAME checkpoint job (vs a separate

@@ -165,6 +165,22 @@ object Memo {
     df
   }
 
+  /** Eagerly localCheckpoint an operator-INTERNAL intermediate and
+    * register its blocks for release at [[invalidate]] — the stronger
+    * sibling of [[managedPersist]] for frames consumed by CONCURRENT
+    * broadcast subqueries inside one build: a lazy persist only
+    * populates when first scanned, and Spark launches a plan's
+    * broadcast jobs in parallel, so every racer recomputes the full
+    * upstream pass (measured ~5 duplicate explode+decimal passes in
+    * pair_medians). A checkpoint is computed exactly once HERE, and
+    * every consumer — racing or not — reads the materialized leaf.
+    */
+  def managedCheckpoint(df: DataFrame): DataFrame = {
+    val pinned = df.localCheckpoint(eager = true)
+    managed.add(pinned)
+    pinned
+  }
+
   /** The pre-checkpoint QueryExecution of each memo derivation built
     * since the last [[invalidate]], keyed by memo name — the plan-audit
     * surface for the builds themselves (their checkpointed leaves hide
@@ -202,7 +218,10 @@ object Memo {
     modelCache.clear()
     builtPlans.clear()
     managed.synchronized {
-      managed.forEach(df => df.unpersist(blocking = false))
+      managed.forEach { df =>
+        df.unpersist(blocking = false) // persist()-pinned frames
+        releaseCheckpoint(df)          // managedCheckpoint frames
+      }
       managed.clear()
     }
     buildLocks.clear()

@@ -109,8 +109,13 @@ private[graft] object OpUtils {
   def dayPairs(orders: DataFrame): DataFrame = {
     val daily = dailyFact(orders)
     Memo.cached("day_pairs", daily) { d =>
-      val a = d.select(col("t").as("ta"), col("y").as("ya"),
-        col("m").as("ma"))
+      // spread the probe side: the daily agg AQE-coalesces to ONE
+      // partition (2.4k rows), and without this the NLJ — and every
+      // downstream consumer of the checkpoint, explode passes included —
+      // inherits that single partition and runs one-threaded (measured
+      // 2.6 s + 4.7 s single-task stages inside pair_medians)
+      val a = spread(d.select(col("t").as("ta"), col("y").as("ya"),
+        col("m").as("ma")))
       val b = d.select(col("t").as("tb"), col("y").as("yb"),
         col("m").as("mb"))
       a.join(broadcast(b), col("tb") >= col("ta"))
@@ -140,27 +145,39 @@ private[graft] object OpUtils {
     * Why medians and not the CDFs: the only consumers
     * ([[graft.operators.StatOps.theilSenTrend]],
     * [[graft.operators.StatOps.hodgesLehmannDaily]]) probe exactly the
-    * two central ranks, and the old shape — three memo derivations
-    * (slope counts, slope CDF, Walsh CDF) each checkpointing an ~3M-row
-    * table the probes then re-scanned — paid ~19 s at sf0.1 for what
-    * this derivation answers in one bounded aggregate. The distinct-
-    * value groupBy is skipped too (day-pair values are nearly all
-    * unique — 5.780M distinct of 5.784M at sf0.1 — so that shuffle
-    * reduced nothing and dominated the old build): the raw value
-    * stream shuffles ONCE into (kind, bucket) windows, tie arithmetic
-    * rides two RANGE frames over the same sort (`cum` counts all peers
-    * ≤ s — a RANGE frame ending at CURRENT ROW spans the whole tie
-    * group; `n` = cum − count(< s)), and the median filter + min/max
-    * collapse everything to the bracket before anything materializes.
-    * Calendar-bounded end to end (≤ ~6M in-flight rows × 4 longs at
-    * ANY SF); the ≤1025-bucket grid keeps every window partition small,
-    * so no single task ever sees a whole value domain.
+    * two central ranks, so this derivation finds each central order
+    * statistic by ITERATIVE HISTOGRAM NARROWING — the standard
+    * distributed exact-selection algorithm: per open rank target,
+    * census the value stream into ≤1025 equal-width buckets of the
+    * current [lo, hi], collect the dim-sized census (≤ ~4×1025 rows —
+    * driver work on BOUNDED data only, never corpus rows), locate the
+    * bucket holding the rank, recurse into it. Every pass shrinks the
+    * value range ≥1024×, so ≤8 passes reach either a ≤65536-row bucket
+    * (finished distributed, by one tie-exact RANGE-frame window over
+    * just those rows) or a single value (answered directly).
+    *
+    * Why not one census + a window over its target buckets (the old
+    * shape): equal-WIDTH buckets only bound the window input when
+    * values spread evenly, and the slope domain is heavy-tailed — its
+    * range is set by adjacent-day extremes (dt = 1) while the mass sits
+    * ~3 orders of magnitude tighter, so the measured "target bucket"
+    * held 2.36M of 2.89M slopes and the single-task window ran 3.9 s.
+    * Narrowing is immune to concentration: the window always runs on
+    * ≤65536 rows per target, at ANY value distribution and ANY SF.
+    * Ties are exact throughout: a rank inside a tie group resolves to
+    * that value both in the census walk (counts bound the group) and in
+    * the final RANGE frames (`cum` spans the whole group, `below`
+    * stops under it). Calendar-bounded end to end; the one explode +
+    * exact-decimal-slope pass is computed exactly once into an eager
+    * checkpoint (a lazy persist here measured ~5 duplicate passes —
+    * Spark launches a plan's broadcast subqueries concurrently, and
+    * racing scans of an unpopulated cache all recompute upstream).
     */
   def pairMedians(orders: DataFrame): DataFrame =
     Memo.cached("pair_medians", dayPairs(orders)) { p =>
-      // pinned: every leg below (range, bucket census, target probe)
-      // reads this once-computed value stream
-      val events = Memo.managedPersist(
+      val spark = p.sparkSession
+      import spark.implicits._
+      val events = Memo.managedCheckpoint(
         p.select(explode(when(col("tb") > col("ta"),
             array(
               struct(lit(0L).as("kind"), (col("ya") + col("yb")).as("s")),
@@ -169,53 +186,83 @@ private[graft] object OpUtils {
             struct(lit(0L).as("kind"), (col("ya") + col("yb")).as("s")))))
           .as("e"))
           .select(col("e.kind").as("kind"), col("e.s").as("s")))
-      val rng = events.groupBy(col("kind"))
-        .agg(min(col("s")).as("__lo"), max(col("s")).as("__hi"),
-          count(lit(1)).as("__m"))
-      val bucketed = events.join(broadcast(rng), Seq("kind"))
-        .withColumn("__bucket", expr(
-          "(s - __lo) div " +
-            "greatest(cast(1 as bigint), (__hi - __lo) div 1024 + 1)"))
-      // the bucket census (≤ ~2·1025 rows) locates which bucket holds
-      // each central rank — rank (m+1) div 2 is the lower statistic,
-      // m div 2 + 1 the upper — so the ordered within-bucket pass
-      // below touches ONLY the ≤2 target buckets per kind, never the
-      // full value stream (a full bucketed window + sort here measured
-      // ~10 s at sf0.1 for work two ~4k-row buckets answer)
-      val targets = bucketed.groupBy(col("kind"), col("__bucket"))
-        .agg(count(lit(1)).as("__bn"), max(col("__m")).as("__tm"))
-        .withColumn("__prior", coalesce(sum(col("__bn")).over(
-          Window.partitionBy(col("kind")).orderBy(col("__bucket"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("k1", expr("(__tm + 1) div 2"))
-        .withColumn("k2", expr("__tm div 2 + 1"))
-        .filter((col("__prior") < col("k1") &&
-            col("k1") <= col("__prior") + col("__bn")) ||
-          (col("__prior") < col("k2") &&
-            col("k2") <= col("__prior") + col("__bn")))
-        .select(col("kind").as("__k"), col("__bucket").as("__bkt"),
-          col("__prior"), col("__tm"), col("k1"), col("k2"))
-      // inner join IS the target-bucket filter (no FilterExec: a filter
-      // above this window+join shape measured 15 s where the same
-      // arithmetic inside the join/aggregate runs in ~1 s); the two
-      // RANGE frames share one WindowExec — RANGE to CURRENT ROW spans
-      // the whole tie group, RANGE to -1 stops below it
-      val w = Window.partitionBy(col("kind"), col("__bucket"))
-        .orderBy(col("s"))
-      val probed = bucketed.join(broadcast(targets),
-          col("kind") === col("__k") && col("__bucket") === col("__bkt"))
-        .withColumn("__cumr", count(lit(1)).over(
-          w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("__below", count(lit(1)).over(
-          w.rangeBetween(Window.unboundedPreceding, -1)))
-        .withColumn("cum", col("__prior") + col("__cumr"))
-        .withColumn("n", col("__cumr") - col("__below"))
-      val hit = expr("(cum - n < k1 AND k1 <= cum)" +
-        " OR (cum - n < k2 AND k2 <= cum)")
-      probed.groupBy(col("kind"))
-        .agg(max(col("__tm")).as("m"),
-          min(when(hit, col("s"))).as("lo"),
-          max(when(hit, col("s"))).as("hi"))
+      // per-kind count + value range: 2 rows to the driver
+      val stats = events.groupBy(col("kind"))
+        .agg(count(lit(1)).as("m"), min(col("s")).as("mn"),
+          max(col("s")).as("mx"))
+        .collect().map(r =>
+          (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .sortBy(_._1)
+      // one narrowing target per central rank: (m+1) div 2 = lower
+      // statistic, m div 2 + 1 = upper (equal when m is odd)
+      final case class Tgt(tid: Int, kind: Long, rank: Long,
+        var lo: Long, var hi: Long, var prior: Long, var cnt: Long)
+      val targets = stats.zipWithIndex.flatMap {
+        case ((kind, (m, mn, mx)), i) => Seq(
+          Tgt(2 * i, kind, (m + 1) / 2, mn, mx, 0L, m),
+          Tgt(2 * i + 1, kind, m / 2 + 1, mn, mx, 0L, m))
+      }
+      val FinishBelow = 65536L
+      def width(t: Tgt): Long = (t.hi - t.lo) / 1024 + 1
+      var guard = 0
+      while (guard < 8 &&
+          targets.exists(t => t.cnt > FinishBelow && t.lo < t.hi)) {
+        guard += 1
+        val open = targets.filter(t => t.cnt > FinishBelow && t.lo < t.hi)
+        val bounds = open.map(t => (t.tid, t.kind, t.lo, t.hi, width(t)))
+          .toSeq.toDF("tid", "bkind", "blo", "bhi", "bw")
+        val census = events.join(broadcast(bounds),
+            col("kind") === col("bkind") &&
+              col("s") >= col("blo") && col("s") <= col("bhi"))
+          .groupBy(col("tid"), expr("(s - blo) div bw").as("bkt"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+          .groupBy(_._1).map { case (tid, rs) =>
+            tid -> rs.map(_._2).sortBy(_._1) }
+        open.foreach { t =>
+          val w = width(t)
+          val rk = t.rank - t.prior
+          var acc = 0L
+          val it = census(t.tid).iterator
+          var found = false
+          while (!found && it.hasNext) {
+            val (b, c) = it.next()
+            if (acc + c >= rk) {
+              val nlo = t.lo + b * w
+              t.hi = math.min(t.hi, nlo + w - 1)
+              t.lo = nlo
+              t.prior += acc
+              t.cnt = c
+              found = true
+            } else acc += c
+          }
+        }
+      }
+      // finish: lo == hi answers directly (every remaining value is lo);
+      // the rest resolve by one tie-exact window over ≤65536 rows each
+      val resolved = scala.collection.mutable.Map[Int, Long]()
+      targets.filter(t => t.lo >= t.hi).foreach(t => resolved(t.tid) = t.lo)
+      val openT = targets.filter(t => t.lo < t.hi)
+      if (openT.nonEmpty) {
+        val bounds = openT
+          .map(t => (t.tid, t.kind, t.lo, t.hi, t.rank - t.prior))
+          .toSeq.toDF("tid", "bkind", "blo", "bhi", "rk")
+        val w = Window.partitionBy(col("tid")).orderBy(col("s"))
+        events.join(broadcast(bounds),
+            col("kind") === col("bkind") &&
+              col("s") >= col("blo") && col("s") <= col("bhi"))
+          .withColumn("cum", count(lit(1)).over(
+            w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("below", count(lit(1)).over(
+            w.rangeBetween(Window.unboundedPreceding, -1)))
+          .filter(col("below") < col("rk") && col("rk") <= col("cum"))
+          .groupBy(col("tid")).agg(min(col("s")).as("v"))
+          .collect().foreach(r => resolved(r.getInt(0)) = r.getLong(1))
+      }
+      stats.zipWithIndex.map { case ((kind, (m, _, _)), i) =>
+        (kind, m, resolved(2 * i), resolved(2 * i + 1))
+      }.toSeq.toDF("kind", "m", "lo", "hi")
     }
 
   /** The per-priority dollar-grain CDF of order value — (grp, usd, n,
