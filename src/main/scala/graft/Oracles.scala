@@ -3424,6 +3424,63 @@ object Oracles {
          |GROUP BY query_id""".stripMargin
     },
 
+    // SimilarityOps.annNprobeSweep: full per-query cell ranking, one
+    // widest-level candidate join, per-level prefix filter, recall vs
+    // the brute-force exact top-3 + scan-cost share.
+    "ann_nprobe_sweep" -> {
+      val distCase = "CASE ks.k " +
+        (0 until 16).map(c => s"WHEN $c THEN s$c").mkString(" ") + " END"
+      s"""WITH celled AS ($ivfCelledSelect),
+         |qc AS (SELECT vec_id AS query_id, embedding, ks.k AS cell,
+         |  $distCase AS dist
+         | FROM celled, (SELECT unnest(generate_series(0, 15)) AS k) ks
+         | WHERE vec_id < 20),
+         |qr AS (SELECT query_id, embedding, cell,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist, cell) AS BIGINT) AS cell_rank
+         | FROM qc),
+         |qk AS (SELECT * FROM qr WHERE cell_rank <= 8),
+         |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.cell_rank,
+         |  ${cosineSql("q", "c")} AS cosine_sim
+         | FROM celled c JOIN qk q
+         |  ON c.cell = q.cell AND c.vec_id <> q.query_id),
+         |probes AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         |sw AS (SELECT p.nprobe, cand.query_id, cand.neighbor_id,
+         |  cand.cosine_sim
+         | FROM cand, probes p WHERE cand.cell_rank <= p.nprobe),
+         |apk AS (SELECT nprobe, query_id, neighbor_id, 1 AS hit FROM (
+         | SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+         |   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+         | FROM sw) WHERE rank <= 3),
+         |pairs_e AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${cosineSql("q", "c")} AS cosine_sim
+         | FROM embeddings q JOIN embeddings c
+         |  ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+         | FROM pairs_e) WHERE rank <= 3),
+         |hits AS (SELECT p.nprobe, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.hit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_hit
+         | FROM ex e CROSS JOIN probes p
+         | LEFT JOIN apk a ON a.nprobe = p.nprobe
+         |  AND a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         | GROUP BY 1),
+         |sc AS (SELECT nprobe,
+         |  CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |  CAST(COUNT(*) AS BIGINT) AS scanned FROM sw GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n_corpus FROM embeddings)
+         |SELECT CAST(sc.nprobe AS BIGINT) AS nprobe, sc.n_queries,
+         | sc.scanned,
+         | CAST((sc.scanned * 1000000) // (tot.n_corpus * sc.n_queries)
+         |   AS BIGINT) AS scanned_share_micro,
+         | hits.n_exact, hits.n_hit,
+         | CAST((hits.n_hit * 1000000) // hits.n_exact AS BIGINT)
+         |   AS recall_micro
+         |FROM sc JOIN hits ON sc.nprobe = hits.nprobe, tot""".stripMargin
+    },
+
     "embed_ivf_ann" ->
       s"""WITH celled AS ($ivfCelledSelect),
          |pairs AS (

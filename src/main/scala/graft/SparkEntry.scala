@@ -294,6 +294,8 @@ object SparkEntry {
     "embed_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(embeddings(s, d))),
     "ann_recall_report" -> ((s, d) =>
       SimilarityOps.annRecallReport(embeddings(s, d))),
+    "ann_nprobe_sweep" -> ((s, d) =>
+      SimilarityOps.annNprobeSweep(embeddings(s, d))),
     "embed_norm_check" -> ((s, d) =>
       SimilarityOps.embedNormCheck(embeddings(s, d))),
     "embed_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(embeddings(s, d))),

@@ -586,6 +586,86 @@ object SimilarityOps {
       .withColumn("recall_ivf_micro", expr("(n_hit_ivf * 1000000) div n_exact"))
   }
 
+  /** nprobe operating-point sweep — the recall/cost curve an IVF index
+    * operator actually consults before picking a serving configuration:
+    * for each nprobe ∈ {1, 2, 4, 8}, the aggregate top-k recall against
+    * the exact brute-force baseline AND the scan cost (candidates
+    * touched, absolute and as a micro-share of corpus × queries). Where
+    * [[annRecallReport]] judges two fixed index configs,
+    * this walks ONE index's whole probe ladder — recall rises with
+    * nprobe, cost rises linearly, and the report shows the knee.
+    *
+    * Per query the FULL cell ranking (|cells| rows, dim-sized) is
+    * computed once and every probe level reads its prefix — nprobe = p
+    * probes exactly the p nearest inverted lists, the IVF contract.
+    * Candidates are enumerated once for the widest level and filtered
+    * per level (cell_rank ≤ nprobe), so the sweep costs one cell-bounded
+    * join, not |levels| joins. Cosines round to 6dp before ranking with
+    * neighbor-id ties (the shared output convention, engine-stable).
+    *
+    * Scale: query side is a broadcast (|queries| × max-nprobe rows); the
+    * candidate join is inverted-list-bounded like [[ivfAnn]]; the ranked
+    * windows partition per (nprobe, query); the exact leg is the same
+    * sampled brute-force baseline [[annRecallReport]] already pays.
+    */
+  def annNprobeSweep(embeddings: DataFrame, nQueries: Int = 20,
+      k: Int = 3, probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    require(probes.nonEmpty && probes.max <= IvfCells)
+    val scores = (0 until IvfCells).map { c =>
+      val wgt = (0 until Dim).map(i => centroidWeight(c, i).toFloat)
+      (lit(centroidNorm2(c)) - lit(2.0) *
+        graft.functions.DotProduct.dotF(col("embedding"), typedlit(wgt)))
+        .as(s"s$c")
+    }
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell"))
+    val qcells = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +:
+        col("embedding").as("q_emb") +: scores: _*)
+      .select(col("query_id"), col("q_emb"),
+        posexplode(array((0 until IvfCells).map(c => col(s"s$c")): _*))
+          .as(Seq("cell", "dist")))
+      .withColumn("cell_rank", row_number().over(wq).cast("long"))
+      .filter(col("cell_rank") <= probes.max)
+      .select(col("query_id"), col("q_emb"), col("cell"), col("cell_rank"))
+    val cands = withIvfCells(embeddings)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell_rank"),
+        round(VectorFns.cosine(col("q_emb"), col("embedding")), 6)
+          .as("cosine_sim"))
+    val probesDf = probes.map(_.toLong).toDF("nprobe")
+    val sw = cands.crossJoin(broadcast(probesDf))
+      .filter(col("cell_rank") <= col("nprobe"))
+    val wr = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    val approx = sw
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit"))
+    val hits = bruteCosineTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .crossJoin(broadcast(probesDf))
+      .join(approx, Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    sw.groupBy(col("nprobe"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("scanned"))
+      .join(hits, Seq("nprobe"))
+      .crossJoin(broadcast(embeddings.agg(count(lit(1)).as("n_corpus"))))
+      .select(col("nprobe"), col("n_queries"), col("scanned"),
+        expr("(scanned * 1000000) div (n_corpus * n_queries)")
+          .as("scanned_share_micro"),
+        col("n_exact"), col("n_hit"),
+        expr("(n_hit * 1000000) div n_exact").as("recall_micro"))
+  }
+
   /** Per-label centroid-distance outliers — prototypicality filtering:
     * the vectors farthest from their label's centroid are mislabeled /
     * atypical candidates a curation pass reviews first (the embedding

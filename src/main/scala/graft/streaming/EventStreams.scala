@@ -1320,6 +1320,111 @@ object EventStreams {
       }
   }
 
+  case class PatternEv(user_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double)
+  case class PatternOutcome(user_id: Long, ts_s: Long, pattern_level: Long,
+    status: String)
+
+  /** [[patternStream]] with ATTEMPT LIFECYCLE — the EventTimeTimeout
+    * variant (the [[sessionFinalizeStream]] discipline applied to
+    * patterns): besides the `progress` rows, it emits a terminal row
+    * per attempt, so a live dashboard can tell "still in flight" from
+    * "over":
+    *
+    *  - `matched` when the chain completes (level = N, replaces that
+    *    row's `progress` status);
+    *  - `expired` when the WATERMARK passes anchor + window while the
+    *    attempt is still partial — no event of this user need ever
+    *    arrive again (the timeout callback fires on an empty batch);
+    *    the row carries the expiry instant (latest step-1 ts + window)
+    *    and the deepest validated prefix level the attempt reached.
+    *
+    * An attempt ends at its terminal row and the state RESETS, so the
+    * next step-1 event starts a fresh attempt that re-reports its own
+    * progress from level 1 — per-attempt semantics, where
+    * [[patternStream]] tracks the per-user lifetime best. A new step-1
+    * event inside an open attempt extends it (the anchor — and with it
+    * the expiry clock — advances to the latest step-1 ts, exactly the
+    * batch anchor-propagation rule). The timeout timestamp is clamped
+    * just above the current watermark, the standard guard against
+    * setting an already-expired timeout.
+    *
+    * Scale: same O(N) longs per user as [[patternStream]]; expiry adds
+    * one timeout slot per open attempt, never a buffer.
+    */
+  def patternExpireStream(spark: SparkSession, events: Dataset[PatternEv],
+      steps: Seq[PatternEvent => Boolean],
+      windowS: Long): Dataset[PatternOutcome] = {
+    import spark.implicits._
+    val n = steps.size
+    require(n >= 2, "a pattern needs at least two steps")
+    def asEvent(e: PatternEv): PatternEvent =
+      PatternEvent(e.user_id, e.ts.getTime / 1000, e.event_type, e.value)
+    events
+      .withWatermark("ts", "0 seconds")
+      .filter(e => steps.exists(_(asEvent(e))))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternMatchState, PatternOutcome](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, batch, state: GroupState[PatternMatchState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            val lvl = s.anchors.lastIndexWhere(_ != Long.MinValue) + 1
+            val expTs = s.anchors.head + windowS
+            state.remove()
+            Iterator.single(PatternOutcome(user, expTs, lvl, "expired"))
+          } else {
+            val s = state.getOption.getOrElse(
+              PatternMatchState(Seq.fill(n - 1)(Long.MinValue), 0L))
+            val anchors = s.anchors.toArray
+            var best = s.best
+            val out = scala.collection.mutable.ArrayBuffer.empty[PatternOutcome]
+            // identical group-at-a-time chain semantics as patternStream
+            val sorted = batch.toSeq.map(asEvent)
+              .map(e => (e, steps.indexWhere(_(e))))
+              .sortBy { case (e, rk) => (e.ts_s, rk) }
+            var i = 0
+            while (i < sorted.length) {
+              val t = sorted(i)._1.ts_s
+              var j = i
+              while (j < sorted.length && sorted(j)._1.ts_s == t) j += 1
+              val grp = sorted.slice(i, j)
+              if (grp.exists { case (e, _) => steps.head(e) })
+                anchors(0) = math.max(anchors(0), t)
+              for (k <- 1 until n - 1)
+                if (anchors(k - 1) != Long.MinValue &&
+                    grp.exists { case (e, _) => steps(k)(e) })
+                  anchors(k) = math.max(anchors(k), anchors(k - 1))
+              for ((e, _) <- grp) {
+                var ach = 0L
+                for (k <- 0 until n)
+                  if (steps(k)(e) && (k == 0 ||
+                      (anchors(k - 1) != Long.MinValue &&
+                        anchors(k - 1) >= t - windowS)))
+                    ach = (k + 1).toLong
+                if (ach > best) {
+                  best = ach
+                  if (ach == n) {
+                    out += PatternOutcome(user, t, ach, "matched")
+                    // attempt done: a later step-1 starts a fresh one
+                    java.util.Arrays.fill(anchors, Long.MinValue)
+                    best = 0L
+                  } else out += PatternOutcome(user, t, ach, "progress")
+                }
+              }
+              i = j
+            }
+            if (anchors(0) != Long.MinValue) {
+              state.update(PatternMatchState(anchors.toSeq, best))
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1,
+                (anchors(0) + windowS) * 1000))
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
   /** Windowed streaming heavy hitters — the live form of
     * `heavy_hitter_types`: per tumbling hour, the dominant event types by
     * a mergeable Misra–Gries sketch. The streaming state per window is

@@ -283,6 +283,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(lsh <= ivf, s"expected IVF >= LSH on this corpus: $lsh vs $ivf")
   }
 
+  test("annNprobeSweep walks a monotone recall/cost ladder") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val out = SimilarityOps.annNprobeSweep(emb).collect()
+      .map(r => r.getAs[Long]("nprobe") ->
+        (r.getAs[Long]("scanned"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("n_exact"), r.getAs[Long]("recall_micro"),
+          r.getAs[Long]("scanned_share_micro"))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 8L))
+    // cost and recall are monotone non-decreasing in nprobe — probing a
+    // SUPERSET of inverted lists can only add candidates and hits
+    val ladder = Seq(1L, 2L, 4L, 8L).map(out)
+    assert(ladder.map(_._1) == ladder.map(_._1).sorted, "scan cost not monotone")
+    assert(ladder.map(_._2) == ladder.map(_._2).sorted, "recall not monotone")
+    out.foreach { case (_, (_, hit, ex, rec, share)) =>
+      assert(ex == 60L) // 20 queries × top-3
+      assert(rec == hit * 1000000L / ex)
+      assert(share >= 0L && share <= 1000000L)
+    }
+    // nprobe=2 must agree with the fixed-config IVF leg of
+    // annRecallReport (same index, same probe depth, same queries)
+    val fixedIvf = SimilarityOps.annRecallReport(emb).collect()
+      .map(_.getAs[Long]("n_hit_ivf")).sum
+    assert(out(2L)._2 == fixedIvf,
+      s"sweep nprobe=2 ${out(2L)._2} != annRecallReport IVF $fixedIvf")
+  }
+
   test("embedNormCheck flags NaN and zero vectors per label") {
     import spark.implicits._
     val bad = Seq(

@@ -265,6 +265,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.contains((1L, 10L, 3L)))
   }
 
+  test("patternExpireStream closes attempts by match AND by watermark expiry across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.PatternEv
+    def st(s: Long) = new Timestamp(s * 1000)
+    val mem = MemoryStream[PatternEv]
+    val q = EventStreams.patternExpireStream(spark, mem.toDS(),
+        EventStreams.signupFunnelStreamSteps, windowS = 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("patexp").start()
+    // u1 completes ACROSS the split (matched); u2 reaches level 2 then
+    // goes silent forever (expired fires on u3's watermark advance).
+    // Event times ascend across batches: the 0s watermark drops
+    // anything at-or-below the previous batch's max event time.
+    mem.addData(
+      PatternEv(1, st(1000), "signup", 0.0), PatternEv(1, st(1010), "view", 0.0),
+      PatternEv(1, st(1020), "click", 50.0),
+      PatternEv(2, st(1005), "signup", 0.0), PatternEv(2, st(1025), "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(PatternEv(1, st(1030), "purchase", 0.0))
+    q.processAllAvailable()
+    // no u2 event ever arrives again — another user's event moves the
+    // watermark past u2's anchor(1005) + window(100) and the timeout fires
+    mem.addData(PatternEv(3, st(2000), "signup", 0.0))
+    q.processAllAvailable()
+    // a fresh u2 attempt AFTER expiry re-reports from level 1
+    mem.addData(PatternEv(2, st(3000), "signup", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("patexp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(rows.contains((1L, 1030L, 4L, "matched")))        // cross-split match
+    assert(rows.contains((2L, 1105L, 2L, "expired")))        // watermark close
+    assert(rows.contains((2L, 3000L, 1L, "progress")))       // fresh attempt
+    // the matched attempt never also expires; progress rows precede it
+    assert(!rows.exists(r => r._1 == 1L && r._4 == "expired"))
+    assert(rows.contains((1L, 1000L, 1L, "progress")) &&
+      rows.contains((1L, 1020L, 3L, "progress")))
+  }
+
   test("debounceBatch drops same-type repeats inside the gap, lag-based") {
     val df = Seq(
       (1L, ts(0), 1L, "click", 0.0, "{}"),
