@@ -241,12 +241,20 @@ object DedupOps {
       .filter(col("rnk") <=
         col("n") - expr(s"(n * $tauMicro + 999999) div 1000000") + 1)
       .select("doc_id", "x")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = kept.select(col("x"), col("doc_id").as("doc_a"))
-      .join(kept.select(col("x"), col("doc_id").as("doc_b")), Seq("x"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager checkpoints, not lazy persists (the pair_medians lesson):
+    // the self-join's two map stages — and later the verify's two
+    // join sides — schedule CONCURRENTLY, and racing scans of an
+    // unpopulated cache each recompute the upstream pass. cands is
+    // additionally spread: its distinct() output AQE-coalesces to ONE
+    // partition (pair rows are tiny), and a checkpoint taken there
+    // runs the whole array_intersect verify single-task (measured
+    // 3.3 s on one core)
+    val keptP = Memo.managedCheckpoint(kept)
+    val cands = Memo.managedCheckpoint(OpUtils.spread(
+      keptP.select(col("x"), col("doc_id").as("doc_a"))
+        .join(keptP.select(col("x"), col("doc_id").as("doc_b")), Seq("x"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()))
     // only candidate docs' sets matter for the intersection — the
     // broadcast semi-join cuts the verify stage's input from the WHOLE
     // corpus to the (dfCap-bounded) candidate docs' rows, so the corpus
@@ -304,12 +312,13 @@ object DedupOps {
     val docSets = docShingleSets(documents)
     val dfs = docSets.select(explode(col("xs")).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("df"))
-    val kept = docSets
+    // eager checkpoint (see dedupMinhashLshImpl): prefix side and big
+    // side race this frame's map stages inside one action
+    val kept = Memo.managedCheckpoint(docSets
       .select(col("doc_id"), size(col("xs")).cast("long").as("n"),
         explode(col("xs")).as("x"))
       .join(dfs, Seq("x"))
-      .filter(col("df") <= dfCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("df") <= dfCap))
     val prefix = kept
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("x"))))
@@ -336,13 +345,17 @@ object DedupOps {
     // pairs on two longs first is the r10-profiled win (the verify
     // stage dominated the candidate stage ~10 s vs ~4 s at sf0.1)
     val sizes = docSets.select(col("doc_id"), size(col("xs")).cast("long").as("n"))
-    val pruned = cands
+    // spread: the candidate checkpoint and the prune joins AQE-coalesce
+    // to one partition (pair rows are tiny), which would run the whole
+    // array_intersect verify below single-task (the jaccard verify
+    // measured 3.3 s on one core before the same fix)
+    val pruned = spread(cands
       .join(sizes.select(col("doc_id").as("doc_small"), col("n").as("n_s")),
         Seq("doc_small"))
       .join(sizes.select(col("doc_id").as("doc_big"), col("n").as("n_b")),
         Seq("doc_big"))
       .filter(col("n_b") * 1000000 >= col("n_s") * tauMicro)
-      .select("doc_small", "doc_big")
+      .select("doc_small", "doc_big"))
     val candDocs = pruned.select(col("doc_small").as("doc_id"))
       .union(pruned.select(col("doc_big").as("doc_id"))).distinct()
     val dsC = docSets.join(candDocs, Seq("doc_id"), "left_semi")
@@ -759,8 +772,9 @@ object DedupOps {
       dedupSimhashImpl(_, maxHamming))
 
   private def dedupSimhashImpl(documents: DataFrame, maxHamming: Int): DataFrame = {
-    val sims = withSimhash(documents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager checkpoint (see dedupMinhashLshImpl): the band self-join's
+    // racing map stages would otherwise fold the corpus twice
+    val sims = Memo.managedCheckpoint(withSimhash(documents))
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimhashBands).map { b =>
         struct(lit(b).as("band"),

@@ -52,6 +52,25 @@ class MemoSpec extends SparkSpec {
     assert(rb.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("managedCheckpoint materializes eagerly and invalidate frees its blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    var computes = 0
+    val src = Seq(1L, 2L, 3L).toDF("x")
+      .filter(udf((x: Long) => { computes += 1; x > 0 }).apply(col("x")))
+    val pinned = Memo.managedCheckpoint(src)
+    val eagerComputes = computes
+    assert(eagerComputes >= 3, "checkpoint must compute at call time")
+    // two concurrent-ish consumers read the LEAF — zero recomputation
+    // (the lazy-persist pathology this helper exists to prevent)
+    assert(pinned.count() == 3 && pinned.filter(col("x") > 1).count() == 2)
+    assert(computes == eagerComputes, "consumers recomputed the source")
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty)
+    Memo.invalidate()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"blocks survived invalidate: $after")
+  }
+
   test("invalidate releases the checkpointed blocks") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Memo.cached("memospec_release", Seq(1L, 2L).toDF("x"))(df => df)
