@@ -9,6 +9,15 @@ object Bench {
     * stamped into both JSON outputs as `contended_jvms` so a hot snapshot
     * can never masquerade as clean, and SPARK_GRAFT_BENCH_STRICT=1 refuses
     * to run at all under contention (exit 2).
+    *
+    * "Alive" is not enough: a long-lived idle JVM (IDE indexer, build
+    * daemon) would permanently flag contention on a box that is
+    * effectively idle. Each candidate's totalCpuDuration is sampled
+    * twice over ~400 ms wall; only processes that burned >40 ms CPU in
+    * the window (>~10% of one core) count as contending. A JVM whose
+    * CPU accounting is unreadable (other uid) stays flagged — the
+    * conservative side is a false WARN, not a hot snapshot stamped
+    * clean.
     */
   private def foreignJvms(): Seq[Long] = {
     import scala.jdk.CollectionConverters._
@@ -16,11 +25,22 @@ object Bench {
     val ancestors = Iterator.iterate(Option(self))(_.flatMap(h =>
       Option(h.parent().orElse(null)))).takeWhile(_.isDefined)
       .flatten.map(_.pid()).toSet
-    ProcessHandle.allProcesses().iterator().asScala
+    def cpuMs(h: ProcessHandle): Option[Long] =
+      Option(h.info().totalCpuDuration().orElse(null)).map(_.toMillis)
+    val candidates = ProcessHandle.allProcesses().iterator().asScala
       .filter(h => !ancestors.contains(h.pid()))
       .filter(_.info().command().map[Boolean](c =>
         c.endsWith("/java") || c == "java").orElse(false))
-      .map(_.pid()).toSeq.sorted
+      .toSeq
+    if (candidates.isEmpty) return Seq.empty
+    val before = candidates.map(h => h.pid() -> cpuMs(h)).toMap
+    Thread.sleep(400)
+    candidates.filter { h =>
+      (before.get(h.pid()).flatten, cpuMs(h)) match {
+        case (Some(b), Some(a)) => a - b > 40 // actively burning CPU
+        case _ => h.isAlive // unreadable accounting: assume contending
+      }
+    }.map(_.pid()).sorted
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,7 +151,11 @@ object Bench {
     // summary line. Full per-query timings go to BENCH_FULL.json; the
     // printed line carries the headline total plus the top slowest
     // queries (the ones worth cross-round comparison) and stays <1.5 KB.
-    val cj = s""""contended_jvms":${contended.length}"""
+    // `runs` distinguishes a committed median-of-3 snapshot from a
+    // single-shot rerun — two clean runs still differ ~13% total, so a
+    // reader comparing snapshots needs to know which protocol produced
+    // each (the committed convention is runs:3 + STRICT=1).
+    val cj = s""""contended_jvms":${contended.length},"runs":$iters"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},$cj,"queries":$fullJson,"spread":$spreadJson,"failed":$failed,"sf":"$sfDir"}\n"""

@@ -69,13 +69,38 @@ object GraftSession {
     * spark.sql("SELECT * FROM graft_dedup_minhash_lsh WHERE cnt > 1")
     * }}}
     *
-    * Views are LAZY logical plans: registration builds each operator's
-    * DataFrame (plan-only, no jobs run) and leaves optimization to
-    * Catalyst at query time — filters a user writes OVER a graft view
-    * participate in pushdown/pruning like any subquery, so the SQL
-    * surface costs nothing over the Scala API. Operators composed over
-    * other operators re-derive through the session [[operators.Memo]]
-    * exactly as the API path does.
+    * The views themselves are lazy logical plans — filters a user
+    * writes OVER a graft view participate in pushdown/pruning like any
+    * subquery. But BUILDING a view's plan is not always free:
+    * memo-backed operators ([[operators.Memo.cached]]) eagerly
+    * checkpoint their shared derivations at build time (deliberate —
+    * round 13 measured lazy persists recomputing upstream passes up to
+    * 5× under Spark's concurrent scan scheduling), so a full
+    * `registerViews` call runs every memo derivation's jobs up front
+    * (tens of seconds at sf0.1). Registering everything is the
+    * notebook-warmup UX; a user who wants one view NOW should call
+    * [[registerView]] and pay only that operator's build.
+    *
+    * HAZARD: a later `Memo.invalidate()` unpersists the checkpointed
+    * blocks these view plans rest on; re-call `registerViews` (or
+    * `registerView`) after any invalidate, or stale views fail at
+    * query time with missing-block errors.
+    *
+    * Parameterized views — the operator surface pins each view's
+    * parameters at BUILD time, read from session conf (set them BEFORE
+    * the register call; defaults in parentheses):
+    *
+    *  - `spark.graft.dedup.minEst` (0.5) — estimated-Jaccard floor of
+    *    `graft_dedup_minhash_lsh`
+    *  - `spark.graft.ann.topK` (5) — neighbours per query in
+    *    `graft_embed_cosine_topk`
+    *  - `spark.graft.bm25.topN` (20) — result depth of
+    *    `graft_bm25_search`
+    *
+    * {{{
+    * spark.conf.set("spark.graft.dedup.minEst", "0.8")
+    * GraftSession.registerViews(spark, "/data/lake")   // tau now 0.8
+    * }}}
     */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     register(spark)
@@ -88,8 +113,32 @@ object GraftSession {
         "lineitem" -> Tables.lineitem, "events" -> Tables.events,
         "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
     TableNames.foreach(n => base(n)(spark, dir).createOrReplaceTempView(n))
-    SparkEntry.queries.foreach { case (name, fn) =>
-      fn(spark, dir).createOrReplaceTempView(s"graft_$name")
+    SparkEntry.queries.keys.foreach(registerView(spark, dir, _))
+  }
+
+  /** Register ONE operator view (plus nothing else): the pay-per-view
+    * form of [[registerViews]] — only this operator's build (and its
+    * memo derivations, if any) runs. Honors the same
+    * `spark.graft.*` conf parameters. Base-table views are NOT
+    * registered here; the operator reads the lake directly.
+    */
+  def registerView(spark: SparkSession, dir: String, name: String): Unit = {
+    def confInt(k: String, dflt: Int): Int =
+      spark.conf.getOption(k).map(_.trim.toInt).getOrElse(dflt)
+    def confDouble(k: String, dflt: Double): Double =
+      spark.conf.getOption(k).map(_.trim.toDouble).getOrElse(dflt)
+    val df = name match {
+      case "dedup_minhash_lsh" =>
+        operators.DedupOps.dedupMinhashLsh(Tables.documents(spark, dir),
+          minEst = confDouble("spark.graft.dedup.minEst", 0.5))
+      case "embed_cosine_topk" =>
+        operators.SimilarityOps.bruteCosineTopK(Tables.embeddings(spark, dir),
+          k = confInt("spark.graft.ann.topK", 5))
+      case "bm25_search" =>
+        operators.TextOps.bm25Search(Tables.documents(spark, dir),
+          topN = confInt("spark.graft.bm25.topN", 20))
+      case other => SparkEntry.queries(other)(spark, dir)
     }
+    df.createOrReplaceTempView(s"graft_$name")
   }
 }

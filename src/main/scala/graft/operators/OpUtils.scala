@@ -203,7 +203,20 @@ private[graft] object OpUtils {
           Tgt(2 * i + 1, kind, m / 2 + 1, mn, mx, 0L, m))
       }
       val FinishBelow = 65536L
-      def width(t: Tgt): Long = (t.hi - t.lo) / 1024 + 1
+      // Width in overflow-safe BigInt (driver-side scalar): a naive
+      // `hi - lo` goes negative if the kind's range spans more than
+      // Long.MaxValue, and the census bucket expr `(s - blo) div bw`
+      // would then bucket into garbage — silently wrong medians. The
+      // require also guards the Spark-side `s - blo`: once the span
+      // fits in a Long, every in-range difference does too.
+      def width(t: Tgt): Long = {
+        val span = BigInt(t.hi) - BigInt(t.lo)
+        require(span.isValidLong,
+          s"pairMedians: kind ${t.kind} value range [${t.lo}, ${t.hi}] " +
+            "spans more than Long.MaxValue; census arithmetic would " +
+            "overflow — rescale the measure before the median pass")
+        (span / 1024 + 1).toLong
+      }
       var guard = 0
       while (guard < 8 &&
           targets.exists(t => t.cnt > FinishBelow && t.lo < t.hi)) {

@@ -1369,10 +1369,15 @@ object EventStreams {
         (user, batch, state: GroupState[PatternMatchState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            val lvl = s.anchors.lastIndexWhere(_ != Long.MinValue) + 1
+            // Report the attempt's window-VALIDATED best (what its own
+            // `progress` rows reached), not the anchor depth: anchor
+            // propagation deliberately carries no window check (a
+            // step-k event after the window still advances anchors(k)
+            // for future chains), so anchors can sit deeper than any
+            // level the attempt actually validated.
             val expTs = s.anchors.head + windowS
             state.remove()
-            Iterator.single(PatternOutcome(user, expTs, lvl, "expired"))
+            Iterator.single(PatternOutcome(user, expTs, s.best, "expired"))
           } else {
             val s = state.getOption.getOrElse(
               PatternMatchState(Seq.fill(n - 1)(Long.MinValue), 0L))

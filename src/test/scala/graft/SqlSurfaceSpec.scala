@@ -41,6 +41,20 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("session conf parameterizes a view at build time; defaults restore") {
+    spark.conf.set("spark.graft.ann.topK", "2")
+    try {
+      GraftSession.registerView(spark, dir, "embed_cosine_topk")
+      val perQuery = spark.sql("SELECT query_id, count(*) AS n " +
+          "FROM graft_embed_cosine_topk GROUP BY query_id")
+        .collect().map(_.getLong(1)).toSet
+      assert(perQuery == Set(2L), s"conf topK=2 not honored: $perQuery")
+    } finally spark.conf.unset("spark.graft.ann.topK")
+    // without the conf, re-registration restores the graded default (5)
+    GraftSession.registerView(spark, dir, "embed_cosine_topk")
+    assert(viaSql("embed_cosine_topk") == viaApi("embed_cosine_topk"))
+  }
+
   test("SQL composed OVER a graft view optimizes like any subquery") {
     GraftSession.registerViews(spark, dir)
     // a user-side filter over the view must survive into the plan (the

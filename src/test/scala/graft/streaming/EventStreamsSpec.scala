@@ -289,6 +289,13 @@ class EventStreamsSpec extends SparkSpec {
     // watermark past u2's anchor(1005) + window(100) and the timeout fires
     mem.addData(PatternEv(3, st(2000), "signup", 0.0))
     q.processAllAvailable()
+    // u4's view lands AFTER the window (2200 > 2010+100): the anchor
+    // still advances (deliberate — it serves future chains) but no
+    // level-2 progress validates, so the expired row must report the
+    // window-validated best (1), not the anchor depth (2)
+    mem.addData(PatternEv(4, st(2010), "signup", 0.0),
+      PatternEv(4, st(2200), "view", 0.0))
+    q.processAllAvailable()
     // a fresh u2 attempt AFTER expiry re-reports from level 1
     mem.addData(PatternEv(2, st(3000), "signup", 0.0))
     q.processAllAvailable(); q.stop()
@@ -297,6 +304,9 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.contains((1L, 1030L, 4L, "matched")))        // cross-split match
     assert(rows.contains((2L, 1105L, 2L, "expired")))        // watermark close
     assert(rows.contains((2L, 3000L, 1L, "progress")))       // fresh attempt
+    // validated-best, not anchor-depth: u4 never validated level 2
+    assert(rows.contains((4L, 2110L, 1L, "expired")))
+    assert(!rows.exists(r => r._1 == 4L && r._3 > 1L))
     // the matched attempt never also expires; progress rows precede it
     assert(!rows.exists(r => r._1 == 1L && r._4 == "expired"))
     assert(rows.contains((1L, 1000L, 1L, "progress")) &&
