@@ -951,12 +951,14 @@ object Analytics {
       .agg(max(to_date(col("o_orderdate"))).as("last_d"),
         count(lit(1)).as("freq"), sum(col("cents")).as("cents"))
     val maxD = orders.agg(max(to_date(col("o_orderdate"))).as("max_d"))
-    // customer-grain base read by three threshold aggs + the final
-    // scoring pass — persist, or the orders rollup runs four times
-    val scored0 = cust.crossJoin(broadcast(maxD))
+    // customer-grain base read by the threshold CDF (which folds to a
+    // broadcast row) AND the scoring pass — those two consumers race a
+    // lazily-persisted cache from concurrent stages of one action, each
+    // recomputing the orders rollup (the pair_medians pathology), so
+    // pin it with an eager checkpoint
+    val scored0 = Memo.managedCheckpoint(cust.crossJoin(broadcast(maxD))
       .withColumn("rec_days", datediff(col("max_d"), col("last_d")).cast("long"))
-      .withColumn("dollars", expr("cents div 100"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("dollars", expr("cents div 100")))
     // nearest-rank P33/P66 for ALL THREE dimensions in one melted pass:
     // t = MIN value whose cumulative count ≥ ceil(p·n), computed on the
     // per-dimension distinct-value CDF (exact integer rank arithmetic
@@ -1802,12 +1804,19 @@ object Analytics {
     // double explode, bounded by |types|² per order) — derives from the
     // order-grain table without re-shuffling the fact. The former
     // self-join formulation shuffled the (order, type) projection twice.
-    val ot = lineitem.select(col("l_orderkey"), col("l_partkey"))
-      .join(part.select(col("p_partkey"), col("p_type")),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("p_type")).as("types"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager checkpoint, not lazy persist: the two type-count broadcasts
+    // and the order-total broadcast all launch concurrently at action
+    // start, and racing scans of an unpopulated cache would each re-run
+    // the fact-sized shuffle (the pair_medians pathology)
+    // spread before the checkpoint: the order-grain rollup is small in
+    // bytes, AQE coalesces it, and a checkpoint taken there would pin
+    // the CPU-dense double-explode downstream at that low parallelism
+    val ot = Memo.managedCheckpoint(OpUtils.spread(
+      lineitem.select(col("l_orderkey"), col("l_partkey"))
+        .join(part.select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("p_type")).as("types"))))
     val nOrders = ot.agg(count(lit(1)).as("n_orders"))
     val typeCounts = ot.select(explode(col("types")).as("p_type"))
       .groupBy(col("p_type")).agg(count(lit(1)).as("n_t"))

@@ -252,11 +252,19 @@ object AuditOps {
         .distinct()
       // join on the 64-bit key hash, not the string: half the shuffle bytes;
       // a hash collision only adds a candidate the exact verify rejects.
-      // Persisted: both sides of the self-join read this, and without the
-      // pin each side re-pays the explode + distinct derivation.
-      val hashed = keys.select(xxhash64(col("k")).as("h"), col("id"),
-          col("nat"), col("name"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Eagerly checkpointed, not lazily persisted: the self-join's two
+      // map stages schedule concurrently, and racing scans of an
+      // unpopulated cache would each re-pay the explode + distinct
+      // derivation (the pair_medians pathology). The finally still
+      // releases the index on every path once the pair list is consumed.
+      // spread before the checkpoint: the distinct's output is small in
+      // BYTES, so AQE coalesces it to 1-2 partitions, and a checkpoint
+      // taken there would pin the self-join's map stages at that
+      // parallelism (measured +2.1 s on this line round 14)
+      val hashed = OpUtils.spread(
+          keys.select(xxhash64(col("k")).as("h"), col("id"),
+            col("nat"), col("name")))
+        .localCheckpoint(true)
       try {
         val left = hashed.select(col("h"), col("id").as("id_a"),
           col("nat").as("nat_a"), col("name").as("name_a"))
@@ -274,7 +282,7 @@ object AuditOps {
           // wrapper re-checkpoints the returned pair-sized frame (a few
           // thousand rows), which is noise next to rebuilding the index
           .localCheckpoint(true)
-      } finally hashed.unpersist()
+      } finally Memo.release(hashed)
     }
 
   /** Join-cardinality estimation audit — the CBO primitive behind every

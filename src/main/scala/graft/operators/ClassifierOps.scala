@@ -223,6 +223,11 @@ object ClassifierOps {
 
   def qualityClassifierScore(documents: DataFrame): DataFrame = {
     val feats = features(documents)
+    // lazy persist is SAFE here (audited round 14, no racing-scan
+    // pathology): the first consumer is the IRLS training loop, whose
+    // first gradient action scans `cached` serially and populates the
+    // cache before any concurrent consumer exists; the later counts/AUC
+    // branches read the warm cache
     val cached = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // trained weights are Memo-shared (keyed by the feature-frame

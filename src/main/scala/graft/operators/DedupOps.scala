@@ -90,13 +90,13 @@ object DedupOps {
   private def dedupMinhashLshImpl(documents: DataFrame, minEst: Double): DataFrame = {
     // Signature kept as 32 flat h columns (not an array) so banding keys,
     // the join, and the match-count all stay inside whole-stage codegen.
-    // persist: the banded self-join reads this twice, and without a
-    // materialization barrier each branch would recompute every md5 from
-    // the raw text.
-    val sigs = withMinhashSignature(documents)
+    // eager checkpoint, not lazy persist: the banded self-join's two map
+    // stages and the sigA/sigB rejoin sides schedule concurrently, and
+    // racing scans of an unpopulated cache each recompute every md5 from
+    // the raw text (the pair_medians pathology).
+    val sigs = Memo.managedCheckpoint(withMinhashSignature(documents)
       .select(col("doc_id") +: (0 until MinhashK)
-        .map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*))
     // Narrow-first: only (band, key, doc_id) flows through the self-join
     // (the shuffle that scales with corpus × bands); the 32 signature
     // columns rejoin after pair dedup, so est is computed once per pair
@@ -147,10 +147,11 @@ object DedupOps {
   def dedupIncremental(incoming: DataFrame, existing: DataFrame,
       minEst: Double = 0.5): DataFrame = {
     def banded(docs: DataFrame, side: String) = {
-      val sigs = withMinhashSignature(docs)
+      // eager checkpoint (pair_medians lesson): the band explode and the
+      // signature rejoin read this from concurrent stages
+      val sigs = Memo.managedCheckpoint(withMinhashSignature(docs)
         .select(col("doc_id") +: (0 until MinhashK)
-          .map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*))
       val bk = sigs.select(col("doc_id").as(s"doc_$side"),
         explode(array((0 until MinhashBands).map { b =>
           struct(lit(b).as("band"),
@@ -414,9 +415,11 @@ object DedupOps {
     * corpus is never cross-joined.
     */
   def dedupEmbedCosine(embeddings: DataFrame, minCos: Double = 0.99): DataFrame = {
-    val bucketed = SimilarityOps.withLshBucket(embeddings)
+    // the memoized bucket index: the self-join's two map stages race a
+    // lazily-persisted scan (the pair_medians pathology); the shared
+    // checkpoint also serves the LSH-ANN probe in the same session
+    val bucketed = SimilarityOps.lshBucketed(embeddings)
       .select(col("vec_id"), col("embedding"), col("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -444,7 +447,7 @@ object DedupOps {
     */
   def dedupSemantic(embeddings: DataFrame, minCos: Double = 0.99): DataFrame =
     semanticVerdicts(
-      SimilarityOps.withIvfCells(embeddings)
+      SimilarityOps.ivfCelled(embeddings)
         .select(col("vec_id"), col("embedding"), col("cell")), minCos)
 
   /** [[dedupSemantic]] over TRAINED IVF cells (Lloyd's k-means) — the
@@ -468,8 +471,13 @@ object DedupOps {
     * cell join bounds candidate pairs, the cell count is the scale knob.
     */
   private def semanticVerdicts(celledIn: DataFrame, minCos: Double): DataFrame = {
-    val celled = celledIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager checkpoint, not lazy persist: the within-cell self-join's
+    // two map stages (and the final verdict join's left side) schedule
+    // concurrently, and racing scans of an unpopulated cache each
+    // recompute the cell assignment (the pair_medians pathology). When
+    // the caller passes an already-checkpointed index (dedupSemantic →
+    // ivfCelled) this re-pins only the 3-column projection.
+    val celled = Memo.managedCheckpoint(celledIn)
     val a = celled.select(col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
     val b = celled.select(col("cell"), col("vec_id").as("vec_b"),
@@ -841,10 +849,11 @@ object DedupOps {
     * broadcast. Jaccard is exact integer micro-units (engine-stable).
     */
   def sourceOverlap(documents: DataFrame): DataFrame = {
-    val fp = documents
+    // eager checkpoint (pair_medians lesson): the overlap self-join's
+    // two map stages and the per-source rollup race a lazy cache
+    val fp = Memo.managedCheckpoint(documents
       .select(md5(TextFns.normText(col("text"))).as("h"), col("source"))
-      .distinct()
-      .persist()
+      .distinct())
     val perSource = fp.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
     val shared = fp
       .join(fp.select(col("h"), col("source").as("source_b")), Seq("h"))

@@ -227,6 +227,19 @@ object Memo {
     buildLocks.clear()
   }
 
+  /** Immediately free a checkpointed (or persisted) frame an operator
+    * consumed EAGERLY inside its own build — the tight-lifecycle
+    * alternative to [[managedCheckpoint]]'s session-scoped release for
+    * frames that must not outlive a try/finally. `Dataset.unpersist`
+    * alone is a no-op on a localCheckpoint (the blocks belong to the
+    * internal RDD, not the CacheManager), which is why callers must not
+    * hand-roll this.
+    */
+  def release(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    releaseCheckpoint(df)
+  }
+
   /** A locally-checkpointed Dataset's plan is a leaf `LogicalRDD` over
     * the persisted internal RDD; unpersist exactly that RDD to free its
     * executor blocks.

@@ -257,6 +257,27 @@ object SimilarityOps {
         col("cell2")) ++ keep.map(col): _*)
   }
 
+  /** The session-shared IVF cell assignment ([[withIvfCells]] through
+    * [[Memo.cached]]): every index consumer — the ANN probes, the
+    * SemDeDup verdicts, the balance audit, the k-NN labeler — reads ONE
+    * eagerly-checkpointed encoder scan per session per input instead of
+    * re-encoding (and, worse, RACING: a lazily-persisted encoder read
+    * from both sides of a probe join recomputes the scan per concurrent
+    * consumer — the round-13 pair_medians pathology). This is also the
+    * production shape: an IVF index is a materialized artifact, not a
+    * per-query derivation.
+    */
+  def ivfCelled(embeddings: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    Memo.cached(
+      if (keep.isEmpty) "ivf_cells" else s"ivf_cells:${keep.mkString(",")}",
+      embeddings)(withIvfCells(_, keep))
+
+  /** Session-shared LSH bucket assignment ([[withLshBucket]] memoized —
+    * same rationale as [[ivfCelled]]).
+    */
+  def lshBucketed(embeddings: DataFrame): DataFrame =
+    Memo.cached("lsh_buckets", embeddings)(withLshBucket)
+
   /** IVF index health audit — per-cell occupancy of the fixed index:
     * inverted-list length, corpus share, and load factor vs the even
     * 1/k share, plus the hot-cell flag (≥ 2× even share). The
@@ -269,7 +290,7 @@ object SimilarityOps {
     * total broadcast back.
     */
   def ivfCellBalance(embeddings: DataFrame): DataFrame = {
-    val counts = withIvfCells(embeddings)
+    val counts = ivfCelled(embeddings)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     val total = counts.agg(sum(col("n_vecs")).as("n_total"))
     counts.crossJoin(broadcast(total))
@@ -326,8 +347,7 @@ object SimilarityOps {
     * 2/IvfCells of the corpus instead of all of it.
     */
   def ivfAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
-    val celled = withIvfCells(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val celled = ivfCelled(embeddings)
     val corpus = celled.select(col("vec_id"), col("embedding"), col("cell"))
     val queries = celled.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -358,8 +378,7 @@ object SimilarityOps {
     */
   def contrastivePairs(embeddings: DataFrame, nQueries: Int = 20,
       hardK: Int = 2, dupCos: Double = 0.99): DataFrame = {
-    val celled = withIvfCells(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val celled = ivfCelled(embeddings)
     val anchors = celled.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
         col("cell").as("a_cell"), col("cell2").as("a_cell2"))
@@ -434,8 +453,10 @@ object SimilarityOps {
   def ivfTrainedAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
       iters: Int = 4): DataFrame = {
     val centroids = trainIvfCentroids(embeddings, IvfCells, iters)
-    val celled = withCells(embeddings, centroids.map(_.toSeq).toSeq)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager checkpoint, not lazy persist: corpus and query sides of the
+    // probe join race an unpopulated cache (the pair_medians pathology)
+    val celled = Memo.managedCheckpoint(
+      withCells(embeddings, centroids.map(_.toSeq).toSeq))
     val corpus = celled.select(col("vec_id"), col("embedding"), col("cell"))
     val queries = celled.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -491,8 +512,7 @@ object SimilarityOps {
   def knnLabel(embeddings: DataFrame, documents: DataFrame,
       nQueries: Int = 50, k: Int = 5): DataFrame = {
     val labels = documents.select(col("doc_id"), col("lang"))
-    val celled = withIvfCells(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val celled = ivfCelled(embeddings)
     val corpus = celled.select(col("vec_id"), col("embedding"), col("cell"))
     val queries = celled.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -524,7 +544,7 @@ object SimilarityOps {
     * the oracle).
     */
   def lshAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
-    val bucketed = withLshBucket(embeddings)
+    val bucketed = lshBucketed(embeddings)
     val queries = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
     val sims = bucketed.join(broadcast(queries), Seq("bucket"))
@@ -629,7 +649,7 @@ object SimilarityOps {
       .withColumn("cell_rank", row_number().over(wq).cast("long"))
       .filter(col("cell_rank") <= probes.max)
       .select(col("query_id"), col("q_emb"), col("cell"), col("cell_rank"))
-    val cands = withIvfCells(embeddings)
+    val cands = ivfCelled(embeddings)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .join(broadcast(qcells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -742,18 +762,23 @@ object SimilarityOps {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
         expr("cast(cast(v as double) * 1000000 as bigint)").as("p"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c0 = points.filter(col("vec_id") < k)
+    // eager memo checkpoint: the unrolled Lloyd's DAG launches every
+    // level's broadcast-centroid job concurrently at action start, and
+    // racing scans of a lazily-persisted `points` would each re-explode
+    // the corpus (the pair_medians pathology); Memo (vs a per-call
+    // checkpoint) pays the explode once per session per input
+    val pointsP = Memo.cached("kmeans_points", embeddings)(_ => points)
+    val c0 = pointsP.filter(col("vec_id") < k)
       .select(col("vec_id").cast("long").as("cid"), col("dim"), col("p").as("c"))
     def assign(cent: DataFrame): DataFrame =
-      points.join(broadcast(cent), Seq("dim"))
+      pointsP.join(broadcast(cent), Seq("dim"))
         .groupBy(col("vec_id"), col("cid"))
         .agg(sum((col("p") - col("c")) * (col("p") - col("c"))).as("d2"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
     def recompute(asg: DataFrame): DataFrame =
-      points.join(asg.select("vec_id", "cid"), Seq("vec_id"))
+      pointsP.join(asg.select("vec_id", "cid"), Seq("vec_id"))
         .groupBy(col("cid"), col("dim"))
         .agg(floor(sum(col("p")).cast("double") / count(lit(1))).cast("long").as("c"))
     val last = (1 until iters).foldLeft(assign(c0))((a, _) => assign(recompute(a)))
@@ -1030,11 +1055,37 @@ object SimilarityOps {
     * vectors — at 10¹¹ vectors the candidate scan is 2/16 of the corpus
     * at 1/64 the bytes.
     */
+  /** Stable memo-key suffix for a codebook: the fixed baseline by name,
+    * a trained one by its content hash (Seq hashCode is deterministic
+    * for identical float contents, so re-training to the same codebook
+    * re-hits the memo).
+    */
+  private def cbId(cb: PqCodebook): String =
+    if (cb eq FixedPqCodebook) "fixed" else (cb.hashCode & 0x7fffffff).toHexString
+
+  /** Session-shared flat-PQ code scan ([[withPqCodes]] memoized, keyed
+    * by codebook — see [[ivfCelled]] for why index encoders memoize).
+    */
+  def pqCoded(embeddings: DataFrame,
+      codebook: PqCodebook = FixedPqCodebook): DataFrame =
+    Memo.cached(s"pq_codes:${cbId(codebook)}", embeddings)(
+      withPqCodes(_, codebook))
+
+  /** Session-shared IVF+residual-PQ index scan (cells + 4-byte residual
+    * codes in one encoder pass, memoized per codebook — see
+    * [[ivfCelled]]).
+    */
+  def ivfPqCoded(embeddings: DataFrame,
+      codebook: PqCodebook = FixedPqCodebook,
+      keep: Seq[String] = Nil): DataFrame =
+    Memo.cached(s"ivfpq_codes:${cbId(codebook)}" +
+        (if (keep.isEmpty) "" else keep.mkString(":", ",", "")),
+      embeddings)(e =>
+        withResidualPqCodes(withIvfCells(e, keep), FixedIvfCentroids, codebook))
+
   def ivfPqAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
       codebook: PqCodebook = FixedPqCodebook): DataFrame = {
-    val both = withResidualPqCodes(withIvfCells(embeddings),
-        FixedIvfCentroids, codebook)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val both = ivfPqCoded(embeddings, codebook)
     val corpus = both.select(col("cell") +: col("vec_id") +:
       (0 until PqSub).map(m => col(s"code$m")): _*)
     // residual LUTs are per PROBED cell, so the cell explode happens
@@ -1058,12 +1109,7 @@ object SimilarityOps {
     */
   def filteredIvfPqAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
       codebook: PqCodebook = FixedPqCodebook): DataFrame = {
-    // managed persist: the encoder scan feeds both the corpus and query
-    // sides but the result is returned lazily, so release rides the
-    // session lifecycle (Memo.invalidate) instead of leaking
-    val both = Memo.managedPersist(withResidualPqCodes(
-      withIvfCells(embeddings, keep = Seq("label")), FixedIvfCentroids,
-      codebook))
+    val both = ivfPqCoded(embeddings, codebook, keep = Seq("label"))
     val corpus = both.select(col("cell") +: col("vec_id") +: col("label") +:
       (0 until PqSub).map(m => col(s"code$m")): _*)
     val queries = both.filter(col("vec_id") < nQueries)
@@ -1091,8 +1137,7 @@ object SimilarityOps {
     */
   def pqAnn(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
       codebook: PqCodebook = FixedPqCodebook): DataFrame = {
-    val coded = withPqCodes(embeddings, codebook)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coded = pqCoded(embeddings, codebook)
     val corpus = coded.select(
       col("vec_id") +: (0 until PqSub).map(m => col(s"code$m")): _*)
     val queries = coded.filter(col("vec_id") < nQueries)

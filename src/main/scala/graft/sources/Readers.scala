@@ -127,6 +127,12 @@ object Readers {
                   (col("arr").isNull ||
                     substring(ltrim(col("body")), 1, 1) =!= lit("[")))
                   .as("bad"))
+              // lazy persist is SAFE here (audited round 14, no
+              // racing-scan pathology): the census collect() below is a
+              // serial action that populates the cache before the final
+              // union consumes the page — and re-fetching the HTTP page
+              // on recompute would be a correctness bug, which the
+              // immediate collect also prevents
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             blocks += parsed
             // per-page census: ≤ parallelPages rows, bounded collect

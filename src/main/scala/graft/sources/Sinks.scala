@@ -50,7 +50,10 @@ object Sinks {
     // one file more or fewer than the target — clustering, not an exact
     // file census, is the contract.
     // persist: the key census and the write would otherwise each
-    // recompute the full input lineage
+    // recompute the full input lineage. Lazy persist is SAFE here
+    // (audited round 14, no racing-scan pathology): the census count()
+    // is a serial action that fully populates the cache before the
+    // write action runs
     val cached = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       // Long math + a writer-count ceiling: .toInt on the raw count

@@ -40,7 +40,13 @@ object ProfileQuery {
               i.name.takeWhile(_ != '\n'))
         }
       })
+    // SPARK_GRAFT_PROFILE_COLD=1: drop ALL cached data (including raw
+    // operator persists, which Memo.invalidate does not know about)
+    // before each timed query — the mode that exposes racing-scan
+    // recomputes of lazily-persisted frames, which a warm cache hides
+    val cold = sys.env.get("SPARK_GRAFT_PROFILE_COLD").contains("1")
     names.foreach { n =>
+      if (cold) { spark.catalog.clearCache(); graft.operators.Memo.invalidate() }
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).count()
       val memo = graft.operators.Memo.drainBuildSeconds()
