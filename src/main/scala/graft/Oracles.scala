@@ -3246,6 +3246,44 @@ object Oracles {
          | AND pqf.neighbor_id = ex.neighbor_id""".stripMargin
     },
 
+    // SimilarityOps.opqTrainedRecall: the exact leg + the FIXED-codebook
+    // flat-ADC recall replay deterministically (same CTEs as
+    // pq_trained_recall); the trained-PQ and rotated-OPQ legs are
+    // data-dependent (k-means + PCA floats) and land as tolerance-band
+    // booleans the gate forces to TRUE — the Spark side must PROVE
+    // opq ≥ floor and opq ≥ trained-pq or the hash-compare fails.
+    "opq_trained_recall" -> {
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |      WHERE vec_id < 50),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROUND(${dotSql("c", "c")} - 2.0 * ${dotSql("q", "c")}
+         |      + ${dotSql("q", "q")}, 6) AS d
+         |   FROM embeddings c, q WHERE c.vec_id <> q.query_id))
+         | WHERE rank <= 5),
+         |${pqCodedCtes("embeddings", Seq("vec_id"), "t")},
+         |pqf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS BIGINT) AS rank
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROUND($pqAdcSql, 6) AS adc_dist2
+         |   FROM codedt c, q WHERE c.vec_id <> q.query_id))
+         | WHERE rank <= 5)
+         |SELECT CAST(COUNT(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+         | COUNT(*) AS n_exact,
+         | CAST((CAST(SUM(CASE WHEN pqf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS recall_fixed_micro,
+         | TRUE AS opq_ge_floor,
+         | TRUE AS opq_ge_trained_pq
+         |FROM ex
+         |LEFT JOIN pqf ON pqf.query_id = ex.query_id
+         | AND pqf.neighbor_id = ex.neighbor_id""".stripMargin
+    },
+
     // SimilarityOps.ivfadcTrainedRecall: exact leg + the fixed RESIDUAL
     // IVF-PQ leg replayed (the residual coded/LUT chains); the trained
     // residual-IVFADC quality lands as tolerance-band booleans the gate

@@ -305,6 +305,7 @@ object SparkEntry {
       SimilarityOps.filteredIvfPqAnn(embeddings(s, d))),
     "pq_recall_report" -> ((s, d) => SimilarityOps.pqRecallReport(embeddings(s, d))),
     "pq_trained_recall" -> ((s, d) => SimilarityOps.pqTrainedRecall(embeddings(s, d))),
+    "opq_trained_recall" -> ((s, d) => SimilarityOps.opqTrainedRecall(embeddings(s, d))),
     "ivfadc_trained_recall" -> ((s, d) =>
       SimilarityOps.ivfadcTrainedRecall(embeddings(s, d))),
     "embed_pq_rerank" -> ((s, d) => SimilarityOps.pqRerankAnn(embeddings(s, d))),

