@@ -75,8 +75,11 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       // operators persist intermediates for their own multi-branch plans;
-      // drop them between queries so timings don't alias cache reuse
+      // drop them between queries so timings don't alias cache reuse —
+      // including per-call managed checkpoints, whose blocks would
+      // otherwise accumulate across the whole pass (memo entries stay)
       spark.catalog.clearCache()
+      graft.operators.Memo.releaseManaged()
     }
     // The warmup built the session-scoped memoized intermediates (the
     // LSH pair graph etc.); drop them so the timed pass pays each
@@ -115,7 +118,9 @@ object Bench {
         }
         // per-iteration cache drop: a query's own persisted
         // intermediates must not make iterations 2..n artificially warm
+        // (and per-call checkpoints must not pile up blocks all pass)
         spark.catalog.clearCache()
+        graft.operators.Memo.releaseManaged()
         (math.max(0.0, sec - memo.values.sum), ok)
       }
       val good = samples.collect { case (s, true) => s }.sorted

@@ -28,7 +28,9 @@ object Verify {
       }
       // operators persist intermediates for multi-branch plans; drop them
       // between queries so a long run doesn't accumulate cached blocks
+      // (per-call managed checkpoints included — memo entries stay)
       spark.catalog.clearCache()
+      graft.operators.Memo.releaseManaged()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

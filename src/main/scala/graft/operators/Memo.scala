@@ -227,6 +227,24 @@ object Memo {
     buildLocks.clear()
   }
 
+  /** Free every [[managedPersist]]/[[managedCheckpoint]] frame WITHOUT
+    * touching the memo caches — the between-iterations cleanup a
+    * benchmark or batch driver needs: per-call operator-internal
+    * checkpoints are rebuilt on the next invocation anyway, but their
+    * blocks otherwise accumulate for the whole session (hundreds of
+    * invocations × an sf-scaled frame each — multi-GB by the end of a
+    * full bench pass at the larger trend points). Only safe once the
+    * consuming actions have completed: frames returned lazily to a
+    * caller still holding them would lose their blocks.
+    */
+  def releaseManaged(): Unit = managed.synchronized {
+    managed.forEach { df =>
+      df.unpersist(blocking = false)
+      releaseCheckpoint(df)
+    }
+    managed.clear()
+  }
+
   /** Immediately free a checkpointed (or persisted) frame an operator
     * consumed EAGERLY inside its own build — the tight-lifecycle
     * alternative to [[managedCheckpoint]]'s session-scoped release for
