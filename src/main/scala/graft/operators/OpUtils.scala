@@ -167,32 +167,59 @@ private[graft] object OpUtils {
     * Ties are exact throughout: a rank inside a tie group resolves to
     * that value both in the census walk (counts bound the group) and in
     * the final RANGE frames (`cum` spans the whole group, `below`
-    * stops under it). Calendar-bounded end to end; the one explode +
+    * stops under it). Calendar-bounded end to end; the one
     * exact-decimal-slope pass is computed exactly once into an eager
-    * checkpoint (a lazy persist here measured ~5 duplicate passes —
-    * Spark launches a plan's broadcast subqueries concurrently, and
-    * racing scans of an unpopulated cache all recompute upstream).
+    * checkpoint of the slim per-pair (s0, s1) column table (a lazy
+    * persist here measured ~5 duplicate passes — Spark launches a
+    * plan's broadcast subqueries concurrently, and racing scans of an
+    * unpopulated cache all recompute upstream; an exploded
+    * (kind, s)-row checkpoint measured GC-bound under bench heap
+    * pressure, see the build comment).
     */
   def pairMedians(orders: DataFrame): DataFrame =
     Memo.cached("pair_medians", dayPairs(orders)) { p =>
       val spark = p.sparkSession
       import spark.implicits._
-      val events = Memo.managedCheckpoint(
-        p.select(explode(when(col("tb") > col("ta"),
-            array(
-              struct(lit(0L).as("kind"), (col("ya") + col("yb")).as("s")),
-              struct(lit(1L).as("kind"), expr(slopeMicroSql).as("s"))))
-          .otherwise(array(
-            struct(lit(0L).as("kind"), (col("ya") + col("yb")).as("s")))))
-          .as("e"))
-          .select(col("e.kind").as("kind"), col("e.s").as("s")))
-      // per-kind count + value range: 2 rows to the driver
-      val stats = events.groupBy(col("kind"))
-        .agg(count(lit(1)).as("m"), min(col("s")).as("mn"),
-          max(col("s")).as("mx"))
-        .collect().map(r =>
-          (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
-        .sortBy(_._1)
+      // Slim per-pair value table, checkpointed ONCE: s0 = Walsh sum
+      // (every pair), s1 = exact micro slope (tb > ta rows only, else
+      // null). The former shape exploded each pair into 1-2 (kind, s)
+      // STRUCT rows and checkpointed those 5.8M generic rows — the
+      // per-row array+struct allocations made the stage GC-bound under
+      // bench heap pressure (round 14 measured 183-639 executor-seconds
+      // on that one stage, vs ~15 s for this column form; the bench
+      // line swung 2.7→12.6 s between rounds on nothing but heap
+      // context). Downstream passes derive the (kind, s) stream as a
+      // UNION of two plain column projections of this leaf — no
+      // explode, no row-object churn, and the decimal slope arithmetic
+      // is paid exactly once, here.
+      val sv = Memo.managedCheckpoint(
+        p.select((col("ya") + col("yb")).as("s0"),
+          when(col("tb") > col("ta"), expr(slopeMicroSql)).as("s1")))
+      // the (kind, s) stream, restricted to the kinds a pass still
+      // needs: later narrowing passes typically keep only the
+      // heavy-tailed slope kind open, and the driver knows which —
+      // scanning the closed kind's leg would be pure waste
+      def events(kinds: Set[Long]) = {
+        val legs = Seq(
+          0L -> sv.select(lit(0L).as("kind"), col("s0").as("s")),
+          1L -> sv.filter(col("s1").isNotNull)
+            .select(lit(1L).as("kind"), col("s1").as("s")))
+          .collect { case (k, leg) if kinds(k) => leg }
+        legs.reduce(_ unionAll _)
+      }
+      // per-kind count + value range in ONE pass over the checkpoint
+      // (not a groupBy over the 2× union): 1 row, 6 scalars
+      val statsRow = sv.agg(
+        count(lit(1)).as("m0"), min(col("s0")).as("mn0"),
+        max(col("s0")).as("mx0"),
+        count(col("s1")).as("m1"), min(col("s1")).as("mn1"),
+        max(col("s1")).as("mx1")).collect().head
+      val stats = Seq(0, 1).flatMap { k =>
+        val m = statsRow.getLong(3 * k)
+        if (m == 0) None
+        else Some((k.toLong,
+          (m, statsRow.getLong(3 * k + 1), statsRow.getLong(3 * k + 2))))
+      }
       // one narrowing target per central rank: (m+1) div 2 = lower
       // statistic, m div 2 + 1 = upper (equal when m is odd)
       final case class Tgt(tid: Int, kind: Long, rank: Long,
@@ -224,7 +251,7 @@ private[graft] object OpUtils {
         val open = targets.filter(t => t.cnt > FinishBelow && t.lo < t.hi)
         val bounds = open.map(t => (t.tid, t.kind, t.lo, t.hi, width(t)))
           .toSeq.toDF("tid", "bkind", "blo", "bhi", "bw")
-        val census = events.join(broadcast(bounds),
+        val census = events(open.map(_.kind).toSet).join(broadcast(bounds),
             col("kind") === col("bkind") &&
               col("s") >= col("blo") && col("s") <= col("bhi"))
           .groupBy(col("tid"), expr("(s - blo) div bw").as("bkt"))
@@ -262,7 +289,7 @@ private[graft] object OpUtils {
           .map(t => (t.tid, t.kind, t.lo, t.hi, t.rank - t.prior))
           .toSeq.toDF("tid", "bkind", "blo", "bhi", "rk")
         val w = Window.partitionBy(col("tid")).orderBy(col("s"))
-        events.join(broadcast(bounds),
+        events(openT.map(_.kind).toSet).join(broadcast(bounds),
             col("kind") === col("bkind") &&
               col("s") >= col("blo") && col("s") <= col("bhi"))
           .withColumn("cum", count(lit(1)).over(

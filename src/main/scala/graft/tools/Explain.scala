@@ -18,6 +18,15 @@ object Explain {
       else SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     if (args.contains("--run")) println(s"rows=${df.count()}")
+    // memo-backed operators hide their expensive shapes behind
+    // checkpointed leaves; print each derivation built while
+    // constructing/running this query (the plan-audit surface)
+    graft.operators.Memo.builtQueryExecutions.toSeq.sortBy(_._1)
+      .foreach { case (memoName, qe) =>
+        println(s"\n=== memo derivation: $memoName ===")
+        println(qe.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
     spark.stop()
   }
 }
