@@ -71,20 +71,24 @@ object AuditOps {
     }.reduce(_.unionByName(_))
     val joined = childKeys
       .join(parentKeys, Seq("rel", "k"), "full_outer")
-    val orphanAgg = joined.filter(col("hit").isNull)
-      .groupBy(col("rel"))
-      .agg(sum(col("cnt")).as("o_rows"), count(lit(1)).as("o_keys"))
-    val unrefAgg = joined.filter(col("cnt").isNull)
-      .groupBy(col("rel"))
-      .agg(count(lit(1)).as("u_keys"))
+    // BOTH audits in one conditional aggregation over the joined keyset:
+    // two filtered groupBys consumed the full-outer join from two
+    // broadcast subqueries, which re-ran every child rollup + parent
+    // distinct (each base table scanned twice) — one shared pass halves
+    // the whole pipeline. Absent-group semantics match the old filtered
+    // aggs: a clean relationship's conditional sums land NULL and the
+    // same coalesce(0) below applies.
+    val audits = joined.groupBy(col("rel"))
+      .agg(sum(when(col("hit").isNull, col("cnt"))).as("o_rows"),
+        count(when(col("hit").isNull, lit(1))).as("o_keys"),
+        count(when(col("cnt").isNull, lit(1))).as("u_keys"))
     // every relationship reports both audits even when clean — seed the
     // 14-row output frame from the edge list and coalesce counts to 0
     val spark = lineitem.sparkSession
     import spark.implicits._
     val relFrame = edges.map(_._1).toDF("rel")
     relFrame
-      .join(broadcast(orphanAgg), Seq("rel"), "left")
-      .join(broadcast(unrefAgg), Seq("rel"), "left")
+      .join(broadcast(audits), Seq("rel"), "left")
       .select(
         explode(array(
           struct(lit("fk_orphan").as("audit"),

@@ -199,31 +199,29 @@ object SimilarityOps {
     * into the codegen'd dot product — one scan, no shuffle.
     */
   def withCells(embeddings: DataFrame, centroids: Seq[Seq[Float]]): DataFrame = {
-    val scores = centroids.zipWithIndex.map { case (w, k) =>
-      val norm2 = w.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
-      (lit(norm2) - lit(2.0) *
-        graft.functions.DotProduct.dotF(col("embedding"), typedlit(w))).as(s"s$k")
-    }
-    val n = centroids.size
-    val withScores = embeddings.select(col("*") +: scores: _*)
-    val m = least((0 until n).map(k => col(s"s$k")): _*)
-    val cell = (0 until n).foldRight(lit(-1): org.apache.spark.sql.Column) {
-      (k, rest) => when(col(s"s$k") === col("__m"), lit(k)).otherwise(rest)
-    }
-    val masked = (0 until n).map(k =>
-      when(col(s"s$k") === col("__m"), lit(Double.MaxValue)).otherwise(col(s"s$k")).as(s"t$k"))
-    val m2 = least((0 until n).map(k => col(s"t$k")): _*)
-    val cell2 = (0 until n).foldRight(lit(-1): org.apache.spark.sql.Column) {
-      (k, rest) => when(col(s"t$k") === col("__m2"), lit(k)).otherwise(rest)
-    }
-    withScores
-      .withColumn("__m", m)
-      .withColumn("cell", cell)
-      .select(col("*") +: masked: _*)
-      .withColumn("__m2", m2)
-      .withColumn("cell2", cell2)
-      .select(col("vec_id"), col("embedding"), col("cell"), col("cell2"))
+    // ONE codegen'd assignment expression replaying the former
+    // 16-score-column + two argmin/mask layers bit-for-bit (identical
+    // double math and tie rules — see IndexEncode's equivalence notes):
+    // the wide column plan's Catalyst handling, not its arithmetic,
+    // dominated Lloyd's-loop cost, and the content-hashed geometry
+    // reference keeps one compiled class serving every iteration.
+    val cc = graft.functions.IndexEncode.cells(
+      col("embedding"), cellGeometry(centroids))
+    embeddings
+      .select(col("vec_id"), col("embedding"), cc.as("__cc"))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("__cc"), 1).as("cell"),
+        element_at(col("__cc"), 2).as("cell2"))
   }
+
+  /** Content-hashed geometry handoff; norms are the same left-fold
+    * doubles the score columns inlined.
+    */
+  private def cellGeometry(centroids: Seq[Seq[Float]]): graft.functions.CellGeometry =
+    new graft.functions.CellGeometry(
+      centroids.map(_.toArray).toArray,
+      centroids.map(_.foldLeft(0.0)((acc, x) =>
+        acc + x.toDouble * x.toDouble)).toArray)
 
   /** Assign each embedding to its nearest fixed pseudo-random IVF
     * centroid (the oracle-replicable variant — see [[centroidWeight]]).
@@ -231,30 +229,17 @@ object SimilarityOps {
     * (e.g. a metadata label for filtered search).
     */
   def withIvfCells(embeddings: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    val scores = (0 until IvfCells).map { k =>
-      val w = (0 until Dim).map(i => centroidWeight(k, i).toFloat)
-      (lit(centroidNorm2(k)) - lit(2.0) *
-        graft.functions.DotProduct.dotF(col("embedding"), typedlit(w))).as(s"s$k")
-    }
-    val withScores = embeddings.select(col("*") +: scores: _*)
-    val m = least((0 until IvfCells).map(k => col(s"s$k")): _*)
-    val cell = (0 until IvfCells).foldRight(lit(-1): org.apache.spark.sql.Column) {
-      (k, rest) => when(col(s"s$k") === col("__m"), lit(k)).otherwise(rest)
-    }
-    val masked = (0 until IvfCells).map(k =>
-      when(col(s"s$k") === col("__m"), lit(Double.MaxValue)).otherwise(col(s"s$k")).as(s"t$k"))
-    val m2 = least((0 until IvfCells).map(k => col(s"t$k")): _*)
-    val cell2 = (0 until IvfCells).foldRight(lit(-1): org.apache.spark.sql.Column) {
-      (k, rest) => when(col(s"t$k") === col("__m2"), lit(k)).otherwise(rest)
-    }
-    withScores
-      .withColumn("__m", m)
-      .withColumn("cell", cell)
-      .select(col("*") +: masked: _*)
-      .withColumn("__m2", m2)
-      .withColumn("cell2", cell2)
-      .select(Seq(col("vec_id"), col("embedding"), col("cell"),
-        col("cell2")) ++ keep.map(col): _*)
+    // same single-expression assignment as [[withCells]], against the
+    // fixed dyadic centroids (float-exact, so the geometry norms equal
+    // [[centroidNorm2]]'s doubles bit-for-bit)
+    val cc = graft.functions.IndexEncode.cells(
+      col("embedding"), cellGeometry(FixedIvfCentroids))
+    embeddings
+      .select(Seq(col("vec_id"), col("embedding"), cc.as("__cc")) ++
+        keep.map(col): _*)
+      .select(Seq(col("vec_id"), col("embedding"),
+        element_at(col("__cc"), 1).as("cell"),
+        element_at(col("__cc"), 2).as("cell2")) ++ keep.map(col): _*)
   }
 
   /** The session-shared IVF cell assignment ([[withIvfCells]] through
@@ -424,22 +409,32 @@ object SimilarityOps {
     */
   def trainIvfCentroids(embeddings: DataFrame, k: Int = IvfCells,
       iters: Int = 4): Array[Array[Float]] = {
-    var centroids: Array[Array[Float]] = embeddings.orderBy(col("vec_id")).limit(k)
+    // narrow training projection materialized ONCE (the trainPqCodebook
+    // treatment): init + every Lloyd iteration re-scan it, and the
+    // parquet array decode (or an upstream derivation) would otherwise
+    // be re-paid per pass
+    val base = Memo.managedCheckpoint(
+      embeddings.select(col("vec_id"), col("embedding")))
+    var centroids: Array[Array[Float]] = base.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
-      val assigned = withCells(embeddings, centroids.map(_.toSeq).toSeq)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
-        .groupBy(col("cell"), col("i"))
-        .agg(avg(col("v").cast("double")).as("m"))
+      // update step: one hash aggregate straight off the assignment scan
+      // — 64 per-dimension avg columns grouped by cell (map-side
+      // combined to ≤ k rows), not the former 64-row posexplode per
+      // vector + two shuffles; the per-(cell, dim) value stream and
+      // order are unchanged
+      val assigned = withCells(base, centroids.map(_.toSeq).toSeq)
         .groupBy(col("cell"))
-        .agg(map_from_entries(collect_list(struct(col("i"), col("m")))).as("dims"))
+        .agg(avg(element_at(col("embedding"), 1).cast("double")).as("m0"),
+          (1 until Dim).map(i =>
+            avg(element_at(col("embedding"), i + 1).cast("double"))
+              .as(s"m$i")): _*)
         .collect()
       val next = centroids.map(_.clone())
       assigned.foreach { r =>
         val cell = r.getInt(0)
-        val dims = r.getMap[Int, Double](1)
-        next(cell) = (0 until Dim).map(i => dims(i).toFloat).toArray
+        next(cell) = Array.tabulate(Dim)(i => r.getDouble(1 + i).toFloat)
       }
       centroids = next // cells that lost every vector keep their centroid
     }
@@ -839,24 +834,31 @@ object SimilarityOps {
   def withPqCodes(embeddings: DataFrame,
       codebook: PqCodebook = FixedPqCodebook): DataFrame = {
     val keep = embeddings.columns.toSeq
-    val scoreCols = for (m <- 0 until PqSub; j <- 0 until PqCent) yield {
-      val sub = slice(col("embedding"), m * 8 + 1, 8)
-      val w = cbNorm2(codebook, m, j)
-      (lit(w) - lit(2.0) *
-        graft.functions.DotProduct.dotF(sub, typedlit(codebook(m)(j))))
-        .as(s"s${m}_$j")
-    }
-    val scored = embeddings.select(keep.map(col) ++ scoreCols: _*)
-    val codeCols = (0 until PqSub).map { m =>
-      val mn = least((0 until PqCent).map(j => col(s"s${m}_$j")): _*)
-      (0 until PqCent).foldRight(lit(-1): org.apache.spark.sql.Column) {
-        (j, rest) => when(col(s"s${m}_$j") === mn, lit(j)).otherwise(rest)
-      }.as(s"code$m")
-    }
-    // input columns pass through so the encoder composes with the IVF
-    // cell assignment in ONE scan (ivfPqAnn)
-    scored.select(keep.map(col) ++ codeCols: _*)
+    // ONE codegen'd encoder expression (identical double math, argmin
+    // ties to the smallest j — see IndexEncode's equivalence notes), not
+    // 128 score columns + 8 argmin when-chains: the wide column plan was
+    // correct but its Catalyst handling (analysis + optimization +
+    // codegen bookkeeping) measured ~0.3-0.4 s PER JOB, and a Lloyd's
+    // training loop plans one per iteration — plan overhead, not
+    // arithmetic, dominated the whole training family. The geometry
+    // rides a content-hashed reference, so the generated source is
+    // byte-identical across codebooks and one compile serves every
+    // iteration. Input columns pass through so the encoder composes
+    // with the IVF cell assignment in ONE scan (ivfPqAnn).
+    val codes = graft.functions.IndexEncode.pqCodes(
+      col("embedding"), pqGeometry(codebook))
+    embeddings.select(keep.map(col) :+ codes.as("__pq_codes"): _*)
+      .select(keep.map(col) ++ (0 until PqSub).map(m =>
+        element_at(col("__pq_codes"), m + 1).as(s"code$m")): _*)
   }
+
+  /** Content-hashed geometry handoff for the single-expression encoder:
+    * norms are the SAME left-fold doubles [[cbNorm2]] always produced.
+    */
+  private def pqGeometry(codebook: PqCodebook): graft.functions.PqGeometry =
+    new graft.functions.PqGeometry(
+      Array.tabulate(PqSub, PqCent, 8)((m, j, i) => codebook(m)(j)(i)),
+      Array.tabulate(PqSub, PqCent)((m, j) => cbNorm2(codebook, m, j)))
 
   /** Per-subspace Lloyd's k-means over the corpus subvectors — the
     * codebook training FAISS runs before PQ-encoding anything (Jégou et
@@ -865,14 +867,23 @@ object SimilarityOps {
     * shippable regime. Fully distributed, mirroring
     * [[trainIvfCentroids]]: assignment is the codegen'd
     * [[withPqCodes]] scan against the current codebook (all 8 subspaces
-    * in the SAME pass), the update a posexplode + per-(subspace,
-    * centroid, dim) grouped mean (map-side combined). Only
-    * 8×16×8 = 1024 centroid cells reach the driver per iteration.
+    * in the SAME pass), the update one subspace-grain explode (8 rows
+    * per vector) + a per-(subspace, centroid) grouped mean over 8 dim
+    * columns (map-side combined). Only 8×16 rows × 8 dims = 1024
+    * centroid cells reach the driver per iteration.
     * Deterministic init: subvectors of the first PqCent vectors by
     * vec_id; a centroid that loses every vector keeps its value.
     */
   def trainPqCodebook(embeddings: DataFrame, iters: Int = 4): PqCodebook = {
-    val init = embeddings.orderBy(col("vec_id")).limit(PqCent)
+    // Materialize the narrow training projection ONCE: the init scan and
+    // every Lloyd iteration re-read this frame, and the input is often an
+    // expensive derivation (a 64×64 rotation under opqTrain, a residual
+    // projection under trainAnnModel) that a lazy plan would recompute
+    // per scan — `iters`+1 times (round 14 measured the rotation alone
+    // as ~6 redundant passes per OPQ alternation).
+    val base = Memo.managedCheckpoint(
+      embeddings.select(col("vec_id"), col("embedding")))
+    val init = base.orderBy(col("vec_id")).limit(PqCent)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toIndexedSeq)
     require(init.nonEmpty, "cannot train a PQ codebook on an empty corpus")
@@ -881,19 +892,26 @@ object SimilarityOps {
     var cb: PqCodebook = IndexedSeq.tabulate(PqSub, PqCent, 8)(
       (m, j, i) => init(j % init.length)(m * 8 + i))
     for (_ <- 0 until iters) {
+      // update step: ONE explode to subspace grain (8 rows/vector, not
+      // the former 64 via a second posexplode), 8 avg columns per
+      // (subspace, centroid) — the same per-dimension value stream in
+      // the same order, 8× fewer rows through the aggregation
       val subStruct = array((0 until PqSub).map(m =>
         struct(lit(m).as("m"), col(s"code$m").as("j"),
           slice(col("embedding"), m * 8 + 1, 8).as("sv"))): _*)
-      val means = withPqCodes(embeddings, cb)
+      val means = withPqCodes(base, cb)
         .select(explode(subStruct).as("e"))
-        .select(col("e.m").as("m"), col("e.j").as("j"),
-          posexplode(col("e.sv")).as(Seq("d", "v")))
-        .groupBy(col("m"), col("j"), col("d"))
-        .agg(avg(col("v").cast("double")).as("c"))
+        .select(col("e.m").as("m"), col("e.j").as("j"), col("e.sv").as("sv"))
+        .groupBy(col("m"), col("j"))
+        .agg(avg(element_at(col("sv"), 1).cast("double")).as("c0"),
+          (1 until 8).map(i =>
+            avg(element_at(col("sv"), i + 1).cast("double")).as(s"c$i")): _*)
         .collect()
       val next = Array.tabulate(PqSub, PqCent, 8)((m, j, i) => cb(m)(j)(i))
       means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+        val m = r.getInt(0); val j = r.getInt(1)
+        var i = 0
+        while (i < 8) { next(m)(j)(i) = r.getDouble(2 + i).toFloat; i += 1 }
       }
       cb = IndexedSeq.tabulate(PqSub, PqCent, 8)((m, j, i) => next(m)(j)(i))
     }
@@ -1018,7 +1036,11 @@ object SimilarityOps {
         graft.functions.DotProduct.dotF(sub, sub) -
           lit(2.0) * graft.functions.DotProduct.dotF(sub,
             typedlit(codebook(m)(j))) +
-          lit(cbNorm2(codebook, m, j))
+          // StableConst, not lit: the probe plan template is re-instan-
+          // tiated per codebook (fixed/trained/OPQ legs in one query),
+          // and an inline double would force a fresh janino compile of
+          // the whole LUT projection each time (see withPqCodes)
+          graft.functions.StableConst(cbNorm2(codebook, m, j))
       }: _*).as(s"lut$m")
     }
 
@@ -1493,26 +1515,43 @@ object SimilarityOps {
       iters: Int = 2): (Seq[Seq[Float]], PqCodebook) = {
     var rot: Seq[Seq[Float]] = opqRotation(embeddings)
     var cb: PqCodebook = FixedPqCodebook
-    val withRaw = embeddings.withColumn("raw", col("embedding"))
+    val withRaw = embeddings.select(col("vec_id"), col("embedding"),
+      col("embedding").as("raw"))
     for (t <- 0 until alternations) {
-      val rotated = withRotation(withRaw, rot)
+      // materialize the rotated corpus ONCE per alternation: every scan
+      // under it (codebook init + `iters` Lloyd passes + the
+      // cross-moment pass) re-reads this frame, and a lazy plan would
+      // re-pay the 64×64 rotation dots on each — measured ~6 redundant
+      // rotation passes per alternation before this checkpoint
+      val rotated = Memo.managedCheckpoint(withRotation(withRaw, rot))
       cb = trainPqCodebook(rotated, iters)
       if (t < alternations - 1) {
+        // S[m][c][j] = Σ_{code_m = c} x_j via ONE subspace-grain explode
+        // (8 rows/vector carrying the raw array, not the former
+        // 64×8 = 512 rows from posexplode(raw) × code explode) + 64 sum
+        // columns grouped by (m, c) — same value stream per cell, 64×
+        // fewer rows through the aggregation
         val s = withPqCodes(rotated, cb)
-          .select(posexplode(col("raw")).as(Seq("j", "xj")) +:
-            (0 until PqSub).map(m => col(s"code$m")): _*)
-          .select(col("j"), col("xj").cast("double").as("xj"),
-            explode(array((0 until PqSub).map(m =>
-              struct(lit(m).as("m"), col(s"code$m").as("c"))): _*)).as("mc"))
-          .groupBy(col("mc.m").as("m"), col("mc.c").as("c"), col("j"))
-          .agg(sum(col("xj")).as("s"))
+          .select(col("raw"), explode(array((0 until PqSub).map(m =>
+            struct(lit(m).as("m"), col(s"code$m").as("c"))): _*)).as("mc"))
+          .groupBy(col("mc.m").as("m"), col("mc.c").as("c"))
+          .agg(sum(element_at(col("raw"), 1).cast("double")).as("s0"),
+            (1 until Dim).map(j =>
+              sum(element_at(col("raw"), j + 1).cast("double"))
+                .as(s"s$j")): _*)
           .collect()
         val big = Array.ofDim[Double](Dim, Dim)
         s.foreach { r =>
           val m = r.getInt(0); val c = r.getInt(1)
-          val j = r.getInt(2); val sv = r.getDouble(3)
-          var i = 0
-          while (i < 8) { big(m * 8 + i)(j) += cb(m)(c)(i).toDouble * sv; i += 1 }
+          var j = 0
+          while (j < Dim) {
+            val sv = r.getDouble(2 + j)
+            var i = 0
+            while (i < 8) {
+              big(m * 8 + i)(j) += cb(m)(c)(i).toDouble * sv; i += 1
+            }
+            j += 1
+          }
         }
         val next = procrustesRotation(big)
         rot = next.toSeq.map(_.toSeq.map(_.toFloat))

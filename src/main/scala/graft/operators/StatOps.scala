@@ -128,7 +128,12 @@ object StatOps {
     val aExpr = s"(CASE WHEN (1103515245 * (r + 1) + 12345) % $MinhashP = 0 " +
       s"THEN 1 ELSE (1103515245 * (r + 1) + 12345) % $MinhashP END)"
     val bExpr = s"((69069 * (r + 1) + 1) % $MinhashP)"
-    val weighted = y
+    // spread before the resamples× explode: the orders scan is a single
+    // split at bench scale, and the whole 64×-explode + universal-hash
+    // pass otherwise runs ONE-TASK (profiled 3.4 s single-threaded vs
+    // ~0.2 s spread); the repartition moves only the slim (key, y)
+    // projection and the per-resample rollup still combines map-side
+    val weighted = OpUtils.spread(y)
       .withColumn("x", graft.functions.HashFns.hash32(
         concat(lit("bs:"), col("o_orderkey"))))
       .select(col("y"), col("x"),
@@ -144,13 +149,24 @@ object StatOps {
       .filter(col("rm").isNotNull)
     val loRank = math.max(1, math.ceil(0.05 * resamples).toInt)
     val hiRank = resamples + 1 - loRank
-    val ranked = means
+    // eager checkpoint of the R-row resample means: the lo and hi rank
+    // probes were separate broadcast subqueries, and each (plus the
+    // point-estimate leg's exchange reuse missing) re-ran the full
+    // resamples× explode scan — the query paid the corpus pass up to
+    // 3×. The checkpoint is R rows; both order statistics then come
+    // from ONE window pass over it, fused into a single 2-column
+    // aggregate instead of two filtered branches.
+    val meansCk = Memo.managedCheckpoint(means)
+    val bounds = meansCk
       .withColumn("rk", row_number().over(Window.orderBy(col("rm"), col("r"))))
-    val lo = ranked.filter(col("rk") === loRank)
-      .select(col("rm").as("ci_lo_micro"))
-    val hi = ranked.filter(col("rk") === hiRank)
-      .select(col("rm").as("ci_hi_micro"))
-    point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .filter(col("rk") === loRank || col("rk") === hiRank)
+      .agg(min(when(col("rk") === loRank, col("rm"))).as("ci_lo_micro"),
+        min(when(col("rk") === hiRank, col("rm"))).as("ci_hi_micro"))
+      // zero-row parity with the old two-branch crossJoin: if either
+      // central rank is missing (only possible on a near-empty input),
+      // the old form produced no row at all — keep that contract
+      .filter(col("ci_lo_micro").isNotNull && col("ci_hi_micro").isNotNull)
+    point.crossJoin(broadcast(bounds))
       .select(col("n_orders"), lit(resamples).cast("long").as("n_resamples"),
         col("mean_micro"), col("ci_lo_micro"), col("ci_hi_micro"))
   }

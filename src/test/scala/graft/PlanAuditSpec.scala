@@ -442,7 +442,9 @@ class PlanAuditSpec extends SparkSpec {
       "hybrid_search_rrf" -> 1, // the bm25 leg's same per-term df frame
       // (≤ 6 rows) — the lexical shortlist itself is limit-bounded and
       // the vector leg's query frames are literal-id bound
-      "bootstrap_ci_order_value" -> 2, // CI rank probes over R = 64 resample means
+      // bootstrap_ci_order_value: the CI bounds now broadcast from the
+      // round-14 eager checkpoint of the R = 64 resample means (a
+      // LogicalRDD leaf the sweep classifies bounded) — 0 entries
       "contamination_check" -> 1, // probe bigrams of ≤ nProbe literal benchmark docs
       "decontaminated_corpus" -> 1, // the same probe-bigram frame (nProbe literal)
       "embed_centroid_drift" -> 1, // per-dim global means: exactly 64 rows
@@ -454,7 +456,8 @@ class PlanAuditSpec extends SparkSpec {
       // this one's bound is by grouping DOMAIN, unprovable mechanically.)
       "embed_outliers" -> 1, // per-(label, dim) stats: ~10 langs × 64 dims
       "embed_quantize" -> 1, // per-dim min/max: exactly 64 rows
-      "fk_orphans" -> 2, // orphan/unref rollups per rel (7 literal edges)
+      "fk_orphans" -> 1, // ONE fused orphan+unref rollup per rel (7 literal
+      // edges; round 14 merged the two filtered aggs into one pass)
       "hourly_anomalies" -> 1, // per-event-type stats (5-value enum)
       "median_order_value" -> 2, // quantile-bracket probes per region (5-value dim)
       "price_qty_skyline" -> 1, // per-cell maxima of the fixed anti-corner grid
