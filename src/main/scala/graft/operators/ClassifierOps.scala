@@ -67,7 +67,13 @@ object ClassifierOps {
     * [[TextOps.gateReason]]'s single rule definition.
     */
   def features(documents: DataFrame): DataFrame =
-    TextOps.qualityScore(documents).select(
+    // spread before the per-doc text metrics: the documents scan is a
+    // single split at bench scale, and the first IRLS gradient pass
+    // otherwise pays the whole tokenize/regex feature scan one-threaded
+    // while populating the persist (integer-quantized sums make every
+    // downstream aggregate order-independent, so the repartition cannot
+    // move a result)
+    TextOps.qualityScore(OpUtils.spread(documents)).select(
       col("doc_id"),
       TextOps.gateReason.isNull.as("y"),
       (least(coalesce(col("n_tokens"), lit(0L)), lit(500L)) * 20).as("f_len"),
@@ -96,7 +102,14 @@ object ClassifierOps {
     val xs = xCols
     var n = 0L
     for (_ <- 0 until iters) {
-      val z = xs.zip(w).map { case (x, wj) => x * lit(wj) }.reduce(_ + _)
+      // weights as StableConst references, not inline literals: an
+      // inline double changes the generated source every IRLS iteration
+      // and forces a fresh janino compile of the whole 21-cell
+      // aggregation plan (the loop's dominant cost — the data pass is
+      // one map-side-combined agg); reference delivery keeps one
+      // compiled class serving all iterations, values unchanged
+      val z = xs.zip(w).map { case (x, wj) =>
+        x * graft.functions.StableConst(wj) }.reduce(_ + _)
       val p = lit(1.0) / (lit(1.0) + exp(-z))
       val q = p * (lit(1.0) - p)
       val r = col("y").cast("double") - p
@@ -227,9 +240,11 @@ object ClassifierOps {
     // pathology): the first consumer is the IRLS training loop, whose
     // first gradient action scans `cached` serially and populates the
     // cache before any concurrent consumer exists; the later counts/AUC
-    // branches read the warm cache
-    val cached = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // branches read the warm cache. (An eager data-sized checkpoint was
+    // tried round 14 and measured within noise — the loop's cost is
+    // per-job driver latency, not task count.)
+    val cached = Memo.managedPersist(feats)
+    locally {
       // trained weights are Memo-shared (keyed by the feature-frame
       // plan): 8 IRLS corpus scans per session per input, not per call,
       // reported as the `memo:quality_lr` bench line item
@@ -255,11 +270,11 @@ object ClassifierOps {
           (col("auc_trained_micro") >= AucFloorMicro).as("trained_auc_ge_floor"),
           (col("auc_trained_micro") >= col("auc_fixed_micro")).as("trained_ge_fixed"))
         // ONE summary row: materializing it eagerly runs all three
-        // downstream legs against the still-persisted feature frame
+        // downstream legs against the still-checkpointed feature frame
         // (previously each leg re-derived features(documents) from
-        // scratch after training's finally-unpersist), and lets the
-        // persist be released deterministically on the way out
+        // scratch after a finally-unpersist); the checkpoint blocks are
+        // managed and released with the session's other per-call frames
         .localCheckpoint(eager = true)
-    } finally { cached.unpersist(); () }
+    }
   }
 }

@@ -363,6 +363,15 @@ object DedupOps {
     pruned
       .join(dsC.select(col("doc_id").as("doc_small"), col("xs").as("xs_s")),
         Seq("doc_small"))
+      // explicit (user-origin) repartition between the two array joins:
+      // the ENSURE_REQUIREMENTS exchange feeding the doc_big join is
+      // byte-tiny and AQE-coalesces to ONE partition, which ran the
+      // whole array_intersect verify single-task (profiled 3.1 s on one
+      // core); a user repartition is exempt from coalescing and the
+      // join reuses its partitioning, so the verify keeps
+      // defaultParallelism tasks at any SF
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_big"))
       .join(dsC.select(col("doc_id").as("doc_big"), col("xs").as("xs_b")),
         Seq("doc_big"))
       .select(col("doc_small"), col("doc_big"),
@@ -540,10 +549,15 @@ object DedupOps {
       .withColumn("cluster_id", col("node")).localCheckpoint(true)
     // AQE stays ON here — it converts every loop join to a runtime
     // broadcast; with it off the checkpointed (stats-less) label frames
-    // plan as sort-merge joins and each round ran ~9× slower. The
-    // residual per-round cost is AQE's sequential query-stage
-    // materialization (~60-80 ms per exchange), which the multi-hop
-    // batching below amortizes.
+    // plan as sort-merge joins and each round ran ~9× slower, and the
+    // round-14 attempt (AQE off + explicit broadcast hints on every
+    // label-sized side) was worse still: without AQE's per-stage
+    // materialization the hop subtrees recompute combinatorially
+    // through the broadcast builds (rounds 1.0-1.3 s → 2.3-6.5 s,
+    // measured and reverted; data-sized edge partitioning was also
+    // tried — within noise, reverted). The residual per-round cost is
+    // AQE's sequential query-stage materialization (~60-80 ms per
+    // exchange), which the multi-hop batching below amortizes.
     ccLoop(edges, labels)
   }
 

@@ -13,6 +13,12 @@ private[graft] object OpUtils {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  // NOTE (round 14): a data-sized-partitioning helper (eager checkpoint
+  // + count + coalesce to rows/2000 tasks) was built and measured on the
+  // Lloyd/IRLS/CC loop frames — per-query deltas were within run noise
+  // (the loops' cost is per-job driver latency, not per-task overhead),
+  // so it was reverted rather than kept as an unearned complication.
+
   /** Exact quantile bucketing via the distinct-value CDF — the
     * scale-safe substitute for a global ntile (which would
     * single-partition-sort every ROW): group rows by value, cumulative-

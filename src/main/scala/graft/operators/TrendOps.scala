@@ -714,7 +714,12 @@ object TrendOps {
           (0 until m).map(k =>
             max(when(col("k") === k, col("y"))).as(s"y_$k")): _*)
       .filter(col("nk") === m)
-    val a = win.select(col("i").as("ia") +:
+    // spread the probe side: the window pivot AQE-coalesces to ONE
+    // partition (~2.4k rows), and the broadcast NLJ pair scan — ~2.9M
+    // pairs × m decimal squared-diffs — otherwise runs single-task
+    // (profiled 3.9 s one-threaded at sf0.1 vs ~0.3 s spread)
+    val winP = OpUtils.spread(win)
+    val a = winP.select(col("i").as("ia") +:
       (0 until m).map(k => col(s"y_$k").as(s"ya_$k")): _*)
     val b = win.select(col("i").as("ib") +:
       (0 until m).map(k => col(s"y_$k").as(s"yb_$k")): _*)
