@@ -130,33 +130,25 @@ object UnigramLmOps {
     * the encoder.
     */
   private def segmented(ws: DataFrame, p: DataFrame): DataFrame = {
-    val looked = ws
-      .select(col("w"), col("n"),
-        explode(sequence(lit(1), length(col("w")))).as("j"))
-      .select(col("w"), col("n"), col("j"),
-        explode(sequence(lit(1), least(lit(MaxPieceLen), col("j")))).as("l"))
-      .withColumn("piece", expr("substring(w, j - l + 1, l)"))
-      .join(broadcast(p), Seq("piece"), "left")
-      .groupBy(col("w"), col("n"))
-      .agg(
-        max(when(col("j") === slots.head._1 && col("l") === slots.head._2,
-          col("p_nano"))).as(s"p_${slots.head._1}_${slots.head._2}"),
-        slots.tail.map { case (j, l) =>
-          max(when(col("j") === j && col("l") === l, col("p_nano")))
-            .as(s"p_${j}_$l")
-        }: _*)
-    val dp = (1 to MaxWordLen).foldLeft(looked) { (df, j) =>
-      df.withColumn(s"b_$j", expr(bSql(j)))
-        .withColumn(s"bp_$j", expr(bpSql(j)))
-    }
-    val rec = (1 to MaxWordLen).foldLeft(
-      dp.withColumn("pos_0", expr("CAST(length(w) AS INT)"))) { (df, t) =>
-      df.withColumn(s"len_$t", expr(lenSql(t)))
-        .withColumn(s"piece_$t", expr(pieceColSql(t)))
-        .withColumn(s"pos_$t", expr(posSql(t)))
-    }
-    rec.select(col("w") +: col("n") +:
-      (1 to MaxWordLen).map(t => col(s"piece_$t")): _*)
+    // ONE codegen'd DP expression per word against the driver-collected
+    // vocab (bounded: |chars| + VocabMulti pieces — the codebook-collect
+    // convention). The former shape exploded every (word, j, l) slot
+    // through a broadcast join, pivoted 42 probability columns, and
+    // stacked ~60 sequential withColumn layers of DP/backpointer/
+    // reconstruction expressions — Catalyst ANALYSIS of that tower, not
+    // the vocabulary-sized work, dominated both EM rounds (~3.3 s each
+    // at sf0.1 with well under 0.5 s of task time). The expression
+    // replays the identical IEEE recurrence (see UnigramSeg's
+    // equivalence notes); the DuckDB oracle still unrolls the same
+    // recurrence text from the *Sql generators above.
+    val vp = p.select(col("piece"), col("p_nano")).collect()
+    val vocab = new graft.functions.SegVocab(
+      vp.map(_.getString(0)), vp.map(_.getLong(1)), MaxPieceLen, MaxWordLen)
+    ws.select(col("w"), col("n"),
+        graft.functions.UnigramSeg.segment(col("w"), vocab).as("__seg"))
+      .select(col("w") +: col("n") +:
+        (1 to MaxWordLen).map(t =>
+          element_at(col("__seg"), t).as(s"piece_$t")): _*)
   }
 
   /** E-step: weighted piece counts of the Viterbi segmentation. */
