@@ -73,14 +73,19 @@ object IndexEncodeUtil {
     while (m < nSub) {
       val cents = g.cb(m)
       val norms = g.norms(m)
+      // truncate to the available elements like the old slice()+dot column
+      // form did, so a malformed/short embedding encodes degenerately
+      // instead of throwing (r14 advice)
+      val avail = x.numElements() - m * 8
       var bestJ = 0
       var bestS = Double.MaxValue
       var j = 0
       while (j < cents.length) {
         val w = cents(j)
         var acc = 0.0
+        val lim = if (w.length <= avail) w.length else math.max(avail, 0)
         var i = 0
-        while (i < w.length) {
+        while (i < lim) {
           acc += x.getFloat(m * 8 + i).toDouble * w(i).toDouble
           i += 1
         }
@@ -98,7 +103,12 @@ object IndexEncodeUtil {
     * exactly: cell = first argmin; every score EQUAL to the minimum is
     * masked to Double.MaxValue; cell2 = first index attaining the masked
     * minimum (so an all-tied row yields cell2 = 0, as the when-chain
-    * did).
+    * did). NaN embedding values are out of contract (r14 advice): Java
+    * ==/< order NaN differently from Spark's === (which treats NaN=NaN
+    * as true), so an all-NaN row yields cell=-1 here where the column
+    * form yielded 0 — no producer in this repo emits NaN embeddings
+    * (TESTDATA floats are finite), and the trained/fixed geometry paths
+    * both gate on finite inputs upstream.
     */
   def cells(x: ArrayData, g: CellGeometry): ArrayData = {
     val n = g.cents.length

@@ -85,8 +85,10 @@ object MinhashSigUtil {
     sim
   }
 
-  /** Distinct char-`k`-gram shingle hashes of `t` in first-seen order
-    * (consumers are order-insensitive: size, explode, array_intersect).
+  /** Distinct char-`k`-gram shingle hashes of `t`, SORTED ascending
+    * (consumers are order-insensitive — size, explode — and the sorted
+    * layout lets [[sortedIntersectCount]] verify candidate pairs with a
+    * linear merge instead of array_intersect's per-pair hash set).
     * Null when the text carries no shingle.
     */
   def distinctHashes(t: UTF8String, k: Int): ArrayData = {
@@ -100,7 +102,56 @@ object MinhashSigUtil {
       if (seen.add(h)) out += h
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
+  }
+
+  /** |A ∩ B| of two sorted distinct long arrays by linear merge —
+    * replaces size(array_intersect(...)) in the set-similarity verifies
+    * (identical count: both inputs are distinct, so intersect size is
+    * the merge-match count). O(|A|+|B|), no per-pair hash set.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** K min-hashes derived from an already-hashed distinct-shingle array:
+    * the same (A·h + B) mod P fold as [[signature]] — min over the
+    * DISTINCT set equals min over the positional multiset, and the md5
+    * per shingle was already paid by [[distinctHashes]], so deriving
+    * from the memoized shingle sets removes a whole text+md5 corpus
+    * pass. Never null for a non-null input array (distinctHashes
+    * returns null, not empty, for shingle-less text).
+    */
+  def signatureFromShingles(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val kk = A.length
+    val mins = Array.fill(kk)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var j = 0
+      while (j < kk) {
+        val v = (A(j) * h + B(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
   }
 }
 
@@ -165,6 +216,49 @@ case class DistinctShinglesExpr(child: Expression, k: Int) extends ShingleFoldEx
     copy(child = newChild)
 }
 
+/** |A ∩ B| of two sorted distinct long arrays (the
+  * [[DistinctShinglesExpr]] layout) by linear merge.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MinhashSigUtil.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.MinhashSigUtil.sortedIntersectCount($a, $b);
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** K-min MinHash signature derived from an already-hashed
+  * distinct-shingle array (see [[MinhashSigUtil.signatureFromShingles]]).
+  */
+case class MinhashFromShinglesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_minhash_from_shingles"
+
+  override protected def nullSafeEval(xs: Any): Any =
+    MinhashSigUtil.signatureFromShingles(xs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashSigUtil.signatureFromShingles($c);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinhashSig {
   /** K=32 MinHash signature of the normalized text's char-k shingles. */
   def signature(normText: Column, k: Int): Column =
@@ -180,4 +274,14 @@ object MinhashSig {
   def simhash(normText: Column): Column =
     GraftColumnBridge.column(
       SimhashExpr(GraftColumnBridge.expression(normText)))
+
+  /** Merge-count |A ∩ B| of two sorted distinct long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectCountExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** MinHash signature derived from a distinct-shingle array. */
+  def signatureFromShingles(xs: Column): Column =
+    GraftColumnBridge.column(
+      MinhashFromShinglesExpr(GraftColumnBridge.expression(xs)))
 }

@@ -243,19 +243,24 @@ object AuditOps {
     Memo.cached("fuzzy_name_pairs", customer) { cust =>
       val names = cust.select(col("c_custkey").cast("long").as("id"),
         col("c_nationkey").cast("long").as("nat"), col("c_name").as("name"))
-      val keys = names.select(col("id"), col("nat"), col("name"),
-          col("name").as("k"))
+      // The variant index carries ONLY (h, id) — 16 bytes/row. The join
+      // was already on xxhash64(k), so hashing before the dedupe is
+      // candidate-identical (two same-name variants with colliding
+      // hashes joined the same bucket anyway); names/nations rejoin to
+      // the PAIR list below instead of riding every deletion-variant row
+      // through the distinct + self-join shuffles (the (len+1)·corpus
+      // index rows are ~20× the corpus — round 14 profiled ~16
+      // executor-seconds of name strings moving through this join).
+      val keys = names.select(col("id"), xxhash64(col("name")).as("h"))
         .unionByName(names
-          .select(col("id"), col("nat"), col("name"),
+          .select(col("id"), col("name"),
             explode(expr("sequence(1, length(name))")).as("i"))
-          .select(col("id"), col("nat"), col("name"),
-            expr("concat(substring(name, 1, i - 1), " +
-              "substring(name, i + 1, length(name)))").as("k")))
+          .select(col("id"),
+            xxhash64(expr("concat(substring(name, 1, i - 1), " +
+              "substring(name, i + 1, length(name)))")).as("h")))
         // a run of identical chars yields the same deletion variant from
         // every position in the run — dedupe, or buckets fan out quadratically
         .distinct()
-      // join on the 64-bit key hash, not the string: half the shuffle bytes;
-      // a hash collision only adds a candidate the exact verify rejects.
       // Eagerly checkpointed, not lazily persisted: the self-join's two
       // map stages schedule concurrently, and racing scans of an
       // unpopulated cache would each re-pay the explode + distinct
@@ -265,28 +270,39 @@ object AuditOps {
       // BYTES, so AQE coalesces it to 1-2 partitions, and a checkpoint
       // taken there would pin the self-join's map stages at that
       // parallelism (measured +2.1 s on this line round 14)
-      val hashed = OpUtils.spread(
-          keys.select(xxhash64(col("k")).as("h"), col("id"),
-            col("nat"), col("name")))
-        .localCheckpoint(true)
-      try {
-        val left = hashed.select(col("h"), col("id").as("id_a"),
-          col("nat").as("nat_a"), col("name").as("name_a"))
-        val right = hashed.select(col("h"), col("id").as("id_b"),
-          col("nat").as("nat_b"), col("name").as("name_b"))
-        left.join(right, Seq("h"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("nat_a"), col("nat_b"),
-            col("name_a"), col("name_b"))
-          .distinct()
-          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-          .filter(col("dist") <= 1)
-          // consume the variant index HERE (eager) so the finally can
-          // release it on every path — success or a failed job; the Memo
-          // wrapper re-checkpoints the returned pair-sized frame (a few
-          // thousand rows), which is noise next to rebuilding the index
-          .localCheckpoint(true)
-      } finally Memo.release(hashed)
+      // session-scoped release (the dedupMinhashLshImpl convention)
+      // instead of a try/finally around an inner eager checkpoint: the
+      // old shape materialized the verify output TWICE (once for the
+      // finally's release point, once for the Memo wrapper's checkpoint
+      // — two ~1.7 s scans of the 262k-pair result at sf0.1)
+      val hashed = Memo.managedCheckpoint(OpUtils.spread(keys))
+      // explicit user-origin repartition on the join key: the variant
+      // self-join's ENSURE exchanges are byte-tiny and AQE-coalesce to
+      // ONE partition, which ran the join + partial pair-dedup
+      // single-task (profiled 1.46 s on one core)
+      val par = customer.sparkSession.sparkContext.defaultParallelism
+      val cands = hashed.select(col("h"), col("id").as("id_a"))
+        .repartition(par, col("h"))
+        .join(hashed.select(col("h"), col("id").as("id_b")), Seq("h"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        // user-origin hash repartition on the pair key: the distinct's
+        // ENSURE exchange is byte-tiny and its final agg AQE-coalesced to
+        // ONE task (profiled 1.15 s on one core); the distinct reuses
+        // this partitioning (same keys), so the dedup AND the levenshtein
+        // verify downstream keep defaultParallelism tasks at any SF —
+        // the name/nation attach joins broadcast the dim-sized side
+        .repartition(par, col("id_a"), col("id_b"))
+        .distinct()
+      cands
+        .join(names.select(col("id").as("id_a"), col("nat").as("nat_a"),
+          col("name").as("name_a")), Seq("id_a"))
+        .join(names.select(col("id").as("id_b"), col("nat").as("nat_b"),
+          col("name").as("name_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("nat_a"), col("nat_b"),
+          col("name_a"), col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 1)
     }
 
   /** Join-cardinality estimation audit — the CBO primitive behind every

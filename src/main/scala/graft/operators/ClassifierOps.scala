@@ -275,6 +275,13 @@ object ClassifierOps {
         // scratch after a finally-unpersist); the checkpoint blocks are
         // managed and released with the session's other per-call frames
         .localCheckpoint(eager = true)
+    } match { case out =>
+      // no consumer outlives the eager summary row — release the
+      // feature blocks now instead of accumulating MEMORY_AND_DISK
+      // blocks across calls in sessions that never call
+      // Memo.releaseManaged() (r14 advice)
+      Memo.release(cached)
+      out
     }
   }
 }

@@ -90,35 +90,45 @@ object DedupOps {
   private def dedupMinhashLshImpl(documents: DataFrame, minEst: Double): DataFrame = {
     // Signature kept as 32 flat h columns (not an array) so banding keys,
     // the join, and the match-count all stay inside whole-stage codegen.
+    // The signature derives from the memoized distinct-shingle sets
+    // (min over the distinct set == min over the positional multiset,
+    // and the md5 per shingle was already paid there), so the whole
+    // set-similarity family shares ONE text+md5 corpus pass per session
+    // instead of minhash re-scanning and re-hashing the raw text.
     // eager checkpoint, not lazy persist: the banded self-join's two map
     // stages and the sigA/sigB rejoin sides schedule concurrently, and
     // racing scans of an unpopulated cache each recompute every md5 from
     // the raw text (the pair_medians pathology).
-    val sigs = Memo.managedCheckpoint(withMinhashSignature(documents)
+    val sigs = Memo.managedCheckpoint(docShingleSets(documents)
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.signatureFromShingles(col("xs")).as("sig"))
       .select(col("doc_id") +: (0 until MinhashK)
         .map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*))
-    // Narrow-first: only (band, key, doc_id) flows through the self-join
-    // (the shuffle that scales with corpus × bands); the 32 signature
-    // columns rejoin after pair dedup, so est is computed once per pair
-    // and the wide rows never shuffle through the bucket join.
+    // Narrow-first: only (band, key..., doc_id) flows through the
+    // self-join (the shuffle that scales with corpus × bands); the 32
+    // signature columns rejoin after pair dedup, so est is computed once
+    // per pair and the wide rows never shuffle through the bucket join.
+    // Band keys stay FOUR LONG COLUMNS (not a concat_ws string): string
+    // building + string hashing was ~10 executor-seconds of the banded
+    // stage at sf0.1, and the long-tuple key hashes/compares raw words.
+    val keyCols = (0 until MinhashRows).map(r => s"k$r")
+    val joinKeys = "band" +: keyCols
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until MinhashBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(":", (0 until MinhashRows).map(r =>
-            col(s"h${b * MinhashRows + r}")): _*).as("key"))
+        struct(lit(b).as("band") +: (0 until MinhashRows).map(r =>
+          col(s"h${b * MinhashRows + r}").as(s"k$r")): _*)
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .select(col("doc_id") +: joinKeys.map(c => col(s"bk.$c")): _*)
     // bucket-size cap: drop degenerate band keys before the self-join so
     // the worst bucket is bounded (the keep-list aggregation is map-side
-    // combined; the join shuffles only (band, key, doc_id) rows)
-    val keepKeys = banded.groupBy(col("band"), col("key"))
+    // combined; the join shuffles only (band, key..., doc_id) rows)
+    val keepKeys = banded.groupBy(joinKeys.map(col): _*)
       .agg(count(lit(1)).as("bf"))
       .filter(col("bf") <= LshBucketCap)
-      .select("band", "key")
-    val capped = banded.join(keepKeys, Seq("band", "key"))
-    val pairs = capped.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-      .join(capped.select(col("band"), col("key"), col("doc_id").as("doc_b")),
-        Seq("band", "key"))
+      .select(joinKeys.map(col): _*)
+    val capped = banded.join(keepKeys, joinKeys)
+    val pairs = capped.withColumnRenamed("doc_id", "doc_a")
+      .join(capped.withColumnRenamed("doc_id", "doc_b"), joinKeys)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val sigA = sigs.select(col("doc_id").as("doc_a") +:
@@ -146,24 +156,38 @@ object DedupOps {
     */
   def dedupIncremental(incoming: DataFrame, existing: DataFrame,
       minEst: Double = 0.5): DataFrame = {
-    def banded(docs: DataFrame, side: String) = {
-      // eager checkpoint (pair_medians lesson): the band explode and the
-      // signature rejoin read this from concurrent stages
-      val sigs = Memo.managedCheckpoint(withMinhashSignature(docs)
-        .select(col("doc_id") +: (0 until MinhashK)
-          .map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*))
+    // ONE union-tagged signature pass over both sides instead of two
+    // sequential per-side checkpoint builds: each build was serialized
+    // behind its own single-task text read (~1 s apiece at bench scale),
+    // and per-doc signatures are side-independent, so tagging and
+    // splitting after the checkpoint is bit-identical.
+    val tagged = spread(incoming.select(col("doc_id"), col("text"))
+      .withColumn("is_inc", lit(true))
+      .unionByName(existing.select(col("doc_id"), col("text"))
+        .withColumn("is_inc", lit(false))))
+    val sigsAll = Memo.managedCheckpoint(tagged
+      .select(Seq(col("doc_id"), col("is_inc"),
+        graft.functions.MinhashSig.signature(
+          graft.functions.TextFns.normText(col("text")), 5).as("sig")): _*)
+      .filter(col("sig").isNotNull)
+      .select(Seq(col("doc_id"), col("is_inc")) ++ (0 until MinhashK)
+        .map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*))
+    def banded(sigsSide: DataFrame, side: String) = {
+      val sigs = sigsSide.drop("is_inc")
       val bk = sigs.select(col("doc_id").as(s"doc_$side"),
         explode(array((0 until MinhashBands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws(":", (0 until MinhashRows).map(r =>
-              col(s"h${b * MinhashRows + r}")): _*).as("key"))
+          struct(lit(b).as("band") +: (0 until MinhashRows).map(r =>
+            col(s"h${b * MinhashRows + r}").as(s"k$r")): _*)
         }: _*)).as("bk"))
-        .select(col(s"doc_$side"), col("bk.band"), col("bk.key"))
+        .select(col(s"doc_$side") +:
+          ("band" +: (0 until MinhashRows).map(r => s"k$r"))
+            .map(c => col(s"bk.$c")): _*)
       (sigs, bk)
     }
-    val (sigsInc, bandsInc) = banded(incoming, "inc")
-    val (sigsEx, bandsEx) = banded(existing, "ex")
-    val pairs = bandsInc.join(bandsEx, Seq("band", "key"))
+    val (sigsInc, bandsInc) = banded(sigsAll.filter(col("is_inc")), "inc")
+    val (sigsEx, bandsEx) = banded(sigsAll.filter(!col("is_inc")), "ex")
+    val pairs = bandsInc.join(bandsEx,
+        Seq("band") ++ (0 until MinhashRows).map(r => s"k$r"))
       .select("doc_inc", "doc_ex").distinct()
     val sigA = sigsInc.select(col("doc_id").as("doc_inc") +:
       (0 until MinhashK).map(i => col(s"h$i").as(s"h${i}_a")): _*)
@@ -270,7 +294,12 @@ object DedupOps {
       .join(dsC.select(col("doc_id").as("doc_a"), col("xs").as("xs_a")), Seq("doc_a"))
       .join(dsC.select(col("doc_id").as("doc_b"), col("xs").as("xs_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("xs_a"), col("xs_b"))).cast("long").as("inter"),
+        // linear merge over the SORTED distinct-shingle arrays — same
+        // count as size(array_intersect(...)) on distinct inputs, without
+        // array_intersect's per-pair hash-set build (the verify stage was
+        // ~31 executor-seconds of array_intersect at sf0.1)
+        graft.functions.MinhashSig.sortedIntersectCount(
+          col("xs_a"), col("xs_b")).as("inter"),
         size(col("xs_a")).cast("long").as("na"),
         size(col("xs_b")).cast("long").as("nb"))
       .select(col("doc_a"), col("doc_b"),
@@ -375,7 +404,9 @@ object DedupOps {
       .join(dsC.select(col("doc_id").as("doc_big"), col("xs").as("xs_b")),
         Seq("doc_big"))
       .select(col("doc_small"), col("doc_big"),
-        size(array_intersect(col("xs_s"), col("xs_b"))).cast("long").as("inter"),
+        // sorted-array linear merge (see dedupNgramJaccardImpl's verify)
+        graft.functions.MinhashSig.sortedIntersectCount(
+          col("xs_s"), col("xs_b")).as("inter"),
         size(col("xs_s")).cast("long").as("n_small"),
         size(col("xs_b")).cast("long").as("n_big"))
       // exact integer threshold test (inter·10⁶ ≥ τµ·n_small), then the

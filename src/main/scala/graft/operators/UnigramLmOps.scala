@@ -141,7 +141,12 @@ object UnigramLmOps {
     // replays the identical IEEE recurrence (see UnigramSeg's
     // equivalence notes); the DuckDB oracle still unrolls the same
     // recurrence text from the *Sql generators above.
+    // sorted by piece so the vocab (and SegVocab's order-sensitive
+    // equals/hashCode, hence the expression's plan identity) is canonical
+    // run-to-run — the collect order of a shuffled aggregation is not
+    // (r14 advice; lookup is a HashMap, results were never affected)
     val vp = p.select(col("piece"), col("p_nano")).collect()
+      .sortBy(_.getString(0))
     val vocab = new graft.functions.SegVocab(
       vp.map(_.getString(0)), vp.map(_.getLong(1)), MaxPieceLen, MaxWordLen)
     ws.select(col("w"), col("n"),
