@@ -1620,6 +1620,18 @@ object Analytics {
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
+      // user-origin repartition on the full grouping key: the rollup's
+      // ENSURE exchange carries ~350k narrow rows, so AQE coalesced it
+      // to ONE partition and the final agg ran single-task (profiled
+      // ~0.5 s on one core). The agg reuses this partitioning at
+      // defaultParallelism; nation alone would also satisfy the
+      // clustering but caps the fact-sized shuffle at |nations| tasks —
+      // wrong at real scale. (Cost: the user exchange moves raw join
+      // rows instead of the map-side partials; rows-per-(nation,part)
+      // is ~1.7 at any TPC-H SF, so the byte delta is bounded while the
+      // parallelism win is a core-count factor.)
+      .repartition(lineitem.sparkSession.sparkContext.defaultParallelism,
+        col("n_name"), col("l_partkey"))
       .groupBy(col("n_name").as("nation"), col("l_partkey"))
       .agg(sum(value).as("part_value"))
     // nation total as a window over the grouped (nation, part) output —
@@ -1629,6 +1641,11 @@ object Analytics {
     // whenever exchange reuse misses
     val w = Window.partitionBy(col("nation"))
     perPart
+      // second user repartition for the window: its ENSURE exchange on
+      // nation is part-grain-tiny and coalesced to one task too; window
+      // parallelism is inherently |nations|-bounded, which this restores
+      .repartition(lineitem.sparkSession.sparkContext.defaultParallelism,
+        col("nation"))
       .withColumn("nation_value", sum(col("part_value")).over(w))
       .withColumn("n_parts", count(lit(1)).over(w))
       // share ≥ meanMult/n_parts, cross-multiplied: exact decimal × long

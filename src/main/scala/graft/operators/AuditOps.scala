@@ -70,6 +70,13 @@ object AuditOps {
         .withColumn("hit", lit(1))
     }.reduce(_.unionByName(_))
     val joined = childKeys
+      // user-origin repartition on the join key: the full-outer's ENSURE
+      // exchanges are byte-tiny (long keys) and AQE coalesced them to
+      // ONE partition, running the join + audit agg over the whole
+      // keyset single-task (profiled 0.9 s on one core); the join and
+      // the rel-grain partial agg reuse this partitioning at any SF
+      .repartition(lineitem.sparkSession.sparkContext.defaultParallelism,
+        col("rel"), col("k"))
       .join(parentKeys, Seq("rel", "k"), "full_outer")
     // BOTH audits in one conditional aggregation over the joined keyset:
     // two filtered groupBys consumed the full-outer join from two

@@ -742,10 +742,16 @@ object DedupOps {
         size(TextFns.tokens(col("text"))).cast("long").as("doc_tokens"),
         posexplode(graft.functions.SpanHash.spanHashes(
           TextFns.tokens(col("text")), span)).as(Seq("pos", "h")))
+    // "shared by ≥2 distinct docs" ⟺ min(doc_id) < max(doc_id): plain
+    // min/max partial-aggregate map-side in ONE level, where the old
+    // countDistinct expanded to a two-level agg shuffling every (h,
+    // doc_id) pair before counting (the stats pass' exchange carried the
+    // whole span-hash table)
     val stats = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val dup = grams.join(stats, Seq("h"))
-      .filter(col("n_docs") >= 2)
+      .agg(min(col("doc_id")).as("d_lo"), max(col("doc_id")).as("d_hi"))
+      .filter(col("d_lo") < col("d_hi"))
+      .select(col("h"))
+    val dup = grams.join(stats, Seq("h"), "left_semi")
       .select(col("doc_id"), col("doc_tokens"),
         (col("pos") + 1).cast("long").as("i"),
         (col("pos") + span).cast("long").as("e"))

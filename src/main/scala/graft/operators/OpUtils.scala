@@ -44,6 +44,14 @@ private[graft] object OpUtils {
     */
   def twoLevelCum(df: DataFrame, valueCol: String, weightCol: String,
       groupCols: Seq[String] = Nil): DataFrame = {
+    // eager checkpoint of the caller's rollup: the construction below
+    // reads it THREE times (range agg, bucket totals, in-bucket window),
+    // and the consumers schedule concurrently — without a materialized
+    // leaf every racer re-runs the caller's fact-sized rollup (profiled
+    // r15 on mann_whitney_u: lineitem scanned 3×, the 583k-row cents
+    // rollup aggregated twice). The input is domain-grain by contract
+    // ("callers must quantize first"), so the materialization is bounded.
+    val base = Memo.managedCheckpoint(df)
     val gc = groupCols.map(col)
     // with groupCols the whole construction runs per group (per-group
     // range, per-group bucket grid, prefix windows partitioned by the
@@ -51,12 +59,12 @@ private[graft] object OpUtils {
     // pass instead of one derivation each
     val rng =
       if (groupCols.isEmpty)
-        df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
-      else df.groupBy(gc: _*)
+        base.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+      else base.groupBy(gc: _*)
         .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
     val withRng =
-      if (groupCols.isEmpty) df.crossJoin(broadcast(rng))
-      else df.join(broadcast(rng), groupCols)
+      if (groupCols.isEmpty) base.crossJoin(broadcast(rng))
+      else base.join(broadcast(rng), groupCols)
     val bucketed = withRng
       .withColumn("__bucket", expr(
         s"($valueCol - __lo) div " +
@@ -325,13 +333,25 @@ private[graft] object OpUtils {
       o.select(col("o_orderpriority").as("grp"),
           floor(col("o_totalprice")).cast("long").as("usd"))
         .groupBy(col("grp"), col("usd")).agg(count(lit(1)).as("n"))
+        // user-origin repartition on grp: the windows' ENSURE exchange
+        // over the ~145k-row grain is byte-tiny and AQE-coalesced to ONE
+        // task (profiled serial 0.2-0.7 s stages); both windows reuse
+        // this partitioning — parallelism is |priorities|-bounded, the
+        // operator's inherent grain
+        .repartition(o.sparkSession.sparkContext.defaultParallelism,
+          col("grp"))
         .withColumn("cum", sum(col("n")).over(grpW.orderBy(col("usd"))))
         .withColumn("total", sum(col("n")).over(grpW))
     }
 
   def cdfBuckets(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
-    val byV = df.groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
-    val total = df.agg(count(lit(1)).as("nd"))
+    // checkpoint the domain-grain rollup: `total` now derives from it
+    // (Σn ≡ count(*) of df, nulls grouped identically), so the caller's
+    // input is scanned ONCE instead of twice-concurrently, and the
+    // global-window consumer reads a materialized leaf
+    val byV = Memo.managedCheckpoint(
+      df.groupBy(col(valueCol)).agg(count(lit(1)).as("n")))
+    val total = byV.agg(sum(col("n")).as("nd"))
     byV.crossJoin(broadcast(total))
       .withColumn("cum_n", sum(col("n")).over(
         Window.orderBy(col(valueCol))

@@ -1114,10 +1114,15 @@ object TextOps {
   def sourceTermLift(documents: DataFrame, k: Int = 10,
       minTf: Long = 5L): DataFrame = {
     require(k >= 1 && minTf >= 1)
-    val st = OpUtils.spread(documents)
+    // eager checkpoint: the (source, tok) grain feeds FOUR consumers
+    // (st itself, tokTot, srcTot, nTot) whose stages schedule
+    // concurrently — profiled r15: the tokenize+rollup pass ran 4×
+    // (~30 executor-seconds duplicated) because nothing pinned this
+    // vocabulary×sources-bounded frame (~19k rows at sf0.1)
+    val st = Memo.managedCheckpoint(OpUtils.spread(documents)
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("a"))
+      .agg(count(lit(1)).as("a")))
     val tokTot = st.groupBy(col("tok")).agg(sum(col("a")).as("tf"))
     val srcTot = st.groupBy(col("source")).agg(sum(col("a")).as("ns"))
     val nTot = st.agg(sum(col("a")).as("n"))
