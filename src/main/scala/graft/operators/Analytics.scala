@@ -867,11 +867,16 @@ object Analytics {
       .select(col("r_name").as("region"),
         col("o_totalprice").cast("decimal(18,2)").as("x"),
         col("o_orderkey"))
-    val stats = priced.groupBy(col("region")).agg(
+    // eager checkpoint: three consumers read this fact join (the
+    // percentile stats agg, the below-count broadcast subquery, and the
+    // middle window) and they schedule concurrently — unpinned, the
+    // orders⋈customer join ran up to three times per call
+    val pricedP = Memo.managedCheckpoint(priced)
+    val stats = pricedP.groupBy(col("region")).agg(
       count(lit(1)).as("cnt"),
       percentile_approx(col("x").cast("double"), lit(0.4), lit(10000)).as("q_lo"),
       percentile_approx(col("x").cast("double"), lit(0.6), lit(10000)).as("q_hi"))
-    val withStats = priced.join(broadcast(stats), Seq("region"))
+    val withStats = pricedP.join(broadcast(stats), Seq("region"))
     val xd = col("x").cast("double")
     val below = withStats
       .filter(col("cnt") > 1000 && xd < col("q_lo"))
@@ -896,8 +901,18 @@ object Analytics {
     val weeks = events.select(col("user_id"),
       floor(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 7)
         .cast("int").as("week"))
-    val cohorts = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
-    weeks.distinct()
+    // ONE user-keyed exchange serves the distinct, the cohort min and
+    // the join (the old shape shuffled the events projection three
+    // times): partitioning by user_id alone satisfies the (user, week)
+    // distinct's clustering, min over DISTINCT weeks equals min over
+    // all weeks, and both the groupBy and the self-join reuse the
+    // partitioning
+    val wd = weeks
+      .repartition(events.sparkSession.sparkContext.defaultParallelism,
+        col("user_id"))
+      .distinct()
+    val cohorts = wd.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    wd
       .join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))

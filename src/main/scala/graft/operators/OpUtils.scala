@@ -345,17 +345,17 @@ private[graft] object OpUtils {
     }
 
   def cdfBuckets(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
-    // checkpoint the domain-grain rollup: `total` now derives from it
-    // (Σn ≡ count(*) of df, nulls grouped identically), so the caller's
-    // input is scanned ONCE instead of twice-concurrently, and the
-    // global-window consumer reads a materialized leaf
-    val byV = Memo.managedCheckpoint(
-      df.groupBy(col(valueCol)).agg(count(lit(1)).as("n")))
-    val total = byV.agg(sum(col("n")).as("nd"))
-    byV.crossJoin(broadcast(total))
+    // ONE pass of the caller's input: the grand total rides the SAME
+    // global window as the cumulative (an unbounded frame — Σn ≡
+    // count(*) of df, nulls grouped identically), where the old shape
+    // scanned df a second time for the count and broadcast it back
+    val byV = df.groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col(valueCol))
+    byV
       .withColumn("cum_n", sum(col("n")).over(
-        Window.orderBy(col(valueCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nd", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("bucket", expr(s"((cum_n - n) * $buckets) div nd + 1"))
       .select(col(valueCol), col("n"), col("bucket"))
   }

@@ -155,16 +155,19 @@ object TextOps {
     * broadcast; the corpus explodes its bigrams once — the decontamination
     * sweep shape for a 100 TB pretraining corpus.
     */
-  def contaminationCheck(documents: DataFrame, nProbe: Int = 5, minOverlap: Int = 3): DataFrame = {
-    def bigrams(df: DataFrame) = bigramRows(df).distinct()
-    val probe = bigrams(documents.filter(col("doc_id") < nProbe))
-      .select(col("doc_id").as("probe_id"), col("bigram"))
-    val corpus = bigrams(OpUtils.spread(documents).filter(col("doc_id") >= nProbe))
-    corpus.join(broadcast(probe), Seq("bigram"))
-      .groupBy(col("doc_id"), col("probe_id"))
-      .agg(count(lit(1)).as("n_shared_bigrams"))
-      .filter(col("n_shared_bigrams") >= minOverlap)
-  }
+  def contaminationCheck(documents: DataFrame, nProbe: Int = 5, minOverlap: Int = 3): DataFrame =
+    // memoized: contamination_check AND decontaminated_corpus both need
+    // this overlap table — one corpus bigram pass per session, not two
+    Memo.cached(s"contamination:$nProbe:$minOverlap", documents) { docs =>
+      def bigrams(df: DataFrame) = bigramRows(df).distinct()
+      val probe = bigrams(docs.filter(col("doc_id") < nProbe))
+        .select(col("doc_id").as("probe_id"), col("bigram"))
+      val corpus = bigrams(OpUtils.spread(docs).filter(col("doc_id") >= nProbe))
+      corpus.join(broadcast(probe), Seq("bigram"))
+        .groupBy(col("doc_id"), col("probe_id"))
+        .agg(count(lit(1)).as("n_shared_bigrams"))
+        .filter(col("n_shared_bigrams") >= minOverlap)
+    }
 
   /** Curation dashboard slice: per (source, gate outcome) doc counts,
     * token mass, and in-source share — WHY each source's documents drop,
@@ -515,15 +518,23 @@ object TextOps {
     val spread = OpUtils.spread(documents)
     val uni = corpusTf(documents)
       .select(col("tok").as("first_tok"), col("tf").as("cw"))
-    val bigrams = bigramRows(spread)
+    // ONE tokenize+bigram pass rolled to the (doc, bigram) grain and
+    // checkpointed: the per-occurrence form re-ran the corpus pass for
+    // each of its two consumers (bigram totals + the score join), and
+    // every downstream row count shrinks to the grain. Exact-integer
+    // equivalence: Σ_occurrences score = Σ_grain cnt·score and
+    // n_bigrams = Σ cnt — same values, same overflow class (ANSI longs).
+    val db = Memo.managedCheckpoint(bigramRows(spread)
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt")))
+    val bgCounts = db.groupBy(col("bigram")).agg(sum(col("cnt")).as("cab"))
+    db
       .withColumn("first_tok", substring_index(col("bigram"), " ", 1))
-    val bgCounts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cab"))
-    bigrams
       .join(bgCounts, Seq("bigram"))
       .join(uni, Seq("first_tok"))
       .withColumn("score", expr("(cab * 1000000) div cw"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("score")).as("score_sum"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("score")).as("score_sum"))
   }
 
   /** Fluency-quantile buckets over the corpus — the "drop the
