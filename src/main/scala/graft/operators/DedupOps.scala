@@ -358,6 +358,14 @@ object DedupOps {
     prefix
       .join(kept.select(col("x"), col("doc_id").as("doc_big")), Seq("x"))
       .filter(col("doc_small") =!= col("doc_big"))
+      // user-origin repartition before the dedup: the distinct's output
+      // is byte-tiny and AQE-coalesced to ONE partition, so the Memo
+      // wrapper's checkpoint landed single-partition and every consumer
+      // scan of the pair list (the size-prune join feeding the verify)
+      // ran single-task (profiled 1.34 s on one core); the distinct
+      // reuses this partitioning and the checkpoint stays spread
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_small"), col("doc_big"))
       // no trailing persist: the Memo wrapper eagerly checkpoints this
       .select("doc_small", "doc_big").distinct()
   }

@@ -280,7 +280,11 @@ object TextOps {
   def docKeyterms(documents: DataFrame, k: Int = 3): DataFrame = {
     val toks = OpUtils.spread(documents)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // eager checkpoint: the (doc, tok, tf) grain feeds BOTH the df
+    // rollup and the score join, which schedule concurrently — profiled
+    // r15: the tokenize+tf pass ran twice (2 × ~11 executor-seconds)
+    val tf = Memo.managedCheckpoint(
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = documents
       .filter(length(TextFns.normText(col("text"))) > 0)
@@ -415,9 +419,12 @@ object TextOps {
     */
   def tfidfDocPairs(documents: DataFrame, dfCap: Long = 100,
       minSim: Double = 0.25): DataFrame = {
-    val tf = OpUtils.spread(documents)
+    // eager checkpoint: the (doc, tok, tf) grain feeds the df rollup,
+    // the norms rollup and both sides of the cosine self-join — four
+    // concurrent consumers, each otherwise re-running the tokenize pass
+    val tf = Memo.managedCheckpoint(OpUtils.spread(documents)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     val w = tf.join(df, Seq("tok")).crossJoin(broadcast(nDocs))
