@@ -73,7 +73,7 @@ object ClassifierOps {
     // while populating the persist (integer-quantized sums make every
     // downstream aggregate order-independent, so the repartition cannot
     // move a result)
-    TextOps.qualityScore(OpUtils.spread(documents)).select(
+    TextOps.qualityScore(OpUtils.spreadDocs(documents)).select(
       col("doc_id"),
       TextOps.gateReason.isNull.as("y"),
       (least(coalesce(col("n_tokens"), lit(0L)), lit(500L)) * 20).as("f_len"),
@@ -279,8 +279,13 @@ object ClassifierOps {
       // no consumer outlives the eager summary row — release the
       // feature blocks now instead of accumulating MEMORY_AND_DISK
       // blocks across calls in sessions that never call
-      // Memo.releaseManaged() (r14 advice)
-      Memo.release(cached)
+      // Memo.releaseManaged() (r14 advice). Plain unpersist, NOT
+      // Memo.release: the frame is a persist (unpersist suffices), and
+      // release() would also unpersist every LogicalRDD leaf inside the
+      // plan — including the session-shared docs_spread memo checkpoint,
+      // stranding every later text-family consumer on dropped blocks
+      // (surfaced as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in r15).
+      cached.unpersist(blocking = false)
       out
     }
   }

@@ -35,7 +35,7 @@ object DedupOps {
     * shingle element rather than once per document.)
     */
   private def shingleHashRows(documents: DataFrame, k: Int): DataFrame =
-    spread(documents)
+    OpUtils.spreadDocs(documents)
       .select(col("doc_id"), graft.functions.TextFns.normText(col("text")).as("t"))
       .filter(length(col("t")) >= k)
       .select(col("doc_id"), col("t"),
@@ -62,7 +62,7 @@ object DedupOps {
     * explode-based SQL.
     */
   def withMinhashSignature(documents: DataFrame): DataFrame =
-    spread(documents)
+    OpUtils.spreadDocs(documents)
       .select(col("doc_id"),
         graft.functions.MinhashSig.signature(
           graft.functions.TextFns.normText(col("text")), 5).as("sig"))
@@ -232,7 +232,7 @@ object DedupOps {
     */
   private def docShingleSets(documents: DataFrame): DataFrame =
     Memo.cached("doc_shingle_sets", documents) { docs =>
-      spread(docs)
+      OpUtils.spreadDocs(docs)
         .select(col("doc_id"),
           graft.functions.MinhashSig.distinctShingles(
             graft.functions.TextFns.normText(col("text")), 5).as("xs"))
@@ -681,16 +681,20 @@ object DedupOps {
     * aggregations on the 64-bit span hash, never on the span text.
     */
   def dedupSpans(documents: DataFrame, span: Int = SpanTokens): DataFrame = {
-    val grams = spread(documents)
+    val grams = OpUtils.spreadDocs(documents)
       .select(col("doc_id"),
         explode(graft.functions.SpanHash.spanHashes(
           TextFns.tokens(col("text")), span)).as("h"))
+    // "shared by ≥2 distinct docs" ⟺ min(doc_id) < max(doc_id): one-level
+    // min/max partial-aggregates map-side, where countDistinct expanded
+    // to a two-level agg shuffling every (hash, doc) pair (same rewrite
+    // as substringRuns)
     val stats = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .agg((min(col("doc_id")) < max(col("doc_id"))).as("is_dup"))
     grams.join(stats, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"))
       .withColumn("dup_fraction",
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
@@ -745,7 +749,7 @@ object DedupOps {
 
   private def substringRunsImpl(documents: DataFrame, span: Int,
       minTokens: Int): DataFrame = {
-    val grams = spread(documents)
+    val grams = OpUtils.spreadDocs(documents)
       .select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("doc_tokens"),
         posexplode(graft.functions.SpanHash.spanHashes(
@@ -795,7 +799,7 @@ object DedupOps {
   def substringReport(documents: DataFrame, span: Int = SpanTokens,
       minTokens: Int = SubstringMinTokens, topK: Int = 20): DataFrame = {
     val runs = substringRuns(documents, span, minTokens)
-    val toks = spread(documents)
+    val toks = OpUtils.spreadDocs(documents)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
     runs.join(toks, Seq("doc_id"))
       .select(col("doc_id"), col("run_tokens"),
@@ -822,7 +826,7 @@ object DedupOps {
     * semantics unchanged; the oracle recomputes identical values.
     */
   def withSimhash(documents: DataFrame): DataFrame =
-    spread(documents)
+    OpUtils.spreadDocs(documents)
       .select(col("doc_id"),
         graft.functions.MinhashSig.simhash(
           graft.functions.TextFns.normText(col("text"))).as("simhash"))

@@ -259,11 +259,17 @@ object Memo {
   }
 
   /** A locally-checkpointed Dataset's plan is a leaf `LogicalRDD` over
-    * the persisted internal RDD; unpersist exactly that RDD to free its
-    * executor blocks.
+    * the persisted internal RDD; unpersist exactly that RDD — the ROOT
+    * node only — to free its executor blocks. This must NOT walk the
+    * whole plan: a lazily-persisted managed frame's plan may EMBED other
+    * memos' checkpoint leaves (e.g. any text-family derivation over the
+    * session-shared docs_spread leaf), and unpersisting those through a
+    * per-call release strands every later consumer of the still-cached
+    * memo on dropped blocks (surfaced r15 as
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND mid-suite).
     */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()

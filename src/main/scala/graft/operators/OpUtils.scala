@@ -13,6 +13,21 @@ private[graft] object OpUtils {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** [[spread]] of the documents table, memoized per session per input:
+    * ~20 text-family operators each paid their OWN single-task read of
+    * the (single-row-group) text parquet plus a full-text shuffle before
+    * their parallel stage — the serialized read was the top fixed cost
+    * of the whole family (profiled 0.5-1.3 s per operator at sf0.1).
+    * The checkpoint holds exactly spread()'s output — same partitioning,
+    * same per-partition row order (repartition is deterministic under
+    * sortBeforeRepartition) — so consumers are row-identical. Corpus-
+    * sized like the established text memos (doc_shingle_sets is O(text)
+    * too); at 100 TB the inputs arrive in many splits and the first
+    * pass is the only full-text materialization of the session.
+    */
+  def spreadDocs(df: DataFrame): DataFrame =
+    Memo.cached("docs_spread", df)(spread)
+
   // NOTE (round 14): a data-sized-partitioning helper (eager checkpoint
   // + count + coalesce to rows/2000 tasks) was built and measured on the
   // Lloyd/IRLS/CC loop frames — per-query deltas were within run noise

@@ -143,7 +143,7 @@ object TextOps {
     * combine; the top-k order is fully tie-broken.
     */
   def bigramTopK(documents: DataFrame, k: Int = 20): DataFrame =
-    bigramRows(OpUtils.spread(documents))
+    bigramRows(OpUtils.spreadDocs(documents))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
@@ -162,7 +162,7 @@ object TextOps {
       def bigrams(df: DataFrame) = bigramRows(df).distinct()
       val probe = bigrams(docs.filter(col("doc_id") < nProbe))
         .select(col("doc_id").as("probe_id"), col("bigram"))
-      val corpus = bigrams(OpUtils.spread(docs).filter(col("doc_id") >= nProbe))
+      val corpus = bigrams(OpUtils.spreadDocs(docs).filter(col("doc_id") >= nProbe))
       corpus.join(broadcast(probe), Seq("bigram"))
         .groupBy(col("doc_id"), col("probe_id"))
         .agg(count(lit(1)).as("n_shared_bigrams"))
@@ -178,7 +178,7 @@ object TextOps {
     * (source × reason) table.
     */
   def gateReasonBreakdown(documents: DataFrame): DataFrame = {
-    val scored = qualityScore(OpUtils.spread(documents))
+    val scored = qualityScore(OpUtils.spreadDocs(documents))
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_toks"),
         coalesce(gateReason, lit("pass")).as("reason"))
@@ -218,7 +218,7 @@ object TextOps {
     * excluded (mirrored in the oracle).
     */
   def repetitionReport(documents: DataFrame, dupFracMin: Double = 0.2): DataFrame =
-    bigramRows(OpUtils.spread(documents))
+    bigramRows(OpUtils.spreadDocs(documents))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
@@ -240,7 +240,7 @@ object TextOps {
     */
   private[operators] def corpusTf(documents: DataFrame): DataFrame =
     Memo.cached("corpus_tf", documents) { docs =>
-      OpUtils.spread(docs)
+      OpUtils.spreadDocs(docs)
         .select(explode(TextFns.tokens(col("text"))).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("tf"))
@@ -253,7 +253,7 @@ object TextOps {
     * frequencies (map-side combined), then a broadcast-joined re-scan.
     */
   def rarityScore(documents: DataFrame): DataFrame = {
-    val toks = OpUtils.spread(documents)
+    val toks = OpUtils.spreadDocs(documents)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
     val tf = corpusTf(documents)
     val total = tf.agg(sum(col("tf")).as("total"))
@@ -278,7 +278,7 @@ object TextOps {
     * the corpus rather than capping on any small key.
     */
   def docKeyterms(documents: DataFrame, k: Int = 3): DataFrame = {
-    val toks = OpUtils.spread(documents)
+    val toks = OpUtils.spreadDocs(documents)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
     // eager checkpoint: the (doc, tok, tf) grain feeds BOTH the df
     // rollup and the score join, which schedule concurrently — profiled
@@ -327,7 +327,7 @@ object TextOps {
     * map-side-combined rollup; output is template-group-sized.
     */
   def templateFingerprint(documents: DataFrame, prefixTokens: Int = 8): DataFrame =
-    OpUtils.spread(documents)
+    OpUtils.spreadDocs(documents)
       .select(col("doc_id"), col("source"),
         HashFns.hash60(
           regexp_replace(
@@ -344,7 +344,7 @@ object TextOps {
     * oracle-parity stand-in for a rolling hash) + duplicate-group size.
     */
   def docFingerprint(documents: DataFrame): DataFrame =
-    OpUtils.spread(documents)
+    OpUtils.spreadDocs(documents)
       .select(col("doc_id"), HashFns.hash60(TextFns.normText(col("text"))).as("fingerprint"))
       .withColumn("n_same_fp",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
@@ -422,7 +422,7 @@ object TextOps {
     // eager checkpoint: the (doc, tok, tf) grain feeds the df rollup,
     // the norms rollup and both sides of the cosine self-join — four
     // concurrent consumers, each otherwise re-running the tokenize pass
-    val tf = Memo.managedCheckpoint(OpUtils.spread(documents)
+    val tf = Memo.managedCheckpoint(OpUtils.spreadDocs(documents)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -464,7 +464,7 @@ object TextOps {
     * canonicalization is scalar-only).
     */
   def invertedIndex(documents: DataFrame, postingSample: Int = 5): DataFrame =
-    OpUtils.spread(documents)
+    OpUtils.spreadDocs(documents)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy(col("tok"), col("doc_id"))
       .agg(count(lit(1)).as("n"))
@@ -486,7 +486,7 @@ object TextOps {
     * word explodes its character pairs weighted by its count.
     */
   def bpePairCounts(documents: DataFrame, k: Int = 20): DataFrame =
-    OpUtils.spread(documents)
+    OpUtils.spreadDocs(documents)
       .select(explode(TextFns.tokens(col("text"))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
@@ -522,7 +522,7 @@ object TextOps {
     Memo.cached("lm_parts", documents)(lmScorePartsImpl)
 
   private def lmScorePartsImpl(documents: DataFrame): DataFrame = {
-    val spread = OpUtils.spread(documents)
+    val spread = OpUtils.spreadDocs(documents)
     val uni = corpusTf(documents)
       .select(col("tok").as("first_tok"), col("tf").as("cw"))
     // ONE tokenize+bigram pass rolled to the (doc, bigram) grain and
@@ -613,7 +613,7 @@ object TextOps {
   def bpeLearnMerges(documents: DataFrame, rounds: Int = 3): DataFrame = {
     val sep = "\u001f"
     val words0 = Memo.cached("bpe_words", documents) { docs =>
-      OpUtils.spread(docs)
+      OpUtils.spreadDocs(docs)
         .select(explode(TextFns.tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
         .filter(length(col("word")) >= 2)
@@ -661,7 +661,7 @@ object TextOps {
     * the final top-k is a bounded TakeOrdered, never a global sort.
     */
   def collocationPmi(documents: DataFrame, minCount: Long = 3, k: Int = 30): DataFrame = {
-    val spread = OpUtils.spread(documents)
+    val spread = OpUtils.spreadDocs(documents)
     val pairs = spread
       .select(TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -707,7 +707,7 @@ object TextOps {
       .orderBy(col("merge_rank"))
       .select(col("lhs"), col("rhs")).collect()
       .map(r => (r.getString(0), r.getString(1)))
-    val words = OpUtils.spread(documents)
+    val words = OpUtils.spreadDocs(documents)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
     val wrapped = regexp_replace(col("word"), "(.)", sep + "$1" + sep)
     val encoded = merges.foldLeft(wrapped) { case (c, (l, r)) =>
@@ -757,7 +757,7 @@ object TextOps {
   def bm25Search(documents: DataFrame, terms: Seq[String] = Bm25Terms,
       k1Num: Int = 6, k1Den: Int = 5, bNum: Int = 3, bDen: Int = 4,
       topN: Int = 20): DataFrame = {
-    val docs = OpUtils.spread(documents)
+    val docs = OpUtils.spreadDocs(documents)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) > 0)
       .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("dl"))
@@ -797,7 +797,7 @@ object TextOps {
     * 2⁶³ at corpus scale).
     */
   def tokenizerFertility(documents: DataFrame): DataFrame =
-    OpUtils.spread(documents)
+    OpUtils.spreadDocs(documents)
       .select(col("lang"), TextFns.tokens(col("text")).as("ts"),
         length(TextFns.normText(col("text"))).cast("long").as("chars"))
       .filter(col("chars") > 0)
@@ -831,7 +831,7 @@ object TextOps {
     */
   def dsirWeights(documents: DataFrame, targetLang: String = "en",
       buckets: Int = 1024): DataFrame = {
-    val toks = OpUtils.spread(documents)
+    val toks = OpUtils.spreadDocs(documents)
       .select(col("doc_id"), col("lang"),
         explode(TextFns.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("lang"),
@@ -871,7 +871,7 @@ object TextOps {
     */
   def ngramNovelty(documents: DataFrame,
       span: Int = DedupOps.SpanTokens): DataFrame = {
-    val grams = OpUtils.spread(documents)
+    val grams = OpUtils.spreadDocs(documents)
       .select(col("doc_id"),
         explode(graft.functions.SpanHash.spanHashes(
           TextFns.tokens(col("text")), span)).as("h"))
@@ -904,7 +904,7 @@ object TextOps {
       .select(col("doc_id"),
         expr(s"(doc_id * $checkpoints) div (mx + 1)").as("bucket"),
         col("text"))
-    val toks = OpUtils.spread(docs)
+    val toks = OpUtils.spreadDocs(docs)
       .select(col("bucket"), explode(TextFns.tokens(col("text"))).as("tok"))
     val perBucket = docs.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
@@ -981,7 +981,7 @@ object TextOps {
     * ranks), so the result is total-order-free and engine-stable.
     */
   def tokenRankOctaves(documents: DataFrame): DataFrame = {
-    val freq = OpUtils.spread(documents)
+    val freq = OpUtils.spreadDocs(documents)
       .select(explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
     val fof = freq.groupBy(col("f")).agg(count(lit(1)).as("m"))
@@ -1059,7 +1059,7 @@ object TextOps {
     * 2⁶³ at corpus scale).
     */
   def vocabSimpson(documents: DataFrame): DataFrame =
-    OpUtils.spread(documents)
+    OpUtils.spreadDocs(documents)
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
       .groupBy(col("source"))
@@ -1137,7 +1137,7 @@ object TextOps {
     // concurrently — profiled r15: the tokenize+rollup pass ran 4×
     // (~30 executor-seconds duplicated) because nothing pinned this
     // vocabulary×sources-bounded frame (~19k rows at sf0.1)
-    val st = Memo.managedCheckpoint(OpUtils.spread(documents)
+    val st = Memo.managedCheckpoint(OpUtils.spreadDocs(documents)
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("a")))

@@ -98,7 +98,7 @@ object UnigramLmOps {
   /** Word-frequency rollup: the single corpus touch. */
   private def words(documents: DataFrame): DataFrame =
     Memo.cached("unigram_words", documents) { docs =>
-      OpUtils.spread(docs)
+      OpUtils.spreadDocs(docs)
         .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
         .filter(length(col("w")).between(1, MaxWordLen))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
@@ -234,7 +234,7 @@ object UnigramLmOps {
       .map(t => s"CASE WHEN piece_$t IS NOT NULL THEN 1 ELSE 0 END")
       .mkString("CAST(", " + ", " AS BIGINT)")
     val wp = seg2(documents).select(col("w"), expr(nPieces).as("n_pieces"))
-    OpUtils.spread(documents)
+    OpUtils.spreadDocs(documents)
       .select(col("doc_id"),
         explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
       .filter(length(col("w")).between(1, MaxWordLen))
