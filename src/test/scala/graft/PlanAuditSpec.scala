@@ -438,15 +438,15 @@ class PlanAuditSpec extends SparkSpec {
       // basket_affinity: its type-count broadcasts (fixed ~150-value
       // p_type domain) now hang off the round-14 checkpoint leaf, so
       // the sweep no longer traces them to a scaling scan — 0 entries
-      "bm25_search" -> 1, // df per term, ≤ |fixed query-term set| = 6 rows
-      "hybrid_search_rrf" -> 1, // the bm25 leg's same per-term df frame
-      // (≤ 6 rows) — the lexical shortlist itself is limit-bounded and
-      // the vector leg's query frames are literal-id bound
+      // bm25_search / hybrid_search_rrf: the per-term df frames now hang
+      // off the round-15 session-shared docs_spread checkpoint leaf, so
+      // the sweep no longer traces them to a scaling scan — 0 entries
       // bootstrap_ci_order_value: the CI bounds now broadcast from the
       // round-14 eager checkpoint of the R = 64 resample means (a
       // LogicalRDD leaf the sweep classifies bounded) — 0 entries
-      "contamination_check" -> 1, // probe bigrams of ≤ nProbe literal benchmark docs
-      "decontaminated_corpus" -> 1, // the same probe-bigram frame (nProbe literal)
+      // contamination_check / decontaminated_corpus: the probe-bigram
+      // broadcast now lives inside the round-15 memoized overlap build;
+      // the query plans read the memo leaf — 0 entries
       "embed_centroid_drift" -> 1, // per-dim global means: exactly 64 rows
       // embed_kmeans: the iter-2 centroid broadcasts (cid ⊆ k seed ids)
       // now derive from the round-14 memoized points checkpoint, so the
@@ -459,7 +459,9 @@ class PlanAuditSpec extends SparkSpec {
       "fk_orphans" -> 1, // ONE fused orphan+unref rollup per rel (7 literal
       // edges; round 14 merged the two filtered aggs into one pass)
       "hourly_anomalies" -> 1, // per-event-type stats (5-value enum)
-      "median_order_value" -> 2, // quantile-bracket probes per region (5-value dim)
+      // median_order_value: the quantile-bracket probes now ride the
+      // round-15 eager checkpoint of the priced join (a LogicalRDD leaf
+      // the sweep classifies bounded) — 0 entries
       "price_qty_skyline" -> 1, // per-cell maxima of the fixed anti-corner grid
       // (robust_price_stats' median/P5/P95 probes now ride the
       // Memo-shared priority_usd_cdf leaf — no scaling-table hint left)
@@ -471,7 +473,8 @@ class PlanAuditSpec extends SparkSpec {
       "mixture_upsample" -> 1, // per-lang repeat ratios: the same ≤|langs| frame
       // (kendall_tau_daily's pair side now rides the Memo-shared
       // day_pairs leaf — no scaling-table hint left in its plan)
-      "source_term_lift" -> 1, // per-source token totals: source enum domain
+      // source_term_lift: the per-source totals now ride the round-15
+      // checkpointed (source, tok) grain — no scaling-table hint left
       "rank_corr_quality_len" -> 1, // contingency cells: ≤ 21 score bins ×
       // 64 log2-length bins — bounded by both quantized DOMAINS, never docs
       "customer_spend_quartiles" -> 1, // per-(segment, dollar) quartile map:
@@ -590,7 +593,9 @@ class PlanAuditSpec extends SparkSpec {
       // cdfBuckets over PER-ORDER price cents: the distinct table is
       // bounded by the price DOMAIN (a fixed cents range), unlike
       // per-customer SUMMED cents which scale with the customer count
-      "equi_depth_histogram" -> 1,
+      "equi_depth_histogram" -> 2, // round 15: the cdf grand total rides a
+      // second frame of the SAME sort (unbounded-following) — one more
+      // Window node, same exchange+sort, still the distinct-cents grain
       // same per-order price-cents CDF, partitioned by the priority enum
       "quantile_sketch_audit" -> 2)
     def scansScaling(p: LogicalPlan): Boolean = p.collectFirst {
